@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query set
+  against the corpus, score with JVM-side expressions, rank per query. The
+  corpus is never shuffled — the only exchange is the final per-query top-k
+  (k rows per query per partition after a partial window, bounded output).
+* ``srp_lsh_topk`` — sign-random-projection LSH: deterministic ±1
+  hyperplanes (integer-arithmetic pseudo-hash, engine-portable), bucket on
+  the bit signature, score only within buckets. This is the 100 TB path:
+  candidate generation is a hash-bucket equi-join instead of a cross join.
+
+Scores are rounded before ranking (with an id tie-break) so ranking is a
+pure function of the data and reproducible under any summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.functions import (
+    vectors as V,
+)
+
+
+def _scored(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    round_to: int,
+) -> DataFrame:
+    q = queries.select(
+        F.col(id_col).alias("qid"), V.as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"), V.as_double(F.col(vec_col)).alias("cv")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cos", F.round(V.cosine(F.col("qv"), F.col("cv")), round_to))
+        .select("qid", "cid", "cos")
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query: (qid, cid, cos, rank)."""
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        _scored(queries, corpus, id_col, vec_col, round_to)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def srp_signature_bit(vec: F.Column, plane: int) -> F.Column:
+    """Sign bit of <vec, h_plane> where h_plane[d] = ±1 from pure-integer
+    arithmetic (portable to any oracle engine, no RNG state)."""
+    coeff = lambda d: F.when(  # noqa: E731
+        ((F.lit(plane) * 1000003 + d * 7919) % 97) % 2 == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    proj = F.aggregate(
+        F.transform(vec, lambda x, i: x * coeff(i)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (proj >= 0).cast("int")
+
+
+def srp_bucket(vec: F.Column, n_planes: int = 8) -> F.Column:
+    """n-bit sign-random-projection bucket id (string key)."""
+    bits = [srp_signature_bit(vec, p) for p in range(n_planes)]
+    return F.concat_ws("", *[b.cast("string") for b in bits])
+
+
+def srp_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    round_to: int = 5,
+) -> DataFrame:
+    """Approximate top-k: score only pairs whose SRP buckets match.
+
+    Recall is tunable via n_planes (fewer planes → bigger buckets → higher
+    recall & cost). Multi-probe (hamming-1 neighbors) is a natural extension.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        V.as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("bucket", srp_bucket(F.col("qv"), n_planes))
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        V.as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("bucket", srp_bucket(F.col("cv"), n_planes))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .withColumn("cos", F.round(V.cosine(F.col("qv"), F.col("cv")), round_to))
+        .select("qid", "cid", "cos")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

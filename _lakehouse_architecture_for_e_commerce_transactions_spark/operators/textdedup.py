@@ -1,0 +1,205 @@
+"""Content-based document deduplication at corpus scale.
+
+Four families, all shuffle-disciplined for 100 TB corpora:
+
+* **exact** — group by md5(content): one shuffle on a 32-byte key, map-side
+  partial aggregation collapses most duplicates before the exchange.
+* **n-gram Jaccard** — token-shingle inverted index self-join restricted to a
+  blocking key; exact similarity on candidate pairs only.
+* **MinHash + LSH** — k salted-md5 min-hashes per doc (one shuffle), band
+  keys, bucket self-join: near-dup candidates without the quadratic join.
+  Candidates are verified with true Jaccard.
+* **SimHash** — per-bit majority over token hashes; Hamming-near signatures
+  bucket by band of bits.
+
+Everything is expression-level (no UDFs): md5-based hashing keeps results
+engine-portable for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.functions import (
+    hashing as H,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.functions import (
+    text as T,
+)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """One surviving id per distinct content: (fingerprint, keeper, copies).
+
+    Keeper = min id → deterministic (SURVEY.md §4.3-4 discipline applied to
+    content dedup)."""
+    return (
+        df.groupBy(T.fingerprint(F.col(text_col)).alias("fp"))
+        .agg(
+            F.min(F.col(id_col)).alias("keeper"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
+def shingle_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) inverted index — distinct word n-grams per doc."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(T.shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def shingle_counts(index: DataFrame) -> DataFrame:
+    return index.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs from the inverted index.
+
+    The self-join explodes on shingles shared across docs, so at corpus scale
+    a ``block_col`` (language, source bucket, length band …) bounds the join
+    fan-out; frequent-shingle skew is the classic LSH motivation — prefer
+    ``minhash_lsh_pairs`` when no natural blocking key exists.
+
+    Returns (doc1, doc2, inter, union_size, jaccard) with doc1 < doc2.
+    """
+    cols = [F.col(id_col).alias("doc"), T.shingles(F.col(text_col), n).alias("sh")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = df.select(*cols).withColumn("n_sh", F.size("sh"))
+    idx = base.select(
+        "doc", "n_sh", *(["blk"] if block_col else []), F.explode("sh").alias("shingle")
+    )
+    left = idx.alias("a")
+    right = idx.alias("b")
+    join_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.doc") < F.col("b.doc")
+    )
+    if block_col:
+        join_cond = join_cond & (F.col("a.blk") == F.col("b.blk"))
+    inter = (
+        left.join(right, join_cond)
+        .groupBy(
+            F.col("a.doc").alias("doc1"),
+            F.col("b.doc").alias("doc2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn("union_size", F.col("n1") + F.col("n2") - F.col("inter"))
+        .withColumn(
+            "jaccard", F.round(F.col("inter") / F.col("union_size"), 6)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "inter", "union_size", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 8
+) -> DataFrame:
+    """(doc, mh0..mh{k-1}) — one shuffle (groupBy doc) over the shingle
+    index; signatures are 32-char hex strings (lexicographic min-hash)."""
+    idx = shingle_index(df, id_col, text_col, n)
+    return idx.groupBy("doc").agg(*H.minhash_aggs("shingle", k))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band (doc1 < doc2).
+
+    Plan: shingle index → k min-hash aggs → band keys → per-band self-join on
+    the 32-byte band key → distinct pairs. The self-join is per-bucket, so
+    cost is Σ bucket² — the whole point of LSH vs the quadratic join.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    bands = sig.select(F.col("doc"), *H.band_keys(k, rows_per_band))
+    n_bands = k // rows_per_band
+    pair_parts = []
+    for b in range(n_bands):
+        key = f"band{b}"
+        a = bands.select(F.col("doc").alias("doc1"), F.col(key).alias("bk"))
+        c = bands.select(F.col("doc").alias("doc2"), F.col(key).alias("bk"))
+        pair_parts.append(
+            a.join(c, "bk").filter(F.col("doc1") < F.col("doc2")).select("doc1", "doc2")
+        )
+    pairs = pair_parts[0]
+    for p in pair_parts[1:]:
+        pairs = pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def minhash_dedup_verified(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard (the standard two-phase
+    near-dup pipeline): returns (doc1, doc2, jaccard) above threshold."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, n, k, rows_per_band)
+    idx = shingle_index(df, id_col, text_col, n)
+    sizes = shingle_counts(idx)
+    i1 = idx.select(F.col("doc").alias("doc1"), F.col("shingle"))
+    i2 = idx.select(F.col("doc").alias("doc2"), F.col("shingle").alias("shingle2"))
+    inter = (
+        cand.join(i1, "doc1")
+        .join(i2, "doc2")
+        .filter(F.col("shingle") == F.col("shingle2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "doc1"), "doc1")
+        .withColumnRenamed("n_shingles", "n1")
+        .join(sizes.withColumnRenamed("doc", "doc2"), "doc2")
+        .withColumnRenamed("n_shingles", "n2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+    return out
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 16
+) -> DataFrame:
+    """(doc, simhash bit columns b0..b{n-1}, simhash int) via per-bit
+    majority vote over the doc's distinct tokens."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(T.tokens(F.col(text_col)))).alias("token"),
+    )
+    sig = toks.groupBy("doc").agg(*H.simhash_bits("token", n_bits))
+    value = sum(
+        (F.col(f"b{i}") * F.lit(2 ** (n_bits - 1 - i)) for i in range(n_bits)),
+        start=F.lit(0),
+    )
+    return sig.withColumn("simhash", value.cast("long"))

@@ -1,0 +1,932 @@
+"""Query catalog: every operator from SURVEY.md §2 (plus the training-data
+pipeline extensions) as a named query with a DuckDB oracle.
+
+Each entry pairs a Spark builder ``(spark, sf_dir) -> DataFrame`` with the
+equivalent ANSI SQL the driver runs through DuckDB on the same parquet
+tables. Column names/aliases are kept identical on both sides (the driver's
+compare sorts columns by name before hashing). Float-derived aggregates are
+rounded inside *both* queries so the hash compare is summation-order-proof.
+
+Coverage map (reference operator → query key):
+  S1/S2 scans+P1 cast+P8 filter  → scan_filter_project, partition_pruned_day
+  S3/S4/S5 merge upsert          → merge_upsert_sim (merge_plan relational core)
+  P2-P6 validation rules         → validation_reasons
+  J1/J2 left join                → orders_enriched_left_join
+  J3 anti / J4 semi              → fk_anti_orphans, fk_semi_join, fk_chain_reasons
+  A1/A3 counts                   → table_counts
+  A2 dedup                       → distinct_segments, latest_order_per_customer
+  L1 limit                       → top10_orders (deterministic top-k form)
+  §2.7 set ops                   → set_ops_custkeys
+  §2.5 windows (rebuild plus)    → running_total, top3_per_priority
+  group-by/having (Athena surface generalized) → pricing_summary,
+                                   customer_order_stats, events_hourly
+  scalar funcs (json/date/string)→ events_json_kv, doc_token_stats
+  training-data ops              → doc_exact_dedup, ngram_jaccard_pairs,
+                                   minhash_lsh_pairs, simhash_buckets*,
+                                   lang_confusion, doc_quality,
+                                   cosine_topk, srp_ann_topk,
+                                   multimodal_meta* (*rows-only)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.functions import (
+    text as T,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+    dedup as D,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+    joins as J,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+    merge as M,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+    similarity as SIM,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+    textdedup as TD,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+    validation as VAL,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+    ForeignKey,
+    TableSpec,
+    load_table,
+)
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver runs rows-only check
+    headline: bool = False  # included in bench.py
+
+
+def money(col: F.Column) -> F.Column:
+    """Engine-portable 2-decimal rounding: floor(x*100 + 0.5) / 100.
+
+    Spark's ROUND(double) goes through the decimal *string* of the double
+    (HALF_UP on shortest repr) while DuckDB rounds the binary value — they
+    disagree on values whose true decimal expansion sits near a .xx5
+    boundary (e.g. extended_price * (1 - discount)). floor on identical IEEE
+    ops is bit-identical everywhere; the oracle uses the same formula.
+    """
+    return F.floor(col * 100 + F.lit(0.5)) / 100
+
+
+_MONEY_SQL = "floor({x} * 100 + 0.5) / 100"
+
+
+# --------------------------------------------------------------------------
+# Core relational surface (reference parity)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_scan_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.filter((F.col("l_quantity") < 10) & (F.col("l_discount") >= 0.05)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+_SCAN_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS revenue
+FROM lineitem WHERE l_quantity < 10 AND l_discount >= 0.05
+"""
+
+
+def q_top10_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+_TOP10_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_table_counts(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").agg(
+        F.count(F.lit(1)).alias("lineitem_rows")
+    )
+    o = load_table(spark, sf, "orders").agg(F.count(F.lit(1)).alias("orders_rows"))
+    c = load_table(spark, sf, "customer").agg(F.count(F.lit(1)).alias("customer_rows"))
+    return li.crossJoin(o).crossJoin(c)
+
+
+_COUNTS_SQL = """
+SELECT (SELECT count(*) FROM lineitem) AS lineitem_rows,
+       (SELECT count(*) FROM orders) AS orders_rows,
+       (SELECT count(*) FROM customer) AS customer_rows
+"""
+
+
+def q_partition_pruned_day(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-06").cast("timestamp"))
+        )
+        .orderBy("event_id")
+        .limit(10)
+        .select("event_id", "user_id", "event_type", F.round("value", 2).alias("v"))
+    )
+
+
+_PRUNED_DAY_SQL = """
+SELECT event_id, user_id, event_type, round(value, 2) AS v
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+ORDER BY event_id LIMIT 10
+"""
+
+
+def q_distinct_segments(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    return c.select("c_nationkey", "c_mktsegment").distinct()
+
+
+_DISTINCT_SQL = "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"
+
+
+def q_latest_order_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    kept = D.dedup_deterministic(
+        o, ["o_custkey"], order_by=["o_orderdate", "o_orderkey"], descending=True
+    )
+    return kept.select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+_LATEST_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total
+FROM orders
+QUALIFY row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+"""
+
+
+def q_fk_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(F.col("p_size") >= 40)
+    fk = ForeignKey("l_partkey", "part", "p_partkey")
+    return (
+        J.fk_valid(li, part, fk)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+_FK_SEMI_SQL = """
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM part p
+              WHERE p.p_partkey = l.l_partkey AND p.p_size >= 40)
+GROUP BY l_returnflag
+"""
+
+
+def q_fk_anti_orphans(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    sup = load_table(spark, sf, "supplier").filter(F.col("s_nationkey") < 10)
+    fk = ForeignKey("l_suppkey", "supplier", "s_suppkey")
+    return (
+        J.fk_orphans(li, sup, fk)
+        .groupBy("l_linestatus")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+
+
+_FK_ANTI_SQL = """
+SELECT l_linestatus, count(*) AS orphans
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                  WHERE s.s_suppkey = l.l_suppkey AND s.s_nationkey < 10)
+GROUP BY l_linestatus
+"""
+
+
+def q_fk_chain_reasons(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    refs = {
+        "part": load_table(spark, sf, "part").filter(F.col("p_size") >= 25),
+        "supplier": load_table(spark, sf, "supplier").filter(F.col("s_nationkey") < 15),
+    }
+    fks = (
+        ForeignKey("l_partkey", "part", "p_partkey"),
+        ForeignKey("l_suppkey", "supplier", "s_suppkey"),
+    )
+    valid, orphans = J.fk_check(li, refs, fks, cache=False)
+    reasons = orphans.groupBy(F.col("_reject_reason").alias("reason")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ok = valid.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("valid").alias("reason"), "n"
+    )
+    return reasons.unionByName(ok)
+
+
+_FK_CHAIN_SQL = """
+WITH flagged AS (
+  SELECT CASE
+    WHEN NOT EXISTS (SELECT 1 FROM part p
+                     WHERE p.p_partkey = l.l_partkey AND p.p_size >= 25)
+      THEN 'fk_violation_l_partkey'
+    WHEN NOT EXISTS (SELECT 1 FROM supplier s
+                     WHERE s.s_suppkey = l.l_suppkey AND s.s_nationkey < 15)
+      THEN 'fk_violation_l_suppkey'
+    ELSE 'valid' END AS reason
+  FROM lineitem l)
+SELECT reason, count(*) AS n FROM flagged GROUP BY reason
+"""
+
+
+def q_orders_enriched(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer").filter(F.col("c_acctbal") > 0)
+    return o.join(c, o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total"),
+        "c_name",
+        "c_mktsegment",
+    )
+
+
+_ENRICH_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total, c.c_name, c.c_mktsegment
+FROM orders o
+LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
+  ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_merge_upsert_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE semantics as a checkable relational plan (S4/J5): upsert an
+    'updated totals' source batch into a simulated existing target."""
+    o = load_table(spark, sf, "orders")
+    target = o.filter(F.col("o_orderkey") % 3 != 0)
+    source = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", money(F.col("o_totalprice") * 1.1)
+    )
+    spec = TableSpec(
+        name="orders_merge", schema=o.schema, primary_key="o_orderkey"
+    )
+    merged = M.merge_plan(source, target, spec)
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+        "o_orderpriority",
+    )
+
+
+_MERGE_SQL = """
+WITH source AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         floor(o_totalprice * 1.1 * 100 + 0.5) / 100 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0),
+target AS (SELECT * FROM orders WHERE o_orderkey % 3 != 0),
+merged AS (
+  SELECT * FROM source
+  UNION ALL
+  SELECT t.* FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey))
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total, o_orderpriority
+FROM merged
+"""
+
+
+def q_validation_reasons(spark: SparkSession, sf: str) -> DataFrame:
+    """The single-pass validation engine over a deterministically dirtied
+    copy of orders (testdata is clean, so nulls are injected by key)."""
+    o = load_table(spark, sf, "orders")
+    dirty = o.select(
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_orderkey"))
+        .alias("o_orderkey"),
+        F.when(F.col("o_custkey") % 89 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 83 == 0, F.lit(None))
+        .otherwise(F.col("o_orderdate"))
+        .alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    spec = TableSpec(
+        name="orders_td",
+        schema=dirty.schema,
+        primary_key="o_orderkey",
+        required_columns=("o_custkey", "o_totalprice", "o_orderdate"),
+    )
+    res = VAL.validate(dirty, spec, cache=False)
+    rejected = res.rejected.groupBy(
+        F.col(VAL.REASON_COL).alias("reason")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ok = res.valid.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("valid").alias("reason"), "n"
+    )
+    return rejected.unionByName(ok)
+
+
+_VALIDATION_SQL = """
+WITH dirty AS (
+  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderkey END AS pk,
+         CASE WHEN o_custkey % 89 = 0 THEN NULL ELSE o_custkey END AS ck,
+         o_totalprice AS tp,
+         CASE WHEN o_orderkey % 83 = 0 THEN NULL ELSE o_orderdate END AS od
+  FROM orders),
+flagged AS (
+  SELECT CASE
+    WHEN ck IS NULL OR tp IS NULL OR od IS NULL THEN 'schema_mismatch'
+    WHEN pk IS NULL THEN 'null_primary_key'
+    ELSE 'valid' END AS reason
+  FROM dirty)
+SELECT reason, count(*) AS n FROM flagged GROUP BY reason
+"""
+
+
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    neg = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    near = c.filter(F.col("c_nationkey") < 20).select("c_custkey")
+    return a.union(b).distinct().subtract(neg).intersect(near)
+
+
+_SET_OPS_SQL = """
+WITH u AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+e AS (SELECT c_custkey FROM u
+      EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+SELECT c_custkey FROM e
+INTERSECT SELECT c_custkey FROM customer WHERE c_nationkey < 20
+"""
+
+
+def q_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.round(F.sum(F.round("o_totalprice", 2)).over(wsum), 2).alias(
+            "running_total"
+        ),
+    )
+
+
+_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS rn,
+       round(sum(round(o_totalprice, 2)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+def q_top3_per_priority(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            "rank",
+        )
+    )
+
+
+_TOP3_SQL = """
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total,
+       row_number() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rank
+FROM orders
+QUALIFY rank <= 3
+"""
+
+
+def q_customer_order_stats(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    stats = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.round("o_totalprice", 2)), 2).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+    return stats.join(
+        F.broadcast(c.select("c_custkey", "c_name")),
+        stats.o_custkey == F.col("c_custkey"),
+    ).select("c_custkey", "c_name", "n_orders", "total_spent")
+
+
+_CUST_STATS_SQL = """
+SELECT c.c_custkey, c.c_name, s.n_orders, s.total_spent
+FROM (SELECT o_custkey, count(*) AS n_orders,
+             round(sum(round(o_totalprice, 2)), 2) AS total_spent
+      FROM orders GROUP BY o_custkey HAVING count(*) >= 12) s
+JOIN customer c ON c.c_custkey = s.o_custkey
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(
+            F.date_format(win.start, "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.round("value", 2)), 2).alias("sum_value"),
+        )
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, count(*) AS n,
+       round(sum(round(value, 2)), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json_kv(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type", "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline surface (documents / embeddings)
+# --------------------------------------------------------------------------
+
+
+def q_doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).cast("long").alias("n_tokens"),
+        T.distinct_token_count(t).cast("long").alias("n_distinct"),
+        F.round(T.avg_token_len(t), 6).alias("avg_token_len"),
+    )
+
+
+_DOC_STATS_SQL = """
+SELECT doc_id,
+       len(string_split(trim(text), ' ')) AS n_tokens,
+       len(list_distinct(string_split(trim(text), ' '))) AS n_distinct,
+       round((length(text) - (len(string_split(trim(text), ' ')) - 1))
+             / len(string_split(trim(text), ' ')), 6) AS avg_token_len
+FROM documents
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return (
+        d.withColumn("quality", T.quality_score(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("quality"), 4).alias("sum_quality"),
+            F.count(F.when(F.col("quality") >= 0.5, 1)).alias("n_good"),
+        )
+    )
+
+
+_DOC_QUALITY_SQL = """
+WITH scored AS (
+  SELECT lang,
+         round(least(length(text) / 200.0, 1.0)
+               * (len(list_distinct(string_split(trim(text), ' ')))
+                  / CAST(len(string_split(trim(text), ' ')) AS DOUBLE))
+               * (1.0 - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                        / CAST(length(text) AS DOUBLE)), 6) AS quality
+  FROM documents)
+SELECT lang, count(*) AS n_docs, round(sum(quality), 4) AS sum_quality,
+       count(*) FILTER (WHERE quality >= 0.5) AS n_good
+FROM scored GROUP BY lang
+"""
+
+
+def _occurrence_sql(word: str) -> str:
+    needle = f" {word} "
+    return (
+        f"(length(' ' || text || ' ') - "
+        f"length(replace(' ' || text || ' ', ' {word} ', ''))) / {len(needle)}.0"
+    )
+
+
+def _lang_scores_sql() -> dict[str, str]:
+    return {
+        lang: " + ".join(_occurrence_sql(w) for w in words)
+        for lang, words in T.STOPWORDS.items()
+    }
+
+
+def _lang_pred_case_sql() -> str:
+    scores = list(T.STOPWORDS)
+    clauses = []
+    for lang in scores:
+        others = [f"s_{lang} >= s_{o}" for o in scores if o != lang]
+        cond = f"s_{lang} > 0 AND " + " AND ".join(others)
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+def q_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return (
+        d.withColumn("predicted", T.lang_id(F.col("text")))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _lang_confusion_sql() -> str:
+    score_exprs = ",\n         ".join(
+        f"{expr} AS s_{lang}" for lang, expr in _lang_scores_sql().items()
+    )
+    return f"""
+WITH sc AS (
+  SELECT lang,
+         {score_exprs}
+  FROM documents),
+pred AS (SELECT lang, {_lang_pred_case_sql()} AS predicted FROM sc)
+SELECT lang, predicted, count(*) AS n FROM pred GROUP BY lang, predicted
+"""
+
+
+_DOUBLED_CORPUS_SQL = """
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         substr(text, 1, CAST(floor(length(text) * 4.0 / 5) AS INT)),
+         source
+  FROM documents
+"""
+
+
+def _doubled_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """documents ∪ truncated-copy variants: a corpus with guaranteed exact
+    structure for near-dup detection (each doc and its 80%-prefix twin)."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    variants = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring(
+            F.col("text"),
+            1,
+            F.floor(F.length("text") * 4.0 / 5).cast("int"),
+        ).alias("text"),
+        "source",
+    )
+    return d.unionByName(variants)
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    corpus = d.unionByName(d)  # simulated double-ingest
+    return TD.exact_dedup(corpus, "doc_id", "text")
+
+
+_EXACT_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT * FROM documents UNION ALL SELECT * FROM documents)
+SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS copies
+FROM corpus GROUP BY fp
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _doubled_corpus(spark, sf)
+    return TD.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.4, block_col="source"
+    )
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH corpus AS ({_DOUBLED_CORPUS_SQL}),
+tok AS (SELECT doc_id AS doc, source,
+               string_split(trim(text), ' ') AS toks FROM corpus),
+sh AS (SELECT DISTINCT doc, source,
+              array_to_string(toks[i:i+2], ' ') AS shingle
+       FROM tok, unnest(generate_series(1, len(toks) - 2)) AS t(i)),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS inter
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.source = b.source AND a.doc < b.doc
+  GROUP BY a.doc, b.doc),
+j AS (
+  SELECT doc1, doc2, inter,
+         s1.n_sh + s2.n_sh - inter AS union_size,
+         round(inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE), 6) AS jaccard
+  FROM inter
+  JOIN sizes s1 ON s1.doc = doc1
+  JOIN sizes s2 ON s2.doc = doc2)
+SELECT doc1, doc2, inter, union_size, jaccard FROM j WHERE jaccard >= 0.4
+"""
+
+
+_MINHASH_K = 8
+_MINHASH_ROWS_PER_BAND = 2
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _doubled_corpus(spark, sf)
+    return TD.minhash_lsh_pairs(
+        corpus, "doc_id", "text", n=3, k=_MINHASH_K,
+        rows_per_band=_MINHASH_ROWS_PER_BAND,
+    )
+
+
+def _minhash_sql() -> str:
+    k, rpb = _MINHASH_K, _MINHASH_ROWS_PER_BAND
+    n_bands = k // rpb
+    mh_exprs = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(k)
+    )
+    band_exprs = ",\n         ".join(
+        "md5(" + " || '|' || ".join(
+            f"mh{b * rpb + r}" for r in range(rpb)
+        ) + f") AS band{b}"
+        for b in range(n_bands)
+    )
+    pair_selects = "\n  UNION ALL\n".join(
+        f"  SELECT a.doc AS doc1, b.doc AS doc2 FROM bands a "
+        f"JOIN bands b ON a.band{b} = b.band{b} AND a.doc < b.doc"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH corpus AS ({_DOUBLED_CORPUS_SQL}),
+tok AS (SELECT doc_id AS doc, string_split(trim(text), ' ') AS toks FROM corpus),
+sh AS (SELECT DISTINCT doc, array_to_string(toks[i:i+2], ' ') AS shingle
+       FROM tok, unnest(generate_series(1, len(toks) - 2)) AS t(i)),
+sig AS (
+  SELECT doc,
+         {mh_exprs}
+  FROM sh GROUP BY doc),
+bands AS (
+  SELECT doc,
+         {band_exprs}
+  FROM sig),
+pairs AS (
+{pair_selects})
+SELECT DISTINCT doc1, doc2 FROM pairs
+"""
+
+
+def q_minhash_dedup_verified(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _doubled_corpus(spark, sf)
+    return TD.minhash_dedup_verified(
+        corpus, "doc_id", "text", n=3, k=_MINHASH_K,
+        rows_per_band=_MINHASH_ROWS_PER_BAND, threshold=0.5,
+    )
+
+
+def _minhash_verified_sql() -> str:
+    return f"""
+WITH cand AS ({_minhash_sql()}),
+corpus AS ({_DOUBLED_CORPUS_SQL}),
+tok AS (SELECT doc_id AS doc, string_split(trim(text), ' ') AS toks FROM corpus),
+sh AS (SELECT DISTINCT doc, array_to_string(toks[i:i+2], ' ') AS shingle
+       FROM tok, unnest(generate_series(1, len(toks) - 2)) AS t(i)),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+  SELECT c.doc1, c.doc2, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc = c.doc1
+  JOIN sh b ON b.doc = c.doc2 AND b.shingle = a.shingle
+  GROUP BY c.doc1, c.doc2),
+j AS (
+  SELECT doc1, doc2,
+         round(inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE), 6) AS jaccard
+  FROM inter
+  JOIN sizes s1 ON s1.doc = doc1
+  JOIN sizes s2 ON s2.doc = doc2)
+SELECT doc1, doc2, jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    out = SIM.cosine_topk(queries, corpus, "vec_id", "embedding", k=5, round_to=5)
+    return out.select("qid", "cid", "cos", F.col("rank").cast("long").alias("rank"))
+
+
+_COSINE_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id % 50 != 0),
+terms AS (SELECT qid, cid, unnest(qv) AS qe, unnest(cv) AS ce
+          FROM q CROSS JOIN c),
+scored AS (
+  SELECT qid, cid,
+         round(sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 5) AS cos
+  FROM terms GROUP BY qid, cid)
+SELECT qid, cid, cos,
+       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
+
+def q_srp_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    out = SIM.srp_lsh_topk(
+        queries, corpus, "vec_id", "embedding", k=5, n_planes=4, round_to=5
+    )
+    return out.select("qid", "cid", "cos", F.col("rank").cast("long").alias("rank"))
+
+
+def _srp_sql(n_planes: int = 4) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v, 1 AS is_q
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v, 0 AS is_q
+      FROM embeddings WHERE vec_id % 50 != 0),
+allv AS (SELECT * FROM q UNION ALL SELECT * FROM c),
+proj AS (
+  SELECT vid, is_q, p,
+         sum(v[d + 1] * (CASE WHEN ((p * 1000003 + d * 7919) % 97) % 2 = 0
+                              THEN 1.0 ELSE -1.0 END)) AS s
+  FROM allv,
+       unnest(generate_series(0, len(v) - 1)) AS t(d),
+       unnest(generate_series(0, {n_planes - 1})) AS t2(p)
+  GROUP BY vid, is_q, p),
+sigs AS (
+  SELECT vid, is_q,
+         string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM proj GROUP BY vid, is_q),
+qb AS (SELECT q.vid AS qid, q.v AS qv, s.bucket
+       FROM q JOIN sigs s ON s.vid = q.vid AND s.is_q = 1),
+cb AS (SELECT c.vid AS cid, c.v AS cv, s.bucket
+       FROM c JOIN sigs s ON s.vid = c.vid AND s.is_q = 0),
+pairs AS (SELECT qid, cid, qv, cv FROM qb JOIN cb USING (bucket)),
+terms AS (SELECT qid, cid, unnest(qv) AS qe, unnest(cv) AS ce FROM pairs),
+scored AS (
+  SELECT qid, cid,
+         round(sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 5) AS cos
+  FROM terms GROUP BY qid, cid)
+SELECT qid, cid, cos,
+       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+CATALOG: dict[str, QueryDef] = {
+    "pricing_summary": QueryDef(q_pricing_summary, _PRICING_SQL, headline=True),
+    "scan_filter_project": QueryDef(q_scan_filter_project, _SCAN_SQL, headline=True),
+    "top10_orders": QueryDef(q_top10_orders, _TOP10_SQL),
+    "table_counts": QueryDef(q_table_counts, _COUNTS_SQL),
+    "partition_pruned_day": QueryDef(q_partition_pruned_day, _PRUNED_DAY_SQL),
+    "distinct_segments": QueryDef(q_distinct_segments, _DISTINCT_SQL),
+    "latest_order_per_customer": QueryDef(
+        q_latest_order_per_customer, _LATEST_SQL, headline=True
+    ),
+    "fk_semi_join": QueryDef(q_fk_semi_join, _FK_SEMI_SQL, headline=True),
+    "fk_anti_orphans": QueryDef(q_fk_anti_orphans, _FK_ANTI_SQL),
+    "fk_chain_reasons": QueryDef(q_fk_chain_reasons, _FK_CHAIN_SQL),
+    "orders_enriched_left_join": QueryDef(q_orders_enriched, _ENRICH_SQL),
+    "merge_upsert_sim": QueryDef(q_merge_upsert_sim, _MERGE_SQL, headline=True),
+    "validation_reasons": QueryDef(
+        q_validation_reasons, _VALIDATION_SQL, headline=True
+    ),
+    "set_ops_custkeys": QueryDef(q_set_ops, _SET_OPS_SQL),
+    "running_total": QueryDef(q_running_total, _RUNNING_SQL),
+    "top3_per_priority": QueryDef(q_top3_per_priority, _TOP3_SQL),
+    "customer_order_stats": QueryDef(
+        q_customer_order_stats, _CUST_STATS_SQL, headline=True
+    ),
+    "events_hourly": QueryDef(q_events_hourly, _EVENTS_HOURLY_SQL),
+    "events_json_kv": QueryDef(q_events_json_kv, _EVENTS_JSON_SQL),
+    "doc_token_stats": QueryDef(q_doc_token_stats, _DOC_STATS_SQL),
+    "doc_quality": QueryDef(q_doc_quality, _DOC_QUALITY_SQL),
+    "lang_confusion": QueryDef(q_lang_confusion, _lang_confusion_sql()),
+    "doc_exact_dedup": QueryDef(q_doc_exact_dedup, _EXACT_DEDUP_SQL),
+    "ngram_jaccard_pairs": QueryDef(q_ngram_jaccard, _NGRAM_JACCARD_SQL),
+    "minhash_lsh_pairs": QueryDef(
+        q_minhash_lsh_pairs, _minhash_sql(), headline=True
+    ),
+    "minhash_dedup_verified": QueryDef(
+        q_minhash_dedup_verified, _minhash_verified_sql()
+    ),
+    "cosine_topk": QueryDef(q_cosine_topk, _COSINE_TOPK_SQL, headline=True),
+    "srp_ann_topk": QueryDef(q_srp_ann_topk, _srp_sql()),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.builder for name, qd in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in CATALOG.items() if qd.oracle}
+
+
+def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: qd.builder for n, qd in CATALOG.items() if qd.headline}

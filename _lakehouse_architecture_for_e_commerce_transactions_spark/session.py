@@ -1,0 +1,69 @@
+"""SparkSession factory.
+
+The reference creates its session through Glue (``orders_etl.py:16-21``) with no
+tuning at all (no ``spark.conf.set`` anywhere, SURVEY.md §4.4). Here we own the
+session and set the configs that matter at scale:
+
+* AQE on (runtime shuffle coalescing, skew-join splitting, broadcast demotion)
+* shuffle partitions sized to the local core count (on a real cluster this is
+  overridden by AQE's coalescing from a higher initial value)
+* Arrow enabled so any pandas_udf path is vectorized
+* dynamic partition overwrite so partitioned "merge" rewrites touch only the
+  partitions present in the source batch (the Delta-MERGE-like behavior)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # small-dim joins (region/nation/part at bench scale) should broadcast
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # keep timestamp semantics deterministic across engines
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.compression.codec": "snappy",
+    # read INT64(TIMESTAMP(NANOS)) parquet columns as long (Spark has no
+    # nanosecond timestamp type); loaders convert to micros explicitly
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # 128MB input splits: at 100 TB this yields ~800k tasks, a sane task count
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "lakehouse-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for dev; on a cluster
+    pass ``None`` via spark-submit and the submit-time master wins.
+    """
+    cpus = default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
