@@ -59,6 +59,23 @@ def table_exists(spark: SparkSession, path: str) -> bool:
     return False
 
 
+def affected_partitions(
+    source: DataFrame, target: DataFrame, spec: TableSpec
+) -> DataFrame:
+    """Partitions the upsert may rewrite: partitions the source writes into
+    ∪ partitions holding a matched key (a row whose partition value changed
+    must have its old copy rewritten away — Delta's find-touched-files join
+    equivalent)."""
+    pk = spec.primary_key
+    parts = list(spec.partition_by)
+    keys = F.broadcast(source.select(pk))
+    source_parts = source.select(*parts).distinct()
+    matched_parts = (
+        target.join(keys, on=pk, how="left_semi").select(*parts).distinct()
+    )
+    return source_parts.union(matched_parts).distinct()
+
+
 def merge_plan(
     source: DataFrame,
     target: DataFrame,
@@ -70,15 +87,24 @@ def merge_plan(
     it as a query (SQL: UNION ALL + NOT EXISTS)."""
     pk = spec.primary_key
     parts = list(spec.partition_by)
+    keys = F.broadcast(source.select(pk))
     if parts:
-        affected = source.select(*parts).distinct()
+        affected = affected_partitions(source, target, spec)
         target_scope = target.join(F.broadcast(affected), on=parts, how="left_semi")
     else:
         target_scope = target
-    keys = F.broadcast(source.select(pk))
     kept = target_scope.join(keys, on=pk, how="left_anti")
     cols = [f.name for f in spec.schema.fields]
     return source.select(*cols).unionByName(kept.select(*cols))
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """Filesystem-agnostic recursive delete via the Hadoop FileSystem API
+    (works for file://, s3a://, hdfs:// alike)."""
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+    fs.delete(p, True)
 
 
 def merge_upsert(
@@ -129,9 +155,27 @@ def merge_upsert(
     # lineage before writing. localCheckpoint materializes the merged rows
     # (only the affected partitions — small for incremental batches).
     merged = merged.localCheckpoint(eager=True)
+    stale_dirs: list[str] = []
+    if spec.partition_by:
+        # dynamic overwrite only replaces partitions *present* in `merged`;
+        # an affected partition left with zero rows (its only row moved to a
+        # new partition value) must be deleted explicitly or the stale copy
+        # survives on disk
+        parts = list(spec.partition_by)
+        affected = {
+            tuple(r) for r in affected_partitions(source, target, spec).collect()
+        }
+        written = {tuple(r) for r in merged.select(*parts).distinct().collect()}
+        for vals in affected - written:
+            subdir = "/".join(f"{c}={v}" for c, v in zip(parts, vals))
+            stale_dirs.append(f"{path}/{subdir}")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    except Exception:  # pragma: no cover
+        pass
     w = merged.write.format(writer_fmt).mode("overwrite")
     if spec.partition_by:
-        # dynamic partitionOverwriteMode (set in the session factory): only
-        # partitions present in `merged` are replaced
         w = w.partitionBy(*spec.partition_by)
     w.save(path)
+    for d in stale_dirs:
+        _delete_path(spark, d)

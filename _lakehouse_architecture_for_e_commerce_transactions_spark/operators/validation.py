@@ -54,9 +54,12 @@ def enforce_schema(df: DataFrame, spec: TableSpec) -> DataFrame:
     A single ``select`` (not N ``withColumn`` calls — each withColumn adds a
     projection node and analysis cost). Values that fail the cast become null
     and are then claimed by the null rules, exactly like PERMISSIVE CSV parse.
+    ``try_cast`` (not ``cast``) keeps null-on-malformed semantics under Spark
+    4's default ANSI mode — the reference ran non-ANSI Spark 3.4 where plain
+    cast already did this.
     """
     return df.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in spec.schema.fields]
+        *[F.col(f.name).try_cast(f.dataType).alias(f.name) for f in spec.schema.fields]
     )
 
 
@@ -78,7 +81,7 @@ def reject_reason(spec: TableSpec) -> Column:
         # post-cast a timestamp column is either valid or null; the null case
         # is already claimed above (the reference's re-cast is likewise a
         # no-op re-check, validation.py:52-60)
-        rules.append((F.col(c).cast("timestamp").isNull(), INVALID_TIMESTAMP))
+        rules.append((F.col(c).try_cast("timestamp").isNull(), INVALID_TIMESTAMP))
     expr = F.lit(None).cast("string")
     for pred, label in reversed(rules):
         expr = F.when(pred, F.lit(label)).otherwise(expr)

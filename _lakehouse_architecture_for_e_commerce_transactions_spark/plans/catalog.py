@@ -49,6 +49,9 @@ from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import 
     merge as M,
 )
 from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+    multimodal as MM,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
     similarity as SIM,
 )
 from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
@@ -874,6 +877,24 @@ FROM scored QUALIFY rank <= 5
 """
 
 
+def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column metadata extraction via mapInPandas (Arrow batches).
+
+    Rows-only check: the decode stub's byte-level hashing inside a Python
+    batch function is exactly the non-SQL-expressible case. The payloads are
+    synthesized from document bytes so the plumbing runs on real data.
+    """
+    d = load_table(spark, sf, "documents")
+    media = MM.synthesize_media_from_documents(d)
+    return MM.extract_image_meta(media)
+
+
+def q_frame_sample_plan(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    media = MM.synthesize_media_from_documents(d)
+    return MM.frame_sample_plan(media, every_n=10)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -917,6 +938,8 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "cosine_topk": QueryDef(q_cosine_topk, _COSINE_TOPK_SQL, headline=True),
     "srp_ann_topk": QueryDef(q_srp_ann_topk, _srp_sql()),
+    "multimodal_meta": QueryDef(q_multimodal_meta, None),
+    "frame_sample_plan": QueryDef(q_frame_sample_plan, None),
 }
 
 

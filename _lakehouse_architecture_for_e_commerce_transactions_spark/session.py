@@ -28,6 +28,9 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # keep timestamp semantics deterministic across engines
     "spark.sql.session.timeZone": "UTC",
+    # the reference's partition columns are strings (`date`); don't let the
+    # file index re-type directory values (date=2025-04-01 → DateType)
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
     "spark.sql.parquet.compression.codec": "snappy",
     # read INT64(TIMESTAMP(NANOS)) parquet columns as long (Spark has no
     # nanosecond timestamp type); loaders convert to micros explicitly

@@ -1,0 +1,96 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+# --- reference-shaped raw CSV fixtures (FIXTURES.md) ------------------------
+
+PRODUCTS_HEADER = "product_id,department_id,department,product_name"
+ORDERS_HEADER = "order_num,order_id,user_id,order_timestamp,total_amount,date"
+ORDER_ITEMS_HEADER = (
+    "id,order_id,user_id,days_since_prior_order,product_id,"
+    "add_to_cart_order,reordered,order_timestamp,date"
+)
+
+
+def write_raw_zone(base: str) -> dict[str, dict[str, int]]:
+    """Dirty reference-shaped raw data with known-good expectations.
+
+    Returns per-table dicts of expected counts (written/rejected/orphans).
+    """
+    os.makedirs(f"{base}/products", exist_ok=True)
+    os.makedirs(f"{base}/orders", exist_ok=True)
+    os.makedirs(f"{base}/order_items", exist_ok=True)
+
+    products = [PRODUCTS_HEADER]
+    for pid in range(1, 21):
+        products.append(f"{pid},{pid % 6 + 1},Dept{pid % 6 + 1},Product_{pid}")
+    products.append("21,notanint,DeptX,BadCast")  # cast failure → reject
+    products.append(",2,DeptY,NullPK")  # null PK → reject
+    products.append("5,3,Dept3,Product_5_dup")  # duplicate PK → dedup
+    with open(f"{base}/products/products.csv", "w") as f:
+        f.write("\n".join(products) + "\n")
+
+    orders = [ORDERS_HEADER]
+    for oid in range(101, 121):
+        orders.append(
+            f"{oid % 99},{oid},{1000 + oid},2025-04-01T10:{oid % 60:02d}:00,"
+            f"{oid * 1.5:.2f},2025-04-01"
+        )
+    for oid in range(121, 131):
+        orders.append(
+            f"{oid % 99},{oid},{1000 + oid},2025-04-02T11:{oid % 60:02d}:00,"
+            f"{oid * 1.5:.2f},2025-04-02"
+        )
+    orders.append("1,131,2131,invalid_timestamp,42.00,2025-04-02")  # ts → null
+    orders.append("2,132,2132,2025-04-02T09:00:00,,2025-04-02")  # null amount
+    orders.append("3,105,9999,2025-04-01T23:59:59,999.99,2025-04-01")  # dup PK
+    with open(f"{base}/orders/orders.csv", "w") as f:
+        f.write("\n".join(orders) + "\n")
+
+    items = [ORDER_ITEMS_HEADER]
+    iid = 1
+    for oid in range(101, 121):
+        for j in range(2):
+            items.append(
+                f"{iid},{oid},{1000 + oid},{j},{(iid % 20) + 1},{j + 1},0,"
+                f"2025-04-01T10:00:00,2025-04-01"
+            )
+            iid += 1
+    items.append(  # FK orphan: order 999 doesn't exist
+        f"{iid},999,1999,1,1,1,0,2025-04-01T10:00:00,2025-04-01"
+    )
+    iid += 1
+    items.append(  # FK orphan: product 500 doesn't exist
+        f"{iid},101,1101,1,500,1,0,2025-04-01T10:00:00,2025-04-01"
+    )
+    iid += 1
+    items.append(f",101,1101,1,1,1,0,2025-04-01T10:00:00,2025-04-01")  # null PK
+    with open(f"{base}/order_items/order_items.csv", "w") as f:
+        f.write("\n".join(items) + "\n")
+
+    return {
+        "products": {"written": 20, "rejected": 2},
+        "orders": {"written": 30, "rejected": 2},
+        "order_items": {"written": 40, "rejected": 1, "orphans": 2},
+    }

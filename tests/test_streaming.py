@@ -1,0 +1,105 @@
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.ingest import (
+    stream_ingest,
+    windowed_event_counts,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import ORDERS
+from tests.conftest import ORDERS_HEADER
+
+
+def _write_orders_csv(path: str, rows: list[str]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(ORDERS_HEADER + "\n" + "\n".join(rows) + "\n")
+
+
+def test_stream_ingest_incremental_upsert(spark, tmp_path):
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    rej = str(tmp_path / "rej")
+    ckpt = str(tmp_path / "ckpt")
+    batches: list[tuple[int, int, int]] = []
+
+    _write_orders_csv(
+        f"{raw}/day1.csv",
+        [
+            "1,101,1001,2025-04-01T10:00:00,10.00,2025-04-01",
+            "2,102,1002,2025-04-01T11:00:00,20.00,2025-04-01",
+            "3,,1003,2025-04-01T12:00:00,30.00,2025-04-01",  # null PK → reject
+        ],
+    )
+    q = stream_ingest(
+        spark, ORDERS, raw, wh, rej, ckpt,
+        on_batch=lambda b, v, r: batches.append((b, v, r)),
+    )
+    q.awaitTermination(120)
+    curated = spark.read.parquet(f"{wh}/orders")
+    assert curated.count() == 2
+    assert sum(r for _, _, r in batches) == 1  # one reject
+
+    # second file arrives: update order 101, insert order 103; the
+    # checkpoint must skip the already-processed day1 file
+    _write_orders_csv(
+        f"{raw}/day2.csv",
+        [
+            "1,101,1001,2025-04-01T10:00:00,99.00,2025-04-01",
+            "4,103,1004,2025-04-02T09:00:00,40.00,2025-04-02",
+        ],
+    )
+    q2 = stream_ingest(spark, ORDERS, raw, wh, rej, ckpt)
+    q2.awaitTermination(120)
+    got = {
+        r["order_id"]: r["total_amount"]
+        for r in spark.read.parquet(f"{wh}/orders").collect()
+    }
+    assert got == {101: 99.0, 102: 20.0, 103: 40.0}
+
+
+def test_windowed_event_counts_batch_and_stream_parity(spark, sf_dir):
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, window="1 day")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert sum(r["n"] for r in rows) == ev.count()
+    # window bounds are day-aligned
+    assert all(str(r["window_start"]).endswith("00:00:00") for r in rows)
+
+
+def test_windowed_event_counts_streaming_plan(spark, tmp_path):
+    """The same operator must be usable on a streaming frame with a
+    watermark (late-data handling) — exercised via an in-memory sink."""
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src, exist_ok=True)
+    with open(f"{src}/events.csv", "w") as f:
+        f.write("ts,event_type,value\n2024-01-01T00:10:00,click,1.0\n"
+                "2024-01-01T00:20:00,click,2.0\n2024-01-01T01:10:00,view,3.0\n")
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("header", True)
+        .csv(src)
+    )
+    agg = windowed_event_counts(stream, window="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM win_counts").collect()
+    got = {(str(r["window_start"]), r["event_type"]): r["n"] for r in rows}
+    assert got == {
+        ("2024-01-01 00:00:00", "click"): 2,
+        ("2024-01-01 01:00:00", "view"): 1,
+    }

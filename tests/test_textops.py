@@ -1,0 +1,84 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.functions import (
+    text as T,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+    textdedup as TD,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "a"),
+        (2, "the quick brown fox jumps over the lazy cat", "a"),  # near-dup of 1
+        (3, "completely different content about spark engines", "a"),
+        (4, "the quick brown fox jumps over the lazy dog", "a"),  # exact dup of 1
+        (5, "der hund und die katze sind nicht da", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup(spark):
+    out = {r["keeper"]: r["copies"] for r in TD.exact_dedup(_docs(spark), "doc_id", "text").collect()}
+    assert out[1] == 2  # docs 1 and 4 collapse, min id kept
+    assert len(out) == 4
+
+
+def test_shingles_and_token_stats(spark):
+    df = _docs(spark).select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n"),
+        F.size(T.shingles(F.col("text"), 3)).alias("n_sh"),
+    )
+    got = {r["doc_id"]: (r["n"], r["n_sh"]) for r in df.collect()}
+    assert got[1] == (9, 7)  # 9 tokens → 7 distinct trigrams
+    # short text: fewer tokens than n → zero shingles, not negative
+    short = spark.createDataFrame([(9, "two words", "x")], "doc_id long, text string, source string")
+    n_sh = short.select(F.size(T.shingles(F.col("text"), 3)).alias("s")).collect()[0]["s"]
+    assert n_sh == 0
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = TD.ngram_jaccard_pairs(
+        _docs(spark), "doc_id", "text", n=3, threshold=0.4, block_col="source"
+    ).collect()
+    found = {(r["doc1"], r["doc2"]): r["jaccard"] for r in pairs}
+    assert found[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in found and 0.4 <= found[(1, 2)] < 1.0  # near dup
+    assert all(d in {(1, 2), (1, 4), (2, 4)} for d in found)  # 3 and 5 clean
+
+
+def test_minhash_lsh_candidates_and_verification(spark):
+    verified = TD.minhash_dedup_verified(
+        _docs(spark), "doc_id", "text", n=3, k=8, rows_per_band=2, threshold=0.5
+    ).collect()
+    got = {(r["doc1"], r["doc2"]): r["jaccard"] for r in verified}
+    assert got[(1, 4)] == 1.0  # exact dup always survives
+    assert (1, 3) not in got and (1, 5) not in got  # unrelated docs filtered
+
+
+def test_simhash_near_dup_distance(spark):
+    sig = {
+        r["doc"]: r["simhash"]
+        for r in TD.simhash_signatures(_docs(spark), "doc_id", "text", 16).collect()
+    }
+    assert sig[1] == sig[4]  # identical docs → identical simhash
+    ham_near = bin(sig[1] ^ sig[2]).count("1")
+    ham_far = bin(sig[1] ^ sig[5]).count("1")
+    assert ham_near <= ham_far  # near-dup at most as far as unrelated doc
+
+
+def test_lang_id(spark):
+    df = _docs(spark).select("doc_id", T.lang_id(F.col("text")).alias("lang"))
+    got = {r["doc_id"]: r["lang"] for r in df.collect()}
+    assert got[1] == "en"
+    assert got[5] == "de"
+
+
+def test_quality_score_bounds(spark):
+    df = _docs(spark).select(T.quality_score(F.col("text")).alias("q"))
+    for r in df.collect():
+        assert 0.0 <= r["q"] <= 1.0
