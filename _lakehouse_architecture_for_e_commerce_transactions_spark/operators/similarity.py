@@ -21,6 +21,9 @@ from pyspark.sql import functions as F
 from _lakehouse_architecture_for_e_commerce_transactions_spark.functions import (
     vectors as V,
 )
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.util import (
+    spread,
+)
 
 
 def _scored(
@@ -33,8 +36,10 @@ def _scored(
     q = queries.select(
         F.col(id_col).alias("qid"), V.as_double(F.col(vec_col)).alias("qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("cid"), V.as_double(F.col(vec_col)).alias("cv")
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("cid"), V.as_double(F.col(vec_col)).alias("cv")
+        )
     )
     return (
         c.crossJoin(F.broadcast(q))
@@ -98,9 +103,11 @@ def srp_lsh_topk(
         F.col(id_col).alias("qid"),
         V.as_double(F.col(vec_col)).alias("qv"),
     ).withColumn("bucket", srp_bucket(F.col("qv"), n_planes))
-    c = corpus.select(
-        F.col(id_col).alias("cid"),
-        V.as_double(F.col(vec_col)).alias("cv"),
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            V.as_double(F.col(vec_col)).alias("cv"),
+        )
     ).withColumn("bucket", srp_bucket(F.col("cv"), n_planes))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (

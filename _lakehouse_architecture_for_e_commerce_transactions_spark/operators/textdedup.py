@@ -27,6 +27,9 @@ from _lakehouse_architecture_for_e_commerce_transactions_spark.functions import 
 from _lakehouse_architecture_for_e_commerce_transactions_spark.functions import (
     text as T,
 )
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.util import (
+    spread,
+)
 
 
 def exact_dedup(
@@ -48,8 +51,12 @@ def exact_dedup(
 def shingle_index(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingle) inverted index — distinct word n-grams per doc."""
-    return df.select(
+    """(id, shingle) inverted index — distinct word n-grams per doc.
+
+    The input is spread across the cluster first: the explode multiplies
+    row count by ~tokens-per-doc, which must not run on 1-2 input splits.
+    """
+    return spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(T.shingles(F.col(text_col), n)).alias("shingle"),
     )
@@ -79,7 +86,7 @@ def ngram_jaccard_pairs(
     cols = [F.col(id_col).alias("doc"), T.shingles(F.col(text_col), n).alias("sh")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    base = df.select(*cols).withColumn("n_sh", F.size("sh"))
+    base = spread(df).select(*cols).withColumn("n_sh", F.size("sh"))
     idx = base.select(
         "doc", "n_sh", *(["blk"] if block_col else []), F.explode("sh").alias("shingle")
     )
@@ -129,25 +136,33 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band (doc1 < doc2).
 
-    Plan: shingle index → k min-hash aggs → band keys → per-band self-join on
-    the 32-byte band key → distinct pairs. The self-join is per-bucket, so
-    cost is Σ bucket² — the whole point of LSH vs the quadratic join.
+    Plan: shingle index → k min-hash aggs → band keys → *melt* the bands to
+    (doc, band_id, key) rows → one self-equi-join on (band_id, key) →
+    distinct pairs. Melting instead of a per-band join loop matters twice:
+    the signature aggregation runs once (identical-plan sides hit Spark's
+    ReuseExchange) instead of once per band per side, and bucket fan-out is
+    bounded per band key, so cost is Σ bucket² — the point of LSH vs the
+    quadratic join.
     """
     sig = minhash_signatures(df, id_col, text_col, n, k)
     bands = sig.select(F.col("doc"), *H.band_keys(k, rows_per_band))
     n_bands = k // rows_per_band
-    pair_parts = []
-    for b in range(n_bands):
-        key = f"band{b}"
-        a = bands.select(F.col("doc").alias("doc1"), F.col(key).alias("bk"))
-        c = bands.select(F.col("doc").alias("doc2"), F.col(key).alias("bk"))
-        pair_parts.append(
-            a.join(c, "bk").filter(F.col("doc1") < F.col("doc2")).select("doc1", "doc2")
-        )
-    pairs = pair_parts[0]
-    for p in pair_parts[1:]:
-        pairs = pairs.unionByName(p)
-    return pairs.distinct()
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
+    melted = bands.select(
+        "doc", F.expr(f"stack({n_bands}, {stack_args}) AS (band_id, bkey)")
+    )
+    a = melted.select(
+        F.col("doc").alias("doc1"), F.col("band_id"), F.col("bkey")
+    )
+    c = melted.select(
+        F.col("doc").alias("doc2"), F.col("band_id"), F.col("bkey")
+    )
+    return (
+        a.join(c, ["band_id", "bkey"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
 
 
 def minhash_dedup_verified(
@@ -193,7 +208,7 @@ def simhash_signatures(
 ) -> DataFrame:
     """(doc, simhash bit columns b0..b{n-1}, simhash int) via per-bit
     majority vote over the doc's distinct tokens."""
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(T.tokens(F.col(text_col)))).alias("token"),
     )
