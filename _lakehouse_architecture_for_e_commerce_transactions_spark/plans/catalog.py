@@ -877,6 +877,245 @@ FROM scored QUALIFY rank <= 5
 """
 
 
+# --------------------------------------------------------------------------
+# Extended relational surface (beyond the reference: time-series, analytics)
+# --------------------------------------------------------------------------
+
+
+def q_asof_latest_order(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each event picks up the user's most recent order at or
+    before the event timestamp (union-window algorithm, operators/asof.py)."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.asof import (
+        asof_join,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+        )
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=["o_orderkey"],
+        tiebreak="o_orderkey",
+    )
+    return out.select("event_id", "user_id", F.col("o_orderkey").alias("last_orderkey"))
+
+
+_ASOF_SQL = """
+SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
+FROM events e
+ASOF LEFT JOIN (
+  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2) o
+ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.sessions import (
+        session_stats,
+    )
+
+    ev = load_table(spark, sf, "events")
+    out = session_stats(ev, "user_id", "ts", gap_seconds=1800, tiebreak="event_id")
+    return out.select("user_id", "session_id", "n_events", "span_s")
+
+
+_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+s AS (
+  SELECT user_id, event_id, ts,
+         sum(CASE WHEN prev_ts IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g)
+SELECT user_id, session_id, count(*) AS n_events,
+       max(CAST(floor(epoch(ts)) AS BIGINT))
+       - min(CAST(floor(epoch(ts)) AS BIGINT)) AS span_s
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_rollup_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_percentiles_by_priority(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        money(F.percentile("o_totalprice", 0.25)).alias("p25"),
+        money(F.percentile("o_totalprice", 0.5)).alias("p50"),
+        money(F.percentile("o_totalprice", 0.75)).alias("p75"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       floor(quantile_cont(o_totalprice, 0.25) * 100 + 0.5) / 100 AS p25,
+       floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS p50,
+       floor(quantile_cont(o_totalprice, 0.75) * 100 + 0.5) / 100 AS p75
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_extract(F.col("p_name"), "^[a-z]+", 0).alias("first_word"),
+        F.regexp_extract(F.col("p_brand"), "[0-9]+", 0).alias("brand_num"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+_STRING_SQL = """
+SELECT p_partkey, upper(p_name) AS name_upper, length(p_name) AS name_len,
+       regexp_extract(p_name, '^[a-z]+') AS first_word,
+       regexp_extract(p_brand, '[0-9]+') AS brand_num,
+       concat_ws('/', p_brand, p_type) AS brand_type
+FROM part
+"""
+
+
+def q_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("epoch_day"),
+        )
+        .groupBy("y", "m", "ym")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("epoch_day").alias("first_day"),
+            F.max("epoch_day").alias("last_day"),
+        )
+    )
+
+
+_DATE_SQL = """
+SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+       strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n,
+       min(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+         AS first_day,
+       max(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+         AS last_day
+FROM orders GROUP BY 1, 2, 3
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (runs + digits + punct pieces)."""
+    d = load_table(spark, sf, "documents")
+    pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.lower("text"), F.lit(pat)).cast("long").alias("n_pieces"),
+        T.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+_BPE_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+         AS n_pieces,
+       len(string_split(trim(text), ' ')) AS n_ws_tokens
+FROM documents
+"""
+
+
+def q_above_avg_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    avg_df = o.agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("_avg"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_ABOVE_AVG_SQL = """
+SELECT o_orderstatus, count(*) AS n FROM orders
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+GROUP BY o_orderstatus
+"""
+
+
+def q_distinct_users_exact(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_DISTINCT_USERS_SQL = """
+SELECT count(DISTINCT user_id) AS n_users, count(*) AS n_events FROM events
+"""
+
+
+def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL++ sketch — implementation-specific estimates, so rows-only."""
+    ev = load_table(spark, sf, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-column metadata extraction via mapInPandas (Arrow batches).
 
@@ -940,6 +1179,17 @@ CATALOG: dict[str, QueryDef] = {
     "srp_ann_topk": QueryDef(q_srp_ann_topk, _srp_sql()),
     "multimodal_meta": QueryDef(q_multimodal_meta, None),
     "frame_sample_plan": QueryDef(q_frame_sample_plan, None),
+    "asof_latest_order": QueryDef(q_asof_latest_order, _ASOF_SQL, headline=True),
+    "sessionize_events": QueryDef(q_sessionize_events, _SESSIONIZE_SQL, headline=True),
+    "rollup_pricing": QueryDef(q_rollup_pricing, _ROLLUP_SQL),
+    "percentiles_by_priority": QueryDef(q_percentiles_by_priority, _PERCENTILES_SQL),
+    "string_funcs": QueryDef(q_string_funcs, _STRING_SQL),
+    "date_funcs": QueryDef(q_date_funcs, _DATE_SQL),
+    "pivot_status": QueryDef(q_pivot_status, _PIVOT_SQL),
+    "bpe_token_count": QueryDef(q_bpe_token_count, _BPE_SQL),
+    "above_avg_orders": QueryDef(q_above_avg_orders, _ABOVE_AVG_SQL),
+    "distinct_users_exact": QueryDef(q_distinct_users_exact, _DISTINCT_USERS_SQL),
+    "approx_distinct_users": QueryDef(q_approx_distinct_users, None),
 }
 
 

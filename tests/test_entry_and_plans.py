@@ -21,9 +21,13 @@ def test_contract_shapes(spark):
     q = E.queries()
     o = E.oracle_sql()
     assert set(o) <= set(q)
-    assert len(q) >= 25
-    # rows-only entries are exactly the non-SQL-expressible ops
-    assert set(q) - set(o) == {"multimodal_meta", "frame_sample_plan"}
+    assert len(q) >= 40
+    # rows-only entries are exactly the non-SQL-reproducible ops
+    assert set(q) - set(o) == {
+        "multimodal_meta",
+        "frame_sample_plan",
+        "approx_distinct_users",
+    }
 
 
 def test_scan_pushdown(spark, sf_dir):
