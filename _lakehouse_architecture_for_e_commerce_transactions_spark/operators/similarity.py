@@ -85,6 +85,100 @@ def srp_bucket(vec: F.Column, n_planes: int = 8) -> F.Column:
     return F.concat_ws("", *[b.cast("string") for b in bits])
 
 
+def srp_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    round_to: int = 5,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection over a corpus: SRP-bucket
+    self-join (near-identical vectors share all sign bits) then exact cosine
+    on candidates. Returns (id1, id2, cos) with id1 < id2 above threshold.
+
+    The LSH family matches the use case: at high thresholds (true near-dups)
+    same-bucket probability ≈ 1, so recall stays high while the self-join
+    cost drops from N² to Σ bucket²."""
+    v = spread(
+        df.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
+    ).withColumn("bucket", srp_bucket(F.col("v"), n_planes))
+    a = v.select(F.col("id").alias("id1"), F.col("v").alias("v1"), "bucket")
+    b = v.select(F.col("id").alias("id2"), F.col("v").alias("v2"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cos", F.round(V.cosine(F.col("v1"), F.col("v2")), round_to))
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", "cos")
+    )
+
+
+def ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str, stride: int) -> DataFrame:
+    """Deterministic centroid pick (every stride-th vector). A production
+    index trains k-means here; the cell-assignment/probe machinery below is
+    identical either way, and a data-independent pick keeps the operator a
+    pure function of its input (oracle-checkable)."""
+    return corpus.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("cent_id"), V.as_double(F.col(vec_col)).alias("cent_v")
+    )
+
+
+def _assign_cells(
+    vecs: DataFrame, cents: DataFrame, n_cells: int
+) -> DataFrame:
+    """Nearest-centroid (max cosine) assignment; ``n_cells`` > 1 keeps that
+    many nearest cells (query-side multi-probe)."""
+    w = Window.partitionBy("id").orderBy(F.col("cent_cos").desc(), F.col("cent_id"))
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cent_cos", F.round(V.cosine(F.col("v"), F.col("cent_v")), 6)
+        )
+        .withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n_cells)
+        .select("id", "v", F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroid_stride: int = 37,
+    nprobe: int = 2,
+    round_to: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors live in their nearest-centroid cell;
+    each query probes its ``nprobe`` nearest cells and ranks only those
+    vectors. One broadcast (centroids) + one equi-join on cell id — the
+    inverted-file structure as a relational plan."""
+    cents = ivf_centroids(corpus, id_col, vec_col, centroid_stride)
+    c = spread(
+        corpus.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
+    )
+    c_cells = _assign_cells(c, cents, 1).withColumnRenamed("id", "cid").withColumnRenamed(
+        "v", "cv"
+    )
+    q_cells = _assign_cells(q, cents, nprobe).withColumnRenamed("id", "qid").withColumnRenamed(
+        "v", "qv"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .withColumn("cos", F.round(V.cosine(F.col("qv"), F.col("cv")), round_to))
+        .select("qid", "cid", "cos")
+        .distinct()  # a candidate can appear via several probed cells
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def srp_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

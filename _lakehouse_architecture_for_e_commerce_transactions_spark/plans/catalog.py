@@ -1116,6 +1116,85 @@ def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprinting with a polynomial rolling hash over the
+    character stream — pure integer arithmetic (base 131, mod 1e9+7) inside
+    a JVM higher-order aggregate, reproducible by any engine."""
+    d = load_table(spark, sf, "documents")
+    rh = F.expr(
+        "aggregate(transform(sequence(1, length(text)), "
+        "i -> ascii(substr(text, i, 1))), 0L, "
+        "(acc, x) -> (acc * 131 + x) % 1000000007)"
+    )
+    return d.select("doc_id", rh.alias("rhash"))
+
+
+_ROLLING_HASH_SQL = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(generate_series(1, length(text)),
+                          i -> ord(substr(text, i, 1))::BIGINT)),
+         (acc, x) -> (acc * 131 + x) % 1000000007) AS rhash
+FROM documents
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: corpus ∪ exact twins (ids+100000),
+    SRP-bucketed candidate pairs, exact cosine ≥ 0.99."""
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    twins = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(twins)
+    return SIM.srp_near_dup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.99, n_planes=8
+    )
+
+
+def _near_dup_sql(n_planes: int = 8) -> str:
+    return f"""
+WITH corpus AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings),
+proj AS (
+  SELECT id, p,
+         sum(v[d + 1] * (CASE WHEN ((p * 1000003 + d * 7919) % 97) % 2 = 0
+                              THEN 1.0 ELSE -1.0 END)) AS s
+  FROM corpus,
+       unnest(generate_series(0, len(v) - 1)) AS t(d),
+       unnest(generate_series(0, {n_planes - 1})) AS t2(p)
+  GROUP BY id, p),
+sigs AS (
+  SELECT id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY p) AS bucket
+  FROM proj GROUP BY id),
+cand AS (
+  SELECT a.id AS id1, b.id AS id2, c1.v AS v1, c2.v AS v2
+  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.id < b.id
+  JOIN corpus c1 ON c1.id = a.id
+  JOIN corpus c2 ON c2.id = b.id),
+terms AS (SELECT id1, id2, unnest(v1) AS e1, unnest(v2) AS e2 FROM cand),
+scored AS (
+  SELECT id1, id2,
+         round(sum(e1 * e2) / (sqrt(sum(e1 * e1)) * sqrt(sum(e2 * e2))), 5)
+           AS cos
+  FROM terms GROUP BY id1, id2)
+SELECT id1, id2, cos FROM scored WHERE cos >= 0.99
+"""
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN (rows-only: the multi-stage rank/probe pipeline is the
+    documented non-SQL case; recall is asserted against exact top-k in
+    tests/test_similarity_multimodal.py)."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    out = SIM.ivf_topk(queries, corpus, k=5, centroid_stride=37, nprobe=2)
+    return out.select("qid", "cid", "cos", F.col("rank").cast("long").alias("rank"))
+
+
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-column metadata extraction via mapInPandas (Arrow batches).
 
@@ -1190,6 +1269,11 @@ CATALOG: dict[str, QueryDef] = {
     "above_avg_orders": QueryDef(q_above_avg_orders, _ABOVE_AVG_SQL),
     "distinct_users_exact": QueryDef(q_distinct_users_exact, _DISTINCT_USERS_SQL),
     "approx_distinct_users": QueryDef(q_approx_distinct_users, None),
+    "rolling_hash_fingerprint": QueryDef(q_rolling_hash, _ROLLING_HASH_SQL),
+    "embedding_near_dup_pairs": QueryDef(
+        q_embedding_near_dup, _near_dup_sql(), headline=True
+    ),
+    "ivf_ann_topk": QueryDef(q_ivf_ann_topk, None),
 }
 
 

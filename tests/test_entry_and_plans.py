@@ -27,6 +27,7 @@ def test_contract_shapes(spark):
         "multimodal_meta",
         "frame_sample_plan",
         "approx_distinct_users",
+        "ivf_ann_topk",
     }
 
 

@@ -52,6 +52,32 @@ def test_srp_ann_finds_planted_twins(spark, sf_dir):
         assert cid == orig and cos == 1.0
 
 
+def test_ivf_ann_finds_planted_twins_and_reasonable_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    out = SIM.ivf_topk(queries, corpus, k=1, centroid_stride=7, nprobe=1).collect()
+    # identical vector → identical cell assignment → must be retrieved
+    top1 = {r["qid"] - 10000: (r["cid"], r["cos"]) for r in out if r["rank"] == 1}
+    for orig in range(5):
+        cid, cos = top1[orig]
+        assert cid == orig and cos == 1.0
+
+
+def test_embedding_near_dup_pairs_full_recall_on_twins(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(twins)
+    pairs = SIM.srp_near_dup_pairs(corpus, threshold=0.99).collect()
+    n_vecs = emb.count()
+    # every (v, twin) pair found, nothing else at this threshold
+    assert len(pairs) == n_vecs
+    for r in pairs:
+        assert r["id2"] == r["id1"] + 100000 and r["cos"] == 1.0
+
+
 def test_multimodal_meta_deterministic(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     media = MM.synthesize_media_from_documents(docs)
