@@ -1,0 +1,52 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training pipelines need repeatable samples and train/val/test splits that
+are (a) stable across runs and engines, (b) driven by the row's identity,
+not its physical placement. ``df.sample()`` fails both. These operators
+bucket rows by a Knuth multiplicative hash of an integer key — pure int64
+arithmetic, so any engine reproduces the assignment bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761  # 2^32 / φ, classic multiplicative-hash constant
+BUCKETS = 1000
+
+
+def hash_bucket(key: Column, buckets: int = BUCKETS) -> Column:
+    """Stable bucket in [0, buckets) from an integer key column."""
+    return F.pmod(key.cast("long") * F.lit(KNUTH), F.lit(buckets))
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, buckets: int = BUCKETS
+) -> DataFrame:
+    """Keep ≈fraction of rows, chosen by key hash — the same rows every run,
+    every engine, regardless of partitioning."""
+    return df.filter(hash_bucket(F.col(key), buckets) < int(fraction * buckets))
+
+
+def train_test_split(
+    df: DataFrame,
+    key: str,
+    test_fraction: float = 0.1,
+    val_fraction: float = 0.0,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Adds a ``split`` column ('train' | 'val' | 'test') by key hash.
+
+    Filtering beats multi-output here: one scan serves any consumer, and
+    the assignment stays joinable (the same key always lands in the same
+    split even across dataset versions)."""
+    b = hash_bucket(F.col(key), buckets)
+    test_hi = int(test_fraction * buckets)
+    val_hi = test_hi + int(val_fraction * buckets)
+    return df.withColumn(
+        "split",
+        F.when(b < test_hi, F.lit("test"))
+        .when(b < val_hi, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )

@@ -65,6 +65,74 @@ def cosine_topk(
     )
 
 
+def cosine_topk_fast(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 5,
+) -> DataFrame:
+    """Arrow-vectorized brute-force top-k: numpy matmul inside mapInPandas.
+
+    Same result contract as ``cosine_topk`` (tested equivalent); ~an order
+    of magnitude faster per row because scoring is one C BLAS call per Arrow
+    batch instead of per-pair expression evaluation. The query side is
+    collected to the driver (bounded, small by contract) and shipped to
+    executors inside the closure; each corpus partition emits only its local
+    top-k per query, so the final exact window ranks |partitions| × k rows
+    per query, not the whole corpus.
+
+    This is the 100 TB shape for exhaustive scoring: corpus never shuffles,
+    network traffic is k rows per query per partition.
+    """
+    import numpy as np
+
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = [int(r[0]) for r in q_rows]
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = np.linalg.norm(Q, axis=1)
+
+    out_schema = "qid long, cid long, cos double"
+    kk = k
+
+    def score(it):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["v"]])
+            cn = _np.linalg.norm(C, axis=1)
+            sims = (C @ Q.T) / (cn[:, None] * Qn[None, :])
+            cids = pdf["cid"].to_numpy()
+            take = min(kk, sims.shape[0])
+            frames = []
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                idx = _np.argpartition(-col, take - 1)[:take]
+                frames.append(
+                    _pd.DataFrame(
+                        {"qid": qid, "cid": cids[idx], "cos": col[idx].round(5)}
+                    )
+                )
+            yield _pd.concat(frames)
+
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("cid"), V.as_double(F.col(vec_col)).alias("v")
+        )
+    )
+    partial = c.mapInPandas(score, out_schema)
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        partial.withColumn("cos", F.round(F.col("cos"), round_to))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def srp_signature_bit(vec: F.Column, plane: int) -> F.Column:
     """Sign bit of <vec, h_plane> where h_plane[d] = ±1 from pure-integer
     arithmetic (portable to any oracle engine, no RNG state)."""

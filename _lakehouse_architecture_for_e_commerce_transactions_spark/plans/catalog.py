@@ -1195,6 +1195,91 @@ def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("qid", "cid", "cos", F.col("rank").cast("long").alias("rank"))
 
 
+def q_array_agg_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Array aggregation surface: per-customer ordered key list (sorted for
+    determinism — collect_list order is placement-dependent) serialized to a
+    string so the hash compare is format-stable across engines."""
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_list("o_orderkey")), ","
+        ).alias("order_keys"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_ARRAY_AGG_SQL = """
+SELECT o_custkey,
+       array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys,
+       count(*) AS n
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_train_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic Knuth-hash split of documents (10% test / 10% val)."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.sampling import (
+        train_test_split,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return (
+        train_test_split(d, "doc_id", test_fraction=0.1, val_fraction=0.1)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+        )
+    )
+
+
+_SPLIT_SQL = """
+WITH s AS (
+  SELECT doc_id, lang,
+         CASE WHEN (doc_id * 2654435761) % 1000 < 100 THEN 'test'
+              WHEN (doc_id * 2654435761) % 1000 < 200 THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents)
+SELECT split, lang, count(*) AS n, min(doc_id) AS min_id
+FROM s GROUP BY split, lang
+"""
+
+
+def q_deterministic_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    return (
+        deterministic_sample(li, "l_orderkey", 0.05)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+_SAMPLE_SQL = """
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE (l_orderkey * 2654435761) % 1000 < 50
+GROUP BY l_returnflag
+"""
+
+
+def q_cosine_topk_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow/numpy fast path for exhaustive scoring — same contract as
+    cosine_topk (equivalence tested); rows-only here because the numpy
+    summation order differs from sequential SQL by design."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    out = SIM.cosine_topk_fast(queries, corpus, k=5, round_to=5)
+    return out.select("qid", "cid", "cos", F.col("rank").cast("long").alias("rank"))
+
+
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-column metadata extraction via mapInPandas (Arrow batches).
 
@@ -1274,6 +1359,10 @@ CATALOG: dict[str, QueryDef] = {
         q_embedding_near_dup, _near_dup_sql(), headline=True
     ),
     "ivf_ann_topk": QueryDef(q_ivf_ann_topk, None),
+    "array_agg_orders": QueryDef(q_array_agg_orders, _ARRAY_AGG_SQL),
+    "train_test_split": QueryDef(q_train_test_split, _SPLIT_SQL),
+    "deterministic_sample": QueryDef(q_deterministic_sample, _SAMPLE_SQL),
+    "cosine_topk_fast": QueryDef(q_cosine_topk_fast, None, headline=True),
 }
 
 

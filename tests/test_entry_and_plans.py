@@ -28,6 +28,7 @@ def test_contract_shapes(spark):
         "frame_sample_plan",
         "approx_distinct_users",
         "ivf_ann_topk",
+        "cosine_topk_fast",
     }
 
 

@@ -78,6 +78,47 @@ def test_embedding_near_dup_pairs_full_recall_on_twins(spark, sf_dir):
         assert r["id2"] == r["id1"] + 100000 and r["cos"] == 1.0
 
 
+def test_cosine_topk_fast_matches_expression_version(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    corpus = emb.filter(F.col("vec_id") % 100 != 0)
+    slow = SIM.cosine_topk(queries, corpus, k=5, round_to=5).collect()
+    fast = SIM.cosine_topk_fast(queries, corpus, k=5, round_to=5).collect()
+    s = {(r["qid"], r["rank"]): r["cid"] for r in slow}
+    f = {(r["qid"], r["rank"]): r["cid"] for r in fast}
+    assert s == f
+
+
+def test_deterministic_sample_is_stable(spark, sf_dir):
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.sampling import (
+        deterministic_sample,
+        train_test_split,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = sorted(
+        r["l_orderkey"]
+        for r in deterministic_sample(li, "l_orderkey", 0.05)
+        .select("l_orderkey")
+        .distinct()
+        .collect()
+    )
+    b = sorted(
+        r["l_orderkey"]
+        for r in deterministic_sample(li.repartition(7), "l_orderkey", 0.05)
+        .select("l_orderkey")
+        .distinct()
+        .collect()
+    )
+    assert a == b  # placement-independent
+    d = load_table(spark, sf_dir, "documents")
+    split = train_test_split(d, "doc_id", 0.1, 0.1)
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    total = sum(counts.values())
+    assert total == d.count()
+    assert 0.03 < counts.get("test", 0) / total < 0.25  # ≈10% by hash
+
+
 def test_multimodal_meta_deterministic(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     media = MM.synthesize_media_from_documents(docs)
