@@ -70,10 +70,11 @@ def run_etl_job(
         valid = D.dedup_exact(valid, [spec.primary_key])
 
     orphans = None
+    fk_cleanup = None
     if spec.foreign_keys:
         if not ref_tables:
             raise ValueError(f"{spec.name} has FKs but no ref_tables supplied")
-        valid, orphans = J.fk_check(valid, ref_tables, spec.foreign_keys)
+        valid, orphans, fk_cleanup = J.fk_check(valid, ref_tables, spec.foreign_keys)
 
     # single action drives the whole pipeline; observe() metrics ride along
     M.merge_upsert(spark, valid, table_path, spec)
@@ -93,6 +94,9 @@ def run_etl_job(
             n_rejected += orph_count
 
     metrics = res.metrics()
+    res.unpersist()  # all outputs consumed; release the cached batch
+    if fk_cleanup is not None:
+        fk_cleanup()
     written = spark.read.parquet(table_path)
     return JobResult(
         table=spec.name,

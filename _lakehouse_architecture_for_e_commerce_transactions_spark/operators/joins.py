@@ -12,6 +12,8 @@ reference; part/customer at bench scale) should never shuffle the fact table.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -51,9 +53,10 @@ def fk_check(
     fks: tuple[ForeignKey, ...],
     broadcast: bool = True,
     cache: bool = True,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, Callable[[], None]]:
     """Chain all FK probes: returns (rows passing every FK, all orphans
-    tagged with the failing FK).
+    tagged with the failing FK, cleanup) — call ``cleanup()`` after both
+    outputs are consumed to release the cached intermediates.
 
     The reference runs each probe as join + count + write + re-filter (two
     passes per FK, SURVEY.md §4.3-2); here each probe is one semi + one anti
@@ -61,9 +64,11 @@ def fk_check(
     compatible with the validation quarantine sink.
     """
     orphan_parts: list[DataFrame] = []
+    persisted: list[DataFrame] = []
     current = df
     if cache:
         current = current.persist()
+        persisted.append(current)
     for fk in fks:
         ref = refs[fk.ref_table]
         bad = fk_orphans(current, ref, fk, broadcast).withColumn(
@@ -73,10 +78,16 @@ def fk_check(
         current = fk_valid(current, ref, fk, broadcast)
         if cache:
             current = current.persist()
+            persisted.append(current)
     if orphan_parts:
         orphans = orphan_parts[0]
         for p in orphan_parts[1:]:
             orphans = orphans.unionByName(p)
     else:
         orphans = df.limit(0).withColumn("_reject_reason", F.lit(None).cast("string"))
-    return current, orphans
+
+    def cleanup() -> None:
+        for p in persisted:
+            p.unpersist()
+
+    return current, orphans, cleanup

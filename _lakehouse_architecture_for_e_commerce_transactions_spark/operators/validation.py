@@ -41,11 +41,19 @@ class ValidationResult:
     valid: DataFrame
     rejected: DataFrame  # schema columns + _reject_reason
     observation: Observation | None = None
+    _cached: DataFrame | None = None
 
     def metrics(self) -> dict:
         """Materialized per-rule counts; available after an action has run
         over ``valid``/``rejected`` (observe-based, costs no extra scan)."""
         return dict(self.observation.get) if self.observation is not None else {}
+
+    def unpersist(self) -> None:
+        """Release the shared cached intermediate — call once both outputs
+        have been consumed (a long-running ingest loop leaks executor
+        memory otherwise)."""
+        if self._cached is not None:
+            self._cached.unpersist()
 
 
 def enforce_schema(df: DataFrame, spec: TableSpec) -> DataFrame:
@@ -118,8 +126,12 @@ def validate(
                 )
             ],
         )
+    cached = None
     if cache:
         flagged = flagged.persist()
+        cached = flagged
     valid = flagged.filter(F.col(REASON_COL).isNull()).drop(REASON_COL)
     rejected = flagged.filter(F.col(REASON_COL).isNotNull())
-    return ValidationResult(valid=valid, rejected=rejected, observation=obs)
+    return ValidationResult(
+        valid=valid, rejected=rejected, observation=obs, _cached=cached
+    )

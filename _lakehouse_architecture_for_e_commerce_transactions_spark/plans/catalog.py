@@ -285,7 +285,7 @@ def q_fk_chain_reasons(spark: SparkSession, sf: str) -> DataFrame:
         ForeignKey("l_partkey", "part", "p_partkey"),
         ForeignKey("l_suppkey", "supplier", "s_suppkey"),
     )
-    valid, orphans = J.fk_check(li, refs, fks, cache=False)
+    valid, orphans, _cleanup = J.fk_check(li, refs, fks, cache=False)
     reasons = orphans.groupBy(F.col("_reject_reason").alias("reason")).agg(
         F.count(F.lit(1)).alias("n")
     )

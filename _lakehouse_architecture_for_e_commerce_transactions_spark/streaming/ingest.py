@@ -72,6 +72,7 @@ def stream_ingest(
             )
         if on_batch is not None:
             on_batch(batch_id, valid.count(), n_rej)
+        res.unpersist()  # bounded executor memory across micro-batches
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

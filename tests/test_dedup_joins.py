@@ -43,7 +43,7 @@ def test_fk_check_chain_and_reasons(spark):
         ForeignKey("order_id", "orders", "order_id"),
         ForeignKey("product_id", "products", "product_id"),
     )
-    valid, orphans = J.fk_check(
+    valid, orphans, cleanup = J.fk_check(
         items, {"orders": orders, "products": products}, fks
     )
     assert [r["id"] for r in valid.collect()] == [1]
@@ -54,6 +54,7 @@ def test_fk_check_chain_and_reasons(spark):
         4: "fk_violation_order_id",
         2: "fk_violation_product_id",
     }
+    cleanup()
 
 
 def test_fk_semi_join_broadcasts(spark, sf_dir):
