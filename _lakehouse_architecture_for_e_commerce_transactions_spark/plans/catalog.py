@@ -1280,6 +1280,90 @@ def q_cosine_topk_fast(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("qid", "cid", "cos", F.col("rank").cast("long").alias("rank"))
 
 
+def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs → connected components → canonical docs: iterative
+    min-label propagation, cross-checked against DuckDB recursive SQL."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    corpus = _doubled_corpus(spark, sf)
+    pairs = TD.minhash_lsh_pairs(
+        corpus, "doc_id", "text", n=3, k=_MINHASH_K,
+        rows_per_band=_MINHASH_ROWS_PER_BAND,
+    )
+    return dedup_clusters(pairs).select("node", "component", "is_canonical")
+
+
+def _clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION
+  SELECT doc2, doc1 FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node)
+SELECT node, min(r) AS component, (node = min(r)) AS is_canonical
+FROM reach GROUP BY node
+"""
+
+
+def q_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-corpus curation: quality gate + language gate +
+    exact-dedup keeper join + deterministic split — the composed pipeline a
+    data-curation run executes, as one declarative plan."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.sampling import (
+        train_test_split,
+    )
+
+    d = load_table(spark, sf, "documents")
+    scored = d.withColumn("quality", T.quality_score(F.col("text"))).withColumn(
+        "predicted_lang", T.lang_id(F.col("text"))
+    )
+    gated = scored.filter(
+        (F.col("quality") >= 0.3) & (F.col("n_chars") >= 100)
+    )
+    keepers = (
+        gated.groupBy(T.fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    curated = gated.join(keepers, "doc_id", "left_semi")
+    split = train_test_split(curated, "doc_id", 0.1, 0.1)
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("quality"), 4).alias("sum_quality"),
+    )
+
+
+_CURATION_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         round(least(length(text) / 200.0, 1.0)
+               * (len(list_distinct(string_split(trim(text), ' ')))
+                  / CAST(len(string_split(trim(text), ' ')) AS DOUBLE))
+               * (1.0 - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                        / CAST(length(text) AS DOUBLE)), 6) AS quality,
+         md5(text) AS fp
+  FROM documents),
+gated AS (SELECT * FROM scored WHERE quality >= 0.3 AND n_chars >= 100),
+keepers AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY fp),
+curated AS (SELECT g.* FROM gated g
+            WHERE EXISTS (SELECT 1 FROM keepers k WHERE k.doc_id = g.doc_id)),
+split AS (
+  SELECT *, CASE WHEN (doc_id * 2654435761) % 1000 < 100 THEN 'test'
+                 WHEN (doc_id * 2654435761) % 1000 < 200 THEN 'val'
+                 ELSE 'train' END AS split
+  FROM curated)
+SELECT split, lang, count(*) AS n_docs, round(sum(quality), 4) AS sum_quality
+FROM split GROUP BY split, lang
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-column metadata extraction via mapInPandas (Arrow batches).
 
@@ -1363,6 +1447,8 @@ CATALOG: dict[str, QueryDef] = {
     "train_test_split": QueryDef(q_train_test_split, _SPLIT_SQL),
     "deterministic_sample": QueryDef(q_deterministic_sample, _SAMPLE_SQL),
     "cosine_topk_fast": QueryDef(q_cosine_topk_fast, None, headline=True),
+    "near_dup_clusters": QueryDef(q_near_dup_clusters, _clusters_sql()),
+    "corpus_curation": QueryDef(q_corpus_curation, _CURATION_SQL, headline=True),
 }
 
 
