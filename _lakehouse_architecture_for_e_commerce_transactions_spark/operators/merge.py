@@ -113,8 +113,16 @@ def merge_upsert(
     path: str,
     spec: TableSpec,
     check_source_unique: bool = True,
+    evolve_schema: bool = False,
 ) -> None:
-    """Upsert ``source`` into the table at ``path`` (create if absent)."""
+    """Upsert ``source`` into the table at ``path`` (create if absent).
+
+    ``evolve_schema=True`` allows additive evolution (Delta's
+    ``mergeSchema`` semantics for new columns): ``spec`` describes the NEW
+    schema and existing target rows get null for columns they predate.
+    Column removals/renames/type changes are rejected — those are
+    migrations, not evolution.
+    """
     cols = [f.name for f in spec.schema.fields]
     source = source.select(*cols)
     if check_source_unique:
@@ -150,6 +158,19 @@ def merge_upsert(
         return
 
     target = spark.read.format(writer_fmt).load(path)
+    missing_in_target = [c for c in cols if c not in target.columns]
+    extra_in_target = [c for c in target.columns if c not in cols]
+    if missing_in_target or extra_in_target:
+        if not evolve_schema or extra_in_target:
+            raise ValueError(
+                f"schema mismatch at {path}: target lacks {missing_in_target}, "
+                f"has extra {extra_in_target}; pass evolve_schema=True for "
+                "additive evolution"
+            )
+        for c in missing_in_target:  # additive evolution: backfill nulls
+            target = target.withColumn(
+                c, F.lit(None).cast(spec.schema[c].dataType)
+            )
     merged = merge_plan(source, target, spec)
     # The plan reads the same files the overwrite will replace: break the
     # lineage before writing. localCheckpoint materializes the merged rows

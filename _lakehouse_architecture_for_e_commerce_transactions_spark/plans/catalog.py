@@ -1364,6 +1364,88 @@ FROM split GROUP BY split, lang
 """
 
 
+def q_range_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval join via time bucketization (operators/rangejoin.py): events
+    within 7 days after each order of the same user, counted per order."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    windows = (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end"),
+        )
+    )
+    joined = range_join(ev, windows, "ts", "start", "end", on="user_id",
+                        bucket_width_s=6 * 3600)
+    return joined.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+_RANGE_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, count(*) AS n_events
+FROM (SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase') p
+JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 6 HOUR
+GROUP BY p.event_id
+"""
+
+
+def q_text_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII-style redaction: synthetic emails/ids are planted, then masked
+    with regexp_replace (all-occurrence semantics in both engines)."""
+    d = load_table(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com id "),
+            (F.col("doc_id") * 7919).cast("string"),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    redacted = planted.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "[a-z0-9]+@[a-z0-9.]+", "<EMAIL>"),
+            "[0-9]{4,}",
+            "<NUM>",
+        ).alias("clean"),
+    )
+    return redacted.select(
+        "doc_id",
+        F.substring("clean", 1, 60).alias("head"),
+        (F.length("clean") - F.length(F.replace(F.col("clean"), F.lit("<EMAIL>"), F.lit("")))).cast("long").alias("email_chars"),
+    )
+
+
+_REDACTION_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         'contact user' || CAST(doc_id AS VARCHAR) || '@example.com id '
+           || CAST(doc_id * 7919 AS VARCHAR) || ' ' || text AS text
+  FROM documents),
+red AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+           '[0-9]{4,}', '<NUM>', 'g') AS clean
+  FROM planted)
+SELECT doc_id, substr(clean, 1, 60) AS head,
+       length(clean) - length(replace(clean, '<EMAIL>', '')) AS email_chars
+FROM red
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-column metadata extraction via mapInPandas (Arrow batches).
 
@@ -1449,6 +1531,8 @@ CATALOG: dict[str, QueryDef] = {
     "cosine_topk_fast": QueryDef(q_cosine_topk_fast, None, headline=True),
     "near_dup_clusters": QueryDef(q_near_dup_clusters, _clusters_sql()),
     "corpus_curation": QueryDef(q_corpus_curation, _CURATION_SQL, headline=True),
+    "range_join_events": QueryDef(q_range_join_events, _RANGE_JOIN_SQL, headline=True),
+    "text_redaction": QueryDef(q_text_redaction, _REDACTION_SQL),
 }
 
 

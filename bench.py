@@ -41,6 +41,54 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # The reference's own workload shape, for direct BASELINE comparison:
+    # CSV read -> validate -> dedup -> MERGE into partitioned table
+    # (orders_etl.py took ~43 s for 7,500 rows on Glue; BASELINE.md).
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.etl.jobs import (
+        run_etl_job,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        ORDERS,
+        load_table,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_etl_")
+    try:
+        raw = (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                (F.col("o_orderkey") % 100).alias("order_num"),
+                F.col("o_orderkey").alias("order_id"),
+                F.col("o_custkey").alias("user_id"),
+                F.col("o_orderdate").alias("order_timestamp"),
+                F.col("o_totalprice").alias("total_amount"),
+                # month granularity: the synthetic orders span ~6.5 years of
+                # distinct days; daily dirs would mean ~2400 partitions of
+                # ~60 rows — a partitioning-design error at this density
+                # (the reference's real data has 500 rows/day over 15 days)
+                F.date_format("o_orderdate", "yyyy-MM").alias("date"),
+            )
+        )
+        n_raw = raw.count()
+        raw.write.option("header", True).mode("overwrite").csv(f"{work}/raw")
+        t0 = time.time()
+        res = run_etl_job(
+            spark, ORDERS, f"{work}/raw/*.csv", f"{work}/wh", f"{work}/rej", "bench"
+        )
+        timings["etl_orders_batch"] = round(time.time() - t0, 3)
+        print(
+            f"# etl_orders_batch: {timings['etl_orders_batch']:.3f}s "
+            f"({res.rows_written}/{n_raw} rows)",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

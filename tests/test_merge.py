@@ -78,6 +78,29 @@ def test_duplicate_source_keys_raise(spark, tmp_path):
         )
 
 
+def test_schema_evolution_additive(spark, tmp_path):
+    from pyspark.sql.types import LongType
+
+    path = str(tmp_path / "t")
+    M.merge_upsert(spark, _df(spark, [(1, 1.0, "a")]), path, SPEC)
+    evolved = TableSpec(
+        name="t",
+        schema=StructType(
+            list(SPEC.schema.fields) + [StructField("extra", LongType(), True)]
+        ),
+        primary_key="pk",
+        partition_by=("part",),
+    )
+    src = spark.createDataFrame(
+        [(2, 2.0, "a", 42)], "pk int, amt double, part string, extra long"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        M.merge_upsert(spark, src, path, evolved)  # evolution must be opted in
+    M.merge_upsert(spark, src, path, evolved, evolve_schema=True)
+    got = {r["pk"]: r["extra"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: None, 2: 42}  # old rows backfilled with null
+
+
 def test_rows_moving_between_partitions(spark, tmp_path):
     """A source row whose partition value changed: old-partition copy must
     not survive if the old partition is also affected by the batch."""
