@@ -165,6 +165,51 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_fast(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """xxhash64 twin of ``minhash_lsh_pairs``: same plan shape, ~3× less
+    hashing cost (one JVM intrinsic vs an md5 digest + hex string per salt).
+
+    Candidate sets differ from the md5 variant only through hash-family
+    randomness — detection quality is equivalent (both are uniform min-hash
+    families). Use this at scale; use the md5 variant when results must be
+    reproducible by other engines (xxhash64 seeds are Spark-specific).
+    """
+    idx = shingle_index(df, id_col, text_col, n)
+    sig = idx.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            for i in range(k)
+        ]
+    )
+    n_bands = k // rows_per_band
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    bands = sig.select(F.col("doc"), *band_cols)
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
+    melted = bands.select(
+        "doc", F.expr(f"stack({n_bands}, {stack_args}) AS (band_id, bkey)")
+    )
+    a = melted.select(F.col("doc").alias("doc1"), "band_id", "bkey")
+    c = melted.select(F.col("doc").alias("doc2"), "band_id", "bkey")
+    return (
+        a.join(c, ["band_id", "bkey"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+
 def minhash_dedup_verified(
     df: DataFrame,
     id_col: str,

@@ -1280,6 +1280,50 @@ def q_cosine_topk_fast(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("qid", "cid", "cos", F.col("rank").cast("long").alias("rank"))
 
 
+def q_minhash_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """xxhash64 MinHash variant (rows-only: xxhash64 is Spark-specific, so
+    no cross-engine oracle; planted-dup recall is asserted in tests)."""
+    corpus = _doubled_corpus(spark, sf)
+    return TD.minhash_lsh_pairs_fast(
+        corpus, "doc_id", "text", n=3, k=_MINHASH_K,
+        rows_per_band=_MINHASH_ROWS_PER_BAND,
+    )
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy-key duplicate detection: Levenshtein ≤ 1 customer-name pairs
+    under nation blocking — the record-linkage primitive for dirty keys."""
+    c = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a = c.select(
+        F.col("c_custkey").alias("k1"),
+        F.col("c_name").alias("n1"),
+        F.col("c_nationkey").alias("blk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("k2"),
+        F.col("c_name").alias("n2"),
+        F.col("c_nationkey").alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("k1") < F.col("k2"))
+        .withColumn("dist", F.levenshtein(F.col("n1"), F.col("n2")))
+        .filter(F.col("dist") <= 1)
+        .select("k1", "k2", F.col("dist").cast("long").alias("dist"))
+    )
+
+
+_FUZZY_SQL = """
+SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs → connected components → canonical docs: iterative
     min-label propagation, cross-checked against DuckDB recursive SQL."""
@@ -1533,6 +1577,8 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_curation": QueryDef(q_corpus_curation, _CURATION_SQL, headline=True),
     "range_join_events": QueryDef(q_range_join_events, _RANGE_JOIN_SQL, headline=True),
     "text_redaction": QueryDef(q_text_redaction, _REDACTION_SQL),
+    "minhash_fast": QueryDef(q_minhash_fast, None, headline=True),
+    "fuzzy_name_pairs": QueryDef(q_fuzzy_name_pairs, _FUZZY_SQL),
 }
 
 

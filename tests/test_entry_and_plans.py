@@ -29,6 +29,7 @@ def test_contract_shapes(spark):
         "approx_distinct_users",
         "ivf_ann_topk",
         "cosine_topk_fast",
+        "minhash_fast",
     }
 
 

@@ -74,6 +74,51 @@ def test_windowed_event_counts_batch_and_stream_parity(spark, sf_dir):
     assert all(str(r["window_start"]).endswith("00:00:00") for r in rows)
 
 
+def test_streaming_session_window(spark, tmp_path):
+    """Native session windows (gap-merging state) on a stream — the
+    streaming twin of operators/sessions.py."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "sess_src")
+    _os.makedirs(src, exist_ok=True)
+    with open(f"{src}/e.csv", "w") as f:
+        f.write(
+            "user,ts,v\n"
+            "u,2024-01-01T00:00:00,1\n"
+            "u,2024-01-01T00:10:00,1\n"  # within 30min gap → same session
+            "u,2024-01-01T02:00:00,1\n"  # new session
+            "w,2024-01-01T00:00:00,1\n"
+        )
+    stream = (
+        spark.readStream.schema("user string, ts timestamp, v int")
+        .option("header", True)
+        .csv(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user", F.col("w.start").cast("string").alias("start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["user"], r["start"]): r["n"] for r in spark.sql("SELECT * FROM sess_out").collect()}
+    assert rows == {
+        ("u", "2024-01-01 00:00:00"): 2,
+        ("u", "2024-01-01 02:00:00"): 1,
+        ("w", "2024-01-01 00:00:00"): 1,
+    }
+
+
 def test_windowed_event_counts_streaming_plan(spark, tmp_path):
     """The same operator must be usable on a streaming frame with a
     watermark (late-data handling) — exercised via an in-memory sink."""

@@ -60,6 +60,17 @@ def test_minhash_lsh_candidates_and_verification(spark):
     assert (1, 3) not in got and (1, 5) not in got  # unrelated docs filtered
 
 
+def test_minhash_fast_finds_planted_dups(spark):
+    pairs = {
+        (r["doc1"], r["doc2"])
+        for r in TD.minhash_lsh_pairs_fast(
+            _docs(spark), "doc_id", "text", n=3, k=8, rows_per_band=2
+        ).collect()
+    }
+    assert (1, 4) in pairs  # exact dup: identical signatures, always found
+    assert not any(3 in p or 5 in p for p in pairs)  # unrelated docs clean
+
+
 def test_simhash_near_dup_distance(spark):
     sig = {
         r["doc"]: r["simhash"]
