@@ -78,6 +78,36 @@ def test_duplicate_source_keys_raise(spark, tmp_path):
         )
 
 
+def test_multi_column_partitioning(spark, tmp_path):
+    spec = TableSpec(
+        name="t2",
+        schema=StructType(
+            [
+                StructField("pk", IntegerType(), False),
+                StructField("amt", DoubleType(), False),
+                StructField("y", StringType(), False),
+                StructField("m", StringType(), False),
+            ]
+        ),
+        primary_key="pk",
+        partition_by=("y", "m"),
+    )
+    path = str(tmp_path / "t2")
+
+    def df(rows):
+        return spark.createDataFrame(rows, "pk int, amt double, y string, m string")
+
+    M.merge_upsert(
+        spark, df([(1, 1.0, "2025", "01"), (2, 2.0, "2025", "02")]), path, spec
+    )
+    M.merge_upsert(spark, df([(1, 9.0, "2025", "03")]), path, spec)  # moves
+    import os
+
+    assert not os.path.isdir(f"{path}/y=2025/m=01")  # emptied dir removed
+    got = {r["pk"]: (r["amt"], r["m"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (9.0, "03"), 2: (2.0, "02")}
+
+
 def test_schema_evolution_additive(spark, tmp_path):
     from pyspark.sql.types import LongType
 
