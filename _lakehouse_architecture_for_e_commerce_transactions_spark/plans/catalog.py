@@ -1280,6 +1280,45 @@ def q_cosine_topk_fast(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("qid", "cid", "cos", F.col("rank").cast("long").alias("rank"))
 
 
+def q_sql_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """The Athena-replacement path end-to-end (SURVEY.md §3.3): tables
+    registered by name in Spark's catalog, an ANSI SQL *string* parsed and
+    planned by Catalyst — the identical text runs on the oracle engine."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        register_views,
+    )
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT o.o_orderstatus, c.c_mktsegment,
+               count(*) AS n, round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        GROUP BY o.o_orderstatus, c.c_mktsegment
+        """
+    )
+
+
+_SQL_SURFACE_SQL = """
+SELECT o.o_orderstatus, c.c_mktsegment,
+       count(*) AS n, round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY o.o_orderstatus, c.c_mktsegment
+"""
+
+
+def q_simhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash per document (rows-only: per-bit majority voting over
+    md5 bit extractions; pytest asserts identical docs → identical
+    signatures and near-dups → small Hamming distance)."""
+    d = load_table(spark, sf, "documents")
+    return TD.simhash_signatures(d, "doc_id", "text", n_bits=16).select(
+        F.col("doc").alias("doc_id"), "simhash"
+    )
+
+
 def q_minhash_fast(spark: SparkSession, sf: str) -> DataFrame:
     """xxhash64 MinHash variant (rows-only: xxhash64 is Spark-specific, so
     no cross-engine oracle; planted-dup recall is asserted in tests)."""
@@ -1579,6 +1618,8 @@ CATALOG: dict[str, QueryDef] = {
     "text_redaction": QueryDef(q_text_redaction, _REDACTION_SQL),
     "minhash_fast": QueryDef(q_minhash_fast, None, headline=True),
     "fuzzy_name_pairs": QueryDef(q_fuzzy_name_pairs, _FUZZY_SQL),
+    "sql_surface": QueryDef(q_sql_surface, _SQL_SURFACE_SQL),
+    "simhash_signatures": QueryDef(q_simhash_signatures, None),
 }
 
 

@@ -30,6 +30,7 @@ def test_contract_shapes(spark):
         "ivf_ann_topk",
         "cosine_topk_fast",
         "minhash_fast",
+        "simhash_signatures",
     }
 
 

@@ -76,6 +76,26 @@ def test_partition_layout(pipeline_run):
     assert glob.glob(f"{cfg.warehouse_path}/products/department_id=*")
 
 
+def test_partition_pruning_on_curated_table(pipeline_run, spark):
+    """A partition-column predicate must prune at the file index — the scan
+    reads one date directory, not the table (the reference's Athena
+    partition-pruned queries, SURVEY.md §2.2 P8)."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.plans import (
+        explain,
+    )
+
+    _, cfg, _, _ = pipeline_run
+    df = spark.read.parquet(f"{cfg.warehouse_path}/orders").filter(
+        "date = '2025-04-01'"
+    )
+    text = explain.plan_text(df)
+    assert "PartitionFilters" in text
+    # the pruned plan carries the predicate in PartitionFilters, and the
+    # data filter list stays empty (no per-row evaluation needed)
+    pf_line = next(l for l in text.splitlines() if "PartitionFilters" in l)
+    assert "2025-04-01" in pf_line
+
+
 def test_rerun_idempotent(pipeline_run, spark):
     base, cfg, expected, _ = pipeline_run
     # re-deliver the same raw batch (simulates retry after partial failure)
