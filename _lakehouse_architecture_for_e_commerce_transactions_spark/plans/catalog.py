@@ -1280,6 +1280,128 @@ def q_cosine_topk_fast(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("qid", "cid", "cos", F.col("rank").cast("long").alias("rank"))
 
 
+def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, date windows, top-10 revenue orders.
+    Catalyst broadcasts the filtered customer dim; AQE coalesces the
+    aggregation exchange."""
+    c = load_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "o_orderpriority", "revenue")
+    )
+
+
+_Q3_SQL = """
+SELECT l.l_orderkey, o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (region→nation→customer→orders→lineitem→
+    supplier) with the same-nation constraint, revenue per nation."""
+    r = load_table(spark, sf, "region").filter(F.col("r_name") != "REGION#0")
+    n = load_table(spark, sf, "nation")
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_Q5_SQL = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND r.r_name != 'REGION#0'
+GROUP BY n.n_name
+"""
+
+
+def q_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a grouped HAVING (large-quantity
+    orders), then enrich — the aggregate-driven semi join pattern."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total"),
+            "total_qty",
+        )
+    )
+
+
+_Q18_SQL = """
+SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total,
+       b.total_qty
+FROM orders o
+JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING round(sum(l_quantity), 2) > 300) b
+  ON o.o_orderkey = b.l_orderkey
+"""
+
+
 def q_sql_surface(spark: SparkSession, sf: str) -> DataFrame:
     """The Athena-replacement path end-to-end (SURVEY.md §3.3): tables
     registered by name in Spark's catalog, an ANSI SQL *string* parsed and
@@ -1620,6 +1742,11 @@ CATALOG: dict[str, QueryDef] = {
     "fuzzy_name_pairs": QueryDef(q_fuzzy_name_pairs, _FUZZY_SQL),
     "sql_surface": QueryDef(q_sql_surface, _SQL_SURFACE_SQL),
     "simhash_signatures": QueryDef(q_simhash_signatures, None),
+    "shipping_priority": QueryDef(q_shipping_priority, _Q3_SQL, headline=True),
+    "local_supplier_volume": QueryDef(
+        q_local_supplier_volume, _Q5_SQL, headline=True
+    ),
+    "large_orders": QueryDef(q_large_orders, _Q18_SQL),
 }
 
 
