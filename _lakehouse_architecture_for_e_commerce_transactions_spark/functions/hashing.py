@@ -20,11 +20,29 @@ def salted_md5(value: Column, salt: int) -> Column:
     return F.md5(F.concat(F.lit(f"{salt}:"), value))
 
 
+CHUNK_HEX = 8  # 32-bit hash chunks: ample headroom for per-doc shingle counts
+
+
 def minhash_aggs(shingle_col: str, k: int) -> list[Column]:
     """k min-hash aggregate expressions over an exploded shingle column —
-    ``groupBy(doc).agg(*minhash_aggs("shingle", k))`` yields the signature."""
+    ``groupBy(doc).agg(*minhash_aggs("shingle", k))`` yields the signature.
+
+    Hash family: consecutive 8-hex (32-bit) chunks of salted md5 digests —
+    one digest yields four independent hash functions, so k functions cost
+    ⌈k/4⌉ md5 calls per shingle instead of k (the digest is the dominant
+    cost at 10⁶+ shingles). Lexicographic min of fixed-width hex chunks is
+    a valid min-hash; identical slicing reproduces in any oracle engine.
+    """
+    per_digest = 32 // CHUNK_HEX
     return [
-        F.min(salted_md5(F.col(shingle_col), i)).alias(f"mh{i}") for i in range(k)
+        F.min(
+            F.substring(
+                salted_md5(F.col(shingle_col), i // per_digest),
+                (i % per_digest) * CHUNK_HEX + 1,
+                CHUNK_HEX,
+            )
+        ).alias(f"mh{i}")
+        for i in range(k)
     ]
 
 

@@ -742,8 +742,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 def _minhash_sql() -> str:
     k, rpb = _MINHASH_K, _MINHASH_ROWS_PER_BAND
     n_bands = k // rpb
+    # chunked hash family: 8-hex slices of salted digests (see
+    # functions/hashing.py — same slicing, engine-portable)
     mh_exprs = ",\n         ".join(
-        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(k)
+        f"min(substr(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8)) AS mh{i}"
+        for i in range(k)
     )
     band_exprs = ",\n         ".join(
         "md5(" + " || '|' || ".join(
