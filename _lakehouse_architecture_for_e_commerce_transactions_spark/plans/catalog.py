@@ -1673,6 +1673,464 @@ def q_frame_sample_plan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Extended relational surface batch 2: multi-dim aggregation, analytic
+# windows, subquery shapes, outer joins, skew-salted execution parity.
+# --------------------------------------------------------------------------
+
+
+def q_grouping_sets_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS over lineitem — (flag, status), (flag), grand total.
+
+    One shuffle: Spark expands grouping sets map-side (Expand node) then a
+    single hash aggregate; at 100 TB this beats three separate groupBys by
+    2 scans. Null group markers coalesced to 'ALL' on both engines.
+    """
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.round("l_quantity", 2)), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       round(sum(round(l_quantity, 2)), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def q_cube_status_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE on orders (status × priority) — all 4 grouping combinations in
+    one pass (Expand + single aggregate)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.round("o_totalprice", 2)), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n,
+       round(sum(round(o_totalprice, 2)), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_order_gap_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-customer inter-order gap statistics via lag() — the analytic
+    'time between events' shape. One shuffle on the window partition key;
+    the follow-up groupBy reuses the same hash partitioning (no second
+    exchange — Catalyst sees the co-partitioning)."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    )
+    return gaps.groupBy("o_custkey").agg(
+        F.count("gap_days").cast("long").alias("n_gaps"),
+        F.round(F.avg("gap_days"), 6).alias("avg_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+    )
+
+
+_ORDER_GAP_SQL = """
+SELECT o_custkey,
+       count(gap_days) AS n_gaps,
+       round(avg(gap_days), 6) AS avg_gap_days,
+       max(gap_days) AS max_gap_days
+FROM (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+) GROUP BY o_custkey
+"""
+
+
+def q_ntile_spend_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer spend quartiles via ntile(4) — global analytic ranking.
+
+    The global (unpartitioned) window is a single-task sort; fine for the
+    already-aggregated per-customer frame (#customers ≪ #orders). Never
+    put an unpartitioned window over raw fact rows at scale.
+    """
+    o = load_table(spark, sf, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum(F.round("o_totalprice", 2)), 2).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("spend"), 2).alias("min_spend"),
+            F.round(F.max("spend"), 2).alias("max_spend"),
+        )
+    )
+
+
+_NTILE_SQL = """
+SELECT quartile, count(*) AS n_customers,
+       round(min(spend), 2) AS min_spend,
+       round(max(spend), 2) AS max_spend
+FROM (
+  SELECT o_custkey, spend,
+         ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS quartile
+  FROM (SELECT o_custkey, round(sum(round(o_totalprice, 2)), 2) AS spend
+        FROM orders GROUP BY o_custkey)
+) GROUP BY quartile
+"""
+
+
+def q_exists_urgent_by_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated-EXISTS shape: customers with ≥1 urgent order, counted by
+    market segment. Spark plan: broadcast-able left-semi join (the EXISTS
+    rewrite Catalyst itself produces for the SQL form)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        c.join(urgent, "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_EXISTS_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+def q_full_outer_nation_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER equi-join of two pre-aggregated sides (customer vs
+    supplier presence per nation) with coalesced keys — the reconciliation
+    / drift-report shape. Aggregating *before* the join keeps the outer
+    join at #nations cardinality regardless of fact size."""
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    ca = c.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum(F.round("c_acctbal", 2)), 2).alias("cust_bal"),
+    )
+    sa = s.groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.round(F.sum(F.round("s_acctbal", 2)), 2).alias("supp_bal"),
+    )
+    return ca.join(sa, ca.nk_c == sa.nk_s, "full_outer").select(
+        F.coalesce("nk_c", "nk_s").cast("long").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.round(F.coalesce("cust_bal", F.lit(0.0)), 2).alias("cust_bal"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        F.round(F.coalesce("supp_bal", F.lit(0.0)), 2).alias("supp_bal"),
+    )
+
+
+_FULL_OUTER_SQL = """
+SELECT coalesce(nk_c, nk_s) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       round(coalesce(cust_bal, 0.0), 2) AS cust_bal,
+       coalesce(n_supp, 0) AS n_supp,
+       round(coalesce(supp_bal, 0.0), 2) AS supp_bal
+FROM (SELECT c_nationkey AS nk_c, count(*) AS n_cust,
+             round(sum(round(c_acctbal, 2)), 2) AS cust_bal
+      FROM customer GROUP BY c_nationkey) ca
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nk_s, count(*) AS n_supp,
+             round(sum(round(s_acctbal, 2)), 2) AS supp_bal
+      FROM supplier GROUP BY s_nationkey) sa
+ON ca.nk_c = sa.nk_s
+"""
+
+
+def q_window_range_30d(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-frame window: per customer, rolling 30-day spend ending at
+    each order (value-based frame, not row-count). Spark expresses the
+    interval frame over unix seconds; peers (same date) are in-frame in
+    both engines."""
+    o = load_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(F.round("o_totalprice", 2)).over(w), 2).alias(
+            "spend_30d"
+        ),
+    )
+
+
+_RANGE_30D_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(round(o_totalprice, 2)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)
+       AS spend_30d
+FROM orders
+"""
+
+
+def q_priority_mix_monthly(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional aggregation (count-if / filtered sums) by month — the
+    TPC-H Q12 shape. All branches computed in one scan+aggregate."""
+    o = load_table(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("n_high"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("n_low"),
+            F.round(
+                F.sum(F.when(high, F.round("o_totalprice", 2)).otherwise(0.0)),
+                2,
+            ).alias("high_total"),
+        )
+    )
+
+
+_PRIORITY_MIX_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS n_high,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS n_low,
+       round(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN round(o_totalprice, 2) ELSE 0.0 END), 2)
+       AS high_total
+FROM orders GROUP BY 1
+"""
+
+
+def q_promo_revenue_monthly(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: % of revenue from PROMO parts per ship-month.
+    part is the small side — broadcast to keep lineitem unshuffled."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    rev = money(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (
+        j.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            money(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            ).alias("promo_rev"),
+            money(F.sum(rev)).alias("total_rev"),
+        )
+        .select(
+            "month",
+            "promo_rev",
+            "total_rev",
+            F.round(
+                F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6
+            ).alias("promo_pct"),
+        )
+    )
+
+
+_PROMO_SQL = """
+SELECT month, promo_rev, total_rev,
+       round(100.0 * promo_rev / total_rev, 6) AS promo_pct
+FROM (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         floor(sum(CASE WHEN p_type = 'PROMO'
+                        THEN floor(l_extendedprice * (1 - l_discount)
+                                   * 100 + 0.5) / 100
+                        ELSE 0.0 END) * 100 + 0.5) / 100 AS promo_rev,
+         floor(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                   / 100) * 100 + 0.5) / 100 AS total_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+"""
+
+
+def q_top_returned_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue.
+    customer → orders → lineitem chain; the two fact tables join on their
+    shared key first, the dimension is broadcast last."""
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = money(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(money(F.sum(rev)).alias("returned_rev"))
+    )
+    return (
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "returned_rev")
+        .orderBy(F.col("returned_rev").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_TOP_RETURNED_SQL = """
+SELECT c_custkey, c_name, returned_rev
+FROM (
+  SELECT o_custkey,
+         floor(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                   / 100) * 100 + 0.5) / 100 AS returned_rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY o_custkey
+) r JOIN customer ON c_custkey = r.o_custkey
+ORDER BY returned_rev DESC, c_custkey LIMIT 20
+"""
+
+
+def q_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus term frequencies: explode(tokens) → count → top 25.
+
+    The explode runs where the documents live (no pre-shuffle); the count
+    is partial-aggregated map-side so only per-term partials shuffle —
+    the classic wordcount plan, which survives any corpus size provided
+    the term space itself is bounded."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(25)
+    )
+
+
+_TOP_TERMS_SQL = """
+SELECT term, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents)
+WHERE term <> ''
+GROUP BY term ORDER BY n DESC, term LIMIT 25
+"""
+
+
+def q_salted_join_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-salted join, oracle-checked against the plain join: orders ⋈
+    customer through an 8-way salt, then aggregated per nation. Proves the
+    salting operator is result-identical while spreading any hot customer
+    key over 8 tasks (the oracle SQL has no salt at all)."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        skew as SK,
+    )
+
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = SK.salted_join(o, c, on="o_custkey", n=8)
+    return joined.groupBy(F.col("c_nationkey").cast("long").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.round("o_totalprice", 2)), 2).alias("total"),
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT c_nationkey AS nationkey, count(*) AS n_orders,
+       round(sum(round(o_totalprice, 2)), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+def q_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram of order totals (500-unit buckets) — single
+    scan, single aggregate; bucket arithmetic stays in codegen."""
+    o = load_table(spark, sf, "orders")
+    bucket = (F.floor(F.col("o_totalprice") / 500) * 500).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket_lo"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_PRICE_HIST_SQL = """
+SELECT CAST(floor(o_totalprice / 500) * 500 AS BIGINT) AS bucket_lo,
+       count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_first_last_event(spark: SparkSession, sf: str) -> DataFrame:
+    """first_value / last_value over a full-frame window: each user's
+    entry and exit event type (tie-broken by event_id). One shuffle on
+    user_id; the distinct collapses to one row per user without a second
+    exchange (same partitioning)."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first_value("event_type").over(w).alias("first_event"),
+            F.last_value("event_type").over(w).alias("last_event"),
+            F.count(F.lit(1)).over(w).alias("n_events"),
+        )
+        .distinct()
+    )
+
+
+_FIRST_LAST_SQL = """
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_event,
+       last_value(event_type)  OVER w AS last_event,
+       count(*) OVER w AS n_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1750,6 +2208,26 @@ CATALOG: dict[str, QueryDef] = {
         q_local_supplier_volume, _Q5_SQL, headline=True
     ),
     "large_orders": QueryDef(q_large_orders, _Q18_SQL),
+    "grouping_sets_pricing": QueryDef(q_grouping_sets_pricing, _GROUPING_SETS_SQL),
+    "cube_status_priority": QueryDef(q_cube_status_priority, _CUBE_SQL),
+    "order_gap_stats": QueryDef(q_order_gap_stats, _ORDER_GAP_SQL),
+    "ntile_spend_quartiles": QueryDef(q_ntile_spend_quartiles, _NTILE_SQL),
+    "exists_urgent_by_segment": QueryDef(q_exists_urgent_by_segment, _EXISTS_SQL),
+    "full_outer_nation_balance": QueryDef(
+        q_full_outer_nation_balance, _FULL_OUTER_SQL
+    ),
+    "window_range_30d": QueryDef(q_window_range_30d, _RANGE_30D_SQL),
+    "priority_mix_monthly": QueryDef(q_priority_mix_monthly, _PRIORITY_MIX_SQL),
+    "promo_revenue_monthly": QueryDef(
+        q_promo_revenue_monthly, _PROMO_SQL, headline=True
+    ),
+    "top_returned_customers": QueryDef(
+        q_top_returned_customers, _TOP_RETURNED_SQL, headline=True
+    ),
+    "top_terms": QueryDef(q_top_terms, _TOP_TERMS_SQL),
+    "salted_join_agg": QueryDef(q_salted_join_agg, _SALTED_JOIN_SQL),
+    "price_histogram": QueryDef(q_price_histogram, _PRICE_HIST_SQL),
+    "first_last_event": QueryDef(q_first_last_event, _FIRST_LAST_SQL),
 }
 
 
