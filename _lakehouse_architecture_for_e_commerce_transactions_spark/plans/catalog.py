@@ -2130,6 +2130,189 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion funnel view → click → purchase: per user, earliest
+    strictly-ordered timestamp chain, then stage counts. Expressed as
+    conditional min-aggregates per user (one shuffle) followed by a tiny
+    global rollup — no self-joins, so it scales linearly in events."""
+    ev = load_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_buy"
+        ),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").cast("long").alias("n_viewed"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0)
+        ).cast("long").alias("n_clicked_after_view"),
+        F.sum(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_buy") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_full_funnel"),
+    )
+
+
+_FUNNEL_SQL = """
+SELECT count(*) AS n_users,
+       count(t_view) AS n_viewed,
+       sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)
+           AS n_clicked_after_view,
+       sum(CASE WHEN t_click > t_view AND t_buy > t_click
+                THEN 1 ELSE 0 END) AS n_full_funnel
+FROM (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events GROUP BY user_id
+)
+"""
+
+
+def q_daily_revenue_spine(spark: SparkSession, sf: str) -> DataFrame:
+    """Date-spine gap fill: a generated continuous day sequence LEFT JOINs
+    daily revenue so missing days surface as explicit zeros. The spine is
+    built with sequence()+explode from the data's own min/max (two tiny
+    scalar aggregates), so no driver-side date loop; the join broadcasts
+    the aggregated daily side."""
+    o = load_table(spark, sf, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money(F.sum(money(F.col("o_totalprice")))).alias("revenue"),
+    )
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce("revenue", F.lit(0.0)), 2).alias("revenue"),
+        )
+    )
+
+
+_SPINE_SQL = """
+WITH bounds AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+         CAST(max(o_orderdate) AS DATE) AS hi
+  FROM orders
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+         floor(sum(floor(o_totalprice * 100 + 0.5) / 100) * 100 + 0.5) / 100
+             AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+       coalesce(n_orders, 0) AS n_orders,
+       round(coalesce(revenue, 0.0), 2) AS revenue
+FROM spine LEFT JOIN daily ON spine.day = daily.day
+"""
+
+
+def q_revenue_7d_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-level time-series: aggregate to days, then a 7-row moving
+    average over the (small) daily series. The global window runs on the
+    aggregated frame — thousands of rows regardless of fact size — so the
+    single-task sort is never the bottleneck."""
+    o = load_table(spark, sf, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        money(F.sum(money(F.col("o_totalprice")))).alias("revenue")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "revenue",
+        F.round(F.avg("revenue").over(w), 6).alias("revenue_7d_avg"),
+    )
+
+
+_MOVING_AVG_SQL = """
+SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
+       round(avg(revenue) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS revenue_7d_avg
+FROM (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         floor(sum(floor(o_totalprice * 100 + 0.5) / 100) * 100 + 0.5) / 100
+             AS revenue
+  FROM orders GROUP BY 1
+)
+"""
+
+
+def q_cheapest_part_per_type(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (min-per-group correlated subquery): the cheapest
+    part of each type, ties broken by partkey. Window-rank form — one
+    shuffle on the group key versus the subquery's two-pass self-join."""
+    p = load_table(spark, sf, "part")
+    w = Window.partitionBy("p_type").orderBy("p_retailprice", "p_partkey")
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "p_type",
+            "p_partkey",
+            "p_name",
+            F.round("p_retailprice", 2).alias("price"),
+        )
+    )
+
+
+_CHEAPEST_SQL = """
+SELECT p_type, p_partkey, p_name, round(p_retailprice, 2) AS price
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY p_type
+                               ORDER BY p_retailprice, p_partkey) AS rk
+  FROM part
+) WHERE rk = 1
+"""
+
+
+def q_supplier_balance_ranks(spark: SparkSession, sf: str) -> DataFrame:
+    """dense_rank + percent_rank per nation over supplier balances —
+    the remaining ranking-function surface (row_number/ntile covered
+    elsewhere). Deterministic: acctbal ties share ranks by definition."""
+    s = load_table(spark, sf, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), "s_suppkey"
+    )
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.round(F.percent_rank().over(w), 9).alias("bal_pct_rank"),
+    )
+
+
+_SUPPLIER_RANKS_SQL = """
+SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS acctbal,
+       dense_rank() OVER w AS bal_dense_rank,
+       round(percent_rank() OVER w, 9) AS bal_pct_rank
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2228,6 +2411,13 @@ CATALOG: dict[str, QueryDef] = {
     "salted_join_agg": QueryDef(q_salted_join_agg, _SALTED_JOIN_SQL),
     "price_histogram": QueryDef(q_price_histogram, _PRICE_HIST_SQL),
     "first_last_event": QueryDef(q_first_last_event, _FIRST_LAST_SQL),
+    "event_funnel": QueryDef(q_event_funnel, _FUNNEL_SQL),
+    "daily_revenue_spine": QueryDef(q_daily_revenue_spine, _SPINE_SQL),
+    "revenue_7d_moving_avg": QueryDef(q_revenue_7d_moving_avg, _MOVING_AVG_SQL),
+    "cheapest_part_per_type": QueryDef(q_cheapest_part_per_type, _CHEAPEST_SQL),
+    "supplier_balance_ranks": QueryDef(
+        q_supplier_balance_ranks, _SUPPLIER_RANKS_SQL
+    ),
 }
 
 
