@@ -15,6 +15,11 @@ from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.dedup i
 from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.merge import (
     merge_upsert,
 )
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.scd import (
+    as_of,
+    scd2_apply,
+    scd2_init,
+)
 from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.asof import (
     asof_join,
 )
@@ -63,6 +68,9 @@ __all__ = [
     "dedup_deterministic",
     "dedup_exact",
     "merge_upsert",
+    "as_of",
+    "scd2_apply",
+    "scd2_init",
     "asof_join",
     "connected_components",
     "dedup_clusters",
