@@ -26,6 +26,30 @@ Coverage map (reference operator → query key):
                                    lang_confusion, doc_quality,
                                    cosine_topk, srp_ann_topk,
                                    multimodal_meta* (*rows-only)
+  multi-dim aggregation          → grouping_sets_pricing, cube_status_priority,
+                                   rollup_pricing
+  analytic windows (full surface)→ order_gap_stats (lag), ntile_spend_quartiles,
+                                   window_range_30d (RANGE frame),
+                                   first_last_event, supplier_balance_ranks
+                                   (dense/percent_rank), revenue_7d_moving_avg
+  subquery shapes                → exists_urgent_by_segment (EXISTS),
+                                   above_avg_orders (scalar),
+                                   cheapest_part_per_type (min-per-group)
+  outer joins                    → full_outer_nation_balance,
+                                   orders_enriched_left_join
+  TPC-H workload shapes          → pricing_summary (Q1), shipping_priority (Q3),
+                                   local_supplier_volume (Q5), priority_mix_
+                                   monthly (Q12), promo_revenue_monthly (Q14),
+                                   large_orders (Q18), top_returned_customers
+                                   (Q10), cheapest_part_per_type (Q2)
+  time series                    → daily_revenue_spine (generator + gap fill),
+                                   revenue_7d_moving_avg, event_funnel,
+                                   sessionize_events, asof_latest_order,
+                                   range_join_events
+  skew / physical-execution      → salted_join_agg (salting ≡ plain join)
+  lakehouse maintenance          → merge_upsert_sim (SCD1), scd2_supplier
+                                   (SCD2 history), + zorder/compaction/bucketed
+                                   write paths covered in tests
 """
 
 from __future__ import annotations
@@ -2313,6 +2337,81 @@ WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
 """
 
 
+def q_scd2_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 dimension merge, oracle-checked: a supplier snapshot
+    (effective 2025-01-01) receives an update batch (2025-06-01) that
+    bumps every 3rd supplier's balance, leaves the rest unchanged, and
+    adds a new supplier for every 7th — the operator must close exactly
+    the changed versions, keep unchanged rows on their original version,
+    and open rows for changes + inserts. The oracle states the expected
+    history declaratively as four UNION branches."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        scd,
+    )
+
+    s = load_table(spark, sf, "supplier")
+    snap = s.select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        "s_acctbal",
+        F.lit("2025-01-01").cast("timestamp").alias("updated_at"),
+    )
+    upd = s.select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.when(
+            F.col("s_suppkey") % 3 == 0, F.col("s_acctbal") + 100
+        ).otherwise(F.col("s_acctbal")).alias("s_acctbal"),
+        F.lit("2025-06-01").cast("timestamp").alias("updated_at"),
+    ).unionByName(
+        s.filter(F.col("s_suppkey") % 7 == 0).select(
+            (F.col("s_suppkey") + 100000).alias("s_suppkey"),
+            "s_name",
+            "s_nationkey",
+            F.lit(0.0).alias("s_acctbal"),
+            F.lit("2025-06-01").cast("timestamp").alias("updated_at"),
+        )
+    )
+    hist = scd.scd2_apply(
+        scd.scd2_init(snap, "updated_at"),
+        upd,
+        key="s_suppkey",
+        tracked=["s_name", "s_acctbal"],
+        ts_col="updated_at",
+    )
+    return hist.select(
+        "s_suppkey",
+        "s_name",
+        F.col("s_nationkey").cast("long").alias("nationkey"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.date_format("effective_from", "yyyy-MM-dd").alias("eff_from"),
+        F.date_format("effective_to", "yyyy-MM-dd").alias("eff_to"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+_SCD2_SQL = """
+SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS nationkey,
+       round(s_acctbal, 2) AS acctbal,
+       '2025-01-01' AS eff_from, '2025-06-01' AS eff_to, 0 AS is_current
+FROM supplier WHERE s_suppkey % 3 = 0
+UNION ALL
+SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT), round(s_acctbal, 2),
+       '2025-01-01', NULL, 1
+FROM supplier WHERE s_suppkey % 3 <> 0
+UNION ALL
+SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT),
+       round(s_acctbal + 100, 2), '2025-06-01', NULL, 1
+FROM supplier WHERE s_suppkey % 3 = 0
+UNION ALL
+SELECT s_suppkey + 100000, s_name, CAST(s_nationkey AS BIGINT), 0.0,
+       '2025-06-01', NULL, 1
+FROM supplier WHERE s_suppkey % 7 = 0
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2418,6 +2517,7 @@ CATALOG: dict[str, QueryDef] = {
     "supplier_balance_ranks": QueryDef(
         q_supplier_balance_ranks, _SUPPLIER_RANKS_SQL
     ),
+    "scd2_supplier": QueryDef(q_scd2_supplier, _SCD2_SQL),
 }
 
 
