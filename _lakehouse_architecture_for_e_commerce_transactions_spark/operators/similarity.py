@@ -119,10 +119,12 @@ def cosine_topk_fast(
                 )
             yield _pd.concat(frames)
 
-    c = spread(
-        corpus.select(
-            F.col(id_col).alias("cid"), V.as_double(F.col(vec_col)).alias("v")
-        )
+    # No repartition here: per-partition work is one BLAS matmul, so natural
+    # input splits (many at real scale) are the right parallelism unit, and
+    # forcing defaultParallelism partitions on a small corpus only multiplies
+    # Python-worker startups.
+    c = corpus.select(
+        F.col(id_col).alias("cid"), V.as_double(F.col(vec_col)).alias("v")
     )
     partial = c.mapInPandas(score, out_schema)
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
