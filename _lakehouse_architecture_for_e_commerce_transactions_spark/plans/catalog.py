@@ -41,7 +41,18 @@ Coverage map (reference operator → query key):
                                    local_supplier_volume (Q5), priority_mix_
                                    monthly (Q12), promo_revenue_monthly (Q14),
                                    large_orders (Q18), top_returned_customers
-                                   (Q10), cheapest_part_per_type (Q2)
+                                   (Q10), cheapest_part_per_type (Q2),
+                                   late_shipment_priority (Q4),
+                                   forecast_revenue_change (Q6),
+                                   nation_trade_volume (Q7),
+                                   product_profit_by_nation (Q9),
+                                   important_suppliers (Q11),
+                                   customer_order_distribution (Q13),
+                                   parts_supplier_counts (Q16),
+                                   small_quantity_revenue (Q17),
+                                   discounted_revenue_brackets (Q19),
+                                   waiting_supplier_orders (Q21),
+                                   idle_customer_balance (Q22)
   time series                    → daily_revenue_spine (generator + gap fill),
                                    revenue_7d_moving_avg, event_funnel,
                                    sessionize_events, asof_latest_order,
@@ -2413,6 +2424,429 @@ FROM supplier WHERE s_suppkey % 7 = 0
 
 
 # --------------------------------------------------------------------------
+# TPC-H workload batch 3 — subquery-heavy shapes (Q4/Q6/Q7/Q9/Q11/Q13/
+# Q16/Q17/Q19/Q21/Q22 adapted to the reduced testdata schema: no partsupp,
+# no commit/receipt dates, no comments).
+# --------------------------------------------------------------------------
+
+
+def q_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS over a date-range order slice,
+    expressed as a left-semi join with a non-equi conjunct (ship happened
+    >60 days after order). The semi join keeps the orders scan one-pass;
+    Catalyst pushes both date predicates into the parquet scans."""
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_LATE_SHIP_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table filter-aggregate. All three predicates
+    reach the parquet scan (PushedFilters); the agg is partial+final with
+    one shuffled row — the minimal-network plan at any scale."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+_FORECAST_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+def q_nation_trade_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+    Two broadcastable dim joins (nation via supplier / via customer), the
+    big lineitem↔orders join shuffles on orderkey once."""
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    s = load_table(spark, sf, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c = load_table(spark, sf, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pairs = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        pairs.withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_TRADE_SQL = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+) GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_product_profit_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for a part-name
+    pattern. Part and supplier⨝nation broadcast; the cost term substitutes
+    retailprice for the missing partsupp.ps_supplycost."""
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    s = (
+        load_table(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    p = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = load_table(spark, sf, "lineitem")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.1
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("o_year", F.year("l_shipdate").cast("long"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+_PROFIT_SQL = """
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - p_retailprice * l_quantity * 0.1 AS amount
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) GROUP BY nation, o_year
+"""
+
+
+def q_important_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: per-supplier value with a HAVING against a scalar
+    fraction of the global total. The per-group aggregate is computed once
+    and reused for the threshold via a 1-row broadcast cross join — the
+    identical aggregate subplan on both sides becomes one shuffle via
+    ReuseExchange (verified in the formatted plan), so lineitem is scanned
+    once and nothing is collected to the driver."""
+    li = load_table(spark, sf, "lineitem")
+    sv = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
+    )
+    total = sv.agg((F.sum("value") * 0.0102).alias("threshold"))
+    return (
+        sv.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_suppkey", F.round("value", 2).alias("value"))
+    )
+
+
+_IMPORTANT_SUPP_SQL = """
+WITH sv AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS value
+  FROM lineitem GROUP BY l_suppkey)
+SELECT l_suppkey, round(value, 2) AS value
+FROM sv WHERE value > (SELECT sum(value) * 0.0102 FROM sv)
+"""
+
+
+def q_customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of orders-per-customer including the
+    zero bucket — left outer join with an extra join-side predicate, then
+    two cascaded aggregations (the second is tiny)."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_CUST_DIST_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+def q_parts_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part group with a
+    NOT IN exclusion — the exclusion is a broadcast anti join (6 rows),
+    the distinct count shuffles once on the group keys."""
+    bad = load_table(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_PART_SUPP_CNT_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-half-average-quantity line
+    items of one brand. The correlated per-part scalar subquery becomes a
+    per-part aggregate joined back (broadcast — |parts of one brand| is
+    small); lineitem is scanned once per side with the partkey filter
+    pushed down via the broadcast join."""
+    p = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#3").select(
+        "p_partkey"
+    )
+    li = load_table(spark, sf, "lineitem")
+    branded = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = branded.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        branded.join(
+            F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_SMALL_QTY_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l1.l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                       WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+def q_discounted_revenue_brackets(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs over joined columns. The join key and
+    the per-bracket ranges stay as one disjunctive filter after a broadcast
+    join; Catalyst extracts the common l_quantity bounds for scan pushdown."""
+    p = load_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf, "lineitem")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(bracket).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+_BRACKETS_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size <= 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_waiting_supplier_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers whose line item shipped last in a
+    finished multi-supplier order. The two correlated (NOT) EXISTS become
+    one per-order aggregate — max shipdate + distinct-supplier count —
+    joined back on orderkey, so lineitem shuffles once on l_orderkey
+    instead of three correlated probes."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    per_order = li.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(per_order, F.col("l_orderkey") == F.col("g_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("l_shipdate") == F.col("max_ship")))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_WAITING_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+"""
+
+
+def q_idle_customer_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders, bucketed by a derived country code. Scalar avg via 1-row
+    broadcast cross join; the no-urgent-orders test is an anti join with
+    the priority predicate pushed below it. (Every customer has *some*
+    order in the testdata, so the anti join is against the urgent slice.)"""
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    o = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    pos_avg = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(pos_avg))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .withColumn("cntrycode", (F.col("c_custkey") % 7).cast("long"))
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+_IDLE_CUST_SQL = """
+SELECT CAST(c_custkey % 7 AS BIGINT) AS cntrycode,
+       count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY cntrycode
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2518,6 +2952,21 @@ CATALOG: dict[str, QueryDef] = {
         q_supplier_balance_ranks, _SUPPLIER_RANKS_SQL
     ),
     "scd2_supplier": QueryDef(q_scd2_supplier, _SCD2_SQL),
+    "late_shipment_priority": QueryDef(q_late_shipment_priority, _LATE_SHIP_SQL),
+    "forecast_revenue_change": QueryDef(q_forecast_revenue_change, _FORECAST_SQL),
+    "nation_trade_volume": QueryDef(q_nation_trade_volume, _TRADE_SQL),
+    "product_profit_by_nation": QueryDef(q_product_profit_by_nation, _PROFIT_SQL),
+    "important_suppliers": QueryDef(q_important_suppliers, _IMPORTANT_SUPP_SQL),
+    "customer_order_distribution": QueryDef(
+        q_customer_order_distribution, _CUST_DIST_SQL
+    ),
+    "parts_supplier_counts": QueryDef(q_parts_supplier_counts, _PART_SUPP_CNT_SQL),
+    "small_quantity_revenue": QueryDef(q_small_quantity_revenue, _SMALL_QTY_SQL),
+    "discounted_revenue_brackets": QueryDef(
+        q_discounted_revenue_brackets, _BRACKETS_SQL
+    ),
+    "waiting_supplier_orders": QueryDef(q_waiting_supplier_orders, _WAITING_SQL),
+    "idle_customer_balance": QueryDef(q_idle_customer_balance, _IDLE_CUST_SQL),
 }
 
 
