@@ -263,3 +263,62 @@ def simhash_signatures(
         start=F.lit(0),
     )
     return sig.withColumn("simhash", value.cast("long"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: (doc1, doc2, hamming ≤ max_hamming).
+
+    Scale path: each signature is exploded into ``n_bands`` bit-bands and
+    candidates come from an equi-join on (band_id, band_value) — never a
+    quadratic self-join. With ``max_hamming < n_bands`` the blocking is
+    *lossless* by pigeonhole (a pair differing in < n_bands bits must agree
+    on at least one whole band), so the result equals the brute-force
+    all-pairs computation exactly — which is what the oracle checks.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("lossless banding requires max_hamming < n_bands")
+    if n_bits % n_bands:
+        raise ValueError("n_bits must divide evenly into n_bands")
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    sig = simhash_signatures(df, id_col, text_col, n_bits).select("doc", "simhash")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.shiftright(F.col("simhash"), (n_bands - 1 - j) * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    e = sig.select("doc", "simhash", F.explode(bands).alias("b")).select(
+        "doc", "simhash", "b.band_id", "b.band_val"
+    )
+    a = e.select(
+        F.col("doc").alias("doc1"), F.col("simhash").alias("sh1"),
+        "band_id", "band_val",
+    )
+    b = e.select(
+        F.col("doc").alias("doc2"), F.col("simhash").alias("sh2"),
+        "band_id", "band_val",
+    )
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select(
+            "doc1",
+            "doc2",
+            F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can match in several bands
+    )

@@ -22,9 +22,10 @@ Coverage map (reference operator → query key):
                                    customer_order_stats, events_hourly
   scalar funcs (json/date/string)→ events_json_kv, doc_token_stats
   training-data ops              → doc_exact_dedup, ngram_jaccard_pairs,
-                                   minhash_lsh_pairs, simhash_buckets*,
-                                   lang_confusion, doc_quality,
-                                   cosine_topk, srp_ann_topk,
+                                   minhash_lsh_pairs, simhash_signatures*,
+                                   simhash_near_dup_pairs (lossless banding,
+                                   oracle-checked), lang_confusion,
+                                   doc_quality, cosine_topk, srp_ann_topk,
                                    multimodal_meta* (*rows-only)
   multi-dim aggregation          → grouping_sets_pricing, cube_status_priority,
                                    rollup_pricing
@@ -2423,6 +2424,55 @@ FROM supplier WHERE s_suppkey % 7 = 0
 """
 
 
+def q_simhash_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded SimHash near-dup detection, fully oracle-checked: the Spark
+    side blocks on 8-bit bands of a 32-bit signature (lossless for hamming
+    ≤ 3 by pigeonhole), the DuckDB oracle recomputes the identical
+    md5-majority signature per document and brute-forces all pairs — so
+    the check proves both the signature portability and that banding loses
+    no pairs."""
+    corpus = _doubled_corpus(spark, sf)
+    return TD.simhash_near_dup_pairs(
+        corpus, "doc_id", "text", n_bits=32, n_bands=4, max_hamming=3
+    ).select("doc1", "doc2", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _simhash_pairs_sql(n_bits: int = 32, max_hamming: int = 3) -> str:
+    """Brute-force SimHash pair oracle: same md5 bit extraction as
+    functions/hashing.py::hex_bit (strpos replaces Spark's conv)."""
+    def bit(i: int) -> str:
+        return (
+            f"((strpos('0123456789abcdef', substring(md5(token), {i // 4 + 1}, 1))"
+            f" - 1) >> {3 - i % 4}) % 2"
+        )
+
+    sums = ",\n    ".join(
+        f"CASE WHEN sum(CASE WHEN {bit(i)} = 1 THEN 1 ELSE -1 END) >= 0"
+        f" THEN 1 ELSE 0 END AS b{i}"
+        for i in range(n_bits)
+    )
+    value = " + ".join(f"b{i} * {2 ** (n_bits - 1 - i)}" for i in range(n_bits))
+    return f"""
+WITH corpus AS ({_DOUBLED_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS token
+  FROM corpus),
+bits AS (
+  SELECT doc,
+    {sums}
+  FROM toks GROUP BY doc),
+sig AS (SELECT doc, CAST({value} AS BIGINT) AS simhash FROM bits)
+SELECT a.doc AS doc1, b.doc AS doc2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+_SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
+
+
 # --------------------------------------------------------------------------
 # TPC-H workload batch 3 — subquery-heavy shapes (Q4/Q6/Q7/Q9/Q11/Q13/
 # Q16/Q17/Q19/Q21/Q22 adapted to the reduced testdata schema: no partsupp,
@@ -2919,6 +2969,9 @@ CATALOG: dict[str, QueryDef] = {
     "fuzzy_name_pairs": QueryDef(q_fuzzy_name_pairs, _FUZZY_SQL),
     "sql_surface": QueryDef(q_sql_surface, _SQL_SURFACE_SQL),
     "simhash_signatures": QueryDef(q_simhash_signatures, None),
+    "simhash_near_dup_pairs": QueryDef(
+        q_simhash_near_dup_pairs, _SIMHASH_PAIRS_SQL
+    ),
     "shipping_priority": QueryDef(q_shipping_priority, _Q3_SQL, headline=True),
     "local_supplier_volume": QueryDef(
         q_local_supplier_volume, _Q5_SQL, headline=True

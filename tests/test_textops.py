@@ -93,3 +93,41 @@ def test_quality_score_bounds(spark):
     df = _docs(spark).select(T.quality_score(F.col("text")).alias("q"))
     for r in df.collect():
         assert 0.0 <= r["q"] <= 1.0
+
+
+def test_simhash_pairs_banding_lossless(spark):
+    """Banded candidate generation must equal brute-force all-pairs for
+    hamming <= max_hamming (pigeonhole losslessness)."""
+    docs = _docs(spark)
+    got = {
+        (r["doc1"], r["doc2"]): r["hamming"]
+        for r in TD.simhash_near_dup_pairs(
+            docs, "doc_id", "text", n_bits=32, n_bands=4, max_hamming=3
+        ).collect()
+    }
+    sig = {
+        r["doc"]: r["simhash"]
+        for r in TD.simhash_signatures(docs, "doc_id", "text", 32).collect()
+    }
+    ids = sorted(sig)
+    brute = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    assert got == brute
+    assert got[(1, 4)] == 0  # planted exact dup
+
+
+def test_simhash_pairs_rejects_lossy_params(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        TD.simhash_near_dup_pairs(
+            _docs(spark), "doc_id", "text", n_bands=4, max_hamming=4
+        )
+    with _pytest.raises(ValueError):
+        TD.simhash_near_dup_pairs(
+            _docs(spark), "doc_id", "text", n_bits=30, n_bands=4, max_hamming=3
+        )
