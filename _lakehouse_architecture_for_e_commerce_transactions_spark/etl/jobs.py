@@ -76,8 +76,10 @@ def run_etl_job(
             raise ValueError(f"{spec.name} has FKs but no ref_tables supplied")
         valid, orphans, fk_cleanup = J.fk_check(valid, ref_tables, spec.foreign_keys)
 
-    # single action drives the whole pipeline; observe() metrics ride along
-    M.merge_upsert(spark, valid, table_path, spec)
+    # single action drives the whole pipeline; observe() metrics ride along.
+    # check_source_unique=False: both dedup paths above already guarantee a
+    # unique PK, so the merge-side probe would only re-run the plan.
+    M.merge_upsert(spark, valid, table_path, spec, check_source_unique=False)
 
     reject_paths: list[str] = []
     n_rejected = 0

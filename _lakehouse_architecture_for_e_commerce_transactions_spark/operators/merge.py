@@ -151,6 +151,13 @@ def merge_upsert(
 
     writer_fmt = "delta" if _HAS_DELTA else "parquet"
     if not table_exists(spark, path):
+        if spec.partition_by:
+            # Cluster rows by partition value before the partitioned write:
+            # without this every write task emits one file per partition
+            # value it happens to hold (tasks × values small files); with it
+            # each value lands in one task's output. AQE splits any skewed
+            # partition value across tasks rather than spilling one.
+            source = source.repartition(*[F.col(c) for c in spec.partition_by])
         w = source.write.format(writer_fmt).mode("overwrite")
         if spec.partition_by:
             w = w.partitionBy(*spec.partition_by)
@@ -194,6 +201,8 @@ def merge_upsert(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     except Exception:  # pragma: no cover
         pass
+    if spec.partition_by:
+        merged = merged.repartition(*[F.col(c) for c in spec.partition_by])
     w = merged.write.format(writer_fmt).mode("overwrite")
     if spec.partition_by:
         w = w.partitionBy(*spec.partition_by)
