@@ -53,7 +53,11 @@ Coverage map (reference operator → query key):
                                    small_quantity_revenue (Q17),
                                    discounted_revenue_brackets (Q19),
                                    waiting_supplier_orders (Q21),
-                                   idle_customer_balance (Q22)
+                                   idle_customer_balance (Q22),
+                                   nation_market_share (Q8),
+                                   top_revenue_supplier (Q15)
+                                   [Q20 omitted: needs partsupp, absent
+                                   from the testdata star schema]
   time series                    → daily_revenue_spine (generator + gap fill),
                                    revenue_7d_moving_avg, event_funnel,
                                    sessionize_events, asof_latest_order,
@@ -2856,6 +2860,105 @@ GROUP BY s_name
 """
 
 
+def q_nation_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's yearly revenue.
+    The conditional-sum-over-sum ratio is a single aggregation over the
+    joined slice; all dims broadcast, lineitem↔orders shuffles once."""
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    region_nations = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    c = load_table(spark, sf, "customer").join(
+        F.broadcast(region_nations), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    s = load_table(spark, sf, "supplier").join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+_MKT_SHARE_SQL = """
+SELECT o_year, round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                              ELSE 0 END) / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+) GROUP BY o_year
+"""
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue. The revenue 'view' is one aggregate; its max is a 1-row
+    broadcast joined back (ReuseExchange collapses the two uses into one
+    shuffle), keeping ties — no ORDER BY/LIMIT nondeterminism."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_revenue"))
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("best_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
+        )
+    )
+
+
+_TOP_SUPP_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
 def q_idle_customer_balance(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q22 shape: above-average-balance customers with no urgent
     orders, bucketed by a derived country code. Scalar avg via 1-row
@@ -3020,6 +3123,8 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "waiting_supplier_orders": QueryDef(q_waiting_supplier_orders, _WAITING_SQL),
     "idle_customer_balance": QueryDef(q_idle_customer_balance, _IDLE_CUST_SQL),
+    "nation_market_share": QueryDef(q_nation_market_share, _MKT_SHARE_SQL),
+    "top_revenue_supplier": QueryDef(q_top_revenue_supplier, _TOP_SUPP_SQL),
 }
 
 
