@@ -1099,6 +1099,28 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_unpivot_status(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-status count columns back to long form —
+    pivot's inverse, a generate-side reshape with no shuffle beyond the
+    pivot's own aggregation."""
+    wide = (
+        load_table(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["O", "F", "P"], "status", "cnt"
+    ).filter(F.col("cnt") > 0)
+
+
+_UNPIVOT_SQL = """
+SELECT o_orderpriority, o_orderstatus AS status, count(*) AS cnt
+FROM orders GROUP BY o_orderpriority, o_orderstatus
+"""
+
+
 def q_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
     """Token counting with a BPE-ish regex (runs + digits + punct pieces)."""
     d = load_table(spark, sf, "documents")
@@ -3051,6 +3073,7 @@ CATALOG: dict[str, QueryDef] = {
     "string_funcs": QueryDef(q_string_funcs, _STRING_SQL),
     "date_funcs": QueryDef(q_date_funcs, _DATE_SQL),
     "pivot_status": QueryDef(q_pivot_status, _PIVOT_SQL),
+    "unpivot_status": QueryDef(q_unpivot_status, _UNPIVOT_SQL),
     "bpe_token_count": QueryDef(q_bpe_token_count, _BPE_SQL),
     "above_avg_orders": QueryDef(q_above_avg_orders, _ABOVE_AVG_SQL),
     "distinct_users_exact": QueryDef(q_distinct_users_exact, _DISTINCT_USERS_SQL),
@@ -3114,16 +3137,16 @@ CATALOG: dict[str, QueryDef] = {
     "product_profit_by_nation": QueryDef(q_product_profit_by_nation, _PROFIT_SQL),
     "important_suppliers": QueryDef(q_important_suppliers, _IMPORTANT_SUPP_SQL),
     "customer_order_distribution": QueryDef(
-        q_customer_order_distribution, _CUST_DIST_SQL
+        q_customer_order_distribution, _CUST_DIST_SQL, headline=True
     ),
     "parts_supplier_counts": QueryDef(q_parts_supplier_counts, _PART_SUPP_CNT_SQL),
     "small_quantity_revenue": QueryDef(q_small_quantity_revenue, _SMALL_QTY_SQL),
     "discounted_revenue_brackets": QueryDef(
         q_discounted_revenue_brackets, _BRACKETS_SQL
     ),
-    "waiting_supplier_orders": QueryDef(q_waiting_supplier_orders, _WAITING_SQL),
+    "waiting_supplier_orders": QueryDef(q_waiting_supplier_orders, _WAITING_SQL, headline=True),
     "idle_customer_balance": QueryDef(q_idle_customer_balance, _IDLE_CUST_SQL),
-    "nation_market_share": QueryDef(q_nation_market_share, _MKT_SHARE_SQL),
+    "nation_market_share": QueryDef(q_nation_market_share, _MKT_SHARE_SQL, headline=True),
     "top_revenue_supplier": QueryDef(q_top_revenue_supplier, _TOP_SUPP_SQL),
 }
 
