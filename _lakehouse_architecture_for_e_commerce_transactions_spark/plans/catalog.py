@@ -1099,6 +1099,49 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_session_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine-managed session windows (``F.session_window``) in batch mode,
+    oracle-checked against the declarative gap-sessionization SQL (lag →
+    new-session flag → running session id). Proves the streaming operator's
+    batch twin computes the exact same sessions; window end = last event +
+    gap, new session when the gap is >= 30 minutes (half-open windows)."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.ingest import (
+        session_window_counts,
+    )
+
+    ev = load_table(spark, sf, "events")
+    out = session_window_counts(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("sess_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+_SESSION_WINDOW_SQL = """
+WITH flags AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS sess_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def q_unpivot_status(spark: SparkSession, sf: str) -> DataFrame:
     """UNPIVOT (melt): wide per-status count columns back to long form —
     pivot's inverse, a generate-side reshape with no shuffle beyond the
@@ -3074,6 +3117,7 @@ CATALOG: dict[str, QueryDef] = {
     "date_funcs": QueryDef(q_date_funcs, _DATE_SQL),
     "pivot_status": QueryDef(q_pivot_status, _PIVOT_SQL),
     "unpivot_status": QueryDef(q_unpivot_status, _UNPIVOT_SQL),
+    "session_window_agg": QueryDef(q_session_window_agg, _SESSION_WINDOW_SQL),
     "bpe_token_count": QueryDef(q_bpe_token_count, _BPE_SQL),
     "above_avg_orders": QueryDef(q_above_avg_orders, _ABOVE_AVG_SQL),
     "distinct_users_exact": QueryDef(q_distinct_users_exact, _DISTINCT_USERS_SQL),

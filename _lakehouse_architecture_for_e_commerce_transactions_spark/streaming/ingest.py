@@ -113,3 +113,84 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def session_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization via ``F.session_window`` — dynamic-length
+    windows that close ``gap`` after the last event. State is bounded by
+    the watermark: sessions older than it are finalized and evicted. The
+    batch twin (operators/sessions.py, lag-based) is oracle-checked; this
+    is the engine-managed streaming form of the same semantics."""
+    from pyspark.sql import functions as F
+
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            key_col,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    max_delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right events join left events
+    with the same key arriving within ``[left_ts, left_ts + max_delay]``.
+
+    Both sides carry watermarks and the join condition bounds event time in
+    both directions, so the engine can size per-side join state and evict
+    rows once they can no longer match — the requirement for an unbounded
+    run. Works identically on batch frames (condition degenerates to a
+    range predicate)."""
+    from pyspark.sql import functions as F
+
+    l, r = left.alias("l"), right.alias("r")  # noqa: E741
+    if l.isStreaming:
+        l = l.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return l.join(r, cond).select(
+        F.col(f"l.{key_col}").alias(key_col),
+        F.col(f"l.{left_ts}").alias("left_ts"),
+        F.col(f"r.{right_ts}").alias("right_ts"),
+        *[
+            F.col(f"l.{c}").alias(f"l_{c}")
+            for c in left.columns
+            if c not in (key_col, left_ts)
+        ],
+        *[
+            F.col(f"r.{c}").alias(f"r_{c}")
+            for c in right.columns
+            if c not in (key_col, right_ts)
+        ],
+    )

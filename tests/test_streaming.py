@@ -148,3 +148,61 @@ def test_windowed_event_counts_streaming_plan(spark, tmp_path):
         ("2024-01-01 00:00:00", "click"): 2,
         ("2024-01-01 01:00:00", "view"): 1,
     }
+
+
+def test_session_window_counts_batch_parity(spark, sf_dir):
+    """The operator works on a batch frame; session totals must account
+    for every event exactly once."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.ingest import (
+        session_window_counts,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = session_window_counts(ev, gap="30 minutes").collect()
+    assert sum(r["n_events"] for r in out) == ev.count()
+    assert all(r["session_end"] > r["session_start"] for r in out)
+
+
+def test_stream_stream_join_windowed(spark, tmp_path):
+    """Watermarked stream-stream join: right rows join only within
+    [left_ts, left_ts + 30 minutes]."""
+    import os as _os
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.ingest import (
+        stream_stream_join,
+    )
+
+    lsrc, rsrc = str(tmp_path / "l_src"), str(tmp_path / "r_src")
+    for d in (lsrc, rsrc):
+        _os.makedirs(d, exist_ok=True)
+    with open(f"{lsrc}/l.csv", "w") as f:
+        f.write("k,ts,lv\n"
+                "a,2024-01-01T00:00:00,1\n"
+                "b,2024-01-01T00:00:00,2\n")
+    with open(f"{rsrc}/r.csv", "w") as f:
+        f.write("k,ts,rv\n"
+                "a,2024-01-01T00:10:00,10\n"   # within 30min of left a → joins
+                "a,2024-01-01T01:00:00,20\n"   # too late → dropped
+                "b,2023-12-31T23:50:00,30\n")  # before left b → dropped
+    schema_l = "k string, ts timestamp, lv int"
+    schema_r = "k string, ts timestamp, rv int"
+    ls = spark.readStream.schema(schema_l).option("header", True).csv(lsrc)
+    rs = spark.readStream.schema(schema_r).option("header", True).csv(rsrc)
+    joined = stream_stream_join(ls, rs, "k", max_delay="30 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [
+        (r["k"], r["l_lv"], r["r_rv"])
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    ]
+    assert rows == [("a", 1, 10)]
