@@ -50,3 +50,26 @@ def train_test_split(
         .when(b < val_hi, F.lit("val"))
         .otherwise(F.lit("train")),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (class rebalancing): each stratum
+    value keeps its own fraction of rows, chosen by the same key hash as
+    ``deterministic_sample`` — so strata rates can be tuned independently
+    while membership stays stable across runs/engines. The per-stratum
+    threshold is a CASE expression on the stratum column: no join, no
+    shuffle, fully pushdown-friendly."""
+    b = hash_bucket(F.col(key), buckets)
+    thresh = F.lit(int(default_fraction * buckets))
+    for value, frac in fractions.items():
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * buckets))
+        ).otherwise(thresh)
+    return df.filter(b < thresh)

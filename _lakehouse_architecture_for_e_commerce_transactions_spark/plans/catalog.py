@@ -1099,6 +1099,39 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Class-rebalancing stratified sample: per-segment keep rates driven
+    by the same Knuth-hash bucketing as deterministic_sample — stable
+    membership, no shuffle (CASE threshold, no join), scan-pushable."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    c = load_table(spark, sf, "customer")
+    out = stratified_sample(
+        c,
+        "c_custkey",
+        "c_mktsegment",
+        {"BUILDING": 0.2, "MACHINERY": 0.05},
+        default_fraction=0.01,
+    )
+    return out.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("c_custkey").alias("min_key"),
+    )
+
+
+_STRATIFIED_SQL = """
+SELECT c_mktsegment, count(*) AS n_sampled, min(c_custkey) AS min_key
+FROM customer
+WHERE (c_custkey * 2654435761) % 1000 <
+      CASE WHEN c_mktsegment = 'MACHINERY' THEN 50
+           WHEN c_mktsegment = 'BUILDING' THEN 200
+           ELSE 10 END
+GROUP BY c_mktsegment
+"""
+
+
 def q_session_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Engine-managed session windows (``F.session_window``) in batch mode,
     oracle-checked against the declarative gap-sessionization SQL (lag →
@@ -3118,6 +3151,7 @@ CATALOG: dict[str, QueryDef] = {
     "pivot_status": QueryDef(q_pivot_status, _PIVOT_SQL),
     "unpivot_status": QueryDef(q_unpivot_status, _UNPIVOT_SQL),
     "session_window_agg": QueryDef(q_session_window_agg, _SESSION_WINDOW_SQL),
+    "stratified_sample": QueryDef(q_stratified_sample, _STRATIFIED_SQL),
     "bpe_token_count": QueryDef(q_bpe_token_count, _BPE_SQL),
     "above_avg_orders": QueryDef(q_above_avg_orders, _ABOVE_AVG_SQL),
     "distinct_users_exact": QueryDef(q_distinct_users_exact, _DISTINCT_USERS_SQL),
