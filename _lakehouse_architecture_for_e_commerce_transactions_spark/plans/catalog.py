@@ -3019,9 +3019,12 @@ FROM (
 
 def q_top_revenue_supplier(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
-    revenue. The revenue 'view' is one aggregate; its max is a 1-row
-    broadcast joined back (ReuseExchange collapses the two uses into one
-    shuffle), keeping ties — no ORDER BY/LIMIT nondeterminism."""
+    revenue, ties kept — no ORDER BY/LIMIT nondeterminism. The global max
+    is an empty-partition window over the per-supplier aggregate: lineitem
+    is scanned and shuffled exactly once, and the singleton window only
+    ever sees |suppliers| pre-aggregated rows (a bounded dimension), which
+    beats a second aggregate branch (AQE declined to reuse that exchange
+    once runtime filters specialized one scan)."""
     li = load_table(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -3031,10 +3034,11 @@ def q_top_revenue_supplier(spark: SparkSession, sf: str) -> DataFrame:
             "total_revenue"
         )
     )
-    best = revenue.agg(F.max("total_revenue").alias("best_revenue"))
     s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
-        revenue.crossJoin(F.broadcast(best))
+        revenue.withColumn(
+            "best_revenue", F.max("total_revenue").over(Window.partitionBy())
+        )
         .filter(F.col("total_revenue") == F.col("best_revenue"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select(

@@ -57,3 +57,37 @@ def test_pricing_summary_whole_stage_codegen(spark, sf_dir):
 
 def test_merge_sim_no_python_udf(spark, sf_dir):
     explain.assert_no_python_row_udf(catalog.q_merge_upsert_sim(spark, sf_dir))
+
+
+def test_tpch_batch3_plan_shapes(spark, sf_dir):
+    """Scale-critical plan properties of the subquery-heavy TPC-H shapes:
+    predicates reach the scans, dims broadcast, no row-wise Python."""
+    q6 = catalog.q_forecast_revenue_change(spark, sf_dir)
+    explain.assert_pushed_filter(q6, "l_shipdate")
+    explain.assert_pushed_filter(q6, "l_quantity")
+    explain.assert_no_shuffle_join(q6)
+
+    q19 = catalog.q_discounted_revenue_brackets(spark, sf_dir)
+    explain.assert_broadcast_join(q19)
+    explain.assert_no_shuffle_join(q19)  # part broadcast; lineitem unshuffled
+
+    q17 = catalog.q_small_quantity_revenue(spark, sf_dir)
+    explain.assert_broadcast_join(q17)
+    explain.assert_no_python_row_udf(q17)
+
+    q4 = catalog.q_late_shipment_priority(spark, sf_dir)
+    explain.assert_pushed_filter(q4, "o_orderdate")
+
+    # Q11 scalar threshold: the repeated aggregate subplan must be
+    # deduplicated to one exchange, not recomputed
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.plans.explain import (
+        executed_plan_text,
+    )
+
+    q11 = catalog.q_important_suppliers(spark, sf_dir)
+    assert "ReusedExchange" in executed_plan_text(q11)
+    # Q15 uses a singleton window instead of a second aggregate branch:
+    # exactly one lineitem shuffle may appear in the executed plan
+    q15 = catalog.q_top_revenue_supplier(spark, sf_dir)
+    t15 = executed_plan_text(q15).split("== Initial Plan ==")[0]
+    assert t15.count("Exchange hashpartitioning(l_suppkey") <= 1
