@@ -129,47 +129,78 @@ def money(col: F.Column) -> F.Column:
 _MONEY_SQL = "floor({x} * 100 + 0.5) / 100"
 
 
+def money_sum(col: F.Column, scale: int = 100) -> F.Column:
+    """Order-independent fixed-point SUM.
+
+    SUM(double) carries its summation order in the last ulp, so two engines
+    (or two partitionings of the same engine) can land on opposite sides of
+    a round() boundary — observed as a .575-cent coin flip at sf0.001.
+    floor(x*scale + 0.5) is the same int64 everywhere (identical IEEE
+    multiply + floor), and integer addition is associative, so this sum is
+    a pure function of the row *set*. Use scale=100 for 2-dp money,
+    10000 for 4-dp products like extendedprice*(1-discount)."""
+    return F.sum(F.floor(col * scale + F.lit(0.5)).cast("long")) / F.lit(
+        float(scale)
+    )
+
+
+def _money_sum_sql(x: str, scale: int = 100) -> str:
+    """DuckDB twin of ``money_sum`` (bit-identical by construction)."""
+    return f"sum(CAST(floor(({x}) * {scale} + 0.5) AS BIGINT)) / {scale}.0"
+
+
+def fix6(col: F.Column) -> F.Column:
+    """Engine-portable 6-dp rounding (floor form, like ``money``): use on
+    already-deterministic doubles instead of F.round, whose string-repr
+    HALF_UP can disagree with a binary-rounding engine at repr boundaries."""
+    return F.floor(col * 1000000 + F.lit(0.5)) / 1000000
+
+
+def _fix6_sql(x: str) -> str:
+    return f"floor(({x}) * 1000000 + 0.5) / 1000000"
+
+
 # --------------------------------------------------------------------------
 # Core relational surface (reference parity)
 # --------------------------------------------------------------------------
 
 
 def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape. Every non-integer aggregate is fixed-point
+    (``money_sum``) so the result is a pure function of the row set —
+    SUM(double)'s order-dependent last ulp flipped a round() boundary once
+    at sf0.001, which is a coin no 1000-executor run should ever toss.
+    l_quantity sums/avgs are integer-valued doubles (exact at any order);
+    the money averages divide an exact fixed-point sum by the count."""
     li = load_table(spark, sf, "lineitem")
+    cnt = F.count(F.lit(1))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum("l_quantity").alias("sum_qty"),
+            money_sum(F.col("l_extendedprice"), 100).alias("sum_base_price"),
+            money_sum(disc_price, 10000).alias("sum_disc_price"),
+            money_sum(charge, 1000000).alias("sum_charge"),
+            fix6(F.sum("l_quantity") / cnt).alias("avg_qty"),
+            fix6(money_sum(F.col("l_extendedprice"), 100) / cnt).alias("avg_price"),
+            fix6(money_sum(F.col("l_discount"), 100) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
     )
 
 
-_PRICING_SQL = """
+_PRICING_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       sum(l_quantity) AS sum_qty,
+       {_money_sum_sql("l_extendedprice", 100)} AS sum_base_price,
+       {_money_sum_sql("l_extendedprice * (1 - l_discount)", 10000)} AS sum_disc_price,
+       {_money_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 1000000)} AS sum_charge,
+       {_fix6_sql("sum(l_quantity) / count(*)")} AS avg_qty,
+       {_fix6_sql(_money_sum_sql("l_extendedprice", 100) + " / count(*)")} AS avg_price,
+       {_fix6_sql(_money_sum_sql("l_discount", 100) + " / count(*)")} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1439,8 +1470,8 @@ def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
     )
     agg = joined.groupBy("l_orderkey", "o_orderpriority").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
         ).alias("revenue")
     )
     return (
@@ -1450,9 +1481,9 @@ def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_Q3_SQL = """
+_Q3_SQL = f"""
 SELECT l.l_orderkey, o.o_orderpriority,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {_money_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 10000)} AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1486,16 +1517,16 @@ def q_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return joined.groupBy("n_name").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
 
-_Q5_SQL = """
+_Q5_SQL = f"""
 SELECT n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       {_money_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 10000)} AS revenue,
        count(*) AS n_items
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -2629,15 +2660,15 @@ def q_forecast_revenue_change(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            money_sum(F.col("l_extendedprice") * F.col("l_discount"), 10000).alias(
                 "revenue"
             )
         )
     )
 
 
-_FORECAST_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+_FORECAST_SQL = f"""
+SELECT {_money_sum_sql("l_extendedprice * l_discount", 10000)} AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -2681,15 +2712,16 @@ def q_nation_trade_volume(spark: SparkSession, sf: str) -> DataFrame:
         pairs.withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
             ).alias("revenue")
         )
     )
 
 
-_TRADE_SQL = """
-SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+_TRADE_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {_money_sum_sql("volume", 10000)} AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
@@ -2732,12 +2764,12 @@ def q_product_profit_by_nation(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("o_year", F.year("l_shipdate").cast("long"))
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(money_sum(amount, 10000).alias("sum_profit"))
     )
 
 
-_PROFIT_SQL = """
-SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+_PROFIT_SQL = f"""
+SELECT nation, o_year, {_money_sum_sql("amount", 10000)} AS sum_profit
 FROM (
   SELECT n_name AS nation,
          CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
@@ -2760,23 +2792,26 @@ def q_important_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     ReuseExchange (verified in the formatted plan), so lineitem is scanned
     once and nothing is collected to the driver."""
     li = load_table(spark, sf, "lineitem")
-    sv = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
-    )
-    total = sv.agg((F.sum("value") * 0.0102).alias("threshold"))
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    sv = li.groupBy("l_suppkey").agg(F.sum(cents).alias("value_c"))
+    total = sv.agg((F.sum("value_c") * 0.0102).alias("threshold_c"))
     return (
         sv.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.col("threshold"))
-        .select("l_suppkey", F.round("value", 2).alias("value"))
+        .filter(F.col("value_c") > F.col("threshold_c"))
+        .select("l_suppkey", (F.col("value_c") / 10000.0).alias("value"))
     )
 
 
 _IMPORTANT_SUPP_SQL = """
 WITH sv AS (
-  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS value
+  SELECT l_suppkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                  AS BIGINT)) AS value_c
   FROM lineitem GROUP BY l_suppkey)
-SELECT l_suppkey, round(value, 2) AS value
-FROM sv WHERE value > (SELECT sum(value) * 0.0102 FROM sv)
+SELECT l_suppkey, value_c / 10000.0 AS value
+FROM sv WHERE value_c > (SELECT sum(value_c) * 0.0102 FROM sv)
 """
 
 
@@ -2862,12 +2897,12 @@ def q_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
             F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_partkey")
         )
         .filter(F.col("l_quantity") < F.col("half_avg"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(money(money_sum(F.col("l_extendedprice"), 100) / 7.0).alias("avg_yearly"))
     )
 
 
-_SMALL_QTY_SQL = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+_SMALL_QTY_SQL = f"""
+SELECT {_MONEY_SQL.format(x=_money_sum_sql("l1.l_extendedprice", 100) + " / 7.0")} AS avg_yearly
 FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
 WHERE p_brand = 'Brand#3'
   AND l1.l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
@@ -2900,14 +2935,14 @@ def q_discounted_revenue_brackets(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return j.filter(bracket).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
         ).alias("revenue")
     )
 
 
-_BRACKETS_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+_BRACKETS_SQL = f"""
+SELECT {_money_sum_sql("l_extendedprice * (1 - l_discount)", 10000)} AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#2' AND p_size <= 25 AND l_quantity BETWEEN 10 AND 20)
@@ -2979,7 +3014,9 @@ def q_nation_market_share(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     ).select("o_orderkey", "o_custkey", "o_orderdate")
     li = load_table(spark, sf, "lineitem")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
@@ -2987,21 +3024,25 @@ def q_nation_market_share(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
-                / F.sum(vol),
-                6,
+            fix6(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol_c).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.sum(vol_c)
             ).alias("mkt_share")
         )
     )
 
 
-_MKT_SHARE_SQL = """
-SELECT o_year, round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                              ELSE 0 END) / sum(volume), 6) AS mkt_share
+_MKT_SHARE_SQL = f"""
+SELECT o_year,
+       {_fix6_sql("sum(CASE WHEN supp_nation = 'NATION_3' THEN volume_c ELSE 0 END) / sum(volume_c)")} AS mkt_share
 FROM (
   SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-         l_extendedprice * (1 - l_discount) AS volume,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+              AS BIGINT) AS volume_c,
          n2.n_name AS supp_nation
   FROM lineitem
   JOIN orders ON o_orderkey = l_orderkey
@@ -3030,9 +3071,9 @@ def q_top_revenue_supplier(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_revenue"
-        )
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+        ).alias("total_revenue")
     )
     s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
@@ -3041,21 +3082,19 @@ def q_top_revenue_supplier(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("total_revenue") == F.col("best_revenue"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
-        .select(
-            "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
-        )
+        .select("s_suppkey", "s_name", "total_revenue")
     )
 
 
-_TOP_SUPP_SQL = """
+_TOP_SUPP_SQL = f"""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+         {_money_sum_sql("l_extendedprice * (1 - l_discount)", 10000)} AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey)
-SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+SELECT s_suppkey, s_name, total_revenue
 FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """
@@ -3084,14 +3123,14 @@ def q_idle_customer_balance(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            money_sum(F.col("c_acctbal"), 100).alias("totacctbal"),
         )
     )
 
 
-_IDLE_CUST_SQL = """
+_IDLE_CUST_SQL = f"""
 SELECT CAST(c_custkey % 7 AS BIGINT) AS cntrycode,
-       count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+       count(*) AS numcust, {_money_sum_sql("c_acctbal", 100)} AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
