@@ -91,3 +91,30 @@ def test_tpch_batch3_plan_shapes(spark, sf_dir):
     q15 = catalog.q_top_revenue_supplier(spark, sf_dir)
     t15 = executed_plan_text(q15).split("== Initial Plan ==")[0]
     assert t15.count("Exchange hashpartitioning(l_suppkey") <= 1
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """At 100 TB a selective dim filter should reach the fact scan as a
+    runtime bloom filter (semi-join reduction) when the join is too big to
+    broadcast. Spark injects `bloom_filter_agg`/`might_contain` only when the
+    application side scans >= applicationSideScanSizeThreshold (10 GB
+    default) — invisible at test scale, so the thresholds are pinned to zero
+    here to assert the optimizer wiring is live in this build."""
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        li = load_table(spark, sf_dir, "lineitem")
+        p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "TYPE_3")
+        q = li.join(p, li.l_partkey == p.p_partkey).groupBy("p_type").count()
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
