@@ -95,6 +95,9 @@ from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import 
     similarity as SIM,
 )
 from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+    chunking as CH,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
     textdedup as TD,
 )
 from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
@@ -676,6 +679,33 @@ WITH scored AS (
 SELECT lang, count(*) AS n_docs, round(sum(quality), 4) AS sum_quality,
        count(*) FILTER (WHERE quality >= 0.5) AS n_good
 FROM scored GROUP BY lang
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding token-window chunking (LLM-pipeline op; no reference
+    counterpart — SURVEY.md §2.8 notes the reference has no text functions).
+    Pure narrow transform: tokenize → enumerate starts → explode; no
+    shuffle at any scale."""
+    d = load_table(spark, sf, "documents")
+    return CH.chunk_documents(
+        d, chunk_tokens=32, overlap=8, keep_cols=("source",)
+    )
+
+
+_DOC_CHUNKS_SQL = """
+WITH tok AS (
+  SELECT doc_id, source, string_split(trim(text), ' ') AS toks
+  FROM documents),
+ex AS (
+  SELECT doc_id, source, toks, unnest(range(0, len(toks), 24)) AS s
+  FROM tok)
+SELECT doc_id,
+       CAST(s // 24 AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, s + 1, s + 32)) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, s + 1, s + 32), ' ') AS chunk_text,
+       source
+FROM ex
 """
 
 
@@ -3172,6 +3202,7 @@ CATALOG: dict[str, QueryDef] = {
     "events_json_kv": QueryDef(q_events_json_kv, _EVENTS_JSON_SQL),
     "doc_token_stats": QueryDef(q_doc_token_stats, _DOC_STATS_SQL),
     "doc_quality": QueryDef(q_doc_quality, _DOC_QUALITY_SQL),
+    "doc_chunks": QueryDef(q_doc_chunks, _DOC_CHUNKS_SQL),
     "lang_confusion": QueryDef(q_lang_confusion, _lang_confusion_sql()),
     "doc_exact_dedup": QueryDef(q_doc_exact_dedup, _EXACT_DEDUP_SQL),
     "ngram_jaccard_pairs": QueryDef(q_ngram_jaccard, _NGRAM_JACCARD_SQL),
