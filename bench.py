@@ -28,8 +28,12 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("bench")
-    # warm the session (JVM codegen, parquet footer caches) with a trivial job
+    # warm the session (JVM codegen, parquet reader init) with a trivial job
+    # plus one tiny parquet scan — the first parquet touch otherwise pays
+    # one-time reader/codec class-loading that the per-query timings (which
+    # exclude session startup by policy, see module docstring) should not
     spark.range(1000).count()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).limit(1).collect()
 
     timings: dict[str, float] = {}
     for name, qd in catalog.CATALOG.items():
