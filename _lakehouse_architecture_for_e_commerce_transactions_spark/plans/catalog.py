@@ -709,6 +709,36 @@ FROM ex
 """
 
 
+def q_chunk_dup_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk-level boilerplate detection: chunk the near-dup corpus, then
+    histogram how many copies each distinct chunk text has. The standard
+    pretraining-pipeline pass for finding templated/boilerplate spans that
+    document-level dedup misses (an 80%-prefix twin shares most of its
+    chunks with its original). Two partial-aggregating shuffles, both on
+    bounded-cardinality keys; output rows = distinct copy-counts."""
+    corpus = _doubled_corpus(spark, sf)
+    chunks = CH.chunk_documents(corpus, chunk_tokens=32, overlap=8)
+    per_chunk = chunks.groupBy("chunk_text").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    return per_chunk.groupBy("n_copies").agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+
+
+_CHUNK_DUP_SQL = """
+WITH corpus AS ({doubled}),
+tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM corpus),
+ex AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS s FROM tok),
+chunks AS (
+  SELECT array_to_string(list_slice(toks, s + 1, s + 32), ' ') AS chunk_text
+  FROM ex),
+per_chunk AS (
+  SELECT chunk_text, count(*) AS n_copies FROM chunks GROUP BY chunk_text)
+SELECT n_copies, count(*) AS n_chunks FROM per_chunk GROUP BY n_copies
+"""
+
+
 def _occurrence_sql(word: str) -> str:
     needle = f" {word} "
     return (
@@ -3203,6 +3233,10 @@ CATALOG: dict[str, QueryDef] = {
     "doc_token_stats": QueryDef(q_doc_token_stats, _DOC_STATS_SQL),
     "doc_quality": QueryDef(q_doc_quality, _DOC_QUALITY_SQL),
     "doc_chunks": QueryDef(q_doc_chunks, _DOC_CHUNKS_SQL),
+    "chunk_dup_histogram": QueryDef(
+        q_chunk_dup_histogram,
+        _CHUNK_DUP_SQL.format(doubled=_DOUBLED_CORPUS_SQL),
+    ),
     "lang_confusion": QueryDef(q_lang_confusion, _lang_confusion_sql()),
     "doc_exact_dedup": QueryDef(q_doc_exact_dedup, _EXACT_DEDUP_SQL),
     "ngram_jaccard_pairs": QueryDef(q_ngram_jaccard, _NGRAM_JACCARD_SQL),
