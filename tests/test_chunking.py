@@ -58,3 +58,15 @@ def test_chunk_reconstruction(spark):
         ts = r.chunk_text.split()
         toks.extend(ts if r.chunk_id == 0 else ts[4:])
     assert toks == text.split()
+
+
+def test_doc_chunks_plan_is_narrow(spark, sf_dir):
+    """Chunking must stay a pure narrow transform — no Exchange anywhere in
+    the executed plan, at any scale."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.plans import catalog
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.plans.explain import (
+        executed_plan_text,
+    )
+
+    plan = executed_plan_text(catalog.q_doc_chunks(spark, sf_dir))
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
