@@ -56,12 +56,32 @@ def cosine_topk(
     k: int = 5,
     round_to: int = 5,
 ) -> DataFrame:
-    """Exact top-k neighbors per query: (qid, cid, cos, rank)."""
+    """Exact top-k neighbors per query: (qid, cid, cos, rank).
+
+    Two-stage ranking so no task ever holds a full corpus of scores: stage 1
+    ranks within (scan-partition, qid) — parallelism |partitions| x |queries|,
+    each task bounded by one scan split — and keeps k rows; stage 2 ranks the
+    surviving |partitions| x k rows per query. Any global top-k row ranks
+    <= k inside its own partition under the same (cos desc, cid asc) order,
+    so the result is exact. A single qid-partitioned window here would drain
+    every scored row for a query into one reducer task — an OOM/straggler at
+    100x corpus size. ``cosine_topk_fast`` is the same shape with BLAS-batch
+    scoring and no shuffle of the scored set at all.
+    """
+    scored = _scored(queries, corpus, id_col, vec_col, round_to).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    pw = Window.partitionBy("pid", "qid").orderBy(
+        F.col("cos").desc(), F.col("cid").asc()
+    )
+    partial = (
+        scored.withColumn("prank", F.row_number().over(pw))
+        .filter(F.col("prank") <= k)
+        .drop("pid", "prank")
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
-    return (
-        _scored(queries, corpus, id_col, vec_col, round_to)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 

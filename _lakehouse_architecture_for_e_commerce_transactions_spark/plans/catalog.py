@@ -1077,7 +1077,8 @@ s AS (
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM g)
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
        max(CAST(floor(epoch(ts)) AS BIGINT))
        - min(CAST(floor(epoch(ts)) AS BIGINT)) AS span_s
 FROM s GROUP BY user_id, session_id
@@ -2162,10 +2163,10 @@ def q_priority_mix_monthly(spark: SparkSession, sf: str) -> DataFrame:
 
 _PRIORITY_MIX_SQL = """
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                THEN 1 ELSE 0 END) AS n_high,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                THEN 0 ELSE 1 END) AS n_low,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_low,
        round(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
                       THEN round(o_totalprice, 2) ELSE 0.0 END), 2)
        AS high_total
@@ -2395,10 +2396,10 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
 _FUNNEL_SQL = """
 SELECT count(*) AS n_users,
        count(t_view) AS n_viewed,
-       sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)
-           AS n_clicked_after_view,
-       sum(CASE WHEN t_click > t_view AND t_buy > t_click
-                THEN 1 ELSE 0 END) AS n_full_funnel
+       CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clicked_after_view,
+       CAST(sum(CASE WHEN t_click > t_view AND t_buy > t_click
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
 FROM (
   SELECT user_id,
          min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,

@@ -35,6 +35,27 @@ def test_cosine_topk_matches_numpy(spark, sf_dir):
         assert mine == expected, f"query {qid}"
 
 
+def test_cosine_topk_partial_before_global_window(spark, sf_dir):
+    """Scale guard: the exact top-k must bound per-task input — a partial
+    (spark_partition_id, qid) window and its rank filter have to run before
+    the global qid-only window, so the final window ranks at most
+    |partitions| x k rows per query instead of the whole scored corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    corpus = emb.filter(F.col("vec_id") % 100 != 0)
+    df = SIM.cosine_topk(queries, corpus, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lower = plan.lower()
+    assert "spark_partition_id" in lower, "partial window lost its pid key"
+    assert "prank" in lower, "partial rank column missing from plan"
+    # Physical plans print top-down: the global (qid-only) window comes
+    # first, the pid-keyed partial window deeper. The partial's rank filter
+    # (prank <= 3) must sit strictly below the global window node.
+    global_w = lower.find("window")
+    partial_filter = lower.find("prank#", global_w)
+    assert partial_filter > global_w, "prank filter not upstream of global window"
+
+
 def test_srp_ann_finds_planted_twins(spark, sf_dir):
     """An identical vector lands in the same SRP bucket by construction, so
     a query that is an exact copy of a corpus vector must retrieve it at

@@ -83,6 +83,19 @@ def main() -> int:
             print(f"ok?  {name}: rows-only ({len(s_rows)} rows, {t1-t0:.1f}s)")
             continue
         try:
+            # The driver round-trips oracle results through pandas, where
+            # HUGEINT (DuckDB's type for sum-of-integer) degrades to float64
+            # and hash-diverges from Spark's int64 ("5.0" vs "5"). fetchall()
+            # below hides that (HUGEINT -> Python int), so flag it explicitly.
+            desc = con.sql(f"DESCRIBE ({qd.oracle})").fetchall()
+            huge = [c[0] for c in desc if "HUGEINT" in c[1]]
+            if huge:
+                print(
+                    f"FAIL {name}: oracle outputs HUGEINT columns {huge} "
+                    "(pandas degrades to float64 — CAST(... AS BIGINT))"
+                )
+                failures.append(name)
+                continue
             res = con.execute(qd.oracle)
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
