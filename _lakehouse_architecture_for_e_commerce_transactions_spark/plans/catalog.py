@@ -574,8 +574,10 @@ def q_customer_order_stats(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("n_orders") >= 12)
     )
+    # No broadcast hint: customer scales with SF, so the name lookup is a
+    # shuffle join at scale; AQE still picks broadcast when the side is small.
     return stats.join(
-        F.broadcast(c.select("c_custkey", "c_name")),
+        c.select("c_custkey", "c_name"),
         stats.o_custkey == F.col("c_custkey"),
     ).select("c_custkey", "c_name", "n_orders", "total_spent")
 
@@ -1515,8 +1517,9 @@ def q_cosine_topk_fast(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join, date windows, top-10 revenue orders.
-    Catalyst broadcasts the filtered customer dim; AQE coalesces the
-    aggregation exchange."""
+    The customer side is unhinted — it scales with SF, so forcing a
+    broadcast would OOM the driver at 100x; AQE broadcasts it at small sf
+    and the runtime bloom filter prunes the fact scan at large."""
     c = load_table(spark, sf, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -1528,7 +1531,7 @@ def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     )
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
     )
     agg = joined.groupBy("l_orderkey", "o_orderpriority").agg(
         money_sum(
@@ -1570,7 +1573,7 @@ def q_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     s = load_table(spark, sf, "supplier")
     joined = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
@@ -2176,11 +2179,13 @@ FROM orders GROUP BY 1
 
 def q_promo_revenue_monthly(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q14 shape: % of revenue from PROMO parts per ship-month.
-    part is the small side — broadcast to keep lineitem unshuffled."""
+    part scales with SF, so it is unhinted: AQE broadcasts it while it
+    fits (keeping lineitem unshuffled) and falls back to a shuffle join
+    beyond that instead of OOMing the driver."""
     li = load_table(spark, sf, "lineitem")
     p = load_table(spark, sf, "part").select("p_partkey", "p_type")
     rev = money(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     return (
         j.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
         .agg(
@@ -2220,7 +2225,8 @@ FROM (
 def q_top_returned_customers(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by returned-item revenue.
     customer → orders → lineitem chain; the two fact tables join on their
-    shared key first, the dimension is broadcast last."""
+    shared key first, the customer lookup joins last (unhinted — customer
+    scales with SF; AQE broadcasts it only while it fits)."""
     c = load_table(spark, sf, "customer").select("c_custkey", "c_name")
     o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -2231,7 +2237,7 @@ def q_top_returned_customers(spark: SparkSession, sf: str) -> DataFrame:
         .agg(money(F.sum(rev)).alias("returned_rev"))
     )
     return (
-        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
         .select("c_custkey", "c_name", "returned_rev")
         .orderBy(F.col("returned_rev").desc(), "c_custkey")
         .limit(20)
@@ -2740,8 +2746,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 
 def q_nation_trade_volume(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
-    Two broadcastable dim joins (nation via supplier / via customer), the
-    big lineitem↔orders join shuffles on orderkey once."""
+    nation broadcasts into both lookup sides; supplier⨝nation keeps its
+    hint (dim), customer⨝nation joins unhinted (customer scales with SF).
+    The big lineitem↔orders join shuffles on orderkey once."""
     n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
     s = load_table(spark, sf, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
@@ -2756,7 +2763,7 @@ def q_nation_trade_volume(spark: SparkSession, sf: str) -> DataFrame:
     )
     pairs = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(
             (
@@ -2803,8 +2810,10 @@ FROM (
 
 def q_product_profit_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q9 shape: profit by supplier nation and year for a part-name
-    pattern. Part and supplier⨝nation broadcast; the cost term substitutes
-    retailprice for the missing partsupp.ps_supplycost."""
+    pattern. supplier⨝nation broadcasts; the part slice is unhinted (it is
+    a fixed fraction of a table that scales with SF — AQE broadcasts it
+    while small). The cost term substitutes retailprice for the missing
+    partsupp.ps_supplycost."""
     n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
     s = (
         load_table(spark, sf, "supplier")
@@ -2821,7 +2830,7 @@ def q_product_profit_by_nation(spark: SparkSession, sf: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity") * 0.1
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("o_year", F.year("l_shipdate").cast("long"))
         .groupBy("nation", "o_year")
@@ -2910,8 +2919,10 @@ FROM (
 
 def q_parts_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier counts per part group with a
-    NOT IN exclusion — the exclusion is a broadcast anti join (6 rows),
-    the distinct count shuffles once on the group keys."""
+    NOT IN exclusion — the exclusion is a broadcast anti join against the
+    tiny negative-balance supplier set; the part slice joins unhinted
+    (part scales with SF), and the distinct count shuffles once on the
+    group keys."""
     bad = load_table(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
         F.col("s_suppkey").alias("l_suppkey")
     )
@@ -2923,7 +2934,7 @@ def q_parts_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
     return (
         li.join(F.broadcast(bad), "l_suppkey", "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -2942,20 +2953,21 @@ GROUP BY p_brand, p_type, p_size
 def q_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from below-half-average-quantity line
     items of one brand. The correlated per-part scalar subquery becomes a
-    per-part aggregate joined back (broadcast — |parts of one brand| is
-    small); lineitem is scanned once per side with the partkey filter
-    pushed down via the broadcast join."""
+    per-part aggregate joined back on partkey. Both joins are unhinted:
+    the brand slice of part and the per-part averages each scale with SF,
+    so AQE broadcasts them only while they fit and the plan degrades to
+    partkey-partitioned shuffle joins (not a driver OOM) beyond that."""
     p = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#3").select(
         "p_partkey"
     )
     li = load_table(spark, sf, "lineitem")
-    branded = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    branded = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     avg_qty = branded.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         (F.avg("l_quantity") * 0.5).alias("half_avg")
     )
     return (
         branded.join(
-            F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_partkey")
+            avg_qty, F.col("l_partkey") == F.col("ap_partkey")
         )
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(money(money_sum(F.col("l_extendedprice"), 100) / 7.0).alias("avg_yearly"))
@@ -2973,11 +2985,12 @@ WHERE p_brand = 'Brand#3'
 
 def q_discounted_revenue_brackets(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs over joined columns. The join key and
-    the per-bracket ranges stay as one disjunctive filter after a broadcast
-    join; Catalyst extracts the common l_quantity bounds for scan pushdown."""
+    the per-bracket ranges stay as one disjunctive filter after the part
+    join (unhinted — part scales with SF); Catalyst extracts the common
+    l_quantity bounds for scan pushdown."""
     p = load_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
     li = load_table(spark, sf, "lineitem")
-    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     bracket = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -3057,7 +3070,10 @@ GROUP BY s_name
 def q_nation_market_share(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of a region's yearly revenue.
     The conditional-sum-over-sum ratio is a single aggregation over the
-    joined slice; all dims broadcast, lineitem↔orders shuffles once."""
+    joined slice. Only true dims (nation, region, supplier⨝nation) carry
+    broadcast hints; the region's customer slice is customer-derived and
+    unbounded at scale, so it joins unhinted — AQE broadcasts it at small
+    sf, the runtime bloom filter prunes orders at large."""
     n = load_table(spark, sf, "nation")
     r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     region_nations = n.join(
@@ -3080,7 +3096,7 @@ def q_nation_market_share(spark: SparkSession, sf: str) -> DataFrame:
     ).cast("long")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")
