@@ -1343,12 +1343,28 @@ SELECT count(DISTINCT user_id) AS n_users, count(*) AS n_events FROM events
 
 
 def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
-    """HLL++ sketch — implementation-specific estimates, so rows-only."""
+    """HLL++ sketch vs exact: the estimate itself is implementation-
+    specific, so the oracle-checkable contract is the sketch's documented
+    error bound — |approx − exact| / exact ≤ 5% (default rsd) — emitted
+    as a boolean next to the exact count. The oracle asserts TRUE."""
     ev = load_table(spark, sf, "events")
-    return ev.agg(
+    agg = ev.agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+    return agg.select(
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("approx_ok"),
+    )
+
+
+_APPROX_USERS_SQL = """
+SELECT count(DISTINCT user_id) AS exact_users, TRUE AS approx_ok FROM events
+"""
 
 
 def q_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
@@ -1420,14 +1436,58 @@ SELECT id1, id2, cos FROM scored WHERE cos >= 0.99
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-style ANN (rows-only: the multi-stage rank/probe pipeline is the
-    documented non-SQL case; recall is asserted against exact top-k in
-    tests/test_similarity_multimodal.py)."""
+    """IVF-style ANN. The deterministic centroid pick (every 37th corpus
+    id) makes the whole assign→probe→rank pipeline a pure function of the
+    input, so the oracle mirrors it exactly in SQL: nearest-centroid cell
+    per corpus vector, 2-probe per query, exact cosine within probed
+    cells. Recall vs exact top-k is additionally asserted in
+    tests/test_similarity_multimodal.py."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     corpus = emb.filter(F.col("vec_id") % 50 != 0)
     out = SIM.ivf_topk(queries, corpus, k=5, centroid_stride=37, nprobe=2)
     return out.select("qid", "cid", "cos", F.col("rank").cast("long").alias("rank"))
+
+
+_IVF_SQL = """
+WITH q AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 50 != 0),
+cents AS (SELECT id AS cent_id, v AS cent_v FROM c WHERE id % 37 = 0),
+cterms AS (SELECT c.id, cent_id, unnest(c.v) AS x, unnest(cent_v) AS y
+           FROM c CROSS JOIN cents),
+ccos AS (
+  SELECT id, cent_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS cc
+  FROM cterms GROUP BY id, cent_id),
+ccell AS (
+  SELECT id AS cid, cent_id AS cell FROM (
+    SELECT id, cent_id,
+           row_number() OVER (PARTITION BY id ORDER BY cc DESC, cent_id) AS r
+    FROM ccos) WHERE r = 1),
+qterms AS (SELECT q.id, cent_id, unnest(q.v) AS x, unnest(cent_v) AS y
+           FROM q CROSS JOIN cents),
+qcos AS (
+  SELECT id, cent_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS cc
+  FROM qterms GROUP BY id, cent_id),
+qcell AS (
+  SELECT id AS qid, cent_id AS cell FROM (
+    SELECT id, cent_id,
+           row_number() OVER (PARTITION BY id ORDER BY cc DESC, cent_id) AS r
+    FROM qcos) WHERE r <= 2),
+cand AS (SELECT DISTINCT qid, cid FROM qcell JOIN ccell USING (cell)),
+pterms AS (SELECT qid, cid, unnest(q.v) AS qe, unnest(c.v) AS ce
+           FROM cand JOIN q ON q.id = qid JOIN c ON c.id = cid),
+scored AS (
+  SELECT qid, cid,
+         round(sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 5) AS cos
+  FROM pterms GROUP BY qid, cid)
+SELECT qid, cid, cos,
+       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+FROM scored QUALIFY rank <= 5
+"""
 
 
 def q_array_agg_orders(spark: SparkSession, sf: str) -> DataFrame:
@@ -1890,19 +1950,58 @@ FROM red
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-column metadata extraction via mapInPandas (Arrow batches).
 
-    Rows-only check: the decode stub's byte-level hashing inside a Python
-    batch function is exactly the non-SQL-expressible case. The payloads are
-    synthesized from document bytes so the plumbing runs on real data.
+    The decode *stub* derives (width, height, format) from the payload's
+    sha256 digest bytes, which a SQL oracle can mirror exactly (hex-char
+    arithmetic on sha256(text)) — so the whole Arrow plumbing is
+    value-checked, not just row-counted. A real codec would flip this
+    back to a rows-only check. Payloads are synthesized from document
+    bytes so the plumbing runs on real data.
     """
     d = load_table(spark, sf, "documents")
     media = MM.synthesize_media_from_documents(d)
     return MM.extract_image_meta(media)
 
 
+# Mirrors _fake_meta in operators/multimodal.py: byte k of the digest is
+# the pair of hex chars at (2k+1, 2k+2); DuckDB's sha256(VARCHAR) hashes
+# the string's UTF-8 bytes — exactly the synthesized payload.
+_MULTIMODAL_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS sha
+  FROM documents),
+b AS (
+  SELECT media_id, n_bytes, sha,
+         16 * (strpos('0123456789abcdef', substr(sha, 1, 1)) - 1)
+           + strpos('0123456789abcdef', substr(sha, 2, 1)) - 1 AS b0,
+         16 * (strpos('0123456789abcdef', substr(sha, 3, 1)) - 1)
+           + strpos('0123456789abcdef', substr(sha, 4, 1)) - 1 AS b1,
+         16 * (strpos('0123456789abcdef', substr(sha, 5, 1)) - 1)
+           + strpos('0123456789abcdef', substr(sha, 6, 1)) - 1 AS b2
+  FROM m)
+SELECT media_id, n_bytes, sha AS sha256,
+       CAST(64 + b0 % 192 AS INT) AS width,
+       CAST(64 + b1 % 192 AS INT) AS height,
+       (['jpeg', 'png', 'webp'])[(b2 % 3) + 1] AS format
+FROM b
+"""
+
+
 def q_frame_sample_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling row explosion; the fake frame count is pure byte-
+    length arithmetic, so the explosion is fully oracle-checkable."""
     d = load_table(spark, sf, "documents")
     media = MM.synthesize_media_from_documents(d)
     return MM.frame_sample_plan(media, every_n=10)
+
+
+_FRAME_SAMPLE_SQL = """
+SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx
+FROM documents,
+     unnest(generate_series(0, octet_length(encode(text)) % 240, 10)) AS t(f)
+WHERE doc_id % 3 = 0
+"""
 
 
 # --------------------------------------------------------------------------
@@ -3265,8 +3364,8 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "cosine_topk": QueryDef(q_cosine_topk, _COSINE_TOPK_SQL, headline=True),
     "srp_ann_topk": QueryDef(q_srp_ann_topk, _srp_sql()),
-    "multimodal_meta": QueryDef(q_multimodal_meta, None),
-    "frame_sample_plan": QueryDef(q_frame_sample_plan, None),
+    "multimodal_meta": QueryDef(q_multimodal_meta, _MULTIMODAL_SQL),
+    "frame_sample_plan": QueryDef(q_frame_sample_plan, _FRAME_SAMPLE_SQL),
     "asof_latest_order": QueryDef(q_asof_latest_order, _ASOF_SQL, headline=True),
     "sessionize_events": QueryDef(q_sessionize_events, _SESSIONIZE_SQL, headline=True),
     "rollup_pricing": QueryDef(q_rollup_pricing, _ROLLUP_SQL),
@@ -3280,12 +3379,12 @@ CATALOG: dict[str, QueryDef] = {
     "bpe_token_count": QueryDef(q_bpe_token_count, _BPE_SQL),
     "above_avg_orders": QueryDef(q_above_avg_orders, _ABOVE_AVG_SQL),
     "distinct_users_exact": QueryDef(q_distinct_users_exact, _DISTINCT_USERS_SQL),
-    "approx_distinct_users": QueryDef(q_approx_distinct_users, None),
+    "approx_distinct_users": QueryDef(q_approx_distinct_users, _APPROX_USERS_SQL),
     "rolling_hash_fingerprint": QueryDef(q_rolling_hash, _ROLLING_HASH_SQL),
     "embedding_near_dup_pairs": QueryDef(
         q_embedding_near_dup, _near_dup_sql(), headline=True
     ),
-    "ivf_ann_topk": QueryDef(q_ivf_ann_topk, None),
+    "ivf_ann_topk": QueryDef(q_ivf_ann_topk, _IVF_SQL),
     "array_agg_orders": QueryDef(q_array_agg_orders, _ARRAY_AGG_SQL),
     "train_test_split": QueryDef(q_train_test_split, _SPLIT_SQL),
     "deterministic_sample": QueryDef(q_deterministic_sample, _SAMPLE_SQL),
