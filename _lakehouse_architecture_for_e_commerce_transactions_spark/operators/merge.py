@@ -98,6 +98,21 @@ def merge_plan(
     return source.select(*cols).unionByName(kept.select(*cols))
 
 
+def _cluster_for_write(df: DataFrame, partition_by) -> DataFrame:
+    """Cluster rows by partition value before a partitioned write.
+
+    Without clustering, every write task emits one file per partition value
+    it happens to hold (tasks × values small files). A plain
+    ``repartition(cols)`` fixes that but pins each hot value to exactly one
+    task and one giant file — AQE's skew splitting does NOT apply to user
+    repartitions (only to skew joins and rebalance nodes). The REBALANCE
+    hint keeps the value-per-task clustering while letting
+    ``OptimizeSkewInRebalancePartitions`` split a hot partition value
+    across several tasks (several files for that value — the right
+    tradeoff at scale)."""
+    return df.hint("rebalance", *list(partition_by))
+
+
 def _delete_path(spark: SparkSession, path: str) -> None:
     """Filesystem-agnostic recursive delete via the Hadoop FileSystem API
     (works for file://, s3a://, hdfs:// alike)."""
@@ -152,12 +167,7 @@ def merge_upsert(
     writer_fmt = "delta" if _HAS_DELTA else "parquet"
     if not table_exists(spark, path):
         if spec.partition_by:
-            # Cluster rows by partition value before the partitioned write:
-            # without this every write task emits one file per partition
-            # value it happens to hold (tasks × values small files); with it
-            # each value lands in one task's output. AQE splits any skewed
-            # partition value across tasks rather than spilling one.
-            source = source.repartition(*[F.col(c) for c in spec.partition_by])
+            source = _cluster_for_write(source, spec.partition_by)
         w = source.write.format(writer_fmt).mode("overwrite")
         if spec.partition_by:
             w = w.partitionBy(*spec.partition_by)
@@ -202,7 +212,7 @@ def merge_upsert(
     except Exception:  # pragma: no cover
         pass
     if spec.partition_by:
-        merged = merged.repartition(*[F.col(c) for c in spec.partition_by])
+        merged = _cluster_for_write(merged, spec.partition_by)
     w = merged.write.format(writer_fmt).mode("overwrite")
     if spec.partition_by:
         w = w.partitionBy(*spec.partition_by)

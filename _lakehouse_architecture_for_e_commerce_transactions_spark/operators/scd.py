@@ -60,6 +60,7 @@ def scd2_apply(
     key: str,
     tracked: Sequence[str],
     ts_col: str,
+    check_updates_unique: bool = True,
 ) -> DataFrame:
     """Apply an update batch to an SCD2 history table; returns the new
     history (same schema as ``history``).
@@ -68,17 +69,28 @@ def scd2_apply(
     timestamp). The batch must hold at most one row per key — pre-collapse
     multi-change batches with ``dedup.latest_by_key`` first (same contract
     as Delta MERGE's unique-source rule, SURVEY.md §7.3).
+    ``check_updates_unique=True`` probes that eagerly (one extra execution
+    of the updates plan); disable it in pipelines that already guarantee
+    uniqueness upstream, mirroring ``merge_upsert(check_source_unique=)``.
+
+    A *stale* update — one whose ``ts_col`` precedes the open version's
+    ``effective_from`` — is rejected per-row (the open version is newer
+    information): it neither closes the open version (which would write an
+    inverted interval with ``effective_to < effective_from``) nor opens a
+    new one. Late-arriving history rewrites are a backfill migration, not
+    a merge.
     """
-    dup = (
-        updates.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-    )
-    if dup.limit(1).count() > 0:
-        raise ValueError(
-            f"scd2_apply: update batch has duplicate {key!r} keys; "
-            "collapse to latest-per-key first"
+    if check_updates_unique:
+        dup = (
+            updates.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
         )
+        if dup.limit(1).count() > 0:
+            raise ValueError(
+                f"scd2_apply: update batch has duplicate {key!r} keys; "
+                "collapse to latest-per-key first"
+            )
 
     data_cols = [c for c in history.columns if c not in
                  (EFFECTIVE_FROM, EFFECTIVE_TO, IS_CURRENT)]
@@ -91,10 +103,14 @@ def scd2_apply(
     )
     changed = _changed(tracked)
     matched = F.col(f"cur.{key}").isNotNull() & F.col(f"upd.{key}").isNotNull()
+    stale = matched & (
+        F.col(f"upd.{ts_col}") < F.col(f"cur.{EFFECTIVE_FROM}")
+    )
+    supersedes = matched & changed & ~stale
 
-    # 1. open rows that stay open: no update, or update with no change
+    # 1. open rows that stay open: no update, no change, or stale update
     unchanged = j.filter(
-        F.col(f"upd.{key}").isNull() | (matched & ~changed)
+        F.col(f"upd.{key}").isNull() | (matched & ~changed) | stale
     ).select([F.col(f"cur.{c}") for c in data_cols] + [
         F.col(f"cur.{EFFECTIVE_FROM}"),
         F.col(f"cur.{EFFECTIVE_TO}"),
@@ -102,7 +118,7 @@ def scd2_apply(
     ])
 
     # 2. open rows superseded by a real change: closed at the update ts
-    now_closed = j.filter(matched & changed).select(
+    now_closed = j.filter(supersedes).select(
         [F.col(f"cur.{c}") for c in data_cols] + [
             F.col(f"cur.{EFFECTIVE_FROM}"),
             F.col(f"upd.{ts_col}").alias(EFFECTIVE_TO),
@@ -112,7 +128,7 @@ def scd2_apply(
 
     # 3. new open versions: changed rows + brand-new keys
     fresh = j.filter(
-        (matched & changed) | F.col(f"cur.{key}").isNull()
+        supersedes | F.col(f"cur.{key}").isNull()
     ).select(
         [F.col(f"upd.{c}").alias(c) for c in data_cols] + [
             F.col(f"upd.{ts_col}").alias(EFFECTIVE_FROM),

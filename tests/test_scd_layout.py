@@ -108,6 +108,36 @@ def test_scd2_rejects_duplicate_batch_keys(spark):
 
     with pytest.raises(ValueError, match="duplicate"):
         scd.scd2_apply(hist, dup, "product_id", ["category"], "updated_at")
+    # probe is optional: with the flag off the duplicate batch is not probed
+    # (result would be undefined, but construction must not raise)
+    scd.scd2_apply(hist, dup, "product_id", ["category"], "updated_at",
+                   check_updates_unique=False)
+
+
+def test_scd2_stale_update_is_rejected_per_row(spark):
+    """An update timestamped BEFORE the open version's effective_from must
+    neither close the open version (inverted interval) nor open a new one."""
+    hist = scd.scd2_init(_snapshot(spark), "updated_at")
+    stale = spark.createDataFrame(
+        [
+            (1, "books", 4.99, TS(2024, 12, 1)),  # older than 2025-01-01
+            (2, "games", 29.99, TS(2025, 2, 1)),  # genuine change
+        ],
+        "product_id int, category string, price double, updated_at timestamp",
+    )
+    out = scd.scd2_apply(hist, stale, "product_id", ["category", "price"],
+                         "updated_at")
+    rows = {(r.product_id, r.is_current): r for r in out.collect()}
+    # key 1: untouched open version, no closed row, no inverted interval
+    assert (1, False) not in rows
+    assert rows[(1, True)].price == 9.99
+    assert rows[(1, True)].effective_to is None
+    # key 2: normal versioning still applies
+    assert rows[(2, False)].effective_to == TS(2025, 2, 1)
+    assert rows[(2, True)].price == 29.99
+    for r in out.collect():
+        if r.effective_to is not None:
+            assert r.effective_to >= r.effective_from
 
 
 def test_zorder_files_skip_on_both_dims(spark, sf_dir, tmp_path):
