@@ -103,6 +103,43 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+def ngram_list(text: Column, n: int) -> Column:
+    """All word n-grams in order (with repeats — the occurrence stream,
+    unlike ``shingles`` which dedups)."""
+    toks = tokens(text)
+    count = F.size(toks) - F.lit(n - 1)
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def duplicate_ngram_fraction(text: Column, n: int) -> Column:
+    """Gopher-style repetition signal: the fraction of n-gram *occurrences*
+    that are repeats of an earlier occurrence — (total − distinct) / total.
+    0.0 for documents shorter than ``n`` tokens. Pure array arithmetic per
+    row (no shuffle, no UDF)."""
+    grams = ngram_list(text, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(
+        total > 0, (total - distinct) / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def top_token_fraction(text: Column) -> Column:
+    """Share of the document taken by its single most frequent token — the
+    other classic repetition gate (a page that is 40% one token is boiler-
+    plate). O(distinct × tokens) array work per row; fine for documents,
+    and still embarrassingly parallel at corpus scale."""
+    toks = tokens(text)
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    )
+    return F.array_max(counts) / F.size(toks).cast("double")
+
+
 def fingerprint(text: Column) -> Column:
     """Stable 128-bit content fingerprint (md5 hex) for exact-content dedup;
     identical in Spark and DuckDB so fingerprints are oracle-checkable."""

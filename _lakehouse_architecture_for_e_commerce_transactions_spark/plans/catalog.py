@@ -103,6 +103,15 @@ from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import 
 from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
     validation as VAL,
 )
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+    contamination as CON,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+    mixture as MIX,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+    packing as PK,
+)
 from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
     ForeignKey,
     TableSpec,
@@ -3325,6 +3334,152 @@ GROUP BY cntrycode
 
 
 # --------------------------------------------------------------------------
+# Training-data curation batch 2: decontamination, packing, mixture,
+# repetition quality gates
+# --------------------------------------------------------------------------
+
+
+def q_contamination_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: per-training-doc fraction of distinct
+    word 3-grams that appear in the held-out eval slice (doc_id % 50 = 17).
+    Production uses 13-grams; 3 keeps the check meaningful on the small-
+    vocabulary synthetic corpus."""
+    d = load_table(spark, sf, "documents")
+    ev = d.filter(F.col("doc_id") % 50 == 17)
+    tr = d.filter(F.col("doc_id") % 50 != 17)
+    return CON.contamination_ratios(tr, ev, n=3)
+
+
+_CONTAMINATION_SQL = """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+  FROM tok, unnest(generate_series(1, len(toks) - 2)) AS t(i)),
+ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 17),
+tr AS (
+  SELECT doc_id, count(*) AS n_grams,
+         count(*) FILTER (WHERE g IN (SELECT g FROM ev)) AS n_hits
+  FROM sh WHERE doc_id % 50 != 17 GROUP BY doc_id)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(CASE WHEN n_grams > 0
+                  THEN n_hits / CAST(n_grams AS DOUBLE) ELSE 0.0 END,
+             6) AS contamination
+FROM tr
+"""
+
+
+def q_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-split sequence packing placement (ctx = 64 tokens,
+    sharded by source, documents in doc_id order): one window shuffle
+    keyed by shard — see operators/packing.py for the 100 TB shape."""
+    d = load_table(spark, sf, "documents")
+    return PK.pack_sequences(d, ctx_tokens=64)
+
+
+_PACKING_SQL = """
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+              END AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS end_tok
+  FROM t WHERE n_tokens > 0)
+SELECT source, doc_id, n_tokens,
+       CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+       CAST(floor((end_tok - n_tokens) / 64) AS BIGINT) AS first_pack,
+       CAST(floor((end_tok - 1) / 64) AS BIGINT) AS last_pack,
+       CAST(floor((end_tok - 1) / 64)
+            - floor((end_tok - n_tokens) / 64) + 1 AS BIGINT) AS n_packs
+FROM c
+"""
+
+
+def q_domain_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Tempered (alpha = 0.5) domain-mixture weights and realized keep
+    rates for a 10k-token budget; fixed-point tempering keeps every
+    derived double an exact function of the per-source token counts."""
+    d = load_table(spark, sf, "documents")
+    return MIX.domain_mixture(d, budget_tokens=10_000, alpha=0.5)
+
+
+_MIXTURE_SQL = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+fx AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+                 AS BIGINT) AS temp_c
+  FROM per),
+tot AS (SELECT sum(temp_c) AS total_c FROM fx)
+SELECT source, n_docs, n_tokens,
+       round(temp_c / CAST(total_c AS DOUBLE), 6) AS weight,
+       round(least(1.0,
+                   CAST(floor(temp_c / CAST(total_c AS DOUBLE) * 10000 + 0.5)
+                        AS BIGINT) / CAST(n_tokens AS DOUBLE)), 6)
+         AS keep_rate,
+       CAST(floor(temp_c / CAST(total_c AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+         AS target_tokens
+FROM fx, tot
+"""
+
+
+def q_doc_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition quality gates per document (Gopher-style): duplicate
+    bigram/trigram occurrence fractions and the top-token share — pure
+    array arithmetic inside codegen, no UDFs, no shuffle."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.round(T.duplicate_ngram_fraction(F.col("text"), 2), 6).alias(
+            "dup_bigram_frac"
+        ),
+        F.round(T.duplicate_ngram_fraction(F.col("text"), 3), 6).alias(
+            "dup_trigram_frac"
+        ),
+        F.round(T.top_token_fraction(F.col("text")), 6).alias(
+            "top_token_frac"
+        ),
+    )
+
+
+_REPETITION_SQL = """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         [array_to_string(toks[i:i+1], ' ')
+          FOR i IN generate_series(1, len(toks) - 1)] AS g2,
+         [array_to_string(toks[i:i+2], ' ')
+          FOR i IN generate_series(1, len(toks) - 2)] AS g3,
+         toks
+  FROM tok)
+SELECT doc_id,
+       round(CASE WHEN len(g2) > 0
+                  THEN (len(g2) - len(list_distinct(g2)))
+                       / CAST(len(g2) AS DOUBLE) ELSE 0.0 END, 6)
+         AS dup_bigram_frac,
+       round(CASE WHEN len(g3) > 0
+                  THEN (len(g3) - len(list_distinct(g3)))
+                       / CAST(len(g3) AS DOUBLE) ELSE 0.0 END, 6)
+         AS dup_trigram_frac,
+       round(list_max([len(list_filter(toks, x -> x = t))
+                       FOR t IN list_distinct(toks)])
+             / CAST(len(toks) AS DOUBLE), 6) AS top_token_frac
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3468,6 +3623,17 @@ CATALOG: dict[str, QueryDef] = {
     "cosine_topk_fast": QueryDef(q_cosine_topk_fast, None, headline=True),
     "minhash_fast": QueryDef(q_minhash_fast, None, headline=True),
     "simhash_signatures": QueryDef(q_simhash_signatures, None),
+    # --- new in round 2 (rotate into the window next round) ---
+    "contamination_ngram_overlap": QueryDef(
+        q_contamination_ngram_overlap, _CONTAMINATION_SQL
+    ),
+    "sequence_packing": QueryDef(q_sequence_packing, _PACKING_SQL),
+    "domain_mixture_weights": QueryDef(
+        q_domain_mixture_weights, _MIXTURE_SQL
+    ),
+    "doc_repetition_signals": QueryDef(
+        q_doc_repetition_signals, _REPETITION_SQL
+    ),
 }
 
 
