@@ -1824,8 +1824,15 @@ FROM reach GROUP BY node
 
 def q_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end training-corpus curation: quality gate + language gate +
-    exact-dedup keeper join + deterministic split — the composed pipeline a
-    data-curation run executes, as one declarative plan."""
+    exact-dedup keeper + deterministic split — the composed pipeline a
+    data-curation run executes, as one declarative plan.
+
+    The dedup keeper is a min-over-fingerprint window rather than a
+    groupBy + self-semi-join: identical semantics (keeper = min doc_id
+    per content hash among gated docs), but the corpus is scanned and
+    quality-scored ONCE with a single shuffle on the 32-byte fingerprint
+    — the self-join form executes the scan+scoring subtree twice, which
+    is the difference that matters at 100 TB."""
     from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.sampling import (
         train_test_split,
     )
@@ -1837,12 +1844,12 @@ def q_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
     gated = scored.filter(
         (F.col("quality") >= 0.3) & (F.col("n_chars") >= 100)
     )
-    keepers = (
-        gated.groupBy(T.fingerprint(F.col("text")).alias("fp"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    w = Window.partitionBy(T.fingerprint(F.col("text")))
+    curated = (
+        gated.withColumn("_keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keeper"))
+        .drop("_keeper")
     )
-    curated = gated.join(keepers, "doc_id", "left_semi")
     split = train_test_split(curated, "doc_id", 0.1, 0.1)
     return split.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -3135,23 +3142,26 @@ WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 11)
 def q_waiting_supplier_orders(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers whose line item shipped last in a
     finished multi-supplier order. The two correlated (NOT) EXISTS become
-    one per-order aggregate — max shipdate + distinct-supplier count —
-    joined back on orderkey, so lineitem shuffles once on l_orderkey
-    instead of three correlated probes."""
+    per-order WINDOW stats — max shipdate + distinct-supplier count over
+    partitionBy(orderkey) — so lineitem is scanned ONCE and shuffled once
+    (an aggregate-plus-join-back form scans and exchanges it twice). The
+    semi join on finished orders runs before the window, which is
+    equivalent (the EXISTS probes share the outer row's orderkey, so they
+    see the same order's status) and prunes rows entering the sort. The
+    collect_set is bounded by items-per-order (≤7 in TPC-H), not by data
+    volume."""
     li = load_table(spark, sf, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     o = load_table(spark, sf, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
-    per_order = li.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.countDistinct("l_suppkey").alias("n_supp"),
-    )
     s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    w = Window.partitionBy("l_orderkey")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .join(per_order, F.col("l_orderkey") == F.col("g_orderkey"))
+        .withColumn("max_ship", F.max("l_shipdate").over(w))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
         .filter((F.col("n_supp") > 1) & (F.col("l_shipdate") == F.col("max_ship")))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")

@@ -28,11 +28,26 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("bench")
-    # warm the session (JVM codegen, parquet reader init) with a trivial job
-    # plus one tiny parquet scan — the first parquet touch otherwise pays
-    # one-time reader/codec class-loading that the per-query timings (which
-    # exclude session startup by policy, see module docstring) should not
-    spark.range(1000).count()
+    # Warm one-time session machinery so the FIRST timed query pays only
+    # its own plan, not class-loading: exchange/aggregate/window/broadcast
+    # operator classes, the parquet reader/codec stack, and the Python
+    # worker pool for Arrow-batched stages (per-query timings exclude
+    # session startup by policy, see module docstring).
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    warm = spark.range(10_000).select("id", (_F.col("id") % 7).alias("k"))
+    (
+        warm.groupBy("k")
+        .agg(_F.sum("id").alias("s"))
+        .join(_F.broadcast(spark.range(7).withColumnRenamed("id", "k")), "k")
+        .withColumn("r", _F.row_number().over(_W.partitionBy("k").orderBy("s")))
+        .collect()
+    )
+    warm.withColumn(
+        "e", _F.explode(_F.array(_F.lit(1), _F.lit(2)))
+    ).groupBy("e").count().collect()
+    warm.limit(64).mapInPandas(lambda it: it, "id long, k long").count()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).limit(1).collect()
 
     timings: dict[str, float] = {}
