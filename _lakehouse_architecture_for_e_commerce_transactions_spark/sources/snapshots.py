@@ -18,6 +18,11 @@ Iceberg metadata layers, small enough to audit:
   snapshot isolation: a concurrent commit can never produce a torn read,
   because published manifests and their data dirs are immutable.
 * Time travel = reading an old manifest (``version=``).
+* ``merge_commit`` publishes a MERGE upsert as the next version while
+  rewriting only *affected* partitions — unaffected partitions carry
+  forward as manifest references into older commit dirs, and concurrent
+  merges touching disjoint partitions rebase instead of conflicting
+  (Delta MERGE's touched-files behavior + write-conflict rules).
 
 Scale notes: the manifest lists commit *directories*, not individual
 files, so manifest size grows with commit count, not data size; `vacuum`
@@ -46,6 +51,9 @@ class Snapshot:
     dirs: list[str]
     schema_json: str
     committed_at: float
+    # partition-granular entries for merge-committed tables:
+    # {partition-values-tuple-json: dir}; plain commits leave it empty
+    part_entries: dict[str, str] | None = None
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -72,7 +80,13 @@ def load_snapshot(path: str, version: int | None = None) -> Snapshot:
         raise ValueError(f"version {v} not in {path} (have {vs})")
     with open(_manifest_path(path, v)) as f:
         m = json.load(f)
-    return Snapshot(m["version"], m["dirs"], m["schema"], m["committed_at"])
+    return Snapshot(
+        m["version"],
+        m["dirs"],
+        m["schema"],
+        m["committed_at"],
+        m.get("part_entries"),
+    )
 
 
 def commit(
@@ -125,7 +139,213 @@ def read(
 ) -> DataFrame:
     """Snapshot-isolated read of the latest (or a time-traveled) version."""
     snap = load_snapshot(path, version)
-    return spark.read.parquet(*snap.dirs)
+    if not snap.part_entries:
+        return spark.read.parquet(*snap.dirs)
+    # merge-committed table: entries are hive-layout partition subdirs from
+    # several commit dirs; read each commit group under its own basePath so
+    # the partition columns come back, then normalize types to the manifest
+    # schema (dir-name inference would otherwise pick its own types)
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(snap.schema_json))
+    groups: dict[str, list[str]] = defaultdict(list)
+    for e in snap.part_entries:
+        groups[e["base"]].append(e["dir"])
+    frames = [
+        spark.read.option("basePath", base).parquet(*dirs)
+        for base, dirs in groups.items()
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
+def merge_commit(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    spec,
+    check_source_unique: bool = True,
+    max_retries: int = 10,
+) -> int:
+    """MERGE upsert published as an atomic snapshot version.
+
+    Only *affected* partitions (those the source writes into or steals a
+    matched key from) are rewritten; unaffected partitions' entries carry
+    forward from the parent manifest by reference — Delta MERGE's
+    touched-files behavior, manifest-log form, with time travel for free.
+    Emptied partitions simply drop out of the manifest (no stale-dir
+    deletion pass, unlike the dynamic-partition-overwrite writer).
+
+    Concurrency: each manifest records which partitions it changed; a
+    losing writer rebases onto the winner when their partition sets are
+    disjoint and raises otherwise (write-conflict, Delta-style).
+    """
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        merge as M,
+    )
+
+    cols = [f.name for f in spec.schema.fields]
+    source = source.select(*cols)
+    if check_source_unique:
+        from pyspark.sql import functions as F
+
+        dup = (
+            source.groupBy(spec.primary_key)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+        )
+        if dup.limit(1).count() > 0:
+            raise ValueError(
+                f"merge source has duplicate {spec.primary_key!r} keys"
+            )
+    parts = list(spec.partition_by)
+    if not parts:
+        # unpartitioned: the merge result IS the next full snapshot
+        try:
+            target = read(spark, path)
+        except FileNotFoundError:
+            target = None
+        merged = (
+            source if target is None
+            else M.merge_plan(source, target.select(*cols), spec)
+        )
+        return commit(spark, merged, path, mode="overwrite")
+
+    base_version: int | None = None
+    full_rewrite = False
+    try:
+        parent = load_snapshot(path)
+        base_version = parent.version
+        target = read(spark, path).select(*cols)
+        if parent.part_entries is None:
+            # parent was a plain commit (no partition-granular entries):
+            # merge against the FULL target — partition-scoped merge_plan
+            # would silently drop unaffected partitions from the result
+            import dataclasses
+
+            spec_nopart = dataclasses.replace(spec, partition_by=())
+            merged = M.merge_plan(source, target, spec_nopart)
+            affected = None
+            full_rewrite = True
+        else:
+            merged = M.merge_plan(source, target, spec)
+            affected = {
+                tuple(str(x) for x in r)
+                for r in M.affected_partitions(source, target, spec).collect()
+            }
+    except FileNotFoundError:
+        parent, merged, affected = None, source, None  # initial commit
+
+    commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
+    (
+        merged.write.mode("errorifexists")
+        .partitionBy(*parts)
+        .parquet(commit_dir)
+    )
+    written = _hive_leaf_dirs(commit_dir, parts)
+    if affected is None:
+        affected = set(written)
+
+    for _ in range(max_retries):
+        head = None
+        try:
+            head = load_snapshot(path)
+        except FileNotFoundError:
+            pass
+        if head is None and base_version is not None:
+            raise RuntimeError(f"history at {path} vanished mid-commit")
+        if head is not None and base_version is None:
+            raise RuntimeError(
+                f"write conflict at {path}: table created concurrently"
+            )
+        if head is not None and head.version != base_version:
+            if full_rewrite:
+                raise RuntimeError(
+                    f"write conflict at {path}: concurrent commit under a "
+                    "full-rewrite merge; re-run the merge"
+                )
+            # rebase across intervening commits; conflict if any touched
+            # one of our affected partitions (or was a full-table commit)
+            for v in range(base_version + 1, head.version + 1):
+                other = load_snapshot(path, v)
+                changed = (
+                    None
+                    if other.part_entries is None
+                    else {tuple(e["parts"]) for e in other.part_entries
+                          if e.get("changed")}
+                )
+                if changed is None or changed & affected:
+                    raise RuntimeError(
+                        f"write conflict at {path}: version {v} touched "
+                        "overlapping partitions; re-run the merge"
+                    )
+        carried = (
+            []
+            if head is None or head.part_entries is None
+            else [
+                {**e, "changed": False}
+                for e in head.part_entries
+                if tuple(e["parts"]) not in affected
+            ]
+        )
+        fresh = [
+            {
+                "parts": list(pt),
+                "base": commit_dir,
+                "dir": d,
+                "changed": True,
+            }
+            for pt, d in written.items()
+        ]
+        next_v = (head.version + 1) if head is not None else 0
+        manifest = {
+            "version": next_v,
+            "dirs": [commit_dir],
+            "part_entries": carried + fresh,
+            "schema": merged.schema.json(),
+            "committed_at": time.time(),
+        }
+        os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
+        try:
+            fd = os.open(
+                _manifest_path(path, next_v),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue  # raced: loop re-checks conflicts against new head
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        return next_v
+    raise RuntimeError(f"commit contention at {path}: {max_retries} retries")
+
+
+def _hive_leaf_dirs(
+    commit_dir: str, parts: list[str]
+) -> dict[tuple[str, ...], str]:
+    """Map partition-value tuples -> hive subdir for a partitioned write."""
+    out: dict[tuple[str, ...], str] = {}
+
+    def walk(d: str, vals: tuple[str, ...], depth: int) -> None:
+        if depth == len(parts):
+            out[vals] = d
+            return
+        for name in os.listdir(d):
+            if name.startswith(f"{parts[depth]}="):
+                walk(
+                    os.path.join(d, name),
+                    vals + (name.split("=", 1)[1],),
+                    depth + 1,
+                )
+
+    walk(commit_dir, (), 0)
+    return out
 
 
 def history(path: str) -> list[Snapshot]:
@@ -142,7 +362,13 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     keep_vs = vs[-keep_last:] if vs else []
     live: set[str] = set()
     for v in keep_vs:
-        live.update(load_snapshot(path, v).dirs)
+        snap = load_snapshot(path, v)
+        live.update(snap.dirs)
+        # merge-committed manifests reference partition subdirs of older
+        # commit dirs; a base with ANY surviving reference stays whole
+        # (conservative — subdir-granular deletion is a later refinement)
+        for e in snap.part_entries or []:
+            live.add(e["base"])
     for v in vs:
         if v not in keep_vs:
             os.remove(_manifest_path(path, v))

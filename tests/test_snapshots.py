@@ -82,3 +82,130 @@ def test_crashed_writer_leaves_table_readable(spark, tmp_path):
         os.path.join(path, "data", "commit-crash")
     )
     assert {r["k"] for r in S.read(spark, path).collect()} == {1}
+
+
+# --- partition-granular MERGE commits -------------------------------------
+
+from pyspark.sql.types import (  # noqa: E402
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (  # noqa: E402
+    TableSpec,
+)
+
+MSPEC = TableSpec(
+    name="t",
+    schema=StructType(
+        [
+            StructField("pk", IntegerType(), False),
+            StructField("amt", DoubleType(), False),
+            StructField("part", StringType(), False),
+        ]
+    ),
+    primary_key="pk",
+    partition_by=("part",),
+)
+
+
+def _mdf(spark, rows):
+    return spark.createDataFrame(rows, "pk int, amt double, part string")
+
+
+def test_merge_commit_upsert_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v0 = S.merge_commit(spark, _mdf(spark, [(1, 1.0, "a"), (2, 2.0, "b")]), path, MSPEC)
+    v1 = S.merge_commit(spark, _mdf(spark, [(1, 9.0, "a"), (3, 3.0, "c")]), path, MSPEC)
+    assert (v0, v1) == (0, 1)
+    got = {r["pk"]: (r["amt"], r["part"]) for r in S.read(spark, path).collect()}
+    assert got == {1: (9.0, "a"), 2: (2.0, "b"), 3: (3.0, "c")}
+    # time travel across merges
+    assert {r["pk"]: r["amt"] for r in S.read(spark, path, 0).collect()} == {
+        1: 1.0, 2: 2.0
+    }
+
+
+def test_merge_commit_untouched_partition_carries_by_reference(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.merge_commit(spark, _mdf(spark, [(1, 1.0, "a"), (2, 2.0, "b")]), path, MSPEC)
+    S.merge_commit(spark, _mdf(spark, [(1, 9.0, "a")]), path, MSPEC)
+    snap = S.load_snapshot(path)
+    by_part = {tuple(e["parts"]): e for e in snap.part_entries}
+    assert by_part[("a",)]["changed"] is True
+    assert by_part[("b",)]["changed"] is False
+    # partition b's entry still points into the FIRST commit's dir
+    assert by_part[("b",)]["base"] != by_part[("a",)]["base"]
+
+
+def test_merge_commit_partition_move_empties_old_partition(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.merge_commit(spark, _mdf(spark, [(1, 1.0, "a"), (2, 2.0, "c")]), path, MSPEC)
+    S.merge_commit(spark, _mdf(spark, [(1, 5.0, "b")]), path, MSPEC)  # a -> b
+    rows = S.read(spark, path).collect()
+    got = {(r["pk"], r["part"]): r["amt"] for r in rows}
+    assert got == {(1, "b"): 5.0, (2, "c"): 2.0}
+    assert len(rows) == 2  # no stale copy of pk=1 in partition a
+    parts = {tuple(e["parts"]) for e in S.load_snapshot(path).part_entries}
+    assert ("a",) not in parts  # emptied partition left the manifest
+
+
+def test_merge_commit_disjoint_partitions_rebase(spark, tmp_path, monkeypatch):
+    """A writer that loses the manifest race to a DISJOINT-partition commit
+    must rebase and succeed, keeping both commits' rows."""
+    path = str(tmp_path / "t")
+    S.merge_commit(spark, _mdf(spark, [(1, 1.0, "a"), (2, 2.0, "b")]), path, MSPEC)
+
+    real_load = S.load_snapshot
+    state = {"calls": 0, "raced": False}
+
+    def racing_load(p, version=None):
+        # call 1 = parent resolution, call 2 = read(); call 3 is the
+        # publish-loop head check — sneak the adversary in right before it
+        # so the outer merge already built its plan against the old head
+        if version is None:
+            state["calls"] += 1
+            if state["calls"] == 3 and not state["raced"]:
+                state["raced"] = True
+                S.merge_commit(spark, _mdf(spark, [(2, 7.0, "b")]), path, MSPEC)
+        return real_load(p, version)
+
+    monkeypatch.setattr(S, "load_snapshot", racing_load)
+    v = S.merge_commit(spark, _mdf(spark, [(1, 9.0, "a")]), path, MSPEC)
+    monkeypatch.setattr(S, "load_snapshot", real_load)
+    assert v == 2
+    got = {r["pk"]: r["amt"] for r in S.read(spark, path).collect()}
+    assert got == {1: 9.0, 2: 7.0}  # both the adversary's and our write
+
+
+def test_merge_commit_overlapping_partitions_conflict(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    S.merge_commit(spark, _mdf(spark, [(1, 1.0, "a")]), path, MSPEC)
+
+    real_load = S.load_snapshot
+    state = {"calls": 0, "raced": False}
+
+    def racing_load(p, version=None):
+        if version is None:
+            state["calls"] += 1
+            if state["calls"] == 3 and not state["raced"]:
+                state["raced"] = True
+                S.merge_commit(spark, _mdf(spark, [(9, 9.0, "a")]), path, MSPEC)
+        return real_load(p, version)
+
+    monkeypatch.setattr(S, "load_snapshot", racing_load)
+    with pytest.raises(RuntimeError, match="conflict"):
+        S.merge_commit(spark, _mdf(spark, [(1, 5.0, "a")]), path, MSPEC)
+
+
+def test_merge_commit_onto_plain_commit_full_rewrite(spark, tmp_path):
+    """Merging onto a table created by plain commit() (no partition
+    entries) must keep every target row — the full-rewrite path."""
+    path = str(tmp_path / "t")
+    S.commit(spark, _mdf(spark, [(1, 1.0, "a"), (2, 2.0, "b")]), path)
+    S.merge_commit(spark, _mdf(spark, [(3, 3.0, "c")]), path, MSPEC)
+    got = {r["pk"] for r in S.read(spark, path).collect()}
+    assert got == {1, 2, 3}
