@@ -34,6 +34,9 @@ from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
     read_csv,
     write_rejects,
 )
+from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+    snapshots as S,
+)
 from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import TableSpec
 
 
@@ -55,9 +58,13 @@ def run_etl_job(
     run_id: str,
     ref_tables: dict[str, DataFrame] | None = None,
     deterministic_dedup: bool = True,
+    use_snapshots: bool = False,
 ) -> JobResult:
     """One table's raw→curated hop. ``ref_tables`` supplies FK targets
-    (curated orders/products frames for the order_items job)."""
+    (curated orders/products frames for the order_items job).
+    ``use_snapshots=True`` publishes the MERGE through the manifest-log
+    snapshot format (sources/snapshots.py): atomic commit + time travel
+    per job run, with only affected partitions rewritten."""
     table_path = f"{warehouse_path}/{spec.name}"
     raw = read_csv(spark, raw_paths, spec.schema)
 
@@ -79,7 +86,10 @@ def run_etl_job(
     # single action drives the whole pipeline; observe() metrics ride along.
     # check_source_unique=False: both dedup paths above already guarantee a
     # unique PK, so the merge-side probe would only re-run the plan.
-    M.merge_upsert(spark, valid, table_path, spec, check_source_unique=False)
+    if use_snapshots:
+        S.merge_commit(spark, valid, table_path, spec, check_source_unique=False)
+    else:
+        M.merge_upsert(spark, valid, table_path, spec, check_source_unique=False)
 
     reject_paths: list[str] = []
     n_rejected = 0
@@ -99,7 +109,10 @@ def run_etl_job(
     res.unpersist()  # all outputs consumed; release the cached batch
     if fk_cleanup is not None:
         fk_cleanup()
-    written = spark.read.parquet(table_path)
+    if use_snapshots:
+        written = S.read(spark, table_path)
+    else:
+        written = spark.read.parquet(table_path)
     return JobResult(
         table=spec.name,
         rows_in=int(metrics.get("rows_in", 0)),

@@ -45,11 +45,16 @@ def stream_ingest(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     on_batch: Callable[[int, int, int], None] | None = None,
+    use_snapshots: bool = False,
 ) -> StreamingQuery:
     """Stream raw CSVs from ``raw_dir`` into the curated table.
 
     ``on_batch(batch_id, n_valid, n_rejected)`` is an observability hook
-    (the SNS-notification slot in the reference)."""
+    (the SNS-notification slot in the reference). ``use_snapshots=True``
+    publishes each micro-batch's MERGE as an atomic snapshot version
+    (sources/snapshots.py) — an exactly-once, time-travelable streaming
+    sink: readers never see a half-written batch, and each batch id maps
+    to a table version."""
     reader = (
         spark.readStream.schema(spec.schema)
         .option("header", True)
@@ -64,7 +69,14 @@ def stream_ingest(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         res = V.validate(batch_df, spec, cache=True)
         valid = D.dedup_deterministic(res.valid, [spec.primary_key])
-        M.merge_upsert(spark, valid, table_path, spec)
+        if use_snapshots:
+            from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+                snapshots as S,
+            )
+
+            S.merge_commit(spark, valid, table_path, spec)
+        else:
+            M.merge_upsert(spark, valid, table_path, spec)
         n_rej = res.rejected.count()
         if n_rej:
             write_rejects(

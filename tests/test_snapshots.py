@@ -209,3 +209,112 @@ def test_merge_commit_onto_plain_commit_full_rewrite(spark, tmp_path):
     S.merge_commit(spark, _mdf(spark, [(3, 3.0, "c")]), path, MSPEC)
     got = {r["pk"] for r in S.read(spark, path).collect()}
     assert got == {1, 2, 3}
+
+
+# --------------------------------------------------------------------------
+# Snapshot-backed ETL + streaming sinks (use_snapshots=True paths)
+# --------------------------------------------------------------------------
+
+
+def _orders_csv(path, rows):
+    from tests.conftest import ORDERS_HEADER
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(ORDERS_HEADER + "\n" + "\n".join(rows) + "\n")
+
+
+def test_etl_job_snapshot_sink_versions_each_run(spark, tmp_path):
+    """run_etl_job(use_snapshots=True): each run publishes one atomic
+    version; time travel recovers the pre-update state."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.etl.jobs import (
+        run_etl_job,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        ORDERS,
+    )
+
+    base = tmp_path
+    _orders_csv(
+        f"{base}/raw1/d1.csv",
+        [
+            "1,101,1001,2025-04-01T10:00:00,10.00,2025-04-01",
+            "2,102,1002,2025-04-01T11:00:00,20.00,2025-04-01",
+            "3,,1003,2025-04-01T12:00:00,30.00,2025-04-01",  # reject
+        ],
+    )
+    r1 = run_etl_job(
+        spark, ORDERS, f"{base}/raw1", str(base / "wh"), str(base / "rej"),
+        run_id="r1", use_snapshots=True,
+    )
+    assert (r1.rows_written, r1.rows_rejected) == (2, 1)
+
+    _orders_csv(
+        f"{base}/raw2/d2.csv",
+        [
+            "1,101,1001,2025-04-01T10:00:00,99.00,2025-04-01",  # update
+            "4,103,1004,2025-04-02T09:00:00,40.00,2025-04-02",  # insert
+        ],
+    )
+    r2 = run_etl_job(
+        spark, ORDERS, f"{base}/raw2", str(base / "wh"), str(base / "rej"),
+        run_id="r2", use_snapshots=True,
+    )
+    assert r2.rows_written == 3
+
+    tbl = str(base / "wh" / "orders")
+    head = {
+        r["order_id"]: r["total_amount"] for r in S.read(spark, tbl).collect()
+    }
+    assert head == {101: 99.0, 102: 20.0, 103: 40.0}
+    v0 = {
+        r["order_id"]: r["total_amount"]
+        for r in S.read(spark, tbl, 0).collect()
+    }
+    assert v0 == {101: 10.0, 102: 20.0}
+
+
+def test_stream_ingest_snapshot_sink_version_per_batch(spark, tmp_path):
+    """stream_ingest(use_snapshots=True): every micro-batch MERGE lands as
+    an atomic snapshot version — no torn reads between batches."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.ingest import (
+        stream_ingest,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        ORDERS,
+    )
+
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _orders_csv(
+        f"{raw}/day1.csv",
+        ["1,101,1001,2025-04-01T10:00:00,10.00,2025-04-01"],
+    )
+    q = stream_ingest(
+        spark, ORDERS, raw, wh, str(tmp_path / "rej"),
+        str(tmp_path / "ckpt"), use_snapshots=True,
+    )
+    q.awaitTermination(120)
+
+    _orders_csv(
+        f"{raw}/day2.csv",
+        [
+            "2,101,1001,2025-04-01T10:00:00,55.00,2025-04-01",
+            "3,102,1002,2025-04-01T11:00:00,20.00,2025-04-01",
+        ],
+    )
+    q2 = stream_ingest(
+        spark, ORDERS, raw, wh, str(tmp_path / "rej"),
+        str(tmp_path / "ckpt"), use_snapshots=True,
+    )
+    q2.awaitTermination(120)
+
+    tbl = f"{wh}/orders"
+    assert len(S.history(tbl)) == 2  # one version per non-empty batch
+    got = {
+        r["order_id"]: r["total_amount"] for r in S.read(spark, tbl).collect()
+    }
+    assert got == {101: 55.0, 102: 20.0}
+    assert {
+        r["order_id"] for r in S.read(spark, tbl, 0).collect()
+    } == {101}
