@@ -322,3 +322,66 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()  # a pair can match in several bands
     )
+
+
+def duplicate_span_pairs(
+    df: DataFrame,
+    span_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_span_docs: int = 1000,
+) -> DataFrame:
+    """Substring-level duplicate evidence: document pairs sharing at least
+    one identical ``span_tokens``-token window, with the count of distinct
+    shared spans (the span-dedup signal of Lee et al., *Deduplicating
+    Training Data Makes Language Models Better* — their suffix-array
+    substring match, re-expressed as a sliding-window equi-join).
+
+    Plan: per-doc distinct span keys (pure per-row array work), ONE
+    shuffle grouping span keys into buckets (map-side combine on a
+    16-byte key), then expression-level pair expansion per bucket — cost
+    is Σ |span bucket|², never all-pairs, with no self-join and no second
+    scan of the corpus. ``max_span_docs`` drops spans shared by more
+    documents than the cap (boilerplate headers/footers): at 100 TB a
+    viral span would otherwise create a quadratic bucket, and a span in
+    >cap documents is boilerplate to *remove*, not pair evidence. Keys
+    are md5 of the window text: bounded width, engine-portable (a
+    production run would use xxhash64 for speed; md5 keeps the DuckDB
+    oracle bit-identical).
+
+    Output: (doc_a, doc_b, n_shared_spans), doc_a < doc_b.
+    """
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.functions import (
+        text as T,
+    )
+
+    spans = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(T.ngram_list(F.col(text_col), span_tokens))
+        ).alias("span"),
+    ).select("doc", F.md5("span").alias("span_key"))
+    buckets = (
+        spans.groupBy("span_key")
+        .agg(F.collect_list("doc").alias("docs"))
+        .filter(
+            (F.size("docs") >= 2) & (F.size("docs") <= max_span_docs)
+        )
+        .select(F.array_sort("docs").alias("docs"))
+    )
+    ds = F.col("docs")
+    pairs = F.flatten(
+        F.transform(
+            ds,
+            lambda a, i: F.transform(
+                F.slice(ds, i + 2, F.greatest(F.size(ds) - i - 1, F.lit(0))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_spans"))
+    )

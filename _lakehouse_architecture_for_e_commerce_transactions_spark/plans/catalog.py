@@ -112,6 +112,9 @@ from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import 
 from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
     packing as PK,
 )
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+    clustering as CL,
+)
 from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
     ForeignKey,
     TableSpec,
@@ -3490,6 +3493,193 @@ FROM g
 
 
 # --------------------------------------------------------------------------
+# Training-data curation batch 3: substring-span dedup, embedding k-means,
+# extended window/array function surface, BPE-style pair statistics
+# --------------------------------------------------------------------------
+
+
+def q_dup_span_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level duplicate pairs: documents sharing ≥1 identical
+    16-token window (operators/textdedup.duplicate_span_pairs — the
+    Lee et al. span-dedup signal as a sliding-window equi-join)."""
+    d = load_table(spark, sf, "documents")
+    return TD.duplicate_span_pairs(d, span_tokens=16)
+
+
+_DUP_SPAN_SQL = """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents),
+sp AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(toks[i:i+15], ' ')) AS span_key
+  FROM tok, unnest(generate_series(1, len(toks) - 15)) AS t(i)),
+ok AS (SELECT span_key FROM sp GROUP BY span_key HAVING count(*) <= 1000)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_spans
+FROM sp a JOIN ok USING (span_key) JOIN sp b USING (span_key)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_kmeans_iteration(spark: SparkSession, sf: str) -> DataFrame:
+    """One Lloyd iteration of k-means (k=8) over the embeddings table:
+    literal-centroid assignment (zero shuffle, zero joins — the corpus
+    never moves) + fixed-point dimension means (operators/clustering.py).
+    Output is the updated centroid matrix in (cid, dim) long form —
+    8×64 rows."""
+    e = load_table(spark, sf, "embeddings")
+    cents = CL.seed_centroids(e, k=8)
+    assigned = CL.assign_clusters(e, cents)
+    return CL.update_centroid_dims(assigned)
+
+
+_KMEANS_SQL = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8),
+sc AS (
+  SELECT vec_id, embedding, cid,
+         list_reduce(
+           list_transform(generate_series(1, 64),
+             i -> (CAST(embedding[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))
+                  * (CAST(embedding[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))),
+           (x, y) -> x + y) AS d2
+  FROM embeddings, cents),
+best AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM sc) WHERE rn = 1),
+dims AS (
+  SELECT cid, i - 1 AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           AS fx
+  FROM best, unnest(generate_series(1, 64)) AS t(i))
+SELECT cid, CAST(dim AS BIGINT) AS dim, count(*) AS n_points,
+       round(sum(fx) / 1000000.0 / count(*), 6) AS centroid_val
+FROM dims GROUP BY cid, dim
+"""
+
+
+def q_window_funcs_extended(spark: SparkSession, sf: str) -> DataFrame:
+    """The remaining analytic-window surface in one query: cume_dist,
+    percent_rank, nth_value, lead — per-priority windows ordered by
+    (price, key) so every frame is a total order (tie-proof hashing)."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_cheapest_key"),
+        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+    )
+
+
+_WINDOW_EXT_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       round(cume_dist() OVER w, 6) AS cd,
+       round(percent_rank() OVER w, 6) AS pr,
+       nth_value(o_orderkey, 2) OVER (
+         PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_cheapest_key,
+       lead(o_orderkey, 1) OVER w AS next_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def q_vector_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order array functions over the embedding column — the
+    vector scalar surface (norms, dot products, elementwise transforms)
+    entirely inside whole-stage codegen: zip_with + aggregate + reverse,
+    no UDFs, no shuffle. Folds accumulate in doubles in array order, the
+    same sequential fold as DuckDB's list_reduce."""
+    e = load_table(spark, sf, "embeddings")
+    v = F.col("embedding")
+    sq_sum = F.aggregate(
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dot_rev = F.aggregate(
+        F.zip_with(
+            v, F.reverse(v), lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    total = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(dot_rev, 6).alias("dot_reversed"),
+        F.round(total / F.size(v), 6).alias("mean_val"),
+        F.round(F.array_max(v).cast("double"), 6).alias("max_val"),
+        F.round(F.array_min(v).cast("double"), 6).alias("min_val"),
+    )
+
+
+_VECTOR_FUNCS_SQL = """
+SELECT vec_id,
+       round(sqrt(list_reduce(
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         (a, b) -> a + b)), 6) AS l2_norm,
+       round(list_reduce(
+         list_transform(generate_series(1, len(embedding)),
+           i -> CAST(embedding[i] AS DOUBLE)
+                * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE)),
+         (a, b) -> a + b), 6) AS dot_reversed,
+       round(list_reduce(
+         list_transform(embedding, x -> CAST(x AS DOUBLE)),
+         (a, b) -> a + b) / len(embedding), 6) AS mean_val,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+       round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val
+FROM embeddings
+"""
+
+
+def q_bpe_pair_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-style merge statistics: the 20 most frequent adjacent token
+    pairs across the corpus (the first merge-candidate ranking a BPE
+    trainer computes). Explode is per-row; the count is one map-side-
+    combined shuffle; top-20 is a TakeOrdered push-down, never a global
+    sort. Deterministic tie-break on (count desc, pair asc)."""
+    d = load_table(spark, sf, "documents")
+    pairs = d.select(
+        F.explode(T.ngram_list(F.col("text"), 2)).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
+_BPE_PAIRS_SQL = """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents),
+p AS (
+  SELECT array_to_string(toks[i:i+1], ' ') AS pair
+  FROM tok, unnest(generate_series(1, len(toks) - 1)) AS t(i))
+SELECT pair, count(*) AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3644,6 +3834,13 @@ CATALOG: dict[str, QueryDef] = {
     "doc_repetition_signals": QueryDef(
         q_doc_repetition_signals, _REPETITION_SQL
     ),
+    "dup_span_pairs": QueryDef(q_dup_span_pairs, _DUP_SPAN_SQL),
+    "kmeans_iteration": QueryDef(q_kmeans_iteration, _KMEANS_SQL),
+    "window_funcs_extended": QueryDef(
+        q_window_funcs_extended, _WINDOW_EXT_SQL
+    ),
+    "vector_array_funcs": QueryDef(q_vector_array_funcs, _VECTOR_FUNCS_SQL),
+    "bpe_pair_merges": QueryDef(q_bpe_pair_merges, _BPE_PAIRS_SQL),
 }
 
 
