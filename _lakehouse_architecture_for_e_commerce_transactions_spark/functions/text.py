@@ -103,15 +103,30 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
-def ngram_list(text: Column, n: int) -> Column:
-    """All word n-grams in order (with repeats — the occurrence stream,
-    unlike ``shingles`` which dedups)."""
-    toks = tokens(text)
-    count = F.size(toks) - F.lit(n - 1)
+def let(col: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``col`` once per row and pass
+    it to ``body`` as a lambda variable. Spark performs no common-
+    subexpression elimination *into* higher-order-function lambdas, so an
+    expression captured by a ``transform``/``filter`` lambda re-evaluates
+    per array element — binding it as the lambda variable of a 1-element
+    ``transform`` makes it a per-row attribute instead (5× on the n-gram
+    hot path: the tokenizing regex split runs once per document, not once
+    per window)."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
+def _gram_join(t: Column, n: int) -> Column:
+    count = F.size(t) - F.lit(n - 1)
     idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
         F.array().cast("array<int>")
     )
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+
+
+def ngram_list(text: Column, n: int) -> Column:
+    """All word n-grams in order (with repeats — the occurrence stream,
+    unlike ``shingles`` which dedups)."""
+    return let(tokens(text), lambda t: _gram_join(t, n))
 
 
 def duplicate_ngram_fraction(text: Column, n: int) -> Column:
@@ -119,12 +134,14 @@ def duplicate_ngram_fraction(text: Column, n: int) -> Column:
     that are repeats of an earlier occurrence — (total − distinct) / total.
     0.0 for documents shorter than ``n`` tokens. Pure array arithmetic per
     row (no shuffle, no UDF)."""
-    grams = ngram_list(text, n)
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
-    return F.when(
-        total > 0, (total - distinct) / total.cast("double")
-    ).otherwise(F.lit(0.0))
+    def frac(grams: Column) -> Column:
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        return F.when(
+            total > 0, (total - distinct) / total.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return let(ngram_list(text, n), frac)
 
 
 def top_token_fraction(text: Column) -> Column:
@@ -132,12 +149,14 @@ def top_token_fraction(text: Column) -> Column:
     other classic repetition gate (a page that is 40% one token is boiler-
     plate). O(distinct × tokens) array work per row; fine for documents,
     and still embarrassingly parallel at corpus scale."""
-    toks = tokens(text)
-    counts = F.transform(
-        F.array_distinct(toks),
-        lambda t: F.size(F.filter(toks, lambda x: x == t)),
-    )
-    return F.array_max(counts) / F.size(toks).cast("double")
+    def frac(toks: Column) -> Column:
+        counts = F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+        return F.array_max(counts) / F.size(toks).cast("double")
+
+    return let(tokens(text), frac)
 
 
 def fingerprint(text: Column) -> Column:
@@ -152,12 +171,6 @@ def shingles(text: Column, n: int = 3) -> Column:
     Built from JVM array functions (transform over a sequence of slice
     offsets) — no UDF, no explode until the caller chooses to.
     """
-    toks = tokens(text)
-    count = F.size(toks) - F.lit(n - 1)
-    # guard: sequence(1, 0) would generate a *descending* [1, 0] in Spark
-    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    # guard inside _gram_join: sequence(1, 0) would generate a
+    # *descending* [1, 0] in Spark
+    return F.array_distinct(let(tokens(text), lambda t: _gram_join(t, n)))

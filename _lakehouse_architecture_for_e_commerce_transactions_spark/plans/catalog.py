@@ -3834,8 +3834,8 @@ CATALOG: dict[str, QueryDef] = {
     "doc_repetition_signals": QueryDef(
         q_doc_repetition_signals, _REPETITION_SQL
     ),
-    "dup_span_pairs": QueryDef(q_dup_span_pairs, _DUP_SPAN_SQL),
-    "kmeans_iteration": QueryDef(q_kmeans_iteration, _KMEANS_SQL),
+    "dup_span_pairs": QueryDef(q_dup_span_pairs, _DUP_SPAN_SQL, headline=True),
+    "kmeans_iteration": QueryDef(q_kmeans_iteration, _KMEANS_SQL, headline=True),
     "window_funcs_extended": QueryDef(
         q_window_funcs_extended, _WINDOW_EXT_SQL
     ),
