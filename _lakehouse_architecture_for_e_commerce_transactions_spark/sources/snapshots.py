@@ -24,6 +24,12 @@ Iceberg metadata layers, small enough to audit:
   merges touching disjoint partitions rebase instead of conflicting
   (Delta MERGE's touched-files behavior + write-conflict rules).
 
+* ``commit(mode="append", merge_schema=True)`` evolves the schema by
+  column addition (readers see null where a commit predates a column);
+  ``compact`` is OPTIMIZE — rewrite the head's data into well-sized
+  files as a data-identical next version, restarting if any commit
+  lands mid-pass.
+
 Scale notes: the manifest lists commit *directories*, not individual
 files, so manifest size grows with commit count, not data size; `vacuum`
 bounds history. At real scale the manifest store moves from a local dir
@@ -54,6 +60,9 @@ class Snapshot:
     # partition-granular entries for merge-committed tables:
     # {partition-values-tuple-json: dir}; plain commits leave it empty
     part_entries: dict[str, str] | None = None
+    # partition column names for merge-committed tables (for maintenance
+    # ops like compact() that need to re-derive the layout)
+    partition_by: list[str] | None = None
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -86,7 +95,29 @@ def load_snapshot(path: str, version: int | None = None) -> Snapshot:
         m["schema"],
         m["committed_at"],
         m.get("part_entries"),
+        m.get("partition_by"),
     )
+
+
+def _merged_schema_json(parent_json: str, df: DataFrame) -> str:
+    """Schema evolution for appends: parent fields keep their order, new
+    fields append at the end; a type change on an existing field is an
+    error (Delta's ``mergeSchema`` rule — widen by addition only)."""
+    from pyspark.sql.types import StructType
+
+    parent = StructType.fromJson(json.loads(parent_json))
+    have = {f.name: f for f in parent.fields}
+    merged = list(parent.fields)
+    for f in df.schema.fields:
+        old = have.get(f.name)
+        if old is None:
+            merged.append(f)
+        elif old.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution cannot change {f.name!r}: "
+                f"{old.dataType} -> {f.dataType}"
+            )
+    return StructType(merged).json()
 
 
 def commit(
@@ -95,6 +126,7 @@ def commit(
     path: str,
     mode: str = "overwrite",
     max_retries: int = 10,
+    merge_schema: bool = False,
 ) -> int:
     """Atomically commit ``df`` as the table's next version; returns it.
 
@@ -102,6 +134,12 @@ def commit(
     dir; ``append`` carries the parent snapshot's dirs forward. The data
     write happens BEFORE publication, so a crashed writer leaves only an
     unreferenced orphan dir (cleaned by ``vacuum``), never a torn table.
+
+    ``merge_schema=True`` (append mode) evolves the table schema by
+    column addition: the manifest's schema becomes parent ∪ df, readers
+    see ``null`` for columns a commit predates, and a type change on an
+    existing column is rejected. Without the flag, an append whose schema
+    differs from the parent's raises (Delta's default strictness).
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
@@ -112,12 +150,30 @@ def commit(
         vs = _versions(path)
         next_v = (vs[-1] + 1) if vs else 0
         dirs = [commit_dir]
+        schema_json = df.schema.json()
         if mode == "append" and vs:
-            dirs = load_snapshot(path, vs[-1]).dirs + [commit_dir]
+            parent = load_snapshot(path, vs[-1])
+            dirs = parent.dirs + [commit_dir]
+            if merge_schema:
+                schema_json = _merged_schema_json(parent.schema_json, df)
+            else:
+                from pyspark.sql.types import StructType
+
+                pfields = StructType.fromJson(
+                    json.loads(parent.schema_json)
+                ).fields
+                if [(f.name, f.dataType) for f in pfields] != [
+                    (f.name, f.dataType) for f in df.schema.fields
+                ]:
+                    raise ValueError(
+                        "append schema differs from table schema; pass "
+                        "merge_schema=True to evolve by column addition"
+                    )
+                schema_json = parent.schema_json
         manifest = {
             "version": next_v,
             "dirs": dirs,
-            "schema": df.schema.json(),
+            "schema": schema_json,
             "committed_at": time.time(),
         }
         os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
@@ -137,10 +193,26 @@ def commit(
 def read(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
-    """Snapshot-isolated read of the latest (or a time-traveled) version."""
+    """Snapshot-isolated read of the latest (or a time-traveled) version.
+    Columns a commit predates (schema evolution) read as ``null``."""
     snap = load_snapshot(path, version)
     if not snap.part_entries:
-        return spark.read.parquet(*snap.dirs)
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        df = (
+            spark.read.option("mergeSchema", True).parquet(*snap.dirs)
+        )
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
     # merge-committed table: entries are hive-layout partition subdirs from
     # several commit dirs; read each commit group under its own basePath so
     # the partition columns come back, then normalize types to the manifest
@@ -309,6 +381,7 @@ def merge_commit(
             "version": next_v,
             "dirs": [commit_dir],
             "part_entries": carried + fresh,
+            "partition_by": parts,
             "schema": merged.schema.json(),
             "committed_at": time.time(),
         }
@@ -345,6 +418,93 @@ def _hive_leaf_dirs(
                 )
 
     walk(commit_dir, (), 0)
+    return out
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    max_retries: int = 3,
+) -> int:
+    """OPTIMIZE: rewrite the head snapshot's data into fresh, well-sized
+    files and publish it as the next version. Logical rows are untouched
+    — compaction is pure layout maintenance (the small-file debt of many
+    merge/append commits), and time travel to pre-compaction versions
+    still resolves (``vacuum`` is what eventually drops their dirs).
+
+    Concurrency: the rewrite reads one snapshot; if ANY commit lands
+    before publication the whole pass restarts from the new head
+    (publishing stale data would silently drop the interleaved commit's
+    rows). Compaction commits mark every partition ``changed=False`` so
+    a concurrent merge rebases across them without conflict — the
+    logical data it merged against is identical.
+    """
+    for _ in range(max_retries):
+        base = load_snapshot(path)
+        data = read(spark, path)
+        parts = base.partition_by or []
+        commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
+        if parts:
+            # one task per partition value (rebalance lets AQE split hot
+            # values), one well-sized file per task
+            writer = data.hint("rebalance", *parts).write
+            writer.mode("errorifexists").partitionBy(*parts).parquet(
+                commit_dir
+            )
+        else:
+            data.hint("rebalance").write.mode("errorifexists").parquet(
+                commit_dir
+            )
+        manifest = {
+            "version": base.version + 1,
+            "dirs": [commit_dir],
+            "schema": base.schema_json,
+            "committed_at": time.time(),
+        }
+        if base.part_entries is not None:
+            written = _hive_leaf_dirs(commit_dir, parts)
+            manifest["part_entries"] = [
+                {
+                    "parts": list(pt),
+                    "base": commit_dir,
+                    "dir": d,
+                    "changed": False,
+                }
+                for pt, d in written.items()
+            ]
+            manifest["partition_by"] = parts
+        os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
+        try:
+            fd = os.open(
+                _manifest_path(path, base.version + 1),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue  # a commit landed mid-rewrite: restart from new head
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        return base.version + 1
+    raise RuntimeError(
+        f"compact contention at {path}: {max_retries} restarts"
+    )
+
+
+def data_files(path: str, version: int | None = None) -> list[str]:
+    """All parquet data files a snapshot references (maintenance/tests)."""
+    snap = load_snapshot(path, version)
+    dirs = (
+        [e["dir"] for e in snap.part_entries]
+        if snap.part_entries
+        else snap.dirs
+    )
+    out: list[str] = []
+    for d in dirs:
+        for root, _, files in os.walk(d):
+            out.extend(
+                os.path.join(root, f)
+                for f in files
+                if f.endswith(".parquet")
+            )
     return out
 
 

@@ -318,3 +318,89 @@ def test_stream_ingest_snapshot_sink_version_per_batch(spark, tmp_path):
     assert {
         r["order_id"] for r in S.read(spark, tbl, 0).collect()
     } == {101}
+
+
+# --------------------------------------------------------------------------
+# Maintenance: compaction (OPTIMIZE) and schema evolution
+# --------------------------------------------------------------------------
+
+
+def test_compact_plain_table_reduces_files_keeps_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(4):  # four append commits -> many small files
+        S.commit(
+            spark,
+            _df(spark, [(i * 10 + j, f"v{i}") for j in range(3)]).repartition(4),
+            path,
+            mode="append" if i else "overwrite",
+        )
+    before_rows = {(r["k"], r["v"]) for r in S.read(spark, path).collect()}
+    before_files = len(S.data_files(path))
+
+    v = S.compact(spark, path)
+    assert v == 4
+    assert {(r["k"], r["v"]) for r in S.read(spark, path).collect()} == before_rows
+    assert len(S.data_files(path)) < before_files
+    # time travel to pre-compaction still works
+    assert len(S.read(spark, path, 3).collect()) == len(before_rows)
+
+
+def test_compact_merge_table_and_subsequent_merge(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.merge_commit(spark, _mdf(spark, [(1, 1.0, "a"), (2, 2.0, "b")]), path, MSPEC)
+    S.merge_commit(spark, _mdf(spark, [(3, 3.0, "a")]), path, MSPEC)
+    before = {r["pk"]: r["amt"] for r in S.read(spark, path).collect()}
+
+    S.compact(spark, path)
+    assert {r["pk"]: r["amt"] for r in S.read(spark, path).collect()} == before
+
+    # a merge on top of the compacted version works and keeps history sane
+    S.merge_commit(spark, _mdf(spark, [(1, 9.0, "a")]), path, MSPEC)
+    got = {r["pk"]: r["amt"] for r in S.read(spark, path).collect()}
+    assert got == {1: 9.0, 2: 2.0, 3: 3.0}
+
+
+def test_compact_restarts_when_commit_lands_mid_pass(spark, tmp_path, monkeypatch):
+    """A commit between compact's read and publish must be included, not
+    silently dropped — compact restarts from the new head."""
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a")]), path)
+
+    real_read = S.read
+    state = {"injected": False}
+
+    def racing_read(sp, p, version=None):
+        out = real_read(sp, p, version)
+        if not state["injected"]:
+            state["injected"] = True
+            S.commit(spark, _df(spark, [(2, "b")]), p, mode="append")
+        return out
+
+    monkeypatch.setattr(S, "read", racing_read)
+    S.compact(spark, path)
+    monkeypatch.setattr(S, "read", real_read)
+    assert {r["k"] for r in S.read(spark, path).collect()} == {1, 2}
+
+
+def test_schema_evolution_append(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a")]), path)
+
+    wide = spark.createDataFrame([(2, "b", 7.5)], "k int, v string, score double")
+    # strict append refuses a differing schema
+    with pytest.raises(ValueError, match="merge_schema"):
+        S.commit(spark, wide, path, mode="append")
+
+    v = S.commit(spark, wide, path, mode="append", merge_schema=True)
+    got = {r["k"]: (r["v"], r["score"]) for r in S.read(spark, path).collect()}
+    assert got == {1: ("a", None), 2: ("b", 7.5)}  # old rows null-filled
+    # time travel: the old version keeps the narrow schema
+    assert S.read(spark, path, v - 1).columns == ["k", "v"]
+
+
+def test_schema_evolution_rejects_type_change(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a")]), path)
+    bad = spark.createDataFrame([(2, 3)], "k int, v int")  # v: string -> int
+    with pytest.raises(ValueError, match="cannot change"):
+        S.commit(spark, bad, path, mode="append", merge_schema=True)
