@@ -128,3 +128,87 @@ def update_centroid_dims(
             ).alias("centroid_val"),
         )
     )
+
+
+def _unit_py(v: list[float]) -> list[float]:
+    n = sum(x * x for x in v) ** 0.5
+    return [x / n for x in v] if n > 0 else v
+
+
+def unit_vec(col: Column) -> Column:
+    """L2-normalize a float array in codegen (transform + aggregate)."""
+    sq = F.aggregate(
+        F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(sq)
+    return F.when(
+        nrm > 0, F.transform(col, lambda x: x.cast("double") / nrm)
+    ).otherwise(F.transform(col, lambda x: x.cast("double")))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int | None = None,
+    seeds: list[tuple[int, list[float]]] | DataFrame | None = None,
+    max_iter: int = 10,
+    tol: float = 1e-4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    spherical: bool = False,
+) -> tuple[list[tuple[int, list[float]]], int]:
+    """Full Lloyd loop: iterate assignment + fixed-point update until the
+    max per-dimension centroid shift falls under ``tol`` or ``max_iter``
+    passes. Returns (centroids, iterations-run).
+
+    The driver holds only the k×dim centroid matrix between passes (each
+    pass collects k·dim long-form rows — bounded, never data-sized); the
+    corpus itself is scanned once per iteration with zero shuffles for
+    assignment and an O(partitions·k·dim) exchange for the update. A
+    cluster left empty by an iteration keeps its previous centroid
+    (standard Lloyd practice; dropping it would shrink k mid-fit).
+
+    ``spherical=True`` fits spherical k-means — vectors and centroids are
+    L2-normalized, so squared-L2 assignment is monotonically equivalent
+    to max-cosine (‖a−b‖² = 2−2·cos for unit vectors). Use this when the
+    downstream metric is cosine (IVF probe, semantic dedup).
+    """
+    if seeds is None:
+        if k is None:
+            raise ValueError("kmeans_fit needs k or explicit seeds")
+        seeds = seed_centroids(df, k, id_col, vec_col)
+    if isinstance(seeds, DataFrame):
+        seeds = [(r["cid"], list(r["cvec"])) for r in seeds.collect()]
+    cents = [(int(c), [float(x) for x in v]) for c, v in seeds]
+    if spherical:
+        df = df.select(
+            F.col(id_col), unit_vec(F.col(vec_col)).alias(vec_col)
+        )
+        cents = [(c, _unit_py(v)) for c, v in cents]
+
+    iters = 0
+    for iters in range(1, max_iter + 1):
+        assigned = assign_clusters(df, cents, id_col, vec_col)
+        rows = update_centroid_dims(assigned, vec_col).collect()
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = r["centroid_val"]
+        shift = 0.0
+        nxt = []
+        for cid, old in cents:
+            dims = by_cid.get(cid)
+            if dims is None:  # emptied cluster: keep previous centroid
+                nxt.append((cid, old))
+                continue
+            vec = [dims[d] for d in range(len(old))]
+            if spherical:
+                vec = _unit_py(vec)
+            shift = max(
+                shift, max(abs(a - b) for a, b in zip(vec, old))
+            )
+            nxt.append((cid, vec))
+        cents = nxt
+        if shift <= tol:
+            break
+    return cents, iters

@@ -121,3 +121,53 @@ def test_kmeans_iteration_reduces_inertia(spark, sf_dir):
     a1 = CL.assign_clusters(e, c1)
     inertia1 = a1.agg(F.sum("d2")).first()[0]
     assert inertia1 <= inertia0 + 1e-6
+
+
+def test_kmeans_fit_spherical_improves_cosine_objective(spark, sf_dir):
+    """Spherical k-means monotonicity: mean cosine of each unit vector to
+    its assigned (unit) centroid must not decrease from seed to fitted."""
+    from pyspark.sql import functions as F
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        load_table,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    unit = e.select("vec_id", CL.unit_vec(F.col("embedding")).alias("embedding"))
+    seeds = [
+        (r["cid"], CL._unit_py(list(r["cvec"])))
+        for r in CL.seed_centroids(e, k=8).collect()
+    ]
+
+    def mean_cos(cents):
+        # for unit vectors cos = 1 - d2/2
+        a = CL.assign_clusters(unit, cents)
+        return a.agg(F.avg(1 - F.col("d2") / 2)).first()[0]
+
+    fitted, iters = CL.kmeans_fit(
+        e, seeds=seeds, max_iter=5, spherical=True
+    )
+    assert 1 <= iters <= 5
+    assert mean_cos(fitted) >= mean_cos(seeds) - 1e-6
+
+
+def test_ivf_trained_returns_valid_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        similarity as SIM,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    r = SIM.ivf_topk(q, emb, k=5, train_iters=2).collect()
+    per_q = {}
+    for row in r:
+        per_q.setdefault(row["qid"], []).append(row)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    for qid, rows in per_q.items():
+        assert len(rows) == 5
+        assert all(-1.0 <= row["cos"] <= 1.0 for row in rows)
