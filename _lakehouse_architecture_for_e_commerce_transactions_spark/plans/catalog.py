@@ -115,6 +115,9 @@ from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import 
 from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
     clustering as CL,
 )
+from _lakehouse_architecture_for_e_commerce_transactions_spark.functions import (
+    vectors as VEC,
+)
 from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
     ForeignKey,
     TableSpec,
@@ -3647,6 +3650,87 @@ FROM embeddings
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    inside each cluster drop every vector whose cosine to a lower-id
+    cluster-mate is ≥ 0.99 — semantic near-dup removal without an
+    all-pairs join (pairwise work is Σ cluster², and in production k
+    scales with the corpus so cluster size stays bounded; k=8 seed
+    centroids here keep the query a pure function of the input for the
+    oracle). Corpus is embeddings ∪ exact twins (ids+100000) so the
+    planted duplicates are recoverable: every twin must be dropped."""
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    twins = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twins)
+    cents = CL.seed_centroids(corpus, k=8)
+    assigned = CL.assign_clusters(corpus, cents).select(
+        "vec_id", "embedding", "cid"
+    )
+    a = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("id1"),
+        VEC.as_double(F.col("embedding")).alias("v1"),
+    )
+    b = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("id2"),
+        VEC.as_double(F.col("embedding")).alias("v2"),
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(
+            F.round(VEC.cosine(F.col("v1"), F.col("v2")), 5) >= 0.99
+        )
+        .select("id2")
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped, assigned["vec_id"] == dropped["id2"], "left"
+        )
+        .select(
+            "vec_id",
+            "cid",
+            F.col("id2").isNull().alias("keep"),
+        )
+    )
+
+
+_SEMANTIC_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings),
+cents AS (SELECT id AS cid, v AS cv FROM corpus ORDER BY id LIMIT 8),
+sc AS (
+  SELECT id, v, cid,
+         list_reduce(
+           list_transform(generate_series(1, 64),
+             i -> (v[i] - cv[i]) * (v[i] - cv[i])),
+           (x, y) -> x + y) AS d2
+  FROM corpus, cents),
+best AS (
+  SELECT id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM sc) WHERE rn = 1),
+cand AS (
+  SELECT a.id AS id1, b.id AS id2, a.v AS v1, b.v AS v2
+  FROM best a JOIN best b ON a.cid = b.cid AND a.id < b.id),
+terms AS (SELECT id1, id2, unnest(v1) AS e1, unnest(v2) AS e2 FROM cand),
+scored AS (
+  SELECT id1, id2,
+         round(sum(e1 * e2) / (sqrt(sum(e1 * e1)) * sqrt(sum(e2 * e2))), 5)
+           AS cos
+  FROM terms GROUP BY id1, id2),
+dropped AS (SELECT DISTINCT id2 FROM scored WHERE cos >= 0.99)
+SELECT b.id AS vec_id, b.cid AS cid, (d.id2 IS NULL) AS keep
+FROM best b LEFT JOIN dropped d ON b.id = d.id2
+"""
+
+
 def q_bpe_pair_merges(spark: SparkSession, sf: str) -> DataFrame:
     """BPE-style merge statistics: the 20 most frequent adjacent token
     pairs across the corpus (the first merge-candidate ranking a BPE
@@ -3841,6 +3925,7 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "vector_array_funcs": QueryDef(q_vector_array_funcs, _VECTOR_FUNCS_SQL),
     "bpe_pair_merges": QueryDef(q_bpe_pair_merges, _BPE_PAIRS_SQL),
+    "semantic_dedup": QueryDef(q_semantic_dedup, _SEMANTIC_DEDUP_SQL),
 }
 
 

@@ -171,3 +171,19 @@ def test_ivf_trained_returns_valid_topk(spark, sf_dir):
     for qid, rows in per_q.items():
         assert len(rows) == 5
         assert all(-1.0 <= row["cos"] <= 1.0 for row in rows)
+
+
+def test_semantic_dedup_drops_all_planted_twins(spark, sf_dir):
+    """Every exact twin (ids+100000) shares cosine 1.0 with its original
+    in the same cluster, so SemDeDup must drop it; originals survive
+    unless they near-dup a lower-id original."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.plans.catalog import (
+        CATALOG,
+    )
+
+    rows = CATALOG["semantic_dedup"].builder(spark, sf_dir).collect()
+    twins = [r for r in rows if r["vec_id"] >= 100000]
+    assert twins and all(not r["keep"] for r in twins)
+    originals_kept = [r for r in rows if r["vec_id"] < 100000 and r["keep"]]
+    assert len(originals_kept) > 0
+    assert any(r["vec_id"] == 0 for r in originals_kept)  # lowest id kept
