@@ -108,6 +108,33 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    # The training-data curation job end-to-end: quality gate -> exact +
+    # MinHash near dedup -> decontamination -> sequence packing -> atomic
+    # snapshot publish (etl/datapipe.py)
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.etl.datapipe import (
+        run_curation_job,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_curate_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        ev = docs.filter(F.col("doc_id") % 50 == 17)
+        tr = docs.filter(F.col("doc_id") % 50 != 17)
+        t0 = time.time()
+        res = run_curation_job(
+            spark, tr, f"{work}/corpus", ctx_tokens=64, eval_docs=ev,
+            contamination_max=0.5, contamination_ngram=3,
+        )
+        timings["curation_job_batch"] = round(time.time() - t0, 3)
+        print(
+            f"# curation_job_batch: {timings['curation_job_batch']:.3f}s "
+            f"({res.n_curated}/{res.n_input} docs kept, "
+            f"{res.n_packs} packs)",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
