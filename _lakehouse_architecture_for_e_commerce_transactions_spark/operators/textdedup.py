@@ -126,6 +126,25 @@ def minhash_signatures(
     return idx.groupBy("doc").agg(*H.minhash_aggs("shingle", k))
 
 
+def melted_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(doc, band_id, bkey) LSH band rows — the storable/joinable index
+    form of a MinHash signature (k/rows_per_band rows per document)."""
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    bands = sig.select(F.col("doc"), *H.band_keys(k, rows_per_band))
+    n_bands = k // rows_per_band
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
+    return bands.select(
+        "doc", F.expr(f"stack({n_bands}, {stack_args}) AS (band_id, bkey)")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -144,13 +163,7 @@ def minhash_lsh_pairs(
     bounded per band key, so cost is Σ bucket² — the point of LSH vs the
     quadratic join.
     """
-    sig = minhash_signatures(df, id_col, text_col, n, k)
-    bands = sig.select(F.col("doc"), *H.band_keys(k, rows_per_band))
-    n_bands = k // rows_per_band
-    stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
-    melted = bands.select(
-        "doc", F.expr(f"stack({n_bands}, {stack_args}) AS (band_id, bkey)")
-    )
+    melted = melted_band_keys(df, id_col, text_col, n, k, rows_per_band)
     a = melted.select(
         F.col("doc").alias("doc1"), F.col("band_id"), F.col("bkey")
     )
