@@ -1,0 +1,120 @@
+"""Streaming corpus ingestion with ONLINE near-dup filtering.
+
+The continuous-crawl shape: document batches arrive as files; each
+micro-batch is deduplicated against everything ingested so far via the
+incremental MinHash index (`etl/index.py`) — the corpus itself is never
+rescanned — and survivors are appended atomically to a snapshot table.
+Index and corpus advance in lockstep, one version per non-empty batch.
+A crashed batch leaves each table at a published version; on checkpoint
+replay, near-dups are dropped via the index and already-committed docs
+via an id anti-join against the column-pruned corpus — ingestion is
+exactly-once by doc_id even when the crash fell between the corpus and
+index commits.
+
+Per-batch cost: O(batch) hashing + one equi-join against matching index
+band rows + two snapshot commits. State lives in the index *table*, not
+in Spark streaming state — unbounded corpus growth never inflates the
+checkpoint, and the index is queryable/compactable offline like any
+other table.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.etl import (
+    index as IX,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+    snapshots as S,
+)
+
+DOC_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), False),
+        StructField("source", StringType(), True),
+    ]
+)
+
+
+def stream_corpus_ingest(
+    spark: SparkSession,
+    raw_dir: str,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    on_batch: Callable[[int, int, int], None] | None = None,
+) -> StreamingQuery:
+    """Stream document CSVs from ``raw_dir``; drop near-dups of anything
+    already ingested (or earlier in the same batch); append survivors to
+    the corpus snapshot table and their band rows to the index.
+
+    ``on_batch(batch_id, n_kept, n_dropped)`` is the observability hook.
+    """
+    reader = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(raw_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        )
+        if not batch_df.take(1):
+            return
+        batch_df = batch_df.cache()
+        try:
+            IX._params(index_path)
+            have_index = True
+        except FileNotFoundError:
+            have_index = False
+        if have_index:
+            dups = (
+                IX.incremental_near_dup(spark, batch_df, index_path)
+                .select(F.col("new_doc").alias("doc_id"))
+                .distinct()
+            )
+            kept = batch_df.join(dups, "doc_id", "left_anti")
+            # replay guard: a crash between the corpus commit and the
+            # index commit would re-offer docs the index doesn't know
+            # yet — the id anti-join against the (column-pruned) corpus
+            # makes the batch exactly-once by doc_id
+            seen = S.read(spark, corpus_path).select("doc_id")
+            kept = kept.join(seen, "doc_id", "left_anti").cache()
+        else:
+            kept = batch_df.cache()
+        n_kept = kept.count()
+        n_total = batch_df.count()
+        if n_kept:
+            if have_index:
+                S.commit(spark, kept, corpus_path, mode="append")
+                IX.update_minhash_index(spark, kept, index_path)
+            else:
+                S.commit(spark, kept, corpus_path, mode="overwrite")
+                IX.build_minhash_index(spark, kept, index_path)
+        if on_batch is not None:
+            on_batch(batch_id, n_kept, n_total - n_kept)
+        kept.unpersist()
+        batch_df.unpersist()
+
+    writer = reader.writeStream.option(
+        "checkpointLocation", checkpoint_dir
+    ).foreachBatch(process_batch)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
