@@ -8,8 +8,8 @@ is the read-only stats view of the same pipeline. Stages:
 1. score: quality heuristic + language ID (pure column expressions)
 2. gate: quality/length thresholds
 3. exact dedup: md5-fingerprint keeper (min doc_id per content hash)
-4. near dedup: MinHash-LSH candidate pairs → connected components →
-   keep each cluster's canonical (minimum) doc
+4. near dedup: MinHash-LSH candidates, exact-Jaccard verified →
+   connected components → keep each cluster's canonical (minimum) doc
 5. decontaminate: drop docs whose distinct n-gram overlap with the
    held-out eval set exceeds a threshold
 6. pack: concat-and-split placement into fixed token windows per shard
@@ -79,6 +79,7 @@ def run_curation_job(
     contamination_ngram: int = 3,
     minhash_k: int = 8,
     shingle_n: int = 3,
+    jaccard_min: float = 0.5,
 ) -> CurationResult:
     """Run the curation pipeline over ``docs`` (`doc_id, text, lang,
     source, n_chars` — the documents-table shape) and publish packed
@@ -107,10 +108,17 @@ def run_curation_job(
     survivors = flagged.filter(F.col("is_keeper"))
 
     # near-dup resolution on the exact-deduped survivors only (identical
-    # content is already collapsed, so LSH buckets stay small)
-    pairs = TD.minhash_lsh_pairs(
-        survivors, "doc_id", "text", n=shingle_n, k=minhash_k
-    )
+    # content is already collapsed, so LSH buckets stay small). LSH
+    # candidates are verified with exact Jaccard before clustering —
+    # band collisions must not delete unique documents.
+    pairs = TD.minhash_dedup_verified(
+        survivors,
+        "doc_id",
+        "text",
+        n=shingle_n,
+        k=minhash_k,
+        threshold=jaccard_min,
+    ).select("doc1", "doc2")
     # cache the (small, dup-sized) id frame: it feeds both the stat count
     # and the anti-join, and uncached each use re-runs the LSH self-join
     # and the component loop
@@ -124,6 +132,7 @@ def run_curation_job(
     deduped = survivors.join(near_drop, "doc_id", "left_anti")
 
     n_contaminated = 0
+    dirty = None
     if eval_docs is not None:
         ratios = CON.contamination_ratios(
             deduped, eval_docs, n=contamination_ngram
@@ -156,8 +165,9 @@ def run_curation_job(
         (F.max("last_pack") + 1).alias("shard_packs")
     )
     n_packs = int(per_shard.agg(F.sum("shard_packs")).first()[0] or 0)
-    for frame in (flagged, near_drop):
-        frame.unpersist()
+    for frame in (flagged, near_drop, dirty):
+        if frame is not None:
+            frame.unpersist()
     return CurationResult(
         n_input=int(counts["n_input"]),
         n_gated_out=int(counts["n_gated_out"]),

@@ -52,15 +52,82 @@ def build_minhash_index(
     parameters so later batches can't silently probe with mismatched
     signatures. Returns the snapshot version (0)."""
     rows = TD.melted_band_keys(docs, id_col, text_col, n, k, rows_per_band)
-    version = S.commit(spark, rows, index_path, mode="overwrite")
-    with open(_meta_path(index_path), "w") as f:
+    # meta first, atomically (tmp + rename): params are inputs, not
+    # derived state, so a crash before the data commit leaves a harmless
+    # meta file; the reverse order would leave a committed index that
+    # _params() rejects
+    os.makedirs(index_path, exist_ok=True)
+    tmp = _meta_path(index_path) + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"n": n, "k": k, "rows_per_band": rows_per_band}, f)
-    return version
+    os.replace(tmp, _meta_path(index_path))
+    return S.commit(spark, rows, index_path, mode="overwrite")
 
 
 def _params(index_path: str) -> dict:
     with open(_meta_path(index_path)) as f:
         return json.load(f)
+
+
+def index_exists(index_path: str) -> bool:
+    """True only when both the params file and a committed snapshot
+    version exist (a crash between the two leaves a rebuildable stub,
+    not a probe-able index)."""
+    try:
+        _params(index_path)
+        S.load_snapshot(index_path)
+        return True
+    except (FileNotFoundError, json.JSONDecodeError):
+        return False
+
+
+def verify_near_dup(
+    cand: DataFrame,
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of ``incremental_near_dup`` candidates:
+    joins each (new_doc, dup_of) pair back to its texts (batch side for
+    new docs, ``corpus_docs`` for indexed ones) and keeps pairs with true
+    shingle Jaccard ≥ threshold. Candidate count is LSH-bounded, so the
+    verification join touches only candidate texts, never the corpus."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.functions import (
+        text as T,
+    )
+
+    texts = corpus_docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).unionByName(
+        new_docs.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+        )
+    )
+    sh = texts.select(
+        "_id", T.shingles(F.col("_text"), n).alias("_sh")
+    )
+    a = sh.select(F.col("_id").alias("new_doc"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("dup_of"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "new_doc")
+        .join(b, "dup_of")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.when(union > 0, inter / union.cast("double")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc", "dup_of", "jaccard")
+    )
 
 
 def incremental_near_dup(

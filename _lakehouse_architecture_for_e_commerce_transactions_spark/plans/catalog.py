@@ -1359,9 +1359,11 @@ SELECT count(DISTINCT user_id) AS n_users, count(*) AS n_events FROM events
 
 def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     """HLL++ sketch vs exact: the estimate itself is implementation-
-    specific, so the oracle-checkable contract is the sketch's documented
-    error bound — |approx − exact| / exact ≤ 5% (default rsd) — emitted
-    as a boolean next to the exact count. The oracle asserts TRUE."""
+    specific, so the oracle-checkable contract is an error envelope —
+    |approx − exact| / exact ≤ 15% (3× the default rsd=0.05; a 1-sigma
+    5% bound would be exceeded ~32% of the time on an arbitrary
+    dataset/hash alignment) — emitted as a boolean next to the exact
+    count. The oracle asserts TRUE."""
     ev = load_table(spark, sf, "events")
     agg = ev.agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
@@ -1372,7 +1374,7 @@ def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
             / F.col("exact_users")
-            <= 0.05
+            <= 0.15
         ).alias("approx_ok"),
     )
 
@@ -3378,12 +3380,16 @@ tr AS (
   SELECT doc_id, count(*) AS n_grams,
          count(*) FILTER (WHERE g IN (SELECT g FROM ev)) AS n_hits
   FROM sh WHERE doc_id % 50 != 17 GROUP BY doc_id)
-SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
-       CAST(n_hits AS BIGINT) AS n_hits,
-       round(CASE WHEN n_grams > 0
+-- left join from ALL train docs: a doc shorter than n tokens generates
+-- no shingle rows, but the Spark operator still emits it with
+-- contamination 0.0 (pinned by test_contamination_short_doc_is_zero)
+SELECT b.doc_id, CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       round(CASE WHEN coalesce(n_grams, 0) > 0
                   THEN n_hits / CAST(n_grams AS DOUBLE) ELSE 0.0 END,
              6) AS contamination
-FROM tr
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 17) b
+LEFT JOIN tr USING (doc_id)
 """
 
 

@@ -153,6 +153,12 @@ def commit(
         schema_json = df.schema.json()
         if mode == "append" and vs:
             parent = load_snapshot(path, vs[-1])
+            if parent.part_entries is not None:
+                raise ValueError(
+                    "commit(mode='append') onto a merge-committed table "
+                    "would drop its carried-by-reference partitions; use "
+                    "merge_commit (or compact) on partitioned tables"
+                )
             dirs = parent.dirs + [commit_dir]
             if merge_schema:
                 schema_json = _merged_schema_json(parent.schema_json, df)
@@ -279,16 +285,42 @@ def merge_commit(
             )
     parts = list(spec.partition_by)
     if not parts:
-        # unpartitioned: the merge result IS the next full snapshot
+        # unpartitioned: the merge result IS the next full snapshot.
+        # Read-modify-write still needs optimistic concurrency: publish
+        # ONLY as base_version+1 — if another writer got there first the
+        # manifest create fails and this merge must re-run against the
+        # new head (a blind overwrite would silently erase its rows).
+        base_version = None
         try:
-            target = read(spark, path)
+            parent = load_snapshot(path)
+            base_version = parent.version
+            target = read(spark, path).select(*cols)
+            merged = M.merge_plan(source, target, spec)
         except FileNotFoundError:
-            target = None
-        merged = (
-            source if target is None
-            else M.merge_plan(source, target.select(*cols), spec)
-        )
-        return commit(spark, merged, path, mode="overwrite")
+            merged = source
+        commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
+        merged.write.mode("errorifexists").parquet(commit_dir)
+        next_v = 0 if base_version is None else base_version + 1
+        manifest = {
+            "version": next_v,
+            "dirs": [commit_dir],
+            "schema": merged.schema.json(),
+            "committed_at": time.time(),
+        }
+        os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
+        try:
+            fd = os.open(
+                _manifest_path(path, next_v),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            raise RuntimeError(
+                f"write conflict at {path}: version {next_v} was "
+                "committed concurrently; re-run the merge"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        return next_v
 
     base_version: int | None = None
     full_rewrite = False
@@ -405,15 +437,22 @@ def _hive_leaf_dirs(
     """Map partition-value tuples -> hive subdir for a partitioned write."""
     out: dict[tuple[str, ...], str] = {}
 
+    from urllib.parse import unquote
+
     def walk(d: str, vals: tuple[str, ...], depth: int) -> None:
         if depth == len(parts):
             out[vals] = d
             return
         for name in os.listdir(d):
             if name.startswith(f"{parts[depth]}="):
+                # Spark hive-escapes partition values in dir names
+                # ('North America' → 'North%20America'); unquote so the
+                # keys compare equal to affected_partitions()'s raw
+                # str(value) tuples — otherwise an escapable value keeps
+                # its stale carried entry AND gains a fresh one
                 walk(
                     os.path.join(d, name),
-                    vals + (name.split("=", 1)[1],),
+                    vals + (unquote(name.split("=", 1)[1]),),
                     depth + 1,
                 )
 

@@ -56,10 +56,13 @@ def stream_corpus_ingest(
     checkpoint_dir: str,
     available_now: bool = True,
     on_batch: Callable[[int, int, int], None] | None = None,
+    jaccard_threshold: float = 0.5,
 ) -> StreamingQuery:
     """Stream document CSVs from ``raw_dir``; drop near-dups of anything
     already ingested (or earlier in the same batch); append survivors to
-    the corpus snapshot table and their band rows to the index.
+    the corpus snapshot table and their band rows to the index. LSH
+    candidates are verified with exact Jaccard ≥ ``jaccard_threshold``
+    before anything is dropped.
 
     ``on_batch(batch_id, n_kept, n_dropped)`` is the observability hook.
     """
@@ -78,35 +81,59 @@ def stream_corpus_ingest(
         if not batch_df.take(1):
             return
         batch_df = batch_df.cache()
+        have_index = IX.index_exists(index_path)
         try:
-            IX._params(index_path)
-            have_index = True
+            corpus_docs = S.read(spark, corpus_path).select(
+                "doc_id", "text"
+            )
         except FileNotFoundError:
-            have_index = False
+            corpus_docs = None  # first batch, or crash before 1st commit
         if have_index:
+            cand = IX.incremental_near_dup(spark, batch_df, index_path)
+            # LSH candidates are probabilistic — verify with exact
+            # Jaccard before dropping (band collisions would otherwise
+            # delete unique documents)
+            ref = (
+                corpus_docs
+                if corpus_docs is not None
+                else batch_df.select("doc_id", "text").limit(0)
+            )
             dups = (
-                IX.incremental_near_dup(spark, batch_df, index_path)
+                IX.verify_near_dup(
+                    cand, batch_df, ref, threshold=jaccard_threshold
+                )
                 .select(F.col("new_doc").alias("doc_id"))
                 .distinct()
             )
             kept = batch_df.join(dups, "doc_id", "left_anti")
-            # replay guard: a crash between the corpus commit and the
-            # index commit would re-offer docs the index doesn't know
-            # yet — the id anti-join against the (column-pruned) corpus
-            # makes the batch exactly-once by doc_id
-            seen = S.read(spark, corpus_path).select("doc_id")
-            kept = kept.join(seen, "doc_id", "left_anti").cache()
+            # replay guard: docs already committed to the corpus drop by
+            # id (exactly-once by doc_id across checkpoint replays)
+            if corpus_docs is not None:
+                kept = kept.join(
+                    corpus_docs.select("doc_id"), "doc_id", "left_anti"
+                )
+            kept = kept.cache()
         else:
             kept = batch_df.cache()
         n_kept = kept.count()
         n_total = batch_df.count()
         if n_kept:
+            # index FIRST: if the crash falls between the two commits,
+            # replay re-offers the docs (not yet in the corpus), their
+            # duplicate band rows are benign (candidates are distinct),
+            # and both tables reconverge. Corpus-first would strand
+            # committed docs without band rows — permanently invisible
+            # to future dedup probes.
             if have_index:
-                S.commit(spark, kept, corpus_path, mode="append")
                 IX.update_minhash_index(spark, kept, index_path)
             else:
-                S.commit(spark, kept, corpus_path, mode="overwrite")
                 IX.build_minhash_index(spark, kept, index_path)
+            S.commit(
+                spark,
+                kept,
+                corpus_path,
+                mode="overwrite" if corpus_docs is None else "append",
+            )
         if on_batch is not None:
             on_batch(batch_id, n_kept, n_total - n_kept)
         kept.unpersist()

@@ -404,3 +404,40 @@ def test_schema_evolution_rejects_type_change(spark, tmp_path):
     bad = spark.createDataFrame([(2, 3)], "k int, v int")  # v: string -> int
     with pytest.raises(ValueError, match="cannot change"):
         S.commit(spark, bad, path, mode="append", merge_schema=True)
+
+
+def test_append_onto_merge_committed_table_rejected(spark, tmp_path):
+    """commit(append) would drop a merge table's carried-by-reference
+    partitions — it must refuse."""
+    path = str(tmp_path / "t")
+    S.merge_commit(spark, _mdf(spark, [(1, 1.0, "a"), (2, 2.0, "b")]), path, MSPEC)
+    with pytest.raises(ValueError, match="merge_commit"):
+        S.commit(spark, _mdf(spark, [(3, 3.0, "c")]), path, mode="append")
+
+
+def test_unpartitioned_merge_conflict_detected(spark, tmp_path, monkeypatch):
+    """Unpartitioned merge is read-modify-write: a concurrent commit
+    between read and publish must surface a write conflict, not silently
+    erase the other writer's rows."""
+    import dataclasses
+
+    spec = dataclasses.replace(MSPEC, partition_by=())
+    path = str(tmp_path / "t")
+    S.merge_commit(spark, _mdf(spark, [(1, 1.0, "a")]), path, spec)
+
+    real_read = S.read
+    state = {"raced": False}
+
+    def racing_read(sp, p, version=None):
+        out = real_read(sp, p, version)
+        if not state["raced"]:
+            state["raced"] = True
+            S.merge_commit(spark, _mdf(spark, [(9, 9.0, "a")]), p, spec)
+        return out
+
+    monkeypatch.setattr(S, "read", racing_read)
+    with pytest.raises(RuntimeError, match="conflict"):
+        S.merge_commit(spark, _mdf(spark, [(2, 2.0, "a")]), path, spec)
+    monkeypatch.setattr(S, "read", real_read)
+    # the concurrent writer's row survived
+    assert {r["pk"] for r in S.read(spark, path).collect()} == {1, 9}
