@@ -3769,6 +3769,201 @@ LIMIT 20
 """
 
 
+def q_table_changes_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-data-feed classification (Delta CDF / ``table_changes``
+    shape) over the merge_upsert_sim scenario: diff the pre-merge target
+    against the merged result, emitting insert / update_preimage /
+    update_postimage rows. One full-outer join on the key + one null-safe
+    struct compare — the relational core of ``sources.snapshots.
+    snapshot_diff`` (whose partition-pruned integration is pytest-pinned:
+    unchanged partitions are never read)."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources.snapshots import (
+        diff_frames,
+    )
+
+    o = load_table(spark, sf, "orders")
+    target = o.filter(F.col("o_orderkey") % 3 != 0)
+    source = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", money(F.col("o_totalprice") * 1.1)
+    )
+    spec = TableSpec(
+        name="orders_merge", schema=o.schema, primary_key="o_orderkey"
+    )
+    merged = M.merge_plan(source, target, spec)
+    old = target.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    new = merged.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    return diff_frames(old, new, ["o_orderkey"]).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total"),
+        "o_orderstatus",
+        F.col("_change_type").alias("change_type"),
+    )
+
+
+_TABLE_CHANGES_SQL = """
+WITH source AS (
+  SELECT o_orderkey, floor(o_totalprice * 1.1 * 100 + 0.5) / 100 AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 2 = 0),
+target AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 3 != 0),
+merged AS (
+  SELECT * FROM source
+  UNION ALL
+  SELECT t.* FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_totalprice AS op, n.o_totalprice AS np,
+         o.o_orderstatus AS os, n.o_orderstatus AS ns,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new
+  FROM target o FULL OUTER JOIN merged n ON o.o_orderkey = n.o_orderkey),
+diffed AS (
+  SELECT *, in_old AND in_new
+            AND (op IS DISTINCT FROM np OR os IS DISTINCT FROM ns) AS upd
+  FROM j)
+SELECT o_orderkey, round(np, 2) AS total, ns AS o_orderstatus,
+       'insert' AS change_type
+FROM diffed WHERE in_new AND NOT in_old
+UNION ALL
+SELECT o_orderkey, round(op, 2), os, 'delete'
+FROM diffed WHERE in_old AND NOT in_new
+UNION ALL
+SELECT o_orderkey, round(op, 2), os, 'update_preimage' FROM diffed WHERE upd
+UNION ALL
+SELECT o_orderkey, round(np, 2), ns, 'update_postimage' FROM diffed WHERE upd
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 keyword search over the documents table (query:
+    'hash join vector stream'), top-20 by score. The token stream is
+    filtered to the query's terms before any shuffle; corpus scalars
+    (N, avgdl) ride in on a 1-row broadcast. See operators/ranking.py."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.ranking import (
+        bm25_search,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return bm25_search(d, ["hash", "join", "vector", "stream"], top_n=20)
+
+
+_BM25_SQL = """
+WITH tok AS (
+  SELECT doc_id AS _id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+matched AS (
+  SELECT _id, term FROM tok
+  WHERE term IN ('hash', 'join', 'vector', 'stream')),
+tf AS (SELECT _id, term, count(*) AS tf FROM matched GROUP BY _id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT count(*) AS n_docs,
+         avg(len(regexp_split_to_array(trim(text), '\\s+'))) AS avgdl
+  FROM documents),
+dl AS (
+  SELECT doc_id AS _id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS dl
+  FROM documents),
+scored AS (
+  SELECT tf._id,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+           AS term_score
+  FROM tf JOIN dfreq USING (term) JOIN dl ON tf._id = dl._id, stats)
+SELECT _id AS doc_id, round(sum(term_score), 6) AS score,
+       count(*) AS n_matched
+FROM scored GROUP BY _id
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM quality scoring (perplexity-filter stand-in): mean
+    token log-prob under an add-one-smoothed model trained on the corpus
+    itself. Per-token log-probs are quantized to BIGINT micro-nats before
+    the per-doc sum, so the aggregate is summation-order-proof (the
+    float-sum hash-drift class, designed out). Bottom-20 docs — the rows
+    a perplexity filter would actually drop."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.ranking import (
+        unigram_logprob,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return (
+        unigram_logprob(d)
+        .orderBy("mean_logprob", "doc_id")
+        .limit(20)
+    )
+
+
+_UNIGRAM_SQL = """
+WITH tok AS (
+  SELECT doc_id AS _id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+model AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+totals AS (SELECT sum(c) AS t_tokens, count(*) AS v_size FROM model),
+lp AS (
+  SELECT term,
+         CAST(round(ln((c + 1) / CAST(t_tokens + v_size AS DOUBLE)) * 1e6, 0)
+              AS BIGINT) AS lp_micro
+  FROM model, totals)
+SELECT _id AS doc_id, count(*) AS n_tokens,
+       round(sum(lp_micro) / count(*) / 1e6, 6) AS mean_logprob
+FROM tok JOIN lp USING (term)
+GROUP BY _id
+ORDER BY mean_logprob, doc_id
+LIMIT 20
+"""
+
+
+def q_percentile_envelope(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_percentile (GK sketch) vs exact interpolated percentile in
+    one aggregate over lineitem prices. The sketch value is
+    implementation-specific, so the oracle-checkable contract is the
+    envelope: at accuracy 10000 the rank error is ≤ n/10000, which for
+    these quantiles bounds the value error well inside 1% relative —
+    emitted as booleans next to the exact (engine-portable) values."""
+    li = load_table(spark, sf, "lineitem")
+    agg = li.agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.75], 10000
+        ).alias("approx"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))"
+        ).alias("exact"),
+    )
+    out = agg.select(
+        *[
+            F.round(F.col("exact")[i], 2).alias(f"exact_p{p}")
+            for i, p in enumerate((25, 50, 75))
+        ],
+        *[
+            (
+                F.abs(F.col("approx")[i] - F.col("exact")[i])
+                / F.col("exact")[i]
+                <= 0.01
+            ).alias(f"ok_p{p}")
+            for i, p in enumerate((25, 50, 75))
+        ],
+    )
+    return out
+
+
+_PCT_ENVELOPE_SQL = """
+SELECT round(quantile_cont(l_extendedprice, 0.25), 2) AS exact_p25,
+       round(quantile_cont(l_extendedprice, 0.50), 2) AS exact_p50,
+       round(quantile_cont(l_extendedprice, 0.75), 2) AS exact_p75,
+       TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p75
+FROM lineitem
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3932,6 +4127,10 @@ CATALOG: dict[str, QueryDef] = {
     "vector_array_funcs": QueryDef(q_vector_array_funcs, _VECTOR_FUNCS_SQL),
     "bpe_pair_merges": QueryDef(q_bpe_pair_merges, _BPE_PAIRS_SQL),
     "semantic_dedup": QueryDef(q_semantic_dedup, _SEMANTIC_DEDUP_SQL),
+    "table_changes_sim": QueryDef(q_table_changes_sim, _TABLE_CHANGES_SQL),
+    "bm25_search": QueryDef(q_bm25_search, _BM25_SQL),
+    "unigram_logprob": QueryDef(q_unigram_logprob, _UNIGRAM_SQL),
+    "percentile_envelope": QueryDef(q_percentile_envelope, _PCT_ENVELOPE_SQL),
 }
 
 

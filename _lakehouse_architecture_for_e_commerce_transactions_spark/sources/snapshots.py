@@ -46,6 +46,7 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFESTS = "_manifests"
 _DATA = "data"
@@ -143,6 +144,7 @@ def commit(
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
+    df = _apply_constraint_guard(df, path)
     commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
     df.write.mode("errorifexists").parquet(commit_dir)
 
@@ -298,6 +300,7 @@ def merge_commit(
             merged = M.merge_plan(source, target, spec)
         except FileNotFoundError:
             merged = source
+        merged = _apply_constraint_guard(merged, path)
         commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
         merged.write.mode("errorifexists").parquet(commit_dir)
         next_v = 0 if base_version is None else base_version + 1
@@ -347,6 +350,7 @@ def merge_commit(
     except FileNotFoundError:
         parent, merged, affected = None, source, None  # initial commit
 
+    merged = _apply_constraint_guard(merged, path)
     commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
     (
         merged.write.mode("errorifexists")
@@ -356,7 +360,33 @@ def merge_commit(
     written = _hive_leaf_dirs(commit_dir, parts)
     if affected is None:
         affected = set(written)
+    return _publish_partitioned(
+        path,
+        base_version,
+        affected,
+        written,
+        commit_dir,
+        parts,
+        merged.schema.json(),
+        full_rewrite,
+        max_retries,
+    )
 
+
+def _publish_partitioned(
+    path: str,
+    base_version: int | None,
+    affected: set[tuple[str, ...]],
+    written: dict[tuple[str, ...], str],
+    commit_dir: str,
+    parts: list[str],
+    schema_json: str,
+    full_rewrite: bool,
+    max_retries: int,
+) -> int:
+    """Publish an already-written partition-granular rewrite (MERGE or
+    DELETE) as the next version: carry unaffected entries by reference,
+    rebase across disjoint intervening commits, conflict otherwise."""
     for _ in range(max_retries):
         head = None
         try:
@@ -414,7 +444,7 @@ def merge_commit(
             "dirs": [commit_dir],
             "part_entries": carried + fresh,
             "partition_by": parts,
-            "schema": merged.schema.json(),
+            "schema": schema_json,
             "committed_at": time.time(),
         }
         os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
@@ -429,6 +459,296 @@ def merge_commit(
             json.dump(manifest, f)
         return next_v
     raise RuntimeError(f"commit contention at {path}: {max_retries} retries")
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    max_retries: int = 10,
+) -> int:
+    """``DELETE FROM <table> WHERE predicate`` published as an atomic
+    next version (Delta DELETE semantics). Returns the new version, or
+    the unchanged head version when no row matches (no empty commit).
+
+    On a merge-committed (partition-granular) table only partitions that
+    contain matching rows are rewritten — every other partition carries
+    forward by reference, so DELETE cost scales with affected partitions,
+    not table size (the GDPR-erasure shape: deleting one user touches
+    only the partitions holding their rows). Fully-emptied partitions
+    drop out of the manifest. Concurrency follows MERGE's rules: commits
+    touching disjoint partitions rebase; overlapping ones conflict.
+    """
+    base = load_snapshot(path)
+    data = read(spark, path)
+    cond = F.expr(predicate)
+    parts = base.partition_by or []
+    if base.part_entries is None or not parts:
+        # plain table: read-modify-write, publish strictly at base+1
+        survivors = data.filter(~cond)
+        if data.filter(cond).limit(1).count() == 0:
+            return base.version
+        commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
+        survivors.write.mode("errorifexists").parquet(commit_dir)
+        manifest = {
+            "version": base.version + 1,
+            "dirs": [commit_dir],
+            "schema": base.schema_json,
+            "committed_at": time.time(),
+        }
+        os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
+        try:
+            fd = os.open(
+                _manifest_path(path, base.version + 1),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            raise RuntimeError(
+                f"write conflict at {path}: version {base.version + 1} "
+                "was committed concurrently; re-run the delete"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        return base.version + 1
+
+    # partition-granular: find partitions holding matching rows (bounded
+    # by partition count — the same contract as affected_partitions)
+    hit_rows = data.filter(cond).select(*parts).distinct().collect()
+    if not hit_rows:
+        return base.version
+    affected = {tuple(str(r[p]) for p in parts) for r in hit_rows}
+    import functools
+    import operator
+
+    part_match = functools.reduce(
+        operator.or_,
+        (
+            functools.reduce(
+                operator.and_,
+                (F.col(p).eqNullSafe(F.lit(r[p])) for p in parts),
+            )
+            for r in hit_rows
+        ),
+    )
+    survivors = data.filter(part_match).filter(~cond)
+    commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
+    (
+        survivors.write.mode("errorifexists")
+        .partitionBy(*parts)
+        .parquet(commit_dir)
+    )
+    written = _hive_leaf_dirs(commit_dir, parts)
+    return _publish_partitioned(
+        path,
+        base.version,
+        affected,
+        written,
+        commit_dir,
+        parts,
+        base.schema_json,
+        False,
+        max_retries,
+    )
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    key: str | list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change-data feed between two committed versions (the Delta CDF /
+    ``table_changes`` shape): one row per change with ``_change_type`` in
+    ``insert | delete | update_preimage | update_postimage``, keyed by
+    ``key``. Updates emit both images, Delta-style.
+
+    Scale: on merge-committed tables, partitions whose manifest entry
+    points at the *same immutable data dir* in both versions are pruned
+    from the comparison entirely — commit dirs are never rewritten in
+    place, so an identical reference proves identical rows. Diff cost
+    follows changed partitions, not table size. (A compaction rewrites
+    every dir, so a diff spanning one degrades to a full compare and
+    correctly reports zero changes.)
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    old_snap = load_snapshot(path, from_version)
+    new_snap = load_snapshot(path, to_version)
+    prune: set[tuple[str, ...]] | None = None
+    if old_snap.part_entries is not None and new_snap.part_entries is not None:
+        old_dirs = {tuple(e["parts"]): e["dir"] for e in old_snap.part_entries}
+        new_dirs = {tuple(e["parts"]): e["dir"] for e in new_snap.part_entries}
+        prune = {
+            pt
+            for pt, d in old_dirs.items()
+            if new_dirs.get(pt) == d
+        }
+    old = _read_snapshot_pruned(spark, path, old_snap, prune)
+    new = _read_snapshot_pruned(spark, path, new_snap, prune)
+
+    # align the old side to the new schema (evolution adds columns; a
+    # version that predates one reads as null there)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(new_snap.schema_json))
+    cols = [f.name for f in schema.fields]
+    old_have = set(old.columns)
+    old = old.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in old_have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    return diff_frames(old, new, keys)
+
+
+def diff_frames(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """The CDC classification core (shared by ``snapshot_diff`` and the
+    catalog's oracle-checked sim): one full-outer join on ``keys``, one
+    pass, emitting ``insert | delete | update_preimage |
+    update_postimage`` rows. Updates are detected with a single
+    null-safe struct comparison over the non-key columns."""
+    cols = new.columns
+    vals = [c for c in cols if c not in keys]
+    o = old.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in vals],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in vals],
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, keys, "full_outer")
+    in_old = F.col("__in_old").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
+    differs = ~F.struct(*[F.col(f"__o_{c}") for c in vals]).eqNullSafe(
+        F.struct(*[F.col(f"__n_{c}") for c in vals])
+    )
+
+    def img(side: str, ct: str):
+        return F.struct(
+            *[F.col(f"__{side}_{c}").alias(c) for c in vals],
+            F.lit(ct).alias("_change_type"),
+        )
+
+    changes = F.array_compact(
+        F.array(
+            F.when(~in_old & in_new, img("n", "insert")),
+            F.when(in_old & ~in_new, img("o", "delete")),
+            F.when(in_old & in_new & differs, img("o", "update_preimage")),
+            F.when(in_old & in_new & differs, img("n", "update_postimage")),
+        )
+    )
+    return (
+        j.select(*keys, F.explode(changes).alias("__c"))
+        .select(*keys, *[F.col(f"__c.{c}") for c in vals], "__c._change_type")
+    )
+
+
+def _read_snapshot_pruned(
+    spark: SparkSession,
+    path: str,
+    snap: Snapshot,
+    prune: set[tuple[str, ...]] | None,
+) -> DataFrame:
+    """Read a snapshot, skipping partition entries in ``prune`` (entries
+    proven unchanged by dir identity). Falls back to a full read for
+    plain snapshots."""
+    if snap.part_entries is None or not prune:
+        return read(spark, path, snap.version)
+    from collections import defaultdict
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(snap.schema_json))
+    groups: dict[str, list[str]] = defaultdict(list)
+    kept = [e for e in snap.part_entries if tuple(e["parts"]) not in prune]
+    if not kept:
+        return spark.createDataFrame([], schema)
+    for e in kept:
+        groups[e["base"]].append(e["dir"])
+    frames = [
+        spark.read.option("basePath", base).parquet(*dirs)
+        for base, dirs in groups.items()
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
+_TABLE_META = "_table_meta.json"
+
+
+def _load_table_meta(path: str) -> dict:
+    try:
+        with open(os.path.join(path, _TABLE_META)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def _store_table_meta(path: str, meta: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, _TABLE_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _TABLE_META))
+
+
+def set_check_constraint(path: str, name: str, expression: str) -> None:
+    """Register a CHECK constraint (a boolean SQL expression every row of
+    every future commit must satisfy — Delta's ``ADD CONSTRAINT``)."""
+    meta = _load_table_meta(path)
+    meta.setdefault("constraints", {})[name] = expression
+    _store_table_meta(path, meta)
+
+
+def drop_check_constraint(path: str, name: str) -> None:
+    meta = _load_table_meta(path)
+    meta.get("constraints", {}).pop(name, None)
+    _store_table_meta(path, meta)
+
+
+def check_constraints(path: str) -> dict[str, str]:
+    return dict(_load_table_meta(path).get("constraints", {}))
+
+
+def _apply_constraint_guard(df: DataFrame, path: str) -> DataFrame:
+    """Enforce CHECK constraints with zero extra scans: wrap the first
+    column in a ``raise_error`` guard evaluated during the data write
+    itself, so a violating row fails the write job *before* publication
+    (the crashed commit dir is unreferenced — vacuum fodder), exactly
+    like Delta's per-task invariant checks. No pre-scan, no second pass.
+    """
+    constraints = check_constraints(path)
+    if not constraints:
+        return df
+    first = df.schema.fields[0]
+    guard = F.col(first.name)
+    for cname, expr in constraints.items():
+        ok = F.coalesce(F.expr(expr), F.lit(False))
+        guard = F.when(
+            ~ok,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"CHECK constraint {cname!r} ({expr}) violated by "
+                        "row: "
+                    ),
+                    F.to_json(F.struct(*df.columns)),
+                )
+            ).cast(first.dataType),
+        ).otherwise(guard)
+    return df.withColumn(first.name, guard)
 
 
 def _hive_leaf_dirs(

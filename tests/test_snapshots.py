@@ -441,3 +441,115 @@ def test_unpartitioned_merge_conflict_detected(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(S, "read", real_read)
     # the concurrent writer's row survived
     assert {r["pk"] for r in S.read(spark, path).collect()} == {1, 9}
+
+
+def test_delete_where_plain_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a"), (2, "b"), (3, "c")]), path)
+    v = S.delete_where(spark, path, "k % 2 = 0")
+    assert v == 1
+    assert {r["k"] for r in S.read(spark, path).collect()} == {1, 3}
+    # time travel still sees the deleted row
+    assert {r["k"] for r in S.read(spark, path, 0).collect()} == {1, 2, 3}
+    # no-match delete publishes no empty commit
+    assert S.delete_where(spark, path, "k = 99") == 1
+
+
+def test_delete_where_rewrites_only_affected_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.merge_commit(
+        spark,
+        _mdf(spark, [(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, "b"), (4, 4.0, "c")]),
+        path,
+        MSPEC,
+    )
+    before = {
+        tuple(e["parts"]): e["dir"]
+        for e in S.load_snapshot(path).part_entries
+    }
+    v = S.delete_where(spark, path, "pk = 3")
+    assert v == 1
+    after = {
+        tuple(e["parts"]): e["dir"]
+        for e in S.load_snapshot(path).part_entries
+    }
+    # untouched partitions carry forward by reference (same immutable dir)
+    assert after[("a",)] == before[("a",)]
+    assert after[("c",)] == before[("c",)]
+    assert after[("b",)] != before[("b",)]
+    got = {r["pk"] for r in S.read(spark, path).collect()}
+    assert got == {1, 2, 4}
+
+
+def test_delete_where_drops_emptied_partition(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.merge_commit(
+        spark, _mdf(spark, [(1, 1.0, "a"), (2, 2.0, "b")]), path, MSPEC
+    )
+    S.delete_where(spark, path, "part = 'b'")
+    snap = S.load_snapshot(path)
+    assert {tuple(e["parts"]) for e in snap.part_entries} == {("a",)}
+    assert {r["pk"] for r in S.read(spark, path).collect()} == {1}
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.merge_commit(
+        spark, _mdf(spark, [(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, "c")]),
+        path, MSPEC,
+    )
+    S.merge_commit(
+        spark, _mdf(spark, [(2, 9.0, "b"), (4, 4.0, "d")]), path, MSPEC
+    )
+    S.delete_where(spark, path, "pk = 3")
+    diff = S.snapshot_diff(spark, path, "pk", 0, 2).collect()
+    got = sorted((r["pk"], r["_change_type"]) for r in diff)
+    assert got == [
+        (2, "update_postimage"),
+        (2, "update_preimage"),
+        (3, "delete"),
+        (4, "insert"),
+    ]
+    pre = [r for r in diff if r["_change_type"] == "update_preimage"][0]
+    post = [r for r in diff if r["_change_type"] == "update_postimage"][0]
+    assert (pre["amt"], post["amt"]) == (2.0, 9.0)
+
+
+def test_snapshot_diff_prunes_unchanged_partitions(spark, tmp_path):
+    """Partitions carried by reference must be excluded from the compare
+    — the diff plan reads only changed partitions' files."""
+    path = str(tmp_path / "t")
+    S.merge_commit(
+        spark, _mdf(spark, [(1, 1.0, "a"), (2, 2.0, "b")]), path, MSPEC
+    )
+    S.merge_commit(spark, _mdf(spark, [(2, 9.0, "b")]), path, MSPEC)
+    diff = S.snapshot_diff(spark, path, "pk", 0, 1)
+    files = [
+        f for f in diff.inputFiles() if "part=a" in f
+    ]
+    assert files == []  # partition a carried by reference: never read
+    got = sorted((r["pk"], r["_change_type"]) for r in diff.collect())
+    assert got == [(2, "update_postimage"), (2, "update_preimage")]
+
+
+def test_check_constraint_blocks_bad_commit(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.set_check_constraint(path, "v_nonempty", "v IS NOT NULL AND v != ''")
+    S.commit(spark, _df(spark, [(1, "a")]), path)  # passes
+    with pytest.raises(Exception, match="v_nonempty"):
+        S.commit(spark, _df(spark, [(2, "")]), path, mode="append")
+    # failed write never published: head still v0 with the good row
+    assert S.load_snapshot(path).version == 0
+    assert {r["k"] for r in S.read(spark, path).collect()} == {1}
+
+
+def test_check_constraint_enforced_on_merge(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.set_check_constraint(path, "amt_positive", "amt > 0")
+    S.merge_commit(spark, _mdf(spark, [(1, 1.0, "a")]), path, MSPEC)
+    with pytest.raises(Exception, match="amt_positive"):
+        S.merge_commit(spark, _mdf(spark, [(2, -5.0, "a")]), path, MSPEC)
+    assert S.load_snapshot(path).version == 0
+    S.drop_check_constraint(path, "amt_positive")
+    v = S.merge_commit(spark, _mdf(spark, [(2, -5.0, "a")]), path, MSPEC)
+    assert v == 1
