@@ -3964,6 +3964,32 @@ FROM lineitem
 """
 
 
+def q_bpe_learned_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """The full BPE tokenizer loop (operators/bpe.py): learn 3 merges —
+    a driver loop over bounded state where each iteration is one
+    map-side-combined pair count plus a narrow expression-fold merge —
+    then encode with the Arrow-batched mapInPandas encoder; per-doc
+    compression stats. No SQL oracle: genuinely iterative (the driver
+    records the weaker rows-only check); the learning step and
+    encode ≡ fold equivalence are pytest-pinned (tests/test_bpe.py)."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        bpe as B,
+    )
+
+    d = load_table(spark, sf, "documents")
+    merges = B.learn_bpe(spark, d, n_merges=3, min_count=2)
+    enc = B.bpe_encode(d, merges)
+    return (
+        enc.select(
+            "doc_id",
+            F.size("bpe_tokens").alias("n_bpe_tokens"),
+            T.token_count(F.col("text")).alias("n_ws_tokens"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4131,6 +4157,7 @@ CATALOG: dict[str, QueryDef] = {
     "bm25_search": QueryDef(q_bm25_search, _BM25_SQL),
     "unigram_logprob": QueryDef(q_unigram_logprob, _UNIGRAM_SQL),
     "percentile_envelope": QueryDef(q_percentile_envelope, _PCT_ENVELOPE_SQL),
+    "bpe_learned_encode": QueryDef(q_bpe_learned_encode, None),
 }
 
 
