@@ -3964,6 +3964,62 @@ FROM lineitem
 """
 
 
+def q_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): encode the corpus to
+    8 one-byte codes (8 subspaces × 8 deterministic head-pick codes over
+    the 64-dim embeddings), then rank against each query's ADC lookup
+    table. Encoding is a shuffle-free literal-centroid projection
+    (pytest-pinned); LUT distances are BIGINT micro-units so the
+    per-(query, vector) sum is summation-order-proof; top-k uses the
+    two-stage partial ranking. Same query/corpus split as cosine_topk —
+    PQ is its compressed-scan counterpart (≈64× less scan IO at 100 TB).
+    """
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        pq as PQ,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    books = PQ.pq_codebooks_head(corpus, m=8, k_codes=8)
+    codes = PQ.pq_encode(corpus, books)
+    out = PQ.pq_adc_topk(spark, queries, codes, books, k=5)
+    return out.select(
+        "qid", "cid", "adc_d2", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_PQ_ADC_SQL = """
+WITH corpus AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 50 != 0),
+qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings WHERE vec_id % 50 = 0),
+heads AS (SELECT row_number() OVER (ORDER BY id) - 1 AS code, v
+          FROM corpus ORDER BY id LIMIT 8),
+cb AS (SELECT js.j, heads.code, (heads.v)[js.j*8+1 : js.j*8+8] AS cent
+       FROM heads, (SELECT unnest(generate_series(0, 7)) AS j) js),
+d AS (SELECT c.id, cb.j, cb.code,
+        list_reduce(list_transform(generate_series(1, 8),
+          i -> ((c.v)[cb.j*8+i] - cb.cent[i]) * ((c.v)[cb.j*8+i] - cb.cent[i])),
+          (x, y) -> x + y) AS d2
+      FROM corpus c, cb),
+enc AS (SELECT id, j, code FROM (
+          SELECT *, row_number() OVER (PARTITION BY id, j ORDER BY d2, code) AS rn
+          FROM d) WHERE rn = 1),
+lut AS (SELECT q.qid, cb.j, cb.code,
+          CAST(round(list_reduce(list_transform(generate_series(1, 8),
+            i -> ((q.v)[cb.j*8+i] - cb.cent[i]) * ((q.v)[cb.j*8+i] - cb.cent[i])),
+            (x, y) -> x + y) * 1e6, 0) AS BIGINT) AS d2_micro
+        FROM qs q, cb),
+scored AS (SELECT l.qid, e.id, CAST(sum(l.d2_micro) AS BIGINT) AS adc_d2
+           FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.code
+           GROUP BY l.qid, e.id)
+SELECT qid, id AS cid, adc_d2,
+       row_number() OVER (PARTITION BY qid ORDER BY adc_d2, id) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
+
 def q_bpe_learned_encode(spark: SparkSession, sf: str) -> DataFrame:
     """The full BPE tokenizer loop (operators/bpe.py): learn 3 merges —
     a driver loop over bounded state where each iteration is one
@@ -4158,6 +4214,7 @@ CATALOG: dict[str, QueryDef] = {
     "unigram_logprob": QueryDef(q_unigram_logprob, _UNIGRAM_SQL),
     "percentile_envelope": QueryDef(q_percentile_envelope, _PCT_ENVELOPE_SQL),
     "bpe_learned_encode": QueryDef(q_bpe_learned_encode, None),
+    "pq_adc_topk": QueryDef(q_pq_adc_topk, _PQ_ADC_SQL),
 }
 
 

@@ -22,13 +22,14 @@ def test_contract_shapes(spark):
     o = E.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 40
-    # rows-only entries are exactly the non-SQL-reproducible ops (the
-    # mapInPandas/BLAS variants whose value contract is asserted against
-    # their expression twins in tests instead)
+    # rows-only entries are exactly the non-SQL-reproducible ops: the
+    # mapInPandas/BLAS variants (value contract asserted against their
+    # expression twins in tests) and the genuinely iterative BPE loop
     assert set(q) - set(o) == {
         "cosine_topk_fast",
         "minhash_fast",
         "simhash_signatures",
+        "bpe_learned_encode",
     }
 
 

@@ -1,0 +1,92 @@
+"""Product quantization: encode vs numpy argmin, ADC top-k vs numpy
+reference, trained-codebook path, shuffle-free encode plan."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+    pq as PQ,
+)
+
+
+def _corpus(spark, n=40, d=8, seed=7):
+    rng = np.random.RandomState(seed)
+    rows = [(i, [float(x) for x in rng.randn(d)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), rows
+
+
+def test_encode_matches_numpy_argmin(spark):
+    df, rows = _corpus(spark)
+    books = PQ.pq_codebooks_head(df, m=2, k_codes=4)
+    got = {r["id"]: r["codes"] for r in PQ.pq_encode(df, books).collect()}
+    sub_d = 4
+    for i, v in rows:
+        v = np.array(v)
+        for j in range(2):
+            sub = v[j * sub_d : (j + 1) * sub_d]
+            d2 = [
+                float(((sub - np.array(c)) ** 2).sum())
+                for c in books[j]
+            ]
+            assert got[i][j] == int(np.argmin(d2))
+
+
+def test_adc_topk_matches_numpy(spark):
+    df, rows = _corpus(spark)
+    books = PQ.pq_codebooks_head(df, m=2, k_codes=4)
+    codes_df = PQ.pq_encode(df, books)
+    queries = df.filter("vec_id IN (3, 17)")
+    got = [
+        (r["qid"], r["cid"], r["rank"])
+        for r in PQ.pq_adc_topk(spark, queries, codes_df, books, k=3)
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    # numpy reference: same quantization (micro-units, per-entry round)
+    codes = {r["id"]: r["codes"] for r in codes_df.collect()}
+    sub_d = 4
+    expect = []
+    for qid in (3, 17):
+        qv = np.array(dict(rows)[qid])
+        lut = [
+            [
+                int(round(float(((qv[j * sub_d : (j + 1) * sub_d] - np.array(c)) ** 2).sum()) * 1e6))
+                for c in books[j]
+            ]
+            for j in range(2)
+        ]
+        scored = sorted(
+            (sum(lut[j][cs[j]] for j in range(2)), i)
+            for i, cs in codes.items()
+        )
+        expect.extend((qid, i, r + 1) for r, (_, i) in enumerate(scored[:3]))
+    assert sorted(got) == sorted(expect)
+
+
+def test_trained_codebooks_shape_and_usable(spark):
+    df, _ = _corpus(spark, n=30)
+    books = PQ.pq_codebooks_kmeans(df, m=2, k_codes=3, iters=2)
+    assert len(books) == 2 and len(books[0]) == 3 and len(books[0][0]) == 4
+    enc = PQ.pq_encode(df, books)
+    assert enc.count() == 30
+    assert all(0 <= c <= 2 for r in enc.collect() for c in r["codes"])
+
+
+def test_dim_not_divisible_raises(spark):
+    df, _ = _corpus(spark, d=6)
+    with pytest.raises(ValueError, match="divisible"):
+        PQ.pq_codebooks_head(df, m=4, k_codes=2)
+
+
+def test_encode_plan_is_shuffle_free(spark):
+    df, _ = _corpus(spark)
+    books = PQ.pq_codebooks_head(df, m=2, k_codes=4)
+    plan = (
+        PQ.pq_encode(df, books)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
