@@ -63,13 +63,14 @@ def bm25_search(
         F.count(F.lit(1)).alias("tf")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(T.token_count(F.col(text_col))).alias("avgdl"),
-    )
     dl = docs.select(
         F.col(id_col).alias("_id"),
         T.token_count(F.col(text_col)).alias("dl"),
+    )
+    # N/avgdl derive from the dl projection — the corpus is scanned
+    # twice total (token stream + doc lengths), not three times
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     idf = F.log(
         F.lit(1.0)

@@ -3964,6 +3964,94 @@ FROM lineitem
 """
 
 
+def q_gap_fill_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap fill with linear interpolation: per-priority daily
+    revenue where every 3rd day-of-month is deterministically masked as
+    missing, then reconstructed from the nearest observed neighbors
+    (last/first_value IGNORE NULLS + day-distance weighting; edges
+    carry the single neighbor). Windows are partitioned by the series
+    key — per-series state, not a global sort, which is what keeps the
+    operator viable across millions of series at 100 TB."""
+    o = load_table(spark, sf, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(money(F.sum(money(F.col("o_totalprice")))).alias("revenue"))
+    obs = daily.withColumn(
+        "observed", F.dayofmonth("day") % 3 != 0
+    ).withColumn(
+        "obs_rev", F.when(F.col("observed"), F.col("revenue"))
+    )
+    back = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_rev = F.last("obs_rev", ignorenulls=True).over(back)
+    prev_day = F.last(
+        F.when(F.col("observed"), F.col("day")), ignorenulls=True
+    ).over(back)
+    next_rev = F.first("obs_rev", ignorenulls=True).over(fwd)
+    next_day = F.first(
+        F.when(F.col("observed"), F.col("day")), ignorenulls=True
+    ).over(fwd)
+    span = F.datediff(next_day, prev_day)
+    frac = F.datediff(F.col("day"), prev_day) / span
+    filled = (
+        F.when(F.col("observed"), F.col("revenue"))
+        .when(prev_rev.isNull(), next_rev)
+        .when(next_rev.isNull(), prev_rev)
+        .otherwise(prev_rev + (next_rev - prev_rev) * frac)
+    )
+    return obs.select(
+        "o_orderpriority",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("observed"),
+        money(filled).alias("revenue_filled"),
+    )
+
+
+_GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         floor(sum(floor(o_totalprice * 100 + 0.5) / 100) * 100 + 0.5) / 100
+           AS revenue
+  FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)),
+obs AS (
+  SELECT *, dayofmonth(day) % 3 != 0 AS observed,
+         CASE WHEN dayofmonth(day) % 3 != 0 THEN revenue END AS obs_rev
+  FROM daily),
+neigh AS (
+  SELECT *,
+    last_value(obs_rev IGNORE NULLS) OVER w_back AS prev_rev,
+    last_value(CASE WHEN observed THEN day END IGNORE NULLS) OVER w_back
+      AS prev_day,
+    first_value(obs_rev IGNORE NULLS) OVER w_fwd AS next_rev,
+    first_value(CASE WHEN observed THEN day END IGNORE NULLS) OVER w_fwd
+      AS next_day
+  FROM obs
+  WINDOW
+    w_back AS (PARTITION BY o_orderpriority ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY o_orderpriority ORDER BY day
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT o_orderpriority, strftime(day, '%Y-%m-%d') AS day, observed,
+       floor((CASE
+         WHEN observed THEN revenue
+         WHEN prev_rev IS NULL THEN next_rev
+         WHEN next_rev IS NULL THEN prev_rev
+         ELSE prev_rev + (next_rev - prev_rev)
+              * (date_diff('day', prev_day, day)
+                 / CAST(date_diff('day', prev_day, next_day) AS DOUBLE))
+       END) * 100 + 0.5) / 100 AS revenue_filled
+FROM neigh
+"""
+
+
 def q_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization ANN (operators/pq.py): encode the corpus to
     8 one-byte codes (8 subspaces × 8 deterministic head-pick codes over
@@ -4215,6 +4303,7 @@ CATALOG: dict[str, QueryDef] = {
     "percentile_envelope": QueryDef(q_percentile_envelope, _PCT_ENVELOPE_SQL),
     "bpe_learned_encode": QueryDef(q_bpe_learned_encode, None),
     "pq_adc_topk": QueryDef(q_pq_adc_topk, _PQ_ADC_SQL),
+    "gap_fill_interpolate": QueryDef(q_gap_fill_interpolate, _GAP_FILL_SQL),
 }
 
 
