@@ -4138,6 +4138,57 @@ def q_bpe_learned_encode(spark: SparkSession, sf: str) -> DataFrame:
 # Registry
 # --------------------------------------------------------------------------
 
+def q_stats_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Manifest-stats data skipping end to end (the Delta/Iceberg
+    data-skipping analog over `sources.snapshots`, ref curated zone
+    `src/glue_scripts/orders_etl.py:67-74`): commit orders as a
+    Z-ordered snapshot table recording per-file min/max, then scan it
+    through ``read_where``, which drops files at PLANNING time from the
+    manifest alone. Pruning is an optimization, never a correctness
+    dependency — the result equals a plain filtered scan (the oracle);
+    the actual file-skip ratios are pinned by tests/test_fileskip.py."""
+    import os as _os
+    import tempfile as _tf
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as SN,
+    )
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = _os.path.join(
+        _tf.gettempdir(),
+        f"sparkgraft_statsprune_{_os.path.basename(sf.rstrip('/'))}",
+    )
+    SN.commit(
+        spark,
+        o,
+        path,
+        stats_for=["o_custkey", "o_totalprice"],
+        cluster_by=["o_custkey", "o_totalprice"],
+        n_files=16,
+    )
+    SN.vacuum(path, keep_last=1)  # bound repeated-run disk growth
+    return SN.read_where(
+        spark,
+        path,
+        [("o_custkey", "<", 300), ("o_totalprice", ">=", 100000.0)],
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        money(F.col("o_totalprice")).alias("total"),
+    )
+
+
+_STATS_PRUNE_SQL = """
+SELECT o_orderkey, o_custkey,
+       floor(o_totalprice * 100 + 0.5) / 100 AS total
+FROM orders
+WHERE o_custkey < 300 AND o_totalprice >= 100000.0
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # Registry order is load-bearing: the external correctness driver
     # checks the FIRST 50 entries each round. Rounds rotate the front so
@@ -4304,6 +4355,7 @@ CATALOG: dict[str, QueryDef] = {
     "bpe_learned_encode": QueryDef(q_bpe_learned_encode, None),
     "pq_adc_topk": QueryDef(q_pq_adc_topk, _PQ_ADC_SQL),
     "gap_fill_interpolate": QueryDef(q_gap_fill_interpolate, _GAP_FILL_SQL),
+    "stats_pruned_scan": QueryDef(q_stats_pruned_scan, _STATS_PRUNE_SQL),
 }
 
 

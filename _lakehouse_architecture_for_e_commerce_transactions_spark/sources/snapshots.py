@@ -64,6 +64,11 @@ class Snapshot:
     # partition column names for merge-committed tables (for maintenance
     # ops like compact() that need to re-derive the layout)
     partition_by: list[str] | None = None
+    # per-data-file column statistics for planning-time skipping:
+    # {file_path: {"rows": n, "cols": {col: {"min","max","nulls"}}}}
+    file_stats: dict | None = None
+    # which columns stats were collected for (compact() re-collects them)
+    stats_cols: list[str] | None = None
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -97,6 +102,8 @@ def load_snapshot(path: str, version: int | None = None) -> Snapshot:
         m["committed_at"],
         m.get("part_entries"),
         m.get("partition_by"),
+        m.get("file_stats"),
+        m.get("stats_cols"),
     )
 
 
@@ -121,6 +128,94 @@ def _merged_schema_json(parent_json: str, df: DataFrame) -> str:
     return StructType(merged).json()
 
 
+def _enc_stat(v):
+    """JSON-encode a parquet-footer min/max value, tagging the types JSON
+    can't round-trip natively."""
+    import datetime as _dt
+
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, _dt.datetime):
+        return {"__ts__": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"__date__": v.isoformat()}
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    return None  # unsupported type: no stat, file stays unprunable
+
+
+def _dec_stat(v):
+    import datetime as _dt
+
+    if isinstance(v, dict):
+        if "__ts__" in v:
+            return _dt.datetime.fromisoformat(v["__ts__"])
+        if "__date__" in v:
+            return _dt.date.fromisoformat(v["__date__"])
+    return v
+
+
+def collect_file_stats(
+    dirs: list[str], cols: list[str]
+) -> dict[str, dict]:
+    """Per-file column min/max/null-count from parquet footers (metadata
+    pages only — no data I/O). Driver-side walk: footer reads are a few
+    KB per file; at real scale this moves into the write tasks themselves
+    (each task records stats for the file it just wrote, Delta-style) so
+    commit cost stays O(files-written), never O(table)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for d in dirs:
+        for root, _, files in os.walk(d):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(root, name)
+                md = pq.ParquetFile(fpath).metadata
+                stats: dict[str, dict] = {}
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    for ci in range(row_group.num_columns):
+                        col_md = row_group.column(ci)
+                        c = col_md.path_in_schema
+                        if c not in cols:
+                            continue
+                        st = col_md.statistics
+                        ent = stats.setdefault(
+                            c, {"min": None, "max": None, "nulls": 0}
+                        )
+                        if st is None:
+                            # unknown content: poison the entry so the
+                            # pruner keeps the file
+                            stats[c] = {"min": None, "max": None,
+                                        "nulls": None}
+                            continue
+                        if st.null_count is None or ent["nulls"] is None:
+                            ent["nulls"] = None
+                        else:
+                            ent["nulls"] += st.null_count
+                        if st.has_min_max:
+                            lo, hi = _enc_stat(st.min), _enc_stat(st.max)
+                            if lo is None or hi is None:
+                                stats[c] = {"min": None, "max": None,
+                                            "nulls": None}
+                                continue
+                            if ent["min"] is None or _dec_stat(lo) < _dec_stat(
+                                ent["min"]
+                            ):
+                                ent["min"] = lo
+                            if ent["max"] is None or _dec_stat(hi) > _dec_stat(
+                                ent["max"]
+                            ):
+                                ent["max"] = hi
+                out[fpath] = {"rows": md.num_rows, "cols": stats}
+    return out
+
+
 def commit(
     spark: SparkSession,
     df: DataFrame,
@@ -128,6 +223,9 @@ def commit(
     mode: str = "overwrite",
     max_retries: int = 10,
     merge_schema: bool = False,
+    stats_for: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    n_files: int | None = None,
 ) -> int:
     """Atomically commit ``df`` as the table's next version; returns it.
 
@@ -141,12 +239,39 @@ def commit(
     see ``null`` for columns a commit predates, and a type change on an
     existing column is rejected. Without the flag, an append whose schema
     differs from the parent's raises (Delta's default strictness).
+
+    ``stats_for=[cols]`` records per-file min/max/null-count for those
+    columns in the manifest (footer metadata only, no data re-read) so
+    ``read_where`` can skip files at *planning* time — Delta/Iceberg data
+    skipping. ``cluster_by=[cols]`` Z-orders the rows before writing
+    (``sources.layout.z_value``) so each file covers a narrow min/max
+    window on every cluster column, making those stats bite; appends
+    carry the parent's per-file stats forward untouched (data dirs are
+    immutable).
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
     df = _apply_constraint_guard(df, path)
+    if cluster_by:
+        from _lakehouse_architecture_for_e_commerce_transactions_spark.sources.layout import (
+            Z_COL,
+            z_value,
+        )
+
+        z = z_value(df, list(cluster_by))
+        df = (
+            df.withColumn(Z_COL, z)
+            .repartitionByRange(n_files or 32, Z_COL)
+            .sortWithinPartitions(Z_COL)
+            .drop(Z_COL)
+        )
     commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
     df.write.mode("errorifexists").parquet(commit_dir)
+    fresh_stats = (
+        collect_file_stats([commit_dir], list(stats_for))
+        if stats_for
+        else None
+    )
 
     for _ in range(max_retries):
         vs = _versions(path)
@@ -184,6 +309,16 @@ def commit(
             "schema": schema_json,
             "committed_at": time.time(),
         }
+        if fresh_stats is not None:
+            merged_stats = dict(fresh_stats)
+            if mode == "append" and vs:
+                parent = load_snapshot(path, vs[-1])
+                merged_stats = {
+                    **(parent.file_stats or {}),
+                    **fresh_stats,
+                }
+            manifest["file_stats"] = merged_stats
+            manifest["stats_cols"] = list(stats_for)
         os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
         try:
             fd = os.open(
@@ -244,6 +379,104 @@ def read(
     return out.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
+
+
+_PRUNE_OPS = ("==", "<", "<=", ">", ">=")
+
+
+def _file_maybe_matches(
+    entry: dict | None, predicates: list[tuple]
+) -> bool:
+    """Can this file contain a row satisfying ALL conjuncts? Missing or
+    poisoned stats keep the file (pruning is an optimization, never a
+    correctness dependency — the residual filter still runs)."""
+    if entry is None:
+        return True
+    for col, op, val in predicates:
+        st = (entry.get("cols") or {}).get(col)
+        if st is None:
+            continue
+        lo, hi = _dec_stat(st["min"]), _dec_stat(st["max"])
+        if lo is None or hi is None:
+            if st.get("nulls") is None:
+                continue  # poisoned entry: content unknown
+            if entry.get("rows") and st["nulls"] == entry["rows"]:
+                return False  # all-null column: no comparison matches
+            continue
+        try:
+            if op == "==" and not (lo <= val <= hi):
+                return False
+            if op == "<" and not (lo < val):
+                return False
+            if op == "<=" and not (lo <= val):
+                return False
+            if op == ">" and not (hi > val):
+                return False
+            if op == ">=" and not (hi >= val):
+                return False
+        except TypeError:
+            continue  # incomparable literal type: keep the file
+    return True
+
+
+def read_where(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+    version: int | None = None,
+    report: dict | None = None,
+) -> DataFrame:
+    """Scan with manifest-level data skipping: files whose recorded
+    min/max DISPROVE the conjunction are never handed to the reader —
+    pruning happens at planning time from the manifest alone, zero file
+    I/O (Delta data skipping / Iceberg manifest filtering). The same
+    predicate is then applied as a residual filter (and pushed to the
+    parquet row-group reader), so results are identical to
+    ``read().filter(...)`` whether or not stats exist.
+
+    ``predicates`` is a conjunction of ``(column, op, literal)`` with op
+    in ``== < <= > >=``. Pass a dict as ``report`` to receive
+    ``{"files_total": N, "files_kept": K}`` (tests/benchmarks assert the
+    skip actually happened). Partitioned (merge-committed) tables prune
+    by partition value instead — use ``read`` + a partition predicate.
+    """
+    for p in predicates:
+        if len(p) != 3 or p[1] not in _PRUNE_OPS:
+            raise ValueError(f"bad predicate {p!r}; ops: {_PRUNE_OPS}")
+    snap = load_snapshot(path, version)
+    if snap.part_entries:
+        raise ValueError(
+            "read_where targets plain snapshots; partitioned tables "
+            "prune via their partition columns on read()"
+        )
+    from pyspark.sql.types import StructType
+
+    all_files = data_files(path, snap.version)
+    fs = snap.file_stats or {}
+    kept = [
+        f
+        for f in all_files
+        if _file_maybe_matches(fs.get(f), predicates)
+    ]
+    if report is not None:
+        report["files_total"] = len(all_files)
+        report["files_kept"] = len(kept)
+    schema = StructType.fromJson(json.loads(snap.schema_json))
+    residual = None
+    for col, op, val in predicates:
+        c = F.col(col)
+        cond = {
+            "==": c == F.lit(val),
+            "<": c < F.lit(val),
+            "<=": c <= F.lit(val),
+            ">": c > F.lit(val),
+            ">=": c >= F.lit(val),
+        }[op]
+        residual = cond if residual is None else residual & cond
+    if not kept:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(*kept)
+    return df.filter(residual) if residual is not None else df
 
 
 def merge_commit(
@@ -820,6 +1053,12 @@ def compact(
             "schema": base.schema_json,
             "committed_at": time.time(),
         }
+        if base.stats_cols:
+            # files were rewritten: parent per-file stats are stale
+            manifest["file_stats"] = collect_file_stats(
+                [commit_dir], base.stats_cols
+            )
+            manifest["stats_cols"] = base.stats_cols
         if base.part_entries is not None:
             written = _hive_leaf_dirs(commit_dir, parts)
             manifest["part_entries"] = [

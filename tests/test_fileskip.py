@@ -1,0 +1,178 @@
+"""Manifest-level data skipping: per-file min/max stats recorded at
+commit, consulted by read_where at planning time (zero file I/O for
+pruned files) — the Delta/Iceberg data-skipping layer over snapshot
+tables, composed with Z-order clustering so stats bite on every
+cluster column."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+    snapshots as S,
+)
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def test_stats_recorded_and_skip_most_files(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    o = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    S.commit(
+        spark,
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        path,
+        stats_for=["o_orderkey", "o_totalprice"],
+    )
+    snap = S.load_snapshot(path)
+    assert snap.file_stats and len(snap.file_stats) >= 8
+    lo_key = o.agg(F.min("o_orderkey")).first()[0]
+    rep: dict = {}
+    got = S.read_where(
+        spark, path, [("o_orderkey", "==", lo_key)], report=rep
+    )
+    assert got.count() == 1
+    # range-sorted on o_orderkey → a point predicate hits exactly 1 file
+    assert rep["files_kept"] == 1 and rep["files_total"] >= 8
+
+
+def test_read_where_equals_full_filter(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    o = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    S.commit(
+        spark,
+        o.repartitionByRange(6, "o_totalprice"),
+        path,
+        stats_for=["o_totalprice"],
+    )
+    preds = [("o_totalprice", ">=", 100.0), ("o_totalprice", "<", 5000.0)]
+    got = sorted(
+        r["o_orderkey"]
+        for r in S.read_where(spark, path, preds).collect()
+    )
+    want = sorted(
+        r["o_orderkey"]
+        for r in S.read(spark, path)
+        .filter(
+            (F.col("o_totalprice") >= 100.0)
+            & (F.col("o_totalprice") < 5000.0)
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_unprunable_without_stats_still_correct(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_custkey")
+    S.commit(spark, o.repartition(4), path)  # no stats_for
+    rep: dict = {}
+    got = S.read_where(
+        spark, path, [("o_orderkey", "<", 100)], report=rep
+    )
+    assert rep["files_kept"] == rep["files_total"]  # nothing prunable
+    assert (
+        got.count()
+        == S.read(spark, path).filter(F.col("o_orderkey") < 100).count()
+    )
+
+
+def test_date_stats_prune(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderdate")
+    S.commit(
+        spark,
+        o.repartitionByRange(8, "o_orderdate").sortWithinPartitions(
+            "o_orderdate"
+        ),
+        path,
+        stats_for=["o_orderdate"],
+    )
+    hi = o.agg(F.max("o_orderdate")).first()[0]
+    rep: dict = {}
+    got = S.read_where(
+        spark, path, [("o_orderdate", ">=", hi)], report=rep
+    )
+    assert got.count() >= 1
+    assert rep["files_kept"] < rep["files_total"]
+    assert all(r["o_orderdate"] >= hi for r in got.collect())
+    assert isinstance(hi, datetime.date)
+
+
+def test_zorder_cluster_by_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """cluster_by Z-orders the write, so a point predicate on EITHER
+    cluster column skips most files — the property hive partitioning
+    (one hierarchy) can't give."""
+    path = str(tmp_path / "t")
+    o = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    S.commit(
+        spark,
+        o,
+        path,
+        stats_for=["o_custkey", "o_totalprice"],
+        cluster_by=["o_custkey", "o_totalprice"],
+        n_files=16,
+    )
+    mid_cust = o.approxQuantile("o_custkey", [0.5], 0.01)[0]
+    mid_price = o.approxQuantile("o_totalprice", [0.5], 0.01)[0]
+    for col, val in (
+        ("o_custkey", int(mid_cust)),
+        ("o_totalprice", float(mid_price)),
+    ):
+        rep: dict = {}
+        got = S.read_where(spark, path, [(col, "==", val)], report=rep)
+        # correctness vs plain filter
+        assert (
+            got.count()
+            == S.read(spark, path).filter(F.col(col) == val).count()
+        )
+        # each column's point predicate skips a decent share of files
+        assert rep["files_kept"] <= rep["files_total"] // 2, (col, rep)
+
+
+def test_append_carries_stats_and_compact_recollects(
+    spark, sf_dir, tmp_path
+):
+    path = str(tmp_path / "t")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_custkey")
+    half = o.filter(F.col("o_orderkey") % 2 == 0)
+    rest = o.filter(F.col("o_orderkey") % 2 == 1)
+    S.commit(
+        spark,
+        half.repartitionByRange(4, "o_orderkey"),
+        path,
+        stats_for=["o_orderkey"],
+    )
+    S.commit(
+        spark,
+        rest.repartitionByRange(4, "o_orderkey"),
+        path,
+        mode="append",
+        stats_for=["o_orderkey"],
+    )
+    snap = S.load_snapshot(path)
+    assert len(snap.file_stats) >= 8  # both commits' files carry stats
+    total = o.count()
+    assert S.read(spark, path).count() == total
+    S.compact(spark, path)
+    snap2 = S.load_snapshot(path)
+    assert snap2.file_stats and snap2.stats_cols == ["o_orderkey"]
+    # stats describe the *rewritten* files, and scans stay correct
+    assert set(snap2.file_stats) != set(snap.file_stats)
+    rep: dict = {}
+    lo = o.agg(F.min("o_orderkey")).first()[0]
+    got = S.read_where(spark, path, [("o_orderkey", "==", lo)], report=rep)
+    assert got.count() == 1
+    assert rep["files_total"] == len(snap2.file_stats)
