@@ -78,6 +78,81 @@ def connected_components(
     return labels
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list, in integer
+    micro-units so the result is bit-identical under any partitioning or
+    summation order (and mirrorable in an external SQL oracle).
+
+    Per iteration (the Pregel shape as two relational ops):
+
+        contrib(v) = Σ over in-edges (u,v) of  r(u) div out_deg(u)
+        r'(v)      = base + damping·(contrib(v) + dangling div N) div 100
+
+    where ``base = (100-damping)·scale div (100·N)``, ``dangling`` is the
+    summed rank of sink nodes, and every division is integer floor — no
+    float ever enters, so there is no last-ulp drift to converge away.
+
+    Scale shape: one equi-join (edges ⋈ ranks on src) + one groupBy(dst)
+    per round; the dangling total rides in as a 1-row broadcast.
+    ``localCheckpoint`` truncates lineage per round (plans stay flat).
+    At billion-edge scale, pre-partition edges by src once and reuse that
+    partitioning every round; ranks are |V| rows, edges never move after
+    the first shuffle.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_micro", F.lit(0).cast("long"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    init = scale // n
+    base = (100 - damping_pct) * scale // (100 * n)
+    ranks = nodes.withColumn("r", F.lit(init).cast("long"))
+    for _ in range(iterations):
+        ranks = ranks.localCheckpoint(eager=True)
+        dang = (
+            ranks.join(deg, ranks.node == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dang"))
+        )
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(deg, "src")
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(contrib, 0L) "
+                        f"+ (dang div {n}))) div 100"
+                    )
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_micro"))
+
+
 def dedup_clusters(
     pairs: DataFrame, id1: str = "doc1", id2: str = "doc2"
 ) -> DataFrame:

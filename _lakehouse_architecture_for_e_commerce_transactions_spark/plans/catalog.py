@@ -4138,6 +4138,77 @@ def q_bpe_learned_encode(spark: SparkSession, sf: str) -> DataFrame:
 # Registry
 # --------------------------------------------------------------------------
 
+def q_pagerank_events(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over a deterministic bipartite graph derived from events
+    (user → event_type always; event_type → user only for pairs seen
+    ≥2×, so single-occurrence types are genuine dangling sinks). The
+    operator (operators/graph.py:pagerank) runs in integer micro-units —
+    every division floors, no float drift — so a 3-iteration run is a
+    pure function of the edge list and the oracle can replay it exactly
+    as three unrolled relational iterations."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        graph as G,
+    )
+
+    ev = load_table(spark, sf, "events")
+    pairs = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    u = F.concat(F.lit("u"), F.col("user_id"))
+    t = F.concat(F.lit("t"), F.col("event_type"))
+    fwd = pairs.select(u.alias("src"), t.alias("dst"))
+    back = pairs.filter(F.col("c") >= 2).select(
+        t.alias("src"), u.alias("dst")
+    )
+    return G.pagerank(fwd.unionByName(back), iterations=3)
+
+
+def _pagerank_sql(iters: int = 3, dp: int = 85, scale: int = 10**9) -> str:
+    parts = [
+        f"""
+WITH pairs AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS u,
+         't' || event_type AS t, count(*) AS c
+  FROM events GROUP BY user_id, event_type),
+edges AS (SELECT u AS src, t AS dst FROM pairs
+          UNION ALL
+          SELECT t AS src, u AS dst FROM pairs WHERE c >= 2),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST({scale} AS BIGINT) // n AS r
+       FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+d{i} AS (SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS dang
+         FROM r{p} r
+         WHERE NOT EXISTS (SELECT 1 FROM deg d WHERE d.src = r.node)),
+c{i} AS (SELECT e.dst AS node,
+                CAST(SUM(r.r // d.deg) AS BIGINT) AS contrib
+         FROM edges e
+         JOIN r{p} r ON e.src = r.node
+         JOIN deg d ON e.src = d.src
+         GROUP BY e.dst),
+r{i} AS (SELECT n.node,
+                CAST((({100 - dp} * CAST({scale} AS BIGINT))
+                      // (100 * nn.n))
+                 + ({dp} * (COALESCE(c.contrib, 0) + dg.dang // nn.n))
+                   // 100 AS BIGINT) AS r
+         FROM nodes n CROSS JOIN nn CROSS JOIN d{i} dg
+         LEFT JOIN c{i} c ON c.node = n.node)"""
+        )
+    parts.append(
+        f"\nSELECT node, r AS rank_micro FROM r{iters}"
+    )
+    return "".join(parts)
+
+
+_PAGERANK_SQL = _pagerank_sql()
+
+
 def q_stats_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Manifest-stats data skipping end to end (the Delta/Iceberg
     data-skipping analog over `sources.snapshots`, ref curated zone
@@ -4356,6 +4427,7 @@ CATALOG: dict[str, QueryDef] = {
     "pq_adc_topk": QueryDef(q_pq_adc_topk, _PQ_ADC_SQL),
     "gap_fill_interpolate": QueryDef(q_gap_fill_interpolate, _GAP_FILL_SQL),
     "stats_pruned_scan": QueryDef(q_stats_pruned_scan, _STATS_PRUNE_SQL),
+    "pagerank_events": QueryDef(q_pagerank_events, _PAGERANK_SQL),
 }
 
 

@@ -31,3 +31,50 @@ def test_dedup_clusters_canonical_flag(spark):
     rows = dedup_clusters(edges).collect()
     canon = {r["node"]: r["is_canonical"] for r in rows}
     assert canon == {5: True, 7: False, 9: False}
+
+
+def test_pagerank_star_hub_dominates(spark):
+    """Star graph: every leaf points at the hub; hub points back at one
+    leaf. Hub must collect (by far) the largest rank, and total mass
+    stays ≈ scale (floor divisions only ever shave units off)."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"leaf{i}", "hub") for i in range(8)] + [("hub", "leaf0")],
+        "src string, dst string",
+    )
+    ranks = {r["node"]: r["rank_micro"] for r in pagerank(edges).collect()}
+    assert max(ranks, key=ranks.get) == "hub"
+    assert ranks["hub"] > 3 * ranks["leaf1"]
+    total = sum(ranks.values())
+    assert 0.9 * 1_000_000_000 <= total <= 1_000_000_000
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    """A sink node (no out-edges) must not swallow mass: its rank is
+    redistributed, so the source node keeps a nonzero rank."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    ranks = {r["node"]: r["rank_micro"] for r in pagerank(edges).collect()}
+    assert ranks["b"] > ranks["a"] > 0
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """Integer fixed-point arithmetic ⇒ bit-identical ranks no matter how
+    the edge list is partitioned (the float-sum drift class is designed
+    out)."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.graph import (
+        pagerank,
+    )
+
+    rows = [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(50)]
+    e1 = spark.createDataFrame(rows, "src string, dst string")
+    e2 = spark.createDataFrame(rows, "src string, dst string").repartition(7)
+    r1 = sorted((r["node"], r["rank_micro"]) for r in pagerank(e1).collect())
+    r2 = sorted((r["node"], r["rank_micro"]) for r in pagerank(e2).collect())
+    assert r1 == r2
