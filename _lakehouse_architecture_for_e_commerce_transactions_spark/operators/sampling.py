@@ -52,6 +52,36 @@ def train_test_split(
     )
 
 
+def weighted_sample(
+    df: DataFrame, key: str, weight: str, k: int, seed: int = 104729
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each row draws priority ``-ln(u)/w`` — an Exponential(w) race — and
+    the k smallest win, giving inclusion probability proportional to
+    weight. ``u`` comes from the same Knuth integer hash as the other
+    samplers (placement-independent), and the priority is floored to
+    integer micro-units with a key tie-break, so the selected set is
+    stable across runs, partitionings, and engines.
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — each task
+    keeps its own top-k and only k rows per task reach the driver-side
+    merge, never a full sort."""
+    h = F.pmod(
+        F.col(key).cast("long") * F.lit(KNUTH) + F.lit(seed),
+        F.lit(1 << 32),
+    )
+    u = (h + 1) / F.lit(float((1 << 32) + 2))  # uniform in (0, 1)
+    pri = F.floor(
+        F.lit(-1e6) * F.log(u) / F.col(weight).cast("double")
+    ).cast("long")
+    return (
+        df.withColumn("_pri", pri)
+        .orderBy("_pri", key)
+        .limit(k)
+        .drop("_pri")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key: str,

@@ -4138,6 +4138,66 @@ def q_bpe_learned_encode(spark: SparkSession, sf: str) -> DataFrame:
 # Registry
 # --------------------------------------------------------------------------
 
+def q_heavy_hitter_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact heavy hitters (frequency > 1/150) over the corpus token
+    stream via the bounded-state two-pass plan (operators/frequency.py):
+    per-Arrow-batch pigeonhole candidates, then an exact count of only
+    the candidate keys — the full distinct token space never shuffles.
+    The output predicate (cnt·k > n) is pure integer arithmetic, so the
+    oracle is a plain GROUP BY ... HAVING."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        frequency as FQ,
+    )
+
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    return FQ.heavy_hitters(toks, "term", 150)
+
+
+_HEAVY_HITTERS_SQL = """
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+tok2 AS (SELECT term FROM tok WHERE term <> ''),
+tot AS (SELECT count(*) AS n FROM tok2)
+SELECT term, count(*) AS cnt
+FROM tok2 CROSS JOIN tot
+GROUP BY term, tot.n
+HAVING count(*) * 150 > tot.n
+"""
+
+
+def q_weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement (A-ES exponential race,
+    operators/sampling.py:weighted_sample): 25 documents drawn with
+    probability ∝ length. Priorities are integer micro-units from the
+    Knuth hash, so the winning set is a pure function of the table and
+    the oracle replays the identical formula."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample(d, "doc_id", "n_chars", 25)
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH pri AS (
+  SELECT doc_id, source, n_chars,
+         CAST(floor(-1e6 * ln(
+               ((doc_id * 2654435761 + 104729) % 4294967296 + 1)
+               / 4294967298.0)
+             / CAST(n_chars AS DOUBLE)) AS BIGINT) AS p
+  FROM documents)
+SELECT doc_id, source, n_chars
+FROM pri ORDER BY p, doc_id LIMIT 25
+"""
+
+
 def q_pagerank_events(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank over a deterministic bipartite graph derived from events
     (user → event_type always; event_type → user only for pairs seen
@@ -4428,6 +4488,10 @@ CATALOG: dict[str, QueryDef] = {
     "gap_fill_interpolate": QueryDef(q_gap_fill_interpolate, _GAP_FILL_SQL),
     "stats_pruned_scan": QueryDef(q_stats_pruned_scan, _STATS_PRUNE_SQL),
     "pagerank_events": QueryDef(q_pagerank_events, _PAGERANK_SQL),
+    "heavy_hitter_terms": QueryDef(q_heavy_hitter_terms, _HEAVY_HITTERS_SQL),
+    "weighted_sample_docs": QueryDef(
+        q_weighted_sample_docs, _WEIGHTED_SAMPLE_SQL
+    ),
 }
 
 
