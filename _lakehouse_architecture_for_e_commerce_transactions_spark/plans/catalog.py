@@ -4138,6 +4138,79 @@ def q_bpe_learned_encode(spark: SparkSession, sf: str) -> DataFrame:
 # Registry
 # --------------------------------------------------------------------------
 
+def q_quality_logreg(spark: SparkSession, sf: str) -> DataFrame:
+    """Trainable quality classifier end to end (operators/logreg.py):
+    fit a logistic regression on two text statistics (type-token ratio,
+    scaled mean token length) against a length-derived label, then score
+    every document — fit AND scoring replayed exactly by the oracle's
+    unrolled-GD CTEs because gradients accumulate in BIGINT micro-units
+    and weight updates are an identical IEEE op sequence."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        logreg as LR,
+    )
+
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ntok = F.size(toks)
+    ntok_d = ntok.cast("double")
+    feats = d.select(
+        "doc_id",
+        F.when(F.col("n_chars") > 400, 1.0).otherwise(0.0).alias("y"),
+        (F.size(F.array_distinct(toks)) / ntok_d).alias("x1"),
+        (((F.length("text") - (ntok - 1)) / ntok_d) / 10.0).alias("x2"),
+    )
+    w = LR.logreg_fit(feats, ["x1", "x2"], "y", iterations=5, lr=0.5)
+    return LR.logreg_score(feats, ["x1", "x2"], w).select(
+        "doc_id", "y", "p_micro"
+    )
+
+
+def _quality_logreg_sql(iters: int = 5, lr: str = "0.5") -> str:
+    tok = "regexp_split_to_array(trim(text), '\\s+')"
+    parts = [
+        f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END AS DOUBLE) AS y,
+         len(list_distinct({tok}))
+           / CAST(len({tok}) AS DOUBLE) AS x1,
+         ((length(text) - (len({tok}) - 1))
+           / CAST(len({tok}) AS DOUBLE)) / 10.0 AS x2
+  FROM documents),
+nn AS (SELECT count(*) AS n FROM feats),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+    ]
+    sig = "(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2))))"
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+g{i} AS (SELECT
+  CAST(SUM(CAST(floor(({sig} - f.y) * 1000000 + 0.5) AS BIGINT))
+       AS BIGINT) AS g0,
+  CAST(SUM(CAST(floor((({sig} - f.y) * f.x1) * 1000000 + 0.5) AS BIGINT))
+       AS BIGINT) AS g1,
+  CAST(SUM(CAST(floor((({sig} - f.y) * f.x2) * 1000000 + 0.5) AS BIGINT))
+       AS BIGINT) AS g2
+  FROM feats f CROSS JOIN w{p} w),
+w{i} AS (SELECT w.w0 - (({lr} * (g.g0 / 1000000)) / nn.n) AS w0,
+                w.w1 - (({lr} * (g.g1 / 1000000)) / nn.n) AS w1,
+                w.w2 - (({lr} * (g.g2 / 1000000)) / nn.n) AS w2
+         FROM w{p} w CROSS JOIN g{i} g CROSS JOIN nn)"""
+        )
+    parts.append(
+        f"""
+SELECT f.doc_id, f.y,
+       CAST(floor(1000000.0 * (1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
+            + w.w2 * f.x2))))) AS BIGINT) AS p_micro
+FROM feats f CROSS JOIN w{iters} w"""
+    )
+    return "".join(parts)
+
+
+_QUALITY_LOGREG_SQL = _quality_logreg_sql()
+
+
 def q_heavy_hitter_terms(spark: SparkSession, sf: str) -> DataFrame:
     """Exact heavy hitters (frequency > 1/150) over the corpus token
     stream via the bounded-state two-pass plan (operators/frequency.py):
@@ -4489,6 +4562,7 @@ CATALOG: dict[str, QueryDef] = {
     "stats_pruned_scan": QueryDef(q_stats_pruned_scan, _STATS_PRUNE_SQL),
     "pagerank_events": QueryDef(q_pagerank_events, _PAGERANK_SQL),
     "heavy_hitter_terms": QueryDef(q_heavy_hitter_terms, _HEAVY_HITTERS_SQL),
+    "quality_logreg": QueryDef(q_quality_logreg, _QUALITY_LOGREG_SQL),
     "weighted_sample_docs": QueryDef(
         q_weighted_sample_docs, _WEIGHTED_SAMPLE_SQL
     ),
