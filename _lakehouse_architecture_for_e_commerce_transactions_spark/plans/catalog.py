@@ -4138,6 +4138,42 @@ def q_bpe_learned_encode(spark: SparkSession, sf: str) -> DataFrame:
 # Registry
 # --------------------------------------------------------------------------
 
+def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Columnar-format breadth (S3's sink family): write orders to ORC,
+    read it back, and aggregate — proving the engine's scan/sink surface
+    isn't parquet-only. ORC carries the same pushdown/pruning machinery
+    in Spark (PushedFilters show in the scan node); the oracle aggregates
+    the original parquet, so the round-trip must be lossless."""
+    import os as _os
+    import tempfile as _tf
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _os.path.join(
+        _tf.gettempdir(),
+        f"sparkgraft_orc_{_os.path.basename(sf.rstrip('/'))}",
+    )
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.filter(F.col("o_totalprice") > 1000.0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+_ORC_SQL = f"""
+SELECT o_orderstatus, count(*) AS n,
+       {_money_sum_sql("o_totalprice")} AS sum_price
+FROM orders WHERE o_totalprice > 1000.0
+GROUP BY o_orderstatus
+"""
+
+
 def q_quality_logreg(spark: SparkSession, sf: str) -> DataFrame:
     """Trainable quality classifier end to end (operators/logreg.py):
     fit a logistic regression on two text statistics (type-token ratio,
@@ -4563,6 +4599,7 @@ CATALOG: dict[str, QueryDef] = {
     "pagerank_events": QueryDef(q_pagerank_events, _PAGERANK_SQL),
     "heavy_hitter_terms": QueryDef(q_heavy_hitter_terms, _HEAVY_HITTERS_SQL),
     "quality_logreg": QueryDef(q_quality_logreg, _QUALITY_LOGREG_SQL),
+    "orc_roundtrip": QueryDef(q_orc_roundtrip, _ORC_SQL),
     "weighted_sample_docs": QueryDef(
         q_weighted_sample_docs, _WEIGHTED_SAMPLE_SQL
     ),
