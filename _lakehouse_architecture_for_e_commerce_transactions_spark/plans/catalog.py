@@ -4138,6 +4138,98 @@ def q_bpe_learned_encode(spark: SparkSession, sf: str) -> DataFrame:
 # Registry
 # --------------------------------------------------------------------------
 
+def q_profile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass column profiling of orders (operators/profile.py): melt
+    to (column, value) structs with one explode, then a single groupBy —
+    null counts, exact distinct cardinality, numeric/string min-max.
+    The oracle computes each column's profile independently and UNIONs."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.profile import (
+        profile_table,
+    )
+
+    o = load_table(spark, sf, "orders")
+    return profile_table(
+        o, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    )
+
+
+def _profile_sql() -> str:
+    def leg(c: str, numeric: bool) -> str:
+        if numeric:
+            mins = (
+                "min(CAST({c} AS DOUBLE)) AS min_num, "
+                "max(CAST({c} AS DOUBLE)) AS max_num, "
+                "CAST(NULL AS VARCHAR) AS min_str, "
+                "CAST(NULL AS VARCHAR) AS max_str"
+            ).format(c=c)
+        else:
+            mins = (
+                "CAST(NULL AS DOUBLE) AS min_num, "
+                "CAST(NULL AS DOUBLE) AS max_num, "
+                "min(CAST({c} AS VARCHAR)) AS min_str, "
+                "max(CAST({c} AS VARCHAR)) AS max_str"
+            ).format(c=c)
+        return (
+            f"SELECT '{c}' AS \"column\", count(*) AS n_rows, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_nulls, "
+            f"count(DISTINCT CAST({c} AS VARCHAR)) AS n_distinct, {mins} "
+            f"FROM orders"
+        )
+
+    legs = [
+        leg("o_orderkey", True),
+        leg("o_custkey", True),
+        leg("o_totalprice", True),
+        leg("o_orderstatus", False),
+    ]
+    return "\nUNION ALL\n".join(legs)
+
+
+_PROFILE_SQL = _profile_sql()
+
+
+def q_anomaly_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling z-score anomaly flags over per-user event values
+    (operators/anomaly.py): a value > 2σ from its own 20-event trailing
+    baseline is flagged. The z-test is exact BIGINT arithmetic
+    ((n·x−S)² > z²·(n·Q−S²)), so the oracle replays it with the same
+    window frame."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.anomaly import (
+        rolling_zscore_flags,
+    )
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = rolling_zscore_flags(
+        ev, "user_id", ["ts", "event_id"], "value"
+    )
+    return out.filter(F.col("is_anomaly")).select(
+        "event_id", "user_id", "n_window"
+    )
+
+
+_ANOMALY_SQL = """
+WITH w AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+         count(*) OVER win AS n,
+         CAST(COALESCE(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+              OVER win, 0) AS BIGINT) AS s,
+         CAST(COALESCE(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+              * CAST(floor(value * 100 + 0.5) AS BIGINT))
+              OVER win, 0) AS BIGINT) AS q
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id, n AS n_window
+FROM w
+WHERE n >= 10
+  AND (n * x - s) * (n * x - s) > 4 * (n * q - s * s)
+"""
+
+
 def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Columnar-format breadth (S3's sink family): write orders to ORC,
     read it back, and aggregate — proving the engine's scan/sink surface
@@ -4600,6 +4692,8 @@ CATALOG: dict[str, QueryDef] = {
     "heavy_hitter_terms": QueryDef(q_heavy_hitter_terms, _HEAVY_HITTERS_SQL),
     "quality_logreg": QueryDef(q_quality_logreg, _QUALITY_LOGREG_SQL),
     "orc_roundtrip": QueryDef(q_orc_roundtrip, _ORC_SQL),
+    "profile_orders": QueryDef(q_profile_orders, _PROFILE_SQL),
+    "anomaly_events": QueryDef(q_anomaly_events, _ANOMALY_SQL),
     "weighted_sample_docs": QueryDef(
         q_weighted_sample_docs, _WEIGHTED_SAMPLE_SQL
     ),
