@@ -50,12 +50,19 @@ def candidate_heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
 def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     """Exact frequent items: every value of ``col`` with
     ``count · k > total_rows`` (frequency > 1/k), found without ever
-    shuffling the full key space. Returns (col, cnt)."""
-    n = df.count()
+    shuffling the full key space. Returns (col, cnt).
+
+    The total rides in as a 1-row broadcast rather than an eager
+    ``count()`` — the whole operator stays one lazy plan (no extra
+    driver-blocking job; Spark overlaps the total-count scan with the
+    candidate scan)."""
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
     cands = candidate_heavy_hitters(df, col, k).distinct()
     return (
         df.join(F.broadcast(cands), col, "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") * k > F.lit(n))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("_n"))
+        .drop("_n")
     )

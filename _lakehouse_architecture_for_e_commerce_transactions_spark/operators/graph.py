@@ -110,10 +110,17 @@ def pagerank(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .localCheckpoint(eager=True)
     )
+    # size per-round shuffles to the graph, not the session default (the
+    # connected_components rule): an iterative loop pays scheduling
+    # overhead × partitions × rounds
+    n_edges = e.count()
+    n_parts = max(2, min(e.rdd.getNumPartitions(), n_edges // 100_000 + 2))
+    e = e.repartition(n_parts, "src")
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition(n_parts, "node")
         .localCheckpoint(eager=True)
     )
     n = nodes.count()

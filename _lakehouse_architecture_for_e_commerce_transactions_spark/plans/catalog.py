@@ -4689,11 +4689,13 @@ CATALOG: dict[str, QueryDef] = {
     "gap_fill_interpolate": QueryDef(q_gap_fill_interpolate, _GAP_FILL_SQL),
     "stats_pruned_scan": QueryDef(q_stats_pruned_scan, _STATS_PRUNE_SQL),
     "pagerank_events": QueryDef(q_pagerank_events, _PAGERANK_SQL),
-    "heavy_hitter_terms": QueryDef(q_heavy_hitter_terms, _HEAVY_HITTERS_SQL),
+    "heavy_hitter_terms": QueryDef(
+        q_heavy_hitter_terms, _HEAVY_HITTERS_SQL, headline=True
+    ),
     "quality_logreg": QueryDef(q_quality_logreg, _QUALITY_LOGREG_SQL),
     "orc_roundtrip": QueryDef(q_orc_roundtrip, _ORC_SQL),
     "profile_orders": QueryDef(q_profile_orders, _PROFILE_SQL),
-    "anomaly_events": QueryDef(q_anomaly_events, _ANOMALY_SQL),
+    "anomaly_events": QueryDef(q_anomaly_events, _ANOMALY_SQL, headline=True),
     "weighted_sample_docs": QueryDef(
         q_weighted_sample_docs, _WEIGHTED_SAMPLE_SQL
     ),
