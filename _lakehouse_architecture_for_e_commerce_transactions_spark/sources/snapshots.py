@@ -479,6 +479,37 @@ def read_where(
     return df.filter(residual) if residual is not None else df
 
 
+def table_stats(path: str, version: int | None = None) -> dict:
+    """Metadata-only aggregates (Delta's metadata-only COUNT/MIN/MAX
+    shape): row count and per-stat-column min/max straight from the
+    manifest — zero data-file I/O, O(manifest) driver time. Returns
+    ``{"rows": n | None, "cols": {col: {"min","max"} | None}}``; a None
+    means some file lacks usable stats and the caller should fall back
+    to a scan (correctness never depends on the fast path)."""
+    snap = load_snapshot(path, version)
+    files = data_files(path, snap.version)
+    fs = snap.file_stats or {}
+    if set(files) != set(fs):
+        return {"rows": None, "cols": {}}
+    rows = sum(e["rows"] for e in fs.values())
+    cols: dict = {}
+    for c in snap.stats_cols or []:
+        lo = hi = None
+        ok = True
+        for e in fs.values():
+            st = (e.get("cols") or {}).get(c)
+            if st is None or st["min"] is None:
+                ok = False
+                break
+            l, h = _dec_stat(st["min"]), _dec_stat(st["max"])
+            if lo is None or l < lo:
+                lo = l
+            if hi is None or h > hi:
+                hi = h
+        cols[c] = {"min": lo, "max": hi} if ok else None
+    return {"rows": rows, "cols": cols}
+
+
 def merge_commit(
     spark: SparkSession,
     source: DataFrame,

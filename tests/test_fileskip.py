@@ -176,3 +176,37 @@ def test_append_carries_stats_and_compact_recollects(
     got = S.read_where(spark, path, [("o_orderkey", "==", lo)], report=rep)
     assert got.count() == 1
     assert rep["files_total"] == len(snap2.file_stats)
+
+
+def test_metadata_only_table_stats(spark, sf_dir, tmp_path):
+    """COUNT/MIN/MAX straight from the manifest — no data-file reads."""
+    path = str(tmp_path / "t")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    S.commit(
+        spark,
+        o.repartition(4),
+        path,
+        stats_for=["o_orderkey", "o_totalprice"],
+    )
+    S.commit(
+        spark,
+        o.withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000),
+        path,
+        mode="append",
+        stats_for=["o_orderkey", "o_totalprice"],
+    )
+    st = S.table_stats(path)
+    assert st["rows"] == 2 * o.count()
+    agg = o.agg(
+        F.min("o_orderkey"), F.max("o_orderkey"), F.min("o_totalprice"),
+        F.max("o_totalprice"),
+    ).first()
+    assert st["cols"]["o_orderkey"]["min"] == agg[0]
+    assert st["cols"]["o_orderkey"]["max"] == agg[1] + 1_000_000
+    assert st["cols"]["o_totalprice"] == {"min": agg[2], "max": agg[3]}
+
+
+def test_table_stats_none_without_stats(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    S.commit(spark, _orders(spark, sf_dir).select("o_orderkey"), path)
+    assert S.table_stats(path)["rows"] is None
