@@ -629,6 +629,34 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_hopping(spark: SparkSession, sf: str) -> DataFrame:
+    """Hopping (sliding) window aggregation — 1-hour windows every 15
+    minutes, completing the window-type surface (tumbling =
+    events_hourly, session = session_window_agg). Spark's F.window
+    replicates each event into width/slide = 4 windows; the oracle
+    derives the same 4 epoch-aligned starts arithmetically."""
+    ev = load_table(spark, sf, "events")
+    win = F.window(F.col("ts"), "1 hour", "15 minutes")
+    return ev.groupBy(
+        F.date_format(win.start, "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum(F.col("value")).alias("sum_value"),
+    )
+
+
+_EVENTS_HOPPING_SQL = f"""
+SELECT strftime(make_timestamp(
+         (CAST(floor(epoch(ts) / 900) AS BIGINT) - k.k) * 900000000),
+         '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, count(*) AS n,
+       {_money_sum_sql("value")} AS sum_value
+FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
+GROUP BY 1, 2
+"""
+
+
 def q_events_json_kv(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     return (
@@ -4696,6 +4724,7 @@ CATALOG: dict[str, QueryDef] = {
     "orc_roundtrip": QueryDef(q_orc_roundtrip, _ORC_SQL),
     "profile_orders": QueryDef(q_profile_orders, _PROFILE_SQL),
     "anomaly_events": QueryDef(q_anomaly_events, _ANOMALY_SQL, headline=True),
+    "events_hopping": QueryDef(q_events_hopping, _EVENTS_HOPPING_SQL),
     "weighted_sample_docs": QueryDef(
         q_weighted_sample_docs, _WEIGHTED_SAMPLE_SQL
     ),
