@@ -169,29 +169,17 @@ def pq_encode(
     )
 
 
-def pq_adc_topk(
+def _adc_lut(
     spark: SparkSession,
     queries: DataFrame,
-    corpus_codes: DataFrame,
     codebooks: list[list[list[float]]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Asymmetric-distance top-k: rank PQ codes against each query's
-    subspace→code distance lookup table. Returns (qid, cid, adc_d2, rank)
-    — ``adc_d2`` in micro-units (BIGINT), ascending = nearer.
-
-    The LUT is a relational build: explode queries to (qid, j, subvec),
-    cross the literal codebook frame (m·k_codes rows), quantize each
-    entry to BIGINT micro-units. Corpus codes explode to (id, j, code)
-    and equi-join the broadcast LUT on (j, code); the per-(qid, id) sum
-    of m BIGINTs is then summation-order-proof. Top-k reuses the
-    two-stage partial ranking (see cosine_topk): stage 1 keeps k rows
-    per (scan-partition, query), stage 2 ranks |partitions|·k rows."""
+    """(qid, j, code, d2_micro): each query's subspace→code distance
+    table — q·m·k_codes rows, broadcast-sized by construction."""
     m = len(codebooks)
     sub_d = len(codebooks[0][0])
-
     cb_rows = [
         (j, ci, [float(x) for x in c])
         for j in range(m)
@@ -221,26 +209,21 @@ def pq_adc_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    lut = q.join(cb, "j").select(
+    return q.join(cb, "j").select(
         "qid",
         "j",
         "code",
         F.round(d2 * 1e6, 0).cast("long").alias("d2_micro"),
     )
 
-    codes = spread(corpus_codes).select(
-        F.col("id"),
-        F.posexplode("codes").alias("j", "code"),
-    )
-    scored = (
-        codes.join(F.broadcast(lut), ["j", "code"])
-        .groupBy("qid", "id")
-        .agg(F.sum("d2_micro").alias("adc_d2"))
-        .withColumn("pid", F.spark_partition_id())
-    )
+
+def _two_stage_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Partial top-k per (scan partition, query) then a global rank over
+    |partitions|·k rows — no task ever holds a full score vector."""
     pw = Window.partitionBy("pid", "qid").orderBy("adc_d2", "id")
     partial = (
-        scored.withColumn("prank", F.row_number().over(pw))
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("prank", F.row_number().over(pw))
         .filter(F.col("prank") <= k)
         .drop("pid", "prank")
     )
@@ -250,3 +233,87 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("qid", F.col("id").alias("cid"), "adc_d2", "rank")
     )
+
+
+def ivf_pq_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroid_stride: int = 37,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-ADC: the billion-scale ANN layout (Jégou et al. §V) as one
+    relational plan — corpus vectors live in their nearest-centroid cell
+    AND as PQ codes; a query probes its ``nprobe`` nearest cells and
+    ADC-ranks only the codes inside them.
+
+    Cost shape: centroids broadcast (bounded); cell assignment is a
+    per-row argmax (no corpus shuffle); the candidate set is one cell
+    equi-join (probed fraction of the corpus, not all of it); ADC
+    scoring touches codes only — raw vectors never leave their scan.
+    Returns (qid, cid, adc_d2, rank)."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.similarity import (
+        _assign_cells,
+        ivf_centroids,
+    )
+
+    c = spread(corpus).select(
+        F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
+    )
+    q = queries.select(
+        F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
+    )
+    cents = ivf_centroids(corpus, id_col, vec_col, centroid_stride)
+    ccell = _assign_cells(c, cents, 1).select("id", "cell")
+    qcell = _assign_cells(q, cents, nprobe).select(
+        F.col("id").alias("qid"), "cell"
+    )
+    cand = qcell.join(ccell, "cell").select("qid", "id").distinct()
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    lut = _adc_lut(spark, queries, codebooks, id_col, vec_col)
+    exploded = cand.join(codes, "id").select(
+        "qid", "id", F.posexplode("codes").alias("j", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["qid", "j", "code"])
+        .groupBy("qid", "id")
+        .agg(F.sum("d2_micro").alias("adc_d2"))
+    )
+    return _two_stage_topk(scored, k)
+
+
+def pq_adc_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k: rank PQ codes against each query's
+    subspace→code distance lookup table. Returns (qid, cid, adc_d2, rank)
+    — ``adc_d2`` in micro-units (BIGINT), ascending = nearer.
+
+    The LUT is a relational build: explode queries to (qid, j, subvec),
+    cross the literal codebook frame (m·k_codes rows), quantize each
+    entry to BIGINT micro-units. Corpus codes explode to (id, j, code)
+    and equi-join the broadcast LUT on (j, code); the per-(qid, id) sum
+    of m BIGINTs is then summation-order-proof. Top-k reuses the
+    two-stage partial ranking (see cosine_topk): stage 1 keeps k rows
+    per (scan-partition, query), stage 2 ranks |partitions|·k rows."""
+    lut = _adc_lut(spark, queries, codebooks, id_col, vec_col)
+    codes = spread(corpus_codes).select(
+        F.col("id"),
+        F.posexplode("codes").alias("j", "code"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["j", "code"])
+        .groupBy("qid", "id")
+        .agg(F.sum("d2_micro").alias("adc_d2"))
+    )
+    return _two_stage_topk(scored, k)

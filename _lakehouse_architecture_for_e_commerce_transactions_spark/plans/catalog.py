@@ -4136,6 +4136,88 @@ FROM scored QUALIFY rank <= 5
 """
 
 
+def q_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-ADC composite ANN (operators/pq.py:ivf_pq_topk): queries probe
+    their 2 nearest IVF cells and ADC-rank only the PQ codes inside them
+    — the billion-scale layout where cell pruning bounds scan volume and
+    code compression bounds scan width. Both stages are deterministic
+    (stride centroids, head codebooks), so the oracle composes the IVF
+    cell SQL with the ADC SQL."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        pq as PQ,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    books = PQ.pq_codebooks_head(corpus, m=8, k_codes=8)
+    out = PQ.ivf_pq_topk(
+        spark, queries, corpus, books, k=5, centroid_stride=37, nprobe=2
+    )
+    return out.select(
+        "qid", "cid", "adc_d2", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_IVF_PQ_SQL = """
+WITH corpus AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 50 != 0),
+qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings WHERE vec_id % 50 = 0),
+cents AS (SELECT id AS cent_id, v AS cent_v FROM corpus WHERE id % 37 = 0),
+cterms AS (SELECT corpus.id, cent_id, unnest(corpus.v) AS x,
+                  unnest(cent_v) AS y
+           FROM corpus CROSS JOIN cents),
+ccos AS (
+  SELECT id, cent_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS cc
+  FROM cterms GROUP BY id, cent_id),
+ccell AS (
+  SELECT id, cent_id AS cell FROM (
+    SELECT id, cent_id,
+           row_number() OVER (PARTITION BY id ORDER BY cc DESC, cent_id) AS r
+    FROM ccos) WHERE r = 1),
+qterms AS (SELECT qs.qid, cent_id, unnest(qs.v) AS x, unnest(cent_v) AS y
+           FROM qs CROSS JOIN cents),
+qcos AS (
+  SELECT qid, cent_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS cc
+  FROM qterms GROUP BY qid, cent_id),
+qcell AS (
+  SELECT qid, cent_id AS cell FROM (
+    SELECT qid, cent_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cc DESC, cent_id) AS r
+    FROM qcos) WHERE r <= 2),
+cand AS (SELECT DISTINCT qid, id FROM qcell JOIN ccell USING (cell)),
+heads AS (SELECT row_number() OVER (ORDER BY id) - 1 AS code, v
+          FROM corpus ORDER BY id LIMIT 8),
+cb AS (SELECT js.j, heads.code, (heads.v)[js.j*8+1 : js.j*8+8] AS cent
+       FROM heads, (SELECT unnest(generate_series(0, 7)) AS j) js),
+d AS (SELECT c.id, cb.j, cb.code,
+        list_reduce(list_transform(generate_series(1, 8),
+          i -> ((c.v)[cb.j*8+i] - cb.cent[i]) * ((c.v)[cb.j*8+i] - cb.cent[i])),
+          (x, y) -> x + y) AS d2
+      FROM corpus c, cb),
+enc AS (SELECT id, j, code FROM (
+          SELECT *, row_number() OVER (PARTITION BY id, j ORDER BY d2, code) AS rn
+          FROM d) WHERE rn = 1),
+lut AS (SELECT q.qid, cb.j, cb.code,
+          CAST(round(list_reduce(list_transform(generate_series(1, 8),
+            i -> ((q.v)[cb.j*8+i] - cb.cent[i]) * ((q.v)[cb.j*8+i] - cb.cent[i])),
+            (x, y) -> x + y) * 1e6, 0) AS BIGINT) AS d2_micro
+        FROM qs q, cb),
+scored AS (SELECT l.qid, e.id, CAST(sum(l.d2_micro) AS BIGINT) AS adc_d2
+           FROM cand
+           JOIN enc e ON e.id = cand.id
+           JOIN lut l ON l.qid = cand.qid
+                     AND e.j = l.j AND e.code = l.code
+           GROUP BY l.qid, e.id)
+SELECT qid, id AS cid, adc_d2,
+       row_number() OVER (PARTITION BY qid ORDER BY adc_d2, id) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
+
 def q_bpe_learned_encode(spark: SparkSession, sf: str) -> DataFrame:
     """The full BPE tokenizer loop (operators/bpe.py): learn 3 merges —
     a driver loop over bounded state where each iteration is one
@@ -4725,6 +4807,7 @@ CATALOG: dict[str, QueryDef] = {
     "profile_orders": QueryDef(q_profile_orders, _PROFILE_SQL),
     "anomaly_events": QueryDef(q_anomaly_events, _ANOMALY_SQL, headline=True),
     "events_hopping": QueryDef(q_events_hopping, _EVENTS_HOPPING_SQL),
+    "ivf_pq_topk": QueryDef(q_ivf_pq_topk, _IVF_PQ_SQL),
     "weighted_sample_docs": QueryDef(
         q_weighted_sample_docs, _WEIGHTED_SAMPLE_SQL
     ),

@@ -90,3 +90,39 @@ def test_encode_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_ivf_pq_allprobe_equals_full_adc(spark):
+    """Probing every cell makes IVF-PQ candidate-complete, so its output
+    must equal the unpruned ADC ranking exactly."""
+    df, _ = _corpus(spark, n=40)
+    books = PQ.pq_codebooks_head(df, m=2, k_codes=4)
+    queries = df.filter("vec_id % 10 = 0")
+    corpus = df.filter("vec_id % 10 != 0")
+    n_cells = corpus.filter("vec_id % 7 = 0").count()
+    full = PQ.pq_adc_topk(
+        spark, queries, PQ.pq_encode(corpus, books), books, k=3
+    )
+    ivf = PQ.ivf_pq_topk(
+        spark, queries, corpus, books, k=3,
+        centroid_stride=7, nprobe=n_cells,
+    )
+    want = sorted(map(tuple, full.collect()))
+    got = sorted(map(tuple, ivf.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_ivf_pq_prunes_candidates(spark):
+    """With nprobe=1 each query ranks only one cell's codes — results
+    keep the (k per query, ranks 1..k) contract."""
+    df, _ = _corpus(spark, n=40)
+    books = PQ.pq_codebooks_head(df, m=2, k_codes=4)
+    queries = df.filter("vec_id % 10 = 0")
+    corpus = df.filter("vec_id % 10 != 0")
+    out = PQ.ivf_pq_topk(
+        spark, queries, corpus, books, k=3, centroid_stride=7, nprobe=1
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
