@@ -657,6 +657,38 @@ GROUP BY 1, 2
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, distinct
+    active users per (cohort day, day offset) — the classic retention
+    triangle. Two aggregations + one equi-join on user_id; day
+    arithmetic is integer DATE subtraction on both engines."""
+    ev = load_table(spark, sf, "events")
+    activity = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    first = activity.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            F.col("cohort").cast("string").alias("cohort_day"),
+            F.datediff("d", "cohort").cast("long").alias("offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_COHORT_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+first AS (SELECT user_id, min(d) AS cohort FROM activity GROUP BY user_id)
+SELECT CAST(f.cohort AS VARCHAR) AS cohort_day,
+       CAST(a.d - f.cohort AS BIGINT) AS "offset",
+       count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_events_json_kv(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     return (
@@ -4808,6 +4840,7 @@ CATALOG: dict[str, QueryDef] = {
     "anomaly_events": QueryDef(q_anomaly_events, _ANOMALY_SQL, headline=True),
     "events_hopping": QueryDef(q_events_hopping, _EVENTS_HOPPING_SQL),
     "ivf_pq_topk": QueryDef(q_ivf_pq_topk, _IVF_PQ_SQL),
+    "cohort_retention": QueryDef(q_cohort_retention, _COHORT_SQL),
     "weighted_sample_docs": QueryDef(
         q_weighted_sample_docs, _WEIGHTED_SAMPLE_SQL
     ),
