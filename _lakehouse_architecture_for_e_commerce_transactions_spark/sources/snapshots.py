@@ -419,6 +419,61 @@ def _file_maybe_matches(
     return True
 
 
+def _part_maybe_matches(
+    part_vals: list[str], pidx: dict[str, int], predicates: list[tuple]
+) -> bool:
+    """Can a partition with these (string) values satisfy the conjuncts
+    that mention partition columns? Unconvertible values keep the
+    partition (pruning stays an optimization)."""
+    for col, op, val in predicates:
+        i = pidx.get(col)
+        if i is None:
+            continue
+        raw = part_vals[i]
+        try:
+            pv = type(val)(raw)
+        except (TypeError, ValueError):
+            continue
+        try:
+            if op == "==" and not pv == val:
+                return False
+            if op == "<" and not pv < val:
+                return False
+            if op == "<=" and not pv <= val:
+                return False
+            if op == ">" and not pv > val:
+                return False
+            if op == ">=" and not pv >= val:
+                return False
+        except TypeError:
+            continue
+    return True
+
+
+def _parquet_files(d: str) -> list[str]:
+    out = []
+    for root, _, files in os.walk(d):
+        out.extend(
+            os.path.join(root, f) for f in files if f.endswith(".parquet")
+        )
+    return out
+
+
+def _residual(predicates: list[tuple]):
+    cond = None
+    for col, op, val in predicates:
+        c = F.col(col)
+        this = {
+            "==": c == F.lit(val),
+            "<": c < F.lit(val),
+            "<=": c <= F.lit(val),
+            ">": c > F.lit(val),
+            ">=": c >= F.lit(val),
+        }[op]
+        cond = this if cond is None else cond & this
+    return cond
+
+
 def read_where(
     spark: SparkSession,
     path: str,
@@ -437,22 +492,60 @@ def read_where(
     ``predicates`` is a conjunction of ``(column, op, literal)`` with op
     in ``== < <= > >=``. Pass a dict as ``report`` to receive
     ``{"files_total": N, "files_kept": K}`` (tests/benchmarks assert the
-    skip actually happened). Partitioned (merge-committed) tables prune
-    by partition value instead — use ``read`` + a partition predicate.
+    skip actually happened).
+
+    On partitioned (merge-committed) tables, pruning is two-level:
+    manifest partition VALUES first (a predicate on a partition column
+    drops whole partitions), then per-file stats inside surviving
+    partitions (when the merge/delete recorded them via ``stats_for``).
     """
     for p in predicates:
         if len(p) != 3 or p[1] not in _PRUNE_OPS:
             raise ValueError(f"bad predicate {p!r}; ops: {_PRUNE_OPS}")
     snap = load_snapshot(path, version)
-    if snap.part_entries:
-        raise ValueError(
-            "read_where targets plain snapshots; partitioned tables "
-            "prune via their partition columns on read()"
-        )
     from pyspark.sql.types import StructType
 
-    all_files = data_files(path, snap.version)
+    schema = StructType.fromJson(json.loads(snap.schema_json))
     fs = snap.file_stats or {}
+    residual = _residual(predicates)
+
+    if snap.part_entries:
+        from collections import defaultdict
+
+        parts = snap.partition_by or []
+        pidx = {c: i for i, c in enumerate(parts)}
+        total = kept_n = 0
+        by_base: dict[str, list[str]] = defaultdict(list)
+        for e in snap.part_entries:
+            files = _parquet_files(e["dir"])
+            total += len(files)
+            if not _part_maybe_matches(e["parts"], pidx, predicates):
+                continue
+            for f in files:
+                if _file_maybe_matches(fs.get(f), predicates):
+                    by_base[e["base"]].append(f)
+                    kept_n += 1
+        if report is not None:
+            report["files_total"] = total
+            report["files_kept"] = kept_n
+        if not by_base:
+            return spark.createDataFrame([], schema)
+        frames = [
+            spark.read.option("basePath", base).parquet(*files)
+            for base, files in by_base.items()
+        ]
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        out = out.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        return out.filter(residual) if residual is not None else out
+
+    all_files = data_files(path, snap.version)
     kept = [
         f
         for f in all_files
@@ -461,18 +554,6 @@ def read_where(
     if report is not None:
         report["files_total"] = len(all_files)
         report["files_kept"] = len(kept)
-    schema = StructType.fromJson(json.loads(snap.schema_json))
-    residual = None
-    for col, op, val in predicates:
-        c = F.col(col)
-        cond = {
-            "==": c == F.lit(val),
-            "<": c < F.lit(val),
-            "<=": c <= F.lit(val),
-            ">": c > F.lit(val),
-            ">=": c >= F.lit(val),
-        }[op]
-        residual = cond if residual is None else residual & cond
     if not kept:
         return spark.createDataFrame([], schema)
     df = spark.read.schema(schema).parquet(*kept)
@@ -517,6 +598,7 @@ def merge_commit(
     spec,
     check_source_unique: bool = True,
     max_retries: int = 10,
+    stats_for: list[str] | None = None,
 ) -> int:
     """MERGE upsert published as an atomic snapshot version.
 
@@ -530,6 +612,11 @@ def merge_commit(
     Concurrency: each manifest records which partitions it changed; a
     losing writer rebases onto the winner when their partition sets are
     disjoint and raises otherwise (write-conflict, Delta-style).
+
+    ``stats_for`` records per-file min/max for those columns on the
+    rewritten files (carried partitions keep the parent's stats — their
+    dirs are immutable); omitted, it inherits the parent's stat columns
+    so stats survive across merges without re-requesting them.
     """
     from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
         merge as M,
@@ -557,9 +644,11 @@ def merge_commit(
         # manifest create fails and this merge must re-run against the
         # new head (a blind overwrite would silently erase its rows).
         base_version = None
+        parent_stats_cols = None
         try:
             parent = load_snapshot(path)
             base_version = parent.version
+            parent_stats_cols = parent.stats_cols
             target = read(spark, path).select(*cols)
             merged = M.merge_plan(source, target, spec)
         except FileNotFoundError:
@@ -574,6 +663,12 @@ def merge_commit(
             "schema": merged.schema.json(),
             "committed_at": time.time(),
         }
+        eff_stats = stats_for or parent_stats_cols
+        if eff_stats:
+            manifest["file_stats"] = collect_file_stats(
+                [commit_dir], list(eff_stats)
+            )
+            manifest["stats_cols"] = list(eff_stats)
         os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
         try:
             fd = os.open(
@@ -634,6 +729,8 @@ def merge_commit(
         merged.schema.json(),
         full_rewrite,
         max_retries,
+        stats_cols=stats_for
+        or (parent.stats_cols if parent is not None else None),
     )
 
 
@@ -647,10 +744,16 @@ def _publish_partitioned(
     schema_json: str,
     full_rewrite: bool,
     max_retries: int,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Publish an already-written partition-granular rewrite (MERGE or
     DELETE) as the next version: carry unaffected entries by reference,
-    rebase across disjoint intervening commits, conflict otherwise."""
+    rebase across disjoint intervening commits, conflict otherwise.
+    With ``stats_cols``, fresh files get footer stats collected and
+    carried entries keep the parent's (their dirs are immutable)."""
+    fresh_stats = (
+        collect_file_stats([commit_dir], stats_cols) if stats_cols else None
+    )
     for _ in range(max_retries):
         head = None
         try:
@@ -711,6 +814,17 @@ def _publish_partitioned(
             "schema": schema_json,
             "committed_at": time.time(),
         }
+        if fresh_stats is not None:
+            carried_dirs = tuple(e["dir"] for e in carried)
+            carried_stats = {
+                f: st
+                for f, st in (
+                    head.file_stats if head and head.file_stats else {}
+                ).items()
+                if f.startswith(carried_dirs)
+            }
+            manifest["file_stats"] = {**carried_stats, **fresh_stats}
+            manifest["stats_cols"] = list(stats_cols)
         os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
         try:
             fd = os.open(
@@ -760,6 +874,11 @@ def delete_where(
             "schema": base.schema_json,
             "committed_at": time.time(),
         }
+        if base.stats_cols:
+            manifest["file_stats"] = collect_file_stats(
+                [commit_dir], base.stats_cols
+            )
+            manifest["stats_cols"] = base.stats_cols
         os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
         try:
             fd = os.open(
@@ -812,6 +931,7 @@ def delete_where(
         base.schema_json,
         False,
         max_retries,
+        stats_cols=base.stats_cols,
     )
 
 

@@ -210,3 +210,105 @@ def test_table_stats_none_without_stats(spark, sf_dir, tmp_path):
     path = str(tmp_path / "t")
     S.commit(spark, _orders(spark, sf_dir).select("o_orderkey"), path)
     assert S.table_stats(path)["rows"] is None
+
+
+def test_partitioned_read_where_two_level_prune(spark, tmp_path):
+    """Merge-committed tables prune on partition VALUES first, then on
+    per-file stats inside surviving partitions; results always equal the
+    plain filtered read."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        TableSpec,
+    )
+
+    spec = TableSpec(
+        name="t",
+        schema=StructType(
+            [
+                StructField("pk", IntegerType(), False),
+                StructField("amt", DoubleType(), False),
+                StructField("part", StringType(), False),
+            ]
+        ),
+        primary_key="pk",
+        partition_by=("part",),
+    )
+    path = str(tmp_path / "t")
+    rows = [(i, float(i), f"p{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "pk int, amt double, part string")
+    S.merge_commit(spark, df, path, spec, stats_for=["amt"])
+    snap = S.load_snapshot(path)
+    assert snap.stats_cols == ["amt"] and snap.file_stats
+
+    # partition-value pruning: equality on the partition column
+    rep: dict = {}
+    got = S.read_where(spark, path, [("part", "==", "p1")], report=rep)
+    assert got.count() == 30
+    assert rep["files_kept"] < rep["files_total"]
+
+    # file-stat pruning inside partitions: amt is 0..89, one file per
+    # partition -> a tight range hits a subset
+    rep2: dict = {}
+    got2 = S.read_where(spark, path, [("amt", ">=", 85.0)], report=rep2)
+    want2 = S.read(spark, path).filter(F.col("amt") >= 85.0).count()
+    assert got2.count() == want2 > 0
+
+    # merge inherits stat columns without re-requesting them
+    upd = spark.createDataFrame(
+        [(1, 500.0, "p1")], "pk int, amt double, part string"
+    )
+    S.merge_commit(spark, upd, path, spec)
+    snap2 = S.load_snapshot(path)
+    assert snap2.stats_cols == ["amt"]
+    rep3: dict = {}
+    got3 = S.read_where(spark, path, [("amt", ">=", 400.0)], report=rep3)
+    assert [r["pk"] for r in got3.collect()] == [1]
+    assert rep3["files_kept"] == 1  # only the rewritten p1 file survives
+    # carried partitions kept their stats (total files all have entries)
+    assert rep3["files_total"] == len(snap2.file_stats)
+
+
+def test_partitioned_delete_keeps_stats(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        TableSpec,
+    )
+
+    spec = TableSpec(
+        name="t",
+        schema=StructType(
+            [
+                StructField("pk", IntegerType(), False),
+                StructField("amt", DoubleType(), False),
+                StructField("part", StringType(), False),
+            ]
+        ),
+        primary_key="pk",
+        partition_by=("part",),
+    )
+    path = str(tmp_path / "t")
+    rows = [(i, float(i), f"p{i % 2}") for i in range(40)]
+    df = spark.createDataFrame(rows, "pk int, amt double, part string")
+    S.merge_commit(spark, df, path, spec, stats_for=["amt"])
+    S.delete_where(spark, path, "amt < 10.0")
+    snap = S.load_snapshot(path)
+    assert snap.stats_cols == ["amt"]
+    got = S.read_where(spark, path, [("amt", "<", 100.0)])
+    assert got.count() == 30  # 40 - 10 deleted
+    st = S.table_stats(path)
+    assert st["rows"] == 30
+    assert st["cols"]["amt"]["min"] == 10.0
