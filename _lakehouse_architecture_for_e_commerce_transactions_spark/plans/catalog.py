@@ -657,6 +657,55 @@ GROUP BY 1, 2
 """
 
 
+def q_doc_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap
+    randomness/boilerplate signal (low entropy ⇒ repeated boilerplate,
+    high ⇒ noise/binary junk) completing the quality family. Uses
+    H = log2(n) − (Σ cnt·log2(cnt))/n with each cnt·log2(cnt) term
+    quantized to BIGINT micro-units, so the per-doc sum is
+    summation-order-proof; one explode + two aggregations."""
+    d = load_table(spark, sf, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    term_micro = F.floor(
+        (F.col("cnt") * F.log2("cnt")) * 1000000 + F.lit(0.5)
+    ).cast("long")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(term_micro).alias("sum_micro"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars"),
+        fix6(
+            F.log2("n") - (F.col("sum_micro") / 1000000.0) / F.col("n")
+        ).alias("entropy_bits"),
+    )
+
+
+_CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+  FROM documents),
+counts AS (
+  SELECT doc_id, ch, count(*) AS cnt
+  FROM chars WHERE ch <> '' GROUP BY doc_id, ch),
+per_doc AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(CAST(floor((cnt * log2(cnt)) * 1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS sum_micro
+  FROM counts GROUP BY doc_id)
+SELECT doc_id, n AS n_chars,
+       floor((log2(n) - (sum_micro / 1000000.0) / n) * 1000000 + 0.5)
+         / 1000000 AS entropy_bits
+FROM per_doc
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention: users grouped by first-activity day, distinct
     active users per (cohort day, day offset) — the classic retention
@@ -4841,6 +4890,7 @@ CATALOG: dict[str, QueryDef] = {
     "events_hopping": QueryDef(q_events_hopping, _EVENTS_HOPPING_SQL),
     "ivf_pq_topk": QueryDef(q_ivf_pq_topk, _IVF_PQ_SQL),
     "cohort_retention": QueryDef(q_cohort_retention, _COHORT_SQL),
+    "doc_char_entropy": QueryDef(q_doc_char_entropy, _CHAR_ENTROPY_SQL),
     "weighted_sample_docs": QueryDef(
         q_weighted_sample_docs, _WEIGHTED_SAMPLE_SQL
     ),
