@@ -69,6 +69,10 @@ class Snapshot:
     file_stats: dict | None = None
     # which columns stats were collected for (compact() re-collects them)
     stats_cols: list[str] | None = None
+    # per-file Bloom filters for point-lookup skipping:
+    # {file_path: {col: {"m", "k", "bits"}}}
+    file_blooms: dict | None = None
+    bloom_cols: list[str] | None = None
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -104,6 +108,8 @@ def load_snapshot(path: str, version: int | None = None) -> Snapshot:
         m.get("partition_by"),
         m.get("file_stats"),
         m.get("stats_cols"),
+        m.get("file_blooms"),
+        m.get("bloom_cols"),
     )
 
 
@@ -216,6 +222,74 @@ def collect_file_stats(
     return out
 
 
+def _bloom_hashes(s: str) -> tuple[int, int]:
+    import hashlib
+
+    d = hashlib.blake2b(s.encode(), digest_size=16).digest()
+    # double hashing: h1 + i·h2; odd h2 so strides cover the bit space
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:], "little") | 1,
+    )
+
+
+def _bloom_build(values, fpp: float = 0.01) -> dict:
+    import base64
+    import math
+
+    vals = {str(v) for v in values if v is not None}
+    n = max(1, len(vals))
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)) + 1)
+    k = max(1, round(m / n * math.log(2)))
+    bits = bytearray((m + 7) // 8)
+    for v in vals:
+        h1, h2 = _bloom_hashes(v)
+        for i in range(k):
+            idx = (h1 + i * h2) % m
+            bits[idx >> 3] |= 1 << (idx & 7)
+    return {"m": m, "k": k, "bits": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_test(bloom: dict, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["bits"])
+    h1, h2 = _bloom_hashes(str(value))
+    m = bloom["m"]
+    for i in range(bloom["k"]):
+        idx = (h1 + i * h2) % m
+        if not (bits[idx >> 3] >> (idx & 7)) & 1:
+            return False
+    return True
+
+
+def collect_file_blooms(
+    dirs: list[str], cols: list[str], fpp: float = 0.01
+) -> dict[str, dict]:
+    """Per-file Bloom filters over the given columns (Delta's bloom-index
+    analog): ~10 bits/distinct value at 1% fpp, stored in the manifest so
+    point lookups prune files min/max can't (high-cardinality columns in
+    unsorted layouts). Values hash by canonical string — intended for
+    integer/string key columns. Build cost reads only the indexed
+    columns of the files just written; at real scale it rides inside the
+    write task itself."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for d in dirs:
+        for root, _, files in os.walk(d):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(root, name)
+                tbl = pq.read_table(fpath, columns=list(cols))
+                out[fpath] = {
+                    c: _bloom_build(tbl.column(c).to_pylist(), fpp)
+                    for c in cols
+                }
+    return out
+
+
 def commit(
     spark: SparkSession,
     df: DataFrame,
@@ -226,6 +300,7 @@ def commit(
     stats_for: list[str] | None = None,
     cluster_by: list[str] | None = None,
     n_files: int | None = None,
+    bloom_for: list[str] | None = None,
 ) -> int:
     """Atomically commit ``df`` as the table's next version; returns it.
 
@@ -270,6 +345,11 @@ def commit(
     fresh_stats = (
         collect_file_stats([commit_dir], list(stats_for))
         if stats_for
+        else None
+    )
+    fresh_blooms = (
+        collect_file_blooms([commit_dir], list(bloom_for))
+        if bloom_for
         else None
     )
 
@@ -319,6 +399,16 @@ def commit(
                 }
             manifest["file_stats"] = merged_stats
             manifest["stats_cols"] = list(stats_for)
+        if fresh_blooms is not None:
+            merged_blooms = dict(fresh_blooms)
+            if mode == "append" and vs:
+                parent = load_snapshot(path, vs[-1])
+                merged_blooms = {
+                    **(parent.file_blooms or {}),
+                    **fresh_blooms,
+                }
+            manifest["file_blooms"] = merged_blooms
+            manifest["bloom_cols"] = list(bloom_for)
         os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
         try:
             fd = os.open(
@@ -385,11 +475,20 @@ _PRUNE_OPS = ("==", "<", "<=", ">", ">=")
 
 
 def _file_maybe_matches(
-    entry: dict | None, predicates: list[tuple]
+    entry: dict | None,
+    predicates: list[tuple],
+    blooms: dict | None = None,
 ) -> bool:
     """Can this file contain a row satisfying ALL conjuncts? Missing or
     poisoned stats keep the file (pruning is an optimization, never a
-    correctness dependency — the residual filter still runs)."""
+    correctness dependency — the residual filter still runs). Equality
+    conjuncts additionally consult the file's Bloom filter when one was
+    recorded — a definite miss prunes even when min/max can't."""
+    for col, op, val in predicates:
+        if op == "==" and blooms:
+            b = blooms.get(col)
+            if b is not None and not _bloom_test(b, val):
+                return False
     if entry is None:
         return True
     for col, op, val in predicates:
@@ -507,6 +606,7 @@ def read_where(
 
     schema = StructType.fromJson(json.loads(snap.schema_json))
     fs = snap.file_stats or {}
+    fb = snap.file_blooms or {}
     residual = _residual(predicates)
 
     if snap.part_entries:
@@ -522,7 +622,7 @@ def read_where(
             if not _part_maybe_matches(e["parts"], pidx, predicates):
                 continue
             for f in files:
-                if _file_maybe_matches(fs.get(f), predicates):
+                if _file_maybe_matches(fs.get(f), predicates, fb.get(f)):
                     by_base[e["base"]].append(f)
                     kept_n += 1
         if report is not None:
@@ -549,7 +649,7 @@ def read_where(
     kept = [
         f
         for f in all_files
-        if _file_maybe_matches(fs.get(f), predicates)
+        if _file_maybe_matches(fs.get(f), predicates, fb.get(f))
     ]
     if report is not None:
         report["files_total"] = len(all_files)
@@ -1210,6 +1310,11 @@ def compact(
                 [commit_dir], base.stats_cols
             )
             manifest["stats_cols"] = base.stats_cols
+        if base.bloom_cols:
+            manifest["file_blooms"] = collect_file_blooms(
+                [commit_dir], base.bloom_cols
+            )
+            manifest["bloom_cols"] = base.bloom_cols
         if base.part_entries is not None:
             written = _hive_leaf_dirs(commit_dir, parts)
             manifest["part_entries"] = [

@@ -312,3 +312,64 @@ def test_partitioned_delete_keeps_stats(spark, tmp_path):
     st = S.table_stats(path)
     assert st["rows"] == 30
     assert st["cols"]["amt"]["min"] == 10.0
+
+
+def test_bloom_index_prunes_point_lookups(spark, sf_dir, tmp_path):
+    """On an unsorted layout, min/max spans everything — only the Bloom
+    filter can prune a point lookup. Absent keys touch zero files."""
+    path = str(tmp_path / "t")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_custkey")
+    S.commit(
+        spark,
+        o.repartition(8),  # random placement: stats won't prune
+        path,
+        stats_for=["o_orderkey"],
+        bloom_for=["o_orderkey"],
+    )
+    some_key = o.agg(F.min("o_orderkey")).first()[0]
+    rep: dict = {}
+    got = S.read_where(
+        spark, path, [("o_orderkey", "==", some_key)], report=rep
+    )
+    assert got.count() == 1
+    # one file truly holds the key; fpp=1% over 8 files ⇒ rarely >2 kept
+    assert rep["files_kept"] <= 3 < rep["files_total"]
+
+    rep2: dict = {}
+    got2 = S.read_where(
+        spark, path, [("o_orderkey", "==", -99999)], report=rep2
+    )
+    assert got2.count() == 0
+    assert rep2["files_kept"] == 0  # definite miss in every bloom
+
+
+def test_bloom_survives_append_and_compact(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_custkey")
+    a = o.filter(F.col("o_orderkey") % 2 == 0)
+    b = o.filter(F.col("o_orderkey") % 2 == 1)
+    S.commit(spark, a.repartition(3), path, bloom_for=["o_orderkey"])
+    S.commit(
+        spark, b.repartition(3), path, mode="append",
+        bloom_for=["o_orderkey"],
+    )
+    snap = S.load_snapshot(path)
+    assert len(snap.file_blooms) >= 6
+    key = o.agg(F.max("o_orderkey")).first()[0]
+    rep: dict = {}
+    got = S.read_where(spark, path, [("o_orderkey", "==", key)], report=rep)
+    assert got.count() == 1
+    assert rep["files_kept"] < rep["files_total"]  # appended blooms bite
+    S.compact(spark, path)
+    snap2 = S.load_snapshot(path)
+    assert snap2.bloom_cols == ["o_orderkey"]
+    # blooms were rebuilt for the rewritten layout: lookups stay correct
+    # and a definite miss still prunes every file
+    assert S.read_where(
+        spark, path, [("o_orderkey", "==", key)]
+    ).count() == 1
+    rep2: dict = {}
+    assert S.read_where(
+        spark, path, [("o_orderkey", "==", -5)], report=rep2
+    ).count() == 0
+    assert rep2["files_kept"] == 0
