@@ -4712,6 +4712,51 @@ WHERE o_custkey < 300 AND o_totalprice >= 100000.0
 """
 
 
+def q_bloom_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-index point lookup end to end: commit orders unsorted with
+    a manifest Bloom filter on the key, then fetch one key through
+    read_where — the bloom prunes files min/max can't (pruning ratio is
+    pinned in tests/test_fileskip.py); the oracle is the plain point
+    select."""
+    import os as _os
+    import tempfile as _tf
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as SN,
+    )
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = _os.path.join(
+        _tf.gettempdir(),
+        f"sparkgraft_bloom_{_os.path.basename(sf.rstrip('/'))}",
+    )
+    SN.commit(
+        spark,
+        o.repartition(8),
+        path,
+        bloom_for=["o_orderkey"],
+    )
+    SN.vacuum(path, keep_last=1)
+    key = o.agg(F.min("o_orderkey")).first()[0]
+    return SN.read_where(
+        spark, path, [("o_orderkey", "==", key)]
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        money(F.col("o_totalprice")).alias("total"),
+    )
+
+
+_BLOOM_LOOKUP_SQL = """
+SELECT o_orderkey, o_custkey,
+       floor(o_totalprice * 100 + 0.5) / 100 AS total
+FROM orders
+WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # Registry order is load-bearing: the external correctness driver
     # checks the FIRST 50 entries each round. Rounds rotate the front so
@@ -4891,6 +4936,7 @@ CATALOG: dict[str, QueryDef] = {
     "ivf_pq_topk": QueryDef(q_ivf_pq_topk, _IVF_PQ_SQL),
     "cohort_retention": QueryDef(q_cohort_retention, _COHORT_SQL),
     "doc_char_entropy": QueryDef(q_doc_char_entropy, _CHAR_ENTROPY_SQL),
+    "bloom_point_lookup": QueryDef(q_bloom_point_lookup, _BLOOM_LOOKUP_SQL),
     "weighted_sample_docs": QueryDef(
         q_weighted_sample_docs, _WEIGHTED_SAMPLE_SQL
     ),
