@@ -608,6 +608,10 @@ def read_where(
     fs = snap.file_stats or {}
     fb = snap.file_blooms or {}
     residual = _residual(predicates)
+    # hidden partitioning: predicates on a transform's SOURCE column
+    # imply derived-column conjuncts that participate in pruning only
+    # (the residual stays on the original columns)
+    prune_preds = predicates + _transposed_predicates(path, predicates)
 
     if snap.part_entries:
         from collections import defaultdict
@@ -619,10 +623,10 @@ def read_where(
         for e in snap.part_entries:
             files = _parquet_files(e["dir"])
             total += len(files)
-            if not _part_maybe_matches(e["parts"], pidx, predicates):
+            if not _part_maybe_matches(e["parts"], pidx, prune_preds):
                 continue
             for f in files:
-                if _file_maybe_matches(fs.get(f), predicates, fb.get(f)):
+                if _file_maybe_matches(fs.get(f), prune_preds, fb.get(f)):
                     by_base[e["base"]].append(f)
                     kept_n += 1
         if report is not None:
@@ -649,7 +653,7 @@ def read_where(
     kept = [
         f
         for f in all_files
-        if _file_maybe_matches(fs.get(f), predicates, fb.get(f))
+        if _file_maybe_matches(fs.get(f), prune_preds, fb.get(f))
     ]
     if report is not None:
         report["files_total"] = len(all_files)
@@ -1186,6 +1190,97 @@ def _store_table_meta(path: str, meta: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(path, _TABLE_META))
+
+
+def derive_partition_column(
+    df: DataFrame, kind: str, source: str, part: str, n: int | None = None
+) -> DataFrame:
+    """Append the derived partition column for an Iceberg-style partition
+    transform: ``days`` (days since epoch of a timestamp/date) or
+    ``bucket`` (Knuth-hash mod n of an integer key). Pair with
+    ``set_partition_transform`` so read_where can transpose predicates
+    on the SOURCE column into partition pruning."""
+    if kind == "days":
+        return df.withColumn(
+            part,
+            F.datediff(
+                F.col(source).cast("date"), F.to_date(F.lit("1970-01-01"))
+            ),
+        )
+    if kind == "bucket":
+        if not n:
+            raise ValueError("bucket transform needs n")
+        from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.sampling import (
+            KNUTH,
+        )
+
+        return df.withColumn(
+            part, F.pmod(F.col(source).cast("long") * F.lit(KNUTH), F.lit(n))
+        )
+    raise ValueError(f"unknown transform kind {kind!r}")
+
+
+def set_partition_transform(
+    path: str, part: str, kind: str, source: str, n: int | None = None
+) -> None:
+    """Declare that partition column ``part`` was derived from ``source``
+    by ``kind`` (the Iceberg hidden-partitioning contract): read_where
+    then transposes predicates on the source column into partition
+    pruning, so queries never mention the derived column."""
+    if kind not in ("days", "bucket"):
+        raise ValueError(f"unknown transform kind {kind!r}")
+    meta = _load_table_meta(path)
+    meta.setdefault("transforms", []).append(
+        {"part": part, "kind": kind, "source": source, "n": n}
+    )
+    _store_table_meta(path, meta)
+
+
+def partition_transforms(path: str) -> list[dict]:
+    return list(_load_table_meta(path).get("transforms", []))
+
+
+def _transform_value(t: dict, val):
+    import datetime as _dt
+
+    if t["kind"] == "days":
+        if isinstance(val, _dt.datetime):
+            val = val.date()
+        if not isinstance(val, _dt.date):
+            return None
+        return (val - _dt.date(1970, 1, 1)).days
+    if t["kind"] == "bucket":
+        if not isinstance(val, int):
+            return None
+        from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.sampling import (
+            KNUTH,
+        )
+
+        return (val * KNUTH) % t["n"]
+    return None
+
+
+def _transposed_predicates(path: str, predicates: list[tuple]) -> list[tuple]:
+    """Derived-column predicates implied by source-column conjuncts.
+    ``days`` is order-preserving (ranges weaken to the containing day);
+    ``bucket`` transposes equality only."""
+    out: list[tuple] = []
+    for t in partition_transforms(path):
+        for col, op, val in predicates:
+            if col != t["source"]:
+                continue
+            dval = _transform_value(t, val)
+            if dval is None:
+                continue
+            if t["kind"] == "bucket":
+                if op == "==":
+                    out.append((t["part"], "==", dval))
+                continue
+            dop = {"==": "==", "<": "<=", "<=": "<=", ">": ">=", ">=": ">="}[
+                op
+            ]
+            out.append((t["part"], dop, dval))
+    return out
 
 
 def set_check_constraint(path: str, name: str, expression: str) -> None:
