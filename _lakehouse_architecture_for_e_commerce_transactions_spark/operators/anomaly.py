@@ -42,14 +42,19 @@ def rolling_zscore_flags(
         .rowsBetween(-window_rows, -1)
     )
     x = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
-    n = F.count(F.lit(1)).over(w)
-    s = F.sum(x).over(w)
-    q = F.sum(x * x).over(w)
+    # one select evaluates the three running aggregates in a single
+    # Window node (re-deriving them per consumer expression would stack
+    # a second Window with duplicated aggregate columns)
+    with_sums = df.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.sum(x).over(w).alias("_s"),
+        F.sum(x * x).over(w).alias("_q"),
+    )
+    n, s, q = F.col("n_window"), F.col("_s"), F.col("_q")
     dev = n * x - s
     bound = F.lit(z * z) * (n * q - s * s)
-    return df.withColumn("n_window", n).withColumn(
+    return with_sums.withColumn(
         "is_anomaly",
-        F.when(F.col("n_window") < min_rows, F.lit(False)).otherwise(
-            dev * dev > bound
-        ),
-    )
+        F.when(n < min_rows, F.lit(False)).otherwise(dev * dev > bound),
+    ).drop("_s", "_q")
