@@ -1438,6 +1438,82 @@ def compact(
     )
 
 
+def restore(path: str, version: int, max_retries: int = 10) -> int:
+    """Delta RESTORE: publish an old version's exact file references as
+    the new head — zero data movement, pure manifest write. History is
+    preserved (the bad versions stay time-travelable until vacuum)."""
+    snap = load_snapshot(path, version)
+    for _ in range(max_retries):
+        head = load_snapshot(path)
+        next_v = head.version + 1
+        manifest = {
+            "version": next_v,
+            "dirs": snap.dirs,
+            "schema": snap.schema_json,
+            "committed_at": time.time(),
+        }
+        if snap.part_entries is not None:
+            # a restore changes nothing physically; entries carry over
+            # but must rebase-conflict with any concurrent merge, so
+            # mark every partition changed
+            manifest["part_entries"] = [
+                {**e, "changed": True} for e in snap.part_entries
+            ]
+            manifest["partition_by"] = snap.partition_by
+        if snap.file_stats is not None:
+            manifest["file_stats"] = snap.file_stats
+            manifest["stats_cols"] = snap.stats_cols
+        if snap.file_blooms is not None:
+            manifest["file_blooms"] = snap.file_blooms
+            manifest["bloom_cols"] = snap.bloom_cols
+        os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
+        try:
+            fd = os.open(
+                _manifest_path(path, next_v),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        return next_v
+    raise RuntimeError(f"restore contention at {path}")
+
+
+def clone(src: str, dst: str, version: int | None = None) -> int:
+    """Shallow clone (Delta CLONE): a new table whose v0 manifest
+    references the source snapshot's data dirs — zero copy. The clone
+    evolves independently (its own commits write its own dirs); vacuum
+    on the clone never deletes source-owned dirs (they live outside its
+    data root), and vacuuming the SOURCE can orphan a shallow clone —
+    the same caveat real Delta documents."""
+    snap = load_snapshot(src, version)
+    if os.path.isdir(os.path.join(dst, _MANIFESTS)) and _versions(dst):
+        raise ValueError(f"clone target {dst} already exists")
+    manifest = {
+        "version": 0,
+        "dirs": snap.dirs,
+        "schema": snap.schema_json,
+        "committed_at": time.time(),
+    }
+    if snap.part_entries is not None:
+        manifest["part_entries"] = snap.part_entries
+        manifest["partition_by"] = snap.partition_by
+    if snap.file_stats is not None:
+        manifest["file_stats"] = snap.file_stats
+        manifest["stats_cols"] = snap.stats_cols
+    if snap.file_blooms is not None:
+        manifest["file_blooms"] = snap.file_blooms
+        manifest["bloom_cols"] = snap.bloom_cols
+    os.makedirs(os.path.join(dst, _MANIFESTS), exist_ok=True)
+    fd = os.open(
+        _manifest_path(dst, 0), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+    )
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    return 0
+
+
 def data_files(path: str, version: int | None = None) -> list[str]:
     """All parquet data files a snapshot references (maintenance/tests)."""
     snap = load_snapshot(path, version)

@@ -553,3 +553,34 @@ def test_check_constraint_enforced_on_merge(spark, tmp_path):
     S.drop_check_constraint(path, "amt_positive")
     v = S.merge_commit(spark, _mdf(spark, [(2, -5.0, "a")]), path, MSPEC)
     assert v == 1
+
+
+def test_restore_rolls_back_without_data_moves(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "good")]), path)
+    S.commit(spark, _df(spark, [(1, "bad"), (2, "worse")]), path)
+    v = S.restore(path, 0)
+    assert v == 2
+    assert {r["v"] for r in S.read(spark, path).collect()} == {"good"}
+    # the bad version stays time-travelable until vacuum
+    assert S.read(spark, path, 1).count() == 2
+    # restore is metadata-only: head references v0's dirs verbatim
+    assert S.load_snapshot(path, 2).dirs == S.load_snapshot(path, 0).dirs
+
+
+def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    S.commit(spark, _df(spark, [(1, "a"), (2, "b")]), src)
+    S.clone(src, dst)
+    assert S.load_snapshot(dst).dirs == S.load_snapshot(src).dirs  # no copy
+    assert {r["k"] for r in S.read(spark, dst).collect()} == {1, 2}
+    # divergence: writes to the clone never touch the source
+    S.commit(spark, _df(spark, [(3, "c")]), dst, mode="append")
+    assert S.read(spark, dst).count() == 3
+    assert S.read(spark, src).count() == 2
+    # clone-side vacuum keeps source dirs (they live outside its root)
+    S.vacuum(dst, keep_last=1)
+    assert S.read(spark, src).count() == 2
+    with pytest.raises(ValueError, match="already exists"):
+        S.clone(src, dst)
