@@ -2856,6 +2856,77 @@ FROM supplier WHERE s_suppkey % 7 = 0
 """
 
 
+def q_scd2_asof_enrichment(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact-to-dimension as-of enrichment over SCD2 history — the query
+    SCD2 exists FOR: each fact row joins the dimension version that was
+    effective at the fact's own timestamp (validity-interval join:
+    eff_from ≤ ts < eff_to, open version unbounded). Reuses the
+    scd2_supplier history; facts are lineitem rows probed at a March
+    (pre-update) and September (post-update) timestamp, so changed
+    suppliers resolve to different balances per probe. The oracle states
+    the expected enrichment directly as CASE arithmetic."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        scd,
+    )
+
+    s = load_table(spark, sf, "supplier")
+    snap = s.select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        F.lit("2025-01-01").cast("timestamp").alias("updated_at"),
+    )
+    upd = s.select(
+        "s_suppkey",
+        "s_name",
+        F.when(
+            F.col("s_suppkey") % 3 == 0, F.col("s_acctbal") + 100
+        ).otherwise(F.col("s_acctbal")).alias("s_acctbal"),
+        F.lit("2025-06-01").cast("timestamp").alias("updated_at"),
+    )
+    hist = scd.scd2_apply(
+        scd.scd2_init(snap, "updated_at"),
+        upd,
+        key="s_suppkey",
+        tracked=["s_name", "s_acctbal"],
+        ts_col="updated_at",
+    )
+    li = load_table(spark, sf, "lineitem")
+    fact = li.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.when(
+            F.col("l_orderkey") % 2 == 0, F.lit("2025-03-01")
+        ).otherwise(F.lit("2025-09-01")).cast("timestamp").alias("ts"),
+    )
+    j = fact.join(
+        hist,
+        (fact.l_suppkey == hist.s_suppkey)
+        & (fact.ts >= hist.effective_from)
+        & (hist.effective_to.isNull() | (fact.ts < hist.effective_to)),
+    )
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.date_format("ts", "yyyy-MM-dd").alias("probe_day"),
+        F.round("s_acctbal", 2).alias("acctbal_asof"),
+    )
+
+
+_SCD2_ASOF_SQL = """
+SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey,
+       CASE WHEN l.l_orderkey % 2 = 0
+            THEN '2025-03-01' ELSE '2025-09-01' END AS probe_day,
+       round(CASE WHEN l.l_orderkey % 2 = 0 OR s.s_suppkey % 3 <> 0
+                  THEN s.s_acctbal ELSE s.s_acctbal + 100 END,
+             2) AS acctbal_asof
+FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE l.l_orderkey % 100 = 0
+"""
+
+
 def q_simhash_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Banded SimHash near-dup detection, fully oracle-checked: the Spark
     side blocks on 8-bit bands of a 32-bit signature (lossless for hamming
@@ -4937,6 +5008,7 @@ CATALOG: dict[str, QueryDef] = {
     "cohort_retention": QueryDef(q_cohort_retention, _COHORT_SQL),
     "doc_char_entropy": QueryDef(q_doc_char_entropy, _CHAR_ENTROPY_SQL),
     "bloom_point_lookup": QueryDef(q_bloom_point_lookup, _BLOOM_LOOKUP_SQL),
+    "scd2_asof_enrichment": QueryDef(q_scd2_asof_enrichment, _SCD2_ASOF_SQL),
     "weighted_sample_docs": QueryDef(
         q_weighted_sample_docs, _WEIGHTED_SAMPLE_SQL
     ),
