@@ -4783,6 +4783,106 @@ WHERE o_custkey < 300 AND o_totalprice >= 100000.0
 """
 
 
+def q_minmax_by_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Selector aggregates (max_by/min_by): per order priority, the
+    order that maximizes / minimizes total price. The comparison key is
+    an exact integer compound (centi-price · 10⁷ + orderkey) so ties
+    break deterministically and both engines order identically."""
+    o = load_table(spark, sf, "orders")
+    key = (
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        * F.lit(10_000_000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("max_price_orderkey"),
+        F.min_by("o_orderkey", key).alias("min_price_orderkey"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_MINMAX_BY_SQL = """
+SELECT o_orderpriority,
+       arg_max(o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000
+               + o_orderkey) AS max_price_orderkey,
+       arg_min(o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000
+               + o_orderkey) AS min_price_orderkey,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_stats_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    """Second-moment statistics (stddev, covariance, correlation) per
+    order status over lineitem — computed from BIGINT fixed-point sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) so the result is a pure function of the
+    row set, unlike the built-in float accumulators whose last ulp is
+    partition-order-dependent. The metric is DEFINED over quantized
+    inputs (centi-quantity, hecto-dollar price) so every moment sum
+    stays far inside int64 even at large SF; the final formulas run on
+    exact integers and fix6 keeps printed values engine-portable."""
+    li = load_table(spark, sf, "lineitem")
+    x = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    y = F.floor(F.col("l_extendedprice") / 100 + F.lit(0.5)).cast("long")
+    agg = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n2 = n * sxy - sx * sy          # n² · covariance (exact int)
+    varx_n2 = n * sxx - sx * sx         # n² · variance(x)
+    vary_n2 = n * syy - sy * sy
+    return agg.select(
+        "l_linestatus",
+        "n",
+        fix6(F.sqrt(varx_n2.cast("double")) / n / 100).alias("stddev_qty"),
+        # centi-qty · hecto-dollar = 1 qty·dollar: no further scaling
+        fix6(cov_n2.cast("double") / (n * n)).alias("cov_qty_price"),
+        fix6(
+            cov_n2.cast("double")
+            / F.sqrt(varx_n2.cast("double"))
+            / F.sqrt(vary_n2.cast("double"))
+        ).alias("corr_qty_price"),
+    )
+
+
+_STATS_AGG_SQL = """
+WITH s AS (
+  SELECT l_linestatus, count(*) AS n,
+         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sx,
+         CAST(sum(CAST(floor(l_extendedprice / 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS sy,
+         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                  * CAST(floor(l_extendedprice / 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS sxy,
+         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                  * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS sxx,
+         CAST(sum(CAST(floor(l_extendedprice / 100 + 0.5) AS BIGINT)
+                  * CAST(floor(l_extendedprice / 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS syy
+  FROM lineitem GROUP BY l_linestatus)
+SELECT l_linestatus, n,
+       floor((sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n / 100)
+             * 1000000 + 0.5) / 1000000 AS stddev_qty,
+       floor((CAST(n * sxy - sx * sy AS DOUBLE) / (n * n))
+             * 1000000 + 0.5) / 1000000 AS cov_qty_price,
+       floor((CAST(n * sxy - sx * sy AS DOUBLE)
+              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              / sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS corr_qty_price
+FROM s
+"""
+
+
 def q_bloom_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-index point lookup end to end: commit orders unsorted with
     a manifest Bloom filter on the key, then fetch one key through
@@ -5009,6 +5109,8 @@ CATALOG: dict[str, QueryDef] = {
     "doc_char_entropy": QueryDef(q_doc_char_entropy, _CHAR_ENTROPY_SQL),
     "bloom_point_lookup": QueryDef(q_bloom_point_lookup, _BLOOM_LOOKUP_SQL),
     "scd2_asof_enrichment": QueryDef(q_scd2_asof_enrichment, _SCD2_ASOF_SQL),
+    "minmax_by_agg": QueryDef(q_minmax_by_agg, _MINMAX_BY_SQL),
+    "stats_aggregates": QueryDef(q_stats_aggregates, _STATS_AGG_SQL),
     "weighted_sample_docs": QueryDef(
         q_weighted_sample_docs, _WEIGHTED_SAMPLE_SQL
     ),
