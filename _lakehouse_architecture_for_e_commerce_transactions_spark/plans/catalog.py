@@ -3327,6 +3327,167 @@ WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 11)
 """
 
 
+def _derived_partsupp(spark: SparkSession, sf: str) -> DataFrame:
+    """The testdata has no partsupp table; derive one deterministically
+    from lineitem so the Q2/Q20 query SHAPES run end to end:
+    availqty = Σ shipped quantity per (part, supplier); supplycost is a
+    pure integer hash of the key pair — identical arithmetic in the
+    oracle, so the whole view is engine-exact."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")).alias(
+            "ps_availqty"
+        ),
+    ).withColumn(
+        "ps_supplycost",
+        (
+            (F.col("ps_partkey") * 37 + F.col("ps_suppkey") * 17) % 1000 + 1
+        ).cast("long"),
+    )
+
+
+_PARTSUPP_CTE = """
+partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+           AS ps_availqty,
+         (l_partkey * 37 + l_suppkey * 17) % 1000 + 1 AS ps_supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey)
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2's shape over the derived partsupp: for each STANDARD-type
+    part, the EUROPE-region supplier(s) quoting the minimum supplycost —
+    the correlated scalar-min subquery becomes a window min over the
+    region-filtered candidate set (one pass, no re-join of the
+    aggregate). Dimension chain (supplier⋈nation⋈region) broadcasts;
+    partsupp, which scales with the fact table, is never broadcast."""
+    ps = _derived_partsupp(spark, sf)
+    p = load_table(spark, sf, "part").filter(
+        F.col("p_type").contains("STANDARD")
+    )
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    dims = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
+    cand = (
+        ps.join(dims, ps.ps_suppkey == dims.s_suppkey)
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+    )
+    w = Window.partitionBy("ps_partkey")
+    best = cand.withColumn(
+        "min_cost", F.min("ps_supplycost").over(w)
+    ).filter(F.col("ps_supplycost") == F.col("min_cost"))
+    return best.select(
+        "p_partkey",
+        "p_type",
+        "s_name",
+        "n_name",
+        F.col("ps_supplycost").alias("supplycost"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+    )
+
+
+_Q2_SHAPE_SQL = f"""
+WITH {_PARTSUPP_CTE.strip()},
+cand AS (
+  SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+         s.s_name, n.n_name, s.s_acctbal, p.p_partkey, p.p_type
+  FROM partsupp ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+  JOIN part p ON p.p_partkey = ps.ps_partkey
+  WHERE p.p_type LIKE '%STANDARD%')
+SELECT p_partkey, p_type, s_name, n_name,
+       ps_supplycost AS supplycost, round(s_acctbal, 2) AS acctbal
+FROM (SELECT *, min(ps_supplycost) OVER (PARTITION BY ps_partkey)
+             AS min_cost
+      FROM cand)
+WHERE ps_supplycost = min_cost
+"""
+
+
+def q_excess_stock_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20's shape: suppliers in NATION_3 holding availqty more
+    than half of what they shipped of large-* parts during 1995 —
+    nested IN subqueries become semi joins, and the correlated
+    half-of-shipped threshold joins back on the (part, supplier) pair.
+    The part name filter and nation are broadcast; the shipped-quantity
+    aggregate shuffles only 1995 lineitem rows of matching parts."""
+    ps = _derived_partsupp(spark, sf)
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(
+        F.col("p_name").startswith("large")
+    )
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+        )
+        .join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("l_partkey").alias("sq_partkey"),
+            F.col("l_suppkey").alias("sq_suppkey"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+            ).alias("qty_1995")
+        )
+    )
+    excess = ps.join(
+        shipped,
+        (ps.ps_partkey == shipped.sq_partkey)
+        & (ps.ps_suppkey == shipped.sq_suppkey),
+    ).filter(F.col("ps_availqty") * 2 > F.col("qty_1995"))
+    german = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", "s_name"
+        )
+    )
+    return (
+        excess.join(german, excess.ps_suppkey == german.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+_Q20_SHAPE_SQL = f"""
+WITH {_PARTSUPP_CTE.strip()},
+shipped AS (
+  SELECT l_partkey AS sq_partkey, l_suppkey AS sq_suppkey,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+           AS qty_1995
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE 'large%')
+  GROUP BY l_partkey, l_suppkey)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM partsupp ps
+JOIN shipped q ON q.sq_partkey = ps.ps_partkey
+              AND q.sq_suppkey = ps.ps_suppkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+WHERE ps.ps_availqty * 2 > q.qty_1995
+"""
+
+
 def q_waiting_supplier_orders(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers whose line item shipped last in a
     finished multi-supplier order. The two correlated (NOT) EXISTS become
@@ -5111,6 +5272,10 @@ CATALOG: dict[str, QueryDef] = {
     "scd2_asof_enrichment": QueryDef(q_scd2_asof_enrichment, _SCD2_ASOF_SQL),
     "minmax_by_agg": QueryDef(q_minmax_by_agg, _MINMAX_BY_SQL),
     "stats_aggregates": QueryDef(q_stats_aggregates, _STATS_AGG_SQL),
+    "min_cost_supplier": QueryDef(q_min_cost_supplier, _Q2_SHAPE_SQL),
+    "excess_stock_suppliers": QueryDef(
+        q_excess_stock_suppliers, _Q20_SHAPE_SQL
+    ),
     "weighted_sample_docs": QueryDef(
         q_weighted_sample_docs, _WEIGHTED_SAMPLE_SQL
     ),
