@@ -102,17 +102,25 @@ def windowed_event_counts(
     key_col: str = "event_type",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window streaming aggregation with late-data handling — the
-    streaming operator surface (watermark + windowed agg) the reference
-    lacks; works on both batch and streaming frames."""
+    """Tumbling (or, with ``slide``, hopping) window streaming
+    aggregation with late-data handling — the streaming operator surface
+    (watermark + windowed agg) the reference lacks; works on both batch
+    and streaming frames. A slide < window replicates each event into
+    window/slide overlapping windows (state grows by the same factor)."""
     from pyspark.sql import functions as F
 
     df = events
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     return (
-        df.groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        df.groupBy(win.alias("win"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("value").alias("sum_value"),

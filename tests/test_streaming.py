@@ -206,3 +206,22 @@ def test_stream_stream_join_windowed(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ssj_out").collect()
     ]
     assert rows == [("a", 1, 10)]
+
+
+def test_hopping_window_counts_batch(spark, sf_dir):
+    """slide < window replicates each event into window/slide windows;
+    a 1-day window hopping every 6 hours counts every event 4x."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, window="1 day", slide="6 hours")
+    rows = out.collect()
+    assert sum(r["n"] for r in rows) == 4 * ev.count()
+    # starts align to the 6-hour hop grid
+    assert all(
+        str(r["window_start"]).endswith(("00:00:00", "06:00:00",
+                                         "12:00:00", "18:00:00"))
+        for r in rows
+    )
