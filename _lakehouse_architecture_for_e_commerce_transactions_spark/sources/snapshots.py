@@ -471,7 +471,7 @@ def read(
     )
 
 
-_PRUNE_OPS = ("==", "<", "<=", ">", ">=")
+_PRUNE_OPS = ("==", "<", "<=", ">", ">=", "in")
 
 
 def _file_maybe_matches(
@@ -485,10 +485,15 @@ def _file_maybe_matches(
     conjuncts additionally consult the file's Bloom filter when one was
     recorded — a definite miss prunes even when min/max can't."""
     for col, op, val in predicates:
-        if op == "==" and blooms:
+        if blooms:
             b = blooms.get(col)
-            if b is not None and not _bloom_test(b, val):
-                return False
+            if b is not None:
+                if op == "==" and not _bloom_test(b, val):
+                    return False
+                if op == "in" and not any(
+                    _bloom_test(b, v) for v in val
+                ):
+                    return False
     if entry is None:
         return True
     for col, op, val in predicates:
@@ -504,6 +509,8 @@ def _file_maybe_matches(
             continue
         try:
             if op == "==" and not (lo <= val <= hi):
+                return False
+            if op == "in" and not any(lo <= v <= hi for v in val):
                 return False
             if op == "<" and not (lo < val):
                 return False
@@ -529,6 +536,13 @@ def _part_maybe_matches(
         if i is None:
             continue
         raw = part_vals[i]
+        if op == "in":
+            try:
+                if not any(type(v)(raw) == v for v in val):
+                    return False
+            except (TypeError, ValueError):
+                continue
+            continue
         try:
             pv = type(val)(raw)
         except (TypeError, ValueError):
@@ -562,13 +576,16 @@ def _residual(predicates: list[tuple]):
     cond = None
     for col, op, val in predicates:
         c = F.col(col)
-        this = {
-            "==": c == F.lit(val),
-            "<": c < F.lit(val),
-            "<=": c <= F.lit(val),
-            ">": c > F.lit(val),
-            ">=": c >= F.lit(val),
-        }[op]
+        if op == "in":
+            this = c.isin(list(val))
+        else:
+            this = {
+                "==": c == F.lit(val),
+                "<": c < F.lit(val),
+                "<=": c <= F.lit(val),
+                ">": c > F.lit(val),
+                ">=": c >= F.lit(val),
+            }[op]
         cond = this if cond is None else cond & this
     return cond
 
@@ -589,7 +606,9 @@ def read_where(
     ``read().filter(...)`` whether or not stats exist.
 
     ``predicates`` is a conjunction of ``(column, op, literal)`` with op
-    in ``== < <= > >=``. Pass a dict as ``report`` to receive
+    in ``== < <= > >= in`` (``in`` takes a list literal and prunes when
+    no member can match — stats, blooms, partition values, and declared
+    transforms all participate). Pass a dict as ``report`` to receive
     ``{"files_total": N, "files_kept": K}`` (tests/benchmarks assert the
     skip actually happened).
 
@@ -1268,6 +1287,11 @@ def _transposed_predicates(path: str, predicates: list[tuple]) -> list[tuple]:
     for t in partition_transforms(path):
         for col, op, val in predicates:
             if col != t["source"]:
+                continue
+            if op == "in":
+                dvals = [_transform_value(t, v) for v in val]
+                if all(d is not None for d in dvals):
+                    out.append((t["part"], "in", dvals))
                 continue
             dval = _transform_value(t, val)
             if dval is None:

@@ -373,3 +373,40 @@ def test_bloom_survives_append_and_compact(spark, sf_dir, tmp_path):
         spark, path, [("o_orderkey", "==", -5)], report=rep2
     ).count() == 0
     assert rep2["files_kept"] == 0
+
+
+def test_in_predicate_prunes_and_matches(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_custkey")
+    S.commit(
+        spark,
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        path,
+        stats_for=["o_orderkey"],
+        bloom_for=["o_orderkey"],
+    )
+    lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    rep: dict = {}
+    got = S.read_where(
+        spark, path, [("o_orderkey", "in", [lo, hi])], report=rep
+    )
+    assert got.count() == 2
+    assert rep["files_kept"] <= 3  # only the two end files (+fpp slack)
+    want = sorted(
+        r["o_orderkey"]
+        for r in S.read(spark, path)
+        .filter(F.col("o_orderkey").isin([lo, hi]))
+        .collect()
+    )
+    assert sorted(r["o_orderkey"] for r in got.collect()) == want
+    # all-absent IN list: blooms prove a definite miss everywhere
+    rep2: dict = {}
+    assert (
+        S.read_where(
+            spark, path, [("o_orderkey", "in", [-1, -2])], report=rep2
+        ).count()
+        == 0
+    )
+    assert rep2["files_kept"] == 0
