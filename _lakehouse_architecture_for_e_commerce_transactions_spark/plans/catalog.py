@@ -5044,6 +5044,56 @@ FROM s
 """
 
 
+def q_metadata_only_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT/MIN/MAX answered from the snapshot manifest alone
+    (snapshots.table_stats): after the commit records per-file stats,
+    the aggregate touches ZERO data files — the Delta metadata-only
+    query shape. The oracle computes the same aggregate the hard way
+    (full scan), so the row proves the manifest math matches the data."""
+    import os as _os
+    import tempfile as _tf
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as SN,
+    )
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    path = _os.path.join(
+        _tf.gettempdir(),
+        f"sparkgraft_metaagg_{_os.path.basename(sf.rstrip('/'))}",
+    )
+    SN.commit(
+        spark,
+        o.repartition(8),
+        path,
+        stats_for=["o_orderkey", "o_totalprice"],
+    )
+    SN.vacuum(path, keep_last=1)
+    st = SN.table_stats(path)
+    row = [
+        (
+            int(st["rows"]),
+            int(st["cols"]["o_orderkey"]["min"]),
+            int(st["cols"]["o_orderkey"]["max"]),
+            float(st["cols"]["o_totalprice"]["min"]),
+            float(st["cols"]["o_totalprice"]["max"]),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_rows long, min_key long, max_key long, "
+        "min_price double, max_price double",
+    )
+
+
+_META_AGG_SQL = """
+SELECT count(*) AS n_rows,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+FROM orders
+"""
+
+
 def q_bloom_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-index point lookup end to end: commit orders unsorted with
     a manifest Bloom filter on the key, then fetch one key through
@@ -5273,6 +5323,7 @@ CATALOG: dict[str, QueryDef] = {
     "minmax_by_agg": QueryDef(q_minmax_by_agg, _MINMAX_BY_SQL),
     "stats_aggregates": QueryDef(q_stats_aggregates, _STATS_AGG_SQL),
     "min_cost_supplier": QueryDef(q_min_cost_supplier, _Q2_SHAPE_SQL),
+    "metadata_only_agg": QueryDef(q_metadata_only_agg, _META_AGG_SQL),
     "excess_stock_suppliers": QueryDef(
         q_excess_stock_suppliers, _Q20_SHAPE_SQL
     ),
