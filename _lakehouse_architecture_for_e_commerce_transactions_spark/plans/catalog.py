@@ -5044,6 +5044,33 @@ FROM s
 """
 
 
+def q_union_evolved_schemas(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution union (unionByName with missing-column
+    back-fill): two projections of orders with different column sets
+    union by NAME, nulls filling the gaps — the operation every
+    multi-vintage data lake read performs. DuckDB's UNION ALL BY NAME
+    is the exact twin."""
+    o = load_table(spark, sf, "orders")
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        money(F.col("o_totalprice")).alias("total"),
+    )
+    return old.unionByName(new, allowMissingColumns=True)
+
+
+_UNION_EVOLVED_SQL = """
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL BY NAME
+SELECT o_orderkey, o_orderstatus,
+       floor(o_totalprice * 100 + 0.5) / 100 AS total
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
 def q_metadata_only_agg(spark: SparkSession, sf: str) -> DataFrame:
     """COUNT/MIN/MAX answered from the snapshot manifest alone
     (snapshots.table_stats): after the commit records per-file stats,
@@ -5324,6 +5351,9 @@ CATALOG: dict[str, QueryDef] = {
     "stats_aggregates": QueryDef(q_stats_aggregates, _STATS_AGG_SQL),
     "min_cost_supplier": QueryDef(q_min_cost_supplier, _Q2_SHAPE_SQL),
     "metadata_only_agg": QueryDef(q_metadata_only_agg, _META_AGG_SQL),
+    "union_evolved_schemas": QueryDef(
+        q_union_evolved_schemas, _UNION_EVOLVED_SQL
+    ),
     "excess_stock_suppliers": QueryDef(
         q_excess_stock_suppliers, _Q20_SHAPE_SQL
     ),

@@ -26,11 +26,22 @@ def read_csv(
     schema: StructType,
     header: bool = True,
     timestamp_format: str | None = None,
+    multiline: bool = False,
+    quote: str = '"',
+    escape: str = "\\",
 ) -> DataFrame:
+    """``multiline=True`` parses quoted fields containing record
+    separators (RFC-4180 embedded newlines). Caveat for scale: multiline
+    CSV files are NOT byte-range splittable (one task per file) — keep
+    the default off unless the data needs it, and prefer many medium
+    files when it does."""
     reader = (
         spark.read.schema(schema)
         .option("header", header)
         .option("mode", "PERMISSIVE")
+        .option("multiLine", multiline)
+        .option("quote", quote)
+        .option("escape", escape)
     )
     if timestamp_format:
         reader = reader.option("timestampFormat", timestamp_format)
