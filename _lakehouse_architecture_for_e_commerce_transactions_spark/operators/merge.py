@@ -98,6 +98,44 @@ def merge_plan(
     return source.select(*cols).unionByName(kept.select(*cols))
 
 
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """CDC apply (the Delta Live Tables ``apply_changes`` shape): a
+    change feed with ``op ∈ {I, U, D}`` rows lands on the target in one
+    relational plan — inserts/updates upsert, deletes drop, and when
+    ``ts_col`` is given the batch first collapses to the LATEST change
+    per key (last-writer-wins, deterministic (ts, op) tie-break), so an
+    out-of-order feed containing U then D for one key applies only the
+    later one.
+
+    Plan: one window over the (small) change batch, one anti join to
+    clear changed keys from the target, one union of surviving upserts —
+    target scans once; at scale combine with partition-scoped merge
+    (merge_commit) so only touched partitions rewrite."""
+    from pyspark.sql import Window
+
+    c = changes
+    if ts_col is not None:
+        w = Window.partitionBy(key).orderBy(
+            F.col(ts_col).desc(), F.col(op_col).desc()
+        )
+        c = (
+            c.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    changed_keys = F.broadcast(c.select(key))
+    kept = target.join(changed_keys, key, "left_anti")
+    cols = target.columns
+    upserts = c.filter(F.col(op_col) != "D").select(*cols)
+    return kept.unionByName(upserts)
+
+
 def _cluster_for_write(df: DataFrame, partition_by) -> DataFrame:
     """Cluster rows by partition value before a partitioned write.
 

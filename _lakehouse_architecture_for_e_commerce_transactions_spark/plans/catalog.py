@@ -5044,6 +5044,88 @@ FROM s
 """
 
 
+def q_cdc_apply_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC apply with interleaved upserts and deletes
+    (operators/merge.py:apply_changes): keys divisible by 10 carry BOTH
+    a U (ts=1) and a later D (ts=2), so last-writer-wins must delete
+    them; other even keys update, %7 keys insert as fresh rows. The
+    oracle states the surviving set declaratively."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.merge import (
+        apply_changes,
+    )
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = o.filter(F.col("o_orderkey") % 3 != 0)
+    upd = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        money(F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("ts"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("O").alias("o_orderstatus"),
+        F.lit(0.0).alias("o_totalprice"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("ts"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit("D").alias("op"),
+        F.lit(2).alias("ts"),
+    )
+    changes = upd.unionByName(ins).unionByName(dels)
+    out = apply_changes(target, changes, "o_orderkey", ts_col="ts")
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+    )
+
+
+_CDC_APPLY_SQL = """
+WITH surviving_target AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders
+  WHERE o_orderkey % 3 != 0
+    AND o_orderkey % 2 != 0     -- updated keys replaced
+    AND o_orderkey % 10 != 0    -- deleted keys dropped
+    AND o_orderkey % 7 != 0     -- %7 keys got fresh inserted ids,
+                                -- but original %7 rows only leave when
+                                -- also updated/deleted; see below
+),
+kept_sevens AS (
+  -- original %7 rows stay unless their key was updated or deleted:
+  -- inserts use key+10M, so they never clear originals
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders
+  WHERE o_orderkey % 3 != 0 AND o_orderkey % 7 = 0
+    AND o_orderkey % 2 != 0 AND o_orderkey % 10 != 0
+),
+updates AS (
+  SELECT o_orderkey, o_orderstatus,
+         floor(o_totalprice * 1.1 * 100 + 0.5) / 100 AS o_totalprice
+  FROM orders
+  WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 != 0
+),
+inserts AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, 'O' AS o_orderstatus,
+         0.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0)
+SELECT o_orderkey, o_orderstatus,
+       round(o_totalprice, 2) AS total
+FROM (SELECT * FROM surviving_target
+      UNION ALL SELECT * FROM kept_sevens
+      UNION ALL SELECT * FROM updates
+      UNION ALL SELECT * FROM inserts)
+"""
+
+
 def q_union_evolved_schemas(spark: SparkSession, sf: str) -> DataFrame:
     """Schema-evolution union (unionByName with missing-column
     back-fill): two projections of orders with different column sets
@@ -5354,6 +5436,7 @@ CATALOG: dict[str, QueryDef] = {
     "union_evolved_schemas": QueryDef(
         q_union_evolved_schemas, _UNION_EVOLVED_SQL
     ),
+    "cdc_apply_sim": QueryDef(q_cdc_apply_sim, _CDC_APPLY_SQL),
     "excess_stock_suppliers": QueryDef(
         q_excess_stock_suppliers, _Q20_SHAPE_SQL
     ),

@@ -173,3 +173,28 @@ def test_merge_upsert_delta_acid_branch(spark, tmp_path):
     # time travel: version 0 predates the second merge
     v0 = spark.read.format("delta").option("versionAsOf", 0).load(path)
     assert {r["pk"] for r in v0.collect()} == {1, 2}
+
+
+def test_apply_changes_last_writer_wins(spark):
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.merge import (
+        apply_changes,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", "U", 1),
+            (1, None, "D", 2),   # later delete beats the update
+            (2, "b2", "U", 5),
+            (2, None, "D", 1),   # earlier delete loses to the update
+            (9, "new", "I", 1),
+        ],
+        "k int, v string, op string, ts int",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in apply_changes(target, changes, "k", ts_col="ts").collect()
+    }
+    assert got == {2: "b2", 3: "c", 9: "new"}
