@@ -5044,6 +5044,81 @@ FROM s
 """
 
 
+def q_recursive_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4): walk each
+    supplier key up its implicit decimal-tree ancestry (parent = k div
+    10) to the root, emitting depth and an exact integer path sum — the
+    iterative-until-exhausted SQL surface, identical text semantics on
+    the oracle engine."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        register_views,
+    )
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(suppkey, node, depth) AS (
+          SELECT s_suppkey, s_suppkey, 0 FROM supplier
+          UNION ALL
+          SELECT suppkey, node div 10, depth + 1 FROM chain WHERE node > 0
+        )
+        SELECT suppkey, max(depth) AS depth_to_root,
+               CAST(sum(node) AS BIGINT) AS path_sum
+        FROM chain GROUP BY suppkey
+        """
+    )
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE chain(suppkey, node, depth) AS (
+  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+  UNION ALL
+  SELECT suppkey, node // 10, depth + 1 FROM chain WHERE node > 0
+)
+SELECT suppkey, max(depth) AS depth_to_root,
+       CAST(sum(node) AS BIGINT) AS path_sum
+FROM chain GROUP BY suppkey
+"""
+
+
+def q_lateral_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: each sampled
+    customer pulls its own top-2 orders by price — the per-row-subquery
+    SQL shape (Catalyst plans it as a ranked join), same text shape on
+    the oracle."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        register_views,
+    )
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.total
+        FROM (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0) c,
+        LATERAL (
+          SELECT o_orderkey,
+                 floor(o_totalprice * 100 + 0.5) / 100 AS total
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        """
+    )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.total
+FROM (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0) c,
+LATERAL (
+  SELECT o_orderkey,
+         floor(o_totalprice * 100 + 0.5) / 100 AS total
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+"""
+
+
 def q_cdc_apply_sim(spark: SparkSession, sf: str) -> DataFrame:
     """CDC apply with interleaved upserts and deletes
     (operators/merge.py:apply_changes): keys divisible by 10 carry BOTH
@@ -5437,6 +5512,8 @@ CATALOG: dict[str, QueryDef] = {
         q_union_evolved_schemas, _UNION_EVOLVED_SQL
     ),
     "cdc_apply_sim": QueryDef(q_cdc_apply_sim, _CDC_APPLY_SQL),
+    "recursive_chain": QueryDef(q_recursive_chain, _RECURSIVE_SQL),
+    "lateral_topn": QueryDef(q_lateral_topn, _LATERAL_SQL),
     "excess_stock_suppliers": QueryDef(
         q_excess_stock_suppliers, _Q20_SHAPE_SQL
     ),
