@@ -29,6 +29,20 @@ Iceberg metadata layers, small enough to audit:
   ``compact`` is OPTIMIZE — rewrite the head's data into well-sized
   files as a data-identical next version, restarting if any commit
   lands mid-pass.
+* **Data skipping**: ``stats_for`` records per-file min/max/null-count
+  (footer metadata only) and ``bloom_for`` per-file Bloom filters in the
+  manifest; ``read_where`` prunes files at planning time (two-level on
+  partitioned tables: partition values, then file stats), ``cluster_by``
+  Z-orders writes so stats bite on every cluster column, and
+  ``table_stats`` answers COUNT/MIN/MAX with zero data-file I/O.
+* **Hidden partitioning**: ``set_partition_transform`` declares
+  days/bucket transforms; source-column predicates transpose onto the
+  derived partition column automatically.
+* ``restore`` republishes an old version as the head (metadata-only);
+  ``clone`` creates an independent table referencing the source's dirs
+  zero-copy; ``snapshot_diff`` serves CDF; ``delete_where`` is
+  partition-scoped row DELETE; CHECK constraints fail violating commits
+  inside their own write.
 
 Scale notes: the manifest lists commit *directories*, not individual
 files, so manifest size grows with commit count, not data size; `vacuum`
