@@ -584,3 +584,30 @@ def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
     assert S.read(spark, src).count() == 2
     with pytest.raises(ValueError, match="already exists"):
         S.clone(src, dst)
+
+
+def test_concurrent_disjoint_merges_real_threads(spark, tmp_path):
+    """Two actual threads merge DISJOINT partitions concurrently: the
+    optimistic protocol must land both (one rebases), with no lost rows
+    — the real-parallelism validation of the simulated race tests."""
+    import threading
+
+    path = str(tmp_path / "t")
+    S.merge_commit(
+        spark, _mdf(spark, [(1, 1.0, "a"), (2, 2.0, "b")]), path, MSPEC
+    )
+    errs = []
+
+    def merge(rows):
+        try:
+            S.merge_commit(spark, _mdf(spark, rows), path, MSPEC)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=merge, args=([(11, 5.0, "a")],))
+    t2 = threading.Thread(target=merge, args=([(22, 6.0, "b")],))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    got = {r["pk"] for r in S.read(spark, path).collect()}
+    assert got == {1, 2, 11, 22}
+    assert S.load_snapshot(path).version == 2
