@@ -69,3 +69,16 @@ def test_weighted_sample_partitioning_invariant(spark):
     sa = sorted(r["id"] for r in weighted_sample(a, "id", "w", 50).collect())
     sb = sorted(r["id"] for r in weighted_sample(b, "id", "w", 50).collect())
     assert sa == sb
+
+
+def test_empty_inputs_yield_empty_outputs(spark):
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.graph import (
+        pagerank,
+    )
+
+    empty_terms = spark.createDataFrame([], "term string")
+    assert FQ.heavy_hitters(empty_terms, "term", 5).count() == 0
+    empty_edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty_edges).count() == 0
+    empty_w = spark.createDataFrame([], "id long, w long")
+    assert weighted_sample(empty_w, "id", "w", 3).count() == 0
