@@ -21,6 +21,77 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def remove_boilerplate(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 16,
+    min_docs: int = 3,
+):
+    """C4/CCNet-style boilerplate removal: split each document into
+    NON-overlapping ``block_tokens``-token blocks, fingerprint them, and
+    drop every block whose exact content appears in ≥ ``min_docs``
+    distinct documents (navigation chrome, license banners, templated
+    headers); surviving blocks reassemble in order into cleaned text.
+
+    Returns (id, clean_text, n_blocks, n_dropped). Plan: one explode to
+    blocks, one fingerprint groupBy (partial-aggregated — traffic is
+    distinct blocks, not the token stream), one join back, one ordered
+    re-assembly groupBy. No UDFs; the md5 fingerprints make the whole
+    transform a pure function of the corpus (oracle-checkable).
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    blocks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.ceil(F.size(toks) / block_tokens).cast("int") - 1,
+                        F.lit(0),
+                    ),
+                ),
+                lambda i: F.array_join(
+                    F.slice(toks, i * block_tokens + 1, block_tokens), " "
+                ),
+            )
+        ).alias("bidx", "btext"),
+    ).withColumn("fp", F.md5("btext"))
+    counts = blocks.groupBy("fp").agg(
+        F.count_distinct("_id").alias("ndocs")
+    )
+    flagged = blocks.join(counts, "fp").withColumn(
+        "drop", F.col("ndocs") >= min_docs
+    )
+    return (
+        flagged.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("drop"),
+                                F.struct("bidx", "btext"),
+                            )
+                        )
+                    ),
+                    lambda s: s["btext"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.col("drop").cast("long")).alias("n_dropped"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "clean_text", "n_blocks", "n_dropped"
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

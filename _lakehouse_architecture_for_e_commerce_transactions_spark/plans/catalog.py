@@ -5119,6 +5119,49 @@ LATERAL (
 """
 
 
+def q_boilerplate_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style boilerplate removal (operators/chunking.py): drop every
+    16-token block shared verbatim by ≥3 documents, reassemble cleaned
+    text in block order. Output carries the md5 of the cleaned text so
+    the row stays small while pinning the exact reconstruction."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.chunking import (
+        remove_boilerplate,
+    )
+
+    d = load_table(spark, sf, "documents")
+    out = remove_boilerplate(d, block_tokens=16, min_docs=3)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_fp"),
+        "n_blocks",
+        "n_dropped",
+    )
+
+
+_BOILERPLATE_SQL = """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents),
+blocks AS (
+  SELECT doc_id, g.i AS bidx,
+         array_to_string(toks[g.i*16+1 : g.i*16+16], ' ') AS btext
+  FROM tok,
+       LATERAL (SELECT unnest(generate_series(0,
+                  greatest(CAST(ceil(len(toks) / 16.0) AS INT) - 1, 0)))
+                AS i) g),
+fps AS (SELECT doc_id, bidx, btext, md5(btext) AS fp FROM blocks),
+counts AS (SELECT fp, count(DISTINCT doc_id) AS ndocs FROM fps GROUP BY fp)
+SELECT f.doc_id,
+       md5(COALESCE(string_agg(CASE WHEN c.ndocs < 3 THEN f.btext END,
+                               ' ' ORDER BY f.bidx), '')) AS clean_fp,
+       count(*) AS n_blocks,
+       CAST(sum(CASE WHEN c.ndocs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped
+FROM fps f JOIN counts c ON c.fp = f.fp
+GROUP BY f.doc_id
+"""
+
+
 def q_cdc_apply_sim(spark: SparkSession, sf: str) -> DataFrame:
     """CDC apply with interleaved upserts and deletes
     (operators/merge.py:apply_changes): keys divisible by 10 carry BOTH
@@ -5514,6 +5557,7 @@ CATALOG: dict[str, QueryDef] = {
     "cdc_apply_sim": QueryDef(q_cdc_apply_sim, _CDC_APPLY_SQL),
     "recursive_chain": QueryDef(q_recursive_chain, _RECURSIVE_SQL),
     "lateral_topn": QueryDef(q_lateral_topn, _LATERAL_SQL),
+    "boilerplate_removal": QueryDef(q_boilerplate_removal, _BOILERPLATE_SQL),
     "excess_stock_suppliers": QueryDef(
         q_excess_stock_suppliers, _Q20_SHAPE_SQL
     ),

@@ -70,3 +70,30 @@ def test_doc_chunks_plan_is_narrow(spark, sf_dir):
 
     plan = executed_plan_text(catalog.q_doc_chunks(spark, sf_dir))
     assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_remove_boilerplate_drops_shared_blocks_keeps_order(spark):
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.chunking import (
+        remove_boilerplate,
+    )
+
+    banner = " ".join(f"b{i}" for i in range(4))  # 4-token shared banner
+    rows = [
+        (1, banner + " alpha beta gamma delta"),
+        (2, banner + " epsilon zeta eta theta"),
+        (3, banner + " iota kappa lambda mu"),
+        (4, "nu xi omicron pi " + banner),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(
+            df, block_tokens=4, min_docs=3
+        ).collect()
+    }
+    # the banner block (appearing in 4 docs) is gone; unique tails stay
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[2]["clean_text"] == "epsilon zeta eta theta"
+    assert out[1]["n_dropped"] == 1 and out[1]["n_blocks"] == 2
+    # doc 4 has the banner as its SECOND block: unique head survives
+    assert out[4]["clean_text"] == "nu xi omicron pi"
