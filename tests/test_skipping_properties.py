@@ -82,3 +82,54 @@ def test_heavy_hitters_equals_groupby(spark, vals, k):
         (r["term"], r["cnt"]) for r in FQ.heavy_hitters(df, "term", k).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    target_keys=st.sets(st.integers(0, 20), max_size=12),
+    feed=st.lists(
+        st.tuples(
+            st.integers(0, 20),                       # key
+            st.sampled_from(["I", "U", "D"]),         # op
+            st.integers(0, 5),                        # ts
+        ),
+        max_size=15,
+    ),
+)
+def test_apply_changes_matches_reference_semantics(spark, target_keys, feed):
+    """apply_changes == the obvious sequential interpretation: collapse
+    the feed to the latest (ts, op) per key, then delete/upsert."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.merge import (
+        apply_changes,
+    )
+
+    target = spark.createDataFrame(
+        [(k, f"t{k}") for k in sorted(target_keys)] or [(None, None)],
+        "k int, v string",
+    ).filter(F.col("k").isNotNull())
+    changes = spark.createDataFrame(
+        [(k, f"c{k}_{ts}", op, ts) for k, op, ts in feed]
+        or [(None, None, None, None)],
+        "k int, v string, op string, ts int",
+    ).filter(F.col("k").isNotNull())
+    got = {
+        r["k"]: r["v"]
+        for r in apply_changes(target, changes, "k", ts_col="ts").collect()
+    }
+    # reference: python dict replay
+    latest: dict = {}
+    for k, op, ts in feed:
+        cur = latest.get(k)
+        # tie-break matches the operator: (ts, op) descending
+        if cur is None or (ts, op) > (cur[0], cur[1]):
+            latest[k] = (ts, op)
+    want = {k: f"t{k}" for k in target_keys}
+    for k, (ts, op) in latest.items():
+        want.pop(k, None)
+        if op != "D":
+            want[k] = f"c{k}_{ts}"
+    assert got == want
