@@ -5119,6 +5119,47 @@ LATERAL (
 """
 
 
+def q_event_debounce(spark: SparkSession, sf: str) -> DataFrame:
+    """Telemetry debounce: suppress an event arriving within 5 minutes
+    of the PREVIOUS event of the same (user, type) — the lag-window
+    near-duplicate filter every event pipeline runs before aggregation
+    (debounce-vs-previous semantics, not throttle-vs-last-kept; both
+    engines compare exact epoch microseconds). Output: per-type kept /
+    suppressed counts."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    flagged = ev.withColumn(
+        "kept",
+        prev.isNull() | ((us - prev) >= F.lit(300_000_000)),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum((~F.col("kept")).cast("long")).alias("n_suppressed"),
+    )
+
+
+_DEBOUNCE_SQL = """
+WITH flagged AS (
+  SELECT event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) >= 300000000
+              THEN 1 ELSE 0 END AS kept
+  FROM events)
+SELECT event_type,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(sum(1 - kept) AS BIGINT) AS n_suppressed
+FROM flagged GROUP BY event_type
+"""
+
+
 def q_boilerplate_removal(spark: SparkSession, sf: str) -> DataFrame:
     """C4-style boilerplate removal (operators/chunking.py): drop every
     16-token block shared verbatim by ≥3 documents, reassemble cleaned
@@ -5558,6 +5599,7 @@ CATALOG: dict[str, QueryDef] = {
     "recursive_chain": QueryDef(q_recursive_chain, _RECURSIVE_SQL),
     "lateral_topn": QueryDef(q_lateral_topn, _LATERAL_SQL),
     "boilerplate_removal": QueryDef(q_boilerplate_removal, _BOILERPLATE_SQL),
+    "event_debounce": QueryDef(q_event_debounce, _DEBOUNCE_SQL),
     "excess_stock_suppliers": QueryDef(
         q_excess_stock_suppliers, _Q20_SHAPE_SQL
     ),
