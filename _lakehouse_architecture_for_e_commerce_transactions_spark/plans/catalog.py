@@ -1761,7 +1761,7 @@ def q_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     joined = (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -3049,8 +3049,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 
 def q_nation_trade_volume(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
-    nation broadcasts into both lookup sides; supplier⨝nation keeps its
-    hint (dim), customer⨝nation joins unhinted (customer scales with SF).
+    nation (fixed 25 rows) broadcasts into both lookup sides; supplier
+    and customer both scale with SF so their joins are unhinted — AQE
+    broadcasts them while small and falls back to shuffle at scale.
     The big lineitem↔orders join shuffles on orderkey once."""
     n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
     s = load_table(spark, sf, "supplier").join(
@@ -3067,7 +3068,7 @@ def q_nation_trade_volume(spark: SparkSession, sf: str) -> DataFrame:
     pairs = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(
             (
                 (F.col("supp_nation") == "NATION_1")
@@ -3113,10 +3114,10 @@ FROM (
 
 def q_product_profit_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q9 shape: profit by supplier nation and year for a part-name
-    pattern. supplier⨝nation broadcasts; the part slice is unhinted (it is
-    a fixed fraction of a table that scales with SF — AQE broadcasts it
-    while small). The cost term substitutes retailprice for the missing
-    partsupp.ps_supplycost."""
+    pattern. nation (fixed 25 rows) broadcasts into supplier; the
+    supplier and part sides are unhinted — both scale with SF, so AQE
+    broadcasts them while small and shuffles at scale. The cost term
+    substitutes retailprice for the missing partsupp.ps_supplycost."""
     n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
     s = (
         load_table(spark, sf, "supplier")
@@ -3134,7 +3135,7 @@ def q_product_profit_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     ) * F.col("l_quantity") * 0.1
     return (
         li.join(p, F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("o_year", F.year("l_shipdate").cast("long"))
         .groupBy("nation", "o_year")
         .agg(money_sum(amount, 10000).alias("sum_profit"))
@@ -3222,10 +3223,10 @@ FROM (
 
 def q_parts_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier counts per part group with a
-    NOT IN exclusion — the exclusion is a broadcast anti join against the
-    tiny negative-balance supplier set; the part slice joins unhinted
-    (part scales with SF), and the distinct count shuffles once on the
-    group keys."""
+    NOT IN exclusion — an anti join against the negative-balance supplier
+    set. Both the exclusion set and the part slice scale with SF, so both
+    joins are unhinted (AQE broadcasts them while small); the distinct
+    count shuffles once on the group keys."""
     bad = load_table(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
         F.col("s_suppkey").alias("l_suppkey")
     )
@@ -3236,7 +3237,7 @@ def q_parts_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
     li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        li.join(bad, "l_suppkey", "left_anti")
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -3364,7 +3365,9 @@ def q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     part, the EUROPE-region supplier(s) quoting the minimum supplycost —
     the correlated scalar-min subquery becomes a window min over the
     region-filtered candidate set (one pass, no re-join of the
-    aggregate). Dimension chain (supplier⋈nation⋈region) broadcasts;
+    aggregate). nation⋈region is fixed-size, but the supplier chain and
+    the part slice both scale with SF, so every join here is unhinted —
+    AQE broadcasts the small sides at low SF and shuffles at scale;
     partsupp, which scales with the fact table, is never broadcast."""
     ps = _derived_partsupp(spark, sf)
     p = load_table(spark, sf, "part").filter(
@@ -3375,14 +3378,14 @@ def q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     r = load_table(spark, sf, "region").filter(
         F.col("r_name") == "EUROPE"
     )
-    dims = F.broadcast(
+    dims = (
         s.join(n, s.s_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "n_name", "s_acctbal")
     )
     cand = (
         ps.join(dims, ps.ps_suppkey == dims.s_suppkey)
-        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(p, ps.ps_partkey == p.p_partkey)
     )
     w = Window.partitionBy("ps_partkey")
     best = cand.withColumn(
@@ -3423,7 +3426,8 @@ def q_excess_stock_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     than half of what they shipped of large-* parts during 1995 —
     nested IN subqueries become semi joins, and the correlated
     half-of-shipped threshold joins back on the (part, supplier) pair.
-    The part name filter and nation are broadcast; the shipped-quantity
+    The part slice and the nation's supplier set scale with SF, so both
+    join unhinted (nation itself is fixed-size); the shipped-quantity
     aggregate shuffles only 1995 lineitem rows of matching parts."""
     ps = _derived_partsupp(spark, sf)
     li = load_table(spark, sf, "lineitem")
@@ -3439,7 +3443,7 @@ def q_excess_stock_suppliers(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1995-01-01"))
             & (F.col("l_shipdate") < F.lit("1996-01-01"))
         )
-        .join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        .join(p.select("p_partkey"), li.l_partkey == p.p_partkey)
         .groupBy(
             F.col("l_partkey").alias("sq_partkey"),
             F.col("l_suppkey").alias("sq_suppkey"),
@@ -3455,10 +3459,8 @@ def q_excess_stock_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         (ps.ps_partkey == shipped.sq_partkey)
         & (ps.ps_suppkey == shipped.sq_suppkey),
     ).filter(F.col("ps_availqty") * 2 > F.col("qty_1995"))
-    german = F.broadcast(
-        s.join(n, s.s_nationkey == n.n_nationkey).select(
-            "s_suppkey", "s_name"
-        )
+    german = s.join(n, s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
     )
     return (
         excess.join(german, excess.ps_suppkey == german.s_suppkey)
@@ -3512,7 +3514,7 @@ def q_waiting_supplier_orders(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("max_ship", F.max("l_shipdate").over(w))
         .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
         .filter((F.col("n_supp") > 1) & (F.col("l_shipdate") == F.col("max_ship")))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -3564,7 +3566,7 @@ def q_nation_market_share(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")
         .agg(
@@ -3625,7 +3627,7 @@ def q_top_revenue_supplier(spark: SparkSession, sf: str) -> DataFrame:
             "best_revenue", F.max("total_revenue").over(Window.partitionBy())
         )
         .filter(F.col("total_revenue") == F.col("best_revenue"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -5338,6 +5340,21 @@ def q_metadata_only_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
     SN.vacuum(path, keep_last=1)
     st = SN.table_stats(path)
+    if (
+        st is None
+        or st["rows"] is None
+        or st["cols"].get("o_orderkey") is None
+        or st["cols"].get("o_totalprice") is None
+    ):
+        # a file without usable footer stats disables the metadata path;
+        # fall back to the scan the metadata answer must equal anyway
+        return SN.read(spark, path).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
     row = [
         (
             int(st["rows"]),

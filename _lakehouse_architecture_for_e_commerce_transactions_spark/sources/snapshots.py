@@ -236,6 +236,23 @@ def collect_file_stats(
     return out
 
 
+def _bloom_canon(v) -> str:
+    """Canonical string form hashed on BOTH build and probe sides, so a
+    type-mismatched-but-equal literal (5.0 vs stored 5, True vs stored 1)
+    hits the same bloom bits a plain filtered scan would match. Integral
+    floats/Decimals collapse to int; bool collapses to its int value
+    (Python equality: True == 1). Anything else hashes as str(v)."""
+    import decimal
+
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    if isinstance(v, decimal.Decimal) and v == v.to_integral_value():
+        return str(int(v))
+    return str(v)
+
+
 def _bloom_hashes(s: str) -> tuple[int, int]:
     import hashlib
 
@@ -251,7 +268,7 @@ def _bloom_build(values, fpp: float = 0.01) -> dict:
     import base64
     import math
 
-    vals = {str(v) for v in values if v is not None}
+    vals = {_bloom_canon(v) for v in values if v is not None}
     n = max(1, len(vals))
     m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)) + 1)
     k = max(1, round(m / n * math.log(2)))
@@ -268,7 +285,7 @@ def _bloom_test(bloom: dict, value) -> bool:
     import base64
 
     bits = base64.b64decode(bloom["bits"])
-    h1, h2 = _bloom_hashes(str(value))
+    h1, h2 = _bloom_hashes(_bloom_canon(value))
     m = bloom["m"]
     for i in range(bloom["k"]):
         idx = (h1 + i * h2) % m
@@ -539,6 +556,18 @@ def _file_maybe_matches(
     return True
 
 
+def _part_coerce(raw: str, val):
+    """Convert the hive partition string to ``val``'s type. bool needs a
+    special case — bool("false") is True — so parse the literal words and
+    raise (→ caller fails open) on anything else."""
+    if isinstance(val, bool):
+        low = raw.lower()
+        if low in ("true", "false"):
+            return low == "true"
+        raise ValueError(raw)
+    return type(val)(raw)
+
+
 def _part_maybe_matches(
     part_vals: list[str], pidx: dict[str, int], predicates: list[tuple]
 ) -> bool:
@@ -552,13 +581,13 @@ def _part_maybe_matches(
         raw = part_vals[i]
         if op == "in":
             try:
-                if not any(type(v)(raw) == v for v in val):
+                if not any(_part_coerce(raw, v) == v for v in val):
                     return False
             except (TypeError, ValueError):
                 continue
             continue
         try:
-            pv = type(val)(raw)
+            pv = _part_coerce(raw, val)
         except (TypeError, ValueError):
             continue
         try:
@@ -952,7 +981,11 @@ def _publish_partitioned(
             "committed_at": time.time(),
         }
         if fresh_stats is not None:
-            carried_dirs = tuple(e["dir"] for e in carried)
+            # match on directory boundaries: a carried dir .../p=1 must not
+            # prefix-capture files in a rewritten sibling .../p=10
+            carried_dirs = tuple(
+                e["dir"].rstrip(os.sep) + os.sep for e in carried
+            )
             carried_stats = {
                 f: st
                 for f, st in (

@@ -410,3 +410,90 @@ def test_in_predicate_prunes_and_matches(spark, sf_dir, tmp_path):
         == 0
     )
     assert rep2["files_kept"] == 0
+
+
+def _tspec(fields_ddl: str, partition_by: tuple, pk: str = "pk"):
+    from pyspark.sql.types import _parse_datatype_string
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        TableSpec,
+    )
+
+    return TableSpec(
+        name="t",
+        schema=_parse_datatype_string(fields_ddl),
+        primary_key=pk,
+        partition_by=partition_by,
+    )
+
+
+def test_bloom_type_mismatched_literal_fails_safe(spark, sf_dir, tmp_path):
+    """A float literal that equals an int key must NOT be bloom-pruned:
+    read_where(k == 5.0) equals read().filter(k == 5.0). Canonical
+    hashing (integral float -> int, bool -> int) keeps the bloom's
+    documented results-equal-a-plain-scan guarantee."""
+    path = str(tmp_path / "t")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_custkey")
+    S.commit(spark, o.repartition(4), path, bloom_for=["o_orderkey"])
+    key = o.agg(F.min("o_orderkey")).first()[0]
+    want = S.read(spark, path).filter(
+        F.col("o_orderkey") == float(key)
+    ).count()
+    assert want == 1
+    got = S.read_where(spark, path, [("o_orderkey", "==", float(key))])
+    assert got.count() == want
+    # IN branch with a mixed-type list behaves the same
+    got2 = S.read_where(
+        spark, path, [("o_orderkey", "in", [float(key), -1.0])]
+    )
+    assert got2.count() == want
+    # a genuinely fractional literal still prunes everything (no int row
+    # can equal 0.5) AND the residual filter keeps it correct either way
+    assert (
+        S.read_where(spark, path, [("o_orderkey", "==", key + 0.5)]).count()
+        == 0
+    )
+
+
+def test_bool_partition_pruning_parses_literals(spark, tmp_path):
+    """bool("false") is True in Python — the partition pruner must parse
+    hive bool partition strings, not str-construct them. == False keeps
+    the flag=false partition; unparseable values fail open."""
+    spec = _tspec("pk int, amt double, flag boolean", ("flag",))
+    path = str(tmp_path / "t")
+    rows = [(i, float(i), i % 2 == 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "pk int, amt double, flag boolean")
+    S.merge_commit(spark, df, path, spec)
+    for val, n in ((False, 10), (True, 10)):
+        rep: dict = {}
+        got = S.read_where(spark, path, [("flag", "==", val)], report=rep)
+        assert got.count() == n
+        assert rep["files_kept"] < rep["files_total"]  # other side pruned
+        assert all(r["flag"] is val for r in got.collect())
+    rep2: dict = {}
+    got2 = S.read_where(spark, path, [("flag", "in", [False])], report=rep2)
+    assert got2.count() == 10 and rep2["files_kept"] < rep2["files_total"]
+
+
+def test_carried_stats_survive_sibling_prefix_dirs(spark, tmp_path):
+    """Partition values '1' and '10' produce dirs p=1 and p=10; after a
+    merge rewrites ONLY p=10, the carried p=1 stats filter must match on
+    directory boundaries — a bare prefix match would carry stale entries
+    for p=10's replaced files and silently disable metadata-only
+    aggregates (table_stats rows=None)."""
+    spec = _tspec("pk int, amt double, part string", ("part",))
+    path = str(tmp_path / "t")
+    rows = [(i, float(i), "1" if i < 10 else "10") for i in range(20)]
+    df = spark.createDataFrame(rows, "pk int, amt double, part string")
+    S.merge_commit(spark, df, path, spec, stats_for=["amt"])
+    # rewrite only the p=10 partition; p=1 carries by reference
+    upd = spark.createDataFrame(
+        [(15, 999.0, "10")], "pk int, amt double, part string"
+    )
+    S.merge_commit(spark, upd, path, spec)
+    st = S.table_stats(path)
+    assert st["rows"] == 20
+    assert st["cols"]["amt"] == {"min": 0.0, "max": 999.0}
+    # and the skipping read still equals the plain filtered scan
+    got = S.read_where(spark, path, [("amt", ">=", 900.0)])
+    assert [r["pk"] for r in got.collect()] == [15]
