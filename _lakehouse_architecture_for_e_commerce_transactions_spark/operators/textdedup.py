@@ -231,10 +231,21 @@ def minhash_dedup_verified(
     k: int = 8,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    fast: bool = False,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (the standard two-phase
-    near-dup pipeline): returns (doc1, doc2, jaccard) above threshold."""
-    cand = minhash_lsh_pairs(df, id_col, text_col, n, k, rows_per_band)
+    near-dup pipeline): returns (doc1, doc2, jaccard) above threshold.
+
+    ``fast=True`` draws candidates from the xxhash64 family instead of
+    md5. Near-threshold results then differ only through hash-family
+    randomness — but at ``threshold=1.0`` the output is provably
+    hash-family INDEPENDENT: jaccard 1 means identical shingle sets,
+    which give identical min-hashes under any family, hence identical
+    band keys, hence candidacy with probability 1. That makes the fast
+    path's exact-duplicate output cross-engine verifiable even though
+    xxhash64 itself is Spark-specific."""
+    maker = minhash_lsh_pairs_fast if fast else minhash_lsh_pairs
+    cand = maker(df, id_col, text_col, n, k, rows_per_band)
     idx = shingle_index(df, id_col, text_col, n)
     sizes = shingle_counts(idx)
     i1 = idx.select(F.col("doc").alias("doc1"), F.col("shingle"))

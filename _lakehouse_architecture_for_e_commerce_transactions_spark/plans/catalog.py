@@ -1854,9 +1854,9 @@ GROUP BY o.o_orderstatus, c.c_mktsegment
 
 
 def q_simhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    """16-bit SimHash per document (rows-only: per-bit majority voting over
-    md5 bit extractions; pytest asserts identical docs → identical
-    signatures and near-dups → small Hamming distance)."""
+    """16-bit SimHash per document: per-bit majority voting over md5 bit
+    extractions. Fully oracle-checked — the DuckDB twin recomputes the
+    identical signature value per doc, proving bit-level portability."""
     d = load_table(spark, sf, "documents")
     return TD.simhash_signatures(d, "doc_id", "text", n_bits=16).select(
         F.col("doc").alias("doc_id"), "simhash"
@@ -1864,13 +1864,38 @@ def q_simhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_minhash_fast(spark: SparkSession, sf: str) -> DataFrame:
-    """xxhash64 MinHash variant (rows-only: xxhash64 is Spark-specific, so
-    no cross-engine oracle; planted-dup recall is asserted in tests)."""
-    corpus = _doubled_corpus(spark, sf)
-    return TD.minhash_lsh_pairs_fast(
-        corpus, "doc_id", "text", n=3, k=_MINHASH_K,
-        rows_per_band=_MINHASH_ROWS_PER_BAND,
+    """Exact-duplicate pairs via the xxhash64 fast-LSH route: candidates
+    from the cheap hash family, verified with exact Jaccard, kept at
+    jaccard = 1.0. Identical shingle sets are candidates with
+    probability 1 under ANY min-hash family, so despite xxhash64 being
+    Spark-specific the OUTPUT is engine-independent — the DuckDB oracle
+    just pairs docs whose sorted shingle lists are equal. This exercises
+    the fast candidate generator end-to-end (the 100 TB path) while
+    keeping the result fully hash-checkable. The corpus is documents ∪
+    exact copies (+200000) ∪ 80%-prefix near copies (+100000): exact
+    pairs must all survive, near pairs must all be verified away."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    exact = d.select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "source"
     )
+    corpus = _doubled_corpus(spark, sf).unionByName(exact)
+    return TD.minhash_dedup_verified(
+        corpus, "doc_id", "text", n=3, k=_MINHASH_K,
+        rows_per_band=_MINHASH_ROWS_PER_BAND, threshold=1.0, fast=True,
+    ).select("doc1", "doc2")
+
+
+_MINHASH_FAST_SQL = f"""
+WITH corpus AS ({_DOUBLED_CORPUS_SQL}
+  UNION ALL
+  SELECT doc_id + 200000, text, source FROM documents),
+tok AS (SELECT doc_id AS doc, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus),
+sh AS (SELECT DISTINCT doc, array_to_string(toks[i:i+2], ' ') AS shingle
+       FROM tok, unnest(generate_series(1, len(toks) - 2)) AS t(i)),
+sets AS (SELECT doc, list_sort(list(shingle)) AS shset FROM sh GROUP BY doc)
+SELECT a.doc AS doc1, b.doc AS doc2
+FROM sets a JOIN sets b ON a.shset = b.shset AND a.doc < b.doc
+"""
 
 
 def q_fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -2974,6 +2999,39 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 
 
 _SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
+
+
+def _simhash_signatures_sql(n_bits: int = 16) -> str:
+    """Per-document SimHash signature oracle: identical md5 bit
+    extraction as the pairs oracle above, over the raw documents table
+    (no doubling, no pairing) — proves the signature itself ports
+    bit-for-bit across engines."""
+    def bit(i: int) -> str:
+        return (
+            f"((strpos('0123456789abcdef', substring(md5(token), {i // 4 + 1}, 1))"
+            f" - 1) >> {3 - i % 4}) % 2"
+        )
+
+    sums = ",\n    ".join(
+        f"CASE WHEN sum(CASE WHEN {bit(i)} = 1 THEN 1 ELSE -1 END) >= 0"
+        f" THEN 1 ELSE 0 END AS b{i}"
+        for i in range(n_bits)
+    )
+    value = " + ".join(f"b{i} * {2 ** (n_bits - 1 - i)}" for i in range(n_bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS token
+  FROM documents),
+bits AS (
+  SELECT doc,
+    {sums}
+  FROM toks GROUP BY doc)
+SELECT doc AS doc_id, CAST({value} AS BIGINT) AS simhash FROM bits
+"""
+
+
+_SIMHASH_SIGNATURES_SQL = _simhash_signatures_sql()
 
 
 # --------------------------------------------------------------------------
@@ -4538,9 +4596,9 @@ def q_bpe_learned_encode(spark: SparkSession, sf: str) -> DataFrame:
     a driver loop over bounded state where each iteration is one
     map-side-combined pair count plus a narrow expression-fold merge —
     then encode with the Arrow-batched mapInPandas encoder; per-doc
-    compression stats. No SQL oracle: genuinely iterative (the driver
-    records the weaker rows-only check); the learning step and
-    encode ≡ fold equivalence are pytest-pinned (tests/test_bpe.py)."""
+    compression stats. Fully oracle-checked: the fixed 3-merge loop
+    unrolls into SQL (see the oracle note below); the encode ≡ fold
+    equivalence is additionally pytest-pinned (tests/test_bpe.py)."""
     from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
         bpe as B,
     )
@@ -4548,15 +4606,76 @@ def q_bpe_learned_encode(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     merges = B.learn_bpe(spark, d, n_merges=3, min_count=2)
     enc = B.bpe_encode(d, merges)
+    # Oracle note (_BPE_LEARNED_SQL): the loop IS SQL-expressible for a
+    # fixed n_merges because (a) rank-priority encode equals sequential
+    # per-merge application when merges are learned in order (later
+    # merges reference only earlier outputs — pytest-pinned), and (b)
+    # one leftmost-greedy pass of a single merge over a token list
+    # equals one global replace() on a delimiter-doubled string
+    # ('\x1f' || tok ('\x1f\x1f' tok)* || '\x1f'): scanning resumes
+    # after each replacement exactly like the fold, and a merge can
+    # never create a fresh occurrence of itself in the same pass.
     return (
         enc.select(
             "doc_id",
-            F.size("bpe_tokens").alias("n_bpe_tokens"),
-            T.token_count(F.col("text")).alias("n_ws_tokens"),
+            F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            T.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
         )
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+def _bpe_learned_sql(n_merges: int = 3, min_count: int = 2) -> str:
+    """Unrolled BPE learn+encode oracle. Each round: adjacent-pair count
+    over the current tokenization, top pair by (n desc, a, b) with
+    n >= min_count, then ONE global replace() on the delimiter-doubled
+    string form — which equals Spark's leftmost-greedy fold pass (see
+    q_bpe_learned_encode's oracle note). Empty docs carry s NULL (the
+    Python encoder's strip().split() yields zero tokens) while n_ws
+    counts the [''] token exactly like Spark's split(trim(text))."""
+    D = "chr(31)"
+    parts = [f"""t0 AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws,
+         CASE WHEN trim(text) = '' THEN NULL
+              ELSE {D} || array_to_string(
+                     regexp_split_to_array(trim(text), '\\s+'),
+                     {D} || {D}) || {D}
+         END AS s
+  FROM documents)"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""p{r} AS (
+  SELECT toks[i] AS a, toks[i + 1] AS b, count(*) AS n
+  FROM (SELECT string_split(substr(s, 2, length(s) - 2), {D} || {D}) AS toks
+        FROM t{r - 1} WHERE s IS NOT NULL) x,
+       unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  GROUP BY a, b),
+m{r} AS (SELECT a, b FROM p{r} WHERE n >= {min_count}
+         ORDER BY n DESC, a, b LIMIT 1),
+t{r} AS (
+  SELECT doc_id, n_ws,
+         CASE WHEN s IS NULL THEN NULL
+              WHEN m.a IS NULL THEN s
+              ELSE replace(s, {D} || m.a || {D} || {D} || m.b || {D},
+                              {D} || m.a || ' ' || m.b || {D})
+         END AS s
+  FROM t{r - 1} LEFT JOIN m{r} m ON TRUE)""")
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT doc_id,
+       CAST(CASE WHEN s IS NULL THEN 0
+                 ELSE (length(s) - length(replace(s, {D}, ''))) // 2
+            END AS BIGINT) AS n_bpe_tokens,
+       CAST(n_ws AS BIGINT) AS n_ws_tokens
+FROM t{n_merges}
+ORDER BY doc_id
+LIMIT 100
+"""
+
+
+_BPE_LEARNED_SQL = _bpe_learned_sql()
 
 
 # --------------------------------------------------------------------------
@@ -5561,9 +5680,13 @@ CATALOG: dict[str, QueryDef] = {
         q_embedding_near_dup, _near_dup_sql(), headline=True
     ),
     "array_agg_orders": QueryDef(q_array_agg_orders, _ARRAY_AGG_SQL),
-    "cosine_topk_fast": QueryDef(q_cosine_topk_fast, None, headline=True),
-    "minhash_fast": QueryDef(q_minhash_fast, None, headline=True),
-    "simhash_signatures": QueryDef(q_simhash_signatures, None),
+    "cosine_topk_fast": QueryDef(
+        q_cosine_topk_fast, _COSINE_TOPK_SQL, headline=True
+    ),
+    "minhash_fast": QueryDef(q_minhash_fast, _MINHASH_FAST_SQL, headline=True),
+    "simhash_signatures": QueryDef(
+        q_simhash_signatures, _SIMHASH_SIGNATURES_SQL
+    ),
     # --- new in round 2 (rotate into the window next round) ---
     "contamination_ngram_overlap": QueryDef(
         q_contamination_ngram_overlap, _CONTAMINATION_SQL
@@ -5587,7 +5710,7 @@ CATALOG: dict[str, QueryDef] = {
     "bm25_search": QueryDef(q_bm25_search, _BM25_SQL),
     "unigram_logprob": QueryDef(q_unigram_logprob, _UNIGRAM_SQL),
     "percentile_envelope": QueryDef(q_percentile_envelope, _PCT_ENVELOPE_SQL),
-    "bpe_learned_encode": QueryDef(q_bpe_learned_encode, None),
+    "bpe_learned_encode": QueryDef(q_bpe_learned_encode, _BPE_LEARNED_SQL),
     "pq_adc_topk": QueryDef(q_pq_adc_topk, _PQ_ADC_SQL),
     "gap_fill_interpolate": QueryDef(q_gap_fill_interpolate, _GAP_FILL_SQL),
     "stats_pruned_scan": QueryDef(q_stats_pruned_scan, _STATS_PRUNE_SQL),
