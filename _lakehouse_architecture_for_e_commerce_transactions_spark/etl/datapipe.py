@@ -110,7 +110,11 @@ def run_curation_job(
     # near-dup resolution on the exact-deduped survivors only (identical
     # content is already collapsed, so LSH buckets stay small). LSH
     # candidates are verified with exact Jaccard before clustering —
-    # band collisions must not delete unique documents.
+    # band collisions must not delete unique documents. The shingle
+    # index is built once and cached: both the signature aggregation and
+    # the Jaccard verification consume it, and uncached each would
+    # re-explode the corpus text (the dominant pass at scale).
+    idx = TD.shingle_index(survivors, "doc_id", "text", n=shingle_n).persist()
     pairs = TD.minhash_dedup_verified(
         survivors,
         "doc_id",
@@ -118,6 +122,7 @@ def run_curation_job(
         n=shingle_n,
         k=minhash_k,
         threshold=jaccard_min,
+        index=idx,
     ).select("doc1", "doc2")
     # cache the (small, dup-sized) id frame: it feeds both the stat count
     # and the anti-join, and uncached each use re-runs the LSH self-join
@@ -128,7 +133,8 @@ def run_curation_job(
         .select(F.col("node").alias("doc_id"))
         .cache()
     )
-    n_near = near_drop.count()
+    n_near = near_drop.count()  # materializes the LSH + component chain
+    idx.unpersist()  # near_drop is cached; nothing re-reads the index
     deduped = survivors.join(near_drop, "doc_id", "left_anti")
 
     n_contaminated = 0

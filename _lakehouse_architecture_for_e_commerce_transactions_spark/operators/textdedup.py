@@ -118,11 +118,24 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, mh0..mh{k-1}) — one shuffle (groupBy doc) over the shingle
-    index; signatures are 32-char hex strings (lexicographic min-hash)."""
-    idx = shingle_index(df, id_col, text_col, n)
+    index; signatures are 32-char hex strings (lexicographic min-hash).
+
+    ``index`` supplies a prebuilt (doc, shingle) frame — pass a cached
+    one when several stages (signatures + verification) consume the same
+    index, so the text-explode pass runs once, not per stage."""
+    idx = (
+        index
+        if index is not None
+        else shingle_index(df, id_col, text_col, n)
+    )
     return idx.groupBy("doc").agg(*H.minhash_aggs("shingle", k))
 
 
@@ -133,10 +146,11 @@ def melted_band_keys(
     n: int = 3,
     k: int = 8,
     rows_per_band: int = 2,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, band_id, bkey) LSH band rows — the storable/joinable index
     form of a MinHash signature (k/rows_per_band rows per document)."""
-    sig = minhash_signatures(df, id_col, text_col, n, k)
+    sig = minhash_signatures(df, id_col, text_col, n, k, index=index)
     bands = sig.select(F.col("doc"), *H.band_keys(k, rows_per_band))
     n_bands = k // rows_per_band
     stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
@@ -152,6 +166,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     k: int = 8,
     rows_per_band: int = 2,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band (doc1 < doc2).
 
@@ -163,7 +178,9 @@ def minhash_lsh_pairs(
     bounded per band key, so cost is Σ bucket² — the point of LSH vs the
     quadratic join.
     """
-    melted = melted_band_keys(df, id_col, text_col, n, k, rows_per_band)
+    melted = melted_band_keys(
+        df, id_col, text_col, n, k, rows_per_band, index=index
+    )
     a = melted.select(
         F.col("doc").alias("doc1"), F.col("band_id"), F.col("bkey")
     )
@@ -185,6 +202,7 @@ def minhash_lsh_pairs_fast(
     n: int = 3,
     k: int = 8,
     rows_per_band: int = 2,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """xxhash64 twin of ``minhash_lsh_pairs``: same plan shape, ~3× less
     hashing cost (one JVM intrinsic vs an md5 digest + hex string per salt).
@@ -194,7 +212,11 @@ def minhash_lsh_pairs_fast(
     families). Use this at scale; use the md5 variant when results must be
     reproducible by other engines (xxhash64 seeds are Spark-specific).
     """
-    idx = shingle_index(df, id_col, text_col, n)
+    idx = (
+        index
+        if index is not None
+        else shingle_index(df, id_col, text_col, n)
+    )
     sig = idx.groupBy("doc").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
@@ -232,6 +254,7 @@ def minhash_dedup_verified(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     fast: bool = False,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (the standard two-phase
     near-dup pipeline): returns (doc1, doc2, jaccard) above threshold.
@@ -243,10 +266,25 @@ def minhash_dedup_verified(
     which give identical min-hashes under any family, hence identical
     band keys, hence candidacy with probability 1. That makes the fast
     path's exact-duplicate output cross-engine verifiable even though
-    xxhash64 itself is Spark-specific."""
-    maker = minhash_lsh_pairs_fast if fast else minhash_lsh_pairs
-    cand = maker(df, id_col, text_col, n, k, rows_per_band)
-    idx = shingle_index(df, id_col, text_col, n)
+    xxhash64 itself is Spark-specific.
+
+    ``index`` supplies a prebuilt (doc, shingle) frame shared by the
+    candidate and verification stages; pass a CACHED one (the curation
+    job does) so the corpus text-explode runs once instead of twice —
+    at 100 TB the index pass dominates, so halving it matters."""
+    idx = (
+        index
+        if index is not None
+        else shingle_index(df, id_col, text_col, n)
+    )
+    if fast:
+        cand = minhash_lsh_pairs_fast(
+            df, id_col, text_col, n, k, rows_per_band, index=idx
+        )
+    else:
+        cand = minhash_lsh_pairs(
+            df, id_col, text_col, n, k, rows_per_band, index=idx
+        )
     sizes = shingle_counts(idx)
     i1 = idx.select(F.col("doc").alias("doc1"), F.col("shingle"))
     i2 = idx.select(F.col("doc").alias("doc2"), F.col("shingle").alias("shingle2"))

@@ -5543,14 +5543,9 @@ WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
 """
 
 
-CATALOG: dict[str, QueryDef] = {
-    # Registry order is load-bearing: the external correctness driver
-    # checks the FIRST 50 entries each round. Rounds rotate the front so
-    # every oracle-carrying query earns a green row on record — round 2
-    # fronts the 45 entries the round-1 window never reached plus the 5
-    # queries whose oracle or implementation changed this round
-    # (sessionize_events, multimodal_meta, frame_sample_plan,
-    # approx_distinct_users, ivf_ann_topk). tools/verify_parity.py checks
+_CATALOG_DEFS: dict[str, QueryDef] = {
+    # Definition order here is arbitrary; the driver-visible order is
+    # rebuilt below from _WINDOW_FRONT. tools/verify_parity.py checks
     # ALL entries regardless of order.
     "train_test_split": QueryDef(q_train_test_split, _SPLIT_SQL),
     "deterministic_sample": QueryDef(q_deterministic_sample, _SAMPLE_SQL),
@@ -5746,6 +5741,88 @@ CATALOG: dict[str, QueryDef] = {
     "weighted_sample_docs": QueryDef(
         q_weighted_sample_docs, _WEIGHTED_SAMPLE_SQL
     ),
+}
+
+
+# Registry order is load-bearing: the external correctness driver checks
+# the FIRST 50 entries each round. Round 3 fronts the last 41 entries
+# that never earned a driver row (everything added late in round 2:
+# PageRank, heavy hitters, BM25, PQ/IVF-PQ, k-means, semantic dedup,
+# CDC, recursive CTE, LATERAL, boilerplate removal, debounce, ...),
+# the 4 queries that gained oracles this round (cosine_topk_fast,
+# minhash_fast, simhash_signatures, bpe_learned_encode), and 5 green
+# anchors whose plans changed this round (the unhinted supplier-join
+# TPC-H queries) — after this window, every oracle-eligible query in
+# the registry has a green driver round on record.
+_WINDOW_FRONT: list[str] = [
+    # 41 never-driver-verified (registry order)
+    "contamination_ngram_overlap",
+    "sequence_packing",
+    "domain_mixture_weights",
+    "doc_repetition_signals",
+    "dup_span_pairs",
+    "kmeans_iteration",
+    "window_funcs_extended",
+    "vector_array_funcs",
+    "bpe_pair_merges",
+    "semantic_dedup",
+    "table_changes_sim",
+    "bm25_search",
+    "unigram_logprob",
+    "percentile_envelope",
+    "pq_adc_topk",
+    "gap_fill_interpolate",
+    "stats_pruned_scan",
+    "pagerank_events",
+    "heavy_hitter_terms",
+    "quality_logreg",
+    "orc_roundtrip",
+    "profile_orders",
+    "anomaly_events",
+    "events_hopping",
+    "ivf_pq_topk",
+    "cohort_retention",
+    "doc_char_entropy",
+    "bloom_point_lookup",
+    "scd2_asof_enrichment",
+    "minmax_by_agg",
+    "stats_aggregates",
+    "min_cost_supplier",
+    "metadata_only_agg",
+    "union_evolved_schemas",
+    "cdc_apply_sim",
+    "recursive_chain",
+    "lateral_topn",
+    "boilerplate_removal",
+    "event_debounce",
+    "excess_stock_suppliers",
+    "weighted_sample_docs",
+    # 4 newly-oracled this round
+    "cosine_topk_fast",
+    "minhash_fast",
+    "simhash_signatures",
+    "bpe_learned_encode",
+    # 5 green anchors whose join plans were unhinted this round
+    "local_supplier_volume",
+    "nation_trade_volume",
+    "product_profit_by_nation",
+    "nation_market_share",
+    "waiting_supplier_orders",
+]
+
+assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)
+assert len(set(_WINDOW_FRONT)) == 50
+assert set(_WINDOW_FRONT) <= set(_CATALOG_DEFS), (
+    set(_WINDOW_FRONT) - set(_CATALOG_DEFS)
+)
+
+CATALOG: dict[str, QueryDef] = {
+    **{n: _CATALOG_DEFS[n] for n in _WINDOW_FRONT},
+    **{
+        n: qd
+        for n, qd in _CATALOG_DEFS.items()
+        if n not in set(_WINDOW_FRONT)
+    },
 }
 
 

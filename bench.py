@@ -2,11 +2,15 @@
 
 Prints ONE JSON line:
   {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
-   "queries": {"pricing_summary": <sec>, ...}, "sf": <float>}
+   "queries": {"pricing_summary": <sec>, ...}, "sf": <float>, "reps": 3}
 
 Per-query time is wall-clock of plan construction + execution + collect on a
 warm session (JVM/session startup excluded — the reference's baseline is
 dominated by orchestration overhead we deliberately do not reproduce).
+Every leg runs REPS times and reports the per-leg MINIMUM, so cross-round
+deltas are signal rather than run-to-run jitter; "value" is the sum of
+per-leg minima. The leg set (headline-marked catalog queries + the two job
+legs) is frozen as of round 3 — keep it stable so rounds compare leg-for-leg.
 """
 
 from __future__ import annotations
@@ -50,15 +54,21 @@ def main() -> None:
     warm.limit(64).mapInPandas(lambda it: it, "id long, k long").count()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).limit(1).collect()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
-    for name, qd in catalog.CATALOG.items():
-        if not qd.headline:
-            continue
-        t0 = time.time()
-        df = qd.builder(spark, sf_dir)
-        n = len(df.collect())
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    for rep in range(reps):
+        for name, qd in catalog.CATALOG.items():
+            if not qd.headline:
+                continue
+            t0 = time.time()
+            df = qd.builder(spark, sf_dir)
+            n = len(df.collect())
+            took = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, took), took)
+            print(
+                f"# [{rep + 1}/{reps}] {name}: {took:.3f}s ({n} rows)",
+                file=sys.stderr,
+            )
 
     # The reference's own workload shape, for direct BASELINE comparison:
     # CSV read -> validate -> dedup -> MERGE into partitioned table
@@ -95,16 +105,21 @@ def main() -> None:
         )
         n_raw = raw.count()
         raw.write.option("header", True).mode("overwrite").csv(f"{work}/raw")
-        t0 = time.time()
-        res = run_etl_job(
-            spark, ORDERS, f"{work}/raw/*.csv", f"{work}/wh", f"{work}/rej", "bench"
-        )
-        timings["etl_orders_batch"] = round(time.time() - t0, 3)
-        print(
-            f"# etl_orders_batch: {timings['etl_orders_batch']:.3f}s "
-            f"({res.rows_written}/{n_raw} rows)",
-            file=sys.stderr,
-        )
+        for rep in range(reps):
+            t0 = time.time()
+            res = run_etl_job(
+                spark, ORDERS, f"{work}/raw/*.csv", f"{work}/wh{rep}",
+                f"{work}/rej{rep}", "bench",
+            )
+            took = round(time.time() - t0, 3)
+            timings["etl_orders_batch"] = min(
+                timings.get("etl_orders_batch", took), took
+            )
+            print(
+                f"# [{rep + 1}/{reps}] etl_orders_batch: {took:.3f}s "
+                f"({res.rows_written}/{n_raw} rows)",
+                file=sys.stderr,
+            )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -120,18 +135,22 @@ def main() -> None:
         docs = load_table(spark, sf_dir, "documents")
         ev = docs.filter(F.col("doc_id") % 50 == 17)
         tr = docs.filter(F.col("doc_id") % 50 != 17)
-        t0 = time.time()
-        res = run_curation_job(
-            spark, tr, f"{work}/corpus", ctx_tokens=64, eval_docs=ev,
-            contamination_max=0.5, contamination_ngram=3,
-        )
-        timings["curation_job_batch"] = round(time.time() - t0, 3)
-        print(
-            f"# curation_job_batch: {timings['curation_job_batch']:.3f}s "
-            f"({res.n_curated}/{res.n_input} docs kept, "
-            f"{res.n_packs} packs)",
-            file=sys.stderr,
-        )
+        for rep in range(reps):
+            t0 = time.time()
+            res = run_curation_job(
+                spark, tr, f"{work}/corpus{rep}", ctx_tokens=64,
+                eval_docs=ev, contamination_max=0.5, contamination_ngram=3,
+            )
+            took = round(time.time() - t0, 3)
+            timings["curation_job_batch"] = min(
+                timings.get("curation_job_batch", took), took
+            )
+            print(
+                f"# [{rep + 1}/{reps}] curation_job_batch: {took:.3f}s "
+                f"({res.n_curated}/{res.n_input} docs kept, "
+                f"{res.n_packs} packs)",
+                file=sys.stderr,
+            )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -144,6 +163,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
             }
         )
     )

@@ -78,3 +78,62 @@ def test_pagerank_partitioning_invariant(spark):
     r1 = sorted((r["node"], r["rank_micro"]) for r in pagerank(e1).collect())
     r2 = sorted((r["node"], r["rank_micro"]) for r in pagerank(e2).collect())
     assert r1 == r2
+
+
+def _cc_map(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def test_small_graph_fast_path_equals_distributed(spark):
+    """The driver union-find shortcut and the distributed min-label loop
+    must agree exactly (force the loop with threshold=0)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (3, 1), (7, 7)],
+        "doc1 long, doc2 long",
+    )
+    fast = _cc_map(connected_components(edges, "doc1", "doc2"))
+    dist = _cc_map(
+        connected_components(edges, "doc1", "doc2", small_graph_threshold=0)
+    )
+    assert fast == dist
+    assert fast[7] == 7  # self-loop-only node maps to itself
+
+
+def test_star_cc_property_random_graphs(spark):
+    """Large-star/small-star equals min-label propagation on seeded
+    random graphs of several shapes (sparse, chain-heavy, clustered)."""
+    import random
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    for seed, n_nodes, n_edges in [(7, 40, 25), (11, 60, 80), (13, 30, 15)]:
+        rng = random.Random(seed)
+        pairs = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        edges = spark.createDataFrame(pairs, "doc1 long, doc2 long")
+        want = _cc_map(connected_components(edges, "doc1", "doc2"))
+        got = _cc_map(connected_components_star(edges, "doc1", "doc2"))
+        assert got == want, f"seed={seed}"
+
+
+def test_star_cc_long_chain(spark):
+    """Path graph — the O(log d) case the star variant exists for; also
+    the structure where a wrong small-star formulation loses edges."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "doc1 long, doc2 long"
+    )
+    cc = _cc_map(connected_components_star(edges, "doc1", "doc2"))
+    assert len(cc) == 20 and all(c == 0 for c in cc.values())
+    # the disintegration regression: 2—1—3 (center is the minimum)
+    tri = spark.createDataFrame([(2, 1), (1, 3)], "doc1 long, doc2 long")
+    assert _cc_map(connected_components_star(tri, "doc1", "doc2")) == {
+        1: 1, 2: 1, 3: 1,
+    }
