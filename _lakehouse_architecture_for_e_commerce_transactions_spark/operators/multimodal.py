@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
 The Spark-side architecture is real and tested — schema contract, Arrow
-batch shape, ``mapInPandas`` partition-parallel decode, partition sizing —
-while the actual codec calls are stubbed (PIL/ffmpeg are not in this
-container): ``decode_image_meta`` derives deterministic fake metadata from
-the bytes, and ``decode_image_stub`` raises ``NotImplementedError`` where a
-real decoder would run. Swapping in a real decoder changes only the body of
-the per-batch function, not the plumbing.
+batch shape, ``mapInPandas`` partition-parallel decode, partition sizing.
+Container-header decode is REAL: ``parse_media_header`` reads PNG / BMP /
+GIF / WAV / JPEG dimensions and audio rates in pure Python (magic bytes +
+fixed fields + chunk/segment walks — no codec library needed), and
+``extract_media_headers`` runs it partition-parallel. Full pixel/sample
+decode (PIL/ffmpeg are not in this container) stays behind
+``decode_image_stub``, which now returns header metadata for the parsed
+containers and raises ``NotImplementedError`` only for formats that
+genuinely need an entropy decoder. ``extract_image_meta`` keeps the
+sha-derived deterministic metadata used by the oracle-checked catalog rows.
 
 Design for 100 TB of media: binary payloads stay columnar (parquet binary
 with metadata columns for pruning), decode runs inside ``mapInPandas`` so
@@ -51,10 +55,65 @@ IMAGE_META_SCHEMA = StructType(
 )
 
 
+def parse_media_header(payload: bytes) -> dict | None:
+    """Pure-Python container-header parse: PNG / BMP / GIF / WAV / JPEG.
+
+    Returns ``{"format", "width", "height"}`` for images,
+    ``{"format", "sample_rate", "n_channels"}`` for WAV, or ``None`` when
+    the magic bytes match no supported container (or the header is
+    truncated/corrupt). Only fixed header fields and chunk/segment walks
+    are read — never entropy-coded payload — so this is dependency-free
+    and O(header) per file.
+    """
+    import struct
+
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return {"format": "png", "width": w, "height": h}
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        # negative height encodes top-down row order
+        return {"format": "bmp", "width": w, "height": abs(h)}
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return {"format": "gif", "width": w, "height": h}
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        off = 12
+        while off + 8 <= len(b):  # chunk walk: id, size, payload
+            cid = b[off : off + 4]
+            (size,) = struct.unpack("<I", b[off + 4 : off + 8])
+            if cid == b"fmt " and off + 16 <= len(b):
+                ch, sr = struct.unpack("<HI", b[off + 10 : off + 16])
+                return {"format": "wav", "sample_rate": sr, "n_channels": ch}
+            off += 8 + size + (size & 1)  # chunks are word-aligned
+        return None
+    if b[:2] == b"\xff\xd8":  # JPEG: segment walk to the first SOFn
+        sof = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+        off = 2
+        while off + 4 <= len(b) and b[off] == 0xFF:
+            marker = b[off + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                off += 2  # standalone markers carry no length
+                continue
+            (seglen,) = struct.unpack(">H", b[off + 2 : off + 4])
+            if marker in sof and off + 9 <= len(b):
+                h, w = struct.unpack(">HH", b[off + 5 : off + 9])
+                return {"format": "jpeg", "width": w, "height": h}
+            off += 2 + seglen
+        return None
+    return None
+
+
 def decode_image_stub(payload: bytes) -> object:
-    """Where a real decoder (PIL.Image.open etc.) would run."""
+    """Header-level decode for the containers ``parse_media_header``
+    understands; full pixel decode (PIL.Image.open etc.) would replace
+    the NotImplementedError branch."""
+    meta = parse_media_header(payload)
+    if meta is not None:
+        return meta
     raise NotImplementedError(
-        "image codecs are not available in this environment; "
+        "full image codecs are not available in this environment; "
         "swap in PIL/torchvision here"
     )
 
@@ -110,6 +169,100 @@ def extract_image_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, IMAGE_META_SCHEMA)
+
+
+MEDIA_HEADER_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+    ]
+)
+
+
+def extract_media_headers(media: DataFrame) -> DataFrame:
+    """Partition-parallel REAL header parse over binary payloads: one
+    Arrow batch in, header metadata out (payloads never leave the task).
+    Unparseable payloads yield null fields, not failures — at corpus
+    scale a poison file must not kill the job. The batch function ships
+    self-contained by value (same rationale as ``extract_image_meta``),
+    so the parser is re-stated inside the closure."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as _pd
+
+        def parse(b: bytes) -> dict:
+            out = {
+                "format": None,
+                "width": None,
+                "height": None,
+                "sample_rate": None,
+                "n_channels": None,
+            }
+            if (
+                b[:8] == b"\x89PNG\r\n\x1a\n"
+                and len(b) >= 24
+                and b[12:16] == b"IHDR"
+            ):
+                w, h = struct.unpack(">II", b[16:24])
+                out.update(format="png", width=w, height=h)
+            elif b[:2] == b"BM" and len(b) >= 26:
+                w, h = struct.unpack("<ii", b[18:26])
+                out.update(format="bmp", width=w, height=abs(h))
+            elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+                w, h = struct.unpack("<HH", b[6:10])
+                out.update(format="gif", width=w, height=h)
+            elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                off = 12
+                while off + 8 <= len(b):
+                    cid = b[off : off + 4]
+                    (size,) = struct.unpack("<I", b[off + 4 : off + 8])
+                    if cid == b"fmt " and off + 16 <= len(b):
+                        ch, sr = struct.unpack(
+                            "<HI", b[off + 10 : off + 16]
+                        )
+                        out.update(
+                            format="wav", sample_rate=sr, n_channels=ch
+                        )
+                        break
+                    off += 8 + size + (size & 1)
+            elif b[:2] == b"\xff\xd8":
+                sof = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+                off = 2
+                while off + 4 <= len(b) and b[off] == 0xFF:
+                    marker = b[off + 1]
+                    if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                        off += 2
+                        continue
+                    (seglen,) = struct.unpack(">H", b[off + 2 : off + 4])
+                    if marker in sof and off + 9 <= len(b):
+                        h, w = struct.unpack(">HH", b[off + 5 : off + 9])
+                        out.update(format="jpeg", width=w, height=h)
+                        break
+                    off += 2 + seglen
+            return out
+
+        for pdf in it:
+            metas = [parse(bytes(p)) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "format": [m["format"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "sample_rate": [m["sample_rate"] for m in metas],
+                    "n_channels": [m["n_channels"] for m in metas],
+                }
+            )
+
+    return media.mapInPandas(batches, MEDIA_HEADER_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

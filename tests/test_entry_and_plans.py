@@ -22,15 +22,11 @@ def test_contract_shapes(spark):
     o = E.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 40
-    # rows-only entries are exactly the non-SQL-reproducible ops: the
-    # mapInPandas/BLAS variants (value contract asserted against their
-    # expression twins in tests) and the genuinely iterative BPE loop
-    assert set(q) - set(o) == {
-        "cosine_topk_fast",
-        "minhash_fast",
-        "simhash_signatures",
-        "bpe_learned_encode",
-    }
+    # every registry entry carries an oracle since round 3: the BLAS
+    # twin shares its exact twin's SQL, minhash_fast pins the
+    # hash-family-independent jaccard=1.0 result, simhash ports the md5
+    # bit math, and the fixed BPE loop unrolls into SQL
+    assert set(q) == set(o)
 
 
 def test_scan_pushdown(spark, sf_dir):

@@ -170,8 +170,113 @@ def test_frame_sample_plan(spark, sf_dir):
     assert {r["media_id"] for r in rows} <= video_ids
 
 
-def test_decode_stub_raises():
+def test_decode_stub_raises_only_without_parseable_header():
     import pytest
 
+    # a bare PNG magic without an IHDR is not decodable header-level
     with pytest.raises(NotImplementedError):
         MM.decode_image_stub(b"\x89PNG")
+    # a complete PNG header IS decoded for real now
+    png = _png_bytes(640, 480)
+    assert MM.decode_image_stub(png) == {
+        "format": "png", "width": 640, "height": 480,
+    }
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x06\x00\x00\x00"
+        + b"\x00\x00\x00\x00"  # CRC not validated by a header parse
+    )
+
+
+def _bmp_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<Iii", 40, w, h)
+        + bytes(20)
+    )
+
+
+def _gif_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + bytes(6)
+
+
+def _wav_bytes(sample_rate: int, channels: int) -> bytes:
+    import struct
+
+    # a JUNK chunk before fmt exercises the chunk walk
+    return (
+        b"RIFF" + struct.pack("<I", 48) + b"WAVE"
+        + b"JUNK" + struct.pack("<I", 4) + bytes(4)
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    )
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", h, w) + bytes(10)
+    )
+
+
+def test_parse_media_header_real_bytes():
+    assert MM.parse_media_header(_png_bytes(640, 480)) == {
+        "format": "png", "width": 640, "height": 480,
+    }
+    assert MM.parse_media_header(_bmp_bytes(800, 600)) == {
+        "format": "bmp", "width": 800, "height": 600,
+    }
+    # top-down BMPs store negative height
+    assert MM.parse_media_header(_bmp_bytes(800, -600))["height"] == 600
+    assert MM.parse_media_header(_gif_bytes(320, 200)) == {
+        "format": "gif", "width": 320, "height": 200,
+    }
+    assert MM.parse_media_header(_wav_bytes(44100, 2)) == {
+        "format": "wav", "sample_rate": 44100, "n_channels": 2,
+    }
+    assert MM.parse_media_header(_jpeg_bytes(1920, 1080)) == {
+        "format": "jpeg", "width": 1920, "height": 1080,
+    }
+    assert MM.parse_media_header(b"not a media file") is None
+    assert MM.parse_media_header(b"") is None
+
+
+def test_extract_media_headers_partition_parallel(spark):
+    """The mapInPandas header extractor parses real container bytes in
+    executor batches; unparseable payloads yield nulls, not failures."""
+    rows = [
+        (1, _png_bytes(64, 32), "image"),
+        (2, _wav_bytes(16000, 1), "audio"),
+        (3, _jpeg_bytes(640, 480), "image"),
+        (4, b"corrupt garbage", "image"),
+        (5, _bmp_bytes(10, 20), "image"),
+        (6, _gif_bytes(5, 7), "image"),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA).repartition(3)
+    got = {r["media_id"]: r.asDict() for r in
+           MM.extract_media_headers(media).collect()}
+    assert got[1]["format"] == "png" and (got[1]["width"], got[1]["height"]) == (64, 32)
+    assert got[2]["format"] == "wav" and got[2]["sample_rate"] == 16000
+    assert got[2]["n_channels"] == 1 and got[2]["width"] is None
+    assert got[3]["format"] == "jpeg" and got[3]["width"] == 640
+    assert got[4]["format"] is None and got[4]["n_bytes"] == 15
+    assert got[5]["format"] == "bmp" and got[5]["height"] == 20
+    assert got[6]["format"] == "gif" and (got[6]["width"], got[6]["height"]) == (5, 7)

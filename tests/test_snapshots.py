@@ -611,3 +611,55 @@ def test_concurrent_disjoint_merges_real_threads(spark, tmp_path):
     got = {r["pk"] for r in S.read(spark, path).collect()}
     assert got == {1, 2, 11, 22}
     assert S.load_snapshot(path).version == 2
+
+
+def test_concurrent_same_partition_merges_conflict_linear_history(
+    spark, tmp_path, monkeypatch
+):
+    """Two real threads merge the SAME partition concurrently, both
+    resolving the same parent head (a barrier forces the race): exactly
+    one lands, the other surfaces the write-conflict after losing the
+    manifest race, and history stays linear — no lost or phantom
+    version, the winner's rows intact."""
+    import threading
+
+    path = str(tmp_path / "t")
+    S.merge_commit(spark, _mdf(spark, [(1, 1.0, "a")]), path, MSPEC)
+
+    real_load = S.load_snapshot
+    barrier = threading.Barrier(2, timeout=30)
+    tl = threading.local()
+
+    def racing_load(p, version=None):
+        # first head resolution per merge thread: wait until BOTH threads
+        # have planned against the same parent before either publishes
+        if version is None and not getattr(tl, "synced", False):
+            tl.synced = True
+            barrier.wait()
+        return real_load(p, version)
+
+    monkeypatch.setattr(S, "load_snapshot", racing_load)
+    outcomes: dict[str, list] = {"ok": [], "conflict": [], "other": []}
+
+    def merge(pk):
+        try:
+            S.merge_commit(spark, _mdf(spark, [(pk, 9.0, "a")]), path, MSPEC)
+            outcomes["ok"].append(pk)
+        except RuntimeError as e:
+            bucket = "conflict" if "conflict" in str(e) else "other"
+            outcomes[bucket].append((pk, e))
+
+    t1 = threading.Thread(target=merge, args=(11,))
+    t2 = threading.Thread(target=merge, args=(99,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    monkeypatch.setattr(S, "load_snapshot", real_load)
+
+    assert len(outcomes["ok"]) == 1, outcomes
+    assert len(outcomes["conflict"]) == 1, outcomes
+    assert not outcomes["other"], outcomes
+    # linear history: exactly versions 0 and 1 exist, head is 1
+    snap = S.load_snapshot(path)
+    assert snap.version == 1
+    winner_pk = outcomes["ok"][0]
+    got = {r["pk"]: r["amt"] for r in S.read(spark, path).collect()}
+    assert got == {1: 1.0, winner_pk: 9.0}
