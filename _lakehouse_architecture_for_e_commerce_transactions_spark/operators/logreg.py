@@ -36,7 +36,14 @@ def _margin(features: list[str], weights: list[float]) -> Column:
 
 
 def _sigmoid(m: Column) -> Column:
-    return F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    # det_exp, not F.exp: libm exp may differ by an ulp across engines
+    # and flip a fixed-point floor; the polynomial is bit-identical on
+    # any engine mirroring its operation order (the catalog oracle does)
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.functions.detmath import (
+        det_exp,
+    )
+
+    return F.lit(1.0) / (F.lit(1.0) + det_exp(-m))
 
 
 def logreg_fit(

@@ -118,6 +118,9 @@ from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import 
 from _lakehouse_architecture_for_e_commerce_transactions_spark.functions import (
     vectors as VEC,
 )
+from _lakehouse_architecture_for_e_commerce_transactions_spark.functions import (
+    detmath as DM,
+)
 from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
     ForeignKey,
     TableSpec,
@@ -663,7 +666,10 @@ def q_doc_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
     high ⇒ noise/binary junk) completing the quality family. Uses
     H = log2(n) − (Σ cnt·log2(cnt))/n with each cnt·log2(cnt) term
     quantized to BIGINT micro-units, so the per-doc sum is
-    summation-order-proof; one explode + two aggregations."""
+    summation-order-proof; one explode + two aggregations. log2 is
+    functions/detmath.det_log2_int, NOT libm: engines' log2 disagree by
+    an ulp on ~1 in 10⁴ integer inputs after micro-unit quantization
+    (measured), which would make the hash parity a coin flip."""
     d = load_table(spark, sf, "documents")
     chars = d.select(
         "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
@@ -672,7 +678,8 @@ def q_doc_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     term_micro = F.floor(
-        (F.col("cnt") * F.log2("cnt")) * 1000000 + F.lit(0.5)
+        (F.col("cnt") * DM.det_log2_int(F.col("cnt"))) * 1000000
+        + F.lit(0.5)
     ).cast("long")
     per_doc = counts.groupBy("doc_id").agg(
         F.sum("cnt").alias("n"),
@@ -682,12 +689,13 @@ def q_doc_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.col("n").cast("long").alias("n_chars"),
         fix6(
-            F.log2("n") - (F.col("sum_micro") / 1000000.0) / F.col("n")
+            DM.det_log2_int(F.col("n"))
+            - (F.col("sum_micro") / 1000000.0) / F.col("n")
         ).alias("entropy_bits"),
     )
 
 
-_CHAR_ENTROPY_SQL = """
+_CHAR_ENTROPY_SQL = f"""
 WITH chars AS (
   SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
   FROM documents),
@@ -696,11 +704,13 @@ counts AS (
   FROM chars WHERE ch <> '' GROUP BY doc_id, ch),
 per_doc AS (
   SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
-         CAST(sum(CAST(floor((cnt * log2(cnt)) * 1000000 + 0.5) AS BIGINT))
+         CAST(sum(CAST(floor((cnt * {DM.det_log2_int_sql("cnt")}) * 1000000
+                             + 0.5) AS BIGINT))
               AS BIGINT) AS sum_micro
   FROM counts GROUP BY doc_id)
 SELECT doc_id, n AS n_chars,
-       floor((log2(n) - (sum_micro / 1000000.0) / n) * 1000000 + 0.5)
+       floor(({DM.det_log2_int_sql("n")} - (sum_micro / 1000000.0) / n)
+             * 1000000 + 0.5)
          / 1000000 AS entropy_bits
 FROM per_doc
 """
@@ -4852,7 +4862,11 @@ WITH feats AS (
 nn AS (SELECT count(*) AS n FROM feats),
 w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
     ]
-    sig = "(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2))))"
+    sig = (
+        "(1.0 / (1.0 + "
+        + DM.det_exp_sql("-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2)")
+        + "))"
+    )
     for i in range(1, iters + 1):
         p = i - 1
         parts.append(
@@ -4873,8 +4887,7 @@ w{i} AS (SELECT w.w0 - (({lr} * (g.g0 / 1000000)) / nn.n) AS w0,
     parts.append(
         f"""
 SELECT f.doc_id, f.y,
-       CAST(floor(1000000.0 * (1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
-            + w.w2 * f.x2))))) AS BIGINT) AS p_micro
+       CAST(floor(1000000.0 * {sig}) AS BIGINT) AS p_micro
 FROM feats f CROSS JOIN w{iters} w"""
     )
     return "".join(parts)
