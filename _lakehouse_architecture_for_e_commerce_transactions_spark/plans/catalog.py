@@ -5556,6 +5556,325 @@ WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
 """
 
 
+def q_near_dup_clusters_star(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clustering via large-star/small-star connected components
+    (operators/graph.py::connected_components_star — the O(log d)-round
+    billion-edge variant): same MinHash pair input and same oracle as
+    near_dup_clusters, so a green row certifies the star algorithm's
+    output equals min-label propagation on real candidate graphs."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    corpus = _doubled_corpus(spark, sf)
+    pairs = TD.minhash_lsh_pairs(
+        corpus, "doc_id", "text", n=3, k=_MINHASH_K,
+        rows_per_band=_MINHASH_ROWS_PER_BAND,
+    )
+    cc = connected_components_star(pairs, "doc1", "doc2")
+    return cc.withColumn(
+        "is_canonical", F.col("node") == F.col("component")
+    )
+
+
+_GOPHER_STOPWORDS = ["and", "be", "have", "of", "that", "the", "to", "with"]
+
+
+def q_gopher_quality_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style quality gate (Rae et al. 2021 rules subset): word
+    count bounds, mean word length bounds, alphabetic-word fraction,
+    stop-word presence, symbol ratio. Every rule is evaluated in EXACT
+    integer arithmetic (ratios become cross-multiplied comparisons), so
+    the flags are engine-portable with no quantization at all."""
+    d = load_table(spark, sf, "documents")
+    toks = T.tokens(F.lower(F.col("text")))
+    n_words = F.size(toks)
+    n_chars_nospace = F.length(
+        F.regexp_replace(F.col("text"), r"\s", "")
+    )
+    n_alpha = F.expr(
+        "size(filter(split(trim(lower(text)), '\\\\s+'),"
+        " t -> t rlike '[a-z]'))"
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    )
+    n_hash = F.size(F.split(F.col("text"), "#", -1)) - 1
+    n_ellipsis = F.size(F.split(F.col("text"), r"\.\.\.", -1)) - 1
+    stats = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_chars_nospace.cast("long").alias("n_chars_nospace"),
+        n_alpha.cast("long").alias("n_alpha_words"),
+        n_stop.cast("long").alias("n_stopwords"),
+        (n_hash + n_ellipsis).cast("long").alias("n_symbols"),
+    )
+    len_ok = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    word_len_ok = (
+        F.col("n_chars_nospace") >= 3 * F.col("n_words")
+    ) & (F.col("n_chars_nospace") <= 10 * F.col("n_words"))
+    alpha_ok = 10 * F.col("n_alpha_words") >= 8 * F.col("n_words")
+    stop_ok = F.col("n_stopwords") >= 2
+    symbol_ok = 10 * F.col("n_symbols") <= F.col("n_words")
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "n_alpha_words",
+        "n_stopwords",
+        len_ok.alias("len_ok"),
+        word_len_ok.alias("word_len_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        symbol_ok.alias("symbol_ok"),
+        (len_ok & word_len_ok & alpha_ok & stop_ok & symbol_ok).alias(
+            "gopher_pass"
+        ),
+    )
+
+
+_GOPHER_SQL = f"""
+WITH stats AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_words,
+         length(regexp_replace(text, '\\s', '', 'g')) AS n_chars_nospace,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> regexp_matches(t, '[a-z]'))) AS n_alpha_words,
+         len(list_intersect(
+               list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+               {_GOPHER_STOPWORDS!r})) AS n_stopwords,
+         (len(string_split(text, '#')) - 1)
+           + (len(regexp_split_to_array(text, '\\.\\.\\.')) - 1) AS n_symbols
+  FROM documents)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+       CAST(n_stopwords AS BIGINT) AS n_stopwords,
+       (n_words >= 50 AND n_words <= 100000) AS len_ok,
+       (n_chars_nospace >= 3 * n_words
+        AND n_chars_nospace <= 10 * n_words) AS word_len_ok,
+       (10 * n_alpha_words >= 8 * n_words) AS alpha_ok,
+       (n_stopwords >= 2) AS stop_ok,
+       (10 * n_symbols <= n_words) AS symbol_ok,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (n_chars_nospace >= 3 * n_words
+             AND n_chars_nospace <= 10 * n_words)
+        AND (10 * n_alpha_words >= 8 * n_words)
+        AND (n_stopwords >= 2)
+        AND (10 * n_symbols <= n_words)) AS gopher_pass
+FROM stats
+"""
+
+
+def q_text_normalize_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalization-aware exact dedup: lowercase, strip non-alphanumerics,
+    collapse whitespace, THEN fingerprint — catching duplicates that
+    differ only in case/punctuation/spacing (the standard pre-dedup
+    canonicalization in web-corpus pipelines). The corpus is documents ∪
+    dirtied twins (uppercased, punctuation appended), so every doc must
+    collapse with its twin: keeper = min doc_id, copies ≥ 2."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    dirty = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("  !!")).alias("text"),
+    )
+    corpus = d.unionByName(dirty)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        corpus.withColumn("fp", F.md5(norm))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
+_NORMALIZE_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, upper(text) || '  !!' FROM documents),
+normed AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+               '\\s+', ' ', 'g'))) AS fp
+  FROM corpus)
+SELECT fp, min(doc_id) AS keeper, count(*) AS copies
+FROM normed GROUP BY fp
+"""
+
+
+def q_tfidf_topk_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the classic keyword extraction /
+    relevance primitive. IDF ln((N+1)/(df+1)) is quantized to integer
+    micro-nats ONCE per term (the proven unigram_logprob pattern), then
+    tf·idf stays exact integer arithmetic through the ranking window, so
+    ties and order are engine-portable."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.col("idf_micro")).alias("tfidf_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf_micro", "rk")
+    )
+
+
+_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+idf AS (
+  SELECT term,
+         CAST(round(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) * 1e6, 0)
+              AS BIGINT) AS idf_micro
+  FROM df, n),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf * idf.idf_micro AS BIGINT) AS tfidf_micro
+  FROM tf JOIN idf USING (term))
+SELECT doc_id, term, tfidf_micro,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_micro DESC, term) AS BIGINT)
+         AS rk
+FROM scored
+QUALIFY rk <= 3
+"""
+
+
+def q_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document mean CONDITIONAL bigram log-probability under an
+    add-one-smoothed model trained on the corpus — p(b|a) =
+    (c_ab+1)/(c_a+V) — one step up the n-gram ladder from
+    unigram_logprob, same fixed-point micro-nat accumulation so the sum
+    is order-independent. Docs with fewer than two tokens drop out (no
+    bigrams) on both engines."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i - 1] AS a, toks[i] AS b))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.a", "p.b")
+    uni = (
+        toks.select(F.explode("toks").alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    v_size = uni.agg(F.count(F.lit(1)).alias("v"))
+    model = (
+        bi.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .join(uni, "a")
+        .crossJoin(F.broadcast(v_size))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.log(
+                    (F.col("c_ab") + 1)
+                    / (F.col("c_a") + F.col("v")).cast("double")
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        bi.join(model, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("sum_micro") / F.col("n_bigrams") / 1e6, 6
+            ).alias("mean_logprob"),
+        )
+        .orderBy("mean_logprob", "doc_id")
+        .limit(20)
+    )
+
+
+_BIGRAM_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents),
+bi AS (
+  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+  FROM tok, unnest(generate_series(1, len(toks) - 1)) AS t(i)),
+uni AS (
+  SELECT a, count(*) AS c_a
+  FROM (SELECT unnest(toks) AS a FROM tok) GROUP BY a),
+v AS (SELECT count(*) AS v FROM uni),
+model AS (
+  SELECT m.a, m.b,
+         CAST(round(ln((c_ab + 1) / CAST(c_a + v AS DOUBLE)) * 1e6, 0)
+              AS BIGINT) AS lp_micro
+  FROM (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY a, b) m
+  JOIN uni USING (a) CROSS JOIN v)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(sum(lp_micro) / count(*) / 1e6, 6) AS mean_logprob
+FROM bi JOIN model USING (a, b)
+GROUP BY doc_id
+ORDER BY mean_logprob, doc_id
+LIMIT 20
+"""
+
+
 _CATALOG_DEFS: dict[str, QueryDef] = {
     # Definition order here is arbitrary; the driver-visible order is
     # rebuilt below from _WINDOW_FRONT. tools/verify_parity.py checks
@@ -5754,6 +6073,16 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "weighted_sample_docs": QueryDef(
         q_weighted_sample_docs, _WEIGHTED_SAMPLE_SQL
     ),
+    # --- new in round 3 ---
+    "near_dup_clusters_star": QueryDef(
+        q_near_dup_clusters_star, _clusters_sql()
+    ),
+    "gopher_quality_flags": QueryDef(q_gopher_quality_flags, _GOPHER_SQL),
+    "text_normalize_dedup": QueryDef(
+        q_text_normalize_dedup, _NORMALIZE_DEDUP_SQL
+    ),
+    "tfidf_topk_terms": QueryDef(q_tfidf_topk_terms, _TFIDF_SQL),
+    "bigram_logprob": QueryDef(q_bigram_logprob, _BIGRAM_SQL),
 }
 
 
@@ -5763,10 +6092,13 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
 # PageRank, heavy hitters, BM25, PQ/IVF-PQ, k-means, semantic dedup,
 # CDC, recursive CTE, LATERAL, boilerplate removal, debounce, ...),
 # the 4 queries that gained oracles this round (cosine_topk_fast,
-# minhash_fast, simhash_signatures, bpe_learned_encode), and 5 green
-# anchors whose plans changed this round (the unhinted supplier-join
-# TPC-H queries) — after this window, every oracle-eligible query in
-# the registry has a green driver round on record.
+# minhash_fast, simhash_signatures, bpe_learned_encode), and the 5
+# queries ADDED this round (star CC clustering, Gopher quality flags,
+# normalization dedup, TF-IDF top-k, bigram logprob) — after this
+# window, every oracle-eligible query in the registry has a green
+# driver round on record. (The unhinted supplier-join TPC-H queries
+# keep their r1/r2 green rows; unhinting changes plans, not results,
+# and tools/verify_parity.py re-verified them locally.)
 _WINDOW_FRONT: list[str] = [
     # 41 never-driver-verified (registry order)
     "contamination_ngram_overlap",
@@ -5815,12 +6147,12 @@ _WINDOW_FRONT: list[str] = [
     "minhash_fast",
     "simhash_signatures",
     "bpe_learned_encode",
-    # 5 green anchors whose join plans were unhinted this round
-    "local_supplier_volume",
-    "nation_trade_volume",
-    "product_profit_by_nation",
-    "nation_market_share",
-    "waiting_supplier_orders",
+    # 5 new in round 3
+    "near_dup_clusters_star",
+    "gopher_quality_flags",
+    "text_normalize_dedup",
+    "tfidf_topk_terms",
+    "bigram_logprob",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)
