@@ -129,6 +129,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al.,
     "Connected Components in MapReduce and Beyond") — the billion-edge
@@ -206,13 +207,17 @@ def connected_components_star(
 
     e = both
     prev = checksum(e)
+    rounds = 0
     for _ in range(max_iterations):
         e = star(e, large=True).localCheckpoint(eager=True)
         e = star(e, large=False).localCheckpoint(eager=True)
+        rounds += 1
         cur = checksum(e)
         if cur == prev:
             break
         prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds  # O(log d) — pinned by test
     # converged: stars centered at component minima — component(v) =
     # min neighbor (or self for the center / isolated components)
     parents = e.groupBy("a").agg(F.min("b").alias("p"))
