@@ -134,14 +134,23 @@ def run_curation_job(
         .cache()
     )
     n_near = near_drop.count()  # materializes the LSH + component chain
-    idx.unpersist()  # near_drop is cached; nothing re-reads the index
+    # the cached shingle index can feed decontamination too when the
+    # n-gram orders line up — one fewer full corpus explode
+    share_index = (
+        eval_docs is not None and contamination_ngram == shingle_n
+    )
+    if not share_index:
+        idx.unpersist()  # near_drop is cached; nothing re-reads the index
     deduped = survivors.join(near_drop, "doc_id", "left_anti")
 
     n_contaminated = 0
     dirty = None
     if eval_docs is not None:
         ratios = CON.contamination_ratios(
-            deduped, eval_docs, n=contamination_ngram
+            deduped,
+            eval_docs,
+            n=contamination_ngram,
+            index=idx if share_index else None,
         )
         dirty = (
             ratios.filter(F.col("contamination") > contamination_max)
@@ -149,6 +158,8 @@ def run_curation_job(
             .cache()
         )
         n_contaminated = dirty.count()
+        if share_index:
+            idx.unpersist()
         deduped = deduped.join(dirty, "doc_id", "left_anti")
 
     packed = PK.pack_sequences(deduped, ctx_tokens=ctx_tokens)

@@ -31,6 +31,7 @@ def contamination_ratios(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 13,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Per-training-document contamination: ``(id_col, n_grams, n_hits,
     contamination)`` where contamination = |distinct n-grams ∩ eval
@@ -38,6 +39,14 @@ def contamination_ratios(
 
     ``eval_docs`` must be the bounded benchmark side — its distinct
     n-gram set is broadcast.
+
+    ``index`` supplies a prebuilt (doc, shingle) distinct-n-gram frame —
+    ONLY valid when its n-gram order equals ``n``. A curation pipeline
+    that already built (and cached) the MinHash shingle index passes it
+    here so decontamination skips its own corpus explode — one fewer
+    full text pass, which is a whole scan saved at 100 TB. The index
+    may cover a superset of ``train``; it is semi-joined down, and docs
+    with zero n-grams still get their (0, 0, 0.0) row.
     """
     ev = (
         eval_docs.select(
@@ -45,6 +54,42 @@ def contamination_ratios(
         )
         .distinct()
     )
+    if index is not None:
+        idx = index.select(
+            F.col("doc").alias(id_col), F.col("shingle").alias("ngram")
+        ).join(train.select(id_col), id_col, "left_semi")
+        totals = (
+            train.select(id_col)
+            .join(
+                idx.groupBy(id_col).agg(
+                    F.count(F.lit(1)).cast("long").alias("n_grams")
+                ),
+                id_col,
+                "left",
+            )
+            .na.fill({"n_grams": 0})
+        )
+        hits = (
+            idx.join(F.broadcast(ev), "ngram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        return (
+            totals.join(hits, id_col, "left")
+            .na.fill({"n_hits": 0})
+            .select(
+                id_col,
+                F.col("n_grams").cast("long").alias("n_grams"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                F.round(
+                    F.when(
+                        F.col("n_grams") > 0,
+                        F.col("n_hits") / F.col("n_grams"),
+                    ).otherwise(0.0),
+                    6,
+                ).alias("contamination"),
+            )
+        )
     base = train.select(
         F.col(id_col), T.shingles(F.col(text_col), n).alias("_grams")
     )

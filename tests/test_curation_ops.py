@@ -133,3 +133,38 @@ def test_repetition_signals(spark):
     assert out[2]["top"] == 0.2
     assert abs(out[3]["dup2"] - 3 / 5) < 1e-9  # "x y"×3 + "y x"×2 → 3/5
     assert out[3]["top"] == 0.5
+
+
+def test_contamination_prebuilt_index_equivalent(spark):
+    """contamination_ratios(index=...) must equal the self-built path
+    exactly — including (0,0,0.0) rows for docs shorter than n — even
+    when the index covers a superset of the train frame."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        contamination as CON,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        textdedup as TD,
+    )
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "x y z a b c"),
+        (3, "short"),          # zero 3-grams
+        (4, "p q r s t u v"),
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([(99, "a b c d")], "doc_id long, text string")
+    # superset index: includes a doc not in train
+    sup = train.unionByName(
+        spark.createDataFrame([(50, "m n o p q")], "doc_id long, text string")
+    )
+    idx = TD.shingle_index(sup, "doc_id", "text", n=3)
+    want = sorted(
+        tuple(r) for r in CON.contamination_ratios(train, ev, n=3).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in CON.contamination_ratios(train, ev, n=3, index=idx).collect()
+    )
+    assert got == want
+    assert any(r[0] == 3 and r[1] == 0 and r[3] == 0.0 for r in got)
