@@ -58,8 +58,11 @@ def apply_merge(toks: Column, a: str, b: str) -> Column:
 
 def adjacent_pair_counts(tok_df: DataFrame, col: str = "toks") -> DataFrame:
     """(a, b, n) counts of adjacent token pairs — one explode + one
-    map-side-combined aggregation."""
-    pairs = tok_df.select(
+    map-side-combined aggregation. Rows with fewer than two tokens are
+    filtered BEFORE sequence(): sequence(1, 0) yields a DESCENDING
+    [1, 0], whose out-of-range index throws under ANSI mode (the default
+    on a bare Spark 4 session)."""
+    pairs = tok_df.filter(F.size(F.col(col)) >= 2).select(
         F.explode(
             F.expr(
                 f"transform(sequence(1, size({col}) - 1),"

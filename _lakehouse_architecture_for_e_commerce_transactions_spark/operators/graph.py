@@ -152,8 +152,14 @@ def connected_components_star(
     converged state is a star forest whose centers are component minima,
     so the answer reads off the final edge list with one aggregation.
     """
-    doubled = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # checkpoint the doubled edge list FIRST: both the working edge set
+    # and the node universe derive from it, and the upstream lineage may
+    # be the expensive pipeline (e.g. the MinHash-LSH self-join) — an
+    # un-checkpointed base would execute it once per derivation
+    doubled = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
     )
     # all input nodes — a self-loop-only node leaves the working edge set
     # below but must still appear in the output (component = itself)

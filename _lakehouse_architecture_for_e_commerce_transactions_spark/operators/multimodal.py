@@ -55,54 +55,89 @@ IMAGE_META_SCHEMA = StructType(
 )
 
 
+def _make_header_parser():
+    """Build the container-header parse function as a DYNAMIC closure.
+
+    Single source of truth for PNG / BMP / GIF / WAV / JPEG header
+    logic: both the driver-side ``parse_media_header`` and the
+    executor-side ``extract_media_headers`` batch function call this, and
+    because the returned function is dynamically created, cloudpickle
+    ships it BY VALUE — executors never need this package importable
+    (the same rationale as ``extract_image_meta``), without restating the
+    parser in two places.
+
+    Unsigned 32-bit dimension/rate fields that exceed int32 (a corrupt
+    or crafted header) are treated as unparseable rather than returned —
+    the extractor's output columns are int32 and a poison value must not
+    kill the task."""
+    import struct
+
+    _INT32_MAX = 2**31 - 1
+
+    def parse(payload: bytes) -> dict | None:
+        b = bytes(payload)
+        if (
+            b[:8] == b"\x89PNG\r\n\x1a\n"
+            and len(b) >= 24
+            and b[12:16] == b"IHDR"
+        ):
+            w, h = struct.unpack(">II", b[16:24])
+            if w > _INT32_MAX or h > _INT32_MAX:
+                return None
+            return {"format": "png", "width": w, "height": h}
+        if b[:2] == b"BM" and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            # negative height encodes top-down row order
+            return {"format": "bmp", "width": w, "height": abs(h)}
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])
+            return {"format": "gif", "width": w, "height": h}
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            off = 12
+            while off + 8 <= len(b):  # chunk walk: id, size, payload
+                cid = b[off : off + 4]
+                (size,) = struct.unpack("<I", b[off + 4 : off + 8])
+                if cid == b"fmt " and off + 16 <= len(b):
+                    ch, sr = struct.unpack("<HI", b[off + 10 : off + 16])
+                    if sr > _INT32_MAX:
+                        return None
+                    return {
+                        "format": "wav",
+                        "sample_rate": sr,
+                        "n_channels": ch,
+                    }
+                off += 8 + size + (size & 1)  # chunks are word-aligned
+            return None
+        if b[:2] == b"\xff\xd8":  # JPEG: segment walk to the first SOFn
+            sof = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+            off = 2
+            while off + 4 <= len(b) and b[off] == 0xFF:
+                marker = b[off + 1]
+                if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                    off += 2  # standalone markers carry no length
+                    continue
+                (seglen,) = struct.unpack(">H", b[off + 2 : off + 4])
+                if marker in sof and off + 9 <= len(b):
+                    h, w = struct.unpack(">HH", b[off + 5 : off + 9])
+                    return {"format": "jpeg", "width": w, "height": h}
+                off += 2 + seglen
+            return None
+        return None
+
+    return parse
+
+
 def parse_media_header(payload: bytes) -> dict | None:
     """Pure-Python container-header parse: PNG / BMP / GIF / WAV / JPEG.
 
     Returns ``{"format", "width", "height"}`` for images,
     ``{"format", "sample_rate", "n_channels"}`` for WAV, or ``None`` when
     the magic bytes match no supported container (or the header is
-    truncated/corrupt). Only fixed header fields and chunk/segment walks
-    are read — never entropy-coded payload — so this is dependency-free
-    and O(header) per file.
+    truncated/corrupt/out-of-int32-range). Only fixed header fields and
+    chunk/segment walks are read — never entropy-coded payload — so this
+    is dependency-free and O(header) per file.
     """
-    import struct
-
-    b = bytes(payload)
-    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
-        w, h = struct.unpack(">II", b[16:24])
-        return {"format": "png", "width": w, "height": h}
-    if b[:2] == b"BM" and len(b) >= 26:
-        w, h = struct.unpack("<ii", b[18:26])
-        # negative height encodes top-down row order
-        return {"format": "bmp", "width": w, "height": abs(h)}
-    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
-        w, h = struct.unpack("<HH", b[6:10])
-        return {"format": "gif", "width": w, "height": h}
-    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-        off = 12
-        while off + 8 <= len(b):  # chunk walk: id, size, payload
-            cid = b[off : off + 4]
-            (size,) = struct.unpack("<I", b[off + 4 : off + 8])
-            if cid == b"fmt " and off + 16 <= len(b):
-                ch, sr = struct.unpack("<HI", b[off + 10 : off + 16])
-                return {"format": "wav", "sample_rate": sr, "n_channels": ch}
-            off += 8 + size + (size & 1)  # chunks are word-aligned
-        return None
-    if b[:2] == b"\xff\xd8":  # JPEG: segment walk to the first SOFn
-        sof = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
-        off = 2
-        while off + 4 <= len(b) and b[off] == 0xFF:
-            marker = b[off + 1]
-            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
-                off += 2  # standalone markers carry no length
-                continue
-            (seglen,) = struct.unpack(">H", b[off + 2 : off + 4])
-            if marker in sof and off + 9 <= len(b):
-                h, w = struct.unpack(">HH", b[off + 5 : off + 9])
-                return {"format": "jpeg", "width": w, "height": h}
-            off += 2 + seglen
-        return None
-    return None
+    return _make_header_parser()(payload)
 
 
 def decode_image_stub(payload: bytes) -> object:
@@ -188,65 +223,19 @@ def extract_media_headers(media: DataFrame) -> DataFrame:
     """Partition-parallel REAL header parse over binary payloads: one
     Arrow batch in, header metadata out (payloads never leave the task).
     Unparseable payloads yield null fields, not failures — at corpus
-    scale a poison file must not kill the job. The batch function ships
-    self-contained by value (same rationale as ``extract_image_meta``),
-    so the parser is re-stated inside the closure."""
+    scale a poison file must not kill the job. The parse closure comes
+    from ``_make_header_parser`` and ships by value (dynamic function),
+    so executors still never need this package importable and the parser
+    has a single source of truth."""
+    parse_core = _make_header_parser()
+    _fields = ("format", "width", "height", "sample_rate", "n_channels")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
         import pandas as _pd
 
         def parse(b: bytes) -> dict:
-            out = {
-                "format": None,
-                "width": None,
-                "height": None,
-                "sample_rate": None,
-                "n_channels": None,
-            }
-            if (
-                b[:8] == b"\x89PNG\r\n\x1a\n"
-                and len(b) >= 24
-                and b[12:16] == b"IHDR"
-            ):
-                w, h = struct.unpack(">II", b[16:24])
-                out.update(format="png", width=w, height=h)
-            elif b[:2] == b"BM" and len(b) >= 26:
-                w, h = struct.unpack("<ii", b[18:26])
-                out.update(format="bmp", width=w, height=abs(h))
-            elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
-                w, h = struct.unpack("<HH", b[6:10])
-                out.update(format="gif", width=w, height=h)
-            elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                off = 12
-                while off + 8 <= len(b):
-                    cid = b[off : off + 4]
-                    (size,) = struct.unpack("<I", b[off + 4 : off + 8])
-                    if cid == b"fmt " and off + 16 <= len(b):
-                        ch, sr = struct.unpack(
-                            "<HI", b[off + 10 : off + 16]
-                        )
-                        out.update(
-                            format="wav", sample_rate=sr, n_channels=ch
-                        )
-                        break
-                    off += 8 + size + (size & 1)
-            elif b[:2] == b"\xff\xd8":
-                sof = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
-                off = 2
-                while off + 4 <= len(b) and b[off] == 0xFF:
-                    marker = b[off + 1]
-                    if marker == 0x01 or 0xD0 <= marker <= 0xD8:
-                        off += 2
-                        continue
-                    (seglen,) = struct.unpack(">H", b[off + 2 : off + 4])
-                    if marker in sof and off + 9 <= len(b):
-                        h, w = struct.unpack(">HH", b[off + 5 : off + 9])
-                        out.update(format="jpeg", width=w, height=h)
-                        break
-                    off += 2 + seglen
-            return out
+            meta = parse_core(b) or {}
+            return {k: meta.get(k) for k in _fields}
 
         for pdf in it:
             metas = [parse(bytes(p)) for p in pdf["payload"]]

@@ -130,11 +130,15 @@ def cosine_topk_fast(
             take = min(kk, sims.shape[0])
             frames = []
             for j, qid in enumerate(qids):
-                col = sims[:, j]
-                idx = _np.argpartition(-col, take - 1)[:take]
+                # round BEFORE selecting, and break ties by cid, so the
+                # partition-local prune uses exactly the final window's
+                # (cos desc, cid asc) order — an unrounded argpartition
+                # could keep a tied candidate the global rank rejects
+                col = sims[:, j].round(5)
+                order = _np.lexsort((cids, -col))[:take]
                 frames.append(
                     _pd.DataFrame(
-                        {"qid": qid, "cid": cids[idx], "cos": col[idx].round(5)}
+                        {"qid": qid, "cid": cids[order], "cos": col[order]}
                     )
                 )
             yield _pd.concat(frames)

@@ -304,7 +304,15 @@ def minhash_dedup_verified(
             "jaccard",
             F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6),
         )
-        .filter(F.col("jaccard") >= threshold)
+        # threshold on the EXACT rational (inter >= t·union), never the
+        # rounded display value: at threshold=1.0 a rounded filter would
+        # admit jaccard 0.9999995 as an "exact duplicate", breaking the
+        # identical-shingle-sets guarantee the fast-path oracle relies on
+        .filter(
+            F.col("inter")
+            >= F.lit(threshold)
+            * (F.col("n1") + F.col("n2") - F.col("inter"))
+        )
         .select("doc1", "doc2", "jaccard")
     )
     return out

@@ -1069,11 +1069,13 @@ inter AS (
   GROUP BY c.doc1, c.doc2),
 j AS (
   SELECT doc1, doc2,
-         round(inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE), 6) AS jaccard
+         round(inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE), 6) AS jaccard,
+         inter, s1.n_sh AS n1, s2.n_sh AS n2
   FROM inter
   JOIN sizes s1 ON s1.doc = doc1
   JOIN sizes s2 ON s2.doc = doc2)
-SELECT doc1, doc2, jaccard FROM j WHERE jaccard >= 0.5
+SELECT doc1, doc2, jaccard FROM j
+WHERE inter >= 0.5 * (n1 + n2 - inter)
 """
 
 
@@ -1702,8 +1704,11 @@ GROUP BY l_returnflag
 
 def q_cosine_topk_fast(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow/numpy fast path for exhaustive scoring — same contract as
-    cosine_topk (equivalence tested); rows-only here because the numpy
-    summation order differs from sequential SQL by design."""
+    cosine_topk and now held to the SAME oracle: the local prune selects
+    on ROUNDED cos with the final (cos desc, cid asc) tie-break, so the
+    only cross-engine surface left is whether BLAS vs sequential
+    summation round differently at 1e-5 — a ~1e-11 boundary-luck event,
+    the same class the exact twin already carries."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     corpus = emb.filter(F.col("vec_id") % 50 != 0)
@@ -2975,9 +2980,12 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc1", "doc2", F.col("hamming").cast("long").alias("hamming"))
 
 
-def _simhash_pairs_sql(n_bits: int = 32, max_hamming: int = 3) -> str:
-    """Brute-force SimHash pair oracle: same md5 bit extraction as
-    functions/hashing.py::hex_bit (strpos replaces Spark's conv)."""
+def _simhash_sig_sql_parts(n_bits: int) -> tuple[str, str]:
+    """The ONE source of the oracle-side SimHash bit math (md5 bit
+    extraction mirroring functions/hashing.py::hex_bit, per-bit majority
+    vote, big-endian bit weights) — shared by the pairs and signatures
+    oracles so they can never desynchronize. Returns (sums, value):
+    the per-bit aggregate select list and the signature integer expr."""
     def bit(i: int) -> str:
         return (
             f"((strpos('0123456789abcdef', substring(md5(token), {i // 4 + 1}, 1))"
@@ -2990,6 +2998,12 @@ def _simhash_pairs_sql(n_bits: int = 32, max_hamming: int = 3) -> str:
         for i in range(n_bits)
     )
     value = " + ".join(f"b{i} * {2 ** (n_bits - 1 - i)}" for i in range(n_bits))
+    return sums, value
+
+
+def _simhash_pairs_sql(n_bits: int = 32, max_hamming: int = 3) -> str:
+    """Brute-force SimHash pair oracle over the doubled corpus."""
+    sums, value = _simhash_sig_sql_parts(n_bits)
     return f"""
 WITH corpus AS ({_DOUBLED_CORPUS_SQL}),
 toks AS (
@@ -3012,22 +3026,11 @@ _SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
 
 
 def _simhash_signatures_sql(n_bits: int = 16) -> str:
-    """Per-document SimHash signature oracle: identical md5 bit
-    extraction as the pairs oracle above, over the raw documents table
-    (no doubling, no pairing) — proves the signature itself ports
-    bit-for-bit across engines."""
-    def bit(i: int) -> str:
-        return (
-            f"((strpos('0123456789abcdef', substring(md5(token), {i // 4 + 1}, 1))"
-            f" - 1) >> {3 - i % 4}) % 2"
-        )
-
-    sums = ",\n    ".join(
-        f"CASE WHEN sum(CASE WHEN {bit(i)} = 1 THEN 1 ELSE -1 END) >= 0"
-        f" THEN 1 ELSE 0 END AS b{i}"
-        for i in range(n_bits)
-    )
-    value = " + ".join(f"b{i} * {2 ** (n_bits - 1 - i)}" for i in range(n_bits))
+    """Per-document SimHash signature oracle: the SAME bit math as the
+    pairs oracle (shared via _simhash_sig_sql_parts), over the raw
+    documents table (no doubling, no pairing) — proves the signature
+    itself ports bit-for-bit across engines."""
+    sums, value = _simhash_sig_sql_parts(n_bits)
     return f"""
 WITH toks AS (
   SELECT doc_id AS doc,
@@ -5794,7 +5797,10 @@ def q_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     toks = d.select(
         "doc_id", T.tokens(F.lower(F.col("text"))).alias("toks")
     )
-    bi = toks.select(
+    # guard size >= 2 BEFORE sequence(): sequence(1, 0) is a DESCENDING
+    # [1, 0] and toks[1] on a one-token doc throws under ANSI mode (the
+    # driver's bare Spark 4 session has ANSI on by default)
+    bi = toks.filter(F.size("toks") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(

@@ -236,20 +236,26 @@ def collect_file_stats(
     return out
 
 
-def _bloom_canon(v) -> str:
+def _bloom_canon(v) -> str | None:
     """Canonical string form hashed on BOTH build and probe sides, so a
     type-mismatched-but-equal literal (5.0 vs stored 5, True vs stored 1)
     hits the same bloom bits a plain filtered scan would match. Integral
     floats/Decimals collapse to int; bool collapses to its int value
-    (Python equality: True == 1). Anything else hashes as str(v)."""
+    (Python equality: True == 1). NON-integral Decimals return None —
+    their string form is scale-sensitive (Decimal('0.50') vs the float
+    probe 0.5), so the bloom FAILS OPEN for them: a column containing
+    one gets no bloom at build, and a Decimal probe never prunes.
+    Anything else hashes as str(v)."""
     import decimal
 
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, float) and v.is_integer():
         return str(int(v))
-    if isinstance(v, decimal.Decimal) and v == v.to_integral_value():
-        return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        if v == v.to_integral_value():
+            return str(int(v))
+        return None
     return str(v)
 
 
@@ -264,11 +270,20 @@ def _bloom_hashes(s: str) -> tuple[int, int]:
     )
 
 
-def _bloom_build(values, fpp: float = 0.01) -> dict:
+def _bloom_build(values, fpp: float = 0.01) -> dict | None:
+    """Returns None (no bloom, reads fail open) when any value has no
+    canonical form — never build a filter that could falsely prune."""
     import base64
     import math
 
-    vals = {_bloom_canon(v) for v in values if v is not None}
+    vals = set()
+    for v in values:
+        if v is None:
+            continue
+        c = _bloom_canon(v)
+        if c is None:
+            return None
+        vals.add(c)
     n = max(1, len(vals))
     m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)) + 1)
     k = max(1, round(m / n * math.log(2)))
@@ -285,7 +300,10 @@ def _bloom_test(bloom: dict, value) -> bool:
     import base64
 
     bits = base64.b64decode(bloom["bits"])
-    h1, h2 = _bloom_hashes(_bloom_canon(value))
+    canon = _bloom_canon(value)
+    if canon is None:
+        return True  # no canonical form: fail open, never prune
+    h1, h2 = _bloom_hashes(canon)
     m = bloom["m"]
     for i in range(bloom["k"]):
         idx = (h1 + i * h2) % m
@@ -314,9 +332,14 @@ def collect_file_blooms(
                     continue
                 fpath = os.path.join(root, name)
                 tbl = pq.read_table(fpath, columns=list(cols))
-                out[fpath] = {
+                built = {
                     c: _bloom_build(tbl.column(c).to_pylist(), fpp)
                     for c in cols
+                }
+                # a None build means no canonical form: record no bloom
+                # for that column so reads fail open rather than prune
+                out[fpath] = {
+                    c: b for c, b in built.items() if b is not None
                 }
     return out
 

@@ -131,3 +131,51 @@ def test_simhash_pairs_rejects_lossy_params(spark):
         TD.simhash_near_dup_pairs(
             _docs(spark), "doc_id", "text", n_bits=30, n_bands=4, max_hamming=3
         )
+
+
+def test_bigram_and_bpe_survive_short_docs_under_ansi(spark, tmp_path):
+    """Spark 4's bare driver session runs with ANSI on: sequence(1, 0)
+    yields a DESCENDING [1, 0] and toks[1] on a one-token doc throws
+    INVALID_ARRAY_INDEX unless the adjacent-pair builders filter
+    size >= 2 first. Regression for both q_bigram_logprob and
+    bpe.adjacent_pair_counts on a corpus containing empty and one-token
+    documents."""
+    from pyspark.sql import functions as F
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        bpe as B,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.plans.catalog import (
+        q_bigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b", "en", "s", 9),
+            (2, "solo", "en", "s", 4),
+            (3, "", "en", "s", 0),
+            (4, "   ", "en", "s", 3),
+            (5, "x y x y", "en", "s", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    old = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = q_bigram_logprob(spark, str(tmp_path)).collect()
+        got = {r["doc_id"]: r["n_bigrams"] for r in rows}
+        assert got == {1: 4, 5: 3}  # short docs drop out, none crash
+        toks = docs.select(
+            F.split(F.trim(F.lower("text")), r"\s+").alias("toks")
+        )
+        pairs = {
+            (r["a"], r["b"]): r["n"]
+            for r in B.adjacent_pair_counts(toks).collect()
+        }
+        assert pairs[("a", "b")] == 2 and pairs[("x", "y")] == 2
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", old)
