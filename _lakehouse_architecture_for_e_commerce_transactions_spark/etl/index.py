@@ -125,7 +125,10 @@ def verify_near_dup(
                 6,
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
+        # exact rational threshold (inter >= t·union), not the rounded
+        # display value — same rule as minhash_dedup_verified, so
+        # threshold=1.0 admits only identical shingle sets
+        .filter((union > 0) & (inter >= F.lit(threshold) * union))
         .select("new_doc", "dup_of", "jaccard")
     )
 
