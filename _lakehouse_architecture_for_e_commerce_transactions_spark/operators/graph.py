@@ -68,13 +68,20 @@ def connected_components(
 
     ``edges`` is undirected input (each pair listed once is enough).
     """
+    # Materialize the one-sided edge list FIRST: its lineage may be an
+    # expensive pipeline (e.g. MinHash candidate generation + Jaccard
+    # verification), and building the symmetric union straight off that
+    # lineage puts the whole chain in BOTH union branches — measured as a
+    # full re-execution (~1.2 s at sf0.1 curation) that ReuseExchange does
+    # not always collapse. After the checkpoint, mirror + distinct run on
+    # edge-count-sized data only. The edge list is then re-joined every
+    # iteration, so the second checkpoint keeps the loop's plans flat.
+    one = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     both = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        one.unionByName(one.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        # materialize: the edge list is re-joined every iteration and its
-        # lineage may be an expensive pipeline (e.g. MinHash candidate
-        # generation) that must not recompute per round
         .localCheckpoint(eager=True)
     )
     # size the per-round shuffles to the graph, not the session default:

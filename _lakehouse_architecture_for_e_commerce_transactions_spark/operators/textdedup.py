@@ -285,9 +285,29 @@ def minhash_dedup_verified(
         cand = minhash_lsh_pairs(
             df, id_col, text_col, n, k, rows_per_band, index=idx
         )
-    sizes = shingle_counts(idx)
-    i1 = idx.select(F.col("doc").alias("doc1"), F.col("shingle"))
-    i2 = idx.select(F.col("doc").alias("doc2"), F.col("shingle").alias("shingle2"))
+    # Materialize the candidate pairs once: they are consumed by three
+    # branches below (two index semi-filters + the intersection join), and
+    # un-materialized each branch would re-run the signature aggregation +
+    # band self-join. Candidate count is bounded by Σ bucket² (the LSH
+    # guarantee), so the checkpoint is dup-scale, never corpus-scale.
+    cand = cand.localCheckpoint(eager=True)
+    # Verify only against the index rows of candidate documents: the
+    # candidate-doc set is tiny next to the corpus, so these joins
+    # broadcast under AQE — without the filter, the (doc2, shingle)
+    # intersection join below shuffles the FULL shingle index to
+    # intersect a handful of pairs (measured 4.5M-row shuffle for 491
+    # candidates at sf0.1).
+    cdocs = (
+        cand.select(F.col("doc1").alias("doc"))
+        .unionByName(cand.select(F.col("doc2").alias("doc")))
+        .distinct()
+    )
+    cidx = idx.join(cdocs, "doc", "left_semi")
+    sizes = shingle_counts(cidx)
+    i1 = cidx.select(F.col("doc").alias("doc1"), F.col("shingle"))
+    i2 = cidx.select(
+        F.col("doc").alias("doc2"), F.col("shingle").alias("shingle2")
+    )
     inter = (
         cand.join(i1, "doc1")
         .join(i2, "doc2")
