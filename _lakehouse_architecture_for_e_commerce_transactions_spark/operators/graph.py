@@ -331,3 +331,95 @@ def dedup_clusters(
     row a curation pipeline keeps; the rest are the removable duplicates."""
     cc = connected_components(pairs, id1, id2)
     return cc.withColumn("is_canonical", (F.col("node") == F.col("component")))
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts — (node, triangles), every node of the
+    graph listed, zero included.
+
+    Algorithm: degree-ordered edge orientation (the node-iterator++ /
+    compact-forward scheme). Each undirected edge is directed from the
+    lower to the higher endpoint under the total order (degree, node);
+    wedges are oriented edge pairs (a→b, a→c) with ord(b) < ord(c), and
+    a wedge closes into a triangle iff the oriented edge b→c exists.
+    Every triangle is found exactly once, at its lowest-order corner.
+
+    Scale shape: orientation caps out-degree at O(sqrt(2m)) for ANY
+    degree distribution, so the wedge join's fan-out is O(m^1.5) total —
+    the celebrity-node quadratic blowup of a naive adjacency self-join
+    never happens. Three shuffles: degree groupBy, wedge self-join on
+    the common corner, closing semi-join on the (b, c) edge key. The
+    canonical edge list is checkpointed once so the (possibly expensive)
+    upstream pair pipeline doesn't re-run per consumer branch.
+
+    Input may contain duplicates, self-loops, or both orientations —
+    canonicalized first.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionByName(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    withdeg = (
+        canon.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "du")
+        .join(
+            deg.withColumnRenamed("node", "v").withColumnRenamed(
+                "deg", "dv"
+            ),
+            "v",
+        )
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = withdeg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("hi_deg"),
+    )
+    e1 = oriented.select(
+        F.col("lo").alias("a"), F.col("hi").alias("b"), F.col("hi_deg").alias("db")
+    )
+    e2 = oriented.select(
+        F.col("lo").alias("a"), F.col("hi").alias("c"), F.col("hi_deg").alias("dc")
+    )
+    wedges = e1.join(e2, "a").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(
+        F.col("lo").alias("b"), F.col("hi").alias("c")
+    )
+    tris = wedges.join(closing, ["b", "c"], "left_semi")
+    per_node = (
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias(
+                "triangles"
+            ),
+        )
+    )

@@ -18,7 +18,7 @@ engine-portable for the oracle gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from _lakehouse_architecture_for_e_commerce_transactions_spark.functions import (
@@ -336,6 +336,113 @@ def minhash_dedup_verified(
         .select("doc1", "doc2", "jaccard")
     )
     return out
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT Jaccard-similarity self-join via prefix filtering (the
+    AllPairs/PPJoin family) — no LSH false negatives, no blocking key
+    needed, never an all-pairs join.
+
+    Order every doc's shingle set by ascending global frequency (rarest
+    first, shingle string as tie-break — a total order). For threshold
+    t = num/den, a doc with s shingles keeps a *prefix* of its
+    ``s - ceil(t*s) + 1`` rarest shingles. Guarantee: if J(A,B) >= t,
+    the globally-smallest shared shingle x has at most ``|A| - |A∩B|``
+    A-only shingles before it, and ``|A∩B| >= ceil(t*|A|)`` (union >=
+    |A|), so x sits inside A's prefix — and symmetrically inside B's.
+    Candidates therefore come from an equi-join on PREFIX shingles only,
+    and each candidate is verified with exact set intersection, so the
+    output equals the brute-force all-pairs join exactly (what the
+    oracle checks).
+
+    Scale shape: frequency table is vocabulary-sized (one groupBy on
+    shingle); the per-doc ranking window partitions by doc (bounded
+    partitions); the candidate join's fan-out is Σ bucket² over *prefix*
+    buckets — and prefix shingles are by construction the rarest, so the
+    hot-shingle buckets that blow up a full inverted-index self-join
+    never enter the join. Verification joins candidate pairs (bounded)
+    to per-doc shingle arrays (row-sized). All integer/exact arithmetic:
+    the threshold compare is the exact rational den*inter >= num*union.
+
+    Returns (doc1, doc2, inter, union_size, jaccard) with doc1 < doc2,
+    the ``ngram_jaccard_pairs`` contract.
+    """
+    base = spread(df).select(
+        F.col(id_col).alias("doc"),
+        T.shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    idx = base.select("doc", "n_sh", F.explode("sh").alias("shingle"))
+    freq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("gf"))
+    ranked = idx.join(freq, "shingle").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("doc").orderBy(
+                F.col("gf").asc(), F.col("shingle").asc()
+            )
+        ),
+    )
+    # prefix length = s - ceil(t*s) + 1, exact: ceil(num*s/den) via
+    # integer (num*s + den - 1) div den
+    plen = (
+        F.col("n_sh")
+        - F.floor(
+            (F.lit(threshold_num) * F.col("n_sh") + F.lit(threshold_den - 1))
+            / F.lit(threshold_den)
+        )
+        + 1
+    )
+    prefix = ranked.filter(F.col("pos") <= plen).select("doc", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2")
+        )
+        .distinct()
+    )
+    sets = base.select("doc", "sh", "n_sh")
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("doc").alias("doc1"),
+                F.col("sh").alias("sh1"),
+                F.col("n_sh").alias("n1"),
+            ),
+            "doc1",
+        )
+        .join(
+            sets.select(
+                F.col("doc").alias("doc2"),
+                F.col("sh").alias("sh2"),
+                F.col("n_sh").alias("n2"),
+            ),
+            "doc2",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn("union_size", F.col("n1") + F.col("n2") - F.col("inter"))
+        .filter(
+            F.lit(threshold_den) * F.col("inter")
+            >= F.lit(threshold_num) * F.col("union_size")
+        )
+    )
+    return verified.select(
+        "doc1",
+        "doc2",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("union_size").cast("long").alias("union_size"),
+        F.round(F.col("inter") / F.col("union_size"), 6).alias("jaccard"),
+    )
 
 
 def simhash_signatures(

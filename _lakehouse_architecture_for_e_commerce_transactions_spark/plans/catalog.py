@@ -5881,6 +5881,94 @@ LIMIT 20
 """
 
 
+def q_jaccard_prefix_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering (AllPairs/
+    PPJoin family, operators/textdedup.py:jaccard_prefix_pairs): all
+    document pairs with 3-gram-shingle Jaccard >= 2/5, NO LSH false
+    negatives and no blocking key — candidates come only from equi-joins
+    on each doc's rarest (prefix) shingles, then exact verification.
+    The oracle is the brute-force all-pairs join: prefix filtering is a
+    pure optimization, so the result sets must be identical."""
+    d = load_table(spark, sf, "documents")
+    return TD.jaccard_prefix_pairs(
+        d, "doc_id", "text", n=3, threshold_num=2, threshold_den=5
+    )
+
+
+_JACCARD_PREFIX_SQL = """
+WITH tok AS (SELECT doc_id AS doc,
+                    regexp_split_to_array(trim(text), '\\s+') AS toks
+             FROM documents),
+sh AS (SELECT DISTINCT doc, array_to_string(toks[i:i+2], ' ') AS shingle
+       FROM tok, unnest(generate_series(1, len(toks) - 2)) AS t(i)),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2)
+SELECT doc1, doc2, CAST(inter AS BIGINT) AS inter,
+       CAST(s1.n_sh + s2.n_sh - inter AS BIGINT) AS union_size,
+       round(inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE), 6)
+         AS jaccard
+FROM inter JOIN sizes s1 ON s1.doc = doc1 JOIN sizes s2 ON s2.doc = doc2
+WHERE 5 * inter >= 2 * (s1.n_sh + s2.n_sh - inter)
+"""
+
+
+def q_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user triangle counts over a co-engagement graph: users are
+    adjacent when they share >= 3 distinct (event_type, hour) activity
+    cells — the repeated-co-occurrence floor keeps the projection sparse
+    (a raw one-shot co-occurrence projection of a bipartite graph is
+    near-complete on a bounded user population). Triangles via
+    degree-ordered orientation (operators/graph.py:triangle_counts),
+    whose wedge fan-out is O(m^1.5) regardless of skew; the oracle is
+    the brute-force 3-way edge join."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        graph as G,
+    )
+
+    ev = load_table(spark, sf, "events")
+    b = ev.select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("d")
+    ).distinct()
+    co = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.event_type") == F.col("y.event_type"))
+            & (F.col("x.d") == F.col("y.d"))
+            & (F.col("x.user_id") < F.col("y.user_id")),
+        )
+        .groupBy(
+            F.col("x.user_id").alias("src"),
+            F.col("y.user_id").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    edges = co.filter(F.col("c") >= 3).select("src", "dst")
+    return G.triangle_counts(edges)
+
+
+_TRIANGLE_SQL = """
+WITH b AS (SELECT DISTINCT user_id, event_type,
+                  date_trunc('hour', ts) AS d FROM events),
+co AS (SELECT a.user_id AS u, c.user_id AS v, count(*) AS c
+       FROM b a JOIN b c
+         ON a.event_type = c.event_type AND a.d = c.d
+        AND a.user_id < c.user_id
+       GROUP BY 1, 2),
+e AS (SELECT u, v FROM co WHERE c >= 3),
+tri AS (SELECT e1.u AS a, e1.v AS b2, e2.v AS c
+        FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+corners AS (SELECT unnest([a, b2, c]) AS node FROM tri),
+pn AS (SELECT node, count(*) AS triangles FROM corners GROUP BY node),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e)
+SELECT node, CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles
+FROM nodes LEFT JOIN pn USING (node)
+"""
+
+
 _CATALOG_DEFS: dict[str, QueryDef] = {
     # Definition order here is arbitrary; the driver-visible order is
     # rebuilt below from _WINDOW_FRONT. tools/verify_parity.py checks
@@ -6089,6 +6177,10 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     ),
     "tfidf_topk_terms": QueryDef(q_tfidf_topk_terms, _TFIDF_SQL),
     "bigram_logprob": QueryDef(q_bigram_logprob, _BIGRAM_SQL),
+    "jaccard_prefix_pairs": QueryDef(
+        q_jaccard_prefix_pairs, _JACCARD_PREFIX_SQL
+    ),
+    "triangle_counts": QueryDef(q_triangle_counts, _TRIANGLE_SQL),
 }
 
 
