@@ -5969,6 +5969,108 @@ FROM nodes LEFT JOIN pn USING (node)
 """
 
 
+def q_ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@5 of the IVF ANN index against exact cosine top-k, per
+    query — the quality metric an ANN deployment tracks next to its
+    latency. Both sides are the catalog's own deterministic operators
+    (`ivf_ann_topk`, `cosine_topk`), so the recall table is itself a
+    pure function of the data and the oracle recomputes it exactly from
+    the two SQL twins."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    exact = SIM.cosine_topk(
+        queries, corpus, "vec_id", "embedding", k=5, round_to=5
+    ).select("qid", "cid")
+    approx = (
+        SIM.ivf_topk(queries, corpus, k=5, centroid_stride=37, nprobe=2)
+        .select("qid", "cid")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("k_n"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("hits"),
+        )
+        .select(
+            "qid",
+            "k_n",
+            "hits",
+            F.round(F.col("hits") / F.col("k_n"), 6).alias("recall"),
+        )
+    )
+
+
+_ANN_RECALL_SQL = f"""
+WITH ex AS ({_COSINE_TOPK_SQL}),
+iv AS ({_IVF_SQL})
+SELECT ex.qid, count(*) AS k_n,
+       CAST(count(iv.cid) AS BIGINT) AS hits,
+       round(count(iv.cid) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM ex LEFT JOIN iv ON ex.qid = iv.qid AND ex.cid = iv.cid
+GROUP BY ex.qid
+"""
+
+
+def q_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance
+    (operators/incremental.py): a per-priority (cnt, revenue) aggregate
+    over orders is advanced by a simulated CDC batch — inserts
+    (orderkey % 10 = 7), deletes (% 10 = 3), and in-place price updates
+    (% 10 = 5, +10%) — by aggregating ONLY the batch and merging
+    key-wise integer deltas into the stored aggregate. The fact table is
+    never rescanned on the maintenance path; the oracle recomputes the
+    same aggregate directly from the post-change state, which must match
+    exactly (fixed-point sums are order-independent)."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        incremental as INC,
+    )
+
+    o = load_table(spark, sf, "orders")
+    base = o.filter(F.col("o_orderkey") % 10 != 7)
+    base_agg = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("sum_scaled"),
+    )
+    mod = F.col("o_orderkey") % 10
+    changes = o.filter(mod.isin(7, 3, 5)).select(
+        "o_orderpriority",
+        F.when(mod == 7, F.lit("I"))
+        .when(mod == 3, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice").alias("old_val"),
+        F.when(mod == 5, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_val"),
+    )
+    deltas = INC.agg_deltas(changes, ["o_orderpriority"])
+    out = INC.apply_agg_deltas(base_agg, deltas, ["o_orderpriority"])
+    return out.select(
+        "o_orderpriority",
+        "cnt",
+        (F.col("sum_scaled") / 100.0).alias("revenue"),
+    )
+
+
+_INCREMENTAL_AGG_SQL = """
+WITH final AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS val
+  FROM orders WHERE o_orderkey % 10 != 3)
+SELECT o_orderpriority, count(*) AS cnt,
+       sum(CAST(floor(val * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+FROM final GROUP BY o_orderpriority
+"""
+
+
 _CATALOG_DEFS: dict[str, QueryDef] = {
     # Definition order here is arbitrary; the driver-visible order is
     # rebuilt below from _WINDOW_FRONT. tools/verify_parity.py checks
@@ -6181,6 +6283,8 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
         q_jaccard_prefix_pairs, _JACCARD_PREFIX_SQL
     ),
     "triangle_counts": QueryDef(q_triangle_counts, _TRIANGLE_SQL),
+    "ann_recall_eval": QueryDef(q_ann_recall_eval, _ANN_RECALL_SQL),
+    "incremental_agg": QueryDef(q_incremental_agg, _INCREMENTAL_AGG_SQL),
 }
 
 

@@ -1,0 +1,97 @@
+"""Property test: delta-maintained (cnt, sum) aggregates equal a full
+recompute of the post-change state for ANY interleaving of inserts,
+same-group updates, and deletes — the self-maintainability contract of
+operators/incremental.py."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+base_row = st.tuples(
+    st.sampled_from(["a", "b", "c"]),
+    st.floats(min_value=0.0, max_value=1000.0, allow_nan=False),
+)
+change_row = st.tuples(
+    st.sampled_from(["I", "U", "D"]),
+    st.sampled_from(["a", "b", "c"]),
+    st.floats(min_value=0.0, max_value=1000.0, allow_nan=False),
+)
+
+
+def _fx(x: float) -> int:
+    import math
+
+    return int(math.floor(x * 100 + 0.5))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(base_row, min_size=0, max_size=12),
+    st.lists(change_row, min_size=0, max_size=12),
+)
+def test_maintained_agg_equals_recompute(spark, base_rows, raw_changes):
+    from pyspark.sql import functions as F
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        incremental as INC,
+    )
+
+    # deletes/updates must reference existing rows: pair each D/U with a
+    # base row of the same key if one is free, else demote it to I
+    pool = defaultdict(list)
+    for k, v in base_rows:
+        pool[k].append(v)
+    changes = []
+    for op, k, v in raw_changes:
+        if op in ("U", "D"):
+            if pool[k]:
+                old = pool[k].pop()
+                changes.append((k, op, old, v))
+            else:
+                changes.append((k, "I", 0.0, v))
+        else:
+            changes.append((k, "I", 0.0, v))
+
+    # python reference: apply changes, recompute (fixed-point)
+    state = defaultdict(list)
+    for k, v in base_rows:
+        state[k].append(_fx(v))
+    for k, op, old, new in changes:
+        if op == "I":
+            state[k].append(_fx(new))
+        elif op == "D":
+            state[k].remove(_fx(old))
+        else:
+            state[k].remove(_fx(old))
+            state[k].append(_fx(new))
+    want = {
+        k: (len(v), sum(v)) for k, v in state.items() if len(v) > 0
+    }
+
+    if base_rows:
+        b = spark.createDataFrame(base_rows, "k string, val double")
+    else:
+        b = spark.createDataFrame([], "k string, val double")
+    base_agg = b.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.floor(F.col("val") * 100 + F.lit(0.5)).cast("long")
+        ).alias("sum_scaled"),
+    )
+    if changes:
+        ch = spark.createDataFrame(
+            changes, "k string, op string, old_val double, new_val double"
+        )
+    else:
+        ch = spark.createDataFrame(
+            [], "k string, op string, old_val double, new_val double"
+        )
+    deltas = INC.agg_deltas(ch, ["k"])
+    out = INC.apply_agg_deltas(base_agg, deltas, ["k"])
+    got = {
+        r["k"]: (r["cnt"], r["sum_scaled"]) for r in out.collect()
+    }
+    assert got == want
