@@ -1,0 +1,104 @@
+"""Streaming materialized-view maintenance: the snapshot-table aggregate
+maintained from change-row files must equal a batch recompute of the
+same change log, survive a second no-new-data run untouched, and apply
+late-arriving files exactly once."""
+
+from __future__ import annotations
+
+import math
+import os
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (
+    read_maintained_agg,
+    stream_agg_maintenance,
+)
+
+HEADER = "k,op,old_val,new_val"
+
+_BATCH1 = [
+    "a,I,,10.0",
+    "a,I,,20.5",
+    "b,I,,5.0",
+]
+_BATCH2 = [
+    "a,U,10.0,12.0",   # same-group update
+    "b,D,5.0,",        # b disappears (count reaches 0)
+    "c,I,,7.25",
+]
+_BATCH3 = [
+    "c,U,7.25,7.75",
+    "a,D,20.5,",
+]
+
+
+def _fx(x: float) -> int:
+    return int(math.floor(x * 100 + 0.5))
+
+
+def _write(path: str, rows: list[str]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(HEADER + "\n" + "\n".join(rows) + "\n")
+
+
+def _state(spark, table):
+    return {
+        r["k"]: (r["cnt"], r["sum_scaled"])
+        for r in read_maintained_agg(spark, table).collect()
+    }
+
+
+def test_stream_agg_maintenance_exactly_once(spark, tmp_path):
+    raw = str(tmp_path / "raw")
+    table = str(tmp_path / "agg_table")
+    ckpt = str(tmp_path / "ckpt")
+    _write(os.path.join(raw, "b1.csv"), _BATCH1)
+    _write(os.path.join(raw, "b2.csv"), _BATCH2)
+
+    applied: list[tuple[int, int]] = []
+    q = stream_agg_maintenance(
+        spark, raw, table, ckpt,
+        on_batch=lambda bid, n: applied.append((bid, n)),
+    )
+    q.awaitTermination(120)
+
+    want = {
+        "a": (2, _fx(12.0) + _fx(20.5)),
+        "c": (1, _fx(7.25)),
+    }  # b deleted to zero → gone
+    assert _state(spark, table) == want
+    assert sum(n for _, n in applied) == 6
+
+    # no new files: restart applies nothing and state is unchanged
+    q = stream_agg_maintenance(spark, raw, table, ckpt)
+    q.awaitTermination(120)
+    assert _state(spark, table) == want
+
+    # late file: applied exactly once on the next run
+    _write(os.path.join(raw, "b3.csv"), _BATCH3)
+    q = stream_agg_maintenance(spark, raw, table, ckpt)
+    q.awaitTermination(120)
+    assert _state(spark, table) == {
+        "a": (1, _fx(12.0)),
+        "c": (1, _fx(7.75)),
+    }
+
+
+def test_replayed_batch_id_is_skipped(spark, tmp_path):
+    """Simulate the crash-after-commit-before-checkpoint window: calling
+    the already-applied batch again (same batch_id, same rows) must be a
+    no-op because the published state carries the batch watermark."""
+    raw = str(tmp_path / "raw")
+    table = str(tmp_path / "agg_table")
+    ckpt = str(tmp_path / "ckpt")
+    _write(os.path.join(raw, "b1.csv"), _BATCH1)
+    q = stream_agg_maintenance(spark, raw, table, ckpt)
+    q.awaitTermination(120)
+    before = _state(spark, table)
+
+    # replay batch 0 by streaming the same file into a FRESH checkpoint
+    # against the same table: foreachBatch re-delivers batch_id 0
+    ckpt2 = str(tmp_path / "ckpt2")
+    q = stream_agg_maintenance(spark, raw, table, ckpt2)
+    q.awaitTermination(120)
+    assert _state(spark, table) == before
