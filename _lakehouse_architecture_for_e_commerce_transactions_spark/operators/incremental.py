@@ -91,3 +91,57 @@ def apply_agg_deltas(
         ).alias(sum_scaled_col),
     )
     return merged.filter(F.col(cnt_col) > 0)
+
+
+def maintain_join_view(
+    view: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    dim_cols: list[str],
+    dim_updates: DataFrame | None = None,
+    fact_inserts: DataFrame | None = None,
+    fact_delete_keys: DataFrame | None = None,
+    dim_current: DataFrame | None = None,
+) -> DataFrame:
+    """Incrementally maintain a materialized fact⋈dim enrichment view.
+
+    The production shape: an enriched fact table (fact columns +
+    denormalized dimension attributes) must track three change kinds
+    without re-running the big join —
+
+    * dimension updates (late-arriving attribute changes): PATCH the
+      view in place — key-wise join of the view with the (small) update
+      set, coalescing each dimension column. No fact scan: the view
+      already holds every affected row.
+    * fact deletes: anti-join on the fact key.
+    * fact inserts: only the NEW rows join the current dimension.
+
+    Cost: O(|view| patch join, key-wise) + O(|inserts| ⋈ dim) +
+    O(|deletes|) — the delta rules of incremental view maintenance
+    specialized to the enrichment join, where Δdim ⋈ fact never needs
+    the fact table because the view itself is that join's materialized
+    result. Updates must not change a fact row's dimension KEY (model
+    key moves as fact delete+insert, the standard IVM contract).
+    """
+    out = view
+    if dim_updates is not None:
+        upd = dim_updates.select(
+            dim_key, *[F.col(c).alias(f"_u_{c}") for c in dim_cols]
+        )
+        out = out.join(upd, dim_key, "left").select(
+            *[c for c in view.columns if c not in dim_cols],
+            *[
+                F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c)
+                for c in dim_cols
+            ],
+        )
+    if fact_delete_keys is not None:
+        out = out.join(fact_delete_keys, fact_key, "left_anti")
+    if fact_inserts is not None:
+        if dim_current is None:
+            raise ValueError("fact_inserts requires dim_current")
+        fresh = fact_inserts.join(
+            dim_current.select(dim_key, *dim_cols), dim_key
+        ).select(*out.columns)
+        out = out.unionByName(fresh)
+    return out

@@ -144,3 +144,49 @@ def unigram_logprob(
             ).alias("mean_logprob"),
         )
     )
+
+
+def build_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index: (term, doc, pos) rows, pos 0-based.
+
+    The storable/joinable search-index form (commit it as a snapshot
+    table partitioned or z-ordered by term): a phrase query then reads
+    ONLY its terms' postings — term-predicate pushdown into the index
+    scan — instead of tokenizing the corpus per query."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(T.tokens(F.lower(F.col(text_col)))).alias(
+            "pos", "term"
+        ),
+    ).select("term", "doc", "pos")
+
+
+def phrase_search(
+    postings: DataFrame, phrase: list[str]
+) -> DataFrame:
+    """Exact phrase match over a positional index: (doc, n_matches) for
+    every doc containing the phrase's terms consecutively.
+
+    Plan: filter the postings to the phrase's terms (pushed into the
+    index scan), then chain (m-1) equi-joins on (doc, pos + offset) —
+    each join input is a single term's postings list, so the work is
+    proportional to the PHRASE terms' document frequency, never corpus
+    size. Duplicate terms inside the phrase are handled naturally (the
+    same postings rows join at different offsets)."""
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    anchor = (
+        postings.filter(F.col("term") == phrase[0])
+        .select("doc", F.col("pos").alias("p0"))
+    )
+    matched = anchor
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("term") == term).select(
+            "doc", (F.col("pos") - i).alias("p0")
+        )
+        matched = matched.join(nxt, ["doc", "p0"], "left_semi")
+    return matched.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )

@@ -6071,6 +6071,102 @@ FROM final GROUP BY o_orderpriority
 """
 
 
+def q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact phrase search over a positional inverted index
+    (operators/ranking.py:build_postings/phrase_search): docs containing
+    "slow hash batch" consecutively, with occurrence counts. The phrase
+    query touches only its three terms' postings (term-predicate
+    pushdown into the index), chained by (doc, pos+offset) equi-joins —
+    work scales with the phrase terms' document frequency, not corpus
+    size."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        ranking as RK,
+    )
+
+    d = load_table(spark, sf, "documents")
+    postings = RK.build_postings(d)
+    return RK.phrase_search(postings, ["slow", "hash", "batch"])
+
+
+_PHRASE_SQL = """
+WITH tok AS (SELECT doc_id AS doc,
+                    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+             FROM documents)
+SELECT doc, CAST(count(*) AS BIGINT) AS n_matches
+FROM (SELECT doc, i
+      FROM tok, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+      WHERE toks[i] = 'slow' AND toks[i + 1] = 'hash'
+        AND toks[i + 2] = 'batch')
+GROUP BY doc
+"""
+
+
+def q_join_view_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental maintenance of a materialized orders⋈customer
+    enrichment view (operators/incremental.py:maintain_join_view): a
+    change batch of segment updates (custkey % 20 = 4), order inserts
+    (orderkey % 10 = 7) and order deletes (% 10 = 3) is applied by
+    patching the view key-wise, anti-joining deletes, and joining ONLY
+    the new facts against the updated dimension — the base fact table is
+    never rescanned. The oracle recomputes the enrichment join from the
+    post-change state, which the maintained view must equal exactly."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        incremental as INC,
+    )
+
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    mod = F.col("o_orderkey") % 10
+    facts = o.select("o_orderkey", "o_custkey", "o_totalprice")
+    dim0 = c.select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    view = facts.filter(mod != 7).join(dim0, "o_custkey")
+    dim_updates = c.filter(F.col("c_custkey") % 20 == 4).select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.concat(
+            F.lit("U"), (F.col("c_custkey") % 5).cast("string")
+        ).alias("c_mktsegment"),
+    )
+    dim_current = (
+        dim0.join(
+            dim_updates.withColumnRenamed("c_mktsegment", "_new"),
+            "o_custkey",
+            "left",
+        )
+        .select(
+            "o_custkey",
+            F.coalesce(F.col("_new"), F.col("c_mktsegment")).alias(
+                "c_mktsegment"
+            ),
+        )
+    )
+    return INC.maintain_join_view(
+        view,
+        fact_key="o_orderkey",
+        dim_key="o_custkey",
+        dim_cols=["c_mktsegment"],
+        dim_updates=dim_updates,
+        fact_inserts=facts.filter(mod == 7),
+        fact_delete_keys=o.filter(mod == 3).select("o_orderkey"),
+        dim_current=dim_current,
+    )
+
+
+_JOIN_VIEW_SQL = """
+WITH dim AS (
+  SELECT c_custkey AS o_custkey,
+         CASE WHEN c_custkey % 20 = 4
+              THEN 'U' || CAST(c_custkey % 5 AS VARCHAR)
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer),
+facts AS (SELECT o_orderkey, o_custkey, o_totalprice
+          FROM orders WHERE o_orderkey % 10 != 3)
+SELECT f.o_custkey, f.o_orderkey, f.o_totalprice, d.c_mktsegment
+FROM facts f JOIN dim d USING (o_custkey)
+"""
+
+
 _CATALOG_DEFS: dict[str, QueryDef] = {
     # Definition order here is arbitrary; the driver-visible order is
     # rebuilt below from _WINDOW_FRONT. tools/verify_parity.py checks
@@ -6285,6 +6381,10 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "triangle_counts": QueryDef(q_triangle_counts, _TRIANGLE_SQL),
     "ann_recall_eval": QueryDef(q_ann_recall_eval, _ANN_RECALL_SQL),
     "incremental_agg": QueryDef(q_incremental_agg, _INCREMENTAL_AGG_SQL),
+    "phrase_search": QueryDef(q_phrase_search, _PHRASE_SQL),
+    "join_view_maintenance": QueryDef(
+        q_join_view_maintenance, _JOIN_VIEW_SQL
+    ),
 }
 
 
