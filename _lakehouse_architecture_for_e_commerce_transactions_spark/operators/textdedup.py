@@ -255,6 +255,7 @@ def minhash_dedup_verified(
     threshold: float = 0.5,
     fast: bool = False,
     index: DataFrame | None = None,
+    verify_filter_threshold: int = 100_000,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (the standard two-phase
     near-dup pipeline): returns (doc1, doc2, jaccard) above threshold.
@@ -285,27 +286,35 @@ def minhash_dedup_verified(
         cand = minhash_lsh_pairs(
             df, id_col, text_col, n, k, rows_per_band, index=idx
         )
-    # Materialize the candidate pairs once: they are consumed by three
-    # branches below (two index semi-filters + the intersection join), and
-    # un-materialized each branch would re-run the signature aggregation +
-    # band self-join. Candidate count is bounded by Σ bucket² (the LSH
-    # guarantee), so the checkpoint is dup-scale, never corpus-scale.
+    # Materialize the candidate pairs once: they are consumed by several
+    # branches below (the intersection join, and in the sparse regime two
+    # index semi-filters), and un-materialized each branch would re-run
+    # the signature aggregation + band self-join. Candidate count is
+    # bounded by Σ bucket² (the LSH guarantee), so the checkpoint is
+    # dup-scale, never corpus-scale.
     cand = cand.localCheckpoint(eager=True)
-    # Verify only against the index rows of candidate documents: the
-    # candidate-doc set is tiny next to the corpus, so these joins
-    # broadcast under AQE — without the filter, the (doc2, shingle)
-    # intersection join below shuffles the FULL shingle index to
-    # intersect a handful of pairs (measured 4.5M-row shuffle for 491
-    # candidates at sf0.1).
-    cdocs = (
-        cand.select(F.col("doc1").alias("doc"))
-        .unionByName(cand.select(F.col("doc2").alias("doc")))
-        .distinct()
-    )
-    cidx = idx.join(cdocs, "doc", "left_semi")
-    sizes = shingle_counts(cidx)
-    i1 = cidx.select(F.col("doc").alias("doc1"), F.col("shingle"))
-    i2 = cidx.select(
+    # Adaptive verification plan, keyed on the (now cheap) candidate
+    # count. Sparse regime — the 100 TB norm, few near-dups in a huge
+    # corpus: semi-filter the index to candidate docs first, so the
+    # candidate-doc set broadcasts under AQE and the full index is never
+    # shuffled on (doc, shingle) to intersect a handful of pairs
+    # (measured: a 4.5M-row shuffle for 491 candidates at sf0.1).
+    # Dense regime — candidates cover much of the corpus (adversarial
+    # dup-heavy corpora): the filter removes little but adds extra index
+    # passes, so join the full index directly.
+    sparse = cand.count() <= verify_filter_threshold
+    if sparse:
+        cdocs = (
+            cand.select(F.col("doc1").alias("doc"))
+            .unionByName(cand.select(F.col("doc2").alias("doc")))
+            .distinct()
+        )
+        vidx = idx.join(cdocs, "doc", "left_semi")
+    else:
+        vidx = idx
+    sizes = shingle_counts(vidx)
+    i1 = vidx.select(F.col("doc").alias("doc1"), F.col("shingle"))
+    i2 = vidx.select(
         F.col("doc").alias("doc2"), F.col("shingle").alias("shingle2")
     )
     inter = (
