@@ -6401,6 +6401,13 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
 # driver round on record. (The unhinted supplier-join TPC-H queries
 # keep their r1/r2 green rows; unhinting changes plans, not results,
 # and tools/verify_parity.py re-verified them locally.)
+#
+# ROUND-4 ROTATION TODO: front the queries ADDED after this window was
+# frozen — jaccard_prefix_pairs, triangle_counts, ann_recall_eval,
+# incremental_agg, phrase_search, join_view_maintenance (+ anything
+# newer) — so they earn their driver CORRECTNESS rows; backfill the rest
+# of the 50 with already-green anchors. Every other registry entry will
+# then have a green driver round on record.
 _WINDOW_FRONT: list[str] = [
     # 41 never-driver-verified (registry order)
     "contamination_ngram_overlap",
