@@ -6167,6 +6167,68 @@ FROM facts f JOIN dim d USING (o_custkey)
 """
 
 
+def q_null_semantics(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-engine NULL-semantics pin: a nullable group key (every 7th
+    order keys to NULL), aggregation over the NULL group, a NULL-SAFE
+    self-join (Spark ``eqNullSafe`` ≡ SQL ``IS NOT DISTINCT FROM`` — the
+    NULL groups must match each other, unlike plain equality), and a
+    ranking with explicit NULLS FIRST. Each of these is a place engines
+    legitimately diverge by default; pinning them under the oracle
+    ensures the engine's null behavior is ANSI-faithful end to end."""
+    o = load_table(spark, sf, "orders")
+    k = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_orderkey") % 5
+    )
+    g = (
+        o.select(k.alias("k"), "o_totalprice")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            money_sum(F.col("o_totalprice")).alias("rev"),
+        )
+    )
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(k.alias("uk"))
+        .groupBy("uk")
+        .agg(F.count(F.lit(1)).alias("urgent_n"))
+    )
+    joined = g.join(
+        urgent, F.col("k").eqNullSafe(F.col("uk")), "left"
+    ).select(
+        "k",
+        "cnt",
+        "rev",
+        F.coalesce(F.col("urgent_n"), F.lit(0)).alias("urgent_n"),
+    )
+    w = Window.orderBy(
+        F.col("cnt").desc(), F.col("k").asc_nulls_first()
+    )
+    return joined.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    )
+
+
+_NULL_SEMANTICS_SQL = f"""
+WITH keyed AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_orderkey % 5 END AS k,
+         o_totalprice, o_orderpriority
+  FROM orders),
+g AS (
+  SELECT k, count(*) AS cnt,
+         {_money_sum_sql("o_totalprice")} AS rev
+  FROM keyed GROUP BY k),
+urgent AS (
+  SELECT k AS uk, count(*) AS urgent_n
+  FROM keyed WHERE o_orderpriority = '1-URGENT' GROUP BY k)
+SELECT k, cnt, rev, COALESCE(urgent_n, 0) AS urgent_n,
+       CAST(row_number() OVER (ORDER BY cnt DESC, k ASC NULLS FIRST)
+            AS BIGINT) AS rk
+FROM g LEFT JOIN urgent ON g.k IS NOT DISTINCT FROM urgent.uk
+"""
+
+
 _CATALOG_DEFS: dict[str, QueryDef] = {
     # Definition order here is arbitrary; the driver-visible order is
     # rebuilt below from _WINDOW_FRONT. tools/verify_parity.py checks
@@ -6385,6 +6447,7 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "join_view_maintenance": QueryDef(
         q_join_view_maintenance, _JOIN_VIEW_SQL
     ),
+    "null_semantics": QueryDef(q_null_semantics, _NULL_SEMANTICS_SQL),
 }
 
 
