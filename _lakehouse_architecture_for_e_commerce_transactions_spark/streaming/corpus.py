@@ -57,12 +57,27 @@ def stream_corpus_ingest(
     available_now: bool = True,
     on_batch: Callable[[int, int, int], None] | None = None,
     jaccard_threshold: float = 0.5,
+    quality_min: float | None = None,
+    min_chars: int | None = None,
+    eval_docs: DataFrame | None = None,
+    contamination_max: float = 0.2,
+    contamination_ngram: int = 3,
 ) -> StreamingQuery:
     """Stream document CSVs from ``raw_dir``; drop near-dups of anything
     already ingested (or earlier in the same batch); append survivors to
     the corpus snapshot table and their band rows to the index. LSH
     candidates are verified with exact Jaccard ≥ ``jaccard_threshold``
     before anything is dropped.
+
+    With the optional gates this is CONTINUOUS CURATION — the batch
+    curation job's stages applied per micro-batch, cheapest first:
+    ``quality_min``/``min_chars`` gate each arriving batch BEFORE any
+    hashing (quality heuristics are pure column expressions — rejects
+    never pay MinHash cost); ``eval_docs`` decontaminates the deduped
+    survivors (n-gram overlap > ``contamination_max`` drops the doc)
+    before they are committed. The eval side's distinct n-grams are
+    bounded and broadcast per batch. All gates are deterministic
+    filters, so the exactly-once replay reasoning is unchanged.
 
     ``on_batch(batch_id, n_kept, n_dropped)`` is the observability hook.
     """
@@ -78,6 +93,18 @@ def stream_corpus_ingest(
         batch_df = batch_df.filter(
             F.col("doc_id").isNotNull() & F.col("text").isNotNull()
         )
+        if quality_min is not None:
+            from _lakehouse_architecture_for_e_commerce_transactions_spark.functions import (
+                text as T,
+            )
+
+            batch_df = batch_df.filter(
+                T.quality_score(F.col("text")) >= quality_min
+            )
+        if min_chars is not None:
+            batch_df = batch_df.filter(
+                F.length(F.col("text")) >= min_chars
+            )
         if not batch_df.take(1):
             return
         batch_df = batch_df.cache()
@@ -112,9 +139,22 @@ def stream_corpus_ingest(
                 kept = kept.join(
                     corpus_docs.select("doc_id"), "doc_id", "left_anti"
                 )
-            kept = kept.cache()
         else:
-            kept = batch_df.cache()
+            kept = batch_df
+        if eval_docs is not None:
+            from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+                contamination as CON,
+            )
+
+            dirty = (
+                CON.contamination_ratios(
+                    kept, eval_docs, n=contamination_ngram
+                )
+                .filter(F.col("contamination") > contamination_max)
+                .select("doc_id")
+            )
+            kept = kept.join(dirty, "doc_id", "left_anti")
+        kept = kept.cache()
         n_kept = kept.count()
         n_total = batch_df.count()
         if n_kept:

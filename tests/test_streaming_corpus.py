@@ -88,3 +88,47 @@ def test_stream_corpus_replay_is_idempotent_by_doc_id(spark, tmp_path):
     q2.awaitTermination(120)
     rows = S.read(spark, corpus).collect()
     assert sorted(r["doc_id"] for r in rows) == [1, 2]
+
+
+LOWQ = "aaaa aaaa aaaa aaaa"  # repetitive junk: fails the quality gate
+EVALDOC = BASE  # eval set == BASE text → BASE-like docs are contaminated
+
+
+def test_stream_continuous_curation_gates(spark, tmp_path):
+    """Quality gate rejects junk before hashing; decontamination drops
+    eval-overlapping docs after dedup; clean novel docs ingest."""
+    raw = str(tmp_path / "raw")
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    ev = spark.createDataFrame(
+        [(900, EVALDOC)], "doc_id long, text string"
+    )
+
+    _write_csv(
+        f"{raw}/b1.csv",
+        [(1, OTHER, "web"), (2, LOWQ, "web"), (3, BASE, "web")],
+    )
+    q = stream_corpus_ingest(
+        spark, raw, corpus, idx, ckpt,
+        quality_min=0.3, min_chars=30,
+        eval_docs=ev, contamination_max=0.5, contamination_ngram=3,
+    )
+    q.awaitTermination(120)
+    # doc 2 fails quality (repetition + length), doc 3 is contaminated
+    # (identical to the eval doc), doc 1 survives
+    assert {r["doc_id"] for r in S.read(spark, corpus).collect()} == {1}
+
+    # a near-dup of doc 1 in a later batch still dedups against the
+    # index built from gated survivors
+    _write_csv(
+        f"{raw}/b2.csv",
+        [(10, OTHER.replace("frozen", "icy"), "web")],
+    )
+    q = stream_corpus_ingest(
+        spark, raw, corpus, idx, ckpt,
+        quality_min=0.3, min_chars=30,
+        eval_docs=ev, contamination_max=0.5, contamination_ngram=3,
+    )
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in S.read(spark, corpus).collect()} == {1}
