@@ -131,3 +131,167 @@ def stream_agg_maintenance(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+MIXED_CHANGE_SCHEMA = StructType(
+    [
+        StructField("kind", StringType(), False),  # DU | FI | FD
+        StructField("fact_key", LongType(), True),
+        StructField("dim_key", LongType(), True),
+        StructField("val", DoubleType(), True),
+        StructField("attr", StringType(), True),
+    ]
+)
+
+_DIM_SCHEMA = StructType(
+    [
+        StructField("dim_key", LongType(), True),
+        StructField("attr", StringType(), True),
+        StructField("_last_batch", LongType(), True),
+    ]
+)
+
+_VIEW_SCHEMA = StructType(
+    [
+        StructField("fact_key", LongType(), True),
+        StructField("dim_key", LongType(), True),
+        StructField("val", DoubleType(), True),
+        StructField("attr", StringType(), True),
+        StructField("_last_batch", LongType(), True),
+    ]
+)
+
+
+def _table_state(spark, path, schema, cols):
+    """(state_df_without_bookkeeping, last_applied_batch | None)."""
+    try:
+        cur = S.read(spark, path)
+        last = cur.agg(F.max("_last_batch")).first()[0]
+        return cur.filter(
+            F.col(cols[0]).isNotNull()
+        ).select(*cols), last
+    except FileNotFoundError:
+        return spark.createDataFrame([], schema).select(*cols), None
+
+
+def _commit_with_marker(spark, df, path, batch_id, marker_row, schema):
+    marker = spark.createDataFrame([marker_row], schema)
+    out = df.withColumn(
+        "_last_batch", F.lit(batch_id).cast("long")
+    ).unionByName(marker)
+    S.commit(spark, out, path, mode="overwrite")
+
+
+def read_maintained_view(spark, view_path: str) -> DataFrame:
+    return (
+        S.read(spark, view_path)
+        .filter(F.col("fact_key").isNotNull())
+        .select("fact_key", "dim_key", "val", "attr")
+    )
+
+
+def read_maintained_dim(spark, dim_path: str) -> DataFrame:
+    return (
+        S.read(spark, dim_path)
+        .filter(F.col("dim_key").isNotNull())
+        .select("dim_key", "attr")
+    )
+
+
+def stream_join_view_maintenance(
+    spark: SparkSession,
+    raw_dir: str,
+    dim_path: str,
+    view_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming IVM for a fact⋈dim enrichment view: one change feed
+    (``kind`` ∈ DU dim-upsert / FI fact-insert / FD fact-delete) keeps
+    BOTH the dimension table and the enriched view current, exactly-once.
+
+    Per batch, dimension first: DU rows upsert the dim snapshot table.
+    Then the view: DU rows PATCH enriched rows key-wise (the view is the
+    materialized Δdim⋈fact — no fact table exists to rescan), FD rows
+    anti-join, FI rows join the just-updated dimension and append.
+
+    Each table carries its own ``_last_batch`` watermark inside its
+    atomic commit, so a crash BETWEEN the two commits replays into
+    "dim skips, view applies" — the pair reconverges with no
+    double-application. Commit order (dim before view) guarantees the
+    view's new facts always see the batch's own dimension updates.
+    """
+    reader = (
+        spark.readStream.schema(MIXED_CHANGE_SCHEMA)
+        .option("header", True)
+        .csv(raw_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        du = batch_df.filter(F.col("kind") == "DU").select(
+            "dim_key", "attr"
+        )
+        fi = batch_df.filter(F.col("kind") == "FI").select(
+            "fact_key", "dim_key", "val"
+        )
+        fd = batch_df.filter(F.col("kind") == "FD").select("fact_key")
+
+        dim, dim_last = _table_state(
+            spark, dim_path, _DIM_SCHEMA, ["dim_key", "attr"]
+        )
+        if dim_last is None or batch_id > dim_last:
+            upd = du.withColumnRenamed("attr", "_new")
+            dim_next = (
+                dim.join(upd, "dim_key", "full_outer")
+                .select(
+                    "dim_key",
+                    F.coalesce(F.col("_new"), F.col("attr")).alias(
+                        "attr"
+                    ),
+                )
+            )
+            _commit_with_marker(
+                spark, dim_next, dim_path, batch_id,
+                (None, None, batch_id), _DIM_SCHEMA,
+            )
+
+        view, view_last = _table_state(
+            spark, view_path, _VIEW_SCHEMA,
+            ["fact_key", "dim_key", "val", "attr"],
+        )
+        if view_last is None or batch_id > view_last:
+            dim_now = read_maintained_dim(spark, dim_path)
+            patched = (
+                view.join(
+                    du.withColumnRenamed("attr", "_new"),
+                    "dim_key",
+                    "left",
+                )
+                .select(
+                    "fact_key",
+                    "dim_key",
+                    "val",
+                    F.coalesce(F.col("_new"), F.col("attr")).alias(
+                        "attr"
+                    ),
+                )
+                .join(fd, "fact_key", "left_anti")
+            )
+            fresh = fi.join(dim_now, "dim_key").select(
+                "fact_key", "dim_key", "val", "attr"
+            )
+            _commit_with_marker(
+                spark, patched.unionByName(fresh), view_path, batch_id,
+                (None, None, None, None, batch_id), _VIEW_SCHEMA,
+            )
+        batch_df.unpersist()
+
+    writer = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

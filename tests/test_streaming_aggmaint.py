@@ -102,3 +102,69 @@ def test_replayed_batch_id_is_skipped(spark, tmp_path):
     q = stream_agg_maintenance(spark, raw, table, ckpt2)
     q.awaitTermination(120)
     assert _state(spark, table) == before
+
+
+MIX_HEADER = "kind,fact_key,dim_key,val,attr"
+
+_MB1 = [
+    "DU,,1,,red",
+    "DU,,2,,blue",
+    "FI,100,1,5.0,",
+    "FI,101,2,6.0,",
+]
+_MB2 = [
+    "DU,,1,,green",   # repaint dim 1 → view row 100 must follow
+    "FI,102,1,7.0,",  # joins the UPDATED dim (green)
+    "FD,101,,,",      # fact delete
+]
+
+
+def _write_mix(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(MIX_HEADER + "\n" + "\n".join(rows) + "\n")
+
+
+def test_stream_join_view_maintenance(spark, tmp_path):
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (
+        read_maintained_dim,
+        read_maintained_view,
+        stream_join_view_maintenance,
+    )
+
+    raw = str(tmp_path / "raw")
+    dimp = str(tmp_path / "dim")
+    viewp = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    _write_mix(os.path.join(raw, "b1.csv"), _MB1)
+    q = stream_join_view_maintenance(spark, raw, dimp, viewp, ckpt)
+    q.awaitTermination(120)
+    assert {
+        (r["fact_key"], r["attr"])
+        for r in read_maintained_view(spark, viewp).collect()
+    } == {(100, "red"), (101, "blue")}
+
+    _write_mix(os.path.join(raw, "b2.csv"), _MB2)
+    q = stream_join_view_maintenance(spark, raw, dimp, viewp, ckpt)
+    q.awaitTermination(120)
+    view = {
+        (r["fact_key"], r["attr"])
+        for r in read_maintained_view(spark, viewp).collect()
+    }
+    # 100 repainted green by the dim update, 101 deleted, 102 inserted
+    # against the already-updated dim
+    assert view == {(100, "green"), (102, "green")}
+    assert {
+        (r["dim_key"], r["attr"])
+        for r in read_maintained_dim(spark, dimp).collect()
+    } == {(1, "green"), (2, "blue")}
+
+    # replay both batches through a fresh checkpoint: watermarks inside
+    # the tables make every re-delivered batch a no-op
+    ckpt2 = str(tmp_path / "ckpt2")
+    q = stream_join_view_maintenance(spark, raw, dimp, viewp, ckpt2)
+    q.awaitTermination(120)
+    assert {
+        (r["fact_key"], r["attr"])
+        for r in read_maintained_view(spark, viewp).collect()
+    } == view
