@@ -41,8 +41,10 @@ Iceberg metadata layers, small enough to audit:
 * ``restore`` republishes an old version as the head (metadata-only);
   ``clone`` creates an independent table referencing the source's dirs
   zero-copy; ``snapshot_diff`` serves CDF; ``delete_where`` is
-  partition-scoped row DELETE; CHECK constraints fail violating commits
-  inside their own write.
+  partition-scoped row DELETE; ``delete_where_dv`` is row-level DELETE
+  via deletion vectors (tombstone parquet readers anti-join at scan
+  time — zero file rewrites, cleared by ``compact``); CHECK constraints
+  fail violating commits inside their own write.
 
 Scale notes: the manifest lists commit *directories*, not individual
 files, so manifest size grows with commit count, not data size; `vacuum`
@@ -87,6 +89,9 @@ class Snapshot:
     # {file_path: {col: {"m", "k", "bits"}}}
     file_blooms: dict | None = None
     bloom_cols: list[str] | None = None
+    # deletion vectors (row-level DELETE without file rewrites): parquet
+    # dirs of (file, row_idx) tombstones readers anti-join at scan time
+    dv_files: list[str] | None = None
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -124,6 +129,7 @@ def load_snapshot(path: str, version: int | None = None) -> Snapshot:
         m.get("stats_cols"),
         m.get("file_blooms"),
         m.get("bloom_cols"),
+        m.get("dv_files"),
     )
 
 
@@ -443,6 +449,12 @@ def commit(
             "schema": schema_json,
             "committed_at": time.time(),
         }
+        if mode == "append" and vs:
+            # appended files can't have tombstones, but the carried
+            # parent files keep theirs
+            parent_dv = load_snapshot(path, vs[-1]).dv_files
+            if parent_dv:
+                manifest["dv_files"] = parent_dv
         if fresh_stats is not None:
             merged_stats = dict(fresh_stats)
             if mode == "append" and vs:
@@ -477,19 +489,46 @@ def commit(
     raise RuntimeError(f"commit contention at {path}: {max_retries} retries")
 
 
+def _dv_tombstones(spark: SparkSession, snap: Snapshot) -> DataFrame | None:
+    """The snapshot's deletion-vector rows (file, row_idx), or None."""
+    if not snap.dv_files:
+        return None
+    return spark.read.parquet(*snap.dv_files).select("file", "row_idx")
+
+
+def _apply_dv(df: DataFrame, dv: DataFrame | None) -> DataFrame:
+    """Filter a file-source frame through deletion vectors: tag each row
+    with its physical address (``_metadata`` pseudo-column — constant
+    per row, no shuffle) and anti-join the tombstone set. Tombstones are
+    deletion-scale, so AQE broadcasts them; cost is a broadcast probe
+    per scanned row, zero for tables with no DVs."""
+    if dv is None:
+        return df
+    marked = df.withColumn(
+        "__fp", F.col("_metadata.file_path")
+    ).withColumn("__ri", F.col("_metadata.row_index"))
+    return marked.join(
+        dv,
+        (marked["__fp"] == dv["file"]) & (marked["__ri"] == dv["row_idx"]),
+        "left_anti",
+    ).drop("__fp", "__ri")
+
+
 def read(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Snapshot-isolated read of the latest (or a time-traveled) version.
-    Columns a commit predates (schema evolution) read as ``null``."""
+    Columns a commit predates (schema evolution) read as ``null``; rows
+    tombstoned by deletion vectors are filtered at scan time."""
     snap = load_snapshot(path, version)
     if not snap.part_entries:
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(snap.schema_json))
-        df = (
-            spark.read.option("mergeSchema", True).parquet(*snap.dirs)
+        df = _apply_dv(
+            spark.read.option("mergeSchema", True).parquet(*snap.dirs),
+            _dv_tombstones(spark, snap),
         )
         have = set(df.columns)
         return df.select(
@@ -745,7 +784,10 @@ def read_where(
         report["files_kept"] = len(kept)
     if not kept:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*kept)
+    df = _apply_dv(
+        spark.read.schema(schema).parquet(*kept),
+        _dv_tombstones(spark, snap),
+    )
     return df.filter(residual) if residual is not None else df
 
 
@@ -757,6 +799,10 @@ def table_stats(path: str, version: int | None = None) -> dict:
     means some file lacks usable stats and the caller should fall back
     to a scan (correctness never depends on the fast path)."""
     snap = load_snapshot(path, version)
+    if snap.dv_files:
+        # deletion vectors remove rows the footers still count — the
+        # metadata path would overcount; fail open to a scan
+        return {"rows": None, "cols": {}}
     files = data_files(path, snap.version)
     fs = snap.file_stats or {}
     if set(files) != set(fs):
@@ -1125,6 +1171,108 @@ def delete_where(
         False,
         max_retries,
         stats_cols=base.stats_cols,
+    )
+
+
+def delete_where_dv(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    max_retries: int = 10,
+) -> int:
+    """Row-level DELETE via DELETION VECTORS (Delta's DV mechanism): no
+    data file is rewritten — matching rows' physical addresses
+    (file, row_idx) are written as a small tombstone parquet and the new
+    manifest references it; every reader anti-joins tombstones at scan
+    time. Returns the new version, or the unchanged head when no row
+    matches.
+
+    This is the sub-partition GDPR-erasure shape: deleting a handful of
+    rows from a terabyte table costs one pruned scan + a tombstone write
+    of deletion size, versus ``delete_where``'s partition rewrites.
+    The trade is read-side: every scan pays a broadcast anti-join until
+    ``compact`` (or any rewrite op) materializes the deletes and clears
+    the vectors. Time travel still works — pre-delete versions don't
+    reference the tombstones. ``table_stats`` fails open to a scan while
+    DVs exist (footer row counts overcount).
+
+    Plain (non-merge-committed) tables only: partitioned tables already
+    get partition-bounded rewrites from ``delete_where``, and mixing DV
+    tombstones into carried-by-reference partition entries would
+    complicate every maintenance op for no scale win.
+    """
+    cond = F.expr(predicate)
+    from pyspark.sql.types import StructType
+
+    for _ in range(max_retries):
+        snap = load_snapshot(path)
+        if snap.part_entries is not None:
+            raise ValueError(
+                "deletion vectors are for plain tables; partitioned "
+                "tables use delete_where (partition-bounded rewrite)"
+            )
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        raw = _apply_dv(
+            spark.read.option("mergeSchema", True).parquet(*snap.dirs),
+            _dv_tombstones(spark, snap),
+        )
+        have = set(raw.columns)
+        live = raw.select(
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ],
+        )
+        dels = live.filter(cond).select(
+            F.col("__fp").alias("file"), F.col("__ri").alias("row_idx")
+        )
+        dv_dir = os.path.join(path, _DATA, f"dv-{uuid.uuid4().hex}")
+        dels.coalesce(1).write.mode("errorifexists").parquet(dv_dir)
+        # tombstone count from the written footers — no second scan
+        n_dead = sum(
+            e["rows"]
+            for e in collect_file_stats([dv_dir], []).values()
+        )
+        if n_dead == 0:
+            import shutil
+
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            return snap.version
+        manifest = {
+            "version": snap.version + 1,
+            "dirs": snap.dirs,
+            "schema": snap.schema_json,
+            "committed_at": time.time(),
+            "dv_files": (snap.dv_files or []) + [dv_dir],
+        }
+        if snap.file_stats is not None:
+            manifest["file_stats"] = snap.file_stats
+            manifest["stats_cols"] = snap.stats_cols
+        if snap.file_blooms is not None:
+            manifest["file_blooms"] = snap.file_blooms
+            manifest["bloom_cols"] = snap.bloom_cols
+        os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
+        try:
+            fd = os.open(
+                _manifest_path(path, snap.version + 1),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            import shutil
+
+            # lost the race: drop the orphan tombstones and re-evaluate
+            # the predicate against the winning head
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            continue
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        return snap.version + 1
+    raise RuntimeError(
+        f"delete_where_dv contention at {path}: {max_retries} retries"
     )
 
 
@@ -1643,6 +1791,7 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     for v in keep_vs:
         snap = load_snapshot(path, v)
         live.update(snap.dirs)
+        live.update(snap.dv_files or [])
         # merge-committed manifests reference partition subdirs of older
         # commit dirs; a base with ANY surviving reference stays whole
         # (conservative — subdir-granular deletion is a later refinement)

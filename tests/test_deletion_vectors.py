@@ -1,0 +1,128 @@
+"""Deletion vectors: row-level DELETE with zero file rewrites — readers
+anti-join tombstones, time travel is unaffected, appends carry vectors
+forward, compaction materializes and clears them, and the metadata-only
+aggregate path fails open while vectors exist."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+    snapshots as S,
+)
+
+
+def _mk(spark, tmp_path, stats=False):
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("g")
+    )
+    S.commit(
+        spark, df, path,
+        stats_for=["k"] if stats else None,
+    )
+    return path
+
+
+def _data_dirs(path):
+    root = os.path.join(path, "data")
+    return {
+        d for d in os.listdir(root) if not d.startswith("dv-")
+    }
+
+
+def test_dv_delete_filters_reads_without_rewrites(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    before_dirs = _data_dirs(path)
+    v = S.delete_where_dv(spark, path, "k % 10 = 3")
+    assert v == 1
+    assert _data_dirs(path) == before_dirs  # no data rewrite
+    got = {r["k"] for r in S.read(spark, path).collect()}
+    assert got == {i for i in range(100) if i % 10 != 3}
+    # time travel: version 0 still has every row
+    assert S.read(spark, path, 0).count() == 100
+
+
+def test_dv_deletes_accumulate_and_no_match_is_noop(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    S.delete_where_dv(spark, path, "k < 10")
+    v = S.delete_where_dv(spark, path, "k >= 90")
+    assert v == 2
+    assert S.delete_where_dv(spark, path, "k > 1000") == 2  # no-op
+    got = {r["k"] for r in S.read(spark, path).collect()}
+    assert got == set(range(10, 90))
+    # already-deleted rows never re-tombstone: deleting the same range
+    # again is a no-op too
+    assert S.delete_where_dv(spark, path, "k < 10") == 2
+
+
+def test_dv_respected_by_read_where_and_stats_fail_open(spark, tmp_path):
+    path = _mk(spark, tmp_path, stats=True)
+    assert S.table_stats(path)["rows"] == 100
+    S.delete_where_dv(spark, path, "k = 5")
+    got = {
+        r["k"]
+        for r in S.read_where(spark, path, [("k", "<", 10)]).collect()
+    }
+    assert got == {0, 1, 2, 3, 4, 6, 7, 8, 9}
+    assert S.table_stats(path)["rows"] is None  # fail open → scan
+
+
+def test_append_carries_dv_and_compact_materializes(spark, tmp_path):
+    path = _mk(spark, tmp_path, stats=True)
+    S.delete_where_dv(spark, path, "k < 50")
+    extra = spark.range(100, 120).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("g")
+    )
+    S.commit(spark, extra, path, mode="append", stats_for=["k"])
+    got = {r["k"] for r in S.read(spark, path).collect()}
+    assert got == set(range(50, 120))
+
+    v = S.compact(spark, path)
+    snap = S.load_snapshot(path, v)
+    assert not snap.dv_files  # vectors materialized away
+    assert {r["k"] for r in S.read(spark, path).collect()} == set(
+        range(50, 120)
+    )
+    assert S.table_stats(path)["rows"] == 70  # metadata path restored
+
+    # vacuum to the head keeps exactly the live data (dv dirs of dropped
+    # versions are reclaimed with them)
+    S.vacuum(path, keep_last=1)
+    assert {r["k"] for r in S.read(spark, path).collect()} == set(
+        range(50, 120)
+    )
+
+
+def test_dv_rejected_on_partitioned_tables(spark, tmp_path):
+    import pytest
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        TableSpec,
+    )
+
+    spec = TableSpec(
+        name="pt",
+        schema=StructType(
+            [
+                StructField("k", LongType(), False),
+                StructField("p", LongType(), False),
+            ]
+        ),
+        primary_key="k",
+        partition_by=("p",),
+    )
+    path = str(tmp_path / "pt")
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    S.merge_commit(spark, df, path, spec)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        S.delete_where_dv(spark, path, "k = 1")
