@@ -6229,6 +6229,54 @@ FROM g LEFT JOIN urgent ON g.k IS NOT DISTINCT FROM urgent.uk
 """
 
 
+def q_dv_delete_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Deletion-vector DELETE end to end
+    (sources/snapshots.delete_where_dv): commit orders as a snapshot
+    table, tombstone two predicate slices WITHOUT rewriting any data
+    file, and read the survivors back through the DV-filtered scan.
+    The oracle applies the same deletes as plain SQL predicates — the
+    tombstone mechanism must be invisible in the result."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as SN,
+    )
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = _os.path.join(
+        _tf.gettempdir(),
+        f"sparkgraft_dvdelete_{_os.path.basename(sf.rstrip('/'))}",
+    )
+    _sh.rmtree(path, ignore_errors=True)  # deterministic per run
+    SN.commit(spark, o, path, n_files=8)
+    SN.delete_where_dv(spark, path, "o_orderkey % 10 = 3")
+    SN.delete_where_dv(
+        spark, path, "o_orderpriority = '1-URGENT' AND o_totalprice < 50000"
+    )
+    return (
+        SN.read(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            money_sum(F.col("o_totalprice")).alias("rev"),
+        )
+    )
+
+
+_DV_DELETE_SQL = f"""
+SELECT o_orderpriority, count(*) AS cnt,
+       {_money_sum_sql("o_totalprice")} AS rev
+FROM orders
+WHERE o_orderkey % 10 != 3
+  AND NOT (o_orderpriority = '1-URGENT' AND o_totalprice < 50000)
+GROUP BY o_orderpriority
+"""
+
+
 _CATALOG_DEFS: dict[str, QueryDef] = {
     # Definition order here is arbitrary; the driver-visible order is
     # rebuilt below from _WINDOW_FRONT. tools/verify_parity.py checks
@@ -6448,6 +6496,7 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
         q_join_view_maintenance, _JOIN_VIEW_SQL
     ),
     "null_semantics": QueryDef(q_null_semantics, _NULL_SEMANTICS_SQL),
+    "dv_delete_sim": QueryDef(q_dv_delete_sim, _DV_DELETE_SQL),
 }
 
 
