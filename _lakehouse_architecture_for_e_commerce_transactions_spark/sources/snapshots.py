@@ -41,10 +41,11 @@ Iceberg metadata layers, small enough to audit:
 * ``restore`` republishes an old version as the head (metadata-only);
   ``clone`` creates an independent table referencing the source's dirs
   zero-copy; ``snapshot_diff`` serves CDF; ``delete_where`` is
-  partition-scoped row DELETE; ``delete_where_dv`` is row-level DELETE
+  partition-scoped row DELETE; ``delete_where_dv`` / ``update_where_dv`` are row-level DELETE/UPDATE
   via deletion vectors (tombstone parquet readers anti-join at scan
-  time — zero file rewrites, cleared by ``compact``); CHECK constraints
-  fail violating commits inside their own write.
+  time — zero file rewrites, UPDATE appends only the rewritten rows,
+  both cleared by ``compact``); CHECK constraints fail violating
+  commits inside their own write.
 
 Scale notes: the manifest lists commit *directories*, not individual
 files, so manifest size grows with commit count, not data size; `vacuum`
@@ -1273,6 +1274,123 @@ def delete_where_dv(
         return snap.version + 1
     raise RuntimeError(
         f"delete_where_dv contention at {path}: {max_retries} retries"
+    )
+
+
+def update_where_dv(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    set_map: dict[str, str],
+    max_retries: int = 10,
+) -> int:
+    """``UPDATE <table> SET col = expr WHERE predicate`` via deletion
+    vectors: matching rows are tombstoned in place (no data file
+    rewritten) and their updated images are appended as a fresh commit
+    dir — BOTH referenced by one atomic manifest publish, so readers see
+    the update all-or-nothing. Returns the new version, or the unchanged
+    head when no row matches.
+
+    Cost = one scan + a write of UPDATE-sized data — independent of
+    table size, the same few-rows-in-a-huge-table shape as
+    ``delete_where_dv`` (which see, for the read-side trade and the
+    plain-tables-only scope). ``set_map`` maps column name → SQL
+    expression evaluated on the matching row (e.g. ``{"price":
+    "price * 1.1"}``).
+    """
+    unknown_cols = set(set_map)
+    cond = F.expr(predicate)
+    from pyspark.sql.types import StructType
+
+    for _ in range(max_retries):
+        snap = load_snapshot(path)
+        if snap.part_entries is not None:
+            raise ValueError(
+                "deletion vectors are for plain tables; partitioned "
+                "tables use merge_commit for partition-bounded updates"
+            )
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        bad = unknown_cols - {f.name for f in schema.fields}
+        if bad:
+            raise ValueError(f"SET on unknown columns: {sorted(bad)}")
+        raw = _apply_dv(
+            spark.read.option("mergeSchema", True).parquet(*snap.dirs),
+            _dv_tombstones(spark, snap),
+        )
+        have = set(raw.columns)
+        live = raw.select(
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ],
+        ).filter(cond)
+        # one pass computes both halves; cache so the tombstone write
+        # and the updated-image write agree even on a flaky predicate
+        live = live.cache()
+        try:
+            if not live.take(1):
+                return snap.version
+            dv_dir = os.path.join(
+                path, _DATA, f"dv-{uuid.uuid4().hex}"
+            )
+            live.select(
+                F.col("__fp").alias("file"),
+                F.col("__ri").alias("row_idx"),
+            ).coalesce(1).write.mode("errorifexists").parquet(dv_dir)
+            updated = live.select(
+                *[
+                    F.expr(set_map[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in set_map
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
+            commit_dir = os.path.join(
+                path, _DATA, f"commit-{uuid.uuid4().hex}"
+            )
+            updated.write.mode("errorifexists").parquet(commit_dir)
+        finally:
+            live.unpersist()
+        manifest = {
+            "version": snap.version + 1,
+            "dirs": snap.dirs + [commit_dir],
+            "schema": snap.schema_json,
+            "committed_at": time.time(),
+            "dv_files": (snap.dv_files or []) + [dv_dir],
+        }
+        if snap.file_stats is not None and snap.stats_cols:
+            manifest["file_stats"] = {
+                **snap.file_stats,
+                **collect_file_stats([commit_dir], snap.stats_cols),
+            }
+            manifest["stats_cols"] = snap.stats_cols
+        if snap.file_blooms is not None and snap.bloom_cols:
+            manifest["file_blooms"] = {
+                **snap.file_blooms,
+                **collect_file_blooms([commit_dir], snap.bloom_cols),
+            }
+            manifest["bloom_cols"] = snap.bloom_cols
+        os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
+        try:
+            fd = os.open(
+                _manifest_path(path, snap.version + 1),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            import shutil
+
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            continue  # lost the race: re-evaluate against the new head
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        return snap.version + 1
+    raise RuntimeError(
+        f"update_where_dv contention at {path}: {max_retries} retries"
     )
 
 

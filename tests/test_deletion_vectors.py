@@ -126,3 +126,40 @@ def test_dv_rejected_on_partitioned_tables(spark, tmp_path):
     S.merge_commit(spark, df, path, spec)
     with pytest.raises(ValueError, match="deletion vectors"):
         S.delete_where_dv(spark, path, "k = 1")
+
+
+def test_dv_update_rewrites_nothing_and_is_atomic_versioned(
+    spark, tmp_path
+):
+    path = _mk(spark, tmp_path)
+    before_dirs = _data_dirs(path)
+    v = S.update_where_dv(
+        spark, path, "k % 10 = 7", {"g": "g + 100"}
+    )
+    assert v == 1
+    # originals tombstoned, updated images appended in a NEW dir — the
+    # original data dirs are untouched
+    assert before_dirs < _data_dirs(path)
+    got = {(r["k"], r["g"]) for r in S.read(spark, path).collect()}
+    want = {
+        (i, (i % 10) + (100 if i % 10 == 7 else 0)) for i in range(100)
+    }
+    assert got == want
+    # time travel pre-update
+    assert {
+        (r["k"], r["g"]) for r in S.read(spark, path, 0).collect()
+    } == {(i, i % 10) for i in range(100)}
+    # updating already-updated rows touches the appended images
+    S.update_where_dv(spark, path, "g >= 100", {"g": "g + 1000"})
+    got = {r["g"] for r in S.read(spark, path).filter("k % 10 = 7").collect()}
+    assert got == {1107}
+    # no-match no-op
+    assert S.update_where_dv(spark, path, "k < 0", {"g": "0"}) == 2
+
+
+def test_dv_update_rejects_unknown_column(spark, tmp_path):
+    import pytest
+
+    path = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="unknown columns"):
+        S.update_where_dv(spark, path, "k = 1", {"nope": "1"})
