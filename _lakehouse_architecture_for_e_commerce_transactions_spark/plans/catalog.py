@@ -6252,7 +6252,9 @@ def q_dv_delete_sim(spark: SparkSession, sf: str) -> DataFrame:
         f"sparkgraft_dvdelete_{_os.path.basename(sf.rstrip('/'))}",
     )
     _sh.rmtree(path, ignore_errors=True)  # deterministic per run
-    SN.commit(spark, o, path, n_files=8)
+    # explicit multi-file layout so the tombstones span several files —
+    # commit()'s n_files knob only applies under cluster_by
+    SN.commit(spark, o.repartition(8), path)
     SN.delete_where_dv(spark, path, "o_orderkey % 10 = 3")
     SN.delete_where_dv(
         spark, path, "o_orderpriority = '1-URGENT' AND o_totalprice < 50000"

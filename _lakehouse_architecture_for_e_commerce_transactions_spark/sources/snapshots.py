@@ -1349,6 +1349,10 @@ def update_where_dv(
                     for f in schema.fields
                 ]
             )
+            # same CHECK-constraint enforcement as every other write
+            # path: a violating updated image fails inside this write,
+            # before publication
+            updated = _apply_constraint_guard(updated, path)
             commit_dir = os.path.join(
                 path, _DATA, f"commit-{uuid.uuid4().hex}"
             )
@@ -1826,6 +1830,10 @@ def restore(path: str, version: int, max_retries: int = 10) -> int:
         if snap.file_blooms is not None:
             manifest["file_blooms"] = snap.file_blooms
             manifest["bloom_cols"] = snap.bloom_cols
+        if snap.dv_files:
+            # "exact file references" includes the tombstones: dropping
+            # them would resurrect DV-deleted rows at the restored head
+            manifest["dv_files"] = snap.dv_files
         os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
         try:
             fd = os.open(
@@ -1865,6 +1873,10 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
     if snap.file_blooms is not None:
         manifest["file_blooms"] = snap.file_blooms
         manifest["bloom_cols"] = snap.bloom_cols
+    if snap.dv_files:
+        # the clone references the source's files AS FILTERED — without
+        # the tombstones it would contain the source's deleted rows
+        manifest["dv_files"] = snap.dv_files
     os.makedirs(os.path.join(dst, _MANIFESTS), exist_ok=True)
     fd = os.open(
         _manifest_path(dst, 0), os.O_CREAT | os.O_EXCL | os.O_WRONLY

@@ -1,31 +1,42 @@
-"""Streaming materialized-view maintenance: a grouped (cnt, sum)
-aggregate kept current from a CDC change stream, exactly-once.
+"""Streaming materialized-view maintenance: grouped aggregates and
+fact⋈dim enrichment views kept current from CDC change streams,
+exactly-once.
 
-Each micro-batch advances the stored aggregate with
-``operators/incremental.agg_deltas`` + ``apply_agg_deltas`` — O(batch)
-work plus an aggregate-key-space join, never a fact rescan — and
-publishes the new state atomically via ``sources/snapshots.commit``.
-State lives in the snapshot TABLE, not in Spark streaming state: the
-checkpoint stays tiny however large the key space grows, the view is
-queryable/time-travelable like any other table, and a restarted stream
-resumes from the table head.
+Each micro-batch advances the stored state with the batch operators from
+``operators/incremental`` — O(batch) work plus a state-key-space join,
+never a fact rescan — and publishes the new state atomically via
+``sources/snapshots.commit``. State lives in the snapshot TABLE, not in
+Spark streaming state: the checkpoint stays tiny however large the key
+space grows, the view is queryable/time-travelable like any other table,
+and a restarted stream resumes from the table head.
 
 Exactly-once across checkpoint replays: every committed state carries
-the producing ``batch_id`` in a ``_last_batch`` column (on data rows AND
-on one always-present marker row with a NULL key and cnt = 0, so the
-watermark survives even a state with zero live groups). Because the
-marker travels inside the same atomic snapshot commit as the data, a
-replayed batch sees ``batch_id <= _last_batch`` and skips — there is no
-window where state and watermark disagree, the failure mode of keeping
-the applied-batch marker in a side file.
+the producing ``batch_id`` AND a derivation id (``_app_id``, keyed to
+the checkpoint location — the Delta ``txnAppId``/``txnVersion``
+idempotent-sink pattern) in bookkeeping columns, on data rows and on one
+always-present marker row with a NULL key, so the watermark survives
+even a state with zero live rows. Because the marker travels inside the
+same atomic snapshot commit as the data, a replayed batch sees
+``batch_id <= _last_batch`` under the SAME app id and skips — no window
+where state and watermark disagree (the side-file failure mode).
 
-This is the streaming face of the same contract the batch operator
-proves by property test (tests/test_incremental.py): maintained state
-is bit-equal to a recompute of the post-change data.
+A DIFFERENT app id means a different delivery history (the checkpoint
+was lost or relocated, so batch ids restart from 0 and do not name the
+same inputs): the first batch under a new app id REBUILDS state from
+empty rather than skipping or double-applying — with an
+``availableNow`` file source re-reading the full input directory, the
+rebuilt state converges to the same answer. Skipping on bare batch ids
+across app ids would silently drop never-applied data.
+
+The batch twins prove the math by property test
+(tests/test_incremental.py): maintained state is bit-equal to a
+recompute of the post-change data.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,13 +72,59 @@ _STATE_SCHEMA = StructType(
         StructField("cnt", LongType(), True),
         StructField("sum_scaled", LongType(), True),
         StructField("_last_batch", LongType(), True),
+        StructField("_app_id", StringType(), True),
     ]
 )
 
 
+def _app_id(checkpoint_dir: str) -> str:
+    """Stable derivation id for a checkpoint location (Delta's txnAppId
+    role): same checkpoint → same id → batch ids are comparable; a new
+    checkpoint gets a new id and triggers a state rebuild."""
+    return hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+
+
+def _table_state(
+    spark: SparkSession, path: str, schema: StructType, cols: list[str]
+):
+    """(state rows without bookkeeping, last_batch | None, app | None)."""
+    try:
+        cur = S.read(spark, path)
+        head = cur.agg(
+            F.max("_last_batch").alias("b"), F.max("_app_id").alias("a")
+        ).first()
+        return (
+            cur.filter(F.col(cols[0]).isNotNull()).select(*cols),
+            head["b"],
+            head["a"],
+        )
+    except FileNotFoundError:
+        return spark.createDataFrame([], schema).select(*cols), None, None
+
+
+def _guard(batch_id: int, last, stored_app, app):
+    """(skip, rebuild): skip replayed batches of the same derivation;
+    rebuild from empty when the derivation changed."""
+    if last is not None and stored_app == app and batch_id <= last:
+        return True, False
+    return False, stored_app is not None and stored_app != app
+
+
+def _commit_with_marker(spark, df, path, batch_id, app, marker_row, schema):
+    marker = spark.createDataFrame([marker_row], schema)
+    out = (
+        df.withColumn("_last_batch", F.lit(batch_id).cast("long"))
+        .withColumn("_app_id", F.lit(app))
+        .unionByName(marker)
+    )
+    S.commit(spark, out, path, mode="overwrite")
+
+
 def read_maintained_agg(spark: SparkSession, table_path: str) -> DataFrame:
     """The queryable view of the maintained aggregate (marker row and
-    bookkeeping column stripped)."""
+    bookkeeping columns stripped)."""
     return (
         S.read(spark, table_path)
         .filter(F.col("cnt") > 0)
@@ -89,6 +146,7 @@ def stream_agg_maintenance(
     ``on_batch(batch_id, n_changes)`` is the observability hook (called
     only for applied, non-replayed batches).
     """
+    app = _app_id(checkpoint_dir)
     reader = (
         spark.readStream.schema(CHANGE_STREAM_SCHEMA)
         .option("header", True)
@@ -96,30 +154,22 @@ def stream_agg_maintenance(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            cur = S.read(spark, table_path)
-            last = cur.agg(F.max("_last_batch")).first()[0]
-            state = cur.filter(F.col("k").isNotNull()).select(
-                "k", "cnt", "sum_scaled"
-            )
-        except FileNotFoundError:
-            last = None
-            state = spark.createDataFrame([], _STATE_SCHEMA).select(
-                "k", "cnt", "sum_scaled"
-            )
-        if last is not None and batch_id <= last:
-            return  # checkpoint replay of an already-published batch
+        state, last, stored_app = _table_state(
+            spark, table_path, _STATE_SCHEMA, ["k", "cnt", "sum_scaled"]
+        )
+        skip, rebuild = _guard(batch_id, last, stored_app, app)
+        if skip:
+            return
+        if rebuild:
+            state = state.limit(0)
         n_changes = batch_df.count()
         if n_changes:
             deltas = INC.agg_deltas(batch_df, ["k"])
             state = INC.apply_agg_deltas(state, deltas, ["k"])
-        marker = spark.createDataFrame(
-            [(None, 0, 0, batch_id)], _STATE_SCHEMA
+        _commit_with_marker(
+            spark, state, table_path, batch_id, app,
+            (None, 0, 0, batch_id, app), _STATE_SCHEMA,
         )
-        out = state.withColumn(
-            "_last_batch", F.lit(batch_id).cast("long")
-        ).unionByName(marker)
-        S.commit(spark, out, table_path, mode="overwrite")
         if on_batch is not None:
             on_batch(batch_id, n_changes)
 
@@ -135,6 +185,7 @@ def stream_agg_maintenance(
 
 MIXED_CHANGE_SCHEMA = StructType(
     [
+        StructField("seq", LongType(), False),  # monotonic change order
         StructField("kind", StringType(), False),  # DU | FI | FD
         StructField("fact_key", LongType(), True),
         StructField("dim_key", LongType(), True),
@@ -148,6 +199,7 @@ _DIM_SCHEMA = StructType(
         StructField("dim_key", LongType(), True),
         StructField("attr", StringType(), True),
         StructField("_last_batch", LongType(), True),
+        StructField("_app_id", StringType(), True),
     ]
 )
 
@@ -158,28 +210,9 @@ _VIEW_SCHEMA = StructType(
         StructField("val", DoubleType(), True),
         StructField("attr", StringType(), True),
         StructField("_last_batch", LongType(), True),
+        StructField("_app_id", StringType(), True),
     ]
 )
-
-
-def _table_state(spark, path, schema, cols):
-    """(state_df_without_bookkeeping, last_applied_batch | None)."""
-    try:
-        cur = S.read(spark, path)
-        last = cur.agg(F.max("_last_batch")).first()[0]
-        return cur.filter(
-            F.col(cols[0]).isNotNull()
-        ).select(*cols), last
-    except FileNotFoundError:
-        return spark.createDataFrame([], schema).select(*cols), None
-
-
-def _commit_with_marker(spark, df, path, batch_id, marker_row, schema):
-    marker = spark.createDataFrame([marker_row], schema)
-    out = df.withColumn(
-        "_last_batch", F.lit(batch_id).cast("long")
-    ).unionByName(marker)
-    S.commit(spark, out, path, mode="overwrite")
 
 
 def read_maintained_view(spark, view_path: str) -> DataFrame:
@@ -207,20 +240,29 @@ def stream_join_view_maintenance(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Streaming IVM for a fact⋈dim enrichment view: one change feed
-    (``kind`` ∈ DU dim-upsert / FI fact-insert / FD fact-delete) keeps
-    BOTH the dimension table and the enriched view current, exactly-once.
+    (``seq`` monotonic change order; ``kind`` ∈ DU dim-upsert /
+    FI fact-upsert / FD fact-delete) keeps BOTH the dimension table and
+    the enriched view current, exactly-once. Within a micro-batch,
+    conflicting changes for a key collapse to the latest by ``seq``
+    (batch boundaries are delivery artifacts, so semantics cannot
+    depend on them).
 
     Per batch, dimension first: DU rows upsert the dim snapshot table.
-    Then the view: DU rows PATCH enriched rows key-wise (the view is the
-    materialized Δdim⋈fact — no fact table exists to rescan), FD rows
-    anti-join, FI rows join the just-updated dimension and append.
+    Then the view advances through the BATCH operator
+    (``operators/incremental.maintain_join_view`` — one implementation
+    of the IVM delta rules, shared with the oracle-checked catalog
+    query): DU rows patch enriched rows key-wise, FD rows anti-join,
+    FI rows join the just-updated dimension.
 
-    Each table carries its own ``_last_batch`` watermark inside its
+    Each table carries its own (app id, batch id) watermark inside its
     atomic commit, so a crash BETWEEN the two commits replays into
     "dim skips, view applies" — the pair reconverges with no
     double-application. Commit order (dim before view) guarantees the
-    view's new facts always see the batch's own dimension updates.
+    view's new facts always see the batch's own dimension updates; a
+    lost/relocated checkpoint (new app id) rebuilds both tables from
+    the re-delivered input instead of silently skipping it.
     """
+    app = _app_id(checkpoint_dir)
     reader = (
         spark.readStream.schema(MIXED_CHANGE_SCHEMA)
         .option("header", True)
@@ -228,62 +270,83 @@ def stream_join_view_maintenance(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
         batch_df = batch_df.cache()
-        du = batch_df.filter(F.col("kind") == "DU").select(
-            "dim_key", "attr"
+        # a micro-batch may hold SEVERAL changes for the same key (batch
+        # boundaries are delivery artifacts, not transaction boundaries)
+        # — collapse to the latest change per key by the feed's monotonic
+        # seq, the same last-writer-wins contract as merge.apply_changes
+        du = (
+            batch_df.filter(F.col("kind") == "DU")
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("dim_key").orderBy(
+                        F.col("seq").desc()
+                    )
+                ),
+            )
+            .filter(F.col("_rk") == 1)
+            .select("dim_key", "attr")
         )
-        fi = batch_df.filter(F.col("kind") == "FI").select(
+        fact_latest = (
+            batch_df.filter(F.col("kind").isin("FI", "FD"))
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("fact_key").orderBy(
+                        F.col("seq").desc()
+                    )
+                ),
+            )
+            .filter(F.col("_rk") == 1)
+        )
+        fi = fact_latest.filter(F.col("kind") == "FI").select(
             "fact_key", "dim_key", "val"
         )
-        fd = batch_df.filter(F.col("kind") == "FD").select("fact_key")
+        # FI on an existing fact key is an UPSERT: retire the old image
+        # alongside genuine deletes, then append the latest image
+        fd = fact_latest.select("fact_key")
 
-        dim, dim_last = _table_state(
+        dim, dim_last, dim_app = _table_state(
             spark, dim_path, _DIM_SCHEMA, ["dim_key", "attr"]
         )
-        if dim_last is None or batch_id > dim_last:
+        skip, rebuild = _guard(batch_id, dim_last, dim_app, app)
+        if not skip:
+            if rebuild:
+                dim = dim.limit(0)
             upd = du.withColumnRenamed("attr", "_new")
-            dim_next = (
-                dim.join(upd, "dim_key", "full_outer")
-                .select(
-                    "dim_key",
-                    F.coalesce(F.col("_new"), F.col("attr")).alias(
-                        "attr"
-                    ),
-                )
+            dim_next = dim.join(upd, "dim_key", "full_outer").select(
+                "dim_key",
+                F.coalesce(F.col("_new"), F.col("attr")).alias("attr"),
             )
             _commit_with_marker(
-                spark, dim_next, dim_path, batch_id,
-                (None, None, batch_id), _DIM_SCHEMA,
+                spark, dim_next, dim_path, batch_id, app,
+                (None, None, batch_id, app), _DIM_SCHEMA,
             )
 
-        view, view_last = _table_state(
+        view, view_last, view_app = _table_state(
             spark, view_path, _VIEW_SCHEMA,
             ["fact_key", "dim_key", "val", "attr"],
         )
-        if view_last is None or batch_id > view_last:
-            dim_now = read_maintained_dim(spark, dim_path)
-            patched = (
-                view.join(
-                    du.withColumnRenamed("attr", "_new"),
-                    "dim_key",
-                    "left",
-                )
-                .select(
-                    "fact_key",
-                    "dim_key",
-                    "val",
-                    F.coalesce(F.col("_new"), F.col("attr")).alias(
-                        "attr"
-                    ),
-                )
-                .join(fd, "fact_key", "left_anti")
-            )
-            fresh = fi.join(dim_now, "dim_key").select(
-                "fact_key", "dim_key", "val", "attr"
-            )
+        skip, rebuild = _guard(batch_id, view_last, view_app, app)
+        if not skip:
+            if rebuild:
+                view = view.limit(0)
+            out = INC.maintain_join_view(
+                view,
+                fact_key="fact_key",
+                dim_key="dim_key",
+                dim_cols=["attr"],
+                dim_updates=du,
+                fact_inserts=fi,
+                fact_delete_keys=fd,
+                dim_current=read_maintained_dim(spark, dim_path),
+            ).select("fact_key", "dim_key", "val", "attr")
             _commit_with_marker(
-                spark, patched.unionByName(fresh), view_path, batch_id,
-                (None, None, None, None, batch_id), _VIEW_SCHEMA,
+                spark, out, view_path, batch_id, app,
+                (None, None, None, None, batch_id, app), _VIEW_SCHEMA,
             )
         batch_df.unpersist()
 

@@ -84,10 +84,10 @@ def test_stream_agg_maintenance_exactly_once(spark, tmp_path):
     }
 
 
-def test_replayed_batch_id_is_skipped(spark, tmp_path):
-    """Simulate the crash-after-commit-before-checkpoint window: calling
-    the already-applied batch again (same batch_id, same rows) must be a
-    no-op because the published state carries the batch watermark."""
+def test_replayed_batch_id_is_skipped_same_checkpoint(spark, tmp_path):
+    """Crash-after-commit-before-checkpoint: re-running the SAME
+    checkpoint re-delivers already-applied batch ids, which must skip
+    (the published state carries the (app, batch) watermark)."""
     raw = str(tmp_path / "raw")
     table = str(tmp_path / "agg_table")
     ckpt = str(tmp_path / "ckpt")
@@ -95,27 +95,50 @@ def test_replayed_batch_id_is_skipped(spark, tmp_path):
     q = stream_agg_maintenance(spark, raw, table, ckpt)
     q.awaitTermination(120)
     before = _state(spark, table)
-
-    # replay batch 0 by streaming the same file into a FRESH checkpoint
-    # against the same table: foreachBatch re-delivers batch_id 0
-    ckpt2 = str(tmp_path / "ckpt2")
-    q = stream_agg_maintenance(spark, raw, table, ckpt2)
+    q = stream_agg_maintenance(spark, raw, table, ckpt)
     q.awaitTermination(120)
     assert _state(spark, table) == before
 
 
-MIX_HEADER = "kind,fact_key,dim_key,val,attr"
+def test_lost_checkpoint_rebuilds_and_applies_new_data(spark, tmp_path):
+    """A NEW checkpoint restarts batch ids from 0 — those ids do not
+    name the same inputs, so the table's old watermark must NOT suppress
+    them (that would silently drop never-applied data). A new app id
+    rebuilds state from the re-delivered full input instead: same final
+    answer for old data, and data arriving after the checkpoint loss is
+    applied."""
+    raw = str(tmp_path / "raw")
+    table = str(tmp_path / "agg_table")
+    _write(os.path.join(raw, "b1.csv"), _BATCH1)
+    q = stream_agg_maintenance(spark, raw, table, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    before = _state(spark, table)
+
+    # checkpoint lost; new data arrives; stream restarts on a fresh
+    # checkpoint reading the whole directory as batch 0
+    _write(os.path.join(raw, "b2.csv"), _BATCH2)
+    q = stream_agg_maintenance(spark, raw, table, str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+    after = _state(spark, table)
+    assert after != before  # the new file was NOT silently dropped
+    assert after == {
+        "a": (2, _fx(12.0) + _fx(20.5)),
+        "c": (1, _fx(7.25)),
+    }
+
+
+MIX_HEADER = "seq,kind,fact_key,dim_key,val,attr"
 
 _MB1 = [
-    "DU,,1,,red",
-    "DU,,2,,blue",
-    "FI,100,1,5.0,",
-    "FI,101,2,6.0,",
+    "1,DU,,1,,red",
+    "2,DU,,2,,blue",
+    "3,FI,100,1,5.0,",
+    "4,FI,101,2,6.0,",
 ]
 _MB2 = [
-    "DU,,1,,green",   # repaint dim 1 → view row 100 must follow
-    "FI,102,1,7.0,",  # joins the UPDATED dim (green)
-    "FD,101,,,",      # fact delete
+    "5,DU,,1,,green",   # repaint dim 1 → view row 100 must follow
+    "6,FI,102,1,7.0,",  # joins the UPDATED dim (green)
+    "7,FD,101,,,",      # fact delete
 ]
 
 
@@ -159,8 +182,16 @@ def test_stream_join_view_maintenance(spark, tmp_path):
         for r in read_maintained_dim(spark, dimp).collect()
     } == {(1, "green"), (2, "blue")}
 
-    # replay both batches through a fresh checkpoint: watermarks inside
-    # the tables make every re-delivered batch a no-op
+    # same-checkpoint rerun: watermarks make re-delivered batches no-ops
+    q = stream_join_view_maintenance(spark, raw, dimp, viewp, ckpt)
+    q.awaitTermination(120)
+    assert {
+        (r["fact_key"], r["attr"])
+        for r in read_maintained_view(spark, viewp).collect()
+    } == view
+
+    # lost checkpoint: a fresh one re-reads the full feed under a new
+    # app id and REBUILDS both tables to the same converged state
     ckpt2 = str(tmp_path / "ckpt2")
     q = stream_join_view_maintenance(spark, raw, dimp, viewp, ckpt2)
     q.awaitTermination(120)
