@@ -163,3 +163,34 @@ def test_dv_update_rejects_unknown_column(spark, tmp_path):
     path = _mk(spark, tmp_path)
     with pytest.raises(ValueError, match="unknown columns"):
         S.update_where_dv(spark, path, "k = 1", {"nope": "1"})
+
+
+def test_restore_and_clone_preserve_deletion_vectors(spark, tmp_path):
+    """RESTORE to a DV-bearing version and CLONE of a DV-bearing head
+    must keep the tombstones — dropping them would resurrect deleted
+    rows (the erasure-undo failure mode)."""
+    path = _mk(spark, tmp_path)
+    S.delete_where_dv(spark, path, "k < 10")           # v1 (90 rows)
+    extra = spark.range(200, 205).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("g")
+    )
+    S.commit(spark, extra, path, mode="overwrite")     # v2 (5 rows)
+
+    v = S.restore(path, 1)
+    assert S.read(spark, path, v).count() == 90        # not 100
+
+    dst = str(tmp_path / "cl")
+    S.clone(path, dst, version=1)
+    assert S.read(spark, dst).count() == 90
+
+
+def test_dv_update_enforces_check_constraint(spark, tmp_path):
+    import pytest
+
+    path = _mk(spark, tmp_path)
+    S.set_check_constraint(path, "nonneg", "g >= 0")
+    with pytest.raises(Exception, match="nonneg|CHECK|constraint"):
+        S.update_where_dv(spark, path, "k = 1", {"g": "-5"})
+    # the failed write never published: table unchanged
+    assert S.load_snapshot(path).version == 0
+    assert S.read(spark, path).count() == 100
