@@ -194,3 +194,16 @@ def test_dv_update_enforces_check_constraint(spark, tmp_path):
     # the failed write never published: table unchanged
     assert S.load_snapshot(path).version == 0
     assert S.read(spark, path).count() == 100
+
+
+def test_snapshot_diff_classifies_dv_deletes(spark, tmp_path):
+    """The CDF between a pre- and post-DV-delete version must report the
+    tombstoned rows as deletes — the change feed reads through the same
+    DV-filtered scan as any other reader."""
+    path = _mk(spark, tmp_path)
+    S.delete_where_dv(spark, path, "k IN (3, 7)")
+    d = S.snapshot_diff(spark, path, "k", 0, 1)
+    got = {
+        (r["k"], r["_change_type"]) for r in d.collect()
+    }
+    assert got == {(3, "delete"), (7, "delete")}
