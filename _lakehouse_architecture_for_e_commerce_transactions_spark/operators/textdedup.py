@@ -383,16 +383,16 @@ def jaccard_prefix_pairs(
     Returns (doc1, doc2, inter, union_size, jaccard) with doc1 < doc2,
     the ``ngram_jaccard_pairs`` contract.
     """
-    # materialize the tokenize+shingle pass once: base feeds SIX plan
-    # branches below (freq, ranked, both sides of the candidate
-    # self-join, both verification set joins) and un-materialized each
-    # would re-run the regex tokenization — the dominant per-doc cost.
-    # One array row per doc, so the checkpoint is corpus-row-scale, far
-    # smaller than the exploded index.
+    # share the tokenize+shingle pass: base feeds SIX plan branches
+    # below (freq, ranked, both sides of the candidate self-join, both
+    # verification set joins) and unshared each would re-run the regex
+    # tokenization — the dominant per-doc cost. A lazy persist (not an
+    # eager checkpoint) keeps plan-only callers free, keeps lineage for
+    # executor-loss recovery, and is LRU-evictable rather than pinned.
     base = spread(df).select(
         F.col(id_col).alias("doc"),
         T.shingles(F.col(text_col), n).alias("sh"),
-    ).withColumn("n_sh", F.size("sh")).localCheckpoint(eager=True)
+    ).withColumn("n_sh", F.size("sh")).persist()
     idx = base.select("doc", "n_sh", F.explode("sh").alias("shingle"))
     freq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("gf"))
     ranked = idx.join(freq, "shingle").withColumn(

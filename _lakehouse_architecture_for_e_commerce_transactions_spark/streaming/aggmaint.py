@@ -89,16 +89,21 @@ def _app_id(checkpoint_dir: str) -> str:
 def _table_state(
     spark: SparkSession, path: str, schema: StructType, cols: list[str]
 ):
-    """(state rows without bookkeeping, last_batch | None, app | None)."""
+    """(state rows without bookkeeping, last_batch | None, app | None).
+
+    Tables written before the app-id column existed read as
+    ``app = None`` (→ the new-derivation rebuild path) instead of
+    crashing the stream on an unresolved column."""
     try:
         cur = S.read(spark, path)
-        head = cur.agg(
-            F.max("_last_batch").alias("b"), F.max("_app_id").alias("a")
-        ).first()
+        aggs = [F.max("_last_batch").alias("b")]
+        if "_app_id" in cur.columns:
+            aggs.append(F.max("_app_id").alias("a"))
+        head = cur.agg(*aggs).first()
         return (
             cur.filter(F.col(cols[0]).isNotNull()).select(*cols),
             head["b"],
-            head["a"],
+            head["a"] if "_app_id" in cur.columns else None,
         )
     except FileNotFoundError:
         return spark.createDataFrame([], schema).select(*cols), None, None
@@ -106,10 +111,27 @@ def _table_state(
 
 def _guard(batch_id: int, last, stored_app, app):
     """(skip, rebuild): skip replayed batches of the same derivation;
-    rebuild from empty when the derivation changed."""
+    rebuild from empty when the derivation changed — but ONLY at the new
+    derivation's batch 0, the one batch guaranteed to contain the full
+    re-read input. A mismatched app id at a later batch means a stale
+    checkpoint was reattached to a table another derivation owns;
+    rebuilding from that batch's partial slice would silently destroy
+    state, so fail loudly instead."""
     if last is not None and stored_app == app and batch_id <= last:
         return True, False
-    return False, stored_app is not None and stored_app != app
+    if last is not None and stored_app != app:
+        # a different (or pre-app-id legacy, stored_app None) derivation
+        # owns this table
+        if batch_id > 0:
+            raise RuntimeError(
+                f"state table was produced by derivation {stored_app!r} "
+                f"but this stream (derivation {app!r}) is already at "
+                f"batch {batch_id} — a stale checkpoint is pointed at a "
+                "migrated table; start from a fresh checkpoint (rebuild) "
+                "or restore the original one"
+            )
+        return False, True
+    return False, False
 
 
 def _commit_with_marker(spark, df, path, batch_id, app, marker_row, schema):
@@ -273,6 +295,12 @@ def stream_join_view_maintenance(
         from pyspark.sql import Window
 
         batch_df = batch_df.cache()
+        try:
+            _process(batch_df, batch_id, Window)
+        finally:
+            batch_df.unpersist()
+
+    def _process(batch_df: DataFrame, batch_id: int, Window) -> None:
         # a micro-batch may hold SEVERAL changes for the same key (batch
         # boundaries are delivery artifacts, not transaction boundaries)
         # — collapse to the latest change per key by the feed's monotonic
@@ -348,7 +376,6 @@ def stream_join_view_maintenance(
                 spark, out, view_path, batch_id, app,
                 (None, None, None, None, batch_id, app), _VIEW_SCHEMA,
             )
-        batch_df.unpersist()
 
     writer = (
         reader.writeStream.foreachBatch(process_batch)

@@ -199,3 +199,76 @@ def test_stream_join_view_maintenance(spark, tmp_path):
         (r["fact_key"], r["attr"])
         for r in read_maintained_view(spark, viewp).collect()
     } == view
+
+
+def test_guard_skip_branch_via_prestamped_table(spark, tmp_path):
+    """Genuinely exercise the replay-skip path: pre-stamp the state
+    table with this checkpoint's OWN app id and a high batch watermark,
+    then run the stream on a fresh checkpoint dir. Batch 0 is delivered,
+    _guard sees (same app, 0 <= 5), and must skip — state untouched."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (
+        _STATE_SCHEMA,
+        _app_id,
+        _commit_with_marker,
+    )
+    from pyspark.sql import functions as F
+
+    raw = str(tmp_path / "raw")
+    table = str(tmp_path / "agg_table")
+    ckpt = str(tmp_path / "ckpt")
+    _write(os.path.join(raw, "b1.csv"), _BATCH1)
+
+    app = _app_id(ckpt)
+    state = spark.createDataFrame(
+        [("z", 9, 900)], "k string, cnt long, sum_scaled long"
+    )
+    _commit_with_marker(
+        spark, state, table, 5, app, (None, 0, 0, 5, app), _STATE_SCHEMA
+    )
+    applied = []
+    q = stream_agg_maintenance(
+        spark, raw, table, ckpt,
+        on_batch=lambda bid, n: applied.append(bid),
+    )
+    q.awaitTermination(120)
+    assert applied == []  # skipped, not re-applied
+    assert _state(spark, table) == {"z": (9, 900)}
+
+
+def test_guard_truth_table():
+    import pytest
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (
+        _guard,
+    )
+
+    assert _guard(0, None, None, "a") == (False, False)  # first ever
+    assert _guard(3, 5, "a", "a") == (True, False)       # replay: skip
+    assert _guard(6, 5, "a", "a") == (False, False)      # next batch
+    assert _guard(0, 5, "a", "b") == (False, True)       # new app: rebuild
+    with pytest.raises(RuntimeError, match="stale checkpoint"):
+        _guard(6, 5, "a", "b")  # stale ckpt on migrated table: loud
+
+
+def test_pre_appid_table_reads_as_new_derivation(spark, tmp_path):
+    """State tables written before the _app_id column existed must not
+    crash the stream — they read as app=None and rebuild cleanly."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as S,
+    )
+
+    raw = str(tmp_path / "raw")
+    table = str(tmp_path / "agg_table")
+    _write(os.path.join(raw, "b1.csv"), _BATCH1)
+    legacy = spark.createDataFrame(
+        [("z", 9, 900, 5), (None, 0, 0, 5)],
+        "k string, cnt long, sum_scaled long, _last_batch long",
+    )
+    S.commit(spark, legacy, table)
+    q = stream_agg_maintenance(spark, raw, table, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    # rebuilt from the full feed; legacy state replaced, no crash
+    assert _state(spark, table) == {
+        "a": (2, _fx(10.0) + _fx(20.5)),
+        "b": (1, _fx(5.0)),
+    }
