@@ -6518,10 +6518,11 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
 #
 # ROUND-4 ROTATION TODO: front the queries ADDED after this window was
 # frozen — jaccard_prefix_pairs, triangle_counts, ann_recall_eval,
-# incremental_agg, phrase_search, join_view_maintenance (+ anything
-# newer) — so they earn their driver CORRECTNESS rows; backfill the rest
-# of the 50 with already-green anchors. Every other registry entry will
-# then have a green driver round on record.
+# incremental_agg, phrase_search, join_view_maintenance, null_semantics,
+# dv_delete_sim (+ anything newer) — so they earn their driver
+# CORRECTNESS rows; backfill the rest of the 50 with already-green
+# anchors. Every other registry entry will then have a green driver
+# round on record.
 _WINDOW_FRONT: list[str] = [
     # 41 never-driver-verified (registry order)
     "contamination_ngram_overlap",
