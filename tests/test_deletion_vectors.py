@@ -207,3 +207,29 @@ def test_snapshot_diff_classifies_dv_deletes(spark, tmp_path):
         (r["k"], r["_change_type"]) for r in d.collect()
     }
     assert got == {(3, "delete"), (7, "delete")}
+
+
+def test_concurrent_dv_deletes_both_land(spark, tmp_path):
+    """Two real threads issue DV deletes concurrently: the optimistic
+    manifest race makes one retry (re-evaluating its predicate against
+    the winner's head), and the final state reflects BOTH deletes with a
+    linear two-version history on top of the base."""
+    import threading
+
+    path = _mk(spark, tmp_path)
+    errs = []
+
+    def dv(pred):
+        try:
+            S.delete_where_dv(spark, path, pred)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=dv, args=("k < 10",))
+    t2 = threading.Thread(target=dv, args=("k >= 90",))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    assert {r["k"] for r in S.read(spark, path).collect()} == set(
+        range(10, 90)
+    )
+    assert S.load_snapshot(path).version == 2
