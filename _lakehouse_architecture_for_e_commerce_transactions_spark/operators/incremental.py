@@ -145,3 +145,78 @@ def maintain_join_view(
         ).select(*out.columns)
         out = out.unionByName(fresh)
     return out
+
+
+def maintain_min_max(
+    base_agg: DataFrame,
+    changes: DataFrame,
+    fact_final: DataFrame,
+    keys: list[str],
+    val: str,
+    op_col: str = "op",
+    old_val: str = "old_val",
+    new_val: str = "new_val",
+    scale: int = 100,
+) -> DataFrame:
+    """Incrementally maintain per-key MIN/MAX — the textbook
+    NON-self-maintainable aggregate: inserts only ever tighten the
+    envelope (new_min = min(old_min, batch_min) — O(batch)), but a
+    delete that removes the CURRENT extremum needs the second-best
+    value, which the aggregate doesn't hold. This operator takes the
+    standard hybrid: groups whose removed values stay strictly INSIDE
+    the stored envelope merge deltas like SUM/COUNT; groups whose
+    delete/update-old touches an endpoint are recomputed from
+    ``fact_final`` — but only those groups' rows, via a key semi-join
+    (AQE broadcasts the unsafe-key set), so rescan cost follows the
+    affected groups, not the table.
+
+    ``base_agg``: keys + ``min_scaled``/``max_scaled`` (fixed-point
+    longs, same quantization as ``agg_deltas``). ``fact_final``: the
+    post-change fact rows (keys + ``val`` double). Returns the new
+    keys + min_scaled/max_scaled; keys with no surviving rows drop out.
+    """
+    fx_new = F.floor(F.col(new_val) * scale + F.lit(0.5)).cast("long")
+    fx_old = F.floor(F.col(old_val) * scale + F.lit(0.5)).cast("long")
+    fx_val = F.floor(F.col(val) * scale + F.lit(0.5)).cast("long")
+    added = F.when(F.col(op_col).isin("I", "U"), fx_new)
+    removed = F.when(F.col(op_col).isin("D", "U"), fx_old)
+    batch = changes.groupBy(*keys).agg(
+        F.min(added).alias("i_min"),
+        F.max(added).alias("i_max"),
+        F.min(removed).alias("r_min"),
+        F.max(removed).alias("r_max"),
+    )
+    j = base_agg.join(batch, keys, "full_outer")
+    # safe ⇔ every removed value sits strictly inside the stored
+    # envelope (endpoints untouched, second-best irrelevant); a key
+    # absent from base (insert-only new group) is trivially safe
+    safe = (
+        F.col("r_min").isNull()
+        | (
+            F.col("min_scaled").isNotNull()
+            & (F.col("r_min") > F.col("min_scaled"))
+            & (F.col("r_max") < F.col("max_scaled"))
+        )
+    )
+    merged = j.withColumn("_safe", safe)
+    fast = merged.filter(F.col("_safe")).select(
+        *keys,
+        F.least(
+            F.coalesce(F.col("min_scaled"), F.col("i_min")),
+            F.coalesce(F.col("i_min"), F.col("min_scaled")),
+        ).alias("min_scaled"),
+        F.greatest(
+            F.coalesce(F.col("max_scaled"), F.col("i_max")),
+            F.coalesce(F.col("i_max"), F.col("max_scaled")),
+        ).alias("max_scaled"),
+    ).filter(F.col("min_scaled").isNotNull())
+    unsafe_keys = merged.filter(~F.col("_safe")).select(*keys)
+    rescan = (
+        fact_final.join(unsafe_keys, keys, "left_semi")
+        .groupBy(*keys)
+        .agg(
+            F.min(fx_val).alias("min_scaled"),
+            F.max(fx_val).alias("max_scaled"),
+        )
+    )
+    return fast.unionByName(rescan)

@@ -6279,6 +6279,69 @@ GROUP BY o_orderpriority
 """
 
 
+def q_incremental_minmax(spark: SparkSession, sf: str) -> DataFrame:
+    """MIN/MAX maintenance under the same CDC batch as
+    `incremental_agg` — the textbook NON-self-maintainable aggregate
+    (operators/incremental.py:maintain_min_max): groups whose removed
+    values stay inside the stored envelope merge deltas in O(batch);
+    groups whose delete/update touches an endpoint rescan ONLY their own
+    rows via a key semi-join. The oracle recomputes from the post-change
+    state, which the hybrid must equal exactly."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        incremental as INC,
+    )
+
+    o = load_table(spark, sf, "orders")
+    mod = F.col("o_orderkey") % 10
+    fx = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base_agg = (
+        o.filter(mod != 7)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min(fx).alias("min_scaled"),
+            F.max(fx).alias("max_scaled"),
+        )
+    )
+    changes = o.filter(mod.isin(7, 3, 5)).select(
+        "o_orderpriority",
+        F.when(mod == 7, F.lit("I"))
+        .when(mod == 3, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice").alias("old_val"),
+        F.when(mod == 5, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_val"),
+    )
+    fact_final = o.filter(mod != 3).select(
+        "o_orderpriority",
+        F.when(mod == 5, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("val"),
+    )
+    out = INC.maintain_min_max(
+        base_agg, changes, fact_final, ["o_orderpriority"], "val"
+    )
+    return out.select(
+        "o_orderpriority",
+        (F.col("min_scaled") / 100.0).alias("min_price"),
+        (F.col("max_scaled") / 100.0).alias("max_price"),
+    )
+
+
+_INCREMENTAL_MINMAX_SQL = """
+WITH final AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS val
+  FROM orders WHERE o_orderkey % 10 != 3)
+SELECT o_orderpriority,
+       min(CAST(floor(val * 100 + 0.5) AS BIGINT)) / 100.0 AS min_price,
+       max(CAST(floor(val * 100 + 0.5) AS BIGINT)) / 100.0 AS max_price
+FROM final GROUP BY o_orderpriority
+"""
+
+
 _CATALOG_DEFS: dict[str, QueryDef] = {
     # Definition order here is arbitrary; the driver-visible order is
     # rebuilt below from _WINDOW_FRONT. tools/verify_parity.py checks
@@ -6499,6 +6562,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     ),
     "null_semantics": QueryDef(q_null_semantics, _NULL_SEMANTICS_SQL),
     "dv_delete_sim": QueryDef(q_dv_delete_sim, _DV_DELETE_SQL),
+    "incremental_minmax": QueryDef(
+        q_incremental_minmax, _INCREMENTAL_MINMAX_SQL
+    ),
 }
 
 

@@ -95,3 +95,69 @@ def test_maintained_agg_equals_recompute(spark, base_rows, raw_changes):
         r["k"]: (r["cnt"], r["sum_scaled"]) for r in out.collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(base_row, min_size=0, max_size=12),
+    st.lists(change_row, min_size=0, max_size=12),
+)
+def test_maintained_minmax_equals_recompute(spark, base_rows, raw_changes):
+    """The hybrid fast-path/rescan MIN/MAX maintenance must equal a
+    recompute for ANY change interleaving — including deletes that hit
+    the stored envelope's endpoints (the non-self-maintainable case)."""
+    from pyspark.sql import functions as F
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        incremental as INC,
+    )
+
+    pool = defaultdict(list)
+    for k, v in base_rows:
+        pool[k].append(v)
+    changes = []
+    for op, k, v in raw_changes:
+        if op in ("U", "D") and pool[k]:
+            changes.append((k, op, pool[k].pop(), v))
+        else:
+            changes.append((k, "I", 0.0, v))
+
+    state = defaultdict(list)
+    for k, v in base_rows:
+        state[k].append(_fx(v))
+    for k, op, old, new in changes:
+        if op == "I":
+            state[k].append(_fx(new))
+        elif op == "D":
+            state[k].remove(_fx(old))
+        else:
+            state[k].remove(_fx(old))
+            state[k].append(_fx(new))
+    want = {
+        k: (min(v), max(v)) for k, v in state.items() if v
+    }
+
+    def df_of(rows, schema):
+        return spark.createDataFrame(rows if rows else [], schema)
+
+    b = df_of(base_rows, "k string, val double")
+    base_agg = b.groupBy("k").agg(
+        F.min(F.floor(F.col("val") * 100 + F.lit(0.5)).cast("long")).alias(
+            "min_scaled"
+        ),
+        F.max(F.floor(F.col("val") * 100 + F.lit(0.5)).cast("long")).alias(
+            "max_scaled"
+        ),
+    )
+    ch = df_of(
+        changes, "k string, op string, old_val double, new_val double"
+    )
+    final_rows = [
+        (k, v / 100.0) for k, vals in state.items() for v in vals
+    ]
+    fact_final = df_of(final_rows, "k string, val double")
+    out = INC.maintain_min_max(base_agg, ch, fact_final, ["k"], "val")
+    got = {
+        r["k"]: (r["min_scaled"], r["max_scaled"]) for r in out.collect()
+    }
+    assert got == want
