@@ -6342,6 +6342,58 @@ FROM final GROUP BY o_orderpriority
 """
 
 
+def q_dv_update_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Deletion-vector UPDATE end to end
+    (sources/snapshots.update_where_dv): tombstone the matching rows and
+    append only their updated images — no data file rewritten — then
+    read the table back through the DV-filtered scan. The oracle applies
+    the same UPDATE as a CASE expression; the tombstone+append mechanism
+    must be invisible in the result."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as SN,
+    )
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = _os.path.join(
+        _tf.gettempdir(),
+        f"sparkgraft_dvupdate_{_os.path.basename(sf.rstrip('/'))}",
+    )
+    _sh.rmtree(path, ignore_errors=True)
+    SN.commit(spark, o.repartition(8), path)
+    SN.update_where_dv(
+        spark,
+        path,
+        "o_orderpriority = '5-LOW' AND o_orderkey % 4 = 1",
+        {"o_totalprice": "o_totalprice * 1.25"},
+    )
+    return (
+        SN.read(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            money_sum(F.col("o_totalprice")).alias("rev"),
+        )
+    )
+
+
+_DV_UPDATE_SQL = f"""
+WITH final AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderpriority = '5-LOW' AND o_orderkey % 4 = 1
+              THEN o_totalprice * 1.25 ELSE o_totalprice END AS val
+  FROM orders)
+SELECT o_orderpriority, count(*) AS cnt,
+       {_money_sum_sql("val")} AS rev
+FROM final GROUP BY o_orderpriority
+"""
+
+
 _CATALOG_DEFS: dict[str, QueryDef] = {
     # Definition order here is arbitrary; the driver-visible order is
     # rebuilt below from _WINDOW_FRONT. tools/verify_parity.py checks
@@ -6565,6 +6617,7 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "incremental_minmax": QueryDef(
         q_incremental_minmax, _INCREMENTAL_MINMAX_SQL
     ),
+    "dv_update_sim": QueryDef(q_dv_update_sim, _DV_UPDATE_SQL),
 }
 
 
