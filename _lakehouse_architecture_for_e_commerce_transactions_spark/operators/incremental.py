@@ -25,6 +25,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _fx(col: str, scale: int):
+    """The module's single fixed-point quantization: floor(x·scale+0.5)
+    as int64 — shared by every maintained aggregate so SUM and MIN/MAX
+    can never quantize the same CDC feed differently."""
+    return F.floor(F.col(col) * scale + F.lit(0.5)).cast("long")
+
+
 def agg_deltas(
     changes: DataFrame,
     keys: list[str],
@@ -41,8 +48,8 @@ def agg_deltas(
     the delta is the exact integer the recomputed aggregate would move
     by. One shuffle, on the batch only.
     """
-    fx_new = F.floor(F.col(new_val) * scale + F.lit(0.5)).cast("long")
-    fx_old = F.floor(F.col(old_val) * scale + F.lit(0.5)).cast("long")
+    fx_new = _fx(new_val, scale)
+    fx_old = _fx(old_val, scale)
     d_cnt = (
         F.when(F.col(op_col) == "I", F.lit(1))
         .when(F.col(op_col) == "D", F.lit(-1))
@@ -175,9 +182,9 @@ def maintain_min_max(
     post-change fact rows (keys + ``val`` double). Returns the new
     keys + min_scaled/max_scaled; keys with no surviving rows drop out.
     """
-    fx_new = F.floor(F.col(new_val) * scale + F.lit(0.5)).cast("long")
-    fx_old = F.floor(F.col(old_val) * scale + F.lit(0.5)).cast("long")
-    fx_val = F.floor(F.col(val) * scale + F.lit(0.5)).cast("long")
+    fx_new = _fx(new_val, scale)
+    fx_old = _fx(old_val, scale)
+    fx_val = _fx(val, scale)
     added = F.when(F.col(op_col).isin("I", "U"), fx_new)
     removed = F.when(F.col(op_col).isin("D", "U"), fx_old)
     batch = changes.groupBy(*keys).agg(
@@ -198,7 +205,11 @@ def maintain_min_max(
             & (F.col("r_max") < F.col("max_scaled"))
         )
     )
-    merged = j.withColumn("_safe", safe)
+    # merged feeds three branches (fast filter, unsafe keys, rescan
+    # semi-join); it is aggregate+batch-scale, so a lazy checkpoint
+    # shares the changes aggregation and the full-outer join instead of
+    # re-running them per branch
+    merged = j.withColumn("_safe", safe).localCheckpoint(eager=False)
     fast = merged.filter(F.col("_safe")).select(
         *keys,
         F.least(
@@ -218,5 +229,9 @@ def maintain_min_max(
             F.min(fx_val).alias("min_scaled"),
             F.max(fx_val).alias("max_scaled"),
         )
+        # groups whose surviving values are all NULL drop out, matching
+        # the fast path's contract: the maintained envelope tracks
+        # non-NULL values only, whichever path classified the group
+        .filter(F.col("min_scaled").isNotNull())
     )
     return fast.unionByName(rescan)

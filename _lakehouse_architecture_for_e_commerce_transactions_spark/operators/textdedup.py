@@ -386,13 +386,16 @@ def jaccard_prefix_pairs(
     # share the tokenize+shingle pass: base feeds SIX plan branches
     # below (freq, ranked, both sides of the candidate self-join, both
     # verification set joins) and unshared each would re-run the regex
-    # tokenization — the dominant per-doc cost. A lazy persist (not an
-    # eager checkpoint) keeps plan-only callers free, keeps lineage for
-    # executor-loss recovery, and is LRU-evictable rather than pinned.
+    # tokenization — the dominant per-doc cost. A LAZY localCheckpoint:
+    # plan-only callers pay nothing (no eager job), the blocks are
+    # reclaimed by the ContextCleaner once the result frame is dropped
+    # (a persist() here would pin a CacheManager entry per call with no
+    # unpersist hook), and lineage truncation is acceptable because the
+    # checkpoint materializes inside the consuming action itself.
     base = spread(df).select(
         F.col(id_col).alias("doc"),
         T.shingles(F.col(text_col), n).alias("sh"),
-    ).withColumn("n_sh", F.size("sh")).persist()
+    ).withColumn("n_sh", F.size("sh")).localCheckpoint(eager=False)
     idx = base.select("doc", "n_sh", F.explode("sh").alias("shingle"))
     freq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("gf"))
     ranked = idx.join(freq, "shingle").withColumn(

@@ -9,11 +9,14 @@ Iceberg metadata layers, small enough to audit:
 
 * Every commit writes its data files under a fresh immutable directory
   ``data/commit-<uuid>/`` — no file is ever rewritten in place.
-* A commit is *published* by creating ``_manifests/v<N>.json`` with
-  ``O_CREAT | O_EXCL`` — an atomic create-if-absent. Two concurrent
-  writers racing for the same version: exactly one wins, the loser
-  retries against the next version on top of the winner's manifest
-  (optimistic concurrency, Delta-style).
+* A commit is *published* by hard-linking a fully-written (and fsynced)
+  temp file to ``_manifests/v<N>.json`` — an atomic create-if-absent
+  whose name only ever appears with COMPLETE content, so a concurrent
+  reader can never load a half-written manifest. Two concurrent writers
+  racing for the same version: exactly one wins, the loser retries
+  against the next version on top of the winner's manifest (optimistic
+  concurrency, Delta-style; the object-store analog is an
+  if-none-match PUT).
 * Readers resolve ONE manifest and only read directories it lists —
   snapshot isolation: a concurrent commit can never produce a torn read,
   because published manifests and their data dirs are immutable.
@@ -97,6 +100,35 @@ class Snapshot:
 
 def _manifest_path(path: str, version: int) -> str:
     return os.path.join(path, _MANIFESTS, f"v{version:012d}.json")
+
+
+def _try_publish_manifest(path: str, version: int, manifest: dict) -> bool:
+    """Atomically publish a manifest version; False if the version was
+    taken (the optimistic-concurrency race check).
+
+    The content is fully written and fsynced to a hidden temp file
+    first, then hard-linked to the version name: link(2) fails with
+    FileExistsError exactly like ``O_CREAT|O_EXCL``, but the name only
+    ever appears with its content COMPLETE — a concurrent
+    ``load_snapshot`` can never read a half-written manifest (the race
+    a create-then-write publish loses). Temp files are dot-prefixed so
+    ``_versions`` ignores them; the object-store analog is a
+    single-shot if-none-match PUT, which has the same two properties.
+    """
+    mdir = os.path.join(path, _MANIFESTS)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _manifest_path(path, version))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
 
 
 def _versions(path: str) -> list[int]:
@@ -476,16 +508,8 @@ def commit(
                 }
             manifest["file_blooms"] = merged_blooms
             manifest["bloom_cols"] = list(bloom_for)
-        os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
-        try:
-            fd = os.open(
-                _manifest_path(path, next_v),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
+        if not _try_publish_manifest(path, next_v, manifest):
             continue  # lost the race: recompute on top of the winner
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
         return next_v
     raise RuntimeError(f"commit contention at {path}: {max_retries} retries")
 
@@ -905,19 +929,11 @@ def merge_commit(
                 [commit_dir], list(eff_stats)
             )
             manifest["stats_cols"] = list(eff_stats)
-        os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
-        try:
-            fd = os.open(
-                _manifest_path(path, next_v),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
+        if not _try_publish_manifest(path, next_v, manifest):
             raise RuntimeError(
                 f"write conflict at {path}: version {next_v} was "
                 "committed concurrently; re-run the merge"
-            ) from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
+            )
         return next_v
 
     base_version: int | None = None
@@ -1065,16 +1081,8 @@ def _publish_partitioned(
             }
             manifest["file_stats"] = {**carried_stats, **fresh_stats}
             manifest["stats_cols"] = list(stats_cols)
-        os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
-        try:
-            fd = os.open(
-                _manifest_path(path, next_v),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
+        if not _try_publish_manifest(path, next_v, manifest):
             continue  # raced: loop re-checks conflicts against new head
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
         return next_v
     raise RuntimeError(f"commit contention at {path}: {max_retries} retries")
 
@@ -1119,19 +1127,11 @@ def delete_where(
                 [commit_dir], base.stats_cols
             )
             manifest["stats_cols"] = base.stats_cols
-        os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
-        try:
-            fd = os.open(
-                _manifest_path(path, base.version + 1),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
+        if not _try_publish_manifest(path, base.version + 1, manifest):
             raise RuntimeError(
                 f"write conflict at {path}: version {base.version + 1} "
                 "was committed concurrently; re-run the delete"
-            ) from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
+            )
         return base.version + 1
 
     # partition-granular: find partitions holding matching rows (bounded
@@ -1256,21 +1256,13 @@ def delete_where_dv(
         if snap.file_blooms is not None:
             manifest["file_blooms"] = snap.file_blooms
             manifest["bloom_cols"] = snap.bloom_cols
-        os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
-        try:
-            fd = os.open(
-                _manifest_path(path, snap.version + 1),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
+        if not _try_publish_manifest(path, snap.version + 1, manifest):
             import shutil
 
             # lost the race: drop the orphan tombstones and re-evaluate
             # the predicate against the winning head
             shutil.rmtree(dv_dir, ignore_errors=True)
             continue
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
         return snap.version + 1
     raise RuntimeError(
         f"delete_where_dv contention at {path}: {max_retries} retries"
@@ -1378,20 +1370,12 @@ def update_where_dv(
                 **collect_file_blooms([commit_dir], snap.bloom_cols),
             }
             manifest["bloom_cols"] = snap.bloom_cols
-        os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
-        try:
-            fd = os.open(
-                _manifest_path(path, snap.version + 1),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
+        if not _try_publish_manifest(path, snap.version + 1, manifest):
             import shutil
 
             shutil.rmtree(dv_dir, ignore_errors=True)
             shutil.rmtree(commit_dir, ignore_errors=True)
             continue  # lost the race: re-evaluate against the new head
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
         return snap.version + 1
     raise RuntimeError(
         f"update_where_dv contention at {path}: {max_retries} retries"
@@ -1786,16 +1770,8 @@ def compact(
                 for pt, d in written.items()
             ]
             manifest["partition_by"] = parts
-        os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
-        try:
-            fd = os.open(
-                _manifest_path(path, base.version + 1),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
+        if not _try_publish_manifest(path, base.version + 1, manifest):
             continue  # a commit landed mid-rewrite: restart from new head
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
         return base.version + 1
     raise RuntimeError(
         f"compact contention at {path}: {max_retries} restarts"
@@ -1834,16 +1810,8 @@ def restore(path: str, version: int, max_retries: int = 10) -> int:
             # "exact file references" includes the tombstones: dropping
             # them would resurrect DV-deleted rows at the restored head
             manifest["dv_files"] = snap.dv_files
-        os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
-        try:
-            fd = os.open(
-                _manifest_path(path, next_v),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
+        if not _try_publish_manifest(path, next_v, manifest):
             continue
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
         return next_v
     raise RuntimeError(f"restore contention at {path}")
 
@@ -1877,12 +1845,8 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
         # the clone references the source's files AS FILTERED — without
         # the tombstones it would contain the source's deleted rows
         manifest["dv_files"] = snap.dv_files
-    os.makedirs(os.path.join(dst, _MANIFESTS), exist_ok=True)
-    fd = os.open(
-        _manifest_path(dst, 0), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-    )
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f)
+    if not _try_publish_manifest(dst, 0, manifest):
+        raise ValueError(f"clone target {dst} was created concurrently")
     return 0
 
 

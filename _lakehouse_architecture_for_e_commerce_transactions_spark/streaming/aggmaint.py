@@ -116,12 +116,20 @@ def _guard(batch_id: int, last, stored_app, app):
     re-read input. A mismatched app id at a later batch means a stale
     checkpoint was reattached to a table another derivation owns;
     rebuilding from that batch's partial slice would silently destroy
-    state, so fail loudly instead."""
+    state, so fail loudly instead.
+
+    ``stored_app is None`` is a table written by the pre-app-id code,
+    whose lineage is unknowable: it keeps the legacy bare batch-id
+    comparison (a continuing original checkpoint resumes seamlessly and
+    gets app-stamped on its next applied batch). The legacy caveat —
+    a FRESH checkpoint over such a table skips its low batch ids — is
+    exactly the behavior the app id was introduced to fix, and it ends
+    at the first post-upgrade apply."""
+    if last is not None and stored_app is None:
+        return (batch_id <= last), False  # legacy: bare comparison
     if last is not None and stored_app == app and batch_id <= last:
         return True, False
     if last is not None and stored_app != app:
-        # a different (or pre-app-id legacy, stored_app None) derivation
-        # owns this table
         if batch_id > 0:
             raise RuntimeError(
                 f"state table was produced by derivation {stored_app!r} "

@@ -246,13 +246,19 @@ def test_guard_truth_table():
     assert _guard(3, 5, "a", "a") == (True, False)       # replay: skip
     assert _guard(6, 5, "a", "a") == (False, False)      # next batch
     assert _guard(0, 5, "a", "b") == (False, True)       # new app: rebuild
+    # pre-app-id legacy table: bare batch-id comparison (a continuing
+    # original checkpoint resumes; no crash, no rebuild)
+    assert _guard(3, 5, None, "a") == (True, False)
+    assert _guard(6, 5, None, "a") == (False, False)
     with pytest.raises(RuntimeError, match="stale checkpoint"):
         _guard(6, 5, "a", "b")  # stale ckpt on migrated table: loud
 
 
-def test_pre_appid_table_reads_as_new_derivation(spark, tmp_path):
+def test_pre_appid_table_does_not_crash_the_stream(spark, tmp_path):
     """State tables written before the _app_id column existed must not
-    crash the stream — they read as app=None and rebuild cleanly."""
+    crash the stream on the missing column — they keep the legacy bare
+    batch-id comparison (a delivered batch id at or below the stored
+    watermark skips, exactly as the pre-upgrade code behaved)."""
     from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
         snapshots as S,
     )
@@ -267,8 +273,7 @@ def test_pre_appid_table_reads_as_new_derivation(spark, tmp_path):
     S.commit(spark, legacy, table)
     q = stream_agg_maintenance(spark, raw, table, str(tmp_path / "ck"))
     q.awaitTermination(120)
-    # rebuilt from the full feed; legacy state replaced, no crash
-    assert _state(spark, table) == {
-        "a": (2, _fx(10.0) + _fx(20.5)),
-        "b": (1, _fx(5.0)),
-    }
+    # batch 0 <= legacy watermark 5: skipped under legacy semantics,
+    # and crucially the stream ran to completion without an
+    # AnalysisException on the absent _app_id column
+    assert _state(spark, table) == {"z": (9, 900)}
