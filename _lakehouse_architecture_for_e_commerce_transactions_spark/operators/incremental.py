@@ -21,7 +21,7 @@ same-group updates carry old/new images.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -235,3 +235,95 @@ def maintain_min_max(
         .filter(F.col("min_scaled").isNotNull())
     )
     return fast.unionByName(rescan)
+
+
+def maintain_topk(
+    stored: DataFrame,
+    changes: DataFrame,
+    fact_final: DataFrame,
+    keys: list[str],
+    val: str,
+    k: int,
+    buffer: int = 2,
+    op_col: str = "op",
+    old_val: str = "old_val",
+    new_val: str = "new_val",
+    scale: int = 100,
+) -> DataFrame:
+    """Incrementally maintain per-key TOP-K values (the materialized
+    leaderboard) with a ``buffer`` of extra ranks — top-k is not
+    self-maintainable under deletes (removing the k-th value needs the
+    (k+1)-th), so the stored state keeps the top ``k + buffer`` values
+    per key and the maintenance pass is:
+
+    * multiset-subtract the batch's removed values from the stored rows
+      (occurrence-paired anti-join — duplicates removed one-for-one;
+      removals below the buffer aren't stored and correctly no-op);
+    * union the batch's added values; re-rank; keep ``k + buffer``.
+
+    The result's top-k is PROVABLY correct while a key retains >= k
+    stored rows; keys squeezed below k by removals (buffer exhausted —
+    values beyond it are unknown) are rebuilt from ``fact_final`` via a
+    key semi-join, so rescan cost follows the squeezed keys only.
+
+    ``stored``: keys + ``val_scaled`` rows (<= k+buffer per key, the
+    fixed-point longs of ``_fx``). Returns the same shape. Read the
+    top-k off it with ``topk_rows``. Output is deterministic as a
+    multiset per key — equal values are interchangeable, so
+    (key, pos, val) rows are identical whichever source row took which
+    pos.
+    """
+    fx_new = _fx(new_val, scale)
+    fx_old = _fx(old_val, scale)
+    added = changes.filter(F.col(op_col).isin("I", "U")).select(
+        *keys, fx_new.alias("val_scaled")
+    )
+    removed = changes.filter(F.col(op_col).isin("D", "U")).select(
+        *keys, fx_old.alias("val_scaled")
+    )
+    occ = Window.partitionBy(*keys, "val_scaled").orderBy(F.lit(1))
+    sr = stored.withColumn("occ", F.row_number().over(occ))
+    rr = removed.withColumn("occ", F.row_number().over(occ))
+    survived = sr.join(
+        rr, [*keys, "val_scaled", "occ"], "left_anti"
+    ).select(*keys, "val_scaled")
+    merged = survived.unionByName(added)
+    rk = Window.partitionBy(*keys).orderBy(F.col("val_scaled").desc())
+    ranked = merged.withColumn("rk", F.row_number().over(rk))
+    kept = ranked.filter(F.col("rk") <= k + buffer)
+    counts = kept.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    # keys that saw a removal AND now hold < k rows can no longer prove
+    # their top-k; anything else is safe (insert-only keys can only have
+    # grown, and a key with >= k rows has its top-k inside the buffer).
+    # Join FROM the removal keys: a key whose stored rows were ALL
+    # removed has no `kept` row at all and must still rescan (its
+    # below-buffer survivors are unknown).
+    squeezed = (
+        removed.select(*keys)
+        .distinct()
+        .join(counts, keys, "left")
+        .filter(F.coalesce(F.col("_n"), F.lit(0)) < k)
+        .select(*keys)
+    )
+    safe = kept.join(squeezed, keys, "left_anti").select(
+        *keys, "val_scaled"
+    )
+    rescan = (
+        fact_final.join(squeezed, keys, "left_semi")
+        .select(*keys, _fx(val, scale).alias("val_scaled"))
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= k + buffer)
+        .select(*keys, "val_scaled")
+    )
+    return safe.unionByName(rescan)
+
+
+def topk_rows(stored: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """(keys..., pos, val_scaled) — the top-k leaderboard view of the
+    maintained state."""
+    w = Window.partitionBy(*keys).orderBy(F.col("val_scaled").desc())
+    return (
+        stored.withColumn("pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("pos") <= k)
+        .select(*keys, "pos", "val_scaled")
+    )

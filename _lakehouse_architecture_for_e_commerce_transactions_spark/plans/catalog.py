@@ -6394,6 +6394,74 @@ FROM final GROUP BY o_orderpriority
 """
 
 
+def q_incremental_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """TOP-K maintenance under the same CDC batch as `incremental_agg`
+    (operators/incremental.py:maintain_topk): the stored top-(3+2)
+    leaderboard per priority absorbs inserts, multiset-subtracts
+    removals, and rescans only keys squeezed below k — then the top-3
+    view must equal a recompute from the post-change state. Output is
+    (priority, pos, price): equal prices make tied rows identical, so
+    the multiset view is deterministic."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        incremental as INC,
+    )
+
+    o = load_table(spark, sf, "orders")
+    mod = F.col("o_orderkey") % 10
+    fx = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy(fx.desc())
+    stored = (
+        o.filter(mod != 7)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("o_orderpriority", fx.alias("val_scaled"))
+    )
+    changes = o.filter(mod.isin(7, 3, 5)).select(
+        "o_orderpriority",
+        F.when(mod == 7, F.lit("I"))
+        .when(mod == 3, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice").alias("old_val"),
+        F.when(mod == 5, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_val"),
+    )
+    fact_final = o.filter(mod != 3).select(
+        "o_orderpriority",
+        F.when(mod == 5, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("val"),
+    )
+    out = INC.maintain_topk(
+        stored, changes, fact_final,
+        ["o_orderpriority"], "val", k=3, buffer=2,
+    )
+    return INC.topk_rows(out, ["o_orderpriority"], 3).select(
+        "o_orderpriority",
+        "pos",
+        (F.col("val_scaled") / 100.0).alias("price"),
+    )
+
+
+_INCREMENTAL_TOPK_SQL = """
+WITH final AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS val
+  FROM orders WHERE o_orderkey % 10 != 3),
+ranked AS (
+  SELECT o_orderpriority,
+         CAST(floor(val * 100 + 0.5) AS BIGINT) AS v,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(floor(val * 100 + 0.5) AS BIGINT) DESC) AS pos
+  FROM final)
+SELECT o_orderpriority, CAST(pos AS BIGINT) AS pos, v / 100.0 AS price
+FROM ranked WHERE pos <= 3
+"""
+
+
 _CATALOG_DEFS: dict[str, QueryDef] = {
     # Definition order here is arbitrary; the driver-visible order is
     # rebuilt below from _WINDOW_FRONT. tools/verify_parity.py checks
@@ -6618,6 +6686,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
         q_incremental_minmax, _INCREMENTAL_MINMAX_SQL
     ),
     "dv_update_sim": QueryDef(q_dv_update_sim, _DV_UPDATE_SQL),
+    "incremental_topk": QueryDef(
+        q_incremental_topk, _INCREMENTAL_TOPK_SQL
+    ),
 }
 
 

@@ -161,3 +161,84 @@ def test_maintained_minmax_equals_recompute(spark, base_rows, raw_changes):
         r["k"]: (r["min_scaled"], r["max_scaled"]) for r in out.collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(base_row, min_size=0, max_size=14),
+    st.lists(change_row, min_size=0, max_size=14),
+)
+def test_maintained_topk_equals_recompute(spark, base_rows, raw_changes):
+    """The buffered top-k maintenance (multiset removals, squeeze-
+    triggered rescans) must read back the same top-k multiset as a
+    recompute for any change interleaving — including deletes that
+    empty a key's stored rows entirely."""
+    from pyspark.sql import functions as F
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        incremental as INC,
+    )
+
+    K, BUF = 2, 1
+    pool = defaultdict(list)
+    for kk, v in base_rows:
+        pool[kk].append(v)
+    changes = []
+    for op, kk, v in raw_changes:
+        if op in ("U", "D") and pool[kk]:
+            changes.append((kk, op, pool[kk].pop(), v))
+        else:
+            changes.append((kk, "I", 0.0, v))
+
+    state = defaultdict(list)
+    for kk, v in base_rows:
+        state[kk].append(_fx(v))
+    for kk, op, old, new in changes:
+        if op == "I":
+            state[kk].append(_fx(new))
+        elif op == "D":
+            state[kk].remove(_fx(old))
+        else:
+            state[kk].remove(_fx(old))
+            state[kk].append(_fx(new))
+    want = {}
+    for kk, vals in state.items():
+        top = sorted(vals, reverse=True)[:K]
+        for i, v in enumerate(top, start=1):
+            want[(kk, i)] = v
+
+    def df_of(rows, schema):
+        return spark.createDataFrame(rows if rows else [], schema)
+
+    b = df_of(base_rows, "k string, val double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(
+        F.col("val_scaled").desc()
+    )
+    stored = (
+        b.select(
+            "k",
+            F.floor(F.col("val") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("val_scaled"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K + BUF)
+        .select("k", "val_scaled")
+    )
+    ch = df_of(
+        changes, "k string, op string, old_val double, new_val double"
+    )
+    final_rows = [
+        (kk, v / 100.0) for kk, vals in state.items() for v in vals
+    ]
+    fact_final = df_of(final_rows, "k string, val double")
+    out = INC.maintain_topk(
+        stored, ch, fact_final, ["k"], "val", k=K, buffer=BUF
+    )
+    got = {
+        (r["k"], r["pos"]): r["val_scaled"]
+        for r in INC.topk_rows(out, ["k"], K).collect()
+    }
+    assert got == want
