@@ -237,6 +237,35 @@ def maintain_min_max(
     return fast.unionByName(rescan)
 
 
+def build_topk_state(
+    fact: DataFrame,
+    keys: list[str],
+    val: str,
+    k: int,
+    buffer: int = 2,
+    scale: int = 100,
+) -> DataFrame:
+    """Initial leaderboard state from a fact scan: per key, the true
+    top-(k+buffer) values plus an ``incomplete`` flag — True iff the key
+    has MORE rows than were stored (an unknown region exists below the
+    stored floor). The flag is what keeps lazy rescans sound across
+    batches; it cannot be re-derived from the stored row count alone
+    (a prefix may legitimately shrink below k+buffer while the unknown
+    region persists)."""
+    m = k + buffer
+    rows = fact.select(*keys, _fx(val, scale).alias("val_scaled"))
+    w = Window.partitionBy(*keys).orderBy(F.col("val_scaled").desc())
+    counts = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        rows.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= m)
+        .join(counts, keys)
+        .select(
+            *keys, "val_scaled", (F.col("_n") > m).alias("incomplete")
+        )
+    )
+
+
 def maintain_topk(
     stored: DataFrame,
     changes: DataFrame,
@@ -253,26 +282,33 @@ def maintain_topk(
     """Incrementally maintain per-key TOP-K values (the materialized
     leaderboard) with a ``buffer`` of extra ranks — top-k is not
     self-maintainable under deletes (removing the k-th value needs the
-    (k+1)-th), so the stored state keeps the top ``k + buffer`` values
-    per key and the maintenance pass is:
+    (k+1)-th), so state from ``build_topk_state`` keeps up to
+    ``k + buffer`` values per key plus an ``incomplete`` flag marking
+    keys with an unknown region below the stored floor.
 
-    * multiset-subtract the batch's removed values from the stored rows
-      (occurrence-paired anti-join — duplicates removed one-for-one;
-      removals below the buffer aren't stored and correctly no-op);
-    * union the batch's added values; re-rank; keep ``k + buffer``.
+    The maintained invariant is that stored values are a TRUE RANKING
+    PREFIX of the key's live values. Maintenance preserves it:
 
-    The result's top-k is PROVABLY correct while a key retains >= k
-    stored rows; keys squeezed below k by removals (buffer exhausted —
-    values beyond it are unknown) are rebuilt from ``fact_final`` via a
-    key semi-join, so rescan cost follows the squeezed keys only.
+    * removals multiset-subtract from the stored rows (occurrence-paired
+      anti-join; removals below the floor aren't stored and correctly
+      no-op — they live in the unknown region);
+    * an added value is admitted only when the key is complete (no
+      unknown region — everything is known) or the value is >= the
+      pre-batch floor (it provably outranks every unknown; the tie case
+      is safe because equal values are interchangeable in a multiset
+      ranking). A REJECTED add joins the unknown region, so it flips
+      ``incomplete`` on — without the flag, a later batch could trust a
+      prefix that silently stopped being one;
+    * the union is re-ranked and trimmed to k+buffer.
 
-    ``stored``: keys + ``val_scaled`` rows (<= k+buffer per key, the
-    fixed-point longs of ``_fx``). Returns the same shape. Read the
-    top-k off it with ``topk_rows``. Output is deterministic as a
-    multiset per key — equal values are interchangeable, so
-    (key, pos, val) rows are identical whichever source row took which
-    pos.
-    """
+    The top-k stays provable while an incomplete key retains >= k
+    prefix rows; incomplete keys squeezed below k rebuild from
+    ``fact_final`` via a key semi-join (rescan cost follows the
+    squeezed keys only; complete keys never rescan — small groups with
+    < k total rows are exact as-is). Read the leaderboard off the
+    returned state with ``topk_rows``; output is deterministic as a
+    multiset per key."""
+    m = k + buffer
     fx_new = _fx(new_val, scale)
     fx_old = _fx(old_val, scale)
     added = changes.filter(F.col(op_col).isin("I", "U")).select(
@@ -281,39 +317,96 @@ def maintain_topk(
     removed = changes.filter(F.col(op_col).isin("D", "U")).select(
         *keys, fx_old.alias("val_scaled")
     )
+    meta = stored.groupBy(*keys).agg(
+        F.min("val_scaled").alias("_floor"),
+        F.max(F.col("incomplete").cast("int")).alias("_inc"),
+    )
     occ = Window.partitionBy(*keys, "val_scaled").orderBy(F.lit(1))
-    sr = stored.withColumn("occ", F.row_number().over(occ))
+    # net out intra-batch add/remove pairs of the same value first: a
+    # CDC batch may insert a row and delete it (or its equal-valued
+    # twin) within one delivery window; values are interchangeable in a
+    # multiset ranking, so occurrence-pairing adds against removes is
+    # exactly the sequential net effect. Only the remainders touch the
+    # stored state.
+    addocc = added.withColumn("occ", F.row_number().over(occ))
+    remocc = removed.withColumn("occ", F.row_number().over(occ))
+    added = addocc.join(
+        remocc, [*keys, "val_scaled", "occ"], "left_anti"
+    ).select(*keys, "val_scaled")
+    removed = remocc.join(
+        addocc, [*keys, "val_scaled", "occ"], "left_anti"
+    ).select(*keys, "val_scaled")
+    sr = stored.select(*keys, "val_scaled").withColumn(
+        "occ", F.row_number().over(occ)
+    )
     rr = removed.withColumn("occ", F.row_number().over(occ))
     survived = sr.join(
         rr, [*keys, "val_scaled", "occ"], "left_anti"
     ).select(*keys, "val_scaled")
-    merged = survived.unionByName(added)
+    adds = added.join(meta, keys, "left").withColumn(
+        "_admit",
+        (F.coalesce(F.col("_inc"), F.lit(0)) == 0)
+        | (F.col("val_scaled") >= F.col("_floor")),
+    )
+    admitted = adds.filter(F.col("_admit")).select(*keys, "val_scaled")
+    rejected_keys = (
+        adds.filter(~F.col("_admit")).select(*keys).distinct()
+    )
     rk = Window.partitionBy(*keys).orderBy(F.col("val_scaled").desc())
-    ranked = merged.withColumn("rk", F.row_number().over(rk))
-    kept = ranked.filter(F.col("rk") <= k + buffer)
+    # merged feeds several branches (rank/trim, counts, safe/rescan
+    # splits); aggregate+batch-scale, so a lazy checkpoint shares it
+    kept = (
+        survived.unionByName(admitted)
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= m)
+        .select(*keys, "val_scaled")
+        .localCheckpoint(eager=False)
+    )
     counts = kept.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
-    # keys that saw a removal AND now hold < k rows can no longer prove
-    # their top-k; anything else is safe (insert-only keys can only have
-    # grown, and a key with >= k rows has its top-k inside the buffer).
-    # Join FROM the removal keys: a key whose stored rows were ALL
-    # removed has no `kept` row at all and must still rescan (its
-    # below-buffer survivors are unknown).
-    squeezed = (
-        removed.select(*keys)
-        .distinct()
-        .join(counts, keys, "left")
-        .filter(F.coalesce(F.col("_n"), F.lit(0)) < k)
+    # post-batch incompleteness: an unknown region existed before, or a
+    # rejected add just created one (rejection implies _inc, but keep
+    # the disjunction explicit), or the trim above cut rows
+    trimmed_keys = (
+        survived.unionByName(admitted)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_raw_n"))
+        .filter(F.col("_raw_n") > m)
         .select(*keys)
     )
-    safe = kept.join(squeezed, keys, "left_anti").select(
-        *keys, "val_scaled"
+    inc_keys = (
+        meta.filter(F.col("_inc") == 1)
+        .select(*keys)
+        .unionByName(rejected_keys)
+        .unionByName(trimmed_keys)
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    rescan = (
-        fact_final.join(squeezed, keys, "left_semi")
-        .select(*keys, _fx(val, scale).alias("val_scaled"))
-        .withColumn("rk", F.row_number().over(rk))
-        .filter(F.col("rk") <= k + buffer)
-        .select(*keys, "val_scaled")
+    # incomplete keys squeezed below k can no longer prove their top-k
+    # — including keys whose stored rows were ALL removed (no kept row)
+    squeezed = (
+        inc_keys.join(counts, keys, "left")
+        .filter(F.coalesce(F.col("_n"), F.lit(0)) < k)
+        .select(*keys)
+        .localCheckpoint(eager=False)
+    )
+    safe = (
+        kept.join(squeezed, keys, "left_anti")
+        .join(
+            inc_keys.withColumn("_i", F.lit(True)), keys, "left"
+        )
+        .select(
+            *keys,
+            "val_scaled",
+            F.coalesce(F.col("_i"), F.lit(False)).alias("incomplete"),
+        )
+    )
+    rescan = build_topk_state(
+        fact_final.join(squeezed, keys, "left_semi"),
+        keys,
+        val,
+        k,
+        buffer,
+        scale,
     )
     return safe.unionByName(rescan)
 

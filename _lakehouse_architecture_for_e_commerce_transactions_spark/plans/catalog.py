@@ -6408,13 +6408,11 @@ def q_incremental_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     o = load_table(spark, sf, "orders")
     mod = F.col("o_orderkey") % 10
-    fx = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    w = Window.partitionBy("o_orderpriority").orderBy(fx.desc())
-    stored = (
-        o.filter(mod != 7)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select("o_orderpriority", fx.alias("val_scaled"))
+    stored = INC.build_topk_state(
+        o.filter(mod != 7).select(
+            "o_orderpriority", F.col("o_totalprice").alias("val")
+        ),
+        ["o_orderpriority"], "val", k=3, buffer=2,
     )
     changes = o.filter(mod.isin(7, 3, 5)).select(
         "o_orderpriority",

@@ -211,22 +211,7 @@ def test_maintained_topk_equals_recompute(spark, base_rows, raw_changes):
         return spark.createDataFrame(rows if rows else [], schema)
 
     b = df_of(base_rows, "k string, val double")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("k").orderBy(
-        F.col("val_scaled").desc()
-    )
-    stored = (
-        b.select(
-            "k",
-            F.floor(F.col("val") * 100 + F.lit(0.5))
-            .cast("long")
-            .alias("val_scaled"),
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= K + BUF)
-        .select("k", "val_scaled")
-    )
+    stored = INC.build_topk_state(b, ["k"], "val", k=K, buffer=BUF)
     ch = df_of(
         changes, "k string, op string, old_val double, new_val double"
     )
@@ -242,3 +227,158 @@ def test_maintained_topk_equals_recompute(spark, base_rows, raw_changes):
         for r in INC.topk_rows(out, ["k"], K).collect()
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(base_row, min_size=0, max_size=10),
+    st.lists(change_row, min_size=0, max_size=8),
+    st.lists(change_row, min_size=0, max_size=8),
+)
+def test_maintained_topk_two_chained_batches(
+    spark, base_rows, raw1, raw2
+):
+    """The cross-batch invariant: batch 2 consumes batch 1's OUTPUT
+    state, so a prefix silently corrupted by batch 1 (an insert slotted
+    below the unknown floor, a shrunken prefix misread as complete)
+    surfaces here even when each single batch looks right."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        incremental as INC,
+    )
+
+    K, BUF = 2, 1
+    pool = defaultdict(list)
+    for kk, v in base_rows:
+        pool[kk].append(v)
+
+    def mk_changes(raw):
+        out = []
+        for op, kk, v in raw:
+            if op in ("U", "D") and pool[kk]:
+                out.append((kk, op, pool[kk].pop(), v))
+                if op == "U":
+                    pool[kk].append(v)
+            else:
+                out.append((kk, "I", 0.0, v))
+                pool[kk].append(v)
+        return out
+
+    state = defaultdict(list)
+    for kk, v in base_rows:
+        state[kk].append(_fx(v))
+    # note: mk_changes consumes/extends `pool` in order, so build the
+    # python reference in lockstep per batch
+    def apply(changes):
+        for kk, op, old, new in changes:
+            if op == "I":
+                state[kk].append(_fx(new))
+            elif op == "D":
+                state[kk].remove(_fx(old))
+            else:
+                state[kk].remove(_fx(old))
+                state[kk].append(_fx(new))
+
+    def df_of(rows, schema):
+        return spark.createDataFrame(rows if rows else [], schema)
+
+    def fact_df():
+        rows = [
+            (kk, v / 100.0) for kk, vals in state.items() for v in vals
+        ]
+        return df_of(rows, "k string, val double")
+
+    stored = INC.build_topk_state(
+        df_of(base_rows, "k string, val double"),
+        ["k"], "val", k=K, buffer=BUF,
+    )
+    for raw in (raw1, raw2):
+        changes = mk_changes(raw)
+        apply(changes)
+        ch = df_of(
+            changes,
+            "k string, op string, old_val double, new_val double",
+        )
+        stored = INC.maintain_topk(
+            stored, ch, fact_df(), ["k"], "val", k=K, buffer=BUF
+        ).localCheckpoint(eager=True)
+
+    want = {}
+    for kk, vals in state.items():
+        for i, v in enumerate(sorted(vals, reverse=True)[:K], start=1):
+            want[(kk, i)] = v
+    got = {
+        (r["k"], r["pos"]): r["val_scaled"]
+        for r in INC.topk_rows(stored, ["k"], K).collect()
+    }
+    assert got == want
+
+
+def test_topk_review_counterexamples(spark):
+    """The two concrete review scenarios: (1) same-batch inserts must
+    not count toward provability when stored survivors drop below k;
+    (2) an insert below the unknown floor must not poison the prefix
+    for a LATER batch."""
+    from pyspark.sql import functions as F
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        incremental as INC,
+    )
+
+    K, BUF = 2, 1
+    fact0 = spark.createDataFrame(
+        [("g", 10.0), ("g", 9.0), ("g", 8.0), ("g", 7.0)],
+        "k string, val double",
+    )
+    stored = INC.build_topk_state(fact0, ["k"], "val", k=K, buffer=BUF)
+
+    # (1) D 10, D 9, I 1 → survivors {8}; the insert 1 must not make
+    # the key look provable; rescan finds {8,7,1} → top-2 = (8,7)
+    ch1 = spark.createDataFrame(
+        [("g", "D", 10.0, None), ("g", "D", 9.0, None),
+         ("g", "I", None, 1.0)],
+        "k string, op string, old_val double, new_val double",
+    )
+    fact1 = spark.createDataFrame(
+        [("g", 8.0), ("g", 7.0), ("g", 1.0)], "k string, val double"
+    )
+    out1 = INC.maintain_topk(
+        stored, ch1, fact1, ["k"], "val", k=K, buffer=BUF
+    )
+    got1 = {
+        (r["pos"]): r["val_scaled"]
+        for r in INC.topk_rows(out1, ["k"], K).collect()
+    }
+    assert got1 == {1: 800, 2: 700}
+
+    # (2) batch A: D 8, I 1 (1 is below the floor 8 → unknown region);
+    # batch B: D 9 → prefix {10} too short, must rescan and find 7,
+    # NOT report the poisoned (10, 1)
+    chA = spark.createDataFrame(
+        [("g", "D", 8.0, None), ("g", "I", None, 1.0)],
+        "k string, op string, old_val double, new_val double",
+    )
+    factA = spark.createDataFrame(
+        [("g", 10.0), ("g", 9.0), ("g", 7.0), ("g", 1.0)],
+        "k string, val double",
+    )
+    sA = INC.maintain_topk(
+        stored, chA, factA, ["k"], "val", k=K, buffer=BUF
+    ).localCheckpoint(eager=True)
+    assert {
+        (r["pos"]): r["val_scaled"]
+        for r in INC.topk_rows(sA, ["k"], K).collect()
+    } == {1: 1000, 2: 900}
+    chB = spark.createDataFrame(
+        [("g", "D", 9.0, None)],
+        "k string, op string, old_val double, new_val double",
+    )
+    factB = spark.createDataFrame(
+        [("g", 10.0), ("g", 7.0), ("g", 1.0)], "k string, val double"
+    )
+    sB = INC.maintain_topk(
+        sA, chB, factB, ["k"], "val", k=K, buffer=BUF
+    )
+    assert {
+        (r["pos"]): r["val_scaled"]
+        for r in INC.topk_rows(sB, ["k"], K).collect()
+    } == {1: 1000, 2: 700}
