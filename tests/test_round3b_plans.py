@@ -93,3 +93,35 @@ def test_triangle_wedge_join_is_equi(spark):
     # (v-1,v,v+1), (v,v+1,v+2) — exactly 3 each
     got = {r["node"]: r["triangles"] for r in out.collect()}
     assert got == {i: 3 for i in range(12)}
+
+
+def test_topk_maintenance_is_equi_join_only(spark):
+    """Every join in the top-k maintenance plan is an equi-join
+    (occurrence pairing, key semi/anti joins) — no nested-loop or
+    cartesian expansion anywhere, and the windows partition per key."""
+    from pyspark.sql import functions as F
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        incremental as INC,
+    )
+
+    fact = spark.createDataFrame(
+        [(f"k{i % 3}", float(i)) for i in range(30)],
+        "k string, val double",
+    )
+    stored = INC.build_topk_state(fact, ["k"], "val", k=3, buffer=2)
+    ch = spark.createDataFrame(
+        [("k0", "D", 29.0, None), ("k1", "I", None, 50.0)],
+        "k string, op string, old_val double, new_val double",
+    )
+    out = INC.maintain_topk(stored, ch, fact, ["k"], "val", k=3, buffer=2)
+    plan = executed_plan_text(out).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # and the result is right: the delete references a value k0 never
+    # had (29 ≡ 2 mod 3) so it no-ops below the floor; k1 gains 50
+    got = {
+        (r["k"], r["pos"]): r["val_scaled"]
+        for r in INC.topk_rows(out, ["k"], 3).collect()
+    }
+    assert got[("k0", 1)] == 2700 and got[("k1", 1)] == 5000
