@@ -255,11 +255,14 @@ def build_topk_state(
     m = k + buffer
     rows = fact.select(*keys, _fx(val, scale).alias("val_scaled"))
     w = Window.partitionBy(*keys).orderBy(F.col("val_scaled").desc())
-    counts = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    wk = Window.partitionBy(*keys)
+    # rank and per-key count share one partitioning — a single shuffle,
+    # no second fact scan, and NULL-keyed groups survive (a join on the
+    # key would silently drop them)
     return (
         rows.withColumn("rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wk))
         .filter(F.col("rk") <= m)
-        .join(counts, keys)
         .select(
             *keys, "val_scaled", (F.col("_n") > m).alias("incomplete")
         )
@@ -344,34 +347,36 @@ def maintain_topk(
         rr, [*keys, "val_scaled", "occ"], "left_anti"
     ).select(*keys, "val_scaled")
     adds = added.join(meta, keys, "left").withColumn(
+        # null-safe: a NULL-valued add on an incomplete key must land in
+        # the REJECTED branch (flagging the key), not vanish from both
+        # filters as SQL NULL — it joins the unknown region like any
+        # other below-floor value (NULLs rank last on both engines)
         "_admit",
         (F.coalesce(F.col("_inc"), F.lit(0)) == 0)
-        | (F.col("val_scaled") >= F.col("_floor")),
+        | F.coalesce(
+            F.col("val_scaled") >= F.col("_floor"), F.lit(False)
+        ),
     )
     admitted = adds.filter(F.col("_admit")).select(*keys, "val_scaled")
     rejected_keys = (
         adds.filter(~F.col("_admit")).select(*keys).distinct()
     )
     rk = Window.partitionBy(*keys).orderBy(F.col("val_scaled").desc())
-    # merged feeds several branches (rank/trim, counts, safe/rescan
-    # splits); aggregate+batch-scale, so a lazy checkpoint shares it
-    kept = (
+    # ONE checkpointed ranked frame feeds every branch (kept rows,
+    # trimmed keys, counts) — the occurrence windows, netting anti-joins
+    # and admission join execute once per batch, not once per branch
+    ranked = (
         survived.unionByName(admitted)
         .withColumn("rk", F.row_number().over(rk))
-        .filter(F.col("rk") <= m)
-        .select(*keys, "val_scaled")
         .localCheckpoint(eager=False)
     )
+    kept = ranked.filter(F.col("rk") <= m).select(*keys, "val_scaled")
     counts = kept.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
     # post-batch incompleteness: an unknown region existed before, or a
     # rejected add just created one (rejection implies _inc, but keep
     # the disjunction explicit), or the trim above cut rows
     trimmed_keys = (
-        survived.unionByName(admitted)
-        .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_raw_n"))
-        .filter(F.col("_raw_n") > m)
-        .select(*keys)
+        ranked.filter(F.col("rk") > m).select(*keys).distinct()
     )
     inc_keys = (
         meta.filter(F.col("_inc") == 1)

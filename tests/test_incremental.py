@@ -318,8 +318,6 @@ def test_topk_review_counterexamples(spark):
     not count toward provability when stored survivors drop below k;
     (2) an insert below the unknown floor must not poison the prefix
     for a LATER batch."""
-    from pyspark.sql import functions as F
-
     from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
         incremental as INC,
     )
