@@ -663,3 +663,27 @@ def test_concurrent_same_partition_merges_conflict_linear_history(
     winner_pk = outcomes["ok"][0]
     got = {r["pk"]: r["amt"] for r in S.read(spark, path).collect()}
     assert got == {1: 1.0, winner_pk: 9.0}
+
+
+def test_manifest_publish_atomic_helper(tmp_path):
+    """_try_publish_manifest: the version name appears only with
+    complete content, duplicate versions are refused (the optimistic
+    race check), and no temp files survive either outcome."""
+    import json
+    import os
+
+    path = str(tmp_path / "t")
+    m1 = {"version": 0, "dirs": ["d1"], "schema": "{}",
+          "committed_at": 1.0}
+    assert S._try_publish_manifest(path, 0, m1) is True
+    with open(S._manifest_path(path, 0)) as f:
+        assert json.load(f) == m1  # complete, parseable content
+    # losing the race: refused, winner's content untouched
+    m2 = dict(m1, dirs=["d2"])
+    assert S._try_publish_manifest(path, 0, m2) is False
+    with open(S._manifest_path(path, 0)) as f:
+        assert json.load(f) == m1
+    # no temp litter, and _versions sees exactly the published version
+    mdir = os.path.join(path, "_manifests")
+    assert [n for n in os.listdir(mdir) if n.startswith(".tmp")] == []
+    assert S._versions(path) == [0]
