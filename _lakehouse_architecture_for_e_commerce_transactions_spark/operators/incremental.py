@@ -21,8 +21,31 @@ same-group updates carry old/new images.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _ns_join(
+    left: DataFrame, right: DataFrame, cols: list[str], how: str
+) -> DataFrame:
+    """Null-safe equi-join on ``cols`` (`<=>` keys): a NULL-keyed group
+    matches its own state row instead of splitting into duplicates
+    (outer joins) or being silently dropped (semi/anti joins), which is
+    what SQL ``=`` would do. ``EqualNullSafe`` is still a hash/sort-merge
+    equi-join key for Catalyst, so the module's equi-join-only plan pin
+    holds. Right-side join columns come back prefixed ``__r_`` — outer
+    joins must coalesce them; semi/anti results carry left columns only.
+    """
+    r = right
+    for c in cols:
+        r = r.withColumnRenamed(c, "__r_" + c)
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col("__r_" + c)) for c in cols],
+    )
+    return left.join(r, cond, how)
 
 
 def _fx(col: str, scale: int):
@@ -81,13 +104,17 @@ def apply_agg_deltas(
 ) -> DataFrame:
     """Merge key-wise deltas into a stored (cnt, sum_scaled) aggregate.
 
-    Full-outer on the key: new keys appear, keys whose count reaches
-    zero disappear (their sum is necessarily zero too under exact
-    integer arithmetic). Both sides are aggregate-table-sized — the
-    fact table is not involved.
+    Full-outer on the key (null-safe, so a NULL-keyed group merges with
+    its own state row rather than splitting): new keys appear, keys
+    whose count reaches zero disappear (their sum is necessarily zero
+    too under exact integer arithmetic). Both sides are
+    aggregate-table-sized — the fact table is not involved.
     """
-    merged = base_agg.join(deltas, keys, "full_outer").select(
-        *keys,
+    merged = _ns_join(base_agg, deltas, keys, "full_outer").select(
+        *[
+            F.coalesce(F.col(c), F.col("__r_" + c)).alias(c)
+            for c in keys
+        ],
         (
             F.coalesce(F.col(cnt_col), F.lit(0))
             + F.coalesce(F.col("d_cnt"), F.lit(0))
@@ -109,6 +136,7 @@ def maintain_join_view(
     fact_inserts: DataFrame | None = None,
     fact_delete_keys: DataFrame | None = None,
     dim_current: DataFrame | None = None,
+    keep_unmatched: bool = False,
 ) -> DataFrame:
     """Incrementally maintain a materialized fact⋈dim enrichment view.
 
@@ -129,28 +157,78 @@ def maintain_join_view(
     the fact table because the view itself is that join's materialized
     result. Updates must not change a fact row's dimension KEY (model
     key moves as fact delete+insert, the standard IVM contract).
+
+    ``keep_unmatched=True`` is the mode the streaming twin runs in: the
+    view additionally RETAINS fact rows whose dimension key has no
+    dimension row YET, carrying a ``_matched`` boolean (False → NULL
+    dim attributes). A later dimension update for that key patches the
+    row and flips ``_matched`` — without this, an early-arriving fact
+    would be dropped by the inner join and silently lost forever (the
+    maintained view would diverge from a recompute once the dimension
+    row lands). Readers filter ``_matched`` to get inner-join
+    semantics; ``view`` must already carry the ``_matched`` column.
     """
     out = view
     if dim_updates is not None:
         upd = dim_updates.select(
-            dim_key, *[F.col(c).alias(f"_u_{c}") for c in dim_cols]
+            dim_key,
+            *[F.col(c).alias(f"_u_{c}") for c in dim_cols],
+            F.lit(True).alias("_u_present"),
+        )
+        patched = [
+            F.when(
+                F.coalesce(F.col("_u_present"), F.lit(False)),
+                F.col(f"_u_{c}"),
+            )
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in dim_cols
+        ]
+        keep = [
+            c
+            for c in view.columns
+            if c not in dim_cols and c != "_matched"
+        ]
+        extra = (
+            [
+                (
+                    F.coalesce(F.col("_matched"), F.lit(False))
+                    | F.coalesce(F.col("_u_present"), F.lit(False))
+                ).alias("_matched")
+            ]
+            if keep_unmatched
+            else []
         )
         out = out.join(upd, dim_key, "left").select(
-            *[c for c in view.columns if c not in dim_cols],
-            *[
-                F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c)
-                for c in dim_cols
-            ],
+            *keep, *patched, *extra
         )
     if fact_delete_keys is not None:
-        out = out.join(fact_delete_keys, fact_key, "left_anti")
+        # null-safe: a NULL-fact-key row must be deletable too
+        out = _ns_join(
+            out, fact_delete_keys.select(fact_key), [fact_key],
+            "left_anti",
+        )
     if fact_inserts is not None:
         if dim_current is None:
             raise ValueError("fact_inserts requires dim_current")
-        fresh = fact_inserts.join(
-            dim_current.select(dim_key, *dim_cols), dim_key
-        ).select(*out.columns)
-        out = out.unionByName(fresh)
+        if keep_unmatched:
+            fresh = fact_inserts.join(
+                dim_current.select(
+                    dim_key,
+                    *dim_cols,
+                    F.lit(True).alias("_dim_present"),
+                ),
+                dim_key,
+                "left",
+            ).withColumn(
+                "_matched",
+                F.coalesce(F.col("_dim_present"), F.lit(False)),
+            )
+        else:
+            fresh = fact_inserts.join(
+                dim_current.select(dim_key, *dim_cols), dim_key
+            )
+        out = out.unionByName(fresh.select(*out.columns))
     return out
 
 
@@ -193,7 +271,20 @@ def maintain_min_max(
         F.min(removed).alias("r_min"),
         F.max(removed).alias("r_max"),
     )
-    j = base_agg.join(batch, keys, "full_outer")
+    # null-safe outer merge: a NULL-keyed group pairs with its own state
+    # row (SQL `=` would split it and silently ignore its deletes)
+    j = _ns_join(base_agg, batch, keys, "full_outer").select(
+        *[
+            F.coalesce(F.col(c), F.col("__r_" + c)).alias(c)
+            for c in keys
+        ],
+        "min_scaled",
+        "max_scaled",
+        "i_min",
+        "i_max",
+        "r_min",
+        "r_max",
+    )
     # safe ⇔ every removed value sits strictly inside the stored
     # envelope (endpoints untouched, second-best irrelevant); a key
     # absent from base (insert-only new group) is trivially safe
@@ -223,7 +314,7 @@ def maintain_min_max(
     ).filter(F.col("min_scaled").isNotNull())
     unsafe_keys = merged.filter(~F.col("_safe")).select(*keys)
     rescan = (
-        fact_final.join(unsafe_keys, keys, "left_semi")
+        _ns_join(fact_final, unsafe_keys, keys, "left_semi")
         .groupBy(*keys)
         .agg(
             F.min(fx_val).alias("min_scaled"),
@@ -331,22 +422,27 @@ def maintain_topk(
     # multiset ranking, so occurrence-pairing adds against removes is
     # exactly the sequential net effect. Only the remainders touch the
     # stored state.
+    pair_cols = [*keys, "val_scaled", "occ"]
+    # all pairing joins are null-safe: NULL keys (and NULL stored
+    # values) must pair like any other value or removals silently no-op
+    # and adds bypass the floor admission, breaking the true-prefix
+    # invariant for exactly the groups build_topk_state promises survive
     addocc = added.withColumn("occ", F.row_number().over(occ))
     remocc = removed.withColumn("occ", F.row_number().over(occ))
-    added = addocc.join(
-        remocc, [*keys, "val_scaled", "occ"], "left_anti"
-    ).select(*keys, "val_scaled")
-    removed = remocc.join(
-        addocc, [*keys, "val_scaled", "occ"], "left_anti"
-    ).select(*keys, "val_scaled")
+    added = _ns_join(addocc, remocc, pair_cols, "left_anti").select(
+        *keys, "val_scaled"
+    )
+    removed = _ns_join(remocc, addocc, pair_cols, "left_anti").select(
+        *keys, "val_scaled"
+    )
     sr = stored.select(*keys, "val_scaled").withColumn(
         "occ", F.row_number().over(occ)
     )
     rr = removed.withColumn("occ", F.row_number().over(occ))
-    survived = sr.join(
-        rr, [*keys, "val_scaled", "occ"], "left_anti"
-    ).select(*keys, "val_scaled")
-    adds = added.join(meta, keys, "left").withColumn(
+    survived = _ns_join(sr, rr, pair_cols, "left_anti").select(
+        *keys, "val_scaled"
+    )
+    adds = _ns_join(added, meta, keys, "left").withColumn(
         # null-safe: a NULL-valued add on an incomplete key must land in
         # the REJECTED branch (flagging the key), not vanish from both
         # filters as SQL NULL — it joins the unknown region like any
@@ -389,24 +485,23 @@ def maintain_topk(
     # incomplete keys squeezed below k can no longer prove their top-k
     # — including keys whose stored rows were ALL removed (no kept row)
     squeezed = (
-        inc_keys.join(counts, keys, "left")
+        _ns_join(inc_keys, counts, keys, "left")
         .filter(F.coalesce(F.col("_n"), F.lit(0)) < k)
         .select(*keys)
         .localCheckpoint(eager=False)
     )
-    safe = (
-        kept.join(squeezed, keys, "left_anti")
-        .join(
-            inc_keys.withColumn("_i", F.lit(True)), keys, "left"
-        )
-        .select(
-            *keys,
-            "val_scaled",
-            F.coalesce(F.col("_i"), F.lit(False)).alias("incomplete"),
-        )
+    safe = _ns_join(
+        _ns_join(kept, squeezed, keys, "left_anti"),
+        inc_keys.withColumn("_i", F.lit(True)),
+        keys,
+        "left",
+    ).select(
+        *keys,
+        "val_scaled",
+        F.coalesce(F.col("_i"), F.lit(False)).alias("incomplete"),
     )
     rescan = build_topk_state(
-        fact_final.join(squeezed, keys, "left_semi"),
+        _ns_join(fact_final, squeezed, keys, "left_semi"),
         keys,
         val,
         k,

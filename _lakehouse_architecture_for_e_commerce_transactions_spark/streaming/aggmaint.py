@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -87,15 +88,30 @@ def _app_id(checkpoint_dir: str) -> str:
 
 
 def _table_state(
-    spark: SparkSession, path: str, schema: StructType, cols: list[str]
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    cols: list[str],
+    defaults: dict | None = None,
 ):
     """(state rows without bookkeeping, last_batch | None, app | None).
 
     Tables written before the app-id column existed read as
     ``app = None`` (→ the new-derivation rebuild path) instead of
-    crashing the stream on an unresolved column."""
+    crashing the stream on an unresolved column; likewise a requested
+    state column absent from an older table is filled from
+    ``defaults`` (a Column expression per name) so schema evolution of
+    the state never strands a table."""
     try:
         cur = S.read(spark, path)
+        for c in cols:
+            if c not in cur.columns:
+                if defaults is None or c not in defaults:
+                    raise ValueError(
+                        f"state table {path} lacks column {c!r} and no "
+                        "default was provided"
+                    )
+                cur = cur.withColumn(c, defaults[c])
         aggs = [F.max("_last_batch").alias("b")]
         if "_app_id" in cur.columns:
             aggs.append(F.max("_app_id").alias("a"))
@@ -239,6 +255,11 @@ _VIEW_SCHEMA = StructType(
         StructField("dim_key", LongType(), True),
         StructField("val", DoubleType(), True),
         StructField("attr", StringType(), True),
+        # False → the fact arrived before its dimension row; the row is
+        # RETAINED (null attrs) and patched when the DU lands, instead
+        # of being dropped by the inner join and lost forever. Readers
+        # filter on it to get inner-join semantics.
+        StructField("_matched", BooleanType(), True),
         StructField("_last_batch", LongType(), True),
         StructField("_app_id", StringType(), True),
     ]
@@ -246,11 +267,14 @@ _VIEW_SCHEMA = StructType(
 
 
 def read_maintained_view(spark, view_path: str) -> DataFrame:
-    return (
-        S.read(spark, view_path)
-        .filter(F.col("fact_key").isNotNull())
-        .select("fact_key", "dim_key", "val", "attr")
-    )
+    """Inner-join view of the maintained state: pre-dimension facts
+    (``_matched`` False) are held in state but excluded here, exactly
+    as a recompute's fact⋈dim inner join would exclude them. Tables
+    from before the ``_matched`` column read as all-matched."""
+    cur = S.read(spark, view_path).filter(F.col("fact_key").isNotNull())
+    if "_matched" in cur.columns:
+        cur = cur.filter(F.coalesce(F.col("_matched"), F.lit(True)))
+    return cur.select("fact_key", "dim_key", "val", "attr")
 
 
 def read_maintained_dim(spark, dim_path: str) -> DataFrame:
@@ -364,7 +388,9 @@ def stream_join_view_maintenance(
 
         view, view_last, view_app = _table_state(
             spark, view_path, _VIEW_SCHEMA,
-            ["fact_key", "dim_key", "val", "attr"],
+            ["fact_key", "dim_key", "val", "attr", "_matched"],
+            # legacy tables (pre-_matched) only ever stored matched rows
+            defaults={"_matched": F.lit(True)},
         )
         skip, rebuild = _guard(batch_id, view_last, view_app, app)
         if not skip:
@@ -379,10 +405,15 @@ def stream_join_view_maintenance(
                 fact_inserts=fi,
                 fact_delete_keys=fd,
                 dim_current=read_maintained_dim(spark, dim_path),
-            ).select("fact_key", "dim_key", "val", "attr")
+                # retain facts whose dim row hasn't arrived yet: the DU
+                # that lands in a LATER batch patches them; an inner
+                # join here would drop them forever (recompute diverge)
+                keep_unmatched=True,
+            ).select("fact_key", "dim_key", "val", "attr", "_matched")
             _commit_with_marker(
                 spark, out, view_path, batch_id, app,
-                (None, None, None, None, batch_id, app), _VIEW_SCHEMA,
+                (None, None, None, None, None, batch_id, app),
+                _VIEW_SCHEMA,
             )
 
     writer = (

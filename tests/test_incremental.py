@@ -380,3 +380,95 @@ def test_topk_review_counterexamples(spark):
         (r["pos"]): r["val_scaled"]
         for r in INC.topk_rows(sB, ["k"], K).collect()
     } == {1: 1000, 2: 700}
+
+
+def test_null_keyed_groups_survive_maintenance(spark):
+    """ADVICE round-3: every maintenance join must be null-safe — a
+    NULL-keyed group merges with its own state row (not split into
+    duplicates), its deletes apply (not silently no-op), and its adds
+    respect the floor admission. Covers apply_agg_deltas,
+    maintain_min_max, and maintain_topk."""
+    from pyspark.sql import functions as F
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        incremental as INC,
+    )
+
+    CH = "k string, op string, old_val double, new_val double"
+    base = spark.createDataFrame(
+        [(None, 10.0), (None, 9.0), (None, 8.0), ("a", 5.0)],
+        "k string, val double",
+    )
+
+    # --- (cnt, sum): delete from + insert into the NULL group ---
+    base_agg = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.floor(F.col("val") * 100 + F.lit(0.5)).cast("long")
+        ).alias("sum_scaled"),
+    )
+    ch = spark.createDataFrame(
+        [(None, "D", 10.0, None), (None, "I", None, 2.0)], CH
+    )
+    got = {
+        r["k"]: (r["cnt"], r["sum_scaled"])
+        for r in INC.apply_agg_deltas(
+            base_agg, INC.agg_deltas(ch, ["k"]), ["k"]
+        ).collect()
+    }
+    assert got == {None: (3, 1900), "a": (1, 500)}
+
+    # --- MIN/MAX: endpoint delete on the NULL group forces its rescan ---
+    mm_base = base.groupBy("k").agg(
+        F.min(
+            F.floor(F.col("val") * 100 + F.lit(0.5)).cast("long")
+        ).alias("min_scaled"),
+        F.max(
+            F.floor(F.col("val") * 100 + F.lit(0.5)).cast("long")
+        ).alias("max_scaled"),
+    )
+    mm_fact = spark.createDataFrame(
+        [(None, 9.0), (None, 8.0), (None, 2.0), ("a", 5.0)],
+        "k string, val double",
+    )
+    got_mm = {
+        r["k"]: (r["min_scaled"], r["max_scaled"])
+        for r in INC.maintain_min_max(
+            mm_base, ch, mm_fact, ["k"], "val"
+        ).collect()
+    }
+    assert got_mm == {None: (200, 900), "a": (500, 500)}
+
+    # --- top-k: remove the NULL group's top, then verify the prefix ---
+    stored = INC.build_topk_state(base, ["k"], "val", k=2, buffer=1)
+    out = INC.maintain_topk(
+        stored, ch, mm_fact, ["k"], "val", k=2, buffer=1
+    )
+    got_tk = {
+        (r["k"], r["pos"]): r["val_scaled"]
+        for r in INC.topk_rows(out, ["k"], 2).collect()
+    }
+    assert got_tk == {
+        (None, 1): 900,
+        (None, 2): 800,
+        ("a", 1): 500,
+    }
+
+    # a below-floor add on an incomplete NULL group must be rejected by
+    # admission (flagging incompleteness), not admitted because the meta
+    # join missed the NULL key
+    big = spark.createDataFrame(
+        [(None, float(v)) for v in (10, 9, 8, 7)], "k string, val double"
+    )
+    st2 = INC.build_topk_state(big, ["k"], "val", k=2, buffer=1)
+    ch2 = spark.createDataFrame([(None, "I", None, 1.0)], CH)
+    fact2 = spark.createDataFrame(
+        [(None, float(v)) for v in (10, 9, 8, 7, 1)],
+        "k string, val double",
+    )
+    out2 = INC.maintain_topk(
+        st2, ch2, fact2, ["k"], "val", k=2, buffer=1
+    ).collect()
+    vals = sorted((r["val_scaled"] for r in out2), reverse=True)
+    assert vals == [1000, 900, 800]  # 1.0 NOT admitted into the prefix
+    assert all(r["incomplete"] for r in out2)

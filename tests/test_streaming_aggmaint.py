@@ -277,3 +277,45 @@ def test_pre_appid_table_does_not_crash_the_stream(spark, tmp_path):
     # and crucially the stream ran to completion without an
     # AnalysisException on the absent _app_id column
     assert _state(spark, table) == {"z": (9, 900)}
+
+
+def test_early_fact_recovered_by_late_dimension(spark, tmp_path):
+    """ADVICE round-3: a fact insert whose dimension row hasn't arrived
+    yet must NOT be dropped forever — it is retained unmatched (hidden
+    from readers) and surfaces when the DU for its key lands in a later
+    batch, exactly matching what a fresh-checkpoint rebuild computes."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (
+        read_maintained_view,
+        stream_join_view_maintenance,
+    )
+
+    raw = str(tmp_path / "raw")
+    dimp = str(tmp_path / "dim")
+    viewp = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: fact 200 references dim 9, which does not exist yet
+    _write_mix(os.path.join(raw, "b1.csv"), ["1,FI,200,9,5.0,"])
+    q = stream_join_view_maintenance(spark, raw, dimp, viewp, ckpt)
+    q.awaitTermination(120)
+    assert read_maintained_view(spark, viewp).count() == 0  # hidden
+
+    # batch 2: the dimension row finally arrives
+    _write_mix(os.path.join(raw, "b2.csv"), ["2,DU,,9,,violet"])
+    q = stream_join_view_maintenance(spark, raw, dimp, viewp, ckpt)
+    q.awaitTermination(120)
+    got = {
+        (r["fact_key"], r["attr"])
+        for r in read_maintained_view(spark, viewp).collect()
+    }
+    assert got == {(200, "violet")}  # recovered, not lost
+
+    # and a fresh-checkpoint rebuild (single availableNow batch over the
+    # full feed) agrees — the maintained-equals-recompute invariant
+    q = stream_join_view_maintenance(
+        spark, raw, dimp, viewp, str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(120)
+    assert {
+        (r["fact_key"], r["attr"])
+        for r in read_maintained_view(spark, viewp).collect()
+    } == {(200, "violet")}
