@@ -6236,7 +6236,6 @@ def q_dv_delete_sim(spark: SparkSession, sf: str) -> DataFrame:
     file, and read the survivors back through the DV-filtered scan.
     The oracle applies the same deletes as plain SQL predicates — the
     tombstone mechanism must be invisible in the result."""
-    import os as _os
     import shutil as _sh
     import tempfile as _tf
 
@@ -6247,26 +6246,33 @@ def q_dv_delete_sim(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     )
-    path = _os.path.join(
-        _tf.gettempdir(),
-        f"sparkgraft_dvdelete_{_os.path.basename(sf.rstrip('/'))}",
-    )
-    _sh.rmtree(path, ignore_errors=True)  # deterministic per run
-    # explicit multi-file layout so the tombstones span several files —
-    # commit()'s n_files knob only applies under cluster_by
-    SN.commit(spark, o.repartition(8), path)
-    SN.delete_where_dv(spark, path, "o_orderkey % 10 = 3")
-    SN.delete_where_dv(
-        spark, path, "o_orderpriority = '1-URGENT' AND o_totalprice < 50000"
-    )
-    return (
-        SN.read(spark, path)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            money_sum(F.col("o_totalprice")).alias("rev"),
+    # per-run unique dir: a fixed shared path races concurrent
+    # executions of this query (bench vs parity runner, parallel test
+    # workers) — one run's rmtree would delete the other's live table
+    path = _tf.mkdtemp(prefix="sparkgraft_dvdelete_")
+    try:
+        # explicit multi-file layout so the tombstones span several
+        # files — commit()'s n_files knob only applies under cluster_by
+        SN.commit(spark, o.repartition(8), path)
+        SN.delete_where_dv(spark, path, "o_orderkey % 10 = 3")
+        SN.delete_where_dv(
+            spark,
+            path,
+            "o_orderpriority = '1-URGENT' AND o_totalprice < 50000",
         )
-    )
+        # materialize the (priority-sized) result so the temp table can
+        # be removed before the caller collects the lazy frame
+        return (
+            SN.read(spark, path)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                money_sum(F.col("o_totalprice")).alias("rev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
 
 
 _DV_DELETE_SQL = f"""
@@ -6349,7 +6355,6 @@ def q_dv_update_sim(spark: SparkSession, sf: str) -> DataFrame:
     read the table back through the DV-filtered scan. The oracle applies
     the same UPDATE as a CASE expression; the tombstone+append mechanism
     must be invisible in the result."""
-    import os as _os
     import shutil as _sh
     import tempfile as _tf
 
@@ -6360,26 +6365,27 @@ def q_dv_update_sim(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
-    path = _os.path.join(
-        _tf.gettempdir(),
-        f"sparkgraft_dvupdate_{_os.path.basename(sf.rstrip('/'))}",
-    )
-    _sh.rmtree(path, ignore_errors=True)
-    SN.commit(spark, o.repartition(8), path)
-    SN.update_where_dv(
-        spark,
-        path,
-        "o_orderpriority = '5-LOW' AND o_orderkey % 4 = 1",
-        {"o_totalprice": "o_totalprice * 1.25"},
-    )
-    return (
-        SN.read(spark, path)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            money_sum(F.col("o_totalprice")).alias("rev"),
+    # per-run unique dir + eager materialization: see q_dv_delete_sim
+    path = _tf.mkdtemp(prefix="sparkgraft_dvupdate_")
+    try:
+        SN.commit(spark, o.repartition(8), path)
+        SN.update_where_dv(
+            spark,
+            path,
+            "o_orderpriority = '5-LOW' AND o_orderkey % 4 = 1",
+            {"o_totalprice": "o_totalprice * 1.25"},
         )
-    )
+        return (
+            SN.read(spark, path)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                money_sum(F.col("o_totalprice")).alias("rev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
 
 
 _DV_UPDATE_SQL = f"""

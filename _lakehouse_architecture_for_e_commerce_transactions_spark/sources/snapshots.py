@@ -123,10 +123,38 @@ def _try_publish_manifest(path: str, version: int, manifest: dict) -> bool:
         f.flush()
         os.fsync(f.fileno())
     try:
-        os.link(tmp, _manifest_path(path, version))
+        try:
+            os.link(tmp, _manifest_path(path, version))
+        except FileExistsError:
+            return False
+        except OSError:
+            # filesystems without hard links: O_CREAT|O_EXCL keeps the
+            # loses-the-race semantics (two committers, one winner).
+            # Unlike link(2) it does expose the name before content is
+            # complete — a narrower guarantee, accepted only on
+            # filesystems where the primary path is impossible
+            fd = None
+            try:
+                fd = os.open(
+                    _manifest_path(path, version),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "w") as out:
+                json.dump(manifest, out)
+                out.flush()
+                os.fsync(out.fileno())
+        # fsync the directory entry: without this, a crash shortly after
+        # publish can lose the name even though the caller saw the
+        # commit succeed (acknowledged-commit loss) — the data was
+        # fsync'd but the directory mutation wasn't
+        dfd = os.open(mdir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         return True
-    except FileExistsError:
-        return False
     finally:
         os.unlink(tmp)
 
