@@ -6400,6 +6400,78 @@ FROM final GROUP BY o_orderpriority
 """
 
 
+def q_dv_partitioned_delete_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Deletion vectors on a PARTITIONED (merge-committed) table — the
+    reference's actual curated-table shape (orders_etl.py:74 partitions
+    by date parts): commit orders hive-partitioned by priority via
+    merge_commit, tombstone two predicate slices WITHOUT rewriting any
+    data file (sources/snapshots.delete_where_dv), then MERGE fresh rows
+    into one partition — the merge must carry the other partitions'
+    tombstones by reference. The oracle replays the same changes as
+    plain SQL; the mechanism must be invisible in the result."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as SN,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        TableSpec,
+    )
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    spec = TableSpec(
+        name="dvpart",
+        schema=o.schema,
+        primary_key="o_orderkey",
+        partition_by=("o_orderpriority",),
+    )
+    path = _tf.mkdtemp(prefix="sparkgraft_dvpart_")
+    try:
+        SN.merge_commit(spark, o, path, spec)
+        SN.delete_where_dv(spark, path, "o_orderkey % 7 = 2")
+        SN.delete_where_dv(
+            spark,
+            path,
+            "o_orderpriority = '3-MEDIUM' AND o_totalprice < 50000",
+        )
+        # a MERGE into '1-URGENT' only: doubles those orders' price via
+        # upsert while every other partition carries by reference —
+        # including its deletion vectors
+        upd = o.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderkey") % 7 != 2)
+            & (F.col("o_orderkey") % 3 == 0)
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        SN.merge_commit(spark, upd, path, spec)
+        return (
+            SN.read(spark, path)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                money_sum(F.col("o_totalprice")).alias("rev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
+
+
+_DV_PARTITIONED_SQL = f"""
+WITH live AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0
+              THEN o_totalprice * 2 ELSE o_totalprice END AS val
+  FROM orders
+  WHERE o_orderkey % 7 != 2
+    AND NOT (o_orderpriority = '3-MEDIUM' AND o_totalprice < 50000))
+SELECT o_orderpriority, count(*) AS cnt, {_money_sum_sql("val")} AS rev
+FROM live GROUP BY o_orderpriority
+"""
+
+
 def q_incremental_topk(spark: SparkSession, sf: str) -> DataFrame:
     """TOP-K maintenance under the same CDC batch as `incremental_agg`
     (operators/incremental.py:maintain_topk): the stored top-(3+2)
@@ -6690,6 +6762,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
         q_incremental_minmax, _INCREMENTAL_MINMAX_SQL
     ),
     "dv_update_sim": QueryDef(q_dv_update_sim, _DV_UPDATE_SQL),
+    "dv_partitioned_delete_sim": QueryDef(
+        q_dv_partitioned_delete_sim, _DV_PARTITIONED_SQL
+    ),
     "incremental_topk": QueryDef(
         q_incremental_topk, _INCREMENTAL_TOPK_SQL
     ),
@@ -6710,15 +6785,29 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
 # keep their r1/r2 green rows; unhinting changes plans, not results,
 # and tools/verify_parity.py re-verified them locally.)
 #
-# ROUND-4 ROTATION TODO: front the queries ADDED after this window was
-# frozen — jaccard_prefix_pairs, triangle_counts, ann_recall_eval,
-# incremental_agg, phrase_search, join_view_maintenance, null_semantics,
-# dv_delete_sim (+ anything newer) — so they earn their driver
-# CORRECTNESS rows; backfill the rest of the 50 with already-green
-# anchors. Every other registry entry will then have a green driver
-# round on record.
+# Round-4 rotation (executing the round-3 TODO): front the 11 queries
+# added after the round-3 window froze — every one already judge- and
+# parity-verified, now earning its driver CORRECTNESS row — plus the
+# queries ADDED in round 4 (dv_partitioned_delete_sim, ...). The
+# remaining slots backfill with already-green anchors from the round-3
+# window. After this round, EVERY registry query has a green driver row
+# on record and the rotation debt is closed.
 _WINDOW_FRONT: list[str] = [
-    # 41 never-driver-verified (registry order)
+    # 11 round-3b queries (judge-verified, driver rows pending)
+    "jaccard_prefix_pairs",
+    "triangle_counts",
+    "ann_recall_eval",
+    "incremental_agg",
+    "phrase_search",
+    "join_view_maintenance",
+    "null_semantics",
+    "dv_delete_sim",
+    "incremental_minmax",
+    "dv_update_sim",
+    "incremental_topk",
+    # new in round 4
+    "dv_partitioned_delete_sim",
+    # green anchors (driver-verified in round 3)
     "contamination_ngram_overlap",
     "sequence_packing",
     "domain_mixture_weights",
@@ -6757,20 +6846,6 @@ _WINDOW_FRONT: list[str] = [
     "recursive_chain",
     "lateral_topn",
     "boilerplate_removal",
-    "event_debounce",
-    "excess_stock_suppliers",
-    "weighted_sample_docs",
-    # 4 newly-oracled this round
-    "cosine_topk_fast",
-    "minhash_fast",
-    "simhash_signatures",
-    "bpe_learned_encode",
-    # 5 new in round 3
-    "near_dup_clusters_star",
-    "gopher_quality_flags",
-    "text_normalize_dedup",
-    "tfidf_topk_terms",
-    "bigram_logprob",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

@@ -549,22 +549,60 @@ def _dv_tombstones(spark: SparkSession, snap: Snapshot) -> DataFrame | None:
     return spark.read.parquet(*snap.dv_files).select("file", "row_idx")
 
 
+def _dv_filter(marked: DataFrame, dv: DataFrame | None) -> DataFrame:
+    """Anti-join a frame already carrying its physical address
+    (``__fp``, ``__ri``) against the tombstone set. Tombstones are
+    deletion-scale, so AQE broadcasts them; cost is a broadcast probe
+    per scanned row, zero for tables with no DVs."""
+    if dv is None:
+        return marked
+    return marked.join(
+        dv,
+        (marked["__fp"] == dv["file"]) & (marked["__ri"] == dv["row_idx"]),
+        "left_anti",
+    )
+
+
 def _apply_dv(df: DataFrame, dv: DataFrame | None) -> DataFrame:
     """Filter a file-source frame through deletion vectors: tag each row
     with its physical address (``_metadata`` pseudo-column — constant
-    per row, no shuffle) and anti-join the tombstone set. Tombstones are
-    deletion-scale, so AQE broadcasts them; cost is a broadcast probe
-    per scanned row, zero for tables with no DVs."""
+    per row, no shuffle) and anti-join the tombstone set."""
     if dv is None:
         return df
     marked = df.withColumn(
         "__fp", F.col("_metadata.file_path")
     ).withColumn("__ri", F.col("_metadata.row_index"))
-    return marked.join(
-        dv,
-        (marked["__fp"] == dv["file"]) & (marked["__ri"] == dv["row_idx"]),
-        "left_anti",
-    ).drop("__fp", "__ri")
+    return _dv_filter(marked, dv).drop("__fp", "__ri")
+
+
+def _scan_with_address(spark: SparkSession, snap: Snapshot) -> DataFrame:
+    """Raw file scan of a snapshot's data rows with physical-address
+    columns (``__fp``, ``__ri``) attached. The ``_metadata``
+    pseudo-column resolves against each file-source relation, so on
+    merge-committed (hive-partitioned) layouts it is captured per base
+    group BEFORE the union; partition columns come back via basePath.
+    No DV filtering, no schema normalization — callers do both."""
+    if not snap.part_entries:
+        df = spark.read.option("mergeSchema", True).parquet(*snap.dirs)
+        return df.withColumn(
+            "__fp", F.col("_metadata.file_path")
+        ).withColumn("__ri", F.col("_metadata.row_index"))
+    from collections import defaultdict
+
+    groups: dict[str, list[str]] = defaultdict(list)
+    for e in snap.part_entries:
+        groups[e["base"]].append(e["dir"])
+    frames = [
+        spark.read.option("basePath", base)
+        .parquet(*dirs)
+        .withColumn("__fp", F.col("_metadata.file_path"))
+        .withColumn("__ri", F.col("_metadata.row_index"))
+        for base, dirs in groups.items()
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def read(
@@ -595,23 +633,16 @@ def read(
     # merge-committed table: entries are hive-layout partition subdirs from
     # several commit dirs; read each commit group under its own basePath so
     # the partition columns come back, then normalize types to the manifest
-    # schema (dir-name inference would otherwise pick its own types)
-    from collections import defaultdict
-
+    # schema (dir-name inference would otherwise pick its own types).
+    # Deletion vectors apply exactly as on plain tables — the address
+    # columns are captured per scan relation inside _scan_with_address.
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(snap.schema_json))
-    groups: dict[str, list[str]] = defaultdict(list)
-    for e in snap.part_entries:
-        groups[e["base"]].append(e["dir"])
-    frames = [
-        spark.read.option("basePath", base).parquet(*dirs)
-        for base, dirs in groups.items()
-    ]
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
+    out = _dv_filter(
+        _scan_with_address(spark, snap), _dv_tombstones(spark, snap)
+    )
     return out.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
@@ -812,13 +843,16 @@ def read_where(
         if not by_base:
             return spark.createDataFrame([], schema)
         frames = [
-            spark.read.option("basePath", base).parquet(*files)
+            spark.read.option("basePath", base)
+            .parquet(*files)
+            .withColumn("__fp", F.col("_metadata.file_path"))
+            .withColumn("__ri", F.col("_metadata.row_index"))
             for base, files in by_base.items()
         ]
         out = frames[0]
         for fr in frames[1:]:
             out = out.unionByName(fr)
-        out = out.select(
+        out = _dv_filter(out, _dv_tombstones(spark, snap)).select(
             *[
                 F.col(f.name).cast(f.dataType).alias(f.name)
                 for f in schema.fields
@@ -1094,6 +1128,13 @@ def _publish_partitioned(
             "schema": schema_json,
             "committed_at": time.time(),
         }
+        if head is not None and head.dv_files and carried:
+            # carried-by-reference partitions still need their deletion
+            # vectors (dropping them would resurrect DV-deleted rows);
+            # tombstones addressing rewritten files match nothing. With
+            # no carried entries everything was rewritten from the
+            # DV-filtered read, so the vectors are fully materialized.
+            manifest["dv_files"] = head.dv_files
         if fresh_stats is not None:
             # match on directory boundaries: a carried dir .../p=1 must not
             # prefix-capture files in a rewritten sibling .../p=10
@@ -1225,30 +1266,28 @@ def delete_where_dv(
     reference the tombstones. ``table_stats`` fails open to a scan while
     DVs exist (footer row counts overcount).
 
-    Plain (non-merge-committed) tables only: partitioned tables already
-    get partition-bounded rewrites from ``delete_where``, and mixing DV
-    tombstones into carried-by-reference partition entries would
-    complicate every maintenance op for no scale win.
+    On merge-committed (partitioned) tables — the shape every curated
+    table of the reference ships (orders_etl.py:74,
+    order_items_etl.py:109) — the mechanism is identical (tombstones
+    address (file, row_idx), layout-agnostic); the manifest carries the
+    partition entries forward by reference, marking partitions holding
+    tombstoned files ``changed`` so a concurrent MERGE into them
+    conflicts instead of resurrecting the deleted rows from its
+    pre-delete read.
     """
     cond = F.expr(predicate)
     from pyspark.sql.types import StructType
 
     for _ in range(max_retries):
         snap = load_snapshot(path)
-        if snap.part_entries is not None:
-            raise ValueError(
-                "deletion vectors are for plain tables; partitioned "
-                "tables use delete_where (partition-bounded rewrite)"
-            )
         schema = StructType.fromJson(json.loads(snap.schema_json))
-        raw = _apply_dv(
-            spark.read.option("mergeSchema", True).parquet(*snap.dirs),
-            _dv_tombstones(spark, snap),
+        raw = _dv_filter(
+            _scan_with_address(spark, snap), _dv_tombstones(spark, snap)
         )
         have = set(raw.columns)
         live = raw.select(
-            F.col("_metadata.file_path").alias("__fp"),
-            F.col("_metadata.row_index").alias("__ri"),
+            "__fp",
+            "__ri",
             *[
                 F.col(f.name).cast(f.dataType).alias(f.name)
                 if f.name in have
@@ -1278,6 +1317,13 @@ def delete_where_dv(
             "committed_at": time.time(),
             "dv_files": (snap.dv_files or []) + [dv_dir],
         }
+        if snap.part_entries is not None:
+            affected = _dv_affected_partitions(spark, snap, dv_dir)
+            manifest["part_entries"] = [
+                {**e, "changed": tuple(e["parts"]) in affected}
+                for e in snap.part_entries
+            ]
+            manifest["partition_by"] = snap.partition_by
         if snap.file_stats is not None:
             manifest["file_stats"] = snap.file_stats
             manifest["stats_cols"] = snap.stats_cols
@@ -1297,6 +1343,35 @@ def delete_where_dv(
     )
 
 
+def _dv_affected_partitions(
+    spark: SparkSession, snap: Snapshot, dv_dir: str
+) -> set[tuple[str, ...]]:
+    """Partition-value tuples whose files a freshly written tombstone
+    dir addresses — the partitions a DV commit must mark ``changed`` so
+    concurrent merges into them rebase-conflict. Bounded by the
+    distinct tombstoned FILE count (manifest scale, not row scale)."""
+    files = {
+        _strip_file_scheme(r["file"])
+        for r in spark.read.parquet(dv_dir).select("file").distinct().collect()
+    }
+    out: set[tuple[str, ...]] = set()
+    for e in snap.part_entries or []:
+        pref = e["dir"].rstrip(os.sep) + os.sep
+        if any(f.startswith(pref) for f in files):
+            out.add(tuple(e["parts"]))
+    return out
+
+
+def _strip_file_scheme(p: str) -> str:
+    """``_metadata.file_path`` URIs ('file:/x' or 'file:///x') → local
+    paths ('/x'), so they prefix-compare against manifest dirs."""
+    if p.startswith("file://"):
+        return p[7:]
+    if p.startswith("file:"):
+        return p[5:]
+    return p
+
+
 def update_where_dv(
     spark: SparkSession,
     path: str,
@@ -1314,9 +1389,16 @@ def update_where_dv(
     Cost = one scan + a write of UPDATE-sized data — independent of
     table size, the same few-rows-in-a-huge-table shape as
     ``delete_where_dv`` (which see, for the read-side trade and the
-    plain-tables-only scope). ``set_map`` maps column name → SQL
+    partitioned-table mechanics). ``set_map`` maps column name → SQL
     expression evaluated on the matching row (e.g. ``{"price":
     "price * 1.1"}``).
+
+    On merge-committed tables, updated images are written
+    hive-partitioned and join the manifest as ADDITIONAL entries for
+    their partitions (a partition may hold several entries); an update
+    that changes a partition-column value moves the row — the tombstone
+    kills the old location, the image lands in the new partition, and
+    both partitions are marked ``changed`` for conflict detection.
     """
     unknown_cols = set(set_map)
     cond = F.expr(predicate)
@@ -1324,23 +1406,18 @@ def update_where_dv(
 
     for _ in range(max_retries):
         snap = load_snapshot(path)
-        if snap.part_entries is not None:
-            raise ValueError(
-                "deletion vectors are for plain tables; partitioned "
-                "tables use merge_commit for partition-bounded updates"
-            )
+        parts = list(snap.partition_by or [])
         schema = StructType.fromJson(json.loads(snap.schema_json))
         bad = unknown_cols - {f.name for f in schema.fields}
         if bad:
             raise ValueError(f"SET on unknown columns: {sorted(bad)}")
-        raw = _apply_dv(
-            spark.read.option("mergeSchema", True).parquet(*snap.dirs),
-            _dv_tombstones(spark, snap),
+        raw = _dv_filter(
+            _scan_with_address(spark, snap), _dv_tombstones(spark, snap)
         )
         have = set(raw.columns)
         live = raw.select(
-            F.col("_metadata.file_path").alias("__fp"),
-            F.col("_metadata.row_index").alias("__ri"),
+            "__fp",
+            "__ri",
             *[
                 F.col(f.name).cast(f.dataType).alias(f.name)
                 if f.name in have
@@ -1376,7 +1453,14 @@ def update_where_dv(
             commit_dir = os.path.join(
                 path, _DATA, f"commit-{uuid.uuid4().hex}"
             )
-            updated.write.mode("errorifexists").parquet(commit_dir)
+            if snap.part_entries is not None:
+                (
+                    updated.write.mode("errorifexists")
+                    .partitionBy(*parts)
+                    .parquet(commit_dir)
+                )
+            else:
+                updated.write.mode("errorifexists").parquet(commit_dir)
         finally:
             live.unpersist()
         manifest = {
@@ -1386,6 +1470,24 @@ def update_where_dv(
             "committed_at": time.time(),
             "dv_files": (snap.dv_files or []) + [dv_dir],
         }
+        if snap.part_entries is not None:
+            written = _hive_leaf_dirs(commit_dir, parts)
+            affected = _dv_affected_partitions(spark, snap, dv_dir) | set(
+                written
+            )
+            manifest["part_entries"] = [
+                {**e, "changed": tuple(e["parts"]) in affected}
+                for e in snap.part_entries
+            ] + [
+                {
+                    "parts": list(pt),
+                    "base": commit_dir,
+                    "dir": d,
+                    "changed": True,
+                }
+                for pt, d in written.items()
+            ]
+            manifest["partition_by"] = parts
         if snap.file_stats is not None and snap.stats_cols:
             manifest["file_stats"] = {
                 **snap.file_stats,
@@ -1434,13 +1536,29 @@ def snapshot_diff(
     old_snap = load_snapshot(path, from_version)
     new_snap = load_snapshot(path, to_version)
     prune: set[tuple[str, ...]] | None = None
-    if old_snap.part_entries is not None and new_snap.part_entries is not None:
-        old_dirs = {tuple(e["parts"]): e["dir"] for e in old_snap.part_entries}
-        new_dirs = {tuple(e["parts"]): e["dir"] for e in new_snap.part_entries}
+    if (
+        old_snap.part_entries is not None
+        and new_snap.part_entries is not None
+        # with deletion vectors, identical dir references no longer
+        # prove identical rows (tombstones change rows without touching
+        # dirs) — prune only when both versions carry the same vectors
+        and (old_snap.dv_files or []) == (new_snap.dv_files or [])
+    ):
+        from collections import defaultdict
+
+        # a partition may hold SEVERAL entries (e.g. original files plus
+        # DV-update image dirs): identity means the full dir multiset
+        # matches, not whichever entry a dict comprehension kept last
+        old_dirs: dict = defaultdict(list)
+        new_dirs: dict = defaultdict(list)
+        for e in old_snap.part_entries:
+            old_dirs[tuple(e["parts"])].append(e["dir"])
+        for e in new_snap.part_entries:
+            new_dirs[tuple(e["parts"])].append(e["dir"])
         prune = {
             pt
-            for pt, d in old_dirs.items()
-            if new_dirs.get(pt) == d
+            for pt, ds in old_dirs.items()
+            if sorted(new_dirs.get(pt, [])) == sorted(ds)
         }
     old = _read_snapshot_pruned(spark, path, old_snap, prune)
     new = _read_snapshot_pruned(spark, path, new_snap, prune)
@@ -1533,13 +1651,16 @@ def _read_snapshot_pruned(
     for e in kept:
         groups[e["base"]].append(e["dir"])
     frames = [
-        spark.read.option("basePath", base).parquet(*dirs)
+        spark.read.option("basePath", base)
+        .parquet(*dirs)
+        .withColumn("__fp", F.col("_metadata.file_path"))
+        .withColumn("__ri", F.col("_metadata.row_index"))
         for base, dirs in groups.items()
     ]
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
-    return out.select(
+    return _dv_filter(out, _dv_tombstones(spark, snap)).select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
 

@@ -96,19 +96,14 @@ def test_append_carries_dv_and_compact_materializes(spark, tmp_path):
     )
 
 
-def test_dv_rejected_on_partitioned_tables(spark, tmp_path):
-    import pytest
-    from pyspark.sql.types import (
-        LongType,
-        StructField,
-        StructType,
-    )
+def _part_spec():
+    from pyspark.sql.types import LongType, StructField, StructType
 
     from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
         TableSpec,
     )
 
-    spec = TableSpec(
+    return TableSpec(
         name="pt",
         schema=StructType(
             [
@@ -119,13 +114,134 @@ def test_dv_rejected_on_partitioned_tables(spark, tmp_path):
         primary_key="k",
         partition_by=("p",),
     )
+
+
+def _mk_part(spark, tmp_path, n=20, mod=2):
+    """A merge-committed (hive-partitioned) table — the shape every
+    curated table of the reference ships."""
     path = str(tmp_path / "pt")
-    df = spark.range(20).select(
-        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % mod).alias("p")
     )
-    S.merge_commit(spark, df, path, spec)
-    with pytest.raises(ValueError, match="deletion vectors"):
-        S.delete_where_dv(spark, path, "k = 1")
+    S.merge_commit(spark, df, path, _part_spec())
+    return path
+
+
+def test_dv_delete_on_partitioned_table(spark, tmp_path):
+    path = _mk_part(spark, tmp_path)
+    before_dirs = _data_dirs(path)
+    v = S.delete_where_dv(spark, path, "k % 4 = 1")
+    assert v == 1
+    assert _data_dirs(path) == before_dirs  # no data rewrite
+    assert {r["k"] for r in S.read(spark, path).collect()} == {
+        i for i in range(20) if i % 4 != 1
+    }
+    # time travel to the pre-delete version
+    assert S.read(spark, path, 0).count() == 20
+    # partition-pruned reads see the tombstones too
+    got = {
+        r["k"]
+        for r in S.read_where(spark, path, [("p", "==", 1)]).collect()
+    }
+    assert got == {i for i in range(20) if i % 2 == 1 and i % 4 != 1}
+    # only partitions holding tombstoned files are marked changed (both
+    # here: k%4==1 hits odd k only, but both parities share... p = k%2,
+    # k%4==1 → k odd → only partition p=1 is affected)
+    snap = S.load_snapshot(path)
+    changed = {
+        tuple(e["parts"]) for e in snap.part_entries if e["changed"]
+    }
+    assert changed == {("1",)}
+    # metadata-only aggregates fail open while vectors exist
+    assert S.table_stats(path)["rows"] is None
+
+
+def test_dv_update_on_partitioned_table_and_partition_move(
+    spark, tmp_path
+):
+    path = _mk_part(spark, tmp_path)
+    v = S.update_where_dv(spark, path, "k = 6", {"k": "k + 100"})
+    assert v == 1
+    got = {(r["k"], r["p"]) for r in S.read(spark, path).collect()}
+    want = {(i, i % 2) for i in range(20) if i != 6} | {(106, 0)}
+    assert got == want
+
+    # an update that CHANGES the partition column moves the row: the
+    # tombstone kills the old location, the image lands in partition 1
+    S.update_where_dv(spark, path, "k = 106", {"p": "1"})
+    got = {(r["k"], r["p"]) for r in S.read(spark, path).collect()}
+    assert got == {(i, i % 2) for i in range(20) if i != 6} | {(106, 1)}
+    assert {
+        r["k"]
+        for r in S.read_where(spark, path, [("p", "==", 1)]).collect()
+    } == {i for i in range(20) if i % 2 == 1} | {106}
+
+
+def test_merge_after_partitioned_dv_delete_carries_vectors(
+    spark, tmp_path
+):
+    """A MERGE that rewrites one partition must carry the head's
+    deletion vectors for the partitions it leaves by reference —
+    dropping them would resurrect the DV-deleted rows."""
+    path = _mk_part(spark, tmp_path)
+    S.delete_where_dv(spark, path, "k IN (3, 5)")  # partition p=1
+    src = spark.createDataFrame([(100, 0), (2, 0)], "k long, p long")
+    S.merge_commit(spark, src, path, _part_spec())  # touches p=0 only
+    got = {r["k"] for r in S.read(spark, path).collect()}
+    assert got == (set(range(20)) - {3, 5}) | {100}
+    # and a partition-bounded DELETE likewise carries them
+    S.delete_where(spark, path, "k = 8")  # rewrites p=0
+    got = {r["k"] for r in S.read(spark, path).collect()}
+    assert got == (set(range(20)) - {3, 5, 8}) | {100}
+
+
+def test_partitioned_compact_materializes_dvs(spark, tmp_path):
+    path = _mk_part(spark, tmp_path)
+    S.delete_where_dv(spark, path, "k < 4")
+    v = S.compact(spark, path)
+    snap = S.load_snapshot(path, v)
+    assert not snap.dv_files  # vectors materialized away
+    assert {r["k"] for r in S.read(spark, path).collect()} == set(
+        range(4, 20)
+    )
+    # vacuum reclaims the dv dirs with the dropped versions
+    S.vacuum(path, keep_last=1)
+    assert {r["k"] for r in S.read(spark, path).collect()} == set(
+        range(4, 20)
+    )
+
+
+def test_partitioned_snapshot_diff_sees_dv_deletes(spark, tmp_path):
+    """Dir-identity pruning must not hide DV changes: tombstones change
+    rows without touching any dir, so the CDF between pre- and post-
+    delete versions compares content and reports the deletes."""
+    path = _mk_part(spark, tmp_path)
+    S.delete_where_dv(spark, path, "k IN (2, 7)")
+    d = S.snapshot_diff(spark, path, "k", 0, 1)
+    got = {(r["k"], r["_change_type"]) for r in d.collect()}
+    assert got == {(2, "delete"), (7, "delete")}
+    # and between two versions with the SAME vectors, unchanged
+    # partitions still prune (zero changes reported)
+    src = spark.createDataFrame([(200, 0)], "k long, p long")
+    S.merge_commit(spark, src, path, _part_spec())
+    d2 = S.snapshot_diff(spark, path, "k", 1, 2)
+    assert {(r["k"], r["_change_type"]) for r in d2.collect()} == {
+        (200, "insert")
+    }
+
+
+def test_partitioned_restore_clone_preserve_dvs(spark, tmp_path):
+    path = _mk_part(spark, tmp_path)
+    S.delete_where_dv(spark, path, "k < 10")  # v1: 10 rows live
+    src = spark.createDataFrame([(300, 0)], "k long, p long")
+    S.merge_commit(spark, src, path, _part_spec())  # v2: 11 rows
+
+    v = S.restore(path, 1)
+    assert S.read(spark, path, v).count() == 10  # not 20
+
+    dst = str(tmp_path / "cl")
+    S.clone(path, dst, version=1)
+    assert S.read(spark, dst).count() == 10
 
 
 def test_dv_update_rewrites_nothing_and_is_atomic_versioned(
