@@ -424,3 +424,257 @@ def stream_join_view_maintenance(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming twins for the NON-self-maintainable aggregates: MIN/MAX and
+# TOP-K. Unlike COUNT/SUM, a delete that removes an extremum needs rows
+# the aggregate doesn't hold, so each twin maintains TWO snapshot
+# tables, both watermarked with the (app id, batch id) pattern:
+#
+#   * a FACT MIRROR — the live (k, val) multiset the change feed
+#     describes. Insert-only batches append; batches with removals
+#     multiset-subtract (occurrence-paired anti-join) and republish.
+#     This is the committed table the batch operators' key-scoped
+#     rescans read — rescan input is real table state, not stream
+#     state, so the checkpoint stays tiny and a restart resumes from
+#     the table head.
+#   * the maintained STATE (min/max envelope, or the top-(k+buffer)
+#     leaderboard with its incomplete flags) — advanced per batch by
+#     operators/incremental.maintain_min_max / maintain_topk, i.e.
+#     O(batch) plus rescans scoped to endpoint-touching / squeezed
+#     keys only.
+#
+# Commit order is fact first, then state: a crash between the two
+# replays into "fact skips, state applies", and the state's rescan
+# reads the already-advanced fact table — exactly the fact_final the
+# batch operator's contract requires. A lost checkpoint (new app id)
+# rebuilds both tables from the re-delivered feed at batch 0.
+# ---------------------------------------------------------------------------
+
+_FACT_SCHEMA = StructType(
+    [
+        StructField("k", StringType(), True),
+        StructField("val", DoubleType(), True),
+        StructField("_last_batch", LongType(), True),
+        StructField("_app_id", StringType(), True),
+    ]
+)
+
+_MINMAX_SCHEMA = StructType(
+    [
+        StructField("k", StringType(), True),
+        StructField("min_scaled", LongType(), True),
+        StructField("max_scaled", LongType(), True),
+        StructField("_last_batch", LongType(), True),
+        StructField("_app_id", StringType(), True),
+    ]
+)
+
+_TOPK_SCHEMA = StructType(
+    [
+        StructField("k", StringType(), True),
+        StructField("val_scaled", LongType(), True),
+        StructField("incomplete", BooleanType(), True),
+        StructField("_last_batch", LongType(), True),
+        StructField("_app_id", StringType(), True),
+    ]
+)
+
+
+def read_maintained_fact(spark: SparkSession, fact_path: str) -> DataFrame:
+    return (
+        S.read(spark, fact_path)
+        .filter(F.col("k").isNotNull())
+        .select("k", "val")
+    )
+
+
+def read_maintained_minmax(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        S.read(spark, path)
+        .filter(F.col("k").isNotNull())
+        .select("k", "min_scaled", "max_scaled")
+    )
+
+
+def read_maintained_topk(
+    spark: SparkSession, path: str, k: int
+) -> DataFrame:
+    """The provable top-k leaderboard view (k, pos, val_scaled)."""
+    state = (
+        S.read(spark, path)
+        .filter(F.col("k").isNotNull())
+        .select("k", "val_scaled", "incomplete")
+    )
+    return INC.topk_rows(state, ["k"], k)
+
+
+def _advance_fact(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    fact_path: str,
+    batch_id: int,
+    app: str,
+) -> None:
+    """Advance the fact mirror by one change batch (idempotent via the
+    table watermark). Deletes/update-preimages multiset-subtract via an
+    occurrence-paired anti-join over (fact ⊎ adds) — a delete of a
+    value inserted earlier in the same batch nets correctly."""
+    from pyspark.sql import Window
+
+    fact, last, aid = _table_state(
+        spark, fact_path, _FACT_SCHEMA, ["k", "val"]
+    )
+    skip, rebuild = _guard(batch_id, last, aid, app)
+    if skip:
+        return
+    if rebuild:
+        fact = fact.limit(0)
+    adds = batch_df.filter(F.col("op").isin("I", "U")).select(
+        "k", F.col("new_val").alias("val")
+    )
+    rems = batch_df.filter(F.col("op").isin("D", "U")).select(
+        "k", F.col("old_val").alias("val")
+    )
+    pool = fact.unionByName(adds)
+    if rems.take(1):
+        occ = Window.partitionBy("k", "val").orderBy(F.lit(1))
+        pool = (
+            pool.withColumn("occ", F.row_number().over(occ))
+            .join(
+                rems.withColumn("occ", F.row_number().over(occ)),
+                ["k", "val", "occ"],
+                "left_anti",
+            )
+            .select("k", "val")
+        )
+    _commit_with_marker(
+        spark, pool, fact_path, batch_id, app,
+        (None, None, batch_id, app), _FACT_SCHEMA,
+    )
+
+
+def stream_minmax_maintenance(
+    spark: SparkSession,
+    raw_dir: str,
+    fact_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    scale: int = 100,
+) -> StreamingQuery:
+    """Exactly-once streaming twin of
+    ``operators/incremental.maintain_min_max``: per-key MIN/MAX kept
+    current from change-row CSVs (``k, op ∈ {I,U,D}, old_val,
+    new_val``), with endpoint-touching groups rescanned from the
+    committed fact mirror only."""
+    app = _app_id(checkpoint_dir)
+    reader = (
+        spark.readStream.schema(CHANGE_STREAM_SCHEMA)
+        .option("header", True)
+        .csv(raw_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        try:
+            _advance_fact(spark, batch_df, fact_path, batch_id, app)
+            state, last, aid = _table_state(
+                spark, state_path, _MINMAX_SCHEMA,
+                ["k", "min_scaled", "max_scaled"],
+            )
+            skip, rebuild = _guard(batch_id, last, aid, app)
+            if skip:
+                return
+            fact_now = read_maintained_fact(spark, fact_path)
+            fx = F.floor(F.col("val") * scale + F.lit(0.5)).cast("long")
+            if rebuild:
+                nxt = (
+                    fact_now.groupBy("k")
+                    .agg(
+                        F.min(fx).alias("min_scaled"),
+                        F.max(fx).alias("max_scaled"),
+                    )
+                    .filter(F.col("min_scaled").isNotNull())
+                )
+            else:
+                nxt = INC.maintain_min_max(
+                    state, batch_df, fact_now, ["k"], "val", scale=scale
+                )
+            _commit_with_marker(
+                spark, nxt, state_path, batch_id, app,
+                (None, None, None, batch_id, app), _MINMAX_SCHEMA,
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_topk_maintenance(
+    spark: SparkSession,
+    raw_dir: str,
+    fact_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    k: int,
+    buffer: int = 2,
+    available_now: bool = True,
+    scale: int = 100,
+) -> StreamingQuery:
+    """Exactly-once streaming twin of
+    ``operators/incremental.maintain_topk``: a continuously maintained
+    per-key leaderboard. The stored top-(k+buffer) prefix absorbs the
+    batch; only keys squeezed below a provable top-k rebuild, from the
+    committed fact mirror, via a key semi-join."""
+    app = _app_id(checkpoint_dir)
+    reader = (
+        spark.readStream.schema(CHANGE_STREAM_SCHEMA)
+        .option("header", True)
+        .csv(raw_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        try:
+            _advance_fact(spark, batch_df, fact_path, batch_id, app)
+            state, last, aid = _table_state(
+                spark, state_path, _TOPK_SCHEMA,
+                ["k", "val_scaled", "incomplete"],
+            )
+            skip, rebuild = _guard(batch_id, last, aid, app)
+            if skip:
+                return
+            fact_now = read_maintained_fact(spark, fact_path)
+            if rebuild:
+                nxt = INC.build_topk_state(
+                    fact_now, ["k"], "val", k, buffer, scale
+                )
+            else:
+                nxt = INC.maintain_topk(
+                    state, batch_df, fact_now, ["k"], "val",
+                    k, buffer, scale=scale,
+                )
+            _commit_with_marker(
+                spark, nxt, state_path, batch_id, app,
+                (None, None, None, batch_id, app), _TOPK_SCHEMA,
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
