@@ -6472,6 +6472,64 @@ FROM live GROUP BY o_orderpriority
 """
 
 
+def q_media_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL full-content media decode, oracle-checked
+    (operators/multimodal.py:_make_content_decoders): deterministic
+    uncompressed containers are built per document (even doc_ids →
+    24-bit BMP with closed-form pixel bytes, odd → 16-bit PCM WAV with
+    closed-form samples), then decoded back to pixel/sample arrays
+    inside mapInPandas and reduced to exact integer stats. The oracle
+    recomputes those stats from the generating formulas alone — byte
+    layout, stride padding, the bottom-up row flip (pinned by
+    top_row_sum = decoded FIRST row) and int16 signedness all have to
+    be exactly right for the hashes to meet."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        multimodal as MM,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    media = MM.synthesize_decodable_media(docs)
+    return MM.extract_decoded_stats(media).select(
+        F.col("media_id").alias("doc_id"),
+        "format",
+        "n_units",
+        "content_sum",
+        "content_min",
+        "content_max",
+        "top_row_sum",
+    )
+
+
+_MEDIA_DECODE_SQL = """
+WITH b AS (
+  SELECT d.doc_id, t.i, (d.doc_id * 7 + t.i) % 256 AS v
+  FROM documents d CROSS JOIN range(0, 192) t(i)
+  WHERE d.doc_id % 2 = 0),
+bagg AS (
+  SELECT doc_id, 'bmp' AS format,
+         CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(v) AS BIGINT) AS content_sum,
+         CAST(min(v) AS BIGINT) AS content_min,
+         CAST(max(v) AS BIGINT) AS content_max,
+         CAST(sum(CASE WHEN i >= 144 THEN v END) AS BIGINT)
+           AS top_row_sum
+  FROM b GROUP BY doc_id),
+w AS (
+  SELECT d.doc_id, ((d.doc_id * 13 + t.i * 37) % 65536) - 32768 AS v
+  FROM documents d CROSS JOIN range(0, 128) t(i)
+  WHERE d.doc_id % 2 = 1),
+wagg AS (
+  SELECT doc_id, 'wav' AS format,
+         CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(v) AS BIGINT) AS content_sum,
+         CAST(min(v) AS BIGINT) AS content_min,
+         CAST(max(v) AS BIGINT) AS content_max,
+         CAST(NULL AS BIGINT) AS top_row_sum
+  FROM w GROUP BY doc_id)
+SELECT * FROM bagg UNION ALL SELECT * FROM wagg
+"""
+
+
 def q_incremental_topk(spark: SparkSession, sf: str) -> DataFrame:
     """TOP-K maintenance under the same CDC batch as `incremental_agg`
     (operators/incremental.py:maintain_topk): the stored top-(3+2)
@@ -6765,6 +6823,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "dv_partitioned_delete_sim": QueryDef(
         q_dv_partitioned_delete_sim, _DV_PARTITIONED_SQL
     ),
+    "media_decode_stats": QueryDef(
+        q_media_decode_stats, _MEDIA_DECODE_SQL
+    ),
     "incremental_topk": QueryDef(
         q_incremental_topk, _INCREMENTAL_TOPK_SQL
     ),
@@ -6807,6 +6868,7 @@ _WINDOW_FRONT: list[str] = [
     "incremental_topk",
     # new in round 4
     "dv_partitioned_delete_sim",
+    "media_decode_stats",
     # green anchors (driver-verified in round 3)
     "contamination_ngram_overlap",
     "sequence_packing",
@@ -6845,7 +6907,6 @@ _WINDOW_FRONT: list[str] = [
     "cdc_apply_sim",
     "recursive_chain",
     "lateral_topn",
-    "boilerplate_removal",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

@@ -280,3 +280,116 @@ def test_extract_media_headers_partition_parallel(spark):
     assert got[4]["format"] is None and got[4]["n_bytes"] == 15
     assert got[5]["format"] == "bmp" and got[5]["height"] == 20
     assert got[6]["format"] == "gif" and (got[6]["width"], got[6]["height"]) == (5, 7)
+
+
+def test_bmp_full_pixel_decode_real_bytes():
+    """Hand-built 3x2 uncompressed 24-bit BMP with distinct BGR pixels:
+    the decoder must handle stride padding (3*3=9 → stride 12),
+    bottom-up row order, and BGR→RGB swizzle exactly."""
+    import struct
+
+    import numpy as np
+
+    w, h = 3, 2
+    # logical image (top-down, RGB): row0 = R,G,B ; row1 = white,black,gray
+    logical = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(255, 255, 255), (0, 0, 0), (128, 128, 128)],
+    ]
+    # stored: bottom-up rows, BGR, padded to 12 bytes
+    body = b""
+    for row in reversed(logical):
+        for (r, g, b) in row:
+            body += bytes([b, g, r])
+        body += b"\x00" * (12 - w * 3)
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    px = MM.decode_bmp_pixels(hdr + dib + body)
+    assert px.shape == (2, 3, 3)
+    assert px.tolist() == [[list(p) for p in row] for row in logical]
+
+    # top-down variant (negative height) stores rows in logical order
+    body_td = b""
+    for row in logical:
+        for (r, g, b) in row:
+            body_td += bytes([b, g, r])
+        body_td += b"\x00" * (12 - w * 3)
+    dib_td = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0,
+                         len(body_td), 2835, 2835, 0, 0)
+    px_td = MM.decode_bmp_pixels(hdr + dib_td + body_td)
+    assert np.array_equal(px, px_td)
+
+    # 8-bit / compressed BMPs stay behind NotImplementedError
+    import pytest
+
+    dib8 = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, 0,
+                       2835, 2835, 0, 0)
+    with pytest.raises(NotImplementedError):
+        MM.decode_bmp_pixels(hdr + dib8 + body)
+
+
+def test_wav_full_sample_decode_real_bytes():
+    """Hand-built 16-bit PCM stereo WAV: chunk walk, little-endian
+    int16 signedness, and channel de-interleave must be exact."""
+    import struct
+
+    import pytest
+
+    frames = [(-32768, 32767), (100, -100), (0, 1)]
+    data = b"".join(
+        struct.pack("<hh", left, right) for (left, right) in frames
+    )
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    sr, s = MM.decode_wav_samples(payload)
+    assert sr == 44100
+    assert s.shape == (3, 2)
+    assert s.tolist() == [list(f) for f in frames]
+
+    # float WAV (format 3) stays behind NotImplementedError
+    fmt_f = struct.pack("<HHIIHH", 3, 2, 44100, 176400, 4, 16)
+    bad = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt_f
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    with pytest.raises(NotImplementedError):
+        MM.decode_wav_samples(bad)
+
+
+def test_extract_decoded_stats_partition_parallel(spark):
+    """The mapInPandas full-decode path over a mixed media frame:
+    decodable containers get exact stats, entropy-coded ones get NULL
+    stats with their header format (no task failure)."""
+    docs = spark.createDataFrame(
+        [(0, "x"), (1, "y")], "doc_id long, text string"
+    )
+    media = MM.synthesize_decodable_media(docs)
+    rows = {r["media_id"]: r for r in
+            MM.extract_decoded_stats(media).collect()}
+    b = rows[0]  # BMP from doc_id 0: bytes i%256 for i in 0..191
+    assert b["format"] == "bmp"
+    assert b["n_units"] == 192
+    assert b["content_sum"] == sum(i % 256 for i in range(192))
+    assert b["content_min"] == 0 and b["content_max"] == 191
+    assert b["top_row_sum"] == sum(i for i in range(144, 192))
+    w = rows[1]  # WAV from doc_id 1
+    want = [((13 + i * 37) % 65536) - 32768 for i in range(128)]
+    assert w["format"] == "wav"
+    assert w["n_units"] == 128
+    assert w["content_sum"] == sum(want)
+    assert w["content_min"] == min(want)
+    assert w["content_max"] == max(want)
+    assert w["top_row_sum"] is None
+
+    # a PNG (entropy-coded) yields header format with NULL stats
+    png = spark.createDataFrame(
+        [(9, bytearray(_png_bytes(8, 8)), "image")], MM.MEDIA_SCHEMA
+    )
+    r = MM.extract_decoded_stats(png).collect()[0]
+    assert r["format"] == "png" and r["content_sum"] is None
