@@ -448,7 +448,16 @@ def commit(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
     df = _apply_constraint_guard(df, path)
-    if cluster_by:
+    if cluster_by and len(cluster_by) == 1:
+        # single-column clustering: Z-order degenerates to a plain range
+        # partition + sort on the column itself — identical file-level
+        # min/max locality, no quantile pass, and it works for ANY
+        # orderable type (the z_value quantizer is numeric-only), e.g. a
+        # postings index clustered by its string term
+        df = df.repartitionByRange(
+            n_files or 32, F.col(cluster_by[0])
+        ).sortWithinPartitions(cluster_by[0])
+    elif cluster_by:
         from _lakehouse_architecture_for_e_commerce_transactions_spark.sources.layout import (
             Z_COL,
             z_value,

@@ -154,6 +154,33 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    # Non-headline extras: the IVM family + deletion-vector commits,
+    # timed with the same reps/min policy but reported ALONGSIDE the
+    # frozen 29-leg headline total (never inside it) — the O(batch)
+    # maintenance claim gets a measured number, and regressions in the
+    # snapshot commit path become visible round over round.
+    extra_legs = [
+        "incremental_agg",
+        "incremental_minmax",
+        "incremental_topk",
+        "join_view_maintenance",
+        "dv_delete_sim",
+        "dv_partitioned_delete_sim",
+    ]
+    extras: dict[str, float] = {}
+    for rep in range(reps):
+        for name in extra_legs:
+            qd = catalog.CATALOG[name]
+            t0 = time.time()
+            n = len(qd.builder(spark, sf_dir).collect())
+            took = round(time.time() - t0, 3)
+            extras[name] = min(extras.get(name, took), took)
+            print(
+                f"# [{rep + 1}/{reps}] extra {name}: {took:.3f}s "
+                f"({n} rows)",
+                file=sys.stderr,
+            )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -162,6 +189,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extras,
+                "extra_total": round(sum(extras.values()), 3),
                 "sf": sf,
                 "reps": reps,
             }

@@ -122,3 +122,63 @@ def test_maintained_join_view_equals_recompute(
     )
     got = {(r["fk"], r["dk"], r["seg"]) for r in out.collect()}
     assert got == want
+
+
+def test_postings_persist_zordered_and_phrase_search_skips_files(
+    spark, tmp_path
+):
+    """The documented 100 TB shape of the search index, end to end:
+    build_postings → snapshots.commit(cluster_by=['term'],
+    stats_for=['term']) → read_where with the phrase's term predicate
+    must SKIP files (manifest-level pruning, asserted via the report
+    hook) and phrase_search over the pruned scan must equal the search
+    over the full postings frame."""
+    from pyspark.sql import functions as F
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.ranking import (
+        build_postings,
+        phrase_search,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as S,
+    )
+
+    # vocabulary wide enough that z-ordered files separate term ranges
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(
+                    f"w{(i * 11 + j) % 97}" for j in range(30)
+                )
+                + (" alpha beta gamma" if i % 5 == 0 else ""),
+            )
+            for i in range(200)
+        ],
+        "doc_id long, text string",
+    )
+    postings = build_postings(docs)
+    path = str(tmp_path / "postings")
+    S.commit(
+        spark, postings, path,
+        stats_for=["term"], cluster_by=["term"], n_files=16,
+    )
+
+    phrase = ["alpha", "beta", "gamma"]
+    rep: dict = {}
+    pruned = S.read_where(
+        spark, path, [("term", "in", phrase)], report=rep
+    )
+    assert rep["files_total"] == 16
+    assert 0 < rep["files_kept"] < rep["files_total"], rep
+
+    got = {
+        (r["doc"], r["n_matches"])
+        for r in phrase_search(pruned, phrase).collect()
+    }
+    want = {
+        (r["doc"], r["n_matches"])
+        for r in phrase_search(postings, phrase).collect()
+    }
+    assert got == want
+    assert got == {(i, 1) for i in range(0, 200, 5)}
