@@ -687,3 +687,55 @@ def test_manifest_publish_atomic_helper(tmp_path):
     mdir = os.path.join(path, "_manifests")
     assert [n for n in os.listdir(mdir) if n.startswith(".tmp")] == []
     assert S._versions(path) == [0]
+
+
+def test_vacuum_under_concurrent_reader_retention_contract(
+    spark, tmp_path
+):
+    """The retention contract under a concurrent reader: a reader
+    pinned to a RETAINED version always completes exactly; a reader
+    pinned to a version vacuum DROPPED either completes exactly (its
+    scan raced ahead of the delete) or fails cleanly — never a silent
+    torn/partial result. ignoreMissingFiles stays at Spark's false
+    default, which is what makes the no-torn-read guarantee hold."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.files.ignoreMissingFiles") == "false"
+    )
+    path = str(tmp_path / "t")
+    v0_rows = set(range(100))
+    S.commit(
+        spark,
+        spark.range(100).select(F.col("id").alias("k")).repartition(4),
+        path,
+    )
+
+    # retained-version reader: vacuum(keep_last=2) keeps v0 — the
+    # pinned reader, planned BEFORE the vacuum, completes exactly
+    pinned = S.read(spark, path, 0)
+    S.commit(
+        spark, spark.range(200, 210).select(F.col("id").alias("k")), path
+    )
+    S.vacuum(path, keep_last=2)
+    assert {r["k"] for r in pinned.collect()} == v0_rows
+
+    # dropped-version reader: vacuum to the head removes v0's manifest
+    # and dirs; the pinned plan must now fail cleanly or return the
+    # EXACT v0 rows — a proper subset would be a torn read
+    pinned = S.read(spark, path, 0)
+    S.vacuum(path, keep_last=1)
+    try:
+        got = {r["k"] for r in pinned.collect()}
+    except Exception:
+        got = None  # clean failure: acceptable under the contract
+    assert got is None or got == v0_rows
+
+    # post-vacuum: the dropped version is no longer addressable and the
+    # head remains fully readable
+    with pytest.raises((ValueError, FileNotFoundError)):
+        S.read(spark, path, 0)
+    assert {r["k"] for r in S.read(spark, path).collect()} == set(
+        range(200, 210)
+    )
