@@ -96,6 +96,10 @@ class Snapshot:
     # deletion vectors (row-level DELETE without file rewrites): parquet
     # dirs of (file, row_idx) tombstones readers anti-join at scan time
     dv_files: list[str] | None = None
+    # per-data-file tombstone counts {_metadata-format path: n_dead},
+    # recorded at delete time so metadata-only COUNT stays exact under
+    # DVs (footer rows − dead rows of files still live in the snapshot)
+    dv_dead: dict | None = None
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -191,6 +195,7 @@ def load_snapshot(path: str, version: int | None = None) -> Snapshot:
         m.get("file_blooms"),
         m.get("bloom_cols"),
         m.get("dv_files"),
+        m.get("dv_dead"),
     )
 
 
@@ -522,9 +527,11 @@ def commit(
         if mode == "append" and vs:
             # appended files can't have tombstones, but the carried
             # parent files keep theirs
-            parent_dv = load_snapshot(path, vs[-1]).dv_files
-            if parent_dv:
-                manifest["dv_files"] = parent_dv
+            parent_snap = load_snapshot(path, vs[-1])
+            if parent_snap.dv_files:
+                manifest["dv_files"] = parent_snap.dv_files
+                if parent_snap.dv_dead is not None:
+                    manifest["dv_dead"] = parent_snap.dv_dead
         if fresh_stats is not None:
             merged_stats = dict(fresh_stats)
             if mode == "append" and vs:
@@ -895,15 +902,37 @@ def table_stats(path: str, version: int | None = None) -> dict:
     means some file lacks usable stats and the caller should fall back
     to a scan (correctness never depends on the fast path)."""
     snap = load_snapshot(path, version)
+    n_dead = 0
     if snap.dv_files:
-        # deletion vectors remove rows the footers still count — the
-        # metadata path would overcount; fail open to a scan
-        return {"rows": None, "cols": {}}
+        # deletion vectors remove rows the footers still count. The
+        # delete-time manifests record per-file dead counts, so COUNT
+        # stays exact and O(manifest): footer rows − dead rows of files
+        # still live in this snapshot (tombstones of rewritten files
+        # are orphans and must not be subtracted). Column MIN/MAX can't
+        # be corrected this way — a deleted row may have held the
+        # extremum — so per-column stats fail open to a scan. Tables
+        # whose DV manifests predate the dead counts fail fully open.
+        if snap.dv_dead is None:
+            return {"rows": None, "cols": {}}
+        live = {
+            _strip_file_scheme(f)
+            for f in data_files(path, snap.version)
+        }
+        n_dead = sum(
+            n
+            for f, n in snap.dv_dead.items()
+            if _strip_file_scheme(f) in live
+        )
     files = data_files(path, snap.version)
     fs = snap.file_stats or {}
     if set(files) != set(fs):
         return {"rows": None, "cols": {}}
-    rows = sum(e["rows"] for e in fs.values())
+    rows = sum(e["rows"] for e in fs.values()) - n_dead
+    if snap.dv_files:
+        return {
+            "rows": rows,
+            "cols": {c: None for c in snap.stats_cols or []},
+        }
     cols: dict = {}
     for c in snap.stats_cols or []:
         lo = hi = None
@@ -1144,6 +1173,8 @@ def _publish_partitioned(
             # no carried entries everything was rewritten from the
             # DV-filtered read, so the vectors are fully materialized.
             manifest["dv_files"] = head.dv_files
+            if head.dv_dead is not None:
+                manifest["dv_dead"] = head.dv_dead
         if fresh_stats is not None:
             # match on directory boundaries: a carried dir .../p=1 must not
             # prefix-capture files in a rewritten sibling .../p=10
@@ -1272,8 +1303,9 @@ def delete_where_dv(
     The trade is read-side: every scan pays a broadcast anti-join until
     ``compact`` (or any rewrite op) materializes the deletes and clears
     the vectors. Time travel still works — pre-delete versions don't
-    reference the tombstones. ``table_stats`` fails open to a scan while
-    DVs exist (footer row counts overcount).
+    reference the tombstones. ``table_stats``'s COUNT stays exact under
+    DVs (delete-time per-file dead counts in the manifest); per-column
+    min/max fail open to a scan while vectors exist.
 
     On merge-committed (partitioned) tables — the shape every curated
     table of the reference ships (orders_etl.py:74,
@@ -1309,12 +1341,11 @@ def delete_where_dv(
         )
         dv_dir = os.path.join(path, _DATA, f"dv-{uuid.uuid4().hex}")
         dels.coalesce(1).write.mode("errorifexists").parquet(dv_dir)
-        # tombstone count from the written footers — no second scan
-        n_dead = sum(
-            e["rows"]
-            for e in collect_file_stats([dv_dir], []).values()
-        )
-        if n_dead == 0:
+        # per-file tombstone counts — bounded by tombstoned-FILE count
+        # (manifest scale); they feed the exact metadata-only COUNT and
+        # the partitioned changed-flags, one tiny read for both
+        dead = _dv_dead_counts(spark, dv_dir)
+        if not dead:
             import shutil
 
             shutil.rmtree(dv_dir, ignore_errors=True)
@@ -1325,9 +1356,10 @@ def delete_where_dv(
             "schema": snap.schema_json,
             "committed_at": time.time(),
             "dv_files": (snap.dv_files or []) + [dv_dir],
+            "dv_dead": _merge_dead(snap.dv_dead, dead),
         }
         if snap.part_entries is not None:
-            affected = _dv_affected_partitions(spark, snap, dv_dir)
+            affected = _dv_affected_partitions(snap, set(dead))
             manifest["part_entries"] = [
                 {**e, "changed": tuple(e["parts"]) in affected}
                 for e in snap.part_entries
@@ -1352,21 +1384,39 @@ def delete_where_dv(
     )
 
 
-def _dv_affected_partitions(
-    spark: SparkSession, snap: Snapshot, dv_dir: str
-) -> set[tuple[str, ...]]:
-    """Partition-value tuples whose files a freshly written tombstone
-    dir addresses — the partitions a DV commit must mark ``changed`` so
-    concurrent merges into them rebase-conflict. Bounded by the
-    distinct tombstoned FILE count (manifest scale, not row scale)."""
-    files = {
-        _strip_file_scheme(r["file"])
-        for r in spark.read.parquet(dv_dir).select("file").distinct().collect()
+def _dv_dead_counts(spark: SparkSession, dv_dir: str) -> dict[str, int]:
+    """{tombstoned file path (_metadata format): n dead rows} for one
+    freshly written tombstone dir — a collect bounded by the distinct
+    tombstoned FILE count (manifest scale, not row scale)."""
+    return {
+        r["file"]: r["n"]
+        for r in spark.read.parquet(dv_dir)
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
+
+
+def _merge_dead(old: dict | None, new: dict[str, int]) -> dict:
+    """Sum per-file dead counts across successive DV commits (two
+    deletes may tombstone different rows of the same file)."""
+    out = dict(old or {})
+    for f, n in new.items():
+        out[f] = out.get(f, 0) + n
+    return out
+
+
+def _dv_affected_partitions(
+    snap: Snapshot, files: set[str]
+) -> set[tuple[str, ...]]:
+    """Partition-value tuples whose files a tombstone set addresses —
+    the partitions a DV commit must mark ``changed`` so concurrent
+    merges into them rebase-conflict."""
+    stripped = {_strip_file_scheme(f) for f in files}
     out: set[tuple[str, ...]] = set()
     for e in snap.part_entries or []:
         pref = e["dir"].rstrip(os.sep) + os.sep
-        if any(f.startswith(pref) for f in files):
+        if any(f.startswith(pref) for f in stripped):
             out.add(tuple(e["parts"]))
     return out
 
@@ -1472,16 +1522,18 @@ def update_where_dv(
                 updated.write.mode("errorifexists").parquet(commit_dir)
         finally:
             live.unpersist()
+        dead = _dv_dead_counts(spark, dv_dir)
         manifest = {
             "version": snap.version + 1,
             "dirs": snap.dirs + [commit_dir],
             "schema": snap.schema_json,
             "committed_at": time.time(),
             "dv_files": (snap.dv_files or []) + [dv_dir],
+            "dv_dead": _merge_dead(snap.dv_dead, dead),
         }
         if snap.part_entries is not None:
             written = _hive_leaf_dirs(commit_dir, parts)
-            affected = _dv_affected_partitions(spark, snap, dv_dir) | set(
+            affected = _dv_affected_partitions(snap, set(dead)) | set(
                 written
             )
             manifest["part_entries"] = [
@@ -1968,6 +2020,8 @@ def restore(path: str, version: int, max_retries: int = 10) -> int:
             # "exact file references" includes the tombstones: dropping
             # them would resurrect DV-deleted rows at the restored head
             manifest["dv_files"] = snap.dv_files
+            if snap.dv_dead is not None:
+                manifest["dv_dead"] = snap.dv_dead
         if not _try_publish_manifest(path, next_v, manifest):
             continue
         return next_v
@@ -2003,6 +2057,8 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
         # the clone references the source's files AS FILTERED — without
         # the tombstones it would contain the source's deleted rows
         manifest["dv_files"] = snap.dv_files
+        if snap.dv_dead is not None:
+            manifest["dv_dead"] = snap.dv_dead
     if not _try_publish_manifest(dst, 0, manifest):
         raise ValueError(f"clone target {dst} was created concurrently")
     return 0

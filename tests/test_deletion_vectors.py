@@ -1,7 +1,9 @@
 """Deletion vectors: row-level DELETE with zero file rewrites — readers
 anti-join tombstones, time travel is unaffected, appends carry vectors
-forward, compaction materializes and clears them, and the metadata-only
-aggregate path fails open while vectors exist."""
+forward, compaction materializes and clears them, metadata-only COUNT
+stays exact via delete-time dead counts (per-column min/max fail open),
+and the whole mechanism works identically on merge-committed
+(partitioned) tables."""
 
 from __future__ import annotations
 
@@ -67,7 +69,11 @@ def test_dv_respected_by_read_where_and_stats_fail_open(spark, tmp_path):
         for r in S.read_where(spark, path, [("k", "<", 10)]).collect()
     }
     assert got == {0, 1, 2, 3, 4, 6, 7, 8, 9}
-    assert S.table_stats(path)["rows"] is None  # fail open → scan
+    st = S.table_stats(path)
+    # COUNT stays exact via delete-time dead counts; column min/max
+    # fail open (the deleted row may have held the extremum)
+    assert st["rows"] == 99
+    assert st["cols"] == {"k": None}
 
 
 def test_append_carries_dv_and_compact_materializes(spark, tmp_path):
@@ -349,3 +355,41 @@ def test_concurrent_dv_deletes_both_land(spark, tmp_path):
         range(10, 90)
     )
     assert S.load_snapshot(path).version == 2
+
+
+def test_metadata_count_stays_exact_under_dvs(spark, tmp_path):
+    """Delete-time per-file dead counts keep the metadata-only COUNT
+    exact (and O(manifest)) while deletion vectors exist; per-column
+    min/max still fail open (a deleted row may have held the extremum);
+    a merge that rewrites one partition orphans its tombstones and the
+    count stays exact for the carried rest."""
+    path = _mk(spark, tmp_path, stats=True)
+    S.delete_where_dv(spark, path, "k % 10 = 3")      # −10 rows
+    st = S.table_stats(path)
+    assert st["rows"] == 90
+    assert st["cols"] == {"k": None}  # min/max correctly fail open
+    S.delete_where_dv(spark, path, "k IN (4, 14)")    # −2 more, same files
+    assert S.table_stats(path)["rows"] == 88
+    # update: tombstone + append — count unchanged
+    S.update_where_dv(spark, path, "k = 5", {"g": "g + 1"})
+    assert S.table_stats(path)["rows"] == 88
+    # compact materializes: vectors cleared, full stats path restored
+    S.compact(spark, path)
+    st = S.table_stats(path)
+    assert st["rows"] == 88 and st["cols"]["k"] is not None
+
+    # partitioned: carried partitions subtract their dead rows; a merge
+    # rewriting one partition drops that partition's tombstones from
+    # the live set without breaking the count
+    pp = str(tmp_path / "pt")
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    S.merge_commit(spark, df, pp, _part_spec(), stats_for=["k"])
+    S.delete_where_dv(spark, pp, "k IN (1, 3, 4)")
+    assert S.table_stats(pp)["rows"] == 17
+    src = spark.createDataFrame([(100, 0)], "k long, p long")
+    S.merge_commit(spark, src, pp, _part_spec())  # rewrites p=0 only
+    # p=0 rewrite materialized k=4's delete; p=1 still counts its 2
+    assert S.table_stats(pp)["rows"] == 18
+    assert S.read(spark, pp).count() == 18
