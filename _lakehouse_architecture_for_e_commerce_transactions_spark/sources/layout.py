@@ -29,15 +29,21 @@ from pyspark.sql import functions as F
 Z_COL = "_z"
 
 
-def _quantize(col: Column, bounds: list[float], bits: int) -> Column:
+def _quantize(col: Column, bounds: list, bits: int) -> Column:
     """Map a value to its quantile bucket in [0, 2^bits) via the
     precomputed boundary list (equi-frequency, so buckets are balanced
-    even for skewed value distributions)."""
+    even for skewed value distributions). Comparison is the column's
+    native ordering — numeric or lexicographic alike."""
     n = (1 << bits) - 1
     expr: Column = F.lit(0)
     for b in bounds:
         expr = expr + F.when(col > F.lit(b), 1).otherwise(0)
     return F.least(expr, F.lit(n))
+
+
+_NUMERIC_DTYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+}
 
 
 def z_value(df: DataFrame, cols: Sequence[str], bits: int = 6) -> Column:
@@ -46,16 +52,46 @@ def z_value(df: DataFrame, cols: Sequence[str], bits: int = 6) -> Column:
     sort order — the locality property plain multi-column sort lacks
     (a lexicographic sort clusters only its leading column).
 
+    Numeric columns take their boundaries from one ``approxQuantile``
+    pass. Non-numeric orderable columns (strings, dates) take
+    rank-based boundaries from a bounded uniform sample —
+    ``orderBy(rand).limit(n)`` compiles to a per-partition partial
+    top-k (TakeOrdered), never a full shuffle, and clustering is
+    already a rewrite-scale maintenance op.
+
     ``bits`` defaults to 6 (64 buckets/column): the quantize expression is
     a chain of 2^bits-1 comparisons, so keeping it small keeps the codegen
     method compact; 64 buckets already far exceeds typical file counts.
     """
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    dtypes = dict(df.dtypes)
     quantized = []
     for c in cols:
-        bounds = df.approxQuantile(c, qs, 0.001)
-        quantized.append(_quantize(F.col(c).cast("double"), bounds, bits))
+        dt = dtypes.get(c, "")
+        if dt in _NUMERIC_DTYPES or dt.startswith("decimal"):
+            bounds = df.approxQuantile(c, qs, 0.001)
+            quantized.append(
+                _quantize(F.col(c).cast("double"), bounds, bits)
+            )
+        else:
+            sample = sorted(
+                r[0]
+                for r in df.select(c)
+                .where(F.col(c).isNotNull())
+                .orderBy(F.rand(7))
+                .limit(16 * n_buckets)
+                .collect()
+            )
+            bounds = (
+                [
+                    sample[min(int(q * len(sample)), len(sample) - 1)]
+                    for q in qs
+                ]
+                if sample
+                else []
+            )
+            quantized.append(_quantize(F.col(c), bounds, bits))
     z: Column = F.lit(0)
     for bit in range(bits - 1, -1, -1):  # MSB first
         for q in quantized:

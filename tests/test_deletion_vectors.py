@@ -393,3 +393,23 @@ def test_metadata_count_stays_exact_under_dvs(spark, tmp_path):
     # p=0 rewrite materialized k=4's delete; p=1 still counts its 2
     assert S.table_stats(pp)["rows"] == 18
     assert S.read(spark, pp).count() == 18
+
+
+def test_partitioned_dv_read_plan_broadcasts_tombstones(
+    spark, tmp_path
+):
+    """Plan-shape pin for the 100 TB read path: the DV filter on a
+    partitioned table must execute as a BROADCAST anti-join (tombstones
+    are deletion-scale) — never a cartesian/nested-loop, and never a
+    sort-merge shuffle of the fact side at this size."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.plans.explain import (
+        executed_plan_text,
+    )
+
+    path = _mk_part(spark, tmp_path, n=200)
+    S.delete_where_dv(spark, path, "k % 10 = 3")
+    plan = executed_plan_text(S.read(spark, path))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

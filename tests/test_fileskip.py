@@ -497,3 +497,35 @@ def test_carried_stats_survive_sibling_prefix_dirs(spark, tmp_path):
     # and the skipping read still equals the plain filtered scan
     got = S.read_where(spark, path, [("amt", ">=", 900.0)])
     assert [r["pk"] for r in got.collect()] == [15]
+
+
+def test_multicolumn_zorder_with_string_column_skips_both(
+    spark, tmp_path
+):
+    """Z-order over (string, numeric): rank boundaries for the string
+    side come from a bounded sample; files must then cover narrow
+    windows on BOTH columns so predicates on either skip files."""
+    from pyspark.sql import functions as F
+
+    rows = spark.range(4000).select(
+        F.concat(
+            F.lit("cat_"), F.lpad((F.col("id") % 40).cast("string"), 2, "0")
+        ).alias("cat"),
+        (F.col("id") * 37 % 1000).alias("num"),
+        F.col("id").alias("pk"),
+    )
+    path = str(tmp_path / "t")
+    S.commit(
+        spark, rows, path,
+        stats_for=["cat", "num"], cluster_by=["cat", "num"], n_files=16,
+    )
+    rep_s: dict = {}
+    got_s = S.read_where(
+        spark, path, [("cat", "==", "cat_07")], report=rep_s
+    )
+    assert got_s.count() == 100
+    assert rep_s["files_kept"] < rep_s["files_total"], rep_s
+    rep_n: dict = {}
+    got_n = S.read_where(spark, path, [("num", "<", 100)], report=rep_n)
+    assert got_n.count() == rows.filter("num < 100").count()
+    assert rep_n["files_kept"] < rep_n["files_total"], rep_n
