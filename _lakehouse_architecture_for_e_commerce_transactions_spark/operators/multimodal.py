@@ -216,6 +216,11 @@ def _make_content_decoders():
             off += 8 + size + (size & 1)  # chunks are word-aligned
         if fmt is None or data is None:
             raise ValueError("WAV missing fmt/data chunk")
+        if len(fmt) < 16:
+            # a corrupt header can declare a short fmt chunk; struct
+            # would raise struct.error, which is NOT a ValueError —
+            # normalize so poison-file guards catch it
+            raise ValueError("truncated WAV fmt chunk")
         audio_fmt, ch, sr = struct.unpack("<HHI", fmt[0:8])
         (bits,) = struct.unpack("<H", fmt[14:16])
         if audio_fmt != 1 or bits != 16 or ch < 1:
@@ -269,6 +274,8 @@ def extract_decoded_stats(media: DataFrame) -> DataFrame:
     header_core = _make_header_parser()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
         import pandas as _pd
 
         def one(b: bytes) -> tuple:
@@ -284,7 +291,15 @@ def extract_decoded_stats(media: DataFrame) -> DataFrame:
                     s = s.astype("int64")
                     return (fmt, s.shape[0], int(s.sum()), int(s.min()),
                             int(s.max()), None)
-            except (NotImplementedError, ValueError):
+            except (
+                NotImplementedError,
+                ValueError,
+                IndexError,  # zero-pixel image: px[0] has no row
+                _struct.error,
+            ):
+                # struct.error belt-and-braces: the decoders normalize
+                # known truncations to ValueError, but a crafted header
+                # must never kill the task either way
                 pass
             return (fmt, None, None, None, None, None)
 

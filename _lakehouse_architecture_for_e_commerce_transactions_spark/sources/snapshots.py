@@ -136,19 +136,30 @@ def _try_publish_manifest(path: str, version: int, manifest: dict) -> bool:
             # loses-the-race semantics (two committers, one winner).
             # Unlike link(2) it does expose the name before content is
             # complete — a narrower guarantee, accepted only on
-            # filesystems where the primary path is impossible
-            fd = None
+            # filesystems where the primary path is impossible. A soft
+            # write failure (ENOSPC, ...) must not strand a truncated
+            # manifest under the final name — that would brick every
+            # subsequent load_snapshot AND every retry (EEXIST) — so
+            # unlink before re-raising; only a hard crash mid-write can
+            # still leave a torn head here.
+            final = _manifest_path(path, version)
             try:
                 fd = os.open(
-                    _manifest_path(path, version),
-                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                    final, os.O_CREAT | os.O_EXCL | os.O_WRONLY
                 )
             except FileExistsError:
                 return False
-            with os.fdopen(fd, "w") as out:
-                json.dump(manifest, out)
-                out.flush()
-                os.fsync(out.fileno())
+            try:
+                with os.fdopen(fd, "w") as out:
+                    json.dump(manifest, out)
+                    out.flush()
+                    os.fsync(out.fileno())
+            except BaseException:
+                try:
+                    os.unlink(final)
+                except OSError:
+                    pass
+                raise
         # fsync the directory entry: without this, a crash shortly after
         # publish can lose the name even though the caller saw the
         # commit succeed (acknowledged-commit loss) — the data was
@@ -182,7 +193,16 @@ def load_snapshot(path: str, version: int | None = None) -> Snapshot:
     if v not in vs:
         raise ValueError(f"version {v} not in {path} (have {vs})")
     with open(_manifest_path(path, v)) as f:
-        m = json.load(f)
+        try:
+            m = json.load(f)
+        except json.JSONDecodeError as e:
+            raise RuntimeError(
+                f"manifest v{v} at {path} is torn/unreadable — a "
+                "publish crashed mid-write (possible only on the "
+                "no-hardlink fallback path); delete "
+                f"{_manifest_path(path, v)} to expose the previous "
+                "version"
+            ) from e
     return Snapshot(
         m["version"],
         m["dirs"],
@@ -456,9 +476,8 @@ def commit(
     if cluster_by and len(cluster_by) == 1:
         # single-column clustering: Z-order degenerates to a plain range
         # partition + sort on the column itself — identical file-level
-        # min/max locality, no quantile pass, and it works for ANY
-        # orderable type (the z_value quantizer is numeric-only), e.g. a
-        # postings index clustered by its string term
+        # min/max locality with no quantile/sample pass (multi-column
+        # sets, including string columns, go through z_value below)
         df = df.repartitionByRange(
             n_files or 32, F.col(cluster_by[0])
         ).sortWithinPartitions(cluster_by[0])
@@ -902,6 +921,7 @@ def table_stats(path: str, version: int | None = None) -> dict:
     means some file lacks usable stats and the caller should fall back
     to a scan (correctness never depends on the fast path)."""
     snap = load_snapshot(path, version)
+    files = data_files(path, snap.version)
     n_dead = 0
     if snap.dv_files:
         # deletion vectors remove rows the footers still count. The
@@ -914,16 +934,12 @@ def table_stats(path: str, version: int | None = None) -> dict:
         # whose DV manifests predate the dead counts fail fully open.
         if snap.dv_dead is None:
             return {"rows": None, "cols": {}}
-        live = {
-            _strip_file_scheme(f)
-            for f in data_files(path, snap.version)
-        }
+        live = set(files)
         n_dead = sum(
             n
             for f, n in snap.dv_dead.items()
             if _strip_file_scheme(f) in live
         )
-    files = data_files(path, snap.version)
     fs = snap.file_stats or {}
     if set(files) != set(fs):
         return {"rows": None, "cols": {}}
@@ -1422,12 +1438,16 @@ def _dv_affected_partitions(
 
 
 def _strip_file_scheme(p: str) -> str:
-    """``_metadata.file_path`` URIs ('file:/x' or 'file:///x') → local
-    paths ('/x'), so they prefix-compare against manifest dirs."""
+    """``_metadata.file_path`` URIs ('file:/x', 'file:///x',
+    URL-encoded: '/my table' → 'file:/my%20table') → local disk paths,
+    so they compare against manifest dirs. unquote is the exact inverse
+    of the encoder (a literal '%' arrives as '%25')."""
+    from urllib.parse import unquote
+
     if p.startswith("file://"):
-        return p[7:]
+        return unquote(p[7:])
     if p.startswith("file:"):
-        return p[5:]
+        return unquote(p[5:])
     return p
 
 

@@ -158,6 +158,23 @@ def _guard(batch_id: int, last, stored_app, app):
     return False, False
 
 
+def _reject_null_keys(batch_df: DataFrame, cond, what: str) -> None:
+    """The snapshot-state twins reserve NULL keys for the watermark
+    marker row and strip them on every state read, so a NULL-keyed
+    change row would be SILENTLY dropped between batches — the worst
+    failure mode. Fail loudly instead: the stream layer's contract is
+    non-null keys (the BATCH operators in operators/incremental are
+    null-safe; feed them directly when NULL-keyed groups matter)."""
+    bad = batch_df.filter(cond).take(1)
+    if bad:
+        raise ValueError(
+            f"{what}: NULL key in change row {tuple(bad[0])!r} — the "
+            "streaming state tables reserve NULL keys for the "
+            "watermark marker; NULL-keyed groups are supported by the "
+            "batch maintenance operators only"
+        )
+
+
 def _commit_with_marker(spark, df, path, batch_id, app, marker_row, schema):
     marker = spark.createDataFrame([marker_row], schema)
     out = (
@@ -200,6 +217,9 @@ def stream_agg_maintenance(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _reject_null_keys(
+            batch_df, F.col("k").isNull(), "stream_agg_maintenance"
+        )
         state, last, stored_app = _table_state(
             spark, table_path, _STATE_SCHEMA, ["k", "cnt", "sum_scaled"]
         )
@@ -333,6 +353,17 @@ def stream_join_view_maintenance(
             batch_df.unpersist()
 
     def _process(batch_df: DataFrame, batch_id: int, Window) -> None:
+        _reject_null_keys(
+            batch_df,
+            (
+                (F.col("kind") == "DU") & F.col("dim_key").isNull()
+            )
+            | (
+                F.col("kind").isin("FI", "FD")
+                & F.col("fact_key").isNull()
+            ),
+            "stream_join_view_maintenance",
+        )
         # a micro-batch may hold SEVERAL changes for the same key (batch
         # boundaries are delivery artifacts, not transaction boundaries)
         # — collapse to the latest change per key by the feed's monotonic
@@ -523,6 +554,9 @@ def _advance_fact(
     value inserted earlier in the same batch nets correctly."""
     from pyspark.sql import Window
 
+    _reject_null_keys(
+        batch_df, F.col("k").isNull(), "fact-mirror maintenance"
+    )
     fact, last, aid = _table_state(
         spark, fact_path, _FACT_SCHEMA, ["k", "val"]
     )

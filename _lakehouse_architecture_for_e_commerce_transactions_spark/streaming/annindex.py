@@ -116,6 +116,15 @@ def stream_ivf_index_maintenance(
     reader = spark.readStream.schema(EMBEDDING_STREAM_SCHEMA).json(raw_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (
+            _reject_null_keys,
+        )
+
+        _reject_null_keys(
+            batch_df,
+            F.col("vec_id").isNull() | F.col("embedding").isNull(),
+            "stream_ivf_index_maintenance",
+        )
         _, last, aid = _table_state(
             spark, index_path, INDEX_SCHEMA, ["cell", "id", "v"]
         )
@@ -188,13 +197,18 @@ def ivf_index_topk(
     w = Window.partitionBy("qid").orderBy(
         F.col("cos").desc(), F.col("cid").asc()
     )
+    # no dedup needed: every vector lives in exactly ONE cell (insert
+    # assigns n_cells=1), so a (qid, cid) pair appears at most once
+    # however many cells the query probes — a distinct here would add
+    # a full shuffle of the candidate set for nothing. Duplicate
+    # vec_ids in the FEED are a feed contract violation, surfaced (not
+    # masked) by the index row count.
     return (
         idx.join(F.broadcast(q_cells), "cell")
         .withColumn(
             "cos", F.round(V.cosine(F.col("qv"), F.col("cv")), round_to)
         )
         .select("qid", "cid", "cos")
-        .distinct()  # a candidate can appear via several probed cells
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

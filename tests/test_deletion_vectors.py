@@ -413,3 +413,29 @@ def test_partitioned_dv_read_plan_broadcasts_tombstones(
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dv_exact_paths_with_encodable_characters(spark, tmp_path):
+    """_metadata.file_path is URL-encoded ('my table' →
+    'file:/...my%20table...'): the dead-count live-set match and the
+    partitioned changed-flag mapping must decode before comparing, or
+    counts silently overcount and DV commits mark no partition changed."""
+    # table path with a space AND a literal percent sign
+    base = tmp_path / "enc dir" / "100%t"
+    path = str(base)
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    S.merge_commit(spark, df, path, _part_spec(), stats_for=["k"])
+    S.delete_where_dv(spark, path, "k % 5 = 1")  # 10 rows, both parities
+    # exact metadata COUNT through the encoded-path round-trip
+    assert S.table_stats(path)["rows"] == 40
+    # changed flags found their partitions despite the encoding
+    snap = S.load_snapshot(path)
+    changed = {
+        tuple(e["parts"]) for e in snap.part_entries if e["changed"]
+    }
+    assert changed == {("0",), ("1",)}
+    assert {r["k"] for r in S.read(spark, path).collect()} == {
+        i for i in range(50) if i % 5 != 1
+    }

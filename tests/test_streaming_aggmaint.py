@@ -319,3 +319,20 @@ def test_early_fact_recovered_by_late_dimension(spark, tmp_path):
         (r["fact_key"], r["attr"])
         for r in read_maintained_view(spark, viewp).collect()
     } == {(200, "violet")}
+
+
+def test_null_key_change_rows_fail_loudly(spark, tmp_path):
+    """The snapshot-state twins reserve NULL keys for the watermark
+    marker and strip them on read — a NULL-keyed change row must raise,
+    not vanish between batches (the batch operators remain the
+    null-safe path)."""
+    import pytest
+
+    raw = str(tmp_path / "raw")
+    _write(os.path.join(raw, "b1.csv"), ["a,I,,1.0", ",I,,2.0"])
+    q = stream_agg_maintenance(
+        spark, raw, str(tmp_path / "t"), str(tmp_path / "ck")
+    )
+    with pytest.raises(Exception, match="NULL key"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
