@@ -1941,12 +1941,23 @@ def compact(
     spark: SparkSession,
     path: str,
     max_retries: int = 3,
+    cluster_by: list[str] | None = None,
+    n_files: int | None = None,
 ) -> int:
     """OPTIMIZE: rewrite the head snapshot's data into fresh, well-sized
     files and publish it as the next version. Logical rows are untouched
     — compaction is pure layout maintenance (the small-file debt of many
     merge/append commits), and time travel to pre-compaction versions
     still resolves (``vacuum`` is what eventually drops their dirs).
+
+    ``cluster_by`` is Delta's ``OPTIMIZE ... ZORDER BY``: the rewrite
+    additionally clusters rows so each fresh file covers a narrow
+    min/max window on the cluster columns (single column → range
+    partition+sort; several → ``layout.z_value`` interleave). On
+    hive-partitioned tables clustering applies WITHIN each partition
+    (sort inside the partition's tasks), matching Delta's semantics.
+    Pair with the table's ``stats_cols`` so ``read_where`` skipping
+    bites after the rewrite.
 
     Concurrency: the rewrite reads one snapshot; if ANY commit lands
     before publication the whole pass restarts from the new head
@@ -1960,12 +1971,37 @@ def compact(
         data = read(spark, path)
         parts = base.partition_by or []
         commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
+        cluster = [c for c in (cluster_by or []) if c not in parts]
         if parts:
             # one task per partition value (rebalance lets AQE split hot
-            # values), one well-sized file per task
-            writer = data.hint("rebalance", *parts).write
-            writer.mode("errorifexists").partitionBy(*parts).parquet(
-                commit_dir
+            # values), one well-sized file per task; cluster columns
+            # sort WITHIN the partition's tasks
+            shaped = data.hint("rebalance", *parts)
+            if cluster:
+                shaped = shaped.sortWithinPartitions(*parts, *cluster)
+            shaped.write.mode("errorifexists").partitionBy(
+                *parts
+            ).parquet(commit_dir)
+        elif len(cluster) == 1:
+            (
+                data.repartitionByRange(n_files or 32, F.col(cluster[0]))
+                .sortWithinPartitions(cluster[0])
+                .write.mode("errorifexists")
+                .parquet(commit_dir)
+            )
+        elif cluster:
+            from _lakehouse_architecture_for_e_commerce_transactions_spark.sources.layout import (
+                Z_COL,
+                z_value,
+            )
+
+            (
+                data.withColumn(Z_COL, z_value(data, cluster))
+                .repartitionByRange(n_files or 32, Z_COL)
+                .sortWithinPartitions(Z_COL)
+                .drop(Z_COL)
+                .write.mode("errorifexists")
+                .parquet(commit_dir)
             )
         else:
             data.hint("rebalance").write.mode("errorifexists").parquet(

@@ -529,3 +529,45 @@ def test_multicolumn_zorder_with_string_column_skips_both(
     got_n = S.read_where(spark, path, [("num", "<", 100)], report=rep_n)
     assert got_n.count() == rows.filter("num < 100").count()
     assert rep_n["files_kept"] < rep_n["files_total"], rep_n
+
+
+def test_optimize_zorder_recluster_enables_skipping(spark, tmp_path):
+    """Delta's OPTIMIZE ... ZORDER BY as compact(cluster_by=...): a
+    table committed in insertion order (no locality) is reclustered by
+    the maintenance op — same rows, fresh files, and read_where
+    skipping starts to bite on the cluster column."""
+    from pyspark.sql import functions as F
+
+    rows = spark.range(4000).select(
+        F.col("id").alias("pk"),
+        (F.col("id") * 2654435761 % 1000).alias("num"),
+    )
+    path = str(tmp_path / "t")
+    # scattered insertion order: every file spans ~the full num range
+    S.commit(spark, rows.repartition(16), path, stats_for=["num"])
+    rep0: dict = {}
+    S.read_where(spark, path, [("num", "<", 50)], report=rep0).count()
+    assert rep0["files_kept"] == rep0["files_total"]  # nothing skips
+
+    v = S.compact(spark, path, cluster_by=["num"], n_files=16)
+    rep1: dict = {}
+    got = S.read_where(spark, path, [("num", "<", 50)], report=rep1)
+    assert rep1["files_kept"] < rep1["files_total"]  # skipping bites
+    assert got.count() == rows.filter("num < 50").count()
+    assert S.read(spark, path, v).count() == 4000  # rows untouched
+
+    # partitioned variant: cluster within partitions
+    spec = _tspec("pk int, amt double, part string", ("part",))
+    pp = str(tmp_path / "pt")
+    pdf = spark.range(2000).select(
+        F.col("id").cast("int").alias("pk"),
+        (F.col("id") * 2654435761 % 500).cast("double").alias("amt"),
+        (F.col("id") % 2).cast("string").alias("part"),
+    )
+    S.merge_commit(spark, pdf, pp, spec, stats_for=["amt"])
+    S.compact(spark, pp, cluster_by=["amt"])
+    assert S.read(spark, pp).count() == 2000
+    got = S.read_where(
+        spark, pp, [("part", "==", "1"), ("amt", "<", 10.0)]
+    )
+    assert got.count() == pdf.filter("part = '1' and amt < 10").count()
