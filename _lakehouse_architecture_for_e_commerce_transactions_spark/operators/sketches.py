@@ -1,0 +1,100 @@
+"""Mergeable distinct-count sketches (KMV — k minimum values).
+
+The 100 TB shape for COUNT(DISTINCT x) maintenance: exact distinct
+needs a shuffle of every distinct value per group, every time. A KMV
+sketch keeps only the k smallest hash values per group — k·8 bytes of
+state however many distinct values exist — and is MERGEABLE with no
+error growth: the k smallest hashes of A ∪ B are a subset of
+(k smallest of A) ∪ (k smallest of B), so unions of sketches are
+EXACTLY the sketch of the union. That makes per-partition, per-day, or
+per-batch sketches composable into rollups without touching raw data
+again (the same algebra Delta/Iceberg engines use for NDV stats, and
+the textbook KMV estimator of Bar-Yossef et al.).
+
+Estimator: with U_k = (k-th smallest hash)/2^32, distinct ≈ (k−1)/U_k;
+groups holding fewer than k distinct hashes are EXACT (the sketch has
+every hash). Standard error ≈ 1/√(k−2).
+
+Hash family: the repo's engine-portable md5 discipline
+(functions/hashing.py) — the first 8 hex chars as a 32-bit integer —
+so a SQL oracle reproduces the sketch AND the estimate bit-for-bit
+(IEEE division of identical integers). Deterministic by construction:
+no RNG, no partitioning sensitivity.
+
+Plan shape: one distinct on (group, hash) — map-side combined — then a
+bounded per-group top-k window. No collect, no unbounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+KMV_SPACE = 2**32  # 8 hex chars = 32-bit hash values
+
+
+def h32(col: Column) -> Column:
+    """Engine-portable 32-bit hash: first 8 hex chars of md5, as long.
+    (DuckDB twin: per-digit strpos expansion — see the catalog SQL.)"""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame, keys: list[str], col: str, k: int = 64
+) -> DataFrame:
+    """Per-key KMV sketch rows: (keys..., h) — the k smallest distinct
+    32-bit hashes of ``col``. One (keys, h) distinct (partial
+    aggregation combines map-side) + one bounded window."""
+    d = df.select(*keys, h32(F.col(col)).alias("h")).distinct()
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(*keys, "h")
+    )
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, keys: list[str], k: int = 64
+) -> DataFrame:
+    """Union two sketches into the sketch of the underlying union —
+    exact, not approximate: the union's k smallest hashes all survive
+    in one of the inputs. This is the incremental-maintenance step
+    (yesterday's sketch ⊎ today's batch sketch, no raw-data rescan)."""
+    d = (
+        a.select(*keys, "h")
+        .unionByName(b.select(*keys, "h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(*keys, "h")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, keys: list[str], k: int = 64, round_to: int = 4
+) -> DataFrame:
+    """(keys..., est_distinct): exact count when the group holds fewer
+    than k hashes (the sketch IS the distinct set), else the KMV
+    estimator (k−1)·2³²/h_k, rounded for cross-engine determinism."""
+    agg = sketch.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hk")
+    )
+    return agg.select(
+        *keys,
+        F.when(F.col("_n") < k, F.col("_n").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1))
+                * F.lit(float(KMV_SPACE))
+                / F.greatest(F.col("_hk"), F.lit(1)),
+                round_to,
+            )
+        )
+        .alias("est_distinct"),
+    )

@@ -6472,6 +6472,60 @@ FROM live GROUP BY o_orderpriority
 """
 
 
+def _hex2int_sql(expr: str, n: int = 8) -> str:
+    """DuckDB twin of functions.sketches.h32's hex→int: per-digit
+    strpos expansion of the first ``n`` hex chars."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring({expr}, {j + 1}, 1)) - 1)"
+        f" * {16 ** (n - 1 - j)}"
+        for j in range(n)
+    )
+
+
+def q_kmv_distinct_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable KMV distinct-count sketch, oracle-checked end to end
+    (operators/sketches.py): per order priority, sketch the distinct
+    customer set as the 64 smallest md5-32 hashes — built as the MERGE
+    of two half-sketches (even/odd order keys) to exercise the
+    incremental-maintenance algebra, not just the one-shot build — and
+    report the KMV estimate. The oracle reproduces hash, trim, merge
+    and estimator arithmetic in SQL; IEEE division of identical
+    integers makes even the floating estimate hash-match."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        sketches as SK,
+    )
+
+    o = load_table(spark, sf, "orders")
+    half_a = o.filter(F.col("o_orderkey") % 2 == 0)
+    half_b = o.filter(F.col("o_orderkey") % 2 == 1)
+    keys = ["o_orderpriority"]
+    sk = SK.kmv_merge(
+        SK.kmv_sketch(half_a, keys, "o_custkey", k=64),
+        SK.kmv_sketch(half_b, keys, "o_custkey", k=64),
+        keys,
+        k=64,
+    )
+    return SK.kmv_estimate(sk, keys, k=64)
+
+
+_KMV_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT o_orderpriority,
+         {_hex2int_sql("substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8)")} AS h
+  FROM orders),
+r AS (
+  SELECT o_orderpriority, h,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+  FROM h)
+SELECT o_orderpriority,
+       CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+            ELSE round(63.0 * 4294967296.0 / greatest(max(h), 1), 4)
+       END AS est_distinct
+FROM r WHERE rn <= 64
+GROUP BY o_orderpriority
+"""
+
+
 def q_media_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     """REAL full-content media decode, oracle-checked
     (operators/multimodal.py:_make_content_decoders): deterministic
@@ -6826,6 +6880,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "media_decode_stats": QueryDef(
         q_media_decode_stats, _MEDIA_DECODE_SQL
     ),
+    "kmv_distinct_customers": QueryDef(
+        q_kmv_distinct_customers, _KMV_SQL
+    ),
     "incremental_topk": QueryDef(
         q_incremental_topk, _INCREMENTAL_TOPK_SQL
     ),
@@ -6869,6 +6926,7 @@ _WINDOW_FRONT: list[str] = [
     # new in round 4
     "dv_partitioned_delete_sim",
     "media_decode_stats",
+    "kmv_distinct_customers",
     # green anchors (driver-verified in round 3)
     "contamination_ngram_overlap",
     "sequence_packing",
@@ -6906,7 +6964,6 @@ _WINDOW_FRONT: list[str] = [
     "union_evolved_schemas",
     "cdc_apply_sim",
     "recursive_chain",
-    "lateral_topn",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)
