@@ -712,3 +712,94 @@ def stream_topk_maintenance(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+_KMV_STATE_SCHEMA = StructType(
+    [
+        StructField("k", StringType(), True),
+        StructField("h", LongType(), True),
+        StructField("_last_batch", LongType(), True),
+        StructField("_app_id", StringType(), True),
+    ]
+)
+
+
+def read_maintained_kmv_estimate(
+    spark: SparkSession, path: str, kmv_k: int = 64
+) -> DataFrame:
+    """(k, est_distinct) view of the maintained sketch state."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        sketches as SK,
+    )
+
+    state = (
+        S.read(spark, path)
+        .filter(F.col("k").isNotNull())
+        .select(F.col("k"), "h")
+    )
+    return SK.kmv_estimate(state, ["k"], k=kmv_k)
+
+
+def stream_kmv_maintenance(
+    spark: SparkSession,
+    raw_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    kmv_k: int = 64,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Exactly-once streaming COUNT(DISTINCT) maintenance via the KMV
+    sketch (operators/sketches.py): per batch, sketch ONLY the batch
+    and ``kmv_merge`` it into the stored state — O(batch) + a
+    state-sized merge, never a rescan, and state is k hashes per group
+    however many distinct values the stream has carried.
+
+    Insert-only by design: KMV (like every distinct sketch without
+    per-value counters) cannot unsee a value, so the feed schema is
+    bare ``(k, v)`` rows — there is no op column to misread as delete
+    support. Replays skip via the (app id, batch id) watermark; a lost
+    checkpoint rebuilds from the re-delivered feed at batch 0."""
+    from pyspark.sql.types import StructType as _ST
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        sketches as SK,
+    )
+
+    app = _app_id(checkpoint_dir)
+    schema = _ST(
+        [
+            StructField("k", StringType(), False),
+            StructField("v", StringType(), False),
+        ]
+    )
+    reader = (
+        spark.readStream.schema(schema).option("header", True).csv(raw_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _reject_null_keys(
+            batch_df, F.col("k").isNull(), "stream_kmv_maintenance"
+        )
+        state, last, aid = _table_state(
+            spark, state_path, _KMV_STATE_SCHEMA, ["k", "h"]
+        )
+        skip, rebuild = _guard(batch_id, last, aid, app)
+        if skip:
+            return
+        if rebuild:
+            state = state.limit(0)
+        batch_sketch = SK.kmv_sketch(batch_df, ["k"], "v", k=kmv_k)
+        nxt = SK.kmv_merge(state, batch_sketch, ["k"], k=kmv_k)
+        _commit_with_marker(
+            spark, nxt, state_path, batch_id, app,
+            (None, None, batch_id, app), _KMV_STATE_SCHEMA,
+        )
+
+    writer = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

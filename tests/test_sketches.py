@@ -94,3 +94,74 @@ def test_sketch_is_partitioning_invariant(spark):
         ).collect()
     }
     assert one == many
+
+
+def test_streaming_kmv_maintenance_exactly_once(spark, tmp_path):
+    """Streamed sketch state equals the one-shot sketch of the full
+    feed after every batch (the merge algebra in the streaming layer),
+    with replay no-ops and fresh-checkpoint rebuild."""
+    import os
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (
+        read_maintained_kmv_estimate,
+        stream_kmv_maintenance,
+    )
+
+    raw = str(tmp_path / "raw")
+    state = str(tmp_path / "kmv")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, pairs):
+        os.makedirs(raw, exist_ok=True)
+        with open(os.path.join(raw, name), "w") as f:
+            f.write("k,v\n")
+            for g, v in pairs:
+                f.write(f"{g},{v}\n")
+
+    K = 8
+    seen: dict[str, set] = {}
+    batches = [
+        [("a", f"u{i}") for i in range(30)] + [("b", "x"), ("b", "y")],
+        [("a", f"u{i}") for i in range(20, 50)] + [("b", "x")],
+        [("c", f"w{i}") for i in range(5)],
+    ]
+    for i, rows in enumerate(batches, start=1):
+        write(f"b{i}.csv", rows)
+        q = stream_kmv_maintenance(spark, raw, state, ckpt, kmv_k=K)
+        q.awaitTermination(120)
+        for g, v in rows:
+            seen.setdefault(g, set()).add(v)
+        got = {
+            r["k"]: r["est_distinct"]
+            for r in read_maintained_kmv_estimate(
+                spark, state, kmv_k=K
+            ).collect()
+        }
+        # one-shot reference over the full feed so far
+        full = spark.createDataFrame(
+            [(g, v) for g, vs in seen.items() for v in vs],
+            "k string, v string",
+        )
+        want = {
+            r["k"]: r["est_distinct"]
+            for r in SK.kmv_estimate(
+                SK.kmv_sketch(full, ["k"], "v", k=K), ["k"], k=K
+            ).collect()
+        }
+        assert got == want, f"after batch {i}"
+    # sub-k groups stay exact through the stream
+    assert got["b"] == 2.0 and got["c"] == 5.0
+
+    # replay no-op; fresh checkpoint rebuilds to the same state
+    q = stream_kmv_maintenance(spark, raw, state, ckpt, kmv_k=K)
+    q.awaitTermination(120)
+    q = stream_kmv_maintenance(
+        spark, raw, state, str(tmp_path / "ck2"), kmv_k=K
+    )
+    q.awaitTermination(120)
+    assert {
+        r["k"]: r["est_distinct"]
+        for r in read_maintained_kmv_estimate(
+            spark, state, kmv_k=K
+        ).collect()
+    } == want
