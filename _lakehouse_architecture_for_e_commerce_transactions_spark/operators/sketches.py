@@ -98,3 +98,117 @@ def kmv_estimate(
         )
         .alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram quantile sketch: the mergeable AND delete-capable
+# companion to KMV. State per group is one counter per occupied bin —
+# merge is bin-wise addition (exact algebra, like KMV), and unlike any
+# order-statistics sketch it supports DELETES (counters decrement), so a
+# CDC feed can maintain per-group quantile estimates forever without a
+# rescan. The estimator is deterministic (bin midpoint at the target
+# cumulative rank) with error bounded by half the bin width — chosen by
+# the caller in fixed-point units, the repo's cross-engine discipline.
+# ---------------------------------------------------------------------------
+
+
+def hist_sketch(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    bin_width: int,
+    scale: int = 100,
+) -> DataFrame:
+    """(keys..., bin, cnt): fixed-width histogram of ``col`` quantized
+    to ``scale`` fixed-point then bucketed by ``bin_width`` (same
+    units). One map-side-combined groupBy — no sort, no collect."""
+    fx = F.floor(F.col(col) * scale + F.lit(0.5)).cast("long")
+    return (
+        df.select(*keys, F.floor(fx / bin_width).cast("long").alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_deltas(
+    changes: DataFrame,
+    keys: list[str],
+    bin_width: int,
+    op_col: str = "op",
+    old_val: str = "old_val",
+    new_val: str = "new_val",
+    scale: int = 100,
+) -> DataFrame:
+    """Per-(key, bin) count deltas from a CDC batch (op ∈ {I,U,D} with
+    pre/post images) — the quantile-sketch analog of
+    incremental.agg_deltas. One shuffle, on the batch only."""
+    fx_new = F.floor(F.col(new_val) * scale + F.lit(0.5)).cast("long")
+    fx_old = F.floor(F.col(old_val) * scale + F.lit(0.5)).cast("long")
+    new_bin = F.floor(fx_new / bin_width).cast("long")
+    old_bin = F.floor(fx_old / bin_width).cast("long")
+    added = changes.filter(F.col(op_col).isin("I", "U")).select(
+        *keys, new_bin.alias("bin"), F.lit(1).alias("_d")
+    )
+    removed = changes.filter(F.col(op_col).isin("D", "U")).select(
+        *keys, old_bin.alias("bin"), F.lit(-1).alias("_d")
+    )
+    return (
+        added.unionByName(removed)
+        .groupBy(*keys, "bin")
+        .agg(F.sum("_d").alias("cnt"))
+    )
+
+
+def hist_merge(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Bin-wise addition — merges two sketches OR applies a delta
+    sketch to a base. union+groupBy is null-safe by construction (no
+    join), so NULL-keyed groups merge correctly; emptied bins drop."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys, "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    keys: list[str],
+    qs: list[float],
+    bin_width: int,
+    scale: int = 100,
+) -> DataFrame:
+    """(keys..., q, est): deterministic quantile estimates — the
+    midpoint of the first bin whose cumulative count reaches
+    ceil(q·n) — error ≤ bin_width/(2·scale). One window over the
+    group's occupied bins (bounded by value range / bin_width, not by
+    row count)."""
+    w = Window.partitionBy(*keys).orderBy("bin")
+    wk = Window.partitionBy(*keys)
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(wk)
+    )
+    out = None
+    for q in qs:
+        target = F.ceil(F.lit(q) * F.col("n"))
+        hit = (
+            cum.filter(F.col("cum") >= target)
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy(*keys).orderBy("bin")
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select(
+                *keys,
+                F.lit(q).alias("q"),
+                F.round(
+                    (F.col("bin") * bin_width + bin_width / 2.0)
+                    / scale,
+                    6,
+                ).alias("est"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

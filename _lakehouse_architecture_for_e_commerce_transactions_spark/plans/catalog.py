@@ -6526,6 +6526,74 @@ GROUP BY o_orderpriority
 """
 
 
+def q_hist_quantile_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Delete-capable mergeable quantile sketch under the repo's
+    standard CDC batch (operators/sketches.py hist_* family): the
+    per-priority price histogram is built from the pre-change state,
+    advanced by bin-count DELTAS only (inserts %10=7, deletes %10=3,
+    updates %10=5 ×1.1 — never a rescan), and read out as deterministic
+    p25/p50/p75 estimates (first bin reaching ceil(q·n), midpoint
+    value). The oracle rebuilds the histogram from the post-change
+    state and applies the same rule — delta maintenance must land on
+    exactly the recompute's bins."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        sketches as SK,
+    )
+
+    o = load_table(spark, sf, "orders")
+    mod = F.col("o_orderkey") % 10
+    keys = ["o_orderpriority"]
+    W = 500000  # fixed-point bin width: 5000.00 currency units
+    base = SK.hist_sketch(
+        o.filter(mod != 7).select(*keys, F.col("o_totalprice").alias("v")),
+        keys, "v", W,
+    )
+    changes = o.filter(mod.isin(7, 3, 5)).select(
+        *keys,
+        F.when(mod == 7, F.lit("I"))
+        .when(mod == 3, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice").alias("old_val"),
+        F.when(mod == 5, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_val"),
+    )
+    sk = SK.hist_merge(base, SK.hist_deltas(changes, keys, W), keys)
+    return SK.hist_quantiles(sk, keys, [0.25, 0.5, 0.75], W)
+
+
+_HIST_QUANTILE_SQL = """
+WITH final AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS val
+  FROM orders WHERE o_orderkey % 10 != 3),
+b AS (
+  SELECT o_orderpriority,
+         CAST(floor(CAST(floor(val * 100 + 0.5) AS BIGINT) / 500000)
+              AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM final GROUP BY 1, 2),
+c AS (
+  SELECT o_orderpriority, bin,
+         sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin)
+           AS cum,
+         sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+  FROM b),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.25), (0.5), (0.75)) t(q)),
+hit AS (
+  SELECT c.o_orderpriority, qs.q, min(c.bin) AS bin
+  FROM c CROSS JOIN qs
+  WHERE c.cum >= ceil(qs.q * c.n)
+  GROUP BY 1, 2)
+SELECT o_orderpriority, q,
+       round((bin * 500000 + 250000.0) / 100, 6) AS est
+FROM hit
+"""
+
+
 def q_media_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     """REAL full-content media decode, oracle-checked
     (operators/multimodal.py:_make_content_decoders): deterministic
@@ -6883,6 +6951,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "kmv_distinct_customers": QueryDef(
         q_kmv_distinct_customers, _KMV_SQL
     ),
+    "hist_quantile_maintenance": QueryDef(
+        q_hist_quantile_maintenance, _HIST_QUANTILE_SQL
+    ),
     "incremental_topk": QueryDef(
         q_incremental_topk, _INCREMENTAL_TOPK_SQL
     ),
@@ -6927,6 +6998,7 @@ _WINDOW_FRONT: list[str] = [
     "dv_partitioned_delete_sim",
     "media_decode_stats",
     "kmv_distinct_customers",
+    "hist_quantile_maintenance",
     # green anchors (driver-verified in round 3)
     "contamination_ngram_overlap",
     "sequence_packing",
@@ -6963,7 +7035,6 @@ _WINDOW_FRONT: list[str] = [
     "metadata_only_agg",
     "union_evolved_schemas",
     "cdc_apply_sim",
-    "recursive_chain",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

@@ -165,3 +165,56 @@ def test_streaming_kmv_maintenance_exactly_once(spark, tmp_path):
             spark, state, kmv_k=K
         ).collect()
     } == want
+
+
+def test_hist_delta_maintenance_equals_rebuild(spark):
+    """hist_merge(base, hist_deltas(changes)) must equal a fresh
+    hist_sketch of the post-change rows bin-for-bin — including
+    NULL-keyed groups (union+groupBy needs no null-safe join) and
+    emptied bins dropping out."""
+    rows = [("a", 10.0), ("a", 52.0), ("a", 53.0), (None, 7.0), ("b", 5.0)]
+    base_df = spark.createDataFrame(rows, "g string, v double")
+    W = 1000  # 10.00 units per bin at scale 100
+    base = SK.hist_sketch(base_df, ["g"], "v", W)
+    ch = spark.createDataFrame(
+        [
+            ("a", "D", 10.0, None),        # empties a's low bin
+            ("a", "U", 52.0, 12.0),        # moves across bins
+            (None, "I", None, 71.0),       # NULL group gains a bin
+            ("b", "D", 5.0, None),         # b disappears entirely
+        ],
+        "g string, op string, old_val double, new_val double",
+    )
+    maintained = {
+        (r["g"], r["bin"]): r["cnt"]
+        for r in SK.hist_merge(
+            base, SK.hist_deltas(ch, ["g"], W), ["g"]
+        ).collect()
+    }
+    final_rows = [("a", 12.0), ("a", 53.0), (None, 7.0), (None, 71.0)]
+    rebuilt = {
+        (r["g"], r["bin"]): r["cnt"]
+        for r in SK.hist_sketch(
+            spark.createDataFrame(final_rows, "g string, v double"),
+            ["g"], "v", W,
+        ).collect()
+    }
+    assert maintained == rebuilt
+
+    # quantile readout: deterministic midpoints, error <= W/2/scale
+    est = {
+        (r["g"], r["q"]): r["est"]
+        for r in SK.hist_quantiles(
+            SK.hist_sketch(
+                spark.createDataFrame(
+                    [("g", float(v)) for v in range(1, 101)],
+                    "g string, v double",
+                ),
+                ["g"], "v", W,
+            ),
+            ["g"], [0.25, 0.5, 0.75], W,
+        ).collect()
+    }
+    for q in (0.25, 0.5, 0.75):
+        true_q = q * 100
+        assert abs(est[("g", q)] - true_q) <= W / 2 / 100 + 1
