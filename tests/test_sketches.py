@@ -218,3 +218,77 @@ def test_hist_delta_maintenance_equals_rebuild(spark):
     for q in (0.25, 0.5, 0.75):
         true_q = q * 100
         assert abs(est[("g", q)] - true_q) <= W / 2 / 100 + 1
+
+
+def test_streaming_hist_quantile_maintenance(spark, tmp_path):
+    """Streamed histogram state (deltas only, deletes included) yields
+    the same quantiles as a rebuild of the surviving multiset after
+    every batch; replay no-ops; fresh checkpoint rebuilds."""
+    import os
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (
+        read_maintained_quantiles,
+        stream_hist_maintenance,
+    )
+
+    raw = str(tmp_path / "raw")
+    state = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+    W, QS = 200, [0.5]
+
+    def write(name, rows):
+        os.makedirs(raw, exist_ok=True)
+        with open(os.path.join(raw, name), "w") as f:
+            f.write("k,op,old_val,new_val\n" + "\n".join(rows) + "\n")
+
+    live: dict[str, list[float]] = {}
+
+    def apply(rows):
+        for r in rows:
+            k, op, old, new = r.split(",")
+            if op in ("I", "U"):
+                live.setdefault(k, []).append(float(new))
+            if op in ("D", "U"):
+                live[k].remove(float(old))
+
+    batches = [
+        [f"a,I,,{v}.0" for v in range(1, 41)] + ["b,I,,5.0", "b,I,,9.0"],
+        [f"a,D,{v}.0," for v in range(1, 21)] + ["b,U,9.0,7.0"],
+    ]
+    for i, rows in enumerate(batches, start=1):
+        write(f"b{i}.csv", rows)
+        q = stream_hist_maintenance(
+            spark, raw, state, ckpt, bin_width=W
+        )
+        q.awaitTermination(120)
+        apply(rows)
+        got = {
+            (r["k"], r["q"]): r["est"]
+            for r in read_maintained_quantiles(
+                spark, state, QS, W
+            ).collect()
+        }
+        want = {
+            (r["k"], r["q"]): r["est"]
+            for r in SK.hist_quantiles(
+                SK.hist_sketch(
+                    spark.createDataFrame(
+                        [(k, v) for k, vs in live.items() for v in vs],
+                        "k string, v double",
+                    ),
+                    ["k"], "v", W,
+                ),
+                ["k"], QS, W,
+            ).collect()
+        }
+        assert got == want, f"after batch {i}"
+
+    # fresh checkpoint rebuild converges to the same state
+    q = stream_hist_maintenance(
+        spark, raw, state, str(tmp_path / "ck2"), bin_width=W
+    )
+    q.awaitTermination(120)
+    assert {
+        (r["k"], r["q"]): r["est"]
+        for r in read_maintained_quantiles(spark, state, QS, W).collect()
+    } == want
