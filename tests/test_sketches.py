@@ -292,3 +292,40 @@ def test_streaming_hist_quantile_maintenance(spark, tmp_path):
         (r["k"], r["q"]): r["est"]
         for r in read_maintained_quantiles(spark, state, QS, W).collect()
     } == want
+
+
+def test_sketch_plans_have_no_cartesian_and_bounded_shuffles(spark):
+    """Plan pins: the KMV build is distinct + one bounded window (no
+    cartesian, no nested loop); histogram maintenance is
+    union+groupBy only — no join anywhere, so there is nothing to
+    degrade at 100× key cardinality."""
+    from pyspark.sql import functions as F
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.plans.explain import (
+        executed_plan_text,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.col("id") * 31 % 211).alias("v"),
+    )
+    plan = executed_plan_text(SK.kmv_sketch(df, ["g"], "v", k=16))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+    ch = spark.createDataFrame(
+        [("a", "I", None, 5.0)],
+        "g string, op string, old_val double, new_val double",
+    )
+    base = SK.hist_sketch(
+        df.withColumnRenamed("v", "val").selectExpr(
+            "g", "CAST(val AS DOUBLE) AS v"
+        ),
+        ["g"], "v", 100,
+    )
+    plan2 = executed_plan_text(
+        SK.hist_merge(base, SK.hist_deltas(ch, ["g"], 100), ["g"])
+    )
+    for node in ("Join", "CartesianProduct", "BroadcastNestedLoop"):
+        assert node not in plan2, node
