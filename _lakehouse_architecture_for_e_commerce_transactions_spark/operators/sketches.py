@@ -41,18 +41,30 @@ def h32(col: Column) -> Column:
     ).cast("long")
 
 
+def _kmv_trim(hashes: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """Shared trim: keep each key's k smallest NON-NULL hashes. The
+    NULL filter is semantics, not hygiene — COUNT(DISTINCT) ignores
+    NULLs, and an unfiltered NULL hash would sort FIRST in this window,
+    permanently occupying a sketch slot through every future merge
+    (NULL can never be evicted by a smaller value)."""
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        hashes.filter(F.col("h").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(*keys, "h")
+    )
+
+
 def kmv_sketch(
     df: DataFrame, keys: list[str], col: str, k: int = 64
 ) -> DataFrame:
     """Per-key KMV sketch rows: (keys..., h) — the k smallest distinct
-    32-bit hashes of ``col``. One (keys, h) distinct (partial
-    aggregation combines map-side) + one bounded window."""
-    d = df.select(*keys, h32(F.col(col)).alias("h")).distinct()
-    w = Window.partitionBy(*keys).orderBy("h")
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(*keys, "h")
+    32-bit hashes of ``col`` (NULL values ignored, matching
+    COUNT(DISTINCT)). One (keys, h) distinct (partial aggregation
+    combines map-side) + one bounded window."""
+    return _kmv_trim(
+        df.select(*keys, h32(F.col(col)).alias("h")).distinct(), keys, k
     )
 
 
@@ -63,16 +75,10 @@ def kmv_merge(
     exact, not approximate: the union's k smallest hashes all survive
     in one of the inputs. This is the incremental-maintenance step
     (yesterday's sketch ⊎ today's batch sketch, no raw-data rescan)."""
-    d = (
-        a.select(*keys, "h")
-        .unionByName(b.select(*keys, "h"))
-        .distinct()
-    )
-    w = Window.partitionBy(*keys).orderBy("h")
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(*keys, "h")
+    return _kmv_trim(
+        a.select(*keys, "h").unionByName(b.select(*keys, "h")).distinct(),
+        keys,
+        k,
     )
 
 
@@ -121,10 +127,15 @@ def hist_sketch(
 ) -> DataFrame:
     """(keys..., bin, cnt): fixed-width histogram of ``col`` quantized
     to ``scale`` fixed-point then bucketed by ``bin_width`` (same
-    units). One map-side-combined groupBy — no sort, no collect."""
+    units). NULL values are ignored, matching how every SQL aggregate
+    (and the delta path below) treats them — a NULL bin would also
+    order differently across engines (Spark NULLS FIRST vs DuckDB
+    NULLS LAST) and silently shift cumulative quantile targets. One
+    map-side-combined groupBy — no sort, no collect."""
     fx = F.floor(F.col(col) * scale + F.lit(0.5)).cast("long")
     return (
         df.select(*keys, F.floor(fx / bin_width).cast("long").alias("bin"))
+        .filter(F.col("bin").isNotNull())
         .groupBy(*keys, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -154,6 +165,10 @@ def hist_deltas(
     )
     return (
         added.unionByName(removed)
+        # NULL images bucket nowhere (hist_sketch ignores NULL values;
+        # a NULL-bin counter would be silent, irreversible state
+        # corruption that no rebuild could reproduce)
+        .filter(F.col("bin").isNotNull())
         .groupBy(*keys, "bin")
         .agg(F.sum("_d").alias("cnt"))
     )

@@ -436,6 +436,31 @@ def collect_file_blooms(
     return out
 
 
+def _cluster_shape(
+    df: DataFrame, cluster_by: list[str], n_files: int | None
+) -> DataFrame:
+    """Shared clustering shape for commit() and compact(): one column →
+    range partition + sort on the column itself (identical file-level
+    min/max locality with no quantile/sample pass, any orderable type);
+    several → ``layout.z_value`` bit-interleave so every cluster column
+    gets narrow per-file windows simultaneously."""
+    if len(cluster_by) == 1:
+        return df.repartitionByRange(
+            n_files or 32, F.col(cluster_by[0])
+        ).sortWithinPartitions(cluster_by[0])
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources.layout import (
+        Z_COL,
+        z_value,
+    )
+
+    return (
+        df.withColumn(Z_COL, z_value(df, cluster_by))
+        .repartitionByRange(n_files or 32, Z_COL)
+        .sortWithinPartitions(Z_COL)
+        .drop(Z_COL)
+    )
+
+
 def commit(
     spark: SparkSession,
     df: DataFrame,
@@ -473,27 +498,8 @@ def commit(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
     df = _apply_constraint_guard(df, path)
-    if cluster_by and len(cluster_by) == 1:
-        # single-column clustering: Z-order degenerates to a plain range
-        # partition + sort on the column itself — identical file-level
-        # min/max locality with no quantile/sample pass (multi-column
-        # sets, including string columns, go through z_value below)
-        df = df.repartitionByRange(
-            n_files or 32, F.col(cluster_by[0])
-        ).sortWithinPartitions(cluster_by[0])
-    elif cluster_by:
-        from _lakehouse_architecture_for_e_commerce_transactions_spark.sources.layout import (
-            Z_COL,
-            z_value,
-        )
-
-        z = z_value(df, list(cluster_by))
-        df = (
-            df.withColumn(Z_COL, z)
-            .repartitionByRange(n_files or 32, Z_COL)
-            .sortWithinPartitions(Z_COL)
-            .drop(Z_COL)
-        )
+    if cluster_by:
+        df = _cluster_shape(df, list(cluster_by), n_files)
     commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
     df.write.mode("errorifexists").parquet(commit_dir)
     fresh_stats = (
@@ -1953,11 +1959,13 @@ def compact(
     ``cluster_by`` is Delta's ``OPTIMIZE ... ZORDER BY``: the rewrite
     additionally clusters rows so each fresh file covers a narrow
     min/max window on the cluster columns (single column → range
-    partition+sort; several → ``layout.z_value`` interleave). On
+    partition+sort; several → ``layout.z_value`` interleave;
+    ``n_files`` sizes the unpartitioned clustered rewrite). On
     hive-partitioned tables clustering applies WITHIN each partition
-    (sort inside the partition's tasks), matching Delta's semantics.
-    Pair with the table's ``stats_cols`` so ``read_where`` skipping
-    bites after the rewrite.
+    (sort inside the partition's tasks — file count follows the
+    rebalance, so ``n_files`` is not consulted there, nor without
+    ``cluster_by``). Pair with the table's ``stats_cols`` so
+    ``read_where`` skipping bites after the rewrite.
 
     Concurrency: the rewrite reads one snapshot; if ANY commit lands
     before publication the whole pass restarts from the new head
@@ -1982,27 +1990,10 @@ def compact(
             shaped.write.mode("errorifexists").partitionBy(
                 *parts
             ).parquet(commit_dir)
-        elif len(cluster) == 1:
-            (
-                data.repartitionByRange(n_files or 32, F.col(cluster[0]))
-                .sortWithinPartitions(cluster[0])
-                .write.mode("errorifexists")
-                .parquet(commit_dir)
-            )
         elif cluster:
-            from _lakehouse_architecture_for_e_commerce_transactions_spark.sources.layout import (
-                Z_COL,
-                z_value,
-            )
-
-            (
-                data.withColumn(Z_COL, z_value(data, cluster))
-                .repartitionByRange(n_files or 32, Z_COL)
-                .sortWithinPartitions(Z_COL)
-                .drop(Z_COL)
-                .write.mode("errorifexists")
-                .parquet(commit_dir)
-            )
+            _cluster_shape(data, cluster, n_files).write.mode(
+                "errorifexists"
+            ).parquet(commit_dir)
         else:
             data.hint("rebalance").write.mode("errorifexists").parquet(
                 commit_dir

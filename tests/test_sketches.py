@@ -329,3 +329,59 @@ def test_sketch_plans_have_no_cartesian_and_bounded_shuffles(spark):
     )
     for node in ("Join", "CartesianProduct", "BroadcastNestedLoop"):
         assert node not in plan2, node
+
+
+def test_null_values_are_ignored_by_both_sketch_families(spark):
+    """COUNT(DISTINCT)/aggregate semantics: NULL values occupy no KMV
+    slot (an unfiltered NULL hash would sort first and poison the
+    sketch through every future merge) and no histogram bin."""
+    df = spark.createDataFrame(
+        [("g", str(i)) for i in range(10)] + [("g", None)] * 3,
+        "g string, v string",
+    )
+    sk = SK.kmv_sketch(df, ["g"], "v", k=8).collect()
+    assert len(sk) == 8 and all(r["h"] is not None for r in sk)
+    # and a merge never resurrects NULL slots
+    merged = SK.kmv_merge(
+        SK.kmv_sketch(df, ["g"], "v", k=8),
+        SK.kmv_sketch(df, ["g"], "v", k=8),
+        ["g"], k=8,
+    ).collect()
+    assert all(r["h"] is not None for r in merged)
+
+    hist_df = spark.createDataFrame(
+        [("g", 5.0), ("g", None)], "g string, v double"
+    )
+    hs = SK.hist_sketch(hist_df, ["g"], "v", 100).collect()
+    assert [(r["bin"], r["cnt"]) for r in hs] == [(5, 1)]
+    # a D row with a NULL old image deltas nothing (no NULL-bin -1)
+    ch = spark.createDataFrame(
+        [("g", "D", None, None)],
+        "g string, op string, old_val double, new_val double",
+    )
+    assert SK.hist_deltas(ch, ["g"], 100).count() == 0
+
+
+def test_compact_zorder_multicolumn_unpartitioned(spark, tmp_path):
+    """The multi-column z_value branch of compact(cluster_by=[a, b]):
+    rows unchanged and skipping bites on BOTH columns afterwards."""
+    from pyspark.sql import functions as F
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as S,
+    )
+
+    rows = spark.range(4000).select(
+        (F.col("id") * 37 % 500).alias("x"),
+        (F.col("id") * 101 % 500).alias("y"),
+        F.col("id").alias("pk"),
+    )
+    path = str(tmp_path / "t")
+    S.commit(spark, rows.repartition(16), path, stats_for=["x", "y"])
+    S.compact(spark, path, cluster_by=["x", "y"], n_files=16)
+    assert S.read(spark, path).count() == 4000
+    for col in ("x", "y"):
+        rep: dict = {}
+        got = S.read_where(spark, path, [(col, "<", 40)], report=rep)
+        assert got.count() == rows.filter(f"{col} < 40").count()
+        assert rep["files_kept"] < rep["files_total"], (col, rep)
