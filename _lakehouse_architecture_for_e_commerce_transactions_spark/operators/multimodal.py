@@ -156,10 +156,9 @@ def decode_image_stub(payload: bytes) -> object:
 
 
 def _make_content_decoders():
-    """REAL full-content decoders for the uncompressed containers, as
-    dynamic closures (same rationale as ``_make_header_parser``: one
-    source of truth, shipped by value into executors). Returns
-    ``(bmp, wav)``:
+    """REAL full-content decoders, as dynamic closures (same rationale
+    as ``_make_header_parser``: one source of truth, shipped by value
+    into executors). Returns ``(bmp, wav, png)``:
 
     * ``bmp(payload)`` — uncompressed 24-bit BMP (BI_RGB) pixel decode:
       fixed header fields, 4-byte row-stride padding, bottom-up
@@ -169,11 +168,19 @@ def _make_content_decoders():
       chunk walk to ``fmt ``/``data``, little-endian int16 frames
       de-interleaved per channel. Returns ``(sample_rate, samples)``
       with ``samples`` shaped (n_frames, n_channels).
+    * ``png(payload)`` — REAL entropy-coded decode for 8-bit
+      grayscale/RGB/RGBA non-interlaced PNG: IDAT chunks are inflated
+      with stdlib zlib and every scanline un-filtered per the spec
+      (None/Sub/Up/Average/Paeth). Returns an (H, W, C) uint8 array.
+      Unfiltering is an O(pixels) Python loop — correct and
+      dependency-free; swap in PIL for throughput where it exists.
 
-    Entropy-coded/paletted/float variants raise NotImplementedError —
-    the header-only path still covers them.
+    Unsupported variants (palette/16-bit/interlaced PNG, paletted BMP,
+    float WAV) raise NotImplementedError — the header-only path still
+    covers them.
     """
     import struct
+    import zlib
 
     import numpy as np
 
@@ -232,7 +239,79 @@ def _make_content_decoders():
         samples = np.frombuffer(data[:usable], "<i2").reshape(-1, ch)
         return sr, samples
 
-    return bmp, wav
+    def png(payload: bytes):
+        b = bytes(payload)
+        if b[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG container")
+        off, idat = 8, []
+        w = h = depth = ct = interlace = None
+        while off + 8 <= len(b):
+            (ln,) = struct.unpack(">I", b[off : off + 4])
+            typ = b[off + 4 : off + 8]
+            data = b[off + 8 : off + 8 + ln]
+            if typ == b"IHDR":
+                if len(data) < 13:
+                    raise ValueError("truncated IHDR")
+                w, h, depth, ct, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", data[:13]
+                )
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+            off += 12 + ln  # length + type + data + crc
+        if w is None or not idat:
+            raise ValueError("PNG missing IHDR/IDAT")
+        channels = {0: 1, 2: 3, 6: 4}.get(ct)
+        if depth != 8 or channels is None or interlace != 0:
+            raise NotImplementedError(
+                "pure-Python PNG decode covers 8-bit gray/RGB/RGBA "
+                f"non-interlaced only (depth={depth}, color={ct}, "
+                f"interlace={interlace})"
+            )
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * channels
+        if len(raw) < h * (stride + 1):
+            raise ValueError("truncated PNG scanline data")
+        out = bytearray(h * stride)
+        bpp = channels  # bytes per pixel at depth 8
+        for y in range(h):
+            ft = raw[y * (stride + 1)]
+            row = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+            base = y * stride
+            prow = out[base - stride : base] if y else bytes(stride)
+            if ft == 0:  # None
+                out[base : base + stride] = row
+            elif ft == 2:  # Up
+                for x in range(stride):
+                    out[base + x] = (row[x] + prow[x]) & 0xFF
+            elif ft in (1, 3, 4):  # Sub / Average / Paeth
+                for x in range(stride):
+                    a = out[base + x - bpp] if x >= bpp else 0
+                    bb = prow[x]
+                    c = prow[x - bpp] if x >= bpp else 0
+                    if ft == 1:
+                        pred = a
+                    elif ft == 3:
+                        pred = (a + bb) // 2
+                    else:
+                        p = a + bb - c
+                        pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                        pred = (
+                            a
+                            if pa <= pb and pa <= pc
+                            else (bb if pb <= pc else c)
+                        )
+                    out[base + x] = (row[x] + pred) & 0xFF
+            else:
+                raise ValueError(f"bad PNG filter type {ft}")
+        return (
+            np.frombuffer(bytes(out), np.uint8)
+            .reshape(h, w, channels)
+            .copy()
+        )
+
+    return bmp, wav, png
 
 
 def decode_bmp_pixels(payload: bytes):
@@ -245,6 +324,13 @@ def decode_wav_samples(payload: bytes):
     """See ``_make_content_decoders``: (sample_rate, (n_frames,
     n_channels) int16 array) of a 16-bit PCM WAV."""
     return _make_content_decoders()[1](payload)
+
+
+def decode_png_pixels(payload: bytes):
+    """See ``_make_content_decoders``: (H, W, C) uint8 pixels of an
+    8-bit gray/RGB/RGBA non-interlaced PNG — real zlib inflate + spec
+    unfiltering, no codec library."""
+    return _make_content_decoders()[2](payload)
 
 
 DECODED_STATS_SCHEMA = StructType(
@@ -268,9 +354,10 @@ def extract_decoded_stats(media: DataFrame) -> DataFrame:
     the task) and reduced to exact integer stats. ``top_row_sum`` is
     the decoded FIRST pixel row (NULL for audio) — it pins the
     bottom-up row flip, which a byte-order-insensitive sum would miss.
-    Entropy-coded or unparseable payloads yield NULL stats with the
-    header format (poison files must not kill a corpus-scale job)."""
-    bmp_core, wav_core = _make_content_decoders()
+    PNG is decoded for real (zlib inflate + unfilter). Unsupported
+    variants or unparseable payloads yield NULL stats with the header
+    format (poison files must not kill a corpus-scale job)."""
+    bmp_core, wav_core, png_core = _make_content_decoders()
     header_core = _make_header_parser()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -282,8 +369,9 @@ def extract_decoded_stats(media: DataFrame) -> DataFrame:
             meta = header_core(b) or {}
             fmt = meta.get("format")
             try:
-                if fmt == "bmp":
-                    px = bmp_core(b).astype("int64")
+                if fmt in ("bmp", "png"):
+                    core = bmp_core if fmt == "bmp" else png_core
+                    px = core(b).astype("int64")
                     return (fmt, px.size, int(px.sum()), int(px.min()),
                             int(px.max()), int(px[0].sum()))
                 if fmt == "wav":
@@ -439,17 +527,21 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def synthesize_decodable_media(docs: DataFrame) -> DataFrame:
-    """Deterministic REAL containers for the full-decode path: even
-    doc_ids become uncompressed 24-bit BMPs (16×4, stored pixel bytes
-    ``(doc_id·7 + i) mod 256`` in file order), odd doc_ids 16-bit PCM
-    mono WAVs (128 samples ``((doc_id·13 + i·37) mod 65536) − 32768``).
-    Closed-form content means a SQL oracle recomputes the decoded stats
-    independently — the decoder is checked against math, not against
-    itself. Construction runs in ``mapInPandas`` (one Arrow batch per
-    partition), self-contained so it ships by value."""
+    """Deterministic REAL containers for the full-decode path, by
+    ``doc_id mod 3``: 0 → uncompressed 24-bit BMP (16×4, stored pixel
+    bytes ``(doc_id·7 + i) mod 256`` in file order); 1 → 16-bit PCM
+    mono WAV (128 samples ``((doc_id·13 + i·37) mod 65536) − 32768``);
+    2 → zlib-COMPRESSED 8-bit RGB PNG (8×4, pixel bytes
+    ``(doc_id·5 + i) mod 256`` in scanline order — the decode has to
+    inflate and unfilter to recover them). Closed-form content means a
+    SQL oracle recomputes the decoded stats independently — the
+    decoder is checked against math, not against itself. Construction
+    runs in ``mapInPandas`` (one Arrow batch per partition),
+    self-contained so it ships by value."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
+        import zlib
 
         import pandas as _pd
 
@@ -480,17 +572,43 @@ def synthesize_decodable_media(docs: DataFrame) -> DataFrame:
                 + b"data" + struct.pack("<I", len(data)) + data
             )
 
+        def png_payload(doc_id: int) -> bytes:
+            w, h = 8, 4
+            stride = w * 3
+            rows = b"".join(
+                b"\x00"  # filter type None per scanline
+                + bytes(
+                    (doc_id * 5 + y * stride + x) % 256
+                    for x in range(stride)
+                )
+                for y in range(h)
+            )
+
+            def chunk(typ: bytes, data: bytes) -> bytes:
+                return (
+                    struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data))
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(rows))
+                + chunk(b"IEND", b"")
+            )
+
+        def payload(d: int) -> bytes:
+            return (bmp_payload, wav_payload, png_payload)[d % 3](d)
+
         for pdf in it:
             ids = [int(d) for d in pdf["doc_id"]]
             yield _pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
-                    "payload": [
-                        bmp_payload(d) if d % 2 == 0 else wav_payload(d)
-                        for d in ids
-                    ],
+                    "payload": [payload(d) for d in ids],
                     "media_type": [
-                        "image" if d % 2 == 0 else "audio" for d in ids
+                        "audio" if d % 3 == 1 else "image" for d in ids
                     ],
                 }
             )

@@ -6597,14 +6597,16 @@ FROM hit
 def q_media_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     """REAL full-content media decode, oracle-checked
     (operators/multimodal.py:_make_content_decoders): deterministic
-    uncompressed containers are built per document (even doc_ids →
-    24-bit BMP with closed-form pixel bytes, odd → 16-bit PCM WAV with
-    closed-form samples), then decoded back to pixel/sample arrays
-    inside mapInPandas and reduced to exact integer stats. The oracle
-    recomputes those stats from the generating formulas alone — byte
-    layout, stride padding, the bottom-up row flip (pinned by
-    top_row_sum = decoded FIRST row) and int16 signedness all have to
-    be exactly right for the hashes to meet."""
+    containers are built per document (doc_id mod 3: 24-bit BMP /
+    16-bit PCM WAV / zlib-COMPRESSED 8-bit RGB PNG, each with
+    closed-form content), then decoded back to pixel/sample arrays
+    inside mapInPandas — the PNG path genuinely inflates and unfilters
+    — and reduced to exact integer stats. The oracle recomputes those
+    stats from the generating formulas alone: byte layout, stride
+    padding, the BMP bottom-up row flip and PNG top-down scanline
+    order (both pinned by top_row_sum = decoded FIRST row), zlib
+    round-trip, and int16 signedness all have to be exactly right for
+    the hashes to meet."""
     from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
         multimodal as MM,
     )
@@ -6626,7 +6628,7 @@ _MEDIA_DECODE_SQL = """
 WITH b AS (
   SELECT d.doc_id, t.i, (d.doc_id * 7 + t.i) % 256 AS v
   FROM documents d CROSS JOIN range(0, 192) t(i)
-  WHERE d.doc_id % 2 = 0),
+  WHERE d.doc_id % 3 = 0),
 bagg AS (
   SELECT doc_id, 'bmp' AS format,
          CAST(count(*) AS BIGINT) AS n_units,
@@ -6639,7 +6641,7 @@ bagg AS (
 w AS (
   SELECT d.doc_id, ((d.doc_id * 13 + t.i * 37) % 65536) - 32768 AS v
   FROM documents d CROSS JOIN range(0, 128) t(i)
-  WHERE d.doc_id % 2 = 1),
+  WHERE d.doc_id % 3 = 1),
 wagg AS (
   SELECT doc_id, 'wav' AS format,
          CAST(count(*) AS BIGINT) AS n_units,
@@ -6647,8 +6649,22 @@ wagg AS (
          CAST(min(v) AS BIGINT) AS content_min,
          CAST(max(v) AS BIGINT) AS content_max,
          CAST(NULL AS BIGINT) AS top_row_sum
-  FROM w GROUP BY doc_id)
+  FROM w GROUP BY doc_id),
+p AS (
+  SELECT d.doc_id, t.i, (d.doc_id * 5 + t.i) % 256 AS v
+  FROM documents d CROSS JOIN range(0, 96) t(i)
+  WHERE d.doc_id % 3 = 2),
+pagg AS (
+  SELECT doc_id, 'png' AS format,
+         CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(v) AS BIGINT) AS content_sum,
+         CAST(min(v) AS BIGINT) AS content_min,
+         CAST(max(v) AS BIGINT) AS content_max,
+         CAST(sum(CASE WHEN i < 24 THEN v END) AS BIGINT)
+           AS top_row_sum
+  FROM p GROUP BY doc_id)
 SELECT * FROM bagg UNION ALL SELECT * FROM wagg
+UNION ALL SELECT * FROM pagg
 """
 
 
