@@ -160,3 +160,53 @@ def test_topk_twin_equals_recompute_across_batches(spark, tmp_path):
         (r["k"], r["pos"]): r["val_scaled"]
         for r in read_maintained_topk(spark, statep, K).collect()
     } == got
+
+
+def test_arbitrary_batch_splits_converge(spark, tmp_path):
+    """Batch boundaries are delivery artifacts: the same change log cut
+    into 1, 2, or 4 files must leave the maintained MIN/MAX and TOP-K
+    states identical to each other and to a recompute."""
+    log = (
+        [f"k{i % 3},I,,{(i * 7) % 40}.5" for i in range(24)]
+        + ["k0,D,0.5,", "k1,D,7.5,", "k2,U,14.5,2.0",
+           "k0,D,21.5,", "k0,I,,50.0", "k1,D,28.5,"]
+    )
+    live: dict[str, list[float]] = {}
+    _apply(live, log)
+
+    results_mm, results_tk = [], []
+    for n_files, label in ((1, "one"), (2, "two"), (4, "four")):
+        raw = str(tmp_path / f"raw_{label}")
+        factp = str(tmp_path / f"fact_{label}")
+        mmp = str(tmp_path / f"mm_{label}")
+        tkp = str(tmp_path / f"tk_{label}")
+        per = (len(log) + n_files - 1) // n_files
+        # deliver file-by-file, re-running the stream after each one,
+        # so every split is a genuine separate micro-batch (a single
+        # availableNow run would fold all present files into one batch)
+        for j in range(n_files):
+            _write(
+                os.path.join(raw, f"b{j}.csv"),
+                log[j * per : (j + 1) * per],
+            )
+            q = stream_minmax_maintenance(
+                spark, raw, factp, mmp, str(tmp_path / f"cm_{label}")
+            )
+            q.awaitTermination(180)
+            q = stream_topk_maintenance(
+                spark, raw, factp + "2", tkp,
+                str(tmp_path / f"ct_{label}"), k=2, buffer=1,
+            )
+            q.awaitTermination(180)
+        results_mm.append({
+            r["k"]: (r["min_scaled"], r["max_scaled"])
+            for r in read_maintained_minmax(spark, mmp).collect()
+        })
+        results_tk.append({
+            (r["k"], r["pos"]): r["val_scaled"]
+            for r in read_maintained_topk(spark, tkp, 2).collect()
+        })
+    assert results_mm[0] == results_mm[1] == results_mm[2]
+    assert results_mm[0] == _want_minmax(live)
+    assert results_tk[0] == results_tk[1] == results_tk[2]
+    assert results_tk[0] == _want_topk(live, 2)
