@@ -100,6 +100,9 @@ class Snapshot:
     # recorded at delete time so metadata-only COUNT stays exact under
     # DVs (footer rows − dead rows of files still live in the snapshot)
     dv_dead: dict | None = None
+    # which operation produced this version (DESCRIBE HISTORY surface):
+    # WRITE/APPEND/MERGE/DELETE/UPDATE/OPTIMIZE/RESTORE/CLONE
+    op: str | None = None
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -216,6 +219,7 @@ def load_snapshot(path: str, version: int | None = None) -> Snapshot:
         m.get("bloom_cols"),
         m.get("dv_files"),
         m.get("dv_dead"),
+        m.get("op"),
     )
 
 
@@ -548,6 +552,7 @@ def commit(
             "dirs": dirs,
             "schema": schema_json,
             "committed_at": time.time(),
+            "op": "WRITE" if mode == "overwrite" else "APPEND",
         }
         if mode == "append" and vs:
             # appended files can't have tombstones, but the carried
@@ -1044,6 +1049,7 @@ def merge_commit(
             "dirs": [commit_dir],
             "schema": merged.schema.json(),
             "committed_at": time.time(),
+            "op": "MERGE",
         }
         eff_stats = stats_for or parent_stats_cols
         if eff_stats:
@@ -1119,6 +1125,7 @@ def _publish_partitioned(
     full_rewrite: bool,
     max_retries: int,
     stats_cols: list[str] | None = None,
+    op: str = "MERGE",
 ) -> int:
     """Publish an already-written partition-granular rewrite (MERGE or
     DELETE) as the next version: carry unaffected entries by reference,
@@ -1187,6 +1194,7 @@ def _publish_partitioned(
             "partition_by": parts,
             "schema": schema_json,
             "committed_at": time.time(),
+            "op": op,
         }
         if head is not None and head.dv_files and carried:
             # carried-by-reference partitions still need their deletion
@@ -1252,6 +1260,7 @@ def delete_where(
             "dirs": [commit_dir],
             "schema": base.schema_json,
             "committed_at": time.time(),
+            "op": "DELETE",
         }
         if base.stats_cols:
             manifest["file_stats"] = collect_file_stats(
@@ -1303,6 +1312,7 @@ def delete_where(
         False,
         max_retries,
         stats_cols=base.stats_cols,
+        op="DELETE",
     )
 
 
@@ -1379,6 +1389,7 @@ def delete_where_dv(
             "committed_at": time.time(),
             "dv_files": (snap.dv_files or []) + [dv_dir],
             "dv_dead": _merge_dead(snap.dv_dead, dead),
+            "op": "DELETE",
         }
         if snap.part_entries is not None:
             affected = _dv_affected_partitions(snap, set(dead))
@@ -1556,6 +1567,7 @@ def update_where_dv(
             "committed_at": time.time(),
             "dv_files": (snap.dv_files or []) + [dv_dir],
             "dv_dead": _merge_dead(snap.dv_dead, dead),
+            "op": "UPDATE",
         }
         if snap.part_entries is not None:
             written = _hive_leaf_dirs(commit_dir, parts)
@@ -2003,6 +2015,7 @@ def compact(
             "dirs": [commit_dir],
             "schema": base.schema_json,
             "committed_at": time.time(),
+            "op": "OPTIMIZE",
         }
         if base.stats_cols:
             # files were rewritten: parent per-file stats are stale
@@ -2048,6 +2061,7 @@ def restore(path: str, version: int, max_retries: int = 10) -> int:
             "dirs": snap.dirs,
             "schema": snap.schema_json,
             "committed_at": time.time(),
+            "op": "RESTORE",
         }
         if snap.part_entries is not None:
             # a restore changes nothing physically; entries carry over
@@ -2090,6 +2104,7 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
         "dirs": snap.dirs,
         "schema": snap.schema_json,
         "committed_at": time.time(),
+        "op": "CLONE",
     }
     if snap.part_entries is not None:
         manifest["part_entries"] = snap.part_entries
@@ -2132,6 +2147,22 @@ def data_files(path: str, version: int | None = None) -> list[str]:
 
 def history(path: str) -> list[Snapshot]:
     return [load_snapshot(path, v) for v in _versions(path)]
+
+
+def describe_history(path: str) -> list[dict]:
+    """Delta's DESCRIBE HISTORY: one dict per version, newest first —
+    {"version", "op", "committed_at"} with ``op`` in WRITE / APPEND /
+    MERGE / DELETE / UPDATE / OPTIMIZE / RESTORE / CLONE (None for
+    manifests written before operations were recorded). Pure manifest
+    reads — no data I/O."""
+    return [
+        {
+            "version": s.version,
+            "op": s.op,
+            "committed_at": s.committed_at,
+        }
+        for s in reversed(history(path))
+    ]
 
 
 def vacuum(path: str, keep_last: int = 1) -> list[str]:

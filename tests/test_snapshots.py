@@ -739,3 +739,59 @@ def test_vacuum_under_concurrent_reader_retention_contract(
     assert {r["k"] for r in S.read(spark, path).collect()} == set(
         range(200, 210)
     )
+
+
+def test_describe_history_records_every_operation(spark, tmp_path):
+    """DESCRIBE HISTORY surface: every write path stamps its operation
+    in the manifest — the provenance a table operator reads before
+    deciding what a version means."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    S.commit(spark, df, path)                                    # WRITE
+    S.commit(
+        spark, spark.range(10, 12).select(F.col("id").alias("k")),
+        path, mode="append",
+    )                                                            # APPEND
+    S.delete_where_dv(spark, path, "k = 3")                      # DELETE
+    S.update_where_dv(spark, path, "k = 4", {"k": "k + 100"})    # UPDATE
+    S.compact(spark, path)                                       # OPTIMIZE
+    S.restore(path, 0)                                           # RESTORE
+    ops = [h["op"] for h in S.describe_history(path)]
+    assert ops == [
+        "RESTORE", "OPTIMIZE", "UPDATE", "DELETE", "APPEND", "WRITE"
+    ]
+    versions = [h["version"] for h in S.describe_history(path)]
+    assert versions == [5, 4, 3, 2, 1, 0]
+
+    # merge/partitioned delete/clone stamp theirs too
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        TableSpec,
+    )
+
+    spec = TableSpec(
+        name="pt",
+        schema=StructType(
+            [
+                StructField("k", LongType(), False),
+                StructField("p", LongType(), False),
+            ]
+        ),
+        primary_key="k",
+        partition_by=("p",),
+    )
+    pp = str(tmp_path / "pt")
+    pdf = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    S.merge_commit(spark, pdf, pp, spec)                         # MERGE
+    S.delete_where(spark, pp, "k = 1")                           # DELETE
+    assert [h["op"] for h in S.describe_history(pp)] == [
+        "DELETE", "MERGE"
+    ]
+    cl = str(tmp_path / "cl")
+    S.clone(pp, cl)
+    assert [h["op"] for h in S.describe_history(cl)] == ["CLONE"]
