@@ -174,10 +174,15 @@ def _make_content_decoders():
       (None/Sub/Up/Average/Paeth). Returns an (H, W, C) uint8 array.
       Unfiltering is an O(pixels) Python loop — correct and
       dependency-free; swap in PIL for throughput where it exists.
+    * ``gif(payload)`` — REAL LZW decode of the first frame of a
+      non-interlaced GIF87a/89a: variable-width LSB-first codes,
+      growing dictionary with clear/end codes, global or local color
+      table, extension blocks skipped. Returns an (H, W, 3) uint8 RGB
+      array.
 
-    Unsupported variants (palette/16-bit/interlaced PNG, paletted BMP,
-    float WAV) raise NotImplementedError — the header-only path still
-    covers them.
+    Unsupported variants (palette/16-bit/interlaced PNG, interlaced
+    GIF, paletted BMP, float WAV) raise NotImplementedError — the
+    header-only path still covers them.
     """
     import struct
     import zlib
@@ -311,7 +316,116 @@ def _make_content_decoders():
             .copy()
         )
 
-    return bmp, wav, png
+    def gif(payload: bytes):
+        b = bytes(payload)
+        if b[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF container")
+        if len(b) < 13:
+            raise ValueError("truncated GIF screen descriptor")
+        packed = b[10]
+        off = 13
+        gct = None
+        if packed & 0x80:
+            n = 3 * (2 << (packed & 0x07))
+            gct = b[off : off + n]
+            off += n
+
+        def skip_subblocks(o: int) -> int:
+            while o < len(b) and b[o]:
+                o += 1 + b[o]
+            return o + 1  # past the terminator
+
+        while off < len(b):
+            tag = b[off]
+            if tag == 0x21:  # extension: label + sub-blocks
+                off = skip_subblocks(off + 2)
+            elif tag == 0x2C:  # image descriptor
+                _, _, w, h = struct.unpack("<HHHH", b[off + 1 : off + 9])
+                ipacked = b[off + 9]
+                off += 10
+                ct = gct
+                if ipacked & 0x80:  # local color table
+                    n = 3 * (2 << (ipacked & 0x07))
+                    ct = b[off : off + n]
+                    off += n
+                if ipacked & 0x40:
+                    raise NotImplementedError(
+                        "interlaced GIF decode not implemented"
+                    )
+                if ct is None:
+                    raise ValueError("GIF image without a color table")
+                min_code = b[off]
+                off += 1
+                data = bytearray()
+                while off < len(b) and b[off]:
+                    ln = b[off]
+                    data += b[off + 1 : off + 1 + ln]
+                    off += 1 + ln
+                indices = _gif_lzw(data, min_code, w * h)
+                if len(indices) < w * h:
+                    raise ValueError("truncated GIF pixel data")
+                pal = np.frombuffer(ct, np.uint8).reshape(-1, 3)
+                idx = np.frombuffer(
+                    bytes(indices[: w * h]), np.uint8
+                )
+                if idx.max(initial=0) >= pal.shape[0]:
+                    raise ValueError("GIF index outside color table")
+                return pal[idx].reshape(h, w, 3).copy()
+            elif tag == 0x3B:
+                break
+            else:
+                raise ValueError(f"bad GIF block tag {tag:#x}")
+        raise ValueError("GIF contains no image block")
+
+    def _gif_lzw(data: bytes, min_code: int, limit: int) -> bytearray:
+        """Variable-width LSB-first LZW (the GIF flavor): dictionary of
+        index strings, clear/end codes, width grows at 2^width up to
+        12 bits. Stops after ``limit`` emitted indices."""
+        clear, end = 1 << min_code, (1 << min_code) + 1
+
+        def fresh():
+            return {i: bytes([i]) for i in range(clear)}
+
+        table = fresh()
+        width = min_code + 1
+        next_code = end + 1
+        out = bytearray()
+        acc = nbits = 0
+        prev: bytes | None = None
+        for byte in data:
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= width:
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
+                if code == clear:
+                    table, width = fresh(), min_code + 1
+                    next_code, prev = end + 1, None
+                    continue
+                if code == end:
+                    return out
+                if prev is None:
+                    entry = table[code]
+                elif code in table:
+                    entry = table[code]
+                    if next_code < 4096:
+                        table[next_code] = prev + entry[:1]
+                        next_code += 1
+                else:  # the KwKwK case
+                    entry = prev + prev[:1]
+                    if next_code < 4096:
+                        table[next_code] = entry
+                        next_code += 1
+                out += entry
+                prev = entry
+                if len(out) >= limit:
+                    return out
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        return out
+
+    return bmp, wav, png, gif
 
 
 def decode_bmp_pixels(payload: bytes):
@@ -331,6 +445,13 @@ def decode_png_pixels(payload: bytes):
     8-bit gray/RGB/RGBA non-interlaced PNG — real zlib inflate + spec
     unfiltering, no codec library."""
     return _make_content_decoders()[2](payload)
+
+
+def decode_gif_pixels(payload: bytes):
+    """See ``_make_content_decoders``: (H, W, 3) uint8 RGB pixels of a
+    non-interlaced GIF's first frame — real variable-width LZW decode
+    plus color-table lookup, no codec library."""
+    return _make_content_decoders()[3](payload)
 
 
 DECODED_STATS_SCHEMA = StructType(
@@ -354,10 +475,11 @@ def extract_decoded_stats(media: DataFrame) -> DataFrame:
     the task) and reduced to exact integer stats. ``top_row_sum`` is
     the decoded FIRST pixel row (NULL for audio) — it pins the
     bottom-up row flip, which a byte-order-insensitive sum would miss.
-    PNG is decoded for real (zlib inflate + unfilter). Unsupported
-    variants or unparseable payloads yield NULL stats with the header
-    format (poison files must not kill a corpus-scale job)."""
-    bmp_core, wav_core, png_core = _make_content_decoders()
+    PNG and GIF are decoded for real (zlib inflate + unfilter; LZW +
+    palette). Unsupported variants or unparseable payloads yield NULL
+    stats with the header format (poison files must not kill a
+    corpus-scale job)."""
+    bmp_core, wav_core, png_core, gif_core = _make_content_decoders()
     header_core = _make_header_parser()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -369,8 +491,12 @@ def extract_decoded_stats(media: DataFrame) -> DataFrame:
             meta = header_core(b) or {}
             fmt = meta.get("format")
             try:
-                if fmt in ("bmp", "png"):
-                    core = bmp_core if fmt == "bmp" else png_core
+                if fmt in ("bmp", "png", "gif"):
+                    core = {
+                        "bmp": bmp_core,
+                        "png": png_core,
+                        "gif": gif_core,
+                    }[fmt]
                     px = core(b).astype("int64")
                     return (fmt, px.size, int(px.sum()), int(px.min()),
                             int(px.max()), int(px[0].sum()))
@@ -383,6 +509,7 @@ def extract_decoded_stats(media: DataFrame) -> DataFrame:
                 NotImplementedError,
                 ValueError,
                 IndexError,  # zero-pixel image: px[0] has no row
+                KeyError,  # corrupt GIF LZW code outside the table
                 _struct.error,
             ):
                 # struct.error belt-and-braces: the decoders normalize

@@ -471,3 +471,112 @@ def test_extract_decoded_stats_includes_real_png(spark):
     assert r["content_min"] == min(want)
     assert r["content_max"] == max(want)
     assert r["top_row_sum"] == sum(want[:24])
+
+
+def _gif_encode(indices, min_code):
+    """Reference GIF-LZW encoder (dict growth, variable width,
+    LSB-first) used to exercise the decoder's full algorithm."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out_bits = []
+
+    width = min_code + 1
+
+    def emit(code):
+        nonlocal width
+        for i in range(width):
+            out_bits.append((code >> i) & 1)
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    prev = b""
+    for idx in indices:
+        cur = prev + bytes([idx])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) - 1 and width < 12:
+                # decoder grows width when ITS next_code hits 2^width;
+                # encoder must grow in lockstep (one code earlier)
+                pass
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        prev = bytes([idx])
+    emit(table[prev])
+    emit(end)
+    data = bytearray()
+    for i in range(0, len(out_bits), 8):
+        byte = 0
+        for j, bit in enumerate(out_bits[i : i + 8]):
+            byte |= bit << j
+        data.append(byte)
+    return bytes(data)
+
+
+def _gif_build(w, h, palette, indices, min_code, interlace=False):
+    import struct
+
+    gct_bits = 1  # 4-entry table minimum... use size to fit palette
+    while (2 << gct_bits) < len(palette):
+        gct_bits += 1
+    ct = b"".join(bytes(c) for c in palette)
+    ct += b"\x00" * (3 * (2 << gct_bits) - len(ct))
+    lzw = _gif_encode(indices, min_code)
+    sub = b""
+    for i in range(0, len(lzw), 255):
+        blk = lzw[i : i + 255]
+        sub += bytes([len(blk)]) + blk
+    packed = 0x80 | gct_bits
+    ipacked = 0x40 if interlace else 0
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, packed, 0, 0)
+        + ct
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        + bytes([ipacked, min_code])
+        + sub + b"\x00" + b"\x3b"
+    )
+
+
+def test_gif_full_lzw_decode_real_bytes():
+    import numpy as np
+    import pytest
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    # repeating structure drives dictionary growth incl. the KwKwK case
+    idx = ([0, 1, 2, 3] * 6 + [0, 0, 0, 0, 1, 1, 1, 1] + [2] * 8) * 3
+    w, h = 12, len(idx) // 12
+    payload = _gif_build(w, h, palette, idx, min_code=2)
+    px = MM.decode_gif_pixels(payload)
+    assert px.shape == (h, w, 3)
+    want = np.array([palette[i] for i in idx], np.uint8).reshape(h, w, 3)
+    assert np.array_equal(px, want)
+
+    # an extension block before the image is skipped cleanly
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+    with_ext = payload[:13 + 3 * 4] + ext + payload[13 + 3 * 4:]
+    assert np.array_equal(MM.decode_gif_pixels(with_ext), want)
+
+    # interlaced stays behind NotImplementedError
+    bad = _gif_build(w, h, palette, idx, min_code=2, interlace=True)
+    with pytest.raises(NotImplementedError):
+        MM.decode_gif_pixels(bad)
+
+
+def test_gif_poison_payload_yields_null_stats(spark):
+    """A corrupt LZW stream (codes outside the table) must yield NULL
+    stats through extract_decoded_stats, not kill the task."""
+    palette = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]
+    good = _gif_build(4, 2, palette, [0, 1, 2, 3] * 2, min_code=2)
+    # truncate the LZW data mid-stream and splice garbage codes in
+    corrupt = good[:-10] + b"\xff\xff\xff" + good[-7:]
+    media = spark.createDataFrame(
+        [(1, bytearray(corrupt), "image")], MM.MEDIA_SCHEMA
+    )
+    r = MM.extract_decoded_stats(media).collect()[0]
+    assert r["format"] == "gif"
+    assert r["content_sum"] is None  # failed decode, clean NULLs
