@@ -580,3 +580,47 @@ def test_gif_poison_payload_yields_null_stats(spark):
     r = MM.extract_decoded_stats(media).collect()[0]
     assert r["format"] == "gif"
     assert r["content_sum"] is None  # failed decode, clean NULLs
+
+
+def test_animated_gif_real_frame_sampling(spark):
+    """The video-shaped path runs END TO END on an animated GIF: real
+    frame count from the block walk, every-nth sampling, and a full
+    LZW decode of each sampled frame to an exact pixel sum."""
+    palette = [(10, 0, 0), (0, 20, 0), (0, 0, 30), (1, 1, 1)]
+    frames_idx = [[0] * 8, [1] * 8, [2] * 8]  # 4x2 frames, solid color
+    import struct
+
+    # build a 3-frame animated GIF: screen descriptor + GCT once, then
+    # three image blocks reusing the global table
+    one = _gif_build(4, 2, palette, frames_idx[0], min_code=2)
+    # split: header+GCT = 13 + 12 bytes (4 entries... padded to 4*3)
+    gct_len = 3 * 4
+    head, first_img = one[: 13 + gct_len], one[13 + gct_len : -1]
+    imgs = [first_img]
+    for fi in frames_idx[1:]:
+        f = _gif_build(4, 2, palette, fi, min_code=2)
+        imgs.append(f[13 + gct_len : -1])
+    anim = head + b"".join(imgs) + b"\x3b"
+
+    assert MM.gif_frame_count(anim) == 3
+    import numpy as np
+
+    assert np.array_equal(
+        MM.decode_gif_pixels(anim),  # frame 0
+        np.array([palette[0]] * 8, np.uint8).reshape(2, 4, 3),
+    )
+
+    media = spark.createDataFrame(
+        [(7, bytearray(anim), "video"), (8, b"not a gif", "video")],
+        MM.MEDIA_SCHEMA,
+    )
+    got = {
+        (r["media_id"], r["frame_idx"]): (r["n_frames"], r["frame_sum"])
+        for r in MM.sample_gif_frames(media, every_n=2).collect()
+    }
+    # frames 0 and 2 sampled; sums = 8 pixels x sum(channel values)
+    assert got == {
+        (7, 0): (3, 8 * 10),
+        (7, 2): (3, 8 * 30),
+        (8, None): (None, None),  # poison-safe NULL row
+    }
