@@ -5,12 +5,16 @@ batch shape, ``mapInPandas`` partition-parallel decode, partition sizing.
 Container-header decode is REAL: ``parse_media_header`` reads PNG / BMP /
 GIF / WAV / JPEG dimensions and audio rates in pure Python (magic bytes +
 fixed fields + chunk/segment walks — no codec library needed), and
-``extract_media_headers`` runs it partition-parallel. Full pixel/sample
-decode (PIL/ffmpeg are not in this container) stays behind
-``decode_image_stub``, which now returns header metadata for the parsed
-containers and raises ``NotImplementedError`` only for formats that
-genuinely need an entropy decoder. ``extract_image_meta`` keeps the
-sha-derived deterministic metadata used by the oracle-checked catalog rows.
+``extract_media_headers`` runs it partition-parallel. Full content
+decode is REAL for four of the five containers
+(``_make_content_decoders``): 24-bit BMP pixels, 16-bit PCM WAV
+samples, 8-bit PNG (zlib inflate + scanline unfiltering), and GIF
+(variable-width LZW + palette, frame-addressable for animations) —
+pure Python + numpy, no codec library. Only JPEG pixel decode remains
+stubbed (it needs a Huffman+DCT codec; PIL would slot into
+``decode_image_stub``'s NotImplementedError branch).
+``extract_image_meta`` keeps the sha-derived deterministic metadata
+used by the oracle-checked catalog rows.
 
 Design for 100 TB of media: binary payloads stay columnar (parquet binary
 with metadata columns for pruning), decode runs inside ``mapInPandas`` so
@@ -142,10 +146,11 @@ def parse_media_header(payload: bytes) -> dict | None:
 
 def decode_image_stub(payload: bytes) -> object:
     """Header-level decode for the containers ``parse_media_header``
-    understands. Uncompressed formats get FULL content decode
-    (``decode_bmp_pixels`` / ``decode_wav_samples``); entropy-coded
-    formats (PNG/GIF/JPEG pixel data) keep the NotImplementedError —
-    PIL/torchvision would replace that branch."""
+    understands. Full content decode exists for BMP/WAV/PNG/GIF
+    (``decode_bmp_pixels`` / ``decode_wav_samples`` /
+    ``decode_png_pixels`` / ``decode_gif_pixels``); only JPEG pixel
+    data keeps the NotImplementedError — PIL/torchvision would replace
+    that branch."""
     meta = parse_media_header(payload)
     if meta is not None:
         return meta
@@ -274,9 +279,17 @@ def _make_content_decoders():
                 f"non-interlaced only (depth={depth}, color={ct}, "
                 f"interlace={interlace})"
             )
-        raw = zlib.decompress(b"".join(idat))
+        if w * h > (1 << 26):
+            # declared-dimensions cap: a zip bomb must not OOM the
+            # executor before the scanline length check can run
+            raise ValueError(f"PNG too large for pure-Python decode "
+                             f"({w}x{h})")
         stride = w * channels
-        if len(raw) < h * (stride + 1):
+        need = h * (stride + 1)
+        # bounded inflate: never allocate beyond the declared scanline
+        # bytes, whatever the deflate stream claims to expand to
+        raw = zlib.decompressobj().decompress(b"".join(idat), need)
+        if len(raw) < need:
             raise ValueError("truncated PNG scanline data")
         out = bytearray(h * stride)
         bpp = channels  # bytes per pixel at depth 8
@@ -372,24 +385,40 @@ def _make_content_decoders():
         of image descriptor blocks, from a header/block walk only."""
         return sum(1 for _ in _gif_walk(bytes(payload)))
 
+    def _gif_frame_pixels(w, h, ct, data, min_code):
+        if ct is None:
+            raise ValueError("GIF image without a color table")
+        if w * h > (1 << 26):
+            raise ValueError(f"GIF too large for pure-Python decode "
+                             f"({w}x{h})")
+        indices = _gif_lzw(data, min_code, w * h)
+        if len(indices) < w * h:
+            raise ValueError("truncated GIF pixel data")
+        pal = np.frombuffer(ct, np.uint8).reshape(-1, 3)
+        idx = np.frombuffer(bytes(indices[: w * h]), np.uint8)
+        if idx.max(initial=0) >= pal.shape[0]:
+            raise ValueError("GIF index outside color table")
+        return pal[idx].reshape(h, w, 3).copy()
+
     def gif(payload: bytes, frame: int = 0):
-        b = bytes(payload)
-        for i, (w, h, ct, data, min_code) in enumerate(_gif_walk(b)):
-            if i != frame:
-                continue
-            if ct is None:
-                raise ValueError("GIF image without a color table")
-            indices = _gif_lzw(data, min_code, w * h)
-            if len(indices) < w * h:
-                raise ValueError("truncated GIF pixel data")
-            pal = np.frombuffer(ct, np.uint8).reshape(-1, 3)
-            idx = np.frombuffer(bytes(indices[: w * h]), np.uint8)
-            if idx.max(initial=0) >= pal.shape[0]:
-                raise ValueError("GIF index outside color table")
-            return pal[idx].reshape(h, w, 3).copy()
+        for i, blk in enumerate(_gif_walk(bytes(payload))):
+            if i == frame:
+                return _gif_frame_pixels(*blk)
         raise ValueError(f"GIF has no frame {frame}")
 
+    def gif_sample_frames(payload: bytes, every_n: int):
+        """Single block walk: (n_frames, [(frame_idx, pixels), ...])
+        for every ``every_n``-th frame — O(frames), not one re-walk
+        per sampled frame."""
+        decoded, n = [], 0
+        for i, blk in enumerate(_gif_walk(bytes(payload))):
+            n = i + 1
+            if i % every_n == 0:
+                decoded.append((i, _gif_frame_pixels(*blk)))
+        return n, decoded
+
     gif.frame_count = gif_frame_count  # type: ignore[attr-defined]
+    gif.sample_frames = gif_sample_frames  # type: ignore[attr-defined]
 
     def _gif_lzw(data: bytes, min_code: int, limit: int) -> bytearray:
         """Variable-width LSB-first LZW (the GIF flavor): dictionary of
@@ -426,11 +455,18 @@ def _make_content_decoders():
                     if next_code < 4096:
                         table[next_code] = prev + entry[:1]
                         next_code += 1
-                else:  # the KwKwK case
+                elif code == next_code:  # the one legal unknown: KwKwK
                     entry = prev + prev[:1]
                     if next_code < 4096:
                         table[next_code] = entry
                         next_code += 1
+                else:
+                    # spec-invalid code beyond the table: real decoders
+                    # reject; fabricating pixels here would surface as
+                    # plausible-but-wrong stats instead of clean NULLs
+                    raise ValueError(
+                        f"GIF LZW code {code} outside table"
+                    )
                 out += entry
                 prev = entry
                 if len(out) >= limit:
@@ -498,6 +534,7 @@ def extract_decoded_stats(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
+        import zlib as _zlib
 
         import pandas as _pd
 
@@ -525,6 +562,7 @@ def extract_decoded_stats(media: DataFrame) -> DataFrame:
                 IndexError,  # zero-pixel image: px[0] has no row
                 KeyError,  # corrupt GIF LZW code outside the table
                 _struct.error,
+                _zlib.error,  # corrupt PNG deflate stream
             ):
                 # struct.error belt-and-braces: the decoders normalize
                 # known truncations to ValueError, but a crafted header
@@ -675,19 +713,19 @@ def sample_gif_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     sum. One row per sampled frame; non-GIF or corrupt payloads yield
     one NULL row (poison-safe). Runs in ``mapInPandas`` with
     self-contained closures — payloads never leave the executor."""
-    bmp_core, wav_core, png_core, gif_core = _make_content_decoders()
+    gif_core = _make_content_decoders()[3]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
         def rows(media_id: int, b: bytes):
             try:
-                n = gif_core.frame_count(b)
-                out = []
-                for fi in range(0, n, every_n):
-                    px = gif_core(b, frame=fi).astype("int64")
-                    out.append((media_id, n, fi, int(px.sum())))
-                return out or [(media_id, n, None, None)]
+                # one block walk counts AND decodes the sampled frames
+                n, decoded = gif_core.sample_frames(b, every_n)
+                return [
+                    (media_id, n, fi, int(px.astype("int64").sum()))
+                    for fi, px in decoded
+                ] or [(media_id, n, None, None)]
             except Exception:  # noqa: BLE001 — poison-safe by contract
                 return [(media_id, None, None, None)]
 
