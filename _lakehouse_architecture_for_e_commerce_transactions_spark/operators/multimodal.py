@@ -194,6 +194,14 @@ def _make_content_decoders():
 
     import numpy as np
 
+    # Decoded-size cap in BYTES (w·h·channels), not pixels: the
+    # pure-Python unfilter/LZW loops are O(decoded bytes), so the cap is
+    # what bounds both allocation AND wall-clock per payload inside a
+    # mapInPandas task. 16 MiB ≈ a 2048×2048 RGBA frame; a valid-header
+    # adversarial file beyond it fails fast as poison instead of
+    # stalling an executor for minutes.
+    max_decode_bytes = 1 << 24
+
     def bmp(payload: bytes):
         b = bytes(payload)
         if b[:2] != b"BM" or len(b) < 34:
@@ -279,11 +287,11 @@ def _make_content_decoders():
                 f"non-interlaced only (depth={depth}, color={ct}, "
                 f"interlace={interlace})"
             )
-        if w * h > (1 << 26):
+        if w * h * channels > max_decode_bytes:
             # declared-dimensions cap: a zip bomb must not OOM the
             # executor before the scanline length check can run
             raise ValueError(f"PNG too large for pure-Python decode "
-                             f"({w}x{h})")
+                             f"({w}x{h}x{channels})")
         stride = w * channels
         need = h * (stride + 1)
         # bounded inflate: never allocate beyond the declared scanline
@@ -388,7 +396,7 @@ def _make_content_decoders():
     def _gif_frame_pixels(w, h, ct, data, min_code):
         if ct is None:
             raise ValueError("GIF image without a color table")
-        if w * h > (1 << 26):
+        if w * h * 3 > max_decode_bytes:  # RGB output bytes
             raise ValueError(f"GIF too large for pure-Python decode "
                              f"({w}x{h})")
         indices = _gif_lzw(data, min_code, w * h)
@@ -449,6 +457,12 @@ def _make_content_decoders():
                 if code == end:
                     return out
                 if prev is None:
+                    if code not in table:
+                        # same spec violation as the post-prev branch —
+                        # normalize to ValueError, not a bare KeyError
+                        raise ValueError(
+                            f"GIF LZW code {code} outside table"
+                        )
                     entry = table[code]
                 elif code in table:
                     entry = table[code]

@@ -624,3 +624,70 @@ def test_animated_gif_real_frame_sampling(spark):
         (7, 2): (3, 8 * 30),
         (8, None): (None, None),  # poison-safe NULL row
     }
+
+
+def test_gif_invalid_first_code_raises_valueerror_not_keyerror():
+    """A spec-invalid code as the FIRST code after a clear must raise
+    the same normalized ValueError as the post-prev branch — direct
+    decode callers see one exception type for one class of corruption."""
+    import struct
+
+    import pytest
+
+    palette = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]
+    ct = b"".join(bytes(c) for c in palette)
+    # min_code=2: clear=4, end=5; width=3. First emitted code = 7
+    # (> end+1, not yet in the table) — the prev-is-None poison path.
+    # LSB-first bits: clear(100) then 7(111) -> byte 0b00111100 = 0x3c
+    lzw = bytes([0x3C])
+    payload = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 2, 0x80 | 1, 0, 0)
+        + ct
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2)
+        + bytes([0, 2])
+        + bytes([len(lzw)]) + lzw + b"\x00" + b"\x3b"
+    )
+    with pytest.raises(ValueError, match="outside table"):
+        MM.decode_gif_pixels(payload)
+
+
+def test_decode_byte_caps_fail_fast():
+    """Declared-dimension caps are in BYTES (w*h*channels): a
+    valid-header adversarial file past 16 MiB decoded must raise
+    before any allocation or unfilter/LZW loop runs."""
+    import struct
+    import zlib
+
+    import pytest
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    # 2048x2048 RGBA = exactly 16 MiB -> allowed dims minus one step;
+    # 4096x2048 RGBA = 32 MiB -> rejected fast
+    ihdr = struct.pack(">IIBBBBB", 4096, 2048, 8, 6, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="too large"):
+        MM.decode_png_pixels(png)
+
+    # GIF: 4096x4096 -> 48 MiB RGB output, rejected before LZW
+    palette = [(0, 0, 0), (1, 1, 1)]
+    ct = b"".join(bytes(c) for c in palette) + b"\x00" * 0
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 4096, 4096, 0x80, 0, 0)
+        + ct
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 4096, 4096)
+        + bytes([0, 1])
+        + b"\x01\x00" + b"\x00" + b"\x3b"
+    )
+    with pytest.raises(ValueError, match="too large"):
+        MM.decode_gif_pixels(gif)
