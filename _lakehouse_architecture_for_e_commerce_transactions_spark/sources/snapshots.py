@@ -1611,6 +1611,160 @@ def update_where_dv(
     )
 
 
+def replace_where_commit(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    predicates: list[tuple] | None = None,
+    keys: DataFrame | None = None,
+    key_cols: list[str] | None = None,
+    max_retries: int = 10,
+    stats_for: list[str] | None = None,
+    bloom_for: list[str] | None = None,
+    report: dict | None = None,
+) -> int:
+    """Delta's ``replaceWhere`` as ONE atomic commit, via deletion
+    vectors: every live row matching the scope is tombstoned AND ``df``
+    is appended, both referenced by a single manifest publish — readers
+    see the swap all-or-nothing, and no existing data file is rewritten.
+    Cost = one (pruned) scan for the tombstones + a write of
+    ``df``-sized data — independent of table size, the incremental
+    alternative to overwriting a whole table to change one key range.
+
+    The scope is either ``predicates`` — the ``read_where`` conjunction
+    ``(col, op, literal)`` with op in ``== < <= > >= in`` — or a
+    ``keys`` DataFrame equi-matched on ``key_cols`` (for scopes too
+    wide for a literal IN-list). With ``predicates``, the tombstone
+    scan SKIPS files the manifest's per-file min/max and Bloom stats
+    disprove (pass ``report`` to receive files_total/files_kept), so a
+    narrow replace over a huge table touches only the files that can
+    hold the scope. NULL key values never match either scope form (SQL
+    equality), exactly like Delta's replaceWhere predicate.
+
+    ``stats_for``/``bloom_for`` default to the table's existing
+    stats/bloom columns so appended files stay prunable. Plain
+    (unpartitioned) snapshot tables only — partitioned tables express
+    scoped replacement through ``merge_commit``/``update_where_dv``,
+    whose manifests carry partitions by reference.
+    """
+    if (predicates is None) == (keys is None):
+        raise ValueError("pass exactly one of predicates / (keys, key_cols)")
+    if keys is not None and not key_cols:
+        raise ValueError("keys requires key_cols")
+    if predicates is not None:
+        for p in predicates:
+            if len(p) != 3 or p[1] not in _PRUNE_OPS:
+                raise ValueError(f"bad predicate {p!r}; ops: {_PRUNE_OPS}")
+    from pyspark.sql.types import StructType
+
+    head = load_snapshot(path)
+    if head.part_entries is not None:
+        raise ValueError(
+            "replace_where_commit targets plain snapshot tables; on "
+            "partitioned tables use merge_commit/update_where_dv"
+        )
+    pfields = StructType.fromJson(json.loads(head.schema_json)).fields
+    if [(f.name, f.dataType) for f in pfields] != [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]:
+        raise ValueError(
+            "replacement schema differs from table schema"
+        )
+    df = _apply_constraint_guard(df, path)
+    # the replacement data is scope-independent: write it once, reuse
+    # across contention retries (same pattern as commit())
+    commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
+    df.write.mode("errorifexists").parquet(commit_dir)
+
+    for _ in range(max_retries):
+        snap = load_snapshot(path)
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        fs, fb = snap.file_stats or {}, snap.file_blooms or {}
+        # tombstone scan over the PRE-append head (commit_dir is not in
+        # snap.dirs yet, so the fresh rows can never self-tombstone)
+        if predicates is not None:
+            all_files = data_files(path, snap.version)
+            kept = [
+                f
+                for f in all_files
+                if _file_maybe_matches(fs.get(f), predicates, fb.get(f))
+            ]
+            if report is not None:
+                report["files_total"] = len(all_files)
+                report["files_kept"] = len(kept)
+            if kept:
+                marked = (
+                    spark.read.schema(schema)
+                    .parquet(*kept)
+                    .withColumn("__fp", F.col("_metadata.file_path"))
+                    .withColumn("__ri", F.col("_metadata.row_index"))
+                )
+                dels = _dv_filter(
+                    marked, _dv_tombstones(spark, snap)
+                ).filter(_residual(predicates))
+            else:
+                dels = None
+        else:
+            marked = _dv_filter(
+                _scan_with_address(spark, snap),
+                _dv_tombstones(spark, snap),
+            )
+            dels = marked.join(
+                keys.select(*key_cols).distinct(), key_cols, "left_semi"
+            )
+        dead: dict[str, int] = {}
+        dv_dir = os.path.join(path, _DATA, f"dv-{uuid.uuid4().hex}")
+        if dels is not None:
+            dels.select(
+                F.col("__fp").alias("file"), F.col("__ri").alias("row_idx")
+            ).coalesce(1).write.mode("errorifexists").parquet(dv_dir)
+            dead = _dv_dead_counts(spark, dv_dir)
+        if not dead:
+            import shutil
+
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            dv_dir = None
+        stats_cols = list(stats_for or snap.stats_cols or []) or None
+        bloom_cols = list(bloom_for or snap.bloom_cols or []) or None
+        manifest = {
+            "version": snap.version + 1,
+            "dirs": snap.dirs + [commit_dir],
+            "schema": snap.schema_json,
+            "committed_at": time.time(),
+            "op": "REPLACEWHERE",
+        }
+        if dv_dir is not None or snap.dv_files:
+            manifest["dv_files"] = (snap.dv_files or []) + (
+                [dv_dir] if dv_dir is not None else []
+            )
+            manifest["dv_dead"] = _merge_dead(snap.dv_dead, dead)
+        if stats_cols:
+            manifest["file_stats"] = {
+                **(snap.file_stats or {}),
+                **collect_file_stats([commit_dir], stats_cols),
+            }
+            manifest["stats_cols"] = stats_cols
+        if bloom_cols:
+            manifest["file_blooms"] = {
+                **(snap.file_blooms or {}),
+                **collect_file_blooms([commit_dir], bloom_cols),
+            }
+            manifest["bloom_cols"] = bloom_cols
+        if not _try_publish_manifest(path, snap.version + 1, manifest):
+            import shutil
+
+            if dv_dir is not None:
+                shutil.rmtree(dv_dir, ignore_errors=True)
+            continue  # lost the race: re-scope against the new head
+        return snap.version + 1
+    import shutil
+
+    shutil.rmtree(commit_dir, ignore_errors=True)
+    raise RuntimeError(
+        f"replace_where_commit contention at {path}: {max_retries} retries"
+    )
+
+
 def snapshot_diff(
     spark: SparkSession,
     path: str,

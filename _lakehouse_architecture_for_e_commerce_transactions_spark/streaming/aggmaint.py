@@ -541,52 +541,170 @@ def read_maintained_topk(
     return INC.topk_rows(state, ["k"], k)
 
 
+# watermark columns stamped on every fact-mirror commit; their per-file
+# stats make the replay probe metadata-only, and the Bloom filter on k
+# lets the replace-scope scan skip files whose key sets can't intersect
+# the batch's removal keys
+_WM_STATS = ["_last_batch", "_app_id"]
+_REPLACE_KEY_CAP = 2048  # max removal keys expressed as a literal IN-list
+
+
+def _fact_watermark(spark: SparkSession, fact_path: str):
+    """(last_batch, app) replay watermark of the fact mirror — from the
+    manifest's per-file stats when every file carries them (zero data
+    I/O: the marker row travels in every commit and is never
+    tombstoned, so the per-file max of ``_last_batch`` is exact even
+    under deletion vectors), else a column-pruned scan (legacy tables
+    written before the stats were stamped)."""
+    try:
+        snap = S.load_snapshot(fact_path)
+    except FileNotFoundError:
+        return None, None
+    fs, sc = snap.file_stats, snap.stats_cols or []
+    if fs and all(c in sc for c in _WM_STATS):
+        best_b = best_a = None
+        complete = True
+        for ent in fs.values():
+            cols = ent.get("cols") or {}
+            bst, ast = cols.get("_last_batch"), cols.get("_app_id")
+            if (
+                bst is None or bst.get("max") is None
+                or ast is None or ast.get("max") is None
+            ):
+                complete = False  # poisoned/missing entry: fall back
+                break
+            if best_b is None or bst["max"] > best_b:
+                best_b = bst["max"]
+            if best_a is None or ast["max"] > best_a:
+                best_a = ast["max"]
+        if complete and best_b is not None:
+            return int(best_b), best_a
+    _, last, aid = _table_state(
+        spark, fact_path, _FACT_SCHEMA, ["k", "val"]
+    )
+    return last, aid
+
+
 def _advance_fact(
     spark: SparkSession,
     batch_df: DataFrame,
     fact_path: str,
     batch_id: int,
     app: str,
+    report: dict | None = None,
 ) -> None:
     """Advance the fact mirror by one change batch (idempotent via the
-    table watermark). Deletes/update-preimages multiset-subtract via an
-    occurrence-paired anti-join over (fact ⊎ adds) — a delete of a
-    value inserted earlier in the same batch nets correctly."""
+    table watermark), in O(batch) — never a full-mirror shuffle or
+    rewrite:
+
+    * insert-only batches APPEND a batch-sized file set; existing files
+      are carried by reference.
+    * batches with removals replace only the TOUCHED KEYS' slice: the
+      live rows of the removal keys (a file-pruned ``read_where`` scan
+      when the key set fits a literal IN-list, a broadcast semi-join
+      otherwise) union the batch's adds, multiset-subtract the
+      removals via an occurrence-paired NULL-SAFE anti-join (a NULL
+      old/new value pairs with a NULL-valued fact row instead of
+      ghosting forever), and land through
+      ``snapshots.replace_where_commit`` — ONE atomic commit that
+      tombstones the old slice (deletion vectors) and appends the new
+      one. The pairing window shuffles the touched slice only.
+
+    The replay watermark travels inside the same atomic commit (marker
+    row + per-file stats), so exactly-once survives any crash point.
+    Compaction (``compact_every`` on the stream twins) periodically
+    folds the accumulated small files + tombstones — amortized layout
+    maintenance, not per-batch work.
+    """
     from pyspark.sql import Window
 
     _reject_null_keys(
         batch_df, F.col("k").isNull(), "fact-mirror maintenance"
     )
-    fact, last, aid = _table_state(
-        spark, fact_path, _FACT_SCHEMA, ["k", "val"]
-    )
+    last, aid = _fact_watermark(spark, fact_path)
     skip, rebuild = _guard(batch_id, last, aid, app)
     if skip:
         return
-    if rebuild:
-        fact = fact.limit(0)
     adds = batch_df.filter(F.col("op").isin("I", "U")).select(
         "k", F.col("new_val").alias("val")
     )
     rems = batch_df.filter(F.col("op").isin("D", "U")).select(
         "k", F.col("old_val").alias("val")
     )
-    pool = fact.unionByName(adds)
-    if rems.take(1):
+
+    def pair_subtract(pool: DataFrame, removals: DataFrame) -> DataFrame:
         occ = Window.partitionBy("k", "val").orderBy(F.lit(1))
-        pool = (
-            pool.withColumn("occ", F.row_number().over(occ))
-            .join(
-                rems.withColumn("occ", F.row_number().over(occ)),
-                ["k", "val", "occ"],
-                "left_anti",
-            )
+        return INC._ns_join(
+            pool.withColumn("occ", F.row_number().over(occ)),
+            removals.withColumn("occ", F.row_number().over(occ)),
+            ["k", "val", "occ"],
+            "left_anti",
+        ).select("k", "val")
+
+    def stamped(df: DataFrame) -> DataFrame:
+        marker = spark.createDataFrame(
+            [(None, None, batch_id, app)], _FACT_SCHEMA
+        )
+        return (
+            df.withColumn("_last_batch", F.lit(batch_id).cast("long"))
+            .withColumn("_app_id", F.lit(app))
+            .unionByName(marker)
+        )
+
+    if last is None or rebuild:
+        # fresh table / new derivation: the batch IS the table
+        S.commit(
+            spark, stamped(pair_subtract(adds, rems)), fact_path,
+            mode="overwrite", stats_for=_WM_STATS, bloom_for=["k"],
+        )
+        return
+    if not rems.take(1):
+        S.commit(
+            spark, stamped(adds), fact_path,
+            mode="append", stats_for=_WM_STATS, bloom_for=["k"],
+        )
+        return
+    rem_keys = [
+        r["k"]
+        for r in rems.select("k")
+        .distinct()
+        .limit(_REPLACE_KEY_CAP + 1)
+        .collect()
+    ]
+    if len(rem_keys) <= _REPLACE_KEY_CAP:
+        # literal IN-list scope: the tombstone scan inside
+        # replace_where_commit prunes files via per-file k-blooms/stats
+        pred = [("k", "in", rem_keys)]
+        slice_old = (
+            S.read_where(spark, fact_path, pred)
+            .filter(F.col("k").isNotNull())
             .select("k", "val")
         )
-    _commit_with_marker(
-        spark, pool, fact_path, batch_id, app,
-        (None, None, batch_id, app), _FACT_SCHEMA,
-    )
+        touched = F.col("k").isin(rem_keys)
+        pool = slice_old.unionByName(adds.filter(touched))
+        replacement = pair_subtract(pool, rems).unionByName(
+            adds.filter(~touched)
+        )
+        S.replace_where_commit(
+            spark, stamped(replacement), fact_path, predicates=pred,
+            stats_for=_WM_STATS, bloom_for=["k"], report=report,
+        )
+    else:
+        # scope too wide for a literal list: equi-join the key set
+        # (batch-sized, AQE broadcasts it) — still slice-scoped work
+        keys_df = rems.select("k").distinct()
+        live = read_maintained_fact(spark, fact_path)
+        pool = live.join(keys_df, "k", "left_semi").unionByName(
+            adds.join(keys_df, "k", "left_semi")
+        )
+        replacement = pair_subtract(pool, rems).unionByName(
+            adds.join(keys_df, "k", "left_anti")
+        )
+        S.replace_where_commit(
+            spark, stamped(replacement), fact_path,
+            keys=keys_df, key_cols=["k"],
+            stats_for=_WM_STATS, bloom_for=["k"], report=report,
+        )
 
 
 def stream_minmax_maintenance(
@@ -597,12 +715,17 @@ def stream_minmax_maintenance(
     checkpoint_dir: str,
     available_now: bool = True,
     scale: int = 100,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Exactly-once streaming twin of
     ``operators/incremental.maintain_min_max``: per-key MIN/MAX kept
     current from change-row CSVs (``k, op ∈ {I,U,D}, old_val,
     new_val``), with endpoint-touching groups rescanned from the
-    committed fact mirror only."""
+    committed fact mirror only. Per-batch mirror work is O(batch)
+    (append / keyed replace — see ``_advance_fact``); pass
+    ``compact_every=N`` to fold the accumulated small files and
+    deletion vectors every N applied batches (amortized layout
+    maintenance — correctness never depends on it)."""
     app = _app_id(checkpoint_dir)
     reader = (
         spark.readStream.schema(CHANGE_STREAM_SCHEMA)
@@ -640,6 +763,8 @@ def stream_minmax_maintenance(
                 spark, nxt, state_path, batch_id, app,
                 (None, None, None, batch_id, app), _MINMAX_SCHEMA,
             )
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                S.compact(spark, fact_path)
         finally:
             batch_df.unpersist()
 
@@ -663,12 +788,15 @@ def stream_topk_maintenance(
     buffer: int = 2,
     available_now: bool = True,
     scale: int = 100,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Exactly-once streaming twin of
     ``operators/incremental.maintain_topk``: a continuously maintained
     per-key leaderboard. The stored top-(k+buffer) prefix absorbs the
     batch; only keys squeezed below a provable top-k rebuild, from the
-    committed fact mirror, via a key semi-join."""
+    committed fact mirror, via a key semi-join. Mirror commits are
+    O(batch); ``compact_every`` folds small files/DVs periodically
+    (see ``stream_minmax_maintenance``)."""
     app = _app_id(checkpoint_dir)
     reader = (
         spark.readStream.schema(CHANGE_STREAM_SCHEMA)
@@ -701,6 +829,8 @@ def stream_topk_maintenance(
                 spark, nxt, state_path, batch_id, app,
                 (None, None, None, batch_id, app), _TOPK_SCHEMA,
             )
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                S.compact(spark, fact_path)
         finally:
             batch_df.unpersist()
 

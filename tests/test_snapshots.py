@@ -795,3 +795,124 @@ def test_describe_history_records_every_operation(spark, tmp_path):
     cl = str(tmp_path / "cl")
     S.clone(pp, cl)
     assert [h["op"] for h in S.describe_history(cl)] == ["CLONE"]
+
+
+def test_replace_where_commit_predicate_scope(spark, tmp_path):
+    """One atomic commit tombstones the scope and appends the
+    replacement: rows outside the scope are untouched (carried by
+    reference), NULL scope-column rows never match, time travel sees
+    the pre-replace state, and the scan prunes files the per-file
+    stats disprove."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (None, "marker")],
+        "k long, grp string",
+    )
+    S.commit(spark, df, p, stats_for=["k"])
+    S.commit(
+        spark,
+        spark.createDataFrame([(10, "c"), (11, "c")], "k long, grp string"),
+        p, mode="append", stats_for=["k"],
+    )
+    before = S.load_snapshot(p)
+
+    report: dict = {}
+    v = S.replace_where_commit(
+        spark,
+        spark.createDataFrame([(2, "A"), (4, "A")], "k long, grp string"),
+        p,
+        predicates=[("k", "in", [1, 2])],
+        report=report,
+    )
+    head = S.load_snapshot(p)
+    assert head.version == v and head.op == "REPLACEWHERE"
+    assert set(before.dirs) <= set(head.dirs)  # no rewrite
+    assert head.dv_files
+    # file with k in {10, 11} pruned by min/max stats
+    assert report["files_kept"] < report["files_total"]
+
+    got = sorted(
+        (r["k"], r["grp"]) for r in S.read(spark, p).collect()
+        if r["k"] is not None
+    )
+    assert got == [(2, "A"), (3, "b"), (4, "A"), (10, "c"), (11, "c")]
+    # NULL scope-column row survives (SQL equality semantics)
+    assert any(r["k"] is None for r in S.read(spark, p).collect())
+    # time travel: pre-replace version unchanged
+    old = sorted(
+        r["k"] for r in S.read(spark, p, version=before.version).collect()
+        if r["k"] is not None
+    )
+    assert old == [1, 2, 3, 10, 11]
+
+
+def test_replace_where_commit_keys_scope_and_guards(spark, tmp_path):
+    p = str(tmp_path / "t")
+    S.commit(
+        spark,
+        spark.createDataFrame(
+            [("x", 1.0), ("x", 2.0), ("y", 3.0)], "k string, v double"
+        ),
+        p,
+    )
+    keys = spark.createDataFrame([("x",)], "k string")
+    S.replace_where_commit(
+        spark,
+        spark.createDataFrame([("x", 9.0)], "k string, v double"),
+        p, keys=keys, key_cols=["k"],
+    )
+    assert sorted(
+        (r["k"], r["v"]) for r in S.read(spark, p).collect()
+    ) == [("x", 9.0), ("y", 3.0)]
+
+    with pytest.raises(ValueError, match="exactly one"):
+        S.replace_where_commit(
+            spark, spark.createDataFrame([("x", 1.0)], "k string, v double"),
+            p,
+        )
+    with pytest.raises(ValueError, match="schema"):
+        S.replace_where_commit(
+            spark, spark.createDataFrame([(1,)], "k long"),
+            p, predicates=[("k", "==", "x")],
+        )
+    # empty scope still appends the replacement atomically (no DVs)
+    v = S.replace_where_commit(
+        spark,
+        spark.createDataFrame([("z", 5.0)], "k string, v double"),
+        p, predicates=[("k", "==", "nope")],
+    )
+    head = S.load_snapshot(p)
+    assert head.version == v
+    assert sorted(r["k"] for r in S.read(spark, p).collect()) == [
+        "x", "y", "z"
+    ]
+
+
+def test_replace_where_commit_rejects_partitioned(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        TableSpec,
+    )
+
+    spec = TableSpec(
+        name="pt",
+        schema=StructType(
+            [
+                StructField("k", LongType(), False),
+                StructField("p", LongType(), False),
+            ]
+        ),
+        primary_key="k",
+        partition_by=("p",),
+    )
+    pp = str(tmp_path / "pt")
+    pdf = spark.range(4).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    S.merge_commit(spark, pdf, pp, spec)
+    with pytest.raises(ValueError, match="partitioned"):
+        S.replace_where_commit(
+            spark, pdf, pp, predicates=[("k", "==", 1)]
+        )

@@ -210,3 +210,176 @@ def test_arbitrary_batch_splits_converge(spark, tmp_path):
     assert results_mm[0] == _want_minmax(live)
     assert results_tk[0] == results_tk[1] == results_tk[2]
     assert results_tk[0] == _want_topk(live, 2)
+
+
+def test_fact_mirror_commits_are_o_batch(spark, tmp_path):
+    """The scale pin for the mirror: after batch 0, every advance
+    carries ALL previous data files by reference — insert-only batches
+    APPEND, removal batches REPLACEWHERE (tombstones + a slice-sized
+    append) — so per-batch write cost is O(batch), never a full-mirror
+    rewrite. The replay watermark resolves from manifest stats alone."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as S,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming import (
+        aggmaint as AM,
+    )
+
+    raw = str(tmp_path / "raw")
+    factp = str(tmp_path / "fact")
+    statep = str(tmp_path / "mm")
+    ckpt = str(tmp_path / "ckpt")
+    for i, rows in enumerate([_B1, _B2, _B3], start=1):
+        _write(os.path.join(raw, f"b{i}.csv"), rows)
+        q = stream_minmax_maintenance(spark, raw, factp, statep, ckpt)
+        q.awaitTermination(120)
+
+    snaps = S.history(factp)
+    ops = [s.op for s in snaps]
+    assert ops[0] == "WRITE"
+    assert all(op in ("APPEND", "REPLACEWHERE") for op in ops[1:]), ops
+    assert "REPLACEWHERE" in ops[1:]  # _B2/_B3 carry removals
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert set(prev.dirs) <= set(cur.dirs), (
+            "an advance dropped carried files — mirror was rewritten"
+        )
+    head = snaps[-1]
+    assert head.dv_files, "removals should land as deletion vectors"
+
+    # the watermark probe answers from manifest per-file stats only
+    last, app = AM._fact_watermark(spark, factp)
+    assert last == 2  # batches 0,1,2 applied
+    assert app == AM._app_id(ckpt)
+
+
+def test_fact_mirror_replace_scope_prunes_files(spark, tmp_path):
+    """The replace-scope tombstone scan must SKIP files whose per-file
+    k-Bloom disproves the removal key set: batches over disjoint key
+    ranges build distinct files, and a removal touching one range reads
+    only that range's files."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming import (
+        aggmaint as AM,
+    )
+
+    factp = str(tmp_path / "fact")
+    app = "test-app"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, AM.CHANGE_STREAM_SCHEMA).coalesce(1)
+
+    AM._advance_fact(
+        spark, batch([(f"a{i}", "I", None, float(i)) for i in range(8)]),
+        factp, 0, app,
+    )
+    AM._advance_fact(
+        spark, batch([(f"b{i}", "I", None, float(i)) for i in range(8)]),
+        factp, 1, app,
+    )
+    AM._advance_fact(
+        spark, batch([(f"c{i}", "I", None, float(i)) for i in range(8)]),
+        factp, 2, app,
+    )
+    report: dict = {}
+    AM._advance_fact(
+        spark, batch([("b3", "D", 3.0, None)]), factp, 3, app, report=report,
+    )
+    assert report["files_total"] >= 3
+    assert 0 < report["files_kept"] < report["files_total"], report
+    got = sorted(
+        (r["k"], r["val"])
+        for r in read_maintained_fact(spark, factp).collect()
+    )
+    want = sorted(
+        [(f"a{i}", float(i)) for i in range(8)]
+        + [(f"b{i}", float(i)) for i in range(8) if i != 3]
+        + [(f"c{i}", float(i)) for i in range(8)]
+    )
+    assert got == want
+
+
+def test_null_valued_change_rows_pair_null_safe(spark, tmp_path):
+    """A D/U change row with NULL old_val must retire the NULL-valued
+    fact row (null-safe occurrence pairing) instead of ghosting it
+    forever — including when insert and delete land in DIFFERENT
+    batches."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming import (
+        aggmaint as AM,
+    )
+
+    factp = str(tmp_path / "fact")
+    app = "test-app"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, AM.CHANGE_STREAM_SCHEMA).coalesce(1)
+
+    AM._advance_fact(
+        spark,
+        batch([("z", "I", None, None), ("z", "I", None, 5.0),
+               ("w", "I", None, 1.0)]),
+        factp, 0, app,
+    )
+
+    def snap():
+        return sorted(
+            ((r["k"], r["val"])
+             for r in read_maintained_fact(spark, factp).collect()),
+            key=lambda t: (t[0], t[1] is not None, t[1] or 0.0),
+        )
+
+    assert snap() == [("w", 1.0), ("z", None), ("z", 5.0)]
+
+    AM._advance_fact(
+        spark, batch([("z", "D", None, None)]), factp, 1, app,
+    )
+    assert snap() == [("w", 1.0), ("z", 5.0)], "NULL-valued row ghosted"
+
+
+def test_compact_every_folds_mirror_and_stream_continues(spark, tmp_path):
+    """compact_every folds the mirror's accumulated small files and
+    deletion vectors without disturbing the replay watermark: answers
+    still equal a recompute, and the head snapshot is tombstone-free
+    with a bounded dir count."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as S,
+    )
+
+    raw = str(tmp_path / "raw")
+    factp = str(tmp_path / "fact")
+    statep = str(tmp_path / "mm")
+    ckpt = str(tmp_path / "ckpt")
+    log: dict[str, list[float]] = {}
+    batches = [_B1, _B2, _B3, ["a,I,,99.0", "c,D,1.0,"]]
+    for i, rows in enumerate(batches, start=1):
+        _write(os.path.join(raw, f"b{i}.csv"), rows)
+        q = stream_minmax_maintenance(
+            spark, raw, factp, statep, ckpt, compact_every=2
+        )
+        q.awaitTermination(120)
+        _apply(log, rows)
+
+    head = S.load_snapshot(factp)
+    assert head.op == "OPTIMIZE"  # batch 3 (+1) % 2 == 0 compacted
+    assert not head.dv_files
+    assert len(head.dirs) == 1
+
+    got = {
+        r["k"]: (r["min_scaled"], r["max_scaled"])
+        for r in read_maintained_minmax(spark, statep).collect()
+    }
+    assert got == _want_minmax(log)
+    fact = sorted(
+        (r["k"], _fx(r["val"]))
+        for r in read_maintained_fact(spark, factp).collect()
+    )
+    assert fact == sorted(
+        (k, _fx(v)) for k, vs in log.items() for v in vs
+    )
+
+    # a replay after compaction still skips (watermark survived the
+    # rewrite via re-collected per-file stats)
+    before = S.load_snapshot(factp).version
+    q = stream_minmax_maintenance(
+        spark, raw, factp, statep, ckpt, compact_every=2
+    )
+    q.awaitTermination(120)
+    assert S.load_snapshot(factp).version == before
