@@ -181,6 +181,130 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # Streaming IVM twins: per-batch wall-time of the exactly-once
+    # MIN/MAX and TOP-K maintenance (fact mirror + state). Batch 1 is
+    # the seed build; batches 2-3 carry deletes/updates — the slice
+    # replace path whose O(batch) claim the mirror commit redesign
+    # makes, so ITS per-batch number is the one to watch round over
+    # round. Fresh dirs per rep (a stream can't re-run its own feed);
+    # leg value = min over reps of the summed per-batch time.
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (
+        stream_minmax_maintenance,
+        stream_topk_maintenance,
+    )
+
+    feed_rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 8 == 0)
+        .select(
+            (F.col("o_custkey") % 500).cast("string").alias("k"),
+            F.col("o_totalprice").cast("double").alias("v"),
+            F.col("o_orderkey").alias("ok"),
+        )
+        .collect()
+    )
+    b1 = [f"{r['k']},I,,{r['v']!r}" for r in feed_rows]
+    b2 = [
+        f"{r['k']},D,{r['v']!r}," for r in feed_rows if r["ok"] % 40 == 0
+    ] + [
+        f"{r['k']},I,,{r['v'] + 1000.0!r}"
+        for r in feed_rows
+        if r["ok"] % 56 == 0
+    ]
+    b3 = [
+        f"{r['k']},U,{r['v']!r},{r['v'] / 2!r}"
+        for r in feed_rows
+        if r["ok"] % 48 == 8
+    ]
+    stream_reps = min(reps, 2)  # full fresh stream per rep: bound cost
+    for leg, start in (
+        ("stream_minmax_maintenance",
+         lambda raw, fp, sp, ck: stream_minmax_maintenance(
+             spark, raw, fp, sp, ck)),
+        ("stream_topk_maintenance",
+         lambda raw, fp, sp, ck: stream_topk_maintenance(
+             spark, raw, fp, sp, ck, k=3, buffer=2)),
+    ):
+        for rep in range(stream_reps):
+            work = tempfile.mkdtemp(prefix=f"bench_{leg}_")
+            try:
+                raw = os.path.join(work, "raw")
+                os.makedirs(raw)
+                batch_times = []
+                for bi, rows in enumerate([b1, b2, b3], start=1):
+                    with open(os.path.join(raw, f"b{bi}.csv"), "w") as f:
+                        f.write("k,op,old_val,new_val\n")
+                        f.write("\n".join(rows) + "\n")
+                    t0 = time.time()
+                    q = start(
+                        raw, os.path.join(work, "fact"),
+                        os.path.join(work, "state"),
+                        os.path.join(work, "ckpt"),
+                    )
+                    q.awaitTermination(600)
+                    batch_times.append(round(time.time() - t0, 3))
+                took = round(sum(batch_times), 3)
+                extras[leg] = min(extras.get(leg, took), took)
+                print(
+                    f"# [{rep + 1}/{stream_reps}] extra {leg}: {took:.3f}s "
+                    f"(per-batch {batch_times}, "
+                    f"{len(b1)}+{len(b2)}+{len(b3)} changes)",
+                    file=sys.stderr,
+                )
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+
+    # Indexed phrase search: the z-ordered postings table + term-pruned
+    # scan (the documented 100 TB search-index shape, proven in
+    # tests/test_fileskip.py / test_search_ivm.py) — timed here so the
+    # pruned-query path has a number. The index build is one-time
+    # (amortized across queries), so the LEG times only the query:
+    # read_where with the phrase's term IN-predicate + the positional
+    # join + collect; pruned-file counts go to the log line.
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.ranking import (
+        build_postings,
+        phrase_search,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as SNAP,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_postings_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        idx_path = os.path.join(work, "postings")
+        t0 = time.time()
+        SNAP.commit(
+            spark, build_postings(docs), idx_path,
+            stats_for=["term"], cluster_by=["term"], n_files=64,
+        )
+        print(
+            f"# postings index build (one-time, untimed leg): "
+            f"{time.time() - t0:.3f}s",
+            file=sys.stderr,
+        )
+        phrase = ["slow", "hash", "batch"]
+        for rep in range(reps):
+            rep_stats: dict = {}
+            t0 = time.time()
+            pruned = SNAP.read_where(
+                spark, idx_path, [("term", "in", phrase)],
+                report=rep_stats,
+            )
+            n = len(phrase_search(pruned, phrase).collect())
+            took = round(time.time() - t0, 3)
+            extras["phrase_search_indexed"] = min(
+                extras.get("phrase_search_indexed", took), took
+            )
+            print(
+                f"# [{rep + 1}/{reps}] extra phrase_search_indexed: "
+                f"{took:.3f}s ({n} docs, files "
+                f"{rep_stats['files_kept']}/{rep_stats['files_total']})",
+                file=sys.stderr,
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
