@@ -27,6 +27,8 @@ bounded per-group top-k window. No collect, no unbounded state.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -103,6 +105,88 @@ def kmv_estimate(
             )
         )
         .alias("est_distinct"),
+    )
+
+
+def kmv_intersect_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    k: int = 64,
+    round_to: int = 4,
+) -> DataFrame:
+    """Sketch-level set algebra (Bar-Yossef / Beyer et al.): from two
+    per-key KMV sketches, estimate (keys..., est_union, est_intersect,
+    est_jaccard) WITHOUT touching raw data — the 100 TB shape for
+    cross-corpus overlap/contamination estimation, where materializing
+    either distinct set (let alone their intersection) would shuffle
+    every value.
+
+    Method: the merged sketch S (k smallest of A's ∪ B's hashes) is a
+    uniform sample of the union's hash space. ρ = |S ∩ A ∩ B| / |S|
+    estimates the Jaccard similarity, and ρ · est(|A∪B|) the
+    intersection size. When the union holds fewer than k distinct
+    hashes every quantity is EXACT (the sketches are complete sets and
+    ρ·n collapses to the true intersection count). Division/rounding
+    follow the same IEEE discipline as ``kmv_estimate`` so a SQL
+    oracle reproduces the floats bit-for-bit.
+
+    Plan shape: two sketch-sized semi-joins + one bounded groupBy —
+    inputs are k rows per group, so this is manifest-scale work
+    regardless of corpus size. Standard error ~ 1/√k on ρ."""
+    def ns_join(left: DataFrame, right: DataFrame, cols, how: str):
+        # null-safe equi-join (<=> keys): a NULL-keyed group matches its
+        # own sketch rows instead of silently dropping out of semi/left
+        # joins — same discipline as operators/incremental._ns_join
+        r = right
+        for c in cols:
+            r = r.withColumnRenamed(c, "__r_" + c)
+        cond = reduce(
+            lambda x, y: x & y,
+            [F.col(c).eqNullSafe(F.col("__r_" + c)) for c in cols],
+        )
+        return left.join(r, cond, how)
+
+    merged = kmv_merge(a, b, keys, k)
+    both = (
+        ns_join(
+            ns_join(
+                merged, a.select(*keys, "h").distinct(),
+                [*keys, "h"], "left_semi",
+            ),
+            b.select(*keys, "h").distinct(),
+            [*keys, "h"],
+            "left_semi",
+        )
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    stats = merged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hk")
+    )
+    est_union = (
+        F.when(F.col("_n") < k, F.col("_n").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1))
+                * F.lit(float(KMV_SPACE))
+                / F.greatest(F.col("_hk"), F.lit(1)),
+                round_to,
+            )
+        )
+    )
+    rho = F.coalesce(F.col("_c"), F.lit(0)).cast("double") / F.col("_n")
+    return (
+        ns_join(stats, both, keys, "left")
+        .withColumn("est_union", est_union)
+        .select(
+            *keys,
+            "est_union",
+            F.round(rho * F.col("est_union"), round_to).alias(
+                "est_intersect"
+            ),
+            F.round(rho, 6).alias("est_jaccard"),
+        )
     )
 
 

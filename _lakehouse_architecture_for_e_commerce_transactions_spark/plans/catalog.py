@@ -6526,6 +6526,80 @@ GROUP BY o_orderpriority
 """
 
 
+def q_kmv_jaccard_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV set algebra at sketch level (operators/sketches.py
+    kmv_intersect_estimate — Bar-Yossef/Beyer-style): per order
+    priority, estimate the union size, intersection size and Jaccard
+    similarity of two customer segments (custkeys of orders with
+    orderkey%3=0 vs %2=0 — overlapping on %6=0) from their k=64
+    sketches alone. The 100 TB cross-corpus contamination-estimation
+    shape: no distinct set is ever materialized; work is two
+    sketch-sized semi-joins. The oracle rebuilds both sketches, the
+    merged union sketch, the membership count, and the estimator
+    arithmetic in SQL — identical IEEE division makes the floating
+    estimates hash-match."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        sketches as SK,
+    )
+
+    o = load_table(spark, sf, "orders")
+    keys = ["o_orderpriority"]
+    a = SK.kmv_sketch(
+        o.filter(F.col("o_orderkey") % 3 == 0), keys, "o_custkey", k=64
+    )
+    b = SK.kmv_sketch(
+        o.filter(F.col("o_orderkey") % 2 == 0), keys, "o_custkey", k=64
+    )
+    return SK.kmv_intersect_estimate(a, b, keys, k=64)
+
+
+_KMV_JACCARD_SQL = f"""
+WITH ha AS (
+  SELECT DISTINCT o_orderpriority,
+         {_hex2int_sql("substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8)")} AS h
+  FROM orders WHERE o_orderkey % 3 = 0),
+ska AS (
+  SELECT o_orderpriority, h FROM (
+    SELECT o_orderpriority, h,
+           row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+    FROM ha) WHERE rn <= 64),
+hb AS (
+  SELECT DISTINCT o_orderpriority,
+         {_hex2int_sql("substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8)")} AS h
+  FROM orders WHERE o_orderkey % 2 = 0),
+skb AS (
+  SELECT o_orderpriority, h FROM (
+    SELECT o_orderpriority, h,
+           row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+    FROM hb) WHERE rn <= 64),
+sku AS (
+  SELECT o_orderpriority, h FROM (
+    SELECT o_orderpriority, h,
+           row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+    FROM (SELECT o_orderpriority, h FROM ska
+          UNION SELECT o_orderpriority, h FROM skb)) WHERE rn <= 64),
+inboth AS (
+  SELECT s.o_orderpriority, count(*) AS c
+  FROM sku s
+  JOIN ska a ON a.o_orderpriority = s.o_orderpriority AND a.h = s.h
+  JOIN skb b ON b.o_orderpriority = s.o_orderpriority AND b.h = s.h
+  GROUP BY s.o_orderpriority),
+est AS (
+  SELECT u.o_orderpriority,
+         count(*) AS n,
+         coalesce(any_value(bo.c), 0) AS c,
+         CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+              ELSE round(63.0 * 4294967296.0 / greatest(max(u.h), 1), 4)
+         END AS est_union
+  FROM sku u LEFT JOIN inboth bo ON bo.o_orderpriority = u.o_orderpriority
+  GROUP BY u.o_orderpriority)
+SELECT o_orderpriority, est_union,
+       round((CAST(c AS DOUBLE) / n) * est_union, 4) AS est_intersect,
+       round(CAST(c AS DOUBLE) / n, 6) AS est_jaccard
+FROM est
+"""
+
+
 def q_hist_quantile_maintenance(spark: SparkSession, sf: str) -> DataFrame:
     """Delete-capable mergeable quantile sketch under the repo's
     standard CDC batch (operators/sketches.py hist_* family): the
@@ -6966,6 +7040,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     ),
     "kmv_distinct_customers": QueryDef(
         q_kmv_distinct_customers, _KMV_SQL
+    ),
+    "kmv_jaccard_segments": QueryDef(
+        q_kmv_jaccard_segments, _KMV_JACCARD_SQL
     ),
     "hist_quantile_maintenance": QueryDef(
         q_hist_quantile_maintenance, _HIST_QUANTILE_SQL

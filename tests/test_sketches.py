@@ -385,3 +385,61 @@ def test_compact_zorder_multicolumn_unpartitioned(spark, tmp_path):
         got = S.read_where(spark, path, [(col, "<", 40)], report=rep)
         assert got.count() == rows.filter(f"{col} < 40").count()
         assert rep["files_kept"] < rep["files_total"], (col, rep)
+
+
+def test_kmv_intersect_exact_on_small_sets(spark):
+    """When the union holds fewer than k distinct values, the sketches
+    are complete sets and every estimate collapses to the EXACT
+    union/intersection/Jaccard — including a group present in only one
+    side and a NULL-keyed group (null-safe joins)."""
+    rows_a = (
+        [("g", f"v{i}") for i in range(10)]            # g: v0..v9
+        + [("solo", "x"), ("solo", "y")]
+        + [(None, f"n{i}") for i in range(4)]          # NULL-keyed group
+    )
+    rows_b = (
+        [("g", f"v{i}") for i in range(5, 20)]         # g: v5..v19
+        + [(None, f"n{i}") for i in range(2, 6)]
+    )
+    a = SK.kmv_sketch(
+        spark.createDataFrame(rows_a, "k string, v string"), ["k"], "v"
+    )
+    b = SK.kmv_sketch(
+        spark.createDataFrame(rows_b, "k string, v string"), ["k"], "v"
+    )
+    got = {
+        r["k"]: (r["est_union"], r["est_intersect"], r["est_jaccard"])
+        for r in SK.kmv_intersect_estimate(a, b, ["k"]).collect()
+    }
+    # g: |A|=10, |B|=15, |A∩B|=5, |A∪B|=20
+    assert got["g"] == (20.0, 5.0, round(5 / 20, 6))
+    assert got["solo"] == (2.0, 0.0, 0.0)
+    # NULL key: |A|=4 (n0..n3), |B|=4 (n2..n5), ∩=2, ∪=6
+    assert got[None] == (6.0, 2.0, round(2 / 6, 6))
+
+
+def test_kmv_intersect_estimates_track_truth_on_large_sets(spark):
+    """Above k the estimates are approximate: with k=64 (SE ≈ 1/√62 on
+    the Jaccard ratio) the union/intersection/Jaccard estimates must
+    land within loose 3-sigma-ish bands of the truth."""
+    n = 3000
+    a_vals = [f"u{i}" for i in range(n)]               # u0..u2999
+    b_vals = [f"u{i}" for i in range(n // 2, 2 * n)]   # u1500..u5999
+    a = SK.kmv_sketch(
+        spark.createDataFrame(
+            [("g", v) for v in a_vals], "k string, v string"
+        ),
+        ["k"], "v", k=64,
+    )
+    b = SK.kmv_sketch(
+        spark.createDataFrame(
+            [("g", v) for v in b_vals], "k string, v string"
+        ),
+        ["k"], "v", k=64,
+    )
+    r = SK.kmv_intersect_estimate(a, b, ["k"], k=64).collect()[0]
+    true_union, true_inter = 2 * n, n // 2  # 6000, 1500
+    true_j = true_inter / true_union  # 0.25
+    assert abs(r["est_union"] - true_union) / true_union < 0.5
+    assert abs(r["est_jaccard"] - true_j) < 0.2
+    assert abs(r["est_intersect"] - true_inter) / true_inter < 0.8
