@@ -103,6 +103,11 @@ class Snapshot:
     # which operation produced this version (DESCRIBE HISTORY surface):
     # WRITE/APPEND/MERGE/DELETE/UPDATE/OPTIMIZE/RESTORE/CLONE
     op: str | None = None
+    # operation metrics stamped at commit time (Delta's operationMetrics
+    # analog): {"num_files_added", "num_output_rows",
+    # "num_deleted_rows", ...} — footer/manifest-derived counts only,
+    # never an extra data scan
+    metrics: dict | None = None
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -220,6 +225,7 @@ def load_snapshot(path: str, version: int | None = None) -> Snapshot:
         m.get("dv_files"),
         m.get("dv_dead"),
         m.get("op"),
+        m.get("metrics"),
     )
 
 
@@ -440,6 +446,25 @@ def collect_file_blooms(
     return out
 
 
+def _dir_file_metrics(dirs: list[str]) -> tuple[int, int]:
+    """(n_files, n_rows) of the parquet files under ``dirs`` — footer
+    metadata only (a few KB per freshly written file), the source for
+    operation metrics. O(files touched by THIS commit), never O(table);
+    at real scale the counts ride inside the write tasks themselves."""
+    import pyarrow.parquet as pq
+
+    nf = nr = 0
+    for d in dirs:
+        for root, _, files in os.walk(d):
+            for name in files:
+                if name.endswith(".parquet"):
+                    nf += 1
+                    nr += pq.ParquetFile(
+                        os.path.join(root, name)
+                    ).metadata.num_rows
+    return nf, nr
+
+
 def _cluster_shape(
     df: DataFrame, cluster_by: list[str], n_files: int | None
 ) -> DataFrame:
@@ -547,12 +572,14 @@ def commit(
                         "merge_schema=True to evolve by column addition"
                     )
                 schema_json = parent.schema_json
+        nf, nr = _dir_file_metrics([commit_dir])
         manifest = {
             "version": next_v,
             "dirs": dirs,
             "schema": schema_json,
             "committed_at": time.time(),
             "op": "WRITE" if mode == "overwrite" else "APPEND",
+            "metrics": {"num_files_added": nf, "num_output_rows": nr},
         }
         if mode == "append" and vs:
             # appended files can't have tombstones, but the carried
@@ -1044,12 +1071,14 @@ def merge_commit(
         commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
         merged.write.mode("errorifexists").parquet(commit_dir)
         next_v = 0 if base_version is None else base_version + 1
+        nf, nr = _dir_file_metrics([commit_dir])
         manifest = {
             "version": next_v,
             "dirs": [commit_dir],
             "schema": merged.schema.json(),
             "committed_at": time.time(),
             "op": "MERGE",
+            "metrics": {"num_files_added": nf, "num_output_rows": nr},
         }
         eff_stats = stats_for or parent_stats_cols
         if eff_stats:
@@ -1187,6 +1216,7 @@ def _publish_partitioned(
             for pt, d in written.items()
         ]
         next_v = (head.version + 1) if head is not None else 0
+        nf, nr = _dir_file_metrics([commit_dir])
         manifest = {
             "version": next_v,
             "dirs": [commit_dir],
@@ -1195,6 +1225,12 @@ def _publish_partitioned(
             "schema": schema_json,
             "committed_at": time.time(),
             "op": op,
+            "metrics": {
+                "num_files_added": nf,
+                "num_output_rows": nr,
+                "num_partitions_changed": len(affected),
+                "num_partitions_carried": len(carried),
+            },
         }
         if head is not None and head.dv_files and carried:
             # carried-by-reference partitions still need their deletion
@@ -1255,12 +1291,14 @@ def delete_where(
             return base.version
         commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
         survivors.write.mode("errorifexists").parquet(commit_dir)
+        nf, nr = _dir_file_metrics([commit_dir])
         manifest = {
             "version": base.version + 1,
             "dirs": [commit_dir],
             "schema": base.schema_json,
             "committed_at": time.time(),
             "op": "DELETE",
+            "metrics": {"num_files_added": nf, "num_output_rows": nr},
         }
         if base.stats_cols:
             manifest["file_stats"] = collect_file_stats(
@@ -1390,6 +1428,11 @@ def delete_where_dv(
             "dv_files": (snap.dv_files or []) + [dv_dir],
             "dv_dead": _merge_dead(snap.dv_dead, dead),
             "op": "DELETE",
+            "metrics": {
+                "num_deleted_rows": sum(dead.values()),
+                "num_files_with_dv": len(dead),
+                "num_dv_files_added": 1,
+            },
         }
         if snap.part_entries is not None:
             affected = _dv_affected_partitions(snap, set(dead))
@@ -1560,6 +1603,7 @@ def update_where_dv(
         finally:
             live.unpersist()
         dead = _dv_dead_counts(spark, dv_dir)
+        nf, nr = _dir_file_metrics([commit_dir])
         manifest = {
             "version": snap.version + 1,
             "dirs": snap.dirs + [commit_dir],
@@ -1568,6 +1612,11 @@ def update_where_dv(
             "dv_files": (snap.dv_files or []) + [dv_dir],
             "dv_dead": _merge_dead(snap.dv_dead, dead),
             "op": "UPDATE",
+            "metrics": {
+                "num_updated_rows": sum(dead.values()),
+                "num_files_added": nf,
+                "num_output_rows": nr,
+            },
         }
         if snap.part_entries is not None:
             written = _hive_leaf_dirs(commit_dir, parts)
@@ -1726,12 +1775,18 @@ def replace_where_commit(
             dv_dir = None
         stats_cols = list(stats_for or snap.stats_cols or []) or None
         bloom_cols = list(bloom_for or snap.bloom_cols or []) or None
+        nf, nr = _dir_file_metrics([commit_dir])
         manifest = {
             "version": snap.version + 1,
             "dirs": snap.dirs + [commit_dir],
             "schema": snap.schema_json,
             "committed_at": time.time(),
             "op": "REPLACEWHERE",
+            "metrics": {
+                "num_deleted_rows": sum(dead.values()),
+                "num_files_added": nf,
+                "num_output_rows": nr,
+            },
         }
         if dv_dir is not None or snap.dv_files:
             manifest["dv_files"] = (snap.dv_files or []) + (
@@ -2164,12 +2219,19 @@ def compact(
             data.hint("rebalance").write.mode("errorifexists").parquet(
                 commit_dir
             )
+        nf, nr = _dir_file_metrics([commit_dir])
         manifest = {
             "version": base.version + 1,
             "dirs": [commit_dir],
             "schema": base.schema_json,
             "committed_at": time.time(),
             "op": "OPTIMIZE",
+            "metrics": {
+                "num_files_added": nf,
+                "num_files_removed": len(data_files(path, base.version)),
+                "num_output_rows": nr,
+                "num_dv_files_cleared": len(base.dv_files or []),
+            },
         }
         if base.stats_cols:
             # files were rewritten: parent per-file stats are stale
@@ -2216,6 +2278,7 @@ def restore(path: str, version: int, max_retries: int = 10) -> int:
             "schema": snap.schema_json,
             "committed_at": time.time(),
             "op": "RESTORE",
+            "metrics": {"restored_version": version},
         }
         if snap.part_entries is not None:
             # a restore changes nothing physically; entries carry over
@@ -2259,6 +2322,7 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
         "schema": snap.schema_json,
         "committed_at": time.time(),
         "op": "CLONE",
+        "metrics": {"source_version": snap.version},
     }
     if snap.part_entries is not None:
         manifest["part_entries"] = snap.part_entries
@@ -2305,15 +2369,19 @@ def history(path: str) -> list[Snapshot]:
 
 def describe_history(path: str) -> list[dict]:
     """Delta's DESCRIBE HISTORY: one dict per version, newest first —
-    {"version", "op", "committed_at"} with ``op`` in WRITE / APPEND /
-    MERGE / DELETE / UPDATE / OPTIMIZE / RESTORE / CLONE (None for
-    manifests written before operations were recorded). Pure manifest
+    {"version", "op", "committed_at", "metrics"} with ``op`` in WRITE /
+    APPEND / MERGE / REPLACEWHERE / DELETE / UPDATE / OPTIMIZE /
+    RESTORE / CLONE (None for manifests written before operations were
+    recorded). ``metrics`` is the operation's commit-time counters
+    (Delta's operationMetrics analog — rows/files added, rows deleted
+    or updated, partitions changed; None pre-upgrade). Pure manifest
     reads — no data I/O."""
     return [
         {
             "version": s.version,
             "op": s.op,
             "committed_at": s.committed_at,
+            "metrics": s.metrics,
         }
         for s in reversed(history(path))
     ]

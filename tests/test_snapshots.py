@@ -916,3 +916,71 @@ def test_replace_where_commit_rejects_partitioned(spark, tmp_path):
         S.replace_where_commit(
             spark, pdf, pp, predicates=[("k", "==", 1)]
         )
+
+
+def test_describe_history_operation_metrics(spark, tmp_path):
+    """Delta's operationMetrics analog: every commit path stamps
+    commit-time counters in its manifest (footer/manifest-derived, no
+    extra scan) and describe_history surfaces them — WRITE/APPEND row
+    and file counts, DV-DELETE deleted-row counts that reconcile with
+    the manifest's per-file dv_dead totals, and OPTIMIZE's
+    files-removed/DV-cleared accounting."""
+    p = str(tmp_path / "t")
+    S.commit(spark, spark.range(100).coalesce(2), p)              # WRITE
+    S.commit(
+        spark, spark.range(100, 130).coalesce(1), p, mode="append"
+    )                                                             # APPEND
+    S.delete_where_dv(spark, p, "id % 10 = 3")                    # DELETE
+    S.compact(spark, p)                                           # OPTIMIZE
+
+    hist = {h["op"]: h["metrics"] for h in S.describe_history(p)}
+    assert hist["WRITE"]["num_output_rows"] == 100
+    assert hist["WRITE"]["num_files_added"] >= 1
+    assert hist["APPEND"] == {"num_files_added": 1, "num_output_rows": 30}
+    assert hist["DELETE"]["num_deleted_rows"] == 13  # 3,13,...,123
+    assert hist["DELETE"]["num_dv_files_added"] == 1
+    # DELETE metrics reconcile with the manifest's per-file dead counts
+    dv_snap = next(s for s in S.history(p) if s.op == "DELETE")
+    assert sum(dv_snap.dv_dead.values()) == 13
+    assert hist["DELETE"]["num_files_with_dv"] == len(dv_snap.dv_dead)
+    assert hist["OPTIMIZE"]["num_output_rows"] == 117  # deletes folded
+    assert hist["OPTIMIZE"]["num_dv_files_cleared"] == 1
+    assert hist["OPTIMIZE"]["num_files_removed"] >= 2
+
+    # MERGE (partitioned): rows written + partition accounting
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        TableSpec,
+    )
+
+    spec = TableSpec(
+        name="pm",
+        schema=StructType(
+            [
+                StructField("k", LongType(), False),
+                StructField("part", LongType(), False),
+            ]
+        ),
+        primary_key="k",
+        partition_by=("part",),
+    )
+    pm = str(tmp_path / "pm")
+    base = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("part")
+    )
+    S.merge_commit(spark, base, pm, spec)
+    upd = spark.createDataFrame([(1, 1), (5, 1)], "k long, part long")
+    S.merge_commit(spark, upd, pm, spec)
+    m = S.describe_history(pm)[0]["metrics"]
+    assert m["num_partitions_changed"] == 1
+    assert m["num_partitions_carried"] == 3
+    assert m["num_output_rows"] == 5  # partition part=1 rewritten whole
+
+    # RESTORE / CLONE provenance metrics
+    S.restore(p, 0)
+    assert S.describe_history(p)[0]["metrics"] == {"restored_version": 0}
+    cl = str(tmp_path / "cl")
+    S.clone(p, cl)
+    assert S.describe_history(cl)[0]["metrics"]["source_version"] >= 0
