@@ -106,12 +106,17 @@ def stream_ivf_index_maintenance(
     index_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Maintain the IVF index from JSON-lines embedding files
     (``{"vec_id": n, "embedding": [...]}``) arriving in ``raw_dir``.
     Each applied batch appends its cell-assigned vectors atomically;
     the table IS the index — queryable mid-stream, time-travelable,
-    compactable."""
+    compactable. ``compact_every=N`` folds the per-batch small-file
+    debt every N applied batches (amortized layout maintenance).
+    Codebook drift under a shifting vector distribution is the OTHER
+    lifecycle axis — monitor it with ``ivf_index_recall`` and repair
+    with ``check_and_recluster`` on an offline cadence."""
     app = _app_id(checkpoint_dir)
     reader = spark.readStream.schema(EMBEDDING_STREAM_SCHEMA).json(raw_dir)
 
@@ -156,6 +161,8 @@ def stream_ivf_index_maintenance(
             spark, out, index_path,
             mode="overwrite" if rebuild else "append",
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            S.compact(spark, index_path)
 
     writer = (
         reader.writeStream.foreachBatch(process_batch)
@@ -212,3 +219,111 @@ def ivf_index_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_index_recall(
+    spark: SparkSession,
+    index_path: str,
+    codebook_path: str,
+    probe_queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Recall@k of the pruned (``nprobe``-cell) search against exact
+    brute force over the SAME index rows (``nprobe`` = all cells
+    degrades ``ivf_index_topk`` to exhaustive search, so the comparison
+    needs no second code path). This is the drift monitor: a frozen
+    codebook keeps assigning well only while the vector distribution
+    matches what it was trained on — as drifted vectors scatter across
+    cells trained elsewhere, a query's true neighbors increasingly
+    live in unprobed cells and recall decays. Cost: one probe-set
+    query at ``nprobe`` + one at all-cells — run it on a small probe
+    sample on a monitoring cadence, not per batch."""
+    n_cells = S.read(spark, codebook_path).count()
+    approx = ivf_index_topk(
+        spark, index_path, codebook_path, probe_queries,
+        k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+    )
+    exact = ivf_index_topk(
+        spark, index_path, codebook_path, probe_queries,
+        k=k, nprobe=n_cells, id_col=id_col, vec_col=vec_col,
+    )
+    total = exact.count()
+    if total == 0:
+        return 1.0
+    hits = approx.join(
+        exact.select("qid", "cid"), ["qid", "cid"], "left_semi"
+    ).count()
+    return hits / total
+
+
+def recluster_ivf(
+    spark: SparkSession,
+    index_path: str,
+    codebook_path: str,
+    stride: int = 37,
+) -> None:
+    """Retrain the codebook on the CURRENT index vectors and re-assign
+    every index row to the new cells — the repair for codebook drift.
+    O(index) by nature (every vector re-assigns), which is exactly why
+    it runs on a measured trigger (``check_and_recluster``) instead of
+    per batch; the streaming appends stay O(batch).
+
+    The replay watermark (max applied batch + app id) is re-stamped
+    onto the rebuilt table, so the maintenance stream resumes exactly
+    where it left off. Codebook commits first, then the index: a query
+    racing the two commits may probe with the new centroids against the
+    old assignment — degraded recall for that one read, never an
+    invalid result (candidates are real index rows with true cosines).
+    Run on the same single-maintainer cadence as ``compact``."""
+    cur, last, app = _table_state(
+        spark, index_path, INDEX_SCHEMA, ["cell", "id", "v"]
+    )
+    if last is None:
+        return  # empty/uncreated index: nothing to retrain on
+    cur = cur.localCheckpoint(eager=True)  # pin: two commits, one read
+    cents = SIM.ivf_centroids(
+        cur.select(F.col("id").alias("vec_id"), F.col("v").alias("embedding")),
+        "vec_id", "embedding", stride,
+    )
+    S.commit(spark, cents, codebook_path, mode="overwrite")
+    assigned = SIM._assign_cells(
+        cur.select("id", "v"), S.read(spark, codebook_path), 1
+    ).select("cell", "id", "v")
+    marker = spark.createDataFrame(
+        [(None, None, None, last, app)], INDEX_SCHEMA
+    )
+    out = (
+        assigned.withColumn("_last_batch", F.lit(last).cast("long"))
+        .withColumn("_app_id", F.lit(app))
+        .unionByName(marker)
+    )
+    S.commit(spark, out, index_path, mode="overwrite")
+
+
+def check_and_recluster(
+    spark: SparkSession,
+    index_path: str,
+    codebook_path: str,
+    probe_queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    threshold: float = 0.8,
+    stride: int = 37,
+) -> tuple[float, bool]:
+    """The measured drift trigger: evaluate recall@k of the pruned
+    search on ``probe_queries`` and re-cluster (codebook retrain +
+    full re-assign) only when it falls below ``threshold``. Returns
+    (observed recall, whether a re-cluster ran). Wire it to whatever
+    cadence the corpus drifts on — per N batches, hourly, on an
+    alerting hook — the point is that rebuild cost is paid on
+    EVIDENCE, not on a timer guess."""
+    recall = ivf_index_recall(
+        spark, index_path, codebook_path, probe_queries, k, nprobe
+    )
+    if recall >= threshold:
+        return recall, False
+    recluster_ivf(spark, index_path, codebook_path, stride)
+    return recall, True

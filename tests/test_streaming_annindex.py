@@ -114,3 +114,106 @@ def test_streaming_ivf_index_exactly_once_and_lossless(spark, tmp_path):
         ).collect()
     }
     assert got2 == got
+
+
+def test_drift_triggers_recluster_and_recall_recovers(spark, tmp_path):
+    """The IVF lifecycle loop: a frozen codebook trained on the seed
+    region splits a later, drifted vector cluster across far-apart
+    cells (assignment decided by tiny noise), so nprobe=1 recall
+    against the brute-force twin decays; check_and_recluster observes
+    the decay, retrains the codebook on the current index and
+    re-assigns every row, recall recovers, compaction bounds the file
+    count, and the maintenance stream resumes seamlessly (watermark
+    re-stamped through the rebuild)."""
+    import math
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as S,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.annindex import (
+        check_and_recluster,
+        ivf_index_recall,
+    )
+
+    raw = str(tmp_path / "raw")
+    cb = str(tmp_path / "codebook")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def seed_vec(i: int) -> list[float]:
+        th = math.radians(i * 6.0)  # xy-plane directions
+        return [math.cos(th), math.sin(th), 0.0]
+
+    def drift_vec(i: int) -> list[float]:
+        # a single tight +z cluster; the ±x noise is what the FROZEN
+        # xy-plane codebook keys on, splitting near-identical vectors
+        # into opposite cells
+        s = 0.001 if i % 2 == 0 else -0.001
+        return [s, 0.0, 1.0]
+
+    def write(path, rows):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            for i, v in rows:
+                f.write(json.dumps({"vec_id": i, "embedding": v}) + "\n")
+
+    seed = [(i, seed_vec(i)) for i in range(60)]
+    # codebook: every 10th seed id -> 6 xy centroids at 0..300 degrees
+    build_ivf_codebook(
+        spark,
+        spark.createDataFrame(
+            [(i, v) for i, v in seed],
+            "vec_id long, embedding array<double>",
+        ),
+        cb, stride=10,
+    )
+
+    write(os.path.join(raw, "b1.json"), seed)
+    q = stream_ivf_index_maintenance(
+        spark, raw, cb, idx, ckpt, compact_every=2
+    )
+    q.awaitTermination(120)
+
+    drifted = [(i, drift_vec(i)) for i in range(101, 201)]
+    write(os.path.join(raw, "b2.json"), drifted[:50])
+    q = stream_ivf_index_maintenance(
+        spark, raw, cb, idx, ckpt, compact_every=2
+    )
+    q.awaitTermination(120)
+    write(os.path.join(raw, "b3.json"), drifted[50:])
+    q = stream_ivf_index_maintenance(
+        spark, raw, cb, idx, ckpt, compact_every=2
+    )
+    q.awaitTermination(120)
+
+    # compaction cadence bounded the append debt: batch id 1 compacted,
+    # so the head references at most the compacted dir + one append
+    assert len(S.load_snapshot(idx).dirs) <= 2
+
+    probes = spark.createDataFrame(
+        [(9000 + j, drift_vec(9000 + j)) for j in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    recall, rebuilt = check_and_recluster(
+        spark, idx, cb, probes, k=5, nprobe=1, threshold=0.8, stride=10
+    )
+    assert recall < 0.8, f"drift did not decay recall: {recall}"
+    assert rebuilt
+    after = ivf_index_recall(spark, idx, cb, probes, k=5, nprobe=1)
+    assert after >= 0.95, f"recall did not recover: {after}"
+
+    # the stream resumes on the rebuilt table: a late batch applies
+    # exactly once on top of the re-stamped watermark
+    late = [(i, drift_vec(i)) for i in range(301, 311)]
+    write(os.path.join(raw, "b4.json"), late)
+    q = stream_ivf_index_maintenance(
+        spark, raw, cb, idx, ckpt, compact_every=2
+    )
+    q.awaitTermination(120)
+    assert read_index(spark, idx).count() == 60 + 100 + 10
+    # replay: no growth
+    q = stream_ivf_index_maintenance(
+        spark, raw, cb, idx, ckpt, compact_every=2
+    )
+    q.awaitTermination(120)
+    assert read_index(spark, idx).count() == 170
