@@ -6,13 +6,14 @@ Container-header decode is REAL: ``parse_media_header`` reads PNG / BMP /
 GIF / WAV / JPEG dimensions and audio rates in pure Python (magic bytes +
 fixed fields + chunk/segment walks — no codec library needed), and
 ``extract_media_headers`` runs it partition-parallel. Full content
-decode is REAL for four of the five containers
+decode is REAL for ALL FIVE containers
 (``_make_content_decoders``): 24-bit BMP pixels, 16-bit PCM WAV
-samples, 8-bit PNG (zlib inflate + scanline unfiltering), and GIF
-(variable-width LZW + palette, frame-addressable for animations) —
-pure Python + numpy, no codec library. Only JPEG pixel decode remains
-stubbed (it needs a Huffman+DCT codec; PIL would slot into
-``decode_image_stub``'s NotImplementedError branch).
+samples, 8-bit PNG (zlib inflate + scanline unfiltering), GIF
+(variable-width LZW + palette, frame-addressable for animations), and
+baseline sequential JPEG (canonical Huffman decode, dequantize, 8x8
+IDCT, chroma upsample, YCbCr→RGB, restart markers) — pure Python +
+numpy, no codec library. Progressive JPEG, 12-bit precision and
+arithmetic coding stay behind NotImplementedError.
 ``extract_image_meta`` keeps the sha-derived deterministic metadata
 used by the oracle-checked catalog rows.
 
@@ -146,11 +147,11 @@ def parse_media_header(payload: bytes) -> dict | None:
 
 def decode_image_stub(payload: bytes) -> object:
     """Header-level decode for the containers ``parse_media_header``
-    understands. Full content decode exists for BMP/WAV/PNG/GIF
+    understands. Full content decode exists for BMP/WAV/PNG/GIF/JPEG
     (``decode_bmp_pixels`` / ``decode_wav_samples`` /
-    ``decode_png_pixels`` / ``decode_gif_pixels``); only JPEG pixel
-    data keeps the NotImplementedError — PIL/torchvision would replace
-    that branch."""
+    ``decode_png_pixels`` / ``decode_gif_pixels`` /
+    ``decode_jpeg_pixels``); containers outside those formats raise
+    NotImplementedError — PIL/torchvision would replace that branch."""
     meta = parse_media_header(payload)
     if meta is not None:
         return meta
@@ -428,6 +429,326 @@ def _make_content_decoders():
     gif.frame_count = gif_frame_count  # type: ignore[attr-defined]
     gif.sample_frames = gif_sample_frames  # type: ignore[attr-defined]
 
+    # ---- JPEG: baseline sequential DCT (SOF0/SOF1), pure Python ----
+
+    # zigzag scan order: position k in the entropy stream -> (row, col)
+    _ZZ = [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+        (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+        (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+        (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+        (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+        (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+        (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+        (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+    ]
+    _ZR = np.array([r for r, _ in _ZZ])
+    _ZC = np.array([c for _, c in _ZZ])
+    # orthonormal 8-point DCT-II basis: spatial = A.T @ coeffs @ A
+    _A = np.array(
+        [
+            [
+                (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+
+    def _jpeg_segments(b: bytes):
+        """Parse the marker stream up to (and including) SOS. Returns
+        (qt, huff, frame, dri, scan_map, scan_start)."""
+        qt: dict[int, object] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        frame = None
+        dri = 0
+        pos = 2
+        while pos + 2 <= len(b):
+            if b[pos] != 0xFF:
+                raise ValueError("bad JPEG marker stream")
+            marker = b[pos + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                pos += 2
+                continue
+            if marker == 0xD9:
+                break
+            if pos + 4 > len(b):
+                raise ValueError("truncated JPEG segment header")
+            (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+            seg = b[pos + 4 : pos + 2 + ln]
+            if ln < 2 or len(seg) != ln - 2:
+                raise ValueError("truncated JPEG segment")
+            if marker == 0xDB:  # DQT (possibly several tables)
+                o = 0
+                while o < len(seg):
+                    pq, tq = seg[o] >> 4, seg[o] & 15
+                    if pq != 0:
+                        raise NotImplementedError(
+                            "16-bit quantization tables"
+                        )
+                    tbl = seg[o + 1 : o + 65]
+                    if len(tbl) != 64:
+                        raise ValueError("truncated DQT")
+                    qt[tq] = np.frombuffer(tbl, np.uint8).astype(np.int32)
+                    o += 65
+            elif marker == 0xC4:  # DHT (possibly several tables)
+                o = 0
+                while o < len(seg):
+                    if o + 17 > len(seg):
+                        raise ValueError("truncated DHT")
+                    tc, th = seg[o] >> 4, seg[o] & 15
+                    counts = seg[o + 1 : o + 17]
+                    total = sum(counts)
+                    vals = seg[o + 17 : o + 17 + total]
+                    if len(vals) != total:
+                        raise ValueError("truncated DHT")
+                    table: dict[tuple[int, int], int] = {}
+                    code = vi = 0
+                    for length in range(1, 17):
+                        for _ in range(counts[length - 1]):
+                            table[(length, code)] = vals[vi]
+                            vi += 1
+                            code += 1
+                        if code > (1 << length):
+                            raise ValueError("overfull Huffman table")
+                        code <<= 1
+                    huff[(tc, th)] = table
+                    o += 17 + total
+            elif marker in (0xC0, 0xC1):  # baseline / extended seq.
+                if len(seg) < 6:
+                    raise ValueError("truncated SOF")
+                prec = seg[0]
+                hh, ww = struct.unpack(">HH", seg[1:5])
+                nc = seg[5]
+                if prec != 8:
+                    raise NotImplementedError("12-bit JPEG")
+                comps = []
+                for ci in range(nc):
+                    base = 6 + 3 * ci
+                    if base + 3 > len(seg):
+                        raise ValueError("truncated SOF components")
+                    comps.append(
+                        (
+                            seg[base],
+                            seg[base + 1] >> 4,
+                            seg[base + 1] & 15,
+                            seg[base + 2],
+                        )
+                    )
+                frame = (hh, ww, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    "only baseline sequential JPEG (SOF0/SOF1) is "
+                    f"decodable (got SOF marker {marker:#x})"
+                )
+            elif marker == 0xDD:  # DRI
+                if len(seg) < 2:
+                    raise ValueError("truncated DRI")
+                (dri,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xDA:  # SOS: scan header then entropy data
+                if not seg:
+                    raise ValueError("truncated SOS")
+                ns = seg[0]
+                if len(seg) < 1 + 2 * ns:
+                    raise ValueError("truncated SOS components")
+                smap = [
+                    (seg[1 + 2 * si], seg[2 + 2 * si] >> 4,
+                     seg[2 + 2 * si] & 15)
+                    for si in range(ns)
+                ]
+                return qt, huff, frame, dri, smap, pos + 2 + ln
+            # APPn / COM and anything else with a length: skipped
+            pos += 2 + ln
+        raise ValueError("JPEG missing SOS")
+
+    def jpeg(payload: bytes):
+        """Baseline sequential JPEG (SOF0/SOF1, Huffman, 8-bit) pixel
+        decode: grayscale -> (H, W, 1), YCbCr -> (H, W, 3) RGB
+        (JFIF/BT.601 full-range), integer-ratio chroma subsampling
+        (4:4:4 / 4:2:2 / 4:2:0) upsampled by replication, restart
+        markers honored. Progressive (SOF2), arithmetic coding and
+        12-bit precision stay behind NotImplementedError; truncation
+        and spec violations raise ValueError (strict-poison, like the
+        other decoders)."""
+        b = bytes(payload)
+        if b[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG container")
+        qt, huff, frame, dri, smap, scan_start = _jpeg_segments(b)
+        if frame is None:
+            raise ValueError("JPEG missing SOF")
+        hgt, wdt, comps = frame
+        if hgt == 0 or wdt == 0:
+            raise ValueError("zero-dimension JPEG")
+        nch = len(comps)
+        if nch not in (1, 3):
+            raise NotImplementedError(f"{nch}-component JPEG")
+        if wdt * hgt * nch > max_decode_bytes:
+            raise ValueError(
+                f"JPEG too large for pure-Python decode ({wdt}x{hgt})"
+            )
+        if len(smap) != nch:
+            raise NotImplementedError("multi-scan JPEG")
+        comp_by_id = {c[0]: c for c in comps}
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
+            raise ValueError("bad sampling factors")
+        for _, hs, vs, _ in comps:
+            if hs < 1 or vs < 1 or hmax % hs or vmax % vs:
+                raise NotImplementedError(
+                    "non-integer chroma subsampling ratio"
+                )
+        mcux = -(-wdt // (8 * hmax))
+        mcuy = -(-hgt // (8 * vmax))
+
+        # MSB-first bit reader over the entropy stream (0xFF00 byte
+        # stuffing removed; restart markers surfaced to the MCU loop)
+        idx = scan_start
+        bitbuf = bitcnt = 0
+
+        def fill() -> None:
+            nonlocal idx, bitbuf, bitcnt
+            if idx >= len(b):
+                raise ValueError("truncated JPEG scan data")
+            byte = b[idx]
+            if byte == 0xFF:
+                if idx + 1 >= len(b):
+                    raise ValueError("truncated JPEG scan data")
+                nxt = b[idx + 1]
+                if nxt == 0x00:
+                    idx += 2
+                else:
+                    # a real marker mid-entropy-data (EOI = truncation,
+                    # RSTn out of cadence = corruption)
+                    raise ValueError(
+                        f"unexpected marker {nxt:#x} in JPEG scan"
+                    )
+            else:
+                idx += 1
+            bitbuf = (bitbuf << 8) | byte
+            bitcnt += 8
+
+        def getbit() -> int:
+            nonlocal bitcnt
+            if bitcnt == 0:
+                fill()
+            bitcnt -= 1
+            return (bitbuf >> bitcnt) & 1
+
+        def getbits(n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | getbit()
+            return v
+
+        def restart(m: int) -> None:
+            nonlocal idx, bitbuf, bitcnt
+            bitbuf = bitcnt = 0  # byte-align
+            if idx + 2 > len(b) or b[idx] != 0xFF or b[idx + 1] != (
+                0xD0 + (m & 7)
+            ):
+                raise ValueError("missing/mis-sequenced restart marker")
+            idx += 2
+
+        def huffdecode(table: dict) -> int:
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | getbit()
+                v = table.get((length, code))
+                if v is not None:
+                    return v
+            raise ValueError("invalid JPEG Huffman code")
+
+        def receive_extend(s: int) -> int:
+            if s == 0:
+                return 0
+            v = getbits(s)
+            return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        def decode_block(dctab, actab, q, pred):
+            coef = np.zeros(64, np.int64)
+            s = huffdecode(dctab)
+            if s > 11:
+                raise ValueError("DC category out of range")
+            pred += receive_extend(s)
+            coef[0] = pred * int(q[0])
+            kk = 1
+            while kk < 64:
+                rs = huffdecode(actab)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:  # ZRL: sixteen zeros
+                        kk += 16
+                        continue
+                    break  # EOB
+                kk += r
+                if kk > 63:
+                    raise ValueError("AC run past block end")
+                coef[kk] = receive_extend(s) * int(q[kk])
+                kk += 1
+            blk = np.zeros((8, 8))
+            blk[_ZR, _ZC] = coef
+            return _A.T @ blk @ _A + 128.0, pred
+
+        planes = []
+        for cid, hs, vs, tq in comps:
+            planes.append(
+                np.zeros((mcuy * vs * 8, mcux * hs * 8))
+            )
+            if tq not in qt:
+                raise ValueError(f"missing quantization table {tq}")
+        for cs, td, ta in smap:
+            if cs not in comp_by_id:
+                raise ValueError("SOS names unknown component")
+            if (0, td) not in huff or (1, ta) not in huff:
+                raise ValueError("missing Huffman table")
+        preds = {cs: 0 for cs, _, _ in smap}
+        ci_by_id = {c[0]: i for i, c in enumerate(comps)}
+        mcount = rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and mcount and mcount % dri == 0:
+                    restart(rst)
+                    rst = (rst + 1) & 7
+                    for cs in preds:
+                        preds[cs] = 0
+                for cs, td, ta in smap:
+                    _, hs, vs, tq = comp_by_id[cs]
+                    plane = planes[ci_by_id[cs]]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            px, preds[cs] = decode_block(
+                                huff[(0, td)], huff[(1, ta)],
+                                qt[tq], preds[cs],
+                            )
+                            plane[
+                                (my * vs + by) * 8 : (my * vs + by + 1) * 8,
+                                (mx * hs + bx) * 8 : (mx * hs + bx + 1) * 8,
+                            ] = px
+                mcount += 1
+
+        full = []
+        for (cid, hs, vs, tq), plane in zip(comps, planes):
+            up = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+            full.append(up[:hgt, :wdt])
+        if nch == 1:
+            out = full[0][..., np.newaxis]
+        else:
+            y, cb, cr = full
+            out = np.stack(
+                [
+                    y + 1.402 * (cr - 128.0),
+                    y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                    y + 1.772 * (cb - 128.0),
+                ],
+                axis=-1,
+            )
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
     def _gif_lzw(data: bytes, min_code: int, limit: int) -> bytearray:
         """Variable-width LSB-first LZW (the GIF flavor): dictionary of
         index strings, clear/end codes, width grows at 2^width up to
@@ -489,7 +810,7 @@ def _make_content_decoders():
                     width += 1
         return out
 
-    return bmp, wav, png, gif
+    return bmp, wav, png, gif, jpeg
 
 
 def decode_bmp_pixels(payload: bytes):
@@ -518,6 +839,14 @@ def decode_gif_pixels(payload: bytes):
     return _make_content_decoders()[3](payload)
 
 
+def decode_jpeg_pixels(payload: bytes):
+    """See ``_make_content_decoders``: uint8 pixels of a baseline
+    sequential JPEG — real Huffman + dequantize + IDCT + chroma
+    upsample + YCbCr→RGB, no codec library. Grayscale -> (H, W, 1),
+    color -> (H, W, 3)."""
+    return _make_content_decoders()[4](payload)
+
+
 DECODED_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -543,7 +872,9 @@ def extract_decoded_stats(media: DataFrame) -> DataFrame:
     palette). Unsupported variants or unparseable payloads yield NULL
     stats with the header format (poison files must not kill a
     corpus-scale job)."""
-    bmp_core, wav_core, png_core, gif_core = _make_content_decoders()
+    bmp_core, wav_core, png_core, gif_core, jpeg_core = (
+        _make_content_decoders()
+    )
     header_core = _make_header_parser()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -556,11 +887,12 @@ def extract_decoded_stats(media: DataFrame) -> DataFrame:
             meta = header_core(b) or {}
             fmt = meta.get("format")
             try:
-                if fmt in ("bmp", "png", "gif"):
+                if fmt in ("bmp", "png", "gif", "jpeg"):
                     core = {
                         "bmp": bmp_core,
                         "png": png_core,
                         "gif": gif_core,
+                        "jpeg": jpeg_core,
                     }[fmt]
                     px = core(b).astype("int64")
                     return (fmt, px.size, int(px.sum()), int(px.min()),
@@ -858,6 +1190,88 @@ def synthesize_decodable_media(docs: DataFrame) -> DataFrame:
                     "media_type": [
                         "audio" if d % 3 == 1 else "image" for d in ids
                     ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL baseline JPEGs with CLOSED-FORM decoded
+    content, for the oracle-checked decode path: per doc_id, a 16×8
+    grayscale image whose every 8×8 block carries ONLY a DC
+    coefficient ``dc = (doc_id·7) mod 100 − 50`` under a flat q=16
+    quantization table. The IDCT of a DC-only block is uniform
+    (dc·q/8 + 128 = 128 + 2·dc exactly), so a SQL oracle recomputes
+    every decoded stat from doc_id alone — the Huffman+IDCT decoder is
+    checked against math, not against itself. The entropy stream is
+    genuinely Huffman-coded (custom canonical tables in the DHT
+    segments), so the full marker-walk → bit-reader → Huffman →
+    dequant → IDCT path runs for real."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as _pd
+
+        def seg(marker: int, body: bytes) -> bytes:
+            return (
+                bytes([0xFF, marker])
+                + struct.pack(">H", len(body) + 2)
+                + body
+            )
+
+        def payload(doc_id: int) -> bytes:
+            dc = (doc_id * 7) % 100 - 50
+            dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
+            # DC: categories 0..11 as 4-bit codes; AC: EOB as 1 bit
+            dht_dc = seg(
+                0xC4,
+                bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12)
+                + bytes(range(12)),
+            )
+            dht_ac = seg(
+                0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0])
+            )
+            sof = seg(
+                0xC0,
+                bytes([8]) + struct.pack(">HH", 8, 16)
+                + bytes([1, 1, 0x11, 0]),
+            )
+            sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            bits: list[int] = []
+
+            def put(v: int, n: int) -> None:
+                bits.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
+
+            for blk in range(2):  # 16x8 = two 8x8 blocks
+                d = dc if blk == 0 else 0  # DC diff vs predictor
+                s = abs(d).bit_length()
+                put(s, 4)
+                if s:
+                    put(d if d > 0 else d + (1 << s) - 1, s)
+                put(0, 1)  # EOB
+            bits += [1] * ((-len(bits)) % 8)
+            scan = bytearray()
+            for i in range(0, len(bits), 8):
+                byte = 0
+                for bit in bits[i : i + 8]:
+                    byte = (byte << 1) | bit
+                scan.append(byte)
+                if byte == 0xFF:
+                    scan.append(0x00)
+            return (
+                b"\xff\xd8" + dqt + dht_dc + dht_ac + sof + sos
+                + bytes(scan) + b"\xff\xd9"
+            )
+
+        for pdf in it:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [payload(d) for d in ids],
+                    "media_type": ["image"] * len(ids),
                 }
             )
 

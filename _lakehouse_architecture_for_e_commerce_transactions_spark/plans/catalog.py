@@ -6698,6 +6698,49 @@ def q_media_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_jpeg_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL baseline-JPEG decode, oracle-checked
+    (operators/multimodal.py jpeg decoder): per document a genuine
+    Huffman-coded 16×8 grayscale JPEG whose blocks carry only a DC
+    coefficient (synthesize_jpeg_media), decoded through the full
+    marker-walk → bit-reader → canonical-Huffman → dequantize → IDCT
+    path inside mapInPandas. A DC-only block's IDCT is uniform
+    (128 + 2·dc with the flat q=16 table), so the oracle recomputes
+    every stat from doc_id alone — decoder against math, not against
+    itself."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        multimodal as MM,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    media = MM.synthesize_jpeg_media(docs)
+    return MM.extract_decoded_stats(media).select(
+        F.col("media_id").alias("doc_id"),
+        "format",
+        "n_units",
+        "content_sum",
+        "content_min",
+        "content_max",
+        "top_row_sum",
+    )
+
+
+_JPEG_DECODE_SQL = """
+SELECT doc_id,
+       'jpeg' AS format,
+       CAST(128 AS BIGINT) AS n_units,
+       CAST((128 + 2 * (((doc_id * 7) % 100) - 50)) * 128 AS BIGINT)
+         AS content_sum,
+       CAST(128 + 2 * (((doc_id * 7) % 100) - 50) AS BIGINT)
+         AS content_min,
+       CAST(128 + 2 * (((doc_id * 7) % 100) - 50) AS BIGINT)
+         AS content_max,
+       CAST((128 + 2 * (((doc_id * 7) % 100) - 50)) * 16 AS BIGINT)
+         AS top_row_sum
+FROM documents
+"""
+
+
 _MEDIA_DECODE_SQL = """
 WITH b AS (
   SELECT d.doc_id, t.i, (d.doc_id * 7 + t.i) % 256 AS v
@@ -7043,6 +7086,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     ),
     "kmv_jaccard_segments": QueryDef(
         q_kmv_jaccard_segments, _KMV_JACCARD_SQL
+    ),
+    "jpeg_decode_stats": QueryDef(
+        q_jpeg_decode_stats, _JPEG_DECODE_SQL
     ),
     "hist_quantile_maintenance": QueryDef(
         q_hist_quantile_maintenance, _HIST_QUANTILE_SQL

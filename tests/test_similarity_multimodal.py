@@ -691,3 +691,374 @@ def test_decode_byte_caps_fail_fast():
     )
     with pytest.raises(ValueError, match="too large"):
         MM.decode_gif_pixels(gif)
+
+
+# --- JPEG: test-side baseline encoder (custom canonical Huffman
+# tables, forward DCT) used to exercise the real decoder end to end ---
+
+def _jpeg_seg(marker, body):
+    import struct
+
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+_JPEG_ZZ = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+# AC symbol order = canonical code order at length 8
+_JPEG_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_JPEG_AC_CODE = {sym: i for i, sym in enumerate(_JPEG_AC_SYMS)}
+
+
+class _JpegBits:
+    def __init__(self):
+        self.bits = []
+        self.out = bytearray()
+
+    def put(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def flush(self):
+        bits = self.bits + [1] * ((-len(self.bits)) % 8)
+        self.bits = []
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+
+def _jpeg_encode(pixels, subsample=None, q=16, dri=0):
+    """Minimal baseline encoder: (H, W) grayscale or (H, W, 3) RGB;
+    subsample=(2, 2) for 4:2:0 chroma. Returns (payload, coefficient
+    store {comp_index: {(by, bx): int64[8,8] quantized coeffs}})."""
+    import struct
+
+    import numpy as np
+
+    A = np.array(
+        [
+            [
+                (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    px = np.asarray(pixels, dtype=np.float64)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px]
+        samps = [(1, 1)]
+    else:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        sy, sx = subsample or (1, 1)
+        if subsample:
+            # box-average then pad chroma to its own block grid
+            cb = cb.reshape(h // sy, sy, w // sx, sx).mean((1, 3))
+            cr = cr.reshape(h // sy, sy, w // sx, sx).mean((1, 3))
+        planes = [y, cb, cr]
+        samps = [(sy, sx), (1, 1), (1, 1)]
+    hmax = max(s[1] for s in samps)
+    vmax = max(s[0] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    qtab = np.full(64, q, dtype=np.int64)
+
+    # pad each plane to its MCU-grid size (edge replicate)
+    padded = []
+    for plane, (vs, hs) in zip(planes, samps):
+        ph, pw = mcuy * vs * 8, mcux * hs * 8
+        pp = np.zeros((ph, pw))
+        pp[: plane.shape[0], : plane.shape[1]] = plane
+        pp[plane.shape[0] :, : plane.shape[1]] = plane[-1:]
+        pp[:, plane.shape[1] :] = pp[:, plane.shape[1] - 1 : plane.shape[1]]
+        padded.append(pp)
+
+    coeffs = {ci: {} for ci in range(len(planes))}
+    bw = _JpegBits()
+    preds = [0] * len(planes)
+    mcount = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcount and mcount % dri == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = [0] * len(planes)
+            for ci, (plane, (vs, hs)) in enumerate(zip(padded, samps)):
+                for by in range(vs):
+                    for bx in range(hs):
+                        gy, gx = my * vs + by, mx * hs + bx
+                        blk = plane[
+                            gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8
+                        ]
+                        F = A @ (blk - 128.0) @ A.T
+                        qc = np.round(F / q).astype(np.int64)
+                        coeffs[ci][(gy, gx)] = qc
+                        zz = np.array(
+                            [qc[r_, c_] for r_, c_ in _JPEG_ZZ]
+                        )
+                        d = int(zz[0]) - preds[ci]
+                        preds[ci] = int(zz[0])
+                        s = abs(d).bit_length()
+                        bw.put(s, 4)
+                        if s:
+                            v = d if d > 0 else d + (1 << s) - 1
+                            bw.put(v, s)
+                        run = 0
+                        for kk in range(1, 64):
+                            v = int(zz[kk])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                bw.put(_JPEG_AC_CODE[0xF0], 8)
+                                run -= 16
+                            s = abs(v).bit_length()
+                            bw.put(_JPEG_AC_CODE[(run << 4) | s], 8)
+                            bw.put(
+                                v if v > 0 else v + (1 << s) - 1, s
+                            )
+                            run = 0
+                        if run:
+                            bw.put(_JPEG_AC_CODE[0x00], 8)  # EOB
+            mcount += 1
+    bw.flush()
+
+    dqt = _jpeg_seg(0xDB, bytes([0]) + bytes([q] * 64))
+    dht_dc = _jpeg_seg(
+        0xC4,
+        bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12)
+        + bytes(range(12)),
+    )
+    dht_ac = _jpeg_seg(
+        0xC4,
+        bytes([0x10]) + bytes([0] * 7 + [162] + [0] * 8)
+        + bytes(_JPEG_AC_SYMS),
+    )
+    ncomp = len(planes)
+    sof_comps = b"".join(
+        bytes([ci + 1, (samps[ci][1] << 4) | samps[ci][0], 0])
+        for ci in range(ncomp)
+    )
+    sof = _jpeg_seg(
+        0xC0, bytes([8]) + struct.pack(">HH", h, w)
+        + bytes([ncomp]) + sof_comps,
+    )
+    sos = _jpeg_seg(
+        0xDA,
+        bytes([ncomp])
+        + b"".join(bytes([ci + 1, 0x00]) for ci in range(ncomp))
+        + bytes([0, 63, 0]),
+    )
+    head = b"\xff\xd8" + dqt + dht_dc + dht_ac
+    if dri:
+        head += _jpeg_seg(0xDD, struct.pack(">H", dri))
+    return head + sof + sos + bytes(bw.out) + b"\xff\xd9", coeffs
+
+
+def _jpeg_reference_decode(coeffs, samps, h, w, q=16):
+    """Independent reconstruction from the encoder's quantized
+    coefficients: explicit-loop IDCT (different implementation from
+    the decoder's matrix product), replication upsample, BT.601."""
+    import math
+
+    import numpy as np
+
+    def idct_block(qc):
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for yy in range(8):
+                acc = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8)
+                        cv = math.sqrt(1 / 8) if v == 0 else math.sqrt(2 / 8)
+                        acc += (
+                            cu * cv * qc[u, v] * q
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * yy + 1) * v * math.pi / 16)
+                        )
+                out[x, yy] = acc + 128.0
+        return out
+
+    planes = []
+    for ci in sorted(coeffs):
+        grid = coeffs[ci]
+        ny = max(gy for gy, _ in grid) + 1
+        nx = max(gx for _, gx in grid) + 1
+        plane = np.zeros((ny * 8, nx * 8))
+        for (gy, gx), qc in grid.items():
+            plane[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8] = (
+                idct_block(qc)
+            )
+        planes.append(plane)
+    vmax = max(s[0] for s in samps)
+    hmax = max(s[1] for s in samps)
+    full = []
+    for plane, (vs, hs) in zip(planes, samps):
+        up = np.repeat(
+            np.repeat(plane, vmax // vs, 0), hmax // hs, 1
+        )
+        full.append(up[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0][..., None]), 0, 255).astype(
+            np.uint8
+        )
+    y, cb, cr = full
+    out = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        -1,
+    )
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _jpeg_test_image(h, w, channels):
+    import numpy as np
+
+    i = np.arange(h)[:, None]
+    j = np.arange(w)[None, :]
+    if channels == 1:
+        return ((i * 7 + j * 13) % 251).astype(np.float64)
+    return np.stack(
+        [
+            (i * 7 + j * 13) % 251,
+            (i * 3 + j * 5 + 40) % 251,
+            (i * 11 + j * 2 + 80) % 251,
+        ],
+        -1,
+    ).astype(np.float64)
+
+
+def test_jpeg_real_decode_grayscale_and_color():
+    import numpy as np
+
+    # grayscale 24x16 (3x2 blocks), rich AC content
+    img = _jpeg_test_image(16, 24, 1)
+    payload, coeffs = _jpeg_encode(img)
+    got = MM.decode_jpeg_pixels(payload)
+    want = _jpeg_reference_decode(coeffs, [(1, 1)], 16, 24)
+    assert got.shape == (16, 24, 1)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    assert (got == want).mean() > 0.99
+
+    # 4:4:4 color 16x16
+    img = _jpeg_test_image(16, 16, 3)
+    payload, coeffs = _jpeg_encode(img)
+    got = MM.decode_jpeg_pixels(payload)
+    want = _jpeg_reference_decode(
+        coeffs, [(1, 1), (1, 1), (1, 1)], 16, 16
+    )
+    assert got.shape == (16, 16, 3)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    # header parse agrees
+    assert MM.parse_media_header(payload) == {
+        "format": "jpeg", "width": 16, "height": 16
+    }
+
+
+def test_jpeg_420_subsampling_and_restart_markers():
+    import numpy as np
+
+    img = _jpeg_test_image(32, 32, 3)
+    payload, coeffs = _jpeg_encode(img, subsample=(2, 2))
+    got = MM.decode_jpeg_pixels(payload)
+    want = _jpeg_reference_decode(
+        coeffs, [(2, 2), (1, 1), (1, 1)], 32, 32
+    )
+    assert got.shape == (32, 32, 3)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    # restart markers every MCU: byte-aligned RSTn + DC predictor reset
+    payload, coeffs = _jpeg_encode(img, subsample=(2, 2), dri=1)
+    got = MM.decode_jpeg_pixels(payload)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_jpeg_poison_and_unsupported_variants():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    img = _jpeg_test_image(16, 16, 1)
+    payload, _ = _jpeg_encode(img)
+
+    # truncated scan -> ValueError
+    with pytest.raises(ValueError):
+        MM.decode_jpeg_pixels(payload[:-10])
+    # corrupt entropy stream: an invalid Huffman path or run-past-end
+    # must raise ValueError, never fabricate pixels
+    corrupt = bytearray(payload)
+    corrupt[-12] ^= 0xAA
+    try:
+        MM.decode_jpeg_pixels(bytes(corrupt))
+    except ValueError:
+        pass  # strict rejection is the contract...
+    # ...and through the poison-safe stats path it yields NULLs, and a
+    # VALID payload decodes for real (exercised via mapInPandas below)
+
+    # progressive (SOF2) stays behind NotImplementedError
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        MM.decode_jpeg_pixels(prog)
+
+    # oversized declared dims fail fast (byte cap)
+    big = payload.replace(
+        struct.pack(">HH", 16, 16), struct.pack(">HH", 8192, 8192), 1
+    )
+    with pytest.raises(ValueError, match="too large"):
+        MM.decode_jpeg_pixels(big)
+
+
+def test_jpeg_through_decoded_stats_path(spark):
+    import numpy as np
+
+    img = _jpeg_test_image(16, 24, 1)
+    payload, coeffs = _jpeg_encode(img)
+    want = _jpeg_reference_decode(coeffs, [(1, 1)], 16, 24).astype(int)
+    corrupt = payload[:-10]
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(payload), "image"),
+            (2, bytearray(corrupt), "image"),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: r
+        for r in MM.extract_decoded_stats(media).collect()
+    }
+    r1 = rows[1]
+    assert r1["format"] == "jpeg"
+    assert r1["n_units"] == 16 * 24
+    # decoder may differ from the reference by ±1 on a handful of
+    # pixels (float .5 boundaries) — bound the sum accordingly
+    assert abs(r1["content_sum"] - int(want.sum())) <= 16 * 24
+    assert rows[2]["format"] == "jpeg"
+    assert rows[2]["content_sum"] is None  # poison -> clean NULLs
