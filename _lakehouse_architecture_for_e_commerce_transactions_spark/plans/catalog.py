@@ -6741,6 +6741,69 @@ FROM documents
 """
 
 
+def q_replace_where_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Atomic replaceWhere end to end
+    (sources/snapshots.replace_where_commit): commit orders as a
+    multi-file snapshot table with per-file priority stats, then in
+    ONE commit tombstone the '1-URGENT' slice (deletion vectors — no
+    data file rewritten, untouched files carried by reference, the
+    scope scan pruned by the stats) and append its replacement (only
+    even order keys, price doubled). The read-back must show exactly
+    the swap: urgent rows halved in count and doubled in price, every
+    other priority byte-identical. The oracle states the same
+    replacement as plain SQL."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as SN,
+    )
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = _tf.mkdtemp(prefix="sparkgraft_replwhere_")
+    try:
+        SN.commit(
+            spark, o.repartition(8), path,
+            stats_for=["o_orderpriority"],
+        )
+        replacement = (
+            o.filter(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_orderkey") % 2 == 0)
+            )
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        )
+        SN.replace_where_commit(
+            spark, replacement, path,
+            predicates=[("o_orderpriority", "==", "1-URGENT")],
+        )
+        return (
+            SN.read(spark, path)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                money_sum(F.col("o_totalprice")).alias("rev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
+
+
+_REPLACE_WHERE_SQL = f"""
+WITH live AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2
+              ELSE o_totalprice END AS val
+  FROM orders
+  WHERE o_orderpriority != '1-URGENT' OR o_orderkey % 2 = 0)
+SELECT o_orderpriority, count(*) AS cnt, {_money_sum_sql("val")} AS rev
+FROM live GROUP BY o_orderpriority
+"""
+
+
 _MEDIA_DECODE_SQL = """
 WITH b AS (
   SELECT d.doc_id, t.i, (d.doc_id * 7 + t.i) % 256 AS v
@@ -7090,6 +7153,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "jpeg_decode_stats": QueryDef(
         q_jpeg_decode_stats, _JPEG_DECODE_SQL
     ),
+    "replace_where_sim": QueryDef(
+        q_replace_where_sim, _REPLACE_WHERE_SQL
+    ),
     "hist_quantile_maintenance": QueryDef(
         q_hist_quantile_maintenance, _HIST_QUANTILE_SQL
     ),
@@ -7113,15 +7179,17 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
 # keep their r1/r2 green rows; unhinting changes plans, not results,
 # and tools/verify_parity.py re-verified them locally.)
 #
-# Round-4 rotation (executing the round-3 TODO): front the 11 queries
-# added after the round-3 window froze — every one already judge- and
-# parity-verified, now earning its driver CORRECTNESS row — plus the
-# queries ADDED in round 4 (dv_partitioned_delete_sim, ...). The
-# remaining slots backfill with already-green anchors from the round-3
-# window. After this round, EVERY registry query has a green driver row
-# on record and the rotation debt is closed.
+# Round-4 rotation closed the historical debt: every registry query has
+# a green driver CORRECTNESS row on record. Standing rule from round 5
+# on: every query ADDED in a round is fronted for THAT round's driver
+# run; the rest of the window backfills with already-green anchors (all
+# re-verified by tools/verify_parity.py at HEAD each round).
 _WINDOW_FRONT: list[str] = [
-    # 11 round-3b queries (judge-verified, driver rows pending)
+    # new in round 5
+    "kmv_jaccard_segments",
+    "jpeg_decode_stats",
+    "replace_where_sim",
+    # round-3b/4 queries (driver-green in round 4)
     "jaccard_prefix_pairs",
     "triangle_counts",
     "ann_recall_eval",
@@ -7133,7 +7201,6 @@ _WINDOW_FRONT: list[str] = [
     "incremental_minmax",
     "dv_update_sim",
     "incremental_topk",
-    # new in round 4
     "dv_partitioned_delete_sim",
     "media_decode_stats",
     "kmv_distinct_customers",
@@ -7171,9 +7238,6 @@ _WINDOW_FRONT: list[str] = [
     "minmax_by_agg",
     "stats_aggregates",
     "min_cost_supplier",
-    "metadata_only_agg",
-    "union_evolved_schemas",
-    "cdc_apply_sim",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)
