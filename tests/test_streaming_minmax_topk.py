@@ -383,3 +383,50 @@ def test_compact_every_folds_mirror_and_stream_continues(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert S.load_snapshot(factp).version == before
+
+
+def test_fact_mirror_wide_key_batch_uses_join_scope(spark, tmp_path, monkeypatch):
+    """When a batch's removal keys exceed the literal IN-list cap, the
+    mirror advance switches to the keys-DataFrame scope (equi-join
+    tombstoning) — same answer, still no full rewrite (files carried by
+    reference). The cap is monkeypatched low to exercise the branch at
+    test scale."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as S,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming import (
+        aggmaint as AM,
+    )
+
+    monkeypatch.setattr(AM, "_REPLACE_KEY_CAP", 3)
+    factp = str(tmp_path / "fact")
+    app = "test-app"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, AM.CHANGE_STREAM_SCHEMA).coalesce(1)
+
+    AM._advance_fact(
+        spark,
+        batch([(f"k{i}", "I", None, float(i)) for i in range(10)]),
+        factp, 0, app,
+    )
+    # 5 removal keys > cap 3 -> keys-df scope; plus adds on other keys
+    AM._advance_fact(
+        spark,
+        batch(
+            [(f"k{i}", "D", float(i), None) for i in range(5)]
+            + [("k7", "U", 7.0, 70.0), ("new", "I", None, 1.0)]
+        ),
+        factp, 1, app,
+    )
+    got = sorted(
+        (r["k"], r["val"])
+        for r in read_maintained_fact(spark, factp).collect()
+    )
+    assert got == sorted(
+        [(f"k{i}", float(i)) for i in range(5, 10) if i != 7]
+        + [("k7", 70.0), ("new", 1.0)]
+    )
+    snaps = S.history(factp)
+    assert snaps[-1].op == "REPLACEWHERE"
+    assert set(snaps[0].dirs) <= set(snaps[-1].dirs)  # no rewrite
