@@ -4,11 +4,21 @@ exactly-once.
 
 Each micro-batch advances the stored state with the batch operators from
 ``operators/incremental`` — O(batch) work plus a state-key-space join,
-never a fact rescan — and publishes the new state atomically via
-``sources/snapshots.commit``. State lives in the snapshot TABLE, not in
-Spark streaming state: the checkpoint stays tiny however large the key
-space grows, the view is queryable/time-travelable like any other table,
-and a restarted stream resumes from the table head.
+never a fact rescan — and publishes the advance atomically. State lives
+in the snapshot TABLE, not in Spark streaming state: the checkpoint
+stays tiny however large the key space grows, the view is
+queryable/time-travelable like any other table, and a restarted stream
+resumes from the table head.
+
+COMMITS are O(batch) too, not just the compute: after the creating
+batch, every table here (fact mirror, aggregate/min-max/top-k state,
+KMV and histogram sketches, dimension and enrichment view) advances via
+``snapshots.replace_where_commit`` scoped to the batch's touched keys —
+old slice tombstoned by deletion vectors, new slice appended, untouched
+files carried by reference in one atomic manifest publish. A full table
+write happens only at creation and derivation rebuild, where it is
+inherent. ``compact_every`` on each twin folds the accumulated slice
+files + tombstones on an amortized cadence.
 
 Exactly-once across checkpoint replays: every committed state carries
 the producing ``batch_id`` AND a derivation id (``_app_id``, keyed to
@@ -175,14 +185,33 @@ def _reject_null_keys(batch_df: DataFrame, cond, what: str) -> None:
         )
 
 
-def _commit_with_marker(spark, df, path, batch_id, app, marker_row, schema):
+def _commit_with_marker(
+    spark, df, path, batch_id, app, marker_row, schema,
+    scope_keys: DataFrame | None = None,
+    key_cols: list[str] | None = None,
+):
+    """Publish one batch's state advance atomically with its watermark
+    marker. Without ``scope_keys`` the FULL state overwrites the table
+    (table creation / derivation rebuild — the only times O(state) is
+    inherent). With ``scope_keys`` the commit is O(batch):
+    ``df`` must hold ONLY the touched keys' new rows, and
+    ``snapshots.replace_where_commit`` tombstones those keys' old rows
+    (deletion vectors) while appending the slice + marker — untouched
+    state files are carried by reference, never rewritten or shuffled.
+    Marker rows (NULL keys) are outside every scope by SQL equality,
+    so the watermark chain survives any number of scoped commits."""
     marker = spark.createDataFrame([marker_row], schema)
     out = (
         df.withColumn("_last_batch", F.lit(batch_id).cast("long"))
         .withColumn("_app_id", F.lit(app))
         .unionByName(marker)
     )
-    S.commit(spark, out, path, mode="overwrite")
+    if scope_keys is None:
+        S.commit(spark, out, path, mode="overwrite")
+    else:
+        S.replace_where_commit(
+            spark, out, path, keys=scope_keys, key_cols=key_cols
+        )
 
 
 def read_maintained_agg(spark: SparkSession, table_path: str) -> DataFrame:
@@ -202,9 +231,14 @@ def stream_agg_maintenance(
     checkpoint_dir: str,
     available_now: bool = True,
     on_batch: Callable[[int, int], None] | None = None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Maintain the (k → cnt, sum) aggregate from change-row CSVs
     (``k, op ∈ {I,U,D}, old_val, new_val``) arriving in ``raw_dir``.
+    Per-batch commits are O(batch) — the batch's groups land as a
+    scoped replace, untouched groups carry by reference; pass
+    ``compact_every=N`` to fold the accumulated slice files and
+    tombstones every N applied batches.
 
     ``on_batch(batch_id, n_changes)`` is the observability hook (called
     only for applied, non-replayed batches).
@@ -226,16 +260,34 @@ def stream_agg_maintenance(
         skip, rebuild = _guard(batch_id, last, stored_app, app)
         if skip:
             return
-        if rebuild:
-            state = state.limit(0)
         n_changes = batch_df.count()
-        if n_changes:
-            deltas = INC.agg_deltas(batch_df, ["k"])
-            state = INC.apply_agg_deltas(state, deltas, ["k"])
-        _commit_with_marker(
-            spark, state, table_path, batch_id, app,
-            (None, 0, 0, batch_id, app), _STATE_SCHEMA,
-        )
+        if last is None or rebuild:
+            # table creation / derivation rebuild: full state, once
+            full = state.limit(0)
+            if n_changes:
+                full = INC.apply_agg_deltas(
+                    full, INC.agg_deltas(batch_df, ["k"]), ["k"]
+                )
+            _commit_with_marker(
+                spark, full, table_path, batch_id, app,
+                (None, 0, 0, batch_id, app), _STATE_SCHEMA,
+            )
+        else:
+            # O(batch): only the batch's groups change — replace their
+            # slice, carry every other group's files by reference
+            touched = batch_df.select("k").distinct()
+            slice_ = state.join(touched, ["k"], "left_semi")
+            if n_changes:
+                slice_ = INC.apply_agg_deltas(
+                    slice_, INC.agg_deltas(batch_df, ["k"]), ["k"]
+                )
+            _commit_with_marker(
+                spark, slice_, table_path, batch_id, app,
+                (None, 0, 0, batch_id, app), _STATE_SCHEMA,
+                scope_keys=touched, key_cols=["k"],
+            )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            S.compact(spark, table_path)
         if on_batch is not None:
             on_batch(batch_id, n_changes)
 
@@ -312,6 +364,7 @@ def stream_join_view_maintenance(
     view_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Streaming IVM for a fact⋈dim enrichment view: one change feed
     (``seq`` monotonic change order; ``kind`` ∈ DU dim-upsert /
@@ -405,17 +458,37 @@ def stream_join_view_maintenance(
         )
         skip, rebuild = _guard(batch_id, dim_last, dim_app, app)
         if not skip:
-            if rebuild:
-                dim = dim.limit(0)
             upd = du.withColumnRenamed("attr", "_new")
-            dim_next = dim.join(upd, "dim_key", "full_outer").select(
-                "dim_key",
-                F.coalesce(F.col("_new"), F.col("attr")).alias("attr"),
-            )
-            _commit_with_marker(
-                spark, dim_next, dim_path, batch_id, app,
-                (None, None, batch_id, app), _DIM_SCHEMA,
-            )
+            if dim_last is None or rebuild:
+                base = dim.limit(0) if rebuild else dim
+                dim_next = base.join(
+                    upd, "dim_key", "full_outer"
+                ).select(
+                    "dim_key",
+                    F.coalesce(F.col("_new"), F.col("attr")).alias(
+                        "attr"
+                    ),
+                )
+                _commit_with_marker(
+                    spark, dim_next, dim_path, batch_id, app,
+                    (None, None, batch_id, app), _DIM_SCHEMA,
+                )
+            else:
+                # O(batch): only the DU keys' rows change
+                du_keys = du.select("dim_key").distinct()
+                dim_slice = dim.join(
+                    du_keys, ["dim_key"], "left_semi"
+                ).join(upd, "dim_key", "full_outer").select(
+                    "dim_key",
+                    F.coalesce(F.col("_new"), F.col("attr")).alias(
+                        "attr"
+                    ),
+                )
+                _commit_with_marker(
+                    spark, dim_slice, dim_path, batch_id, app,
+                    (None, None, batch_id, app), _DIM_SCHEMA,
+                    scope_keys=du_keys, key_cols=["dim_key"],
+                )
 
         view, view_last, view_app = _table_state(
             spark, view_path, _VIEW_SCHEMA,
@@ -425,10 +498,8 @@ def stream_join_view_maintenance(
         )
         skip, rebuild = _guard(batch_id, view_last, view_app, app)
         if not skip:
-            if rebuild:
-                view = view.limit(0)
-            out = INC.maintain_join_view(
-                view,
+            view_cols = ["fact_key", "dim_key", "val", "attr", "_matched"]
+            mjv = dict(
                 fact_key="fact_key",
                 dim_key="dim_key",
                 dim_cols=["attr"],
@@ -440,12 +511,46 @@ def stream_join_view_maintenance(
                 # that lands in a LATER batch patches them; an inner
                 # join here would drop them forever (recompute diverge)
                 keep_unmatched=True,
-            ).select("fact_key", "dim_key", "val", "attr", "_matched")
-            _commit_with_marker(
-                spark, out, view_path, batch_id, app,
-                (None, None, None, None, None, batch_id, app),
-                _VIEW_SCHEMA,
             )
+            if view_last is None or rebuild:
+                base = view.limit(0) if rebuild else view
+                out = INC.maintain_join_view(base, **mjv).select(
+                    *view_cols
+                )
+                _commit_with_marker(
+                    spark, out, view_path, batch_id, app,
+                    (None, None, None, None, None, batch_id, app),
+                    _VIEW_SCHEMA,
+                )
+            else:
+                # O(batch) on the view's PK (fact_key): affected rows
+                # are the batch's fact upserts/deletes PLUS rows whose
+                # dimension a DU patches — found by one shuffle-free
+                # semi-scan of the view, never a view rewrite
+                affected = (
+                    fi.select("fact_key")
+                    .unionByName(fd.select("fact_key"))
+                    .unionByName(
+                        view.join(
+                            du.select("dim_key").distinct(),
+                            ["dim_key"], "left_semi",
+                        ).select("fact_key")
+                    )
+                    .distinct()
+                )
+                out = INC.maintain_join_view(
+                    view.join(affected, ["fact_key"], "left_semi"),
+                    **mjv,
+                ).select(*view_cols)
+                _commit_with_marker(
+                    spark, out, view_path, batch_id, app,
+                    (None, None, None, None, None, batch_id, app),
+                    _VIEW_SCHEMA,
+                    scope_keys=affected, key_cols=["fact_key"],
+                )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            S.compact(spark, dim_path)
+            S.compact(spark, view_path)
 
     writer = (
         reader.writeStream.foreachBatch(process_batch)
@@ -746,7 +851,7 @@ def stream_minmax_maintenance(
                 return
             fact_now = read_maintained_fact(spark, fact_path)
             fx = F.floor(F.col("val") * scale + F.lit(0.5)).cast("long")
-            if rebuild:
+            if last is None or rebuild:
                 nxt = (
                     fact_now.groupBy("k")
                     .agg(
@@ -755,16 +860,26 @@ def stream_minmax_maintenance(
                     )
                     .filter(F.col("min_scaled").isNotNull())
                 )
-            else:
-                nxt = INC.maintain_min_max(
-                    state, batch_df, fact_now, ["k"], "val", scale=scale
+                _commit_with_marker(
+                    spark, nxt, state_path, batch_id, app,
+                    (None, None, None, batch_id, app), _MINMAX_SCHEMA,
                 )
-            _commit_with_marker(
-                spark, nxt, state_path, batch_id, app,
-                (None, None, None, batch_id, app), _MINMAX_SCHEMA,
-            )
+            else:
+                # O(batch) state commit: only the batch's groups can
+                # change; maintain their slice and replace it scoped
+                touched = batch_df.select("k").distinct()
+                nxt = INC.maintain_min_max(
+                    state.join(touched, ["k"], "left_semi"),
+                    batch_df, fact_now, ["k"], "val", scale=scale,
+                )
+                _commit_with_marker(
+                    spark, nxt, state_path, batch_id, app,
+                    (None, None, None, batch_id, app), _MINMAX_SCHEMA,
+                    scope_keys=touched, key_cols=["k"],
+                )
             if compact_every and (batch_id + 1) % compact_every == 0:
                 S.compact(spark, fact_path)
+                S.compact(spark, state_path)
         finally:
             batch_df.unpersist()
 
@@ -816,21 +931,29 @@ def stream_topk_maintenance(
             if skip:
                 return
             fact_now = read_maintained_fact(spark, fact_path)
-            if rebuild:
+            if last is None or rebuild:
                 nxt = INC.build_topk_state(
                     fact_now, ["k"], "val", k, buffer, scale
                 )
+                _commit_with_marker(
+                    spark, nxt, state_path, batch_id, app,
+                    (None, None, None, batch_id, app), _TOPK_SCHEMA,
+                )
             else:
+                touched = batch_df.select("k").distinct()
                 nxt = INC.maintain_topk(
-                    state, batch_df, fact_now, ["k"], "val",
+                    state.join(touched, ["k"], "left_semi"),
+                    batch_df, fact_now, ["k"], "val",
                     k, buffer, scale=scale,
                 )
-            _commit_with_marker(
-                spark, nxt, state_path, batch_id, app,
-                (None, None, None, batch_id, app), _TOPK_SCHEMA,
-            )
+                _commit_with_marker(
+                    spark, nxt, state_path, batch_id, app,
+                    (None, None, None, batch_id, app), _TOPK_SCHEMA,
+                    scope_keys=touched, key_cols=["k"],
+                )
             if compact_every and (batch_id + 1) % compact_every == 0:
                 S.compact(spark, fact_path)
+                S.compact(spark, state_path)
         finally:
             batch_df.unpersist()
 
@@ -877,6 +1000,7 @@ def stream_kmv_maintenance(
     checkpoint_dir: str,
     kmv_k: int = 64,
     available_now: bool = True,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Exactly-once streaming COUNT(DISTINCT) maintenance via the KMV
     sketch (operators/sketches.py): per batch, sketch ONLY the batch
@@ -916,14 +1040,29 @@ def stream_kmv_maintenance(
         skip, rebuild = _guard(batch_id, last, aid, app)
         if skip:
             return
-        if rebuild:
-            state = state.limit(0)
         batch_sketch = SK.kmv_sketch(batch_df, ["k"], "v", k=kmv_k)
-        nxt = SK.kmv_merge(state, batch_sketch, ["k"], k=kmv_k)
-        _commit_with_marker(
-            spark, nxt, state_path, batch_id, app,
-            (None, None, batch_id, app), _KMV_STATE_SCHEMA,
-        )
+        if last is None or rebuild:
+            nxt = SK.kmv_merge(
+                state.limit(0), batch_sketch, ["k"], k=kmv_k
+            )
+            _commit_with_marker(
+                spark, nxt, state_path, batch_id, app,
+                (None, None, batch_id, app), _KMV_STATE_SCHEMA,
+            )
+        else:
+            # O(batch): only the batch's groups' sketches move
+            touched = batch_df.select("k").distinct()
+            nxt = SK.kmv_merge(
+                state.join(touched, ["k"], "left_semi"),
+                batch_sketch, ["k"], k=kmv_k,
+            )
+            _commit_with_marker(
+                spark, nxt, state_path, batch_id, app,
+                (None, None, batch_id, app), _KMV_STATE_SCHEMA,
+                scope_keys=touched, key_cols=["k"],
+            )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            S.compact(spark, state_path)
 
     writer = (
         reader.writeStream.foreachBatch(process_batch)
@@ -974,6 +1113,7 @@ def stream_hist_maintenance(
     bin_width: int = 100,
     scale: int = 100,
     available_now: bool = True,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Exactly-once streaming QUANTILE maintenance via the histogram
     sketch (operators/sketches.py hist_* family) over the standard
@@ -1004,16 +1144,30 @@ def stream_hist_maintenance(
         skip, rebuild = _guard(batch_id, last, aid, app)
         if skip:
             return
-        if rebuild:
-            state = state.limit(0)
         deltas = SK.hist_deltas(
             batch_df, ["k"], bin_width, scale=scale
         )
-        nxt = SK.hist_merge(state, deltas, ["k"])
-        _commit_with_marker(
-            spark, nxt, state_path, batch_id, app,
-            (None, None, None, batch_id, app), _HIST_STATE_SCHEMA,
-        )
+        if last is None or rebuild:
+            nxt = SK.hist_merge(state.limit(0), deltas, ["k"])
+            _commit_with_marker(
+                spark, nxt, state_path, batch_id, app,
+                (None, None, None, batch_id, app), _HIST_STATE_SCHEMA,
+            )
+        else:
+            # O(batch): replace only the groups with bin deltas (a
+            # group whose batch rows all carried NULL images produces
+            # no delta and stays out of scope)
+            touched = deltas.select("k").distinct()
+            nxt = SK.hist_merge(
+                state.join(touched, ["k"], "left_semi"), deltas, ["k"]
+            )
+            _commit_with_marker(
+                spark, nxt, state_path, batch_id, app,
+                (None, None, None, batch_id, app), _HIST_STATE_SCHEMA,
+                scope_keys=touched, key_cols=["k"],
+            )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            S.compact(spark, state_path)
 
     writer = (
         reader.writeStream.foreachBatch(process_batch)

@@ -336,3 +336,51 @@ def test_null_key_change_rows_fail_loudly(spark, tmp_path):
     with pytest.raises(Exception, match="NULL key"):
         q.awaitTermination(120)
         q.processAllAvailable()
+
+
+def test_state_commits_are_o_batch_across_all_twins(spark, tmp_path):
+    """The scale pin for STATE tables (the fact-mirror pin's sibling):
+    after the creating batch, every maintained table — aggregate state,
+    dimension, enrichment view — advances by REPLACEWHERE commits that
+    carry all previous data files by reference; a full WRITE happens
+    only at creation. Answers already pinned by the other tests; this
+    pins the commit shape."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as S,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (
+        stream_join_view_maintenance,
+    )
+
+    def pin(path):
+        snaps = S.history(path)
+        assert snaps[0].op == "WRITE", path
+        assert all(s.op == "REPLACEWHERE" for s in snaps[1:]), (
+            path, [s.op for s in snaps],
+        )
+        assert len(snaps) >= 2, path
+        for prev, cur in zip(snaps, snaps[1:]):
+            assert set(prev.dirs) <= set(cur.dirs), (
+                f"{path}: an advance rewrote carried files"
+            )
+
+    raw = str(tmp_path / "raw")
+    table = str(tmp_path / "agg")
+    for i, rows in enumerate([_BATCH1, _BATCH2, _BATCH3], start=1):
+        _write(os.path.join(raw, f"b{i}.csv"), rows)
+        q = stream_agg_maintenance(
+            spark, raw, table, str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+    pin(table)
+
+    rawm = str(tmp_path / "rawm")
+    dimp, viewp = str(tmp_path / "dim"), str(tmp_path / "view")
+    for i, rows in enumerate([_MB1, _MB2], start=1):
+        _write_mix(os.path.join(rawm, f"b{i}.csv"), rows)
+        q = stream_join_view_maintenance(
+            spark, rawm, dimp, viewp, str(tmp_path / "ckptm")
+        )
+        q.awaitTermination(120)
+    pin(dimp)
+    pin(viewp)
