@@ -311,3 +311,153 @@ def hist_quantiles(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: the mergeable AND delete-capable FREQUENCY companion
+# to KMV (distinct) and the histogram (quantiles). State per group is
+# depth × width counters — independent of how many distinct items exist —
+# merge is counter-wise addition (exact algebra) and a CDC feed maintains
+# it with ±1 deltas, never a rescan (Cormode & Muthukrishnan 2005; the
+# turnstile-stream setting is exactly the delete case). Point queries
+# overestimate only: est(x) = min over rows of the counter x hashes to,
+# error ≤ 2n/width with prob 1−2^−depth. Hash family is the repo's
+# engine-portable md5 discipline (row-index-salted), so a SQL oracle
+# reproduces every counter and every estimate bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _cm_bucket(val: Column, row: Column, width: int) -> Column:
+    """Bucket of ``val`` under depth-row ``row``: md5-32 of
+    "row:value" mod width. Salting the hash input with the row index
+    gives depth pairwise-independent-enough functions from ONE md5 —
+    and keeps the DuckDB twin a one-line string concat."""
+    return (
+        h32(F.concat(row.cast("string"), F.lit(":"), val.cast("string")))
+        % width
+    )
+
+
+def _cm_rows(depth: int) -> Column:
+    return F.explode(F.array(*[F.lit(r) for r in range(depth)]))
+
+
+def cm_sketch(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Per-key Count-Min sketch rows: (keys..., row, bucket, cnt) —
+    occupied counters only (absent counter ≡ 0). NULL items are
+    ignored (COUNT(col) semantics — and a NULL hash input would bucket
+    all rows identically, silently merging every NULL into one hot
+    counter). One explode (depth× fan-out, map-side) + one
+    map-side-combined groupBy — no window, no collect."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*keys, _cm_rows(depth).alias("row"), F.col(col).alias("_v"))
+        .select(
+            *keys,
+            "row",
+            _cm_bucket(F.col("_v"), F.col("row"), width).alias("bucket"),
+        )
+        .groupBy(*keys, "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_deltas(
+    changes: DataFrame,
+    keys: list[str],
+    depth: int = 4,
+    width: int = 256,
+    op_col: str = "op",
+    old_val: str = "old_val",
+    new_val: str = "new_val",
+) -> DataFrame:
+    """Per-(key, row, bucket) counter deltas from a CDC batch
+    (op ∈ {I,U,D} with pre/post images) — the turnstile update:
+    inserts +1 on the new image's buckets, deletes −1 on the old
+    image's, updates both. One shuffle, on the batch only; NULL images
+    bucket nowhere (cm_sketch ignores NULL items)."""
+    added = changes.filter(F.col(op_col).isin("I", "U")).select(
+        *keys, F.col(new_val).alias("_v"), F.lit(1).alias("_d")
+    )
+    removed = changes.filter(F.col(op_col).isin("D", "U")).select(
+        *keys, F.col(old_val).alias("_v"), F.lit(-1).alias("_d")
+    )
+    return (
+        added.unionByName(removed)
+        .filter(F.col("_v").isNotNull())
+        .select(*keys, _cm_rows(depth).alias("row"), "_v", "_d")
+        .select(
+            *keys,
+            "row",
+            _cm_bucket(F.col("_v"), F.col("row"), width).alias("bucket"),
+            "_d",
+        )
+        .groupBy(*keys, "row", "bucket")
+        .agg(F.sum("_d").alias("cnt"))
+    )
+
+
+def cm_merge(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Counter-wise addition — merges two sketches OR applies a delta
+    sketch to a base. union+groupBy (no join) is null-safe for
+    NULL-keyed groups by construction; zeroed counters drop so the
+    state stays bounded by OCCUPIED counters."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys, "row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    keys: list[str],
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query a sketch for every (key, item) candidate pair:
+    (keys..., col, est_cnt) with est_cnt = min over depth rows of the
+    counter the item hashes to (missing counter = 0). Candidates come
+    in as a DataFrame — at 100 TB the sketch is counter-bounded
+    (depth·width per group) and the probe is an equi-join on
+    (keys, row, bucket), so cost scales with |candidates|·depth, never
+    with the sketched corpus. Estimates are exact overestimates:
+    est ≥ true count always (counters only ever sum true occurrences
+    plus collisions)."""
+    probes = (
+        items.filter(F.col(col).isNotNull())
+        .select(*keys, F.col(col).alias("_v"))
+        .distinct()
+        .select(*keys, "_v", _cm_rows(depth).alias("row"))
+        .select(
+            *keys,
+            "_v",
+            "row",
+            _cm_bucket(F.col("_v"), F.col("row"), width).alias("bucket"),
+        )
+    )
+    sk = sketch
+    for c in [*keys, "row", "bucket", "cnt"]:
+        sk = sk.withColumnRenamed(c, "__s_" + c)
+    cond = reduce(
+        lambda x, y: x & y,
+        [
+            F.col(c).eqNullSafe(F.col("__s_" + c))
+            for c in [*keys, "row", "bucket"]
+        ],
+    )
+    return (
+        probes.join(sk, cond, "left")
+        .groupBy(*[F.col(c) for c in keys], F.col("_v").alias(col))
+        .agg(
+            F.min(F.coalesce(F.col("__s_cnt"), F.lit(0))).alias("est_cnt")
+        )
+    )

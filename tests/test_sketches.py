@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
@@ -443,3 +444,136 @@ def test_kmv_intersect_estimates_track_truth_on_large_sets(spark):
     assert abs(r["est_union"] - true_union) / true_union < 0.5
     assert abs(r["est_jaccard"] - true_j) < 0.2
     assert abs(r["est_intersect"] - true_inter) / true_inter < 0.8
+
+
+def test_cm_exact_when_wide_and_overestimates_when_narrow(spark):
+    """Count-Min point queries: with width large enough that no two
+    items collide the estimate IS the true count; with a narrow width
+    estimates never UNDERestimate (counters only add collisions)."""
+    df = spark.range(3000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 37).alias("v"),
+    )
+    truth = {
+        (r["g"], r["v"]): r["c"]
+        for r in df.groupBy("g", "v").agg(F.count("*").alias("c")).collect()
+    }
+    items = df.select("g", "v").distinct()
+    wide = SK.cm_estimate(
+        SK.cm_sketch(df, ["g"], "v", depth=4, width=8192),
+        items, ["g"], "v", depth=4, width=8192,
+    )
+    for r in wide.collect():
+        assert r["est_cnt"] == truth[(r["g"], r["v"])]
+    narrow = SK.cm_estimate(
+        SK.cm_sketch(df, ["g"], "v", depth=3, width=8),
+        items, ["g"], "v", depth=3, width=8,
+    )
+    for r in narrow.collect():
+        assert r["est_cnt"] >= truth[(r["g"], r["v"])]
+
+
+def test_cm_delta_maintenance_equals_rebuild(spark):
+    """The turnstile property: base sketch + CDC counter deltas lands
+    on EXACTLY the counters of a from-scratch sketch of the post-change
+    state — including deletes that empty a counter (dropped, not kept
+    at zero)."""
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 23).alias("v"),
+    )
+    ch = spark.createDataFrame(
+        [
+            ("0", "I", None, 99),     # new item
+            ("1", "D", 5, None),      # remove one occurrence
+            ("2", "U", 7, 8),         # shift an occurrence
+            ("0", "D", 0, None),
+            ("0", "I", None, 0),      # delete + reinsert cancels
+        ],
+        "g string, op string, old_val long, new_val long",
+    )
+    D, W = 4, 64
+    maintained = SK.cm_merge(
+        SK.cm_sketch(df, ["g"], "v", depth=D, width=W),
+        SK.cm_deltas(ch, ["g"], depth=D, width=W),
+        ["g"],
+    )
+    post = (
+        df.join(
+            spark.createDataFrame(
+                [("1", 5), ("2", 7), ("0", 0)], "g string, v long"
+            )
+            .groupBy("g", "v")
+            .agg(F.count("*").alias("_rm")),
+            ["g", "v"],
+            "left",
+        )
+        # remove exactly one occurrence per D/U old image
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("g", "v").orderBy(F.lit(1))
+            ),
+        )
+        .filter((F.col("_rm").isNull()) | (F.col("rn") > F.col("_rm")))
+        .select("g", "v")
+        .unionByName(
+            spark.createDataFrame(
+                [("0", 99), ("2", 8), ("0", 0)], "g string, v long"
+            )
+        )
+    )
+    rebuilt = SK.cm_sketch(post, ["g"], "v", depth=D, width=W)
+    got = {
+        (r["g"], r["row"], r["bucket"]): r["cnt"]
+        for r in maintained.collect()
+    }
+    want = {
+        (r["g"], r["row"], r["bucket"]): r["cnt"] for r in rebuilt.collect()
+    }
+    assert got == want
+
+
+def test_cm_merge_of_sketches_equals_sketch_of_union(spark):
+    """Counter-wise addition is the exact merge algebra: per-shard
+    sketches compose into the global sketch with no error growth."""
+    df = spark.range(4000).select(
+        F.lit("g").alias("g"), (F.col("id") % 101).alias("v")
+    )
+    a = df.filter(F.col("v") % 2 == 0)
+    b = df.filter(F.col("v") % 2 == 1)
+    D, W = 4, 32
+    merged = {
+        (r["g"], r["row"], r["bucket"]): r["cnt"]
+        for r in SK.cm_merge(
+            SK.cm_sketch(a, ["g"], "v", depth=D, width=W),
+            SK.cm_sketch(b, ["g"], "v", depth=D, width=W),
+            ["g"],
+        ).collect()
+    }
+    whole = {
+        (r["g"], r["row"], r["bucket"]): r["cnt"]
+        for r in SK.cm_sketch(df, ["g"], "v", depth=D, width=W).collect()
+    }
+    assert merged == whole
+
+
+def test_cm_estimate_plan_is_equi_join_only(spark):
+    """Plan pin: the sketch probe is an equi-join on (keys, row,
+    bucket) — no cartesian, no nested loop — so probe cost scales with
+    |candidates|·depth regardless of sketched-corpus size."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.plans.explain import (
+        executed_plan_text,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        (F.col("id") % 17).alias("v"),
+    )
+    sk = SK.cm_sketch(df, ["g"], "v", depth=4, width=64)
+    est = SK.cm_estimate(
+        sk, df.select("g", "v").distinct(), ["g"], "v", depth=4, width=64
+    )
+    plan = executed_plan_text(est)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
