@@ -55,6 +55,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -1164,6 +1165,113 @@ def stream_hist_maintenance(
             _commit_with_marker(
                 spark, nxt, state_path, batch_id, app,
                 (None, None, None, batch_id, app), _HIST_STATE_SCHEMA,
+                scope_keys=touched, key_cols=["k"],
+            )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            S.compact(spark, state_path)
+
+    writer = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+_CM_STATE_SCHEMA = StructType(
+    [
+        StructField("k", StringType(), True),
+        StructField("row", IntegerType(), True),
+        StructField("bucket", LongType(), True),
+        StructField("cnt", LongType(), True),
+        StructField("_last_batch", LongType(), True),
+        StructField("_app_id", StringType(), True),
+    ]
+)
+
+
+def read_maintained_cm_estimate(
+    spark: SparkSession,
+    path: str,
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """(k, col, est_cnt) point-query view of the maintained Count-Min
+    state for a candidate item set (same probe as the batch operator:
+    min over depth rows, missing counter = 0)."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        sketches as SK,
+    )
+
+    state = (
+        S.read(spark, path)
+        .filter(F.col("k").isNotNull())
+        .select("k", "row", "bucket", "cnt")
+    )
+    return SK.cm_estimate(state, items, ["k"], col, depth=depth, width=width)
+
+
+def stream_cm_maintenance(
+    spark: SparkSession,
+    raw_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 256,
+    available_now: bool = True,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """Exactly-once streaming FREQUENCY maintenance via the Count-Min
+    sketch (operators/sketches.py cm_* family) over the standard change
+    feed (``k, op ∈ {I,U,D}, old_val, new_val``): per batch, counter
+    deltas from the batch alone merge into the stored sketch — the
+    turnstile-stream update, O(batch) + a state-sized groupBy, rescans
+    never. Like the histogram (and unlike KMV) the state absorbs
+    DELETES: counters decrement and emptied counters drop, so the
+    maintained estimates track the live multiset exactly as a rebuild
+    would. State is depth·width counters per group at most, however
+    many distinct items the stream has carried."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        sketches as SK,
+    )
+
+    app = _app_id(checkpoint_dir)
+    reader = (
+        spark.readStream.schema(CHANGE_STREAM_SCHEMA)
+        .option("header", True)
+        .csv(raw_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _reject_null_keys(
+            batch_df, F.col("k").isNull(), "stream_cm_maintenance"
+        )
+        state, last, aid = _table_state(
+            spark, state_path, _CM_STATE_SCHEMA, ["k", "row", "bucket", "cnt"]
+        )
+        skip, rebuild = _guard(batch_id, last, aid, app)
+        if skip:
+            return
+        deltas = SK.cm_deltas(batch_df, ["k"], depth=depth, width=width)
+        if last is None or rebuild:
+            nxt = SK.cm_merge(state.limit(0), deltas, ["k"])
+            _commit_with_marker(
+                spark, nxt, state_path, batch_id, app,
+                (None, None, None, None, batch_id, app), _CM_STATE_SCHEMA,
+            )
+        else:
+            # O(batch): replace only the groups with counter deltas
+            touched = deltas.select("k").distinct()
+            nxt = SK.cm_merge(
+                state.join(touched, ["k"], "left_semi"), deltas, ["k"]
+            )
+            _commit_with_marker(
+                spark, nxt, state_path, batch_id, app,
+                (None, None, None, None, batch_id, app), _CM_STATE_SCHEMA,
                 scope_keys=touched, key_cols=["k"],
             )
         if compact_every and (batch_id + 1) % compact_every == 0:

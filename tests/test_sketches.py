@@ -577,3 +577,92 @@ def test_cm_estimate_plan_is_equi_join_only(spark):
     plan = executed_plan_text(est)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_streaming_cm_maintenance_exactly_once(spark, tmp_path):
+    """Streamed Count-Min state (counter deltas only, deletes included)
+    yields the same point estimates as a rebuild of the surviving
+    multiset after every batch; replay no-ops; fresh checkpoint
+    rebuilds."""
+    import os
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (
+        read_maintained_cm_estimate,
+        stream_cm_maintenance,
+    )
+
+    raw = str(tmp_path / "raw")
+    state = str(tmp_path / "cm")
+    ckpt = str(tmp_path / "ckpt")
+    D, W = 3, 32
+
+    def write(name, rows):
+        os.makedirs(raw, exist_ok=True)
+        with open(os.path.join(raw, name), "w") as f:
+            f.write("k,op,old_val,new_val\n" + "\n".join(rows) + "\n")
+
+    live: dict[str, list[float]] = {}
+
+    def apply(rows):
+        for r in rows:
+            k, op, old, new = r.split(",")
+            if op in ("I", "U"):
+                live.setdefault(k, []).append(float(new))
+            if op in ("D", "U"):
+                live[k].remove(float(old))
+
+    batches = [
+        [f"a,I,,{v % 7}.0" for v in range(1, 41)] + ["b,I,,5.0", "b,I,,5.0"],
+        [f"a,D,{v % 7}.0," for v in range(1, 21)] + ["b,U,5.0,7.0"],
+        ["c,I,,1.0", "b,D,5.0,"],
+    ]
+    items = None
+    for i, rows in enumerate(batches, start=1):
+        write(f"b{i}.csv", rows)
+        q = stream_cm_maintenance(
+            spark, raw, state, ckpt, depth=D, width=W, compact_every=2
+        )
+        q.awaitTermination(120)
+        apply(rows)
+        full = spark.createDataFrame(
+            [(k, v) for k, vs in live.items() for v in vs],
+            "k string, v double",
+        )
+        items = full.select("k", "v").distinct()
+        got = {
+            (r["k"], r["v"]): r["est_cnt"]
+            for r in read_maintained_cm_estimate(
+                spark, state, items, "v", depth=D, width=W
+            ).collect()
+        }
+        want = {
+            (r["k"], r["v"]): r["est_cnt"]
+            for r in SK.cm_estimate(
+                SK.cm_sketch(full, ["k"], "v", depth=D, width=W),
+                items, ["k"], "v", depth=D, width=W,
+            ).collect()
+        }
+        assert got == want, f"after batch {i}"
+        # estimates never underestimate the true surviving counts
+        truth = {
+            (r["k"], r["v"]): r["c"]
+            for r in full.groupBy("k", "v")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+        for key, est in got.items():
+            assert est >= truth[key]
+
+    # replay no-op; fresh checkpoint rebuild converges to same state
+    q = stream_cm_maintenance(spark, raw, state, ckpt, depth=D, width=W)
+    q.awaitTermination(120)
+    q = stream_cm_maintenance(
+        spark, raw, state, str(tmp_path / "ck2"), depth=D, width=W
+    )
+    q.awaitTermination(120)
+    assert {
+        (r["k"], r["v"]): r["est_cnt"]
+        for r in read_maintained_cm_estimate(
+            spark, state, items, "v", depth=D, width=W
+        ).collect()
+    } == want
