@@ -28,7 +28,7 @@ The operator is scale-adaptive at BOTH ends, same contract throughout
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -423,3 +423,70 @@ def triangle_counts(
             ),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan et al.
+    2007) over a directed edge list — community detection by a
+    DIFFERENT rule than connected_components' min-label spread: each
+    round, every node adopts the label carried by the PLURALITY of its
+    in-neighbors (tie → smallest label), so dense clusters converge to
+    one label while a single bridge edge between two dense regions
+    does NOT merge them (the min-label rule would). Undirected graphs:
+    supply both edge directions.
+
+    Deterministic by construction: labels start as node ids, the
+    per-node winner is picked by a (count DESC, label ASC) window —
+    a pure function of the edge list, independent of partitioning, and
+    replayable as unrolled relational iterations by a SQL oracle.
+    Synchronous updates can oscillate on bipartite structures; a FIXED
+    iteration count makes that a determinism non-issue (both engines
+    replay the same rounds).
+
+    Scale shape per round: one equi-join (edges ⋈ labels on dst) +
+    one groupBy(src, label) + one per-node bounded window — the Pregel
+    message pattern as relational ops. Edges are shuffled onto a
+    src-keyed partitioning once and reused every round;
+    ``localCheckpoint`` truncates lineage so plans stay flat."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    n_parts = max(2, min(e.rdd.getNumPartitions(), n_edges // 100_000 + 2))
+    e = e.repartition(n_parts, "src")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition(n_parts, "node")
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.withColumn("lbl", F.col("node"))
+    w = Window.partitionBy("src").orderBy(
+        F.col("c").desc(), F.col("lbl").asc()
+    )
+    for _ in range(iterations):
+        labels = labels.localCheckpoint(eager=True)
+        counts = (
+            e.join(labels, e.dst == labels.node)
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pick = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), F.col("lbl").alias("new"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node", F.coalesce("new", "lbl").alias("lbl")
+            )
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

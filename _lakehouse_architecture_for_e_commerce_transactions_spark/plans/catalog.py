@@ -5030,6 +5030,67 @@ r{i} AS (SELECT n.node,
 _PAGERANK_SQL = _pagerank_sql()
 
 
+def q_lp_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (operators/graph.py:label_propagation — plurality-of-neighbors
+    label adoption, tie → min label) over the undirected user ↔
+    event-type graph derived from events. A different convergence rule
+    than connected components: dense co-activity clusters collapse to
+    one label while bridge edges don't merge them. Three fixed rounds
+    are a pure function of the edge list; the oracle replays them as
+    three unrolled relational iterations with the identical
+    (count DESC, label ASC) window."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        graph as G,
+    )
+
+    ev = load_table(spark, sf, "events")
+    pairs = ev.select("user_id", "event_type").distinct()
+    u = F.concat(F.lit("u"), F.col("user_id"))
+    t = F.concat(F.lit("t"), F.col("event_type"))
+    edges = pairs.select(u.alias("src"), t.alias("dst")).unionByName(
+        pairs.select(t.alias("src"), u.alias("dst"))
+    )
+    return G.label_propagation(edges, iterations=3)
+
+
+def _lp_sql(iters: int = 3) -> str:
+    parts = [
+        """
+WITH pairs AS (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
+         't' || event_type AS t
+  FROM events),
+edges AS (SELECT u AS src, t AS dst FROM pairs
+          UNION ALL
+          SELECT t AS src, u AS dst FROM pairs),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+l0 AS (SELECT node, node AS lbl FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+c{i} AS (SELECT e.src AS node, l.lbl, count(*) AS c
+         FROM edges e JOIN l{p} l ON l.node = e.dst
+         GROUP BY 1, 2),
+p{i} AS (SELECT node, lbl FROM (
+           SELECT node, lbl,
+                  row_number() OVER (PARTITION BY node
+                                     ORDER BY c DESC, lbl ASC) AS rn
+           FROM c{i}) WHERE rn = 1),
+l{i} AS (SELECT n.node, COALESCE(p.lbl, prev.lbl) AS lbl
+         FROM nodes n
+         JOIN l{p} prev ON prev.node = n.node
+         LEFT JOIN p{i} p ON p.node = n.node)"""
+        )
+    parts.append(f"\nSELECT node, lbl AS community FROM l{iters}")
+    return "".join(parts)
+
+
+_LP_SQL = _lp_sql()
+
+
 def q_stats_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Manifest-stats data skipping end to end (the Delta/Iceberg
     data-skipping analog over `sources.snapshots`, ref curated zone
@@ -7162,6 +7223,7 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "gap_fill_interpolate": QueryDef(q_gap_fill_interpolate, _GAP_FILL_SQL),
     "stats_pruned_scan": QueryDef(q_stats_pruned_scan, _STATS_PRUNE_SQL),
     "pagerank_events": QueryDef(q_pagerank_events, _PAGERANK_SQL),
+    "lp_communities": QueryDef(q_lp_communities, _LP_SQL),
     "heavy_hitter_terms": QueryDef(
         q_heavy_hitter_terms, _HEAVY_HITTERS_SQL, headline=True
     ),
@@ -7274,6 +7336,7 @@ _WINDOW_FRONT: list[str] = [
     "jpeg_decode_stats",
     "replace_where_sim",
     "cm_frequency_maintenance",
+    "lp_communities",
     # round-3b/4 queries (driver-green in round 4)
     "jaccard_prefix_pairs",
     "triangle_counts",
@@ -7321,7 +7384,6 @@ _WINDOW_FRONT: list[str] = [
     "bloom_point_lookup",
     "scd2_asof_enrichment",
     "minmax_by_agg",
-    "stats_aggregates",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

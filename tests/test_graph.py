@@ -137,3 +137,83 @@ def test_star_cc_long_chain(spark):
     assert _cc_map(connected_components_star(tri, "doc1", "doc2")) == {
         1: 1, 2: 1, 3: 1,
     }
+
+
+def _lp_reference(edge_list, iterations):
+    """Driver-side replay of the synchronous plurality/min-label rule."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(list)
+    nodes = set()
+    for s, d in edge_list:
+        nbrs[s].append(d)
+        nodes.update((s, d))
+    lbl = {n: n for n in nodes}
+    for _ in range(iterations):
+        nxt = {}
+        for n in nodes:
+            if not nbrs[n]:
+                nxt[n] = lbl[n]
+                continue
+            counts = Counter(lbl[d] for d in nbrs[n])
+            best = max(counts.values())
+            nxt[n] = min(l for l, c in counts.items() if c == best)
+        lbl = nxt
+    return lbl
+
+
+def test_label_propagation_separates_bridged_triangles(spark):
+    """Two triangles joined by one bridge edge: each collapses to a
+    single community, and the bridge does NOT merge them (the exact
+    behavior that distinguishes LPA from connected components, which
+    would return one component)."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    und = [
+        ("a", "b"), ("a", "c"), ("b", "c"),
+        ("d", "e"), ("d", "f"), ("e", "f"),
+        ("c", "d"),
+    ]
+    edge_list = und + [(d, s) for s, d in und]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert got == _lp_reference(edge_list, 3)
+    assert got["a"] == got["b"] == got["c"]
+    assert got["d"] == got["e"] == got["f"]
+    assert got["a"] != got["d"]
+    # contrast: CC merges everything through the bridge
+    cc = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges.toDF("doc1", "doc2"), "doc1", "doc2"
+        ).collect()
+    }
+    assert len(set(cc.values())) == 1
+
+
+def test_label_propagation_matches_reference_and_partitioning(spark):
+    """A pseudo-random digraph replayed against the driver-side
+    reference, and invariant under input partitioning."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edge_list = [
+        (f"n{(i * 7) % 23}", f"n{(i * 13 + 5) % 23}")
+        for i in range(80)
+        if (i * 7) % 23 != (i * 13 + 5) % 23
+    ]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    want = _lp_reference(edge_list, 4)
+    for df in (edges.coalesce(1), edges.repartition(13)):
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(df, iterations=4).collect()
+        }
+        assert got == want
