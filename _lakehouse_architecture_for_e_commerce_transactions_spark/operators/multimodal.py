@@ -1289,3 +1289,161 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("audio"))
         .alias("media_type"),
     )
+
+
+RESIZED_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("out_h", LongType(), True),
+        StructField("out_w", LongType(), True),
+        StructField("content_sum", LongType(), True),
+        StructField("content_min", LongType(), True),
+        StructField("content_max", LongType(), True),
+        StructField("top_row_sum", LongType(), True),  # orientation pin
+    ]
+)
+
+
+def resize_image_stats(media: DataFrame, factor: int = 2) -> DataFrame:
+    """The RESIZE verb of the multimodal pipeline: decode each image
+    payload (BMP/PNG/GIF/JPEG — the real decoders), box-downsample by
+    an integer ``factor`` (each output value is the floor-mean of a
+    factor×factor input block, per channel; H and W are cropped down
+    to multiples of ``factor`` first, the standard convention), and
+    reduce the RESIZED pixels to exact integer stats. Floor-mean keeps
+    every value integral, so the whole resize is reproducible in exact
+    arithmetic by a SQL oracle — no float filter kernels, no rounding
+    modes to disagree on.
+
+    Scale shape: Arrow-batched ``mapInPandas``; payloads never leave
+    the executor task and the resize is one numpy reshape-sum per
+    image. Poison payloads yield NULL stats with the header format
+    (corpus jobs must survive crafted files)."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    bmp_core, _, png_core, gif_core, jpeg_core = _make_content_decoders()
+    header_core = _make_header_parser()
+    f = int(factor)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        def one(b: bytes) -> tuple:
+            meta = header_core(b) or {}
+            fmt = meta.get("format")
+            try:
+                if fmt in ("bmp", "png", "gif", "jpeg"):
+                    core = {
+                        "bmp": bmp_core,
+                        "png": png_core,
+                        "gif": gif_core,
+                        "jpeg": jpeg_core,
+                    }[fmt]
+                    px = core(b).astype("int64")
+                    h2, w2 = px.shape[0] // f, px.shape[1] // f
+                    if h2 == 0 or w2 == 0:
+                        return (fmt, None, None, None, None, None, None)
+                    c = px.shape[2]
+                    rs = (
+                        px[: h2 * f, : w2 * f]
+                        .reshape(h2, f, w2, f, c)
+                        .sum(axis=(1, 3))
+                        // (f * f)
+                    )
+                    return (
+                        fmt, h2, w2, int(rs.sum()), int(rs.min()),
+                        int(rs.max()), int(rs[0].sum()),
+                    )
+            except (
+                NotImplementedError,
+                ValueError,
+                IndexError,
+                KeyError,
+                _struct.error,
+                _zlib.error,
+            ):
+                pass
+            return (fmt, None, None, None, None, None, None)
+
+        for pdf in it:
+            stats = [one(bytes(p)) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [s[0] for s in stats],
+                    "out_h": [s[1] for s in stats],
+                    "out_w": [s[2] for s in stats],
+                    "content_sum": [s[3] for s in stats],
+                    "content_min": [s[4] for s in stats],
+                    "content_max": [s[5] for s in stats],
+                    "top_row_sum": [s[6] for s in stats],
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_STATS_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("energy_sq", LongType(), True),
+        StructField("peak_abs", LongType(), True),
+        StructField("zero_crossings", LongType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """The FEATURE-EXTRACT verb for audio payloads: decode 16-bit PCM
+    WAV samples (the real RIFF walk) and compute the classic integer
+    time-domain features over channel 0 — total energy (Σ s², exact),
+    peak amplitude (max |s|), and zero-crossing count (sign flips
+    between consecutive samples, negative vs non-negative) — all in
+    BIGINT arithmetic so a SQL oracle replays them bit-for-bit from
+    the generating formulas. Non-WAV or poison payloads yield NULL
+    features (corpus jobs must survive crafted files)."""
+    _, wav_core, *_ = _make_content_decoders()
+    header_core = _make_header_parser()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def one(b: bytes) -> tuple:
+            meta = header_core(b) or {}
+            if meta.get("format") != "wav":
+                return (None, None, None, None)
+            try:
+                _, s = wav_core(b)
+                ch0 = s[:, 0].astype("int64")
+                if ch0.size == 0:
+                    return (0, 0, None, None)
+                neg = ch0 < 0
+                return (
+                    int(ch0.size),
+                    int((ch0 * ch0).sum()),
+                    int(abs(ch0).max()),
+                    int((neg[1:] != neg[:-1]).sum()),
+                )
+            except (NotImplementedError, ValueError, _struct.error):
+                return (None, None, None, None)
+
+        for pdf in it:
+            stats = [one(bytes(p)) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": [s[0] for s in stats],
+                    "energy_sq": [s[1] for s in stats],
+                    "peak_abs": [s[2] for s in stats],
+                    "zero_crossings": [s[3] for s in stats],
+                }
+            )
+
+    return media.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)

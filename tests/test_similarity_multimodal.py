@@ -1062,3 +1062,82 @@ def test_jpeg_through_decoded_stats_path(spark):
     assert abs(r1["content_sum"] - int(want.sum())) <= 16 * 24
     assert rows[2]["format"] == "jpeg"
     assert rows[2]["content_sum"] is None  # poison -> clean NULLs
+
+
+def _bmp_bytes_gradient(w: int, h: int, seed: int) -> bytes:
+    import struct
+
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytes((seed + i) % 256 for i in range(stride * h))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + dib + body
+
+
+def test_resize_image_stats_matches_numpy_reference(spark):
+    """2× box downsample of a real decoded BMP equals an explicit
+    numpy floor-mean reference, orientation included; factor=1 is the
+    identity (same stats as extract_decoded_stats); poison payloads
+    yield NULL stats."""
+    payload = _bmp_bytes_gradient(16, 4, seed=77)
+    px = MM.decode_bmp_pixels(payload).astype("int64")
+    ref = px.reshape(2, 2, 8, 2, 3).sum(axis=(1, 3)) // 4
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(payload), "image"),
+            (2, bytearray(b"BM\x01trunc"), "image"),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: r
+        for r in MM.resize_image_stats(media, factor=2).collect()
+    }
+    good = rows[1]
+    assert (good["out_h"], good["out_w"]) == (2, 8)
+    assert good["content_sum"] == int(ref.sum())
+    assert good["content_min"] == int(ref.min())
+    assert good["content_max"] == int(ref.max())
+    assert good["top_row_sum"] == int(ref[0].sum())
+    assert rows[2]["content_sum"] is None
+
+    ident = {
+        r["media_id"]: r
+        for r in MM.resize_image_stats(media, factor=1).collect()
+    }[1]
+    assert ident["content_sum"] == int(px.sum())
+    assert ident["top_row_sum"] == int(px[0].sum())
+    assert (ident["out_h"], ident["out_w"]) == (4, 16)
+
+
+def test_extract_audio_features_known_waveform(spark):
+    """A hand-built WAV with a known sign pattern: features must match
+    the closed-form energy/peak/crossing counts; non-WAV payloads get
+    NULL features."""
+    import struct
+
+    samples = [100, -200, 300, -400, 0, -1, 7]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    media = spark.createDataFrame(
+        [(5, bytearray(wav), "audio"), (6, bytearray(b"nope"), "audio")],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: r
+        for r in MM.extract_audio_features(media).collect()
+    }
+    got = rows[5]
+    assert got["n_samples"] == 7
+    assert got["energy_sq"] == sum(s * s for s in samples)
+    assert got["peak_abs"] == 400
+    # sign pattern + - + - 0 - +  (0 counts as non-negative): 6 flips
+    assert got["zero_crossings"] == 6
+    assert rows[6]["n_samples"] is None
