@@ -721,7 +721,7 @@ def read(
     )
 
 
-_PRUNE_OPS = ("==", "<", "<=", ">", ">=", "in")
+_PRUNE_OPS = ("==", "<", "<=", ">", ">=", "in", "is_null", "not_null")
 
 
 def _file_maybe_matches(
@@ -749,6 +749,21 @@ def _file_maybe_matches(
     for col, op, val in predicates:
         st = (entry.get("cols") or {}).get(col)
         if st is None:
+            continue
+        if op == "is_null":
+            # null-count skipping (Delta nullCount / Iceberg
+            # null_value_counts): a file with zero recorded nulls
+            # cannot satisfy IS NULL
+            if st.get("nulls") == 0:
+                return False
+            continue
+        if op == "not_null":
+            if (
+                st.get("nulls") is not None
+                and entry.get("rows")
+                and st["nulls"] == entry["rows"]
+            ):
+                return False  # all-null column: IS NOT NULL matches none
             continue
         lo, hi = _dec_stat(st["min"]), _dec_stat(st["max"])
         if lo is None or hi is None:
@@ -797,6 +812,10 @@ def _part_maybe_matches(
         i = pidx.get(col)
         if i is None:
             continue
+        if op in ("is_null", "not_null"):
+            # partition values are hive strings; a null-keyed partition
+            # has no canonical encoding here, so fail open
+            continue
         raw = part_vals[i]
         if op == "in":
             try:
@@ -840,6 +859,10 @@ def _residual(predicates: list[tuple]):
         c = F.col(col)
         if op == "in":
             this = c.isin(list(val))
+        elif op == "is_null":
+            this = c.isNull()
+        elif op == "not_null":
+            this = c.isNotNull()
         else:
             this = {
                 "==": c == F.lit(val),
@@ -868,9 +891,11 @@ def read_where(
     ``read().filter(...)`` whether or not stats exist.
 
     ``predicates`` is a conjunction of ``(column, op, literal)`` with op
-    in ``== < <= > >= in`` (``in`` takes a list literal and prunes when
-    no member can match — stats, blooms, partition values, and declared
-    transforms all participate). Pass a dict as ``report`` to receive
+    in ``== < <= > >= in is_null not_null`` (``in`` takes a list literal
+    and prunes when no member can match — stats, blooms, partition
+    values, and declared transforms all participate; the null tests
+    ignore their literal and prune from recorded per-file null counts,
+    Delta's nullCount skipping). Pass a dict as ``report`` to receive
     ``{"files_total": N, "files_kept": K}`` (tests/benchmarks assert the
     skip actually happened).
 
@@ -2067,7 +2092,7 @@ def _transposed_predicates(path: str, predicates: list[tuple]) -> list[tuple]:
     out: list[tuple] = []
     for t in partition_transforms(path):
         for col, op, val in predicates:
-            if col != t["source"]:
+            if col != t["source"] or op in ("is_null", "not_null"):
                 continue
             if op == "in":
                 dvals = [_transform_value(t, v) for v in val]

@@ -571,3 +571,58 @@ def test_optimize_zorder_recluster_enables_skipping(spark, tmp_path):
         spark, pp, [("part", "==", "1"), ("amt", "<", 10.0)]
     )
     assert got.count() == pdf.filter("part = '1' and amt < 10").count()
+
+
+def test_null_count_pruning(spark, tmp_path):
+    """IS NULL / IS NOT NULL predicates prune from recorded per-file
+    null counts: a no-null file never scans for is_null, an all-null
+    file never scans for not_null, and results always equal the
+    unpruned filter."""
+    path = str(tmp_path / "t")
+    # file A: no nulls            file B: mixed           file C: all null
+    a = [(i, float(i)) for i in range(100)]
+    b = [(100 + i, float(i) if i % 2 else None) for i in range(100)]
+    c = [(200 + i, None) for i in range(100)]
+    schema = "id long, v double"
+    df = spark.createDataFrame(a + b + c, schema)
+    S.commit(
+        spark, spark.createDataFrame(a, schema).coalesce(1), path,
+        stats_for=["v"],
+    )
+    for grp in (b, c):
+        S.commit(
+            spark, spark.createDataFrame(grp, schema).coalesce(1), path,
+            mode="append", stats_for=["v"],
+        )
+    snap = S.load_snapshot(path)
+    assert snap.file_stats and len(snap.file_stats) == 3
+
+    rep: dict = {}
+    got = S.read_where(spark, path, [("v", "is_null", None)], report=rep)
+    want = df.filter(F.col("v").isNull())
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in want.collect()
+    )
+    # the no-null file is pruned at planning time
+    assert rep["files_kept"] == 2 and rep["files_total"] == 3
+
+    rep = {}
+    got = S.read_where(spark, path, [("v", "not_null", None)], report=rep)
+    want = df.filter(F.col("v").isNotNull())
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in want.collect()
+    )
+    # the all-null file is pruned at planning time
+    assert rep["files_kept"] == 2 and rep["files_total"] == 3
+
+    # composes with value conjuncts: not_null + range hits one file
+    rep = {}
+    got = S.read_where(
+        spark, path,
+        [("v", "not_null", None), ("id", "<", 100)],
+        report=rep,
+    )
+    assert got.count() == 100
+    # stats were only collected for v, so id can't prune — but the
+    # all-null-v file still drops
+    assert rep["files_kept"] == 2
