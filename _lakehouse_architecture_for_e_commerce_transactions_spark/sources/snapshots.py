@@ -678,12 +678,42 @@ def _scan_with_address(spark: SparkSession, snap: Snapshot) -> DataFrame:
     return out
 
 
+def version_at_timestamp(path: str, ts) -> int:
+    """Delta's ``TIMESTAMP AS OF`` resolution: the HIGHEST version
+    committed at or before ``ts`` (float epoch seconds or a datetime).
+    Highest-of-eligible rather than a bisect keeps the answer correct
+    even if commit clocks regressed (writers on skewed hosts); raises
+    if ``ts`` predates the table's first commit, like Delta."""
+    import datetime as _dt
+
+    if isinstance(ts, _dt.datetime):
+        ts = ts.timestamp()
+    eligible = [
+        s.version for s in history(path) if s.committed_at <= float(ts)
+    ]
+    if not eligible:
+        raise ValueError(
+            f"no version of {path} committed at or before {ts}"
+        )
+    return max(eligible)
+
+
 def read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp=None,
 ) -> DataFrame:
-    """Snapshot-isolated read of the latest (or a time-traveled) version.
+    """Snapshot-isolated read of the latest (or a time-traveled) version
+    — by version number (``VERSION AS OF``) or commit time
+    (``timestamp``: ``TIMESTAMP AS OF``, resolved by
+    ``version_at_timestamp``; mutually exclusive with ``version``).
     Columns a commit predates (schema evolution) read as ``null``; rows
     tombstoned by deletion vectors are filtered at scan time."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(path, timestamp)
     snap = load_snapshot(path, version)
     if not snap.part_entries:
         from pyspark.sql import functions as F

@@ -984,3 +984,36 @@ def test_describe_history_operation_metrics(spark, tmp_path):
     cl = str(tmp_path / "cl")
     S.clone(p, cl)
     assert S.describe_history(cl)[0]["metrics"]["source_version"] >= 0
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: a commit-time timestamp resolves to the highest
+    version at or before it; pre-table timestamps raise; version and
+    timestamp are mutually exclusive."""
+    import time
+
+    import pytest
+
+    path = str(tmp_path / "t")
+    S.commit(spark, spark.range(3).toDF("id"), path)
+    t0 = S.load_snapshot(path, 0).committed_at
+    time.sleep(0.05)
+    S.commit(spark, spark.range(3, 5).toDF("id"), path, mode="append")
+    t1 = S.load_snapshot(path, 1).committed_at
+    assert t1 > t0
+
+    mid = (t0 + t1) / 2
+    assert S.version_at_timestamp(path, mid) == 0
+    assert S.read(spark, path, timestamp=mid).count() == 3
+    assert S.read(spark, path, timestamp=t1).count() == 5
+    assert S.read(spark, path, timestamp=time.time() + 60).count() == 5
+
+    import datetime
+
+    dt = datetime.datetime.fromtimestamp(mid)
+    assert S.version_at_timestamp(path, dt) == 0
+
+    with pytest.raises(ValueError):
+        S.version_at_timestamp(path, t0 - 10)
+    with pytest.raises(ValueError):
+        S.read(spark, path, version=1, timestamp=mid)
