@@ -317,3 +317,56 @@ def pq_adc_topk(
         .agg(F.sum("d2_micro").alias("adc_d2"))
     )
     return _two_stage_topk(scored, k)
+
+
+def ivf_pq_refined(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank: int = 20,
+    centroid_stride: int = 37,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-ADC with an exact-rerank REFINE stage (Jégou et al. §V.D —
+    the standard billion-scale quality knob): the compressed index
+    selects ``rerank`` candidates per query by ADC distance, then ONLY
+    those candidates' raw vectors are fetched and exactly cosine-ranked
+    to produce the final top-``k``. Closes most of the PQ quantization
+    error at the cost of ``rerank`` full-width vector reads per query —
+    at 100 TB the refine join touches k'·|queries| rows of the corpus
+    by id equi-join (a point-lookup pattern the Bloom/stats skipping
+    layer serves), never a scan. Returns (qid, cid, cos, rank)."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.functions import (
+        vectors as V,
+    )
+
+    cand = ivf_pq_topk(
+        spark, queries, corpus, codebooks, id_col, vec_col,
+        k=rerank, centroid_stride=centroid_stride, nprobe=nprobe,
+    ).select("qid", "cid")
+    q = queries.select(
+        F.col(id_col).alias("qid"), V.as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"), V.as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        cand.join(q, "qid")
+        .join(c, "cid")
+        .withColumn(
+            "cos", F.round(V.cosine(F.col("qv"), F.col("cv")), 6)
+        )
+        .select("qid", "cid", "cos")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("cid")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cos", "rank")
+    )

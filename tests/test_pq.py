@@ -126,3 +126,47 @@ def test_ivf_pq_prunes_candidates(spark):
     for r in out:
         by_q.setdefault(r["qid"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_ivf_pq_refined_reranks_exactly_and_helps_recall(spark):
+    """The refine stage: (a) the returned cos values equal the exact
+    cosine of each (query, candidate) pair; (b) refined top-k recall
+    against exact ground truth is >= the raw ADC top-k recall (the
+    whole point of fetching raw vectors for the shortlist)."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        similarity as SIM,
+    )
+
+    df, rows = _corpus(spark)
+    queries = df.filter("vec_id IN (3, 17)")
+    corpus = df.filter("vec_id NOT IN (3, 17)")
+    books = PQ.pq_codebooks_head(corpus, m=2, k_codes=4)
+    K = 3
+    refined = PQ.ivf_pq_refined(
+        spark, queries, corpus, books,
+        k=K, rerank=10, centroid_stride=7, nprobe=3,
+    ).collect()
+    adc = PQ.ivf_pq_topk(
+        spark, queries, corpus, books,
+        k=K, centroid_stride=7, nprobe=3,
+    ).collect()
+    exact = {
+        (r["qid"], r["cid"])
+        for r in SIM.cosine_topk(queries, corpus, k=K).collect()
+    }
+
+    byq = {}
+    for r in rows:
+        byq[r[0]] = np.array(r[1], dtype=float)
+    for r in refined:
+        want = float(
+            byq[r["qid"]] @ byq[r["cid"]]
+            / (np.linalg.norm(byq[r["qid"]]) * np.linalg.norm(byq[r["cid"]]))
+        )
+        assert abs(r["cos"] - round(want, 6)) < 1e-9
+
+    hit_ref = len({(r["qid"], r["cid"]) for r in refined} & exact)
+    hit_adc = len({(r["qid"], r["cid"]) for r in adc} & exact)
+    assert hit_ref >= hit_adc
+    # sanity: both return exactly k per query
+    assert len(refined) == 2 * K and len(adc) == 2 * K
