@@ -2161,14 +2161,46 @@ def check_constraints(path: str) -> dict[str, str]:
     return dict(_load_table_meta(path).get("constraints", {}))
 
 
+def set_generated_column(path: str, col: str, expression: str) -> None:
+    """Register a generated column (Delta's ``GENERATED ALWAYS AS``):
+    every future write either omits ``col`` — it is computed from
+    ``expression`` inside the write — or supplies values that
+    null-safe-equal the expression (enforced like a CHECK constraint,
+    failing the write before publication)."""
+    meta = _load_table_meta(path)
+    meta.setdefault("generated", {})[col] = expression
+    _store_table_meta(path, meta)
+
+
+def drop_generated_column(path: str, col: str) -> None:
+    meta = _load_table_meta(path)
+    meta.get("generated", {}).pop(col, None)
+    _store_table_meta(path, meta)
+
+
+def generated_columns(path: str) -> dict[str, str]:
+    return dict(_load_table_meta(path).get("generated", {}))
+
+
 def _apply_constraint_guard(df: DataFrame, path: str) -> DataFrame:
-    """Enforce CHECK constraints with zero extra scans: wrap the first
-    column in a ``raise_error`` guard evaluated during the data write
-    itself, so a violating row fails the write job *before* publication
-    (the crashed commit dir is unreferenced — vacuum fodder), exactly
-    like Delta's per-task invariant checks. No pre-scan, no second pass.
-    """
+    """Apply the table's write rules with zero extra scans: generated
+    columns are computed (when omitted) or validated (when supplied —
+    value must null-safe-equal the expression), then CHECK constraints
+    are enforced by wrapping the first column in a ``raise_error``
+    guard evaluated during the data write itself, so a violating row
+    fails the write job *before* publication (the crashed commit dir is
+    unreferenced — vacuum fodder), exactly like Delta's per-task
+    invariant checks. No pre-scan, no second pass."""
     constraints = check_constraints(path)
+    for col, expr in generated_columns(path).items():
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr))
+        else:
+            # synthesized invariant, same guard machinery as CHECK
+            constraints = {
+                **constraints,
+                f"generated column {col}": f"{col} <=> ({expr})",
+            }
     if not constraints:
         return df
     first = df.schema.fields[0]
@@ -2440,6 +2472,44 @@ def describe_history(path: str) -> list[dict]:
         }
         for s in reversed(history(path))
     ]
+
+
+def describe_detail(path: str, version: int | None = None) -> dict:
+    """Delta's DESCRIBE DETAIL: one dict summarizing the table's head
+    (or a time-traveled) snapshot — format/location/version, live file
+    count and byte size (after deletion-vector accounting the ROW count
+    is ``table_stats``'s job; here files are physical), partition and
+    clustering metadata, which columns carry stats/blooms, and the
+    table properties (constraints, generated columns, hidden-partition
+    transforms). Manifest + ``os.stat`` only — no data-file reads."""
+    snap = load_snapshot(path, version)
+    files = data_files(path, snap.version)
+    size = 0
+    for f in files:
+        try:
+            size += os.stat(f).st_size
+        except OSError:
+            pass
+    meta = _load_table_meta(path)
+    return {
+        "format": "parquet+manifest",
+        "location": path,
+        "version": snap.version,
+        "committed_at": snap.committed_at,
+        "last_op": snap.op,
+        "num_files": len(files),
+        "size_bytes": size,
+        "num_dv_files": len(snap.dv_files or []),
+        "num_deleted_rows": sum((snap.dv_dead or {}).values()),
+        "partition_columns": list(snap.partition_by or []),
+        "stats_columns": list(snap.stats_cols or []),
+        "bloom_columns": list(snap.bloom_cols or []),
+        "properties": {
+            "constraints": dict(meta.get("constraints", {})),
+            "generated": dict(meta.get("generated", {})),
+            "transforms": list(meta.get("transforms", [])),
+        },
+    }
 
 
 def vacuum(path: str, keep_last: int = 1) -> list[str]:

@@ -1017,3 +1017,76 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         S.version_at_timestamp(path, t0 - 10)
     with pytest.raises(ValueError):
         S.read(spark, path, version=1, timestamp=mid)
+
+
+def test_generated_columns_compute_and_enforce(spark, tmp_path):
+    """GENERATED ALWAYS AS: omitted generated columns are computed
+    inside the write; supplied values must null-safe-equal the
+    expression or the commit fails pre-publication; constraints see the
+    computed column."""
+    path = str(tmp_path / "t")
+    S.set_generated_column(path, "total", "price * qty")
+    S.commit(
+        spark,
+        spark.createDataFrame(
+            [(1, 2.0, 3), (2, 5.0, 4)], "id long, price double, qty long"
+        ),
+        path,
+    )
+    got = {r["id"]: r["total"] for r in S.read(spark, path).collect()}
+    assert got == {1: 6.0, 2: 20.0}
+
+    # explicit matching values pass (append keeps schema compatible)
+    S.commit(
+        spark,
+        spark.createDataFrame(
+            [(3, 1.5, 2, 3.0)],
+            "id long, price double, qty long, total double",
+        ),
+        path,
+        mode="append",
+    )
+    assert S.read(spark, path).count() == 3
+
+    # explicit WRONG value fails the write before publication
+    v_before = S.load_snapshot(path).version
+    with pytest.raises(Exception, match="generated column"):
+        S.commit(
+            spark,
+            spark.createDataFrame(
+                [(4, 1.0, 1, 99.0)],
+                "id long, price double, qty long, total double",
+            ),
+            path,
+            mode="append",
+        )
+    assert S.load_snapshot(path).version == v_before
+
+    assert S.generated_columns(path) == {"total": "price * qty"}
+    S.drop_generated_column(path, "total")
+    assert S.generated_columns(path) == {}
+
+
+def test_describe_detail(spark, tmp_path):
+    """DESCRIBE DETAIL: manifest-only table summary — files, bytes, DV
+    accounting, partition/stats metadata, and table properties."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    S.set_check_constraint(path, "pos", "id >= 0")
+    S.commit(
+        spark,
+        spark.range(100).toDF("id").withColumn("v", F.col("id") * 2),
+        path,
+        stats_for=["id"],
+    )
+    S.delete_where_dv(spark, path, "id < 10")
+    d = S.describe_detail(path)
+    assert d["version"] == 1 and d["last_op"] == "DELETE"
+    assert d["num_files"] >= 1 and d["size_bytes"] > 0
+    assert d["num_dv_files"] == 1 and d["num_deleted_rows"] == 10
+    assert d["stats_columns"] == ["id"]
+    assert d["properties"]["constraints"] == {"pos": "id >= 0"}
+    # time travel: version 0 has no DVs
+    d0 = S.describe_detail(path, version=0)
+    assert d0["num_dv_files"] == 0 and d0["num_deleted_rows"] == 0
