@@ -526,6 +526,7 @@ def commit(
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
+    df = _stamp_identity(df, path)
     df = _apply_constraint_guard(df, path)
     if cluster_by:
         df = _cluster_shape(df, list(cluster_by), n_files)
@@ -1091,6 +1092,11 @@ def merge_commit(
         merge as M,
     )
 
+    if identity_column(path):
+        raise ValueError(
+            "identity columns are supported on commit() tables only; "
+            "MERGE keys rows by an explicit primary key"
+        )
     cols = [f.name for f in spec.schema.fields]
     source = source.select(*cols)
     if check_source_unique:
@@ -2182,6 +2188,93 @@ def generated_columns(path: str) -> dict[str, str]:
     return dict(_load_table_meta(path).get("generated", {}))
 
 
+_IDENT = "_identity"
+
+
+def set_identity_column(path: str, col: str, start: int = 1) -> None:
+    """Register an identity column (Delta's ``GENERATED ALWAYS AS
+    IDENTITY``): writes must OMIT ``col`` — ``commit`` assigns each row
+    a unique BIGINT greater than every previously assigned value.
+    Values come from ranges reserved in an O_EXCL allocation log (the
+    same publication protocol as manifests), so CONCURRENT writers
+    never collide and a crashed write simply burns its range — gaps
+    are part of the identity contract, exactly as in Delta. The
+    watermark survives overwrites (ids never repeat across the
+    table's whole history)."""
+    meta = _load_table_meta(path)
+    meta["identity"] = {"col": col, "start": int(start)}
+    _store_table_meta(path, meta)
+
+
+def identity_column(path: str) -> dict | None:
+    return _load_table_meta(path).get("identity")
+
+
+def _identity_head(path: str, start: int) -> tuple[int, int]:
+    """(latest allocation seq, current high watermark)."""
+    d = os.path.join(path, _IDENT)
+    try:
+        seqs = sorted(
+            int(n.split(".")[0])
+            for n in os.listdir(d)
+            if n.endswith(".json")
+        )
+    except FileNotFoundError:
+        seqs = []
+    if not seqs:
+        return -1, start - 1
+    with open(os.path.join(d, f"{seqs[-1]:010d}.json")) as f:
+        return seqs[-1], int(json.load(f)["high"])
+
+
+def _allocate_identity_range(
+    path: str, span: int, start: int, max_retries: int = 50
+) -> int:
+    """Atomically reserve the id range (base, base+span]; returns base.
+    Content is written to a temp file and published by ``os.link`` (an
+    atomic create-if-absent with the bytes already durable), so a
+    reader can never observe a torn allocation."""
+    d = os.path.join(path, _IDENT)
+    os.makedirs(d, exist_ok=True)
+    for _ in range(max_retries):
+        seq, high = _identity_head(path, start)
+        target = os.path.join(d, f"{seq + 1:010d}.json")
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"high": high + span}, f)
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            continue  # lost the race: re-read the new head
+        finally:
+            os.unlink(tmp)
+        return high
+    raise RuntimeError(f"identity allocation contention at {path}")
+
+
+def _stamp_identity(df: DataFrame, path: str) -> DataFrame:
+    """Assign identity values for a write that omits the column. The
+    input is pinned by ``localCheckpoint`` so the partition count (the
+    range-span bound: ids are ``base + 1 + partition<<33 + row``) and
+    row membership cannot shift between sizing and stamping."""
+    ident = identity_column(path)
+    if not ident:
+        return df
+    icol = ident["col"]
+    if icol in df.columns:
+        raise ValueError(
+            f"column {icol!r} is GENERATED ALWAYS AS IDENTITY; "
+            "omit it from writes"
+        )
+    df = df.localCheckpoint(eager=True)
+    span = max(1, df.rdd.getNumPartitions()) << 33
+    base = _allocate_identity_range(path, span, ident["start"])
+    return df.withColumn(
+        icol,
+        (F.lit(base + 1) + F.monotonically_increasing_id()).cast("long"),
+    )
+
+
 def _apply_constraint_guard(df: DataFrame, path: str) -> DataFrame:
     """Apply the table's write rules with zero extra scans: generated
     columns are computed (when omitted) or validated (when supplied —
@@ -2507,6 +2600,7 @@ def describe_detail(path: str, version: int | None = None) -> dict:
         "properties": {
             "constraints": dict(meta.get("constraints", {})),
             "generated": dict(meta.get("generated", {})),
+            "identity": meta.get("identity"),
             "transforms": list(meta.get("transforms", [])),
         },
     }

@@ -1090,3 +1090,55 @@ def test_describe_detail(spark, tmp_path):
     # time travel: version 0 has no DVs
     d0 = S.describe_detail(path, version=0)
     assert d0["num_dv_files"] == 0 and d0["num_deleted_rows"] == 0
+
+
+def test_identity_column_assignment_and_monotonicity(spark, tmp_path):
+    """GENERATED ALWAYS AS IDENTITY: omitted column gets unique BIGINTs;
+    every later commit's ids exceed every earlier id (watermark survives
+    appends AND overwrites); explicit values are rejected; reserved
+    ranges never collide even when allocated from the same head."""
+    path = str(tmp_path / "t")
+    S.set_identity_column(path, "id", start=100)
+    S.commit(
+        spark,
+        spark.createDataFrame([("a",), ("b",), ("c",)], "name string"),
+        path,
+    )
+    first = [r["id"] for r in S.read(spark, path).collect()]
+    assert len(set(first)) == 3 and min(first) >= 100
+
+    S.commit(
+        spark,
+        spark.createDataFrame([("d",), ("e",)], "name string"),
+        path,
+        mode="append",
+    )
+    rows = {r["name"]: r["id"] for r in S.read(spark, path).collect()}
+    assert len(set(rows.values())) == 5
+    assert min(rows["d"], rows["e"]) > max(first)
+
+    # watermark survives an overwrite
+    S.commit(
+        spark, spark.createDataFrame([("z",)], "name string"), path
+    )
+    z = S.read(spark, path).collect()[0]["id"]
+    assert z > max(rows.values())
+
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        S.commit(
+            spark,
+            spark.createDataFrame([("x", 1)], "name string, id long"),
+            path,
+            mode="append",
+        )
+
+    # two allocations from the same observed head reserve disjoint ranges
+    b1 = S._allocate_identity_range(path, 10, start=100)
+    b2 = S._allocate_identity_range(path, 10, start=100)
+    assert b2 >= b1 + 10
+
+    # MERGE on an identity table is an explicit boundary
+    with pytest.raises(ValueError, match="identity columns"):
+        S.merge_commit(
+            spark, _mdf(spark, [(1, 1.0, "a")]), path, MSPEC
+        )
