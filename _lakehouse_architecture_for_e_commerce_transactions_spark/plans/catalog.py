@@ -6022,6 +6022,74 @@ WHERE 5 * inter >= 2 * (s1.n_sh + s2.n_sh - inter)
 """
 
 
+def q_lsh_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-pipeline tuning, measured not guessed: candidate RECALL of
+    the banded MinHash generator against exact ground truth — every
+    pair with true 3-gram Jaccard >= 1/2 (prefix-filtered exact join,
+    no false negatives) checked for membership in the k=8/r=2 LSH
+    candidate set. One row: pair counts, recall, and candidate
+    precision. This is how bands/rows-per-band get chosen at 100 TB —
+    run on a sample, read the measured recall, size the family — and
+    the whole measurement is deterministic (salted-md5 hash family), so
+    the oracle replays truth, candidates, and both ratios exactly.
+    Companion of `ann_recall_eval` (embeddings) for the text-dedup
+    family."""
+    corpus = _doubled_corpus(spark, sf)
+    truth = TD.jaccard_prefix_pairs(
+        corpus, "doc_id", "text", n=3, threshold_num=1, threshold_den=2
+    ).select("doc1", "doc2")
+    cand = TD.minhash_lsh_pairs(
+        corpus, "doc_id", "text", n=3, k=_MINHASH_K,
+        rows_per_band=_MINHASH_ROWS_PER_BAND,
+    ).select("doc1", "doc2")
+    hit = truth.join(cand, ["doc1", "doc2"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_true", "n_cand", "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
+            F.round(F.col("n_hit") / F.col("n_cand"), 6).alias(
+                "cand_precision"
+            ),
+        )
+    )
+
+
+def _lsh_recall_sql() -> str:
+    return f"""
+WITH corpus AS ({_DOUBLED_CORPUS_SQL}),
+tok AS (SELECT doc_id AS doc,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM corpus),
+sh AS (SELECT DISTINCT doc, array_to_string(toks[i:i+2], ' ') AS shingle
+       FROM tok, unnest(generate_series(1, len(toks) - 2)) AS t(i)),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2),
+truth AS (
+  SELECT doc1, doc2
+  FROM inter JOIN sizes s1 ON s1.doc = doc1 JOIN sizes s2 ON s2.doc = doc2
+  WHERE 2 * inter >= 1 * (s1.n_sh + s2.n_sh - inter)),
+cand AS (SELECT * FROM ({_minhash_sql()}) q),
+hit AS (SELECT t.doc1, t.doc2 FROM truth t
+        JOIN cand c ON c.doc1 = t.doc1 AND c.doc2 = t.doc2),
+sel AS (SELECT (SELECT count(*) FROM truth) AS nt,
+               (SELECT count(*) FROM cand) AS nc,
+               (SELECT count(*) FROM hit) AS nh)
+SELECT CAST(nt AS BIGINT) AS n_true,
+       CAST(nc AS BIGINT) AS n_cand,
+       CAST(nh AS BIGINT) AS n_hit,
+       round(nh / CAST(nt AS DOUBLE), 6) AS recall,
+       round(nh / CAST(nc AS DOUBLE), 6) AS cand_precision
+FROM sel
+"""
+
+
 def q_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user triangle counts over a co-engagement graph: users are
     adjacent when they share >= 3 distinct (event_type, hour) activity
@@ -7404,6 +7472,7 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     ),
     "tfidf_topk_terms": QueryDef(q_tfidf_topk_terms, _TFIDF_SQL),
     "bigram_logprob": QueryDef(q_bigram_logprob, _BIGRAM_SQL),
+    "lsh_recall_eval": QueryDef(q_lsh_recall_eval, _lsh_recall_sql()),
     "jaccard_prefix_pairs": QueryDef(
         q_jaccard_prefix_pairs, _JACCARD_PREFIX_SQL
     ),
@@ -7485,6 +7554,7 @@ _WINDOW_FRONT: list[str] = [
     "image_resize_stats",
     "audio_features",
     "ivf_pq_refined",
+    "lsh_recall_eval",
     # round-3b/4 queries (driver-green in round 4)
     "jaccard_prefix_pairs",
     "triangle_counts",
@@ -7528,7 +7598,6 @@ _WINDOW_FRONT: list[str] = [
     "events_hopping",
     "ivf_pq_topk",
     "cohort_retention",
-    "doc_char_entropy",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)
