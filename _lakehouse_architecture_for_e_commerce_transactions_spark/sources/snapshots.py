@@ -2444,10 +2444,22 @@ def compact(
     )
 
 
-def restore(path: str, version: int, max_retries: int = 10) -> int:
+def restore(
+    path: str,
+    version: int | None = None,
+    max_retries: int = 10,
+    timestamp=None,
+) -> int:
     """Delta RESTORE: publish an old version's exact file references as
     the new head — zero data movement, pure manifest write. History is
-    preserved (the bad versions stay time-travelable until vacuum)."""
+    preserved (the bad versions stay time-travelable until vacuum).
+    Target by ``version`` (``RESTORE ... VERSION AS OF``) or
+    ``timestamp`` (``TIMESTAMP AS OF``, resolved by
+    ``version_at_timestamp``) — exactly one of the two."""
+    if (version is None) == (timestamp is None):
+        raise ValueError("pass exactly one of version / timestamp")
+    if timestamp is not None:
+        version = version_at_timestamp(path, timestamp)
     snap = load_snapshot(path, version)
     for _ in range(max_retries):
         head = load_snapshot(path)

@@ -217,3 +217,23 @@ def test_label_propagation_matches_reference_and_partitioning(spark):
             for r in label_propagation(df, iterations=4).collect()
         }
         assert got == want
+
+
+def test_label_propagation_plan_is_equi_join_only(spark):
+    """Plan pin: each LPA round is an equi-join + groupBy + bounded
+    per-node window — no cartesian, no nested loop, so a round's cost
+    scales with |E|, not |V|²."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.graph import (
+        label_propagation,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.plans.explain import (
+        executed_plan_text,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"n{i % 11}", f"n{(i * 3 + 1) % 11}") for i in range(40)],
+        "src string, dst string",
+    )
+    plan = executed_plan_text(label_propagation(edges, iterations=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1142,3 +1142,21 @@ def test_identity_column_assignment_and_monotonicity(spark, tmp_path):
         S.merge_commit(
             spark, _mdf(spark, [(1, 1.0, "a")]), path, MSPEC
         )
+
+
+def test_restore_by_timestamp(spark, tmp_path):
+    import time
+
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a")]), path)
+    t0 = S.load_snapshot(path, 0).committed_at
+    time.sleep(0.05)
+    S.commit(spark, _df(spark, [(2, "bad")]), path)
+    t1 = S.load_snapshot(path, 1).committed_at
+    v = S.restore(path, timestamp=(t0 + t1) / 2)
+    assert v == 2
+    assert {r["k"] for r in S.read(spark, path).collect()} == {1}
+    with pytest.raises(ValueError, match="exactly one"):
+        S.restore(path)
+    with pytest.raises(ValueError, match="exactly one"):
+        S.restore(path, version=0, timestamp=t0)
