@@ -490,3 +490,47 @@ def label_propagation(
             )
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling (Seidman 1983; the Batagelj-Zaversnik
+    iteration relationalized): each round drops every node with degree
+    < ``k`` in the CURRENT subgraph, together with its edges — after
+    enough rounds the survivor set is exactly the k-core (cohesive
+    subgraph where everyone keeps >= k neighbors). A FIXED ``rounds``
+    makes the result a pure function of the edge list (both engines
+    replay the same peels); callers needing the true fixpoint raise
+    ``rounds`` — peeling is monotone, so extra rounds are no-ops once
+    converged. Undirected graphs: supply both edge directions.
+
+    Returns (node, degree): survivors with their degree in the
+    surviving subgraph. Scale shape per round: one groupBy(src) degree
+    count + two semi-joins — all equi-joins on the edge key, no window,
+    no collect; ``localCheckpoint`` keeps the iterated plan flat."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        e = (
+            e.join(keep, e.src == keep.node, "left_semi")
+            .join(keep, e.dst == keep.node, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("src").alias("node"), "degree")
+    )

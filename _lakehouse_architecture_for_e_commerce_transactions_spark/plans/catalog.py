@@ -5077,6 +5077,59 @@ r{i} AS (SELECT n.node,
 _PAGERANK_SQL = _pagerank_sql()
 
 
+def q_k_core_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core decomposition (operators/graph.py:k_core — fixed-round
+    Seidman peeling): nodes of the user ↔ event-type graph surviving 4
+    rounds of degree-<3 removal, with their degree in the surviving
+    subgraph. The cohesive-subgraph primitive for spam/bot rings and
+    engagement cores; each peel is a degree count + two semi-joins, and
+    a fixed round count makes the result a pure function of the edge
+    list, replayed by the oracle as 4 unrolled peels."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        graph as G,
+    )
+
+    ev = load_table(spark, sf, "events")
+    pairs = ev.select("user_id", "event_type").distinct()
+    u = F.concat(F.lit("u"), F.col("user_id"))
+    t = F.concat(F.lit("t"), F.col("event_type"))
+    edges = pairs.select(u.alias("src"), t.alias("dst")).unionByName(
+        pairs.select(t.alias("src"), u.alias("dst"))
+    )
+    return G.k_core(edges, k=3, rounds=4)
+
+
+def _k_core_sql(k: int = 3, rounds: int = 4) -> str:
+    parts = [
+        """
+WITH pairs AS (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
+         't' || event_type AS t
+  FROM events),
+e0 AS (SELECT u AS src, t AS dst FROM pairs
+       UNION ALL
+       SELECT t AS src, u AS dst FROM pairs)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f""",
+k{i} AS (SELECT src FROM e{p} GROUP BY src HAVING count(*) >= {k}),
+e{i} AS (SELECT e.src, e.dst FROM e{p} e
+         JOIN k{i} a ON a.src = e.src
+         JOIN k{i} b ON b.src = e.dst)"""
+        )
+    parts.append(
+        f"""
+SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+FROM e{rounds} GROUP BY src"""
+    )
+    return "".join(parts)
+
+
+_K_CORE_SQL = _k_core_sql()
+
+
 def q_lp_communities(spark: SparkSession, sf: str) -> DataFrame:
     """Community detection by synchronous label propagation
     (operators/graph.py:label_propagation — plurality-of-neighbors
@@ -7430,6 +7483,7 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "stats_pruned_scan": QueryDef(q_stats_pruned_scan, _STATS_PRUNE_SQL),
     "pagerank_events": QueryDef(q_pagerank_events, _PAGERANK_SQL),
     "lp_communities": QueryDef(q_lp_communities, _LP_SQL),
+    "k_core_nodes": QueryDef(q_k_core_nodes, _K_CORE_SQL),
     "heavy_hitter_terms": QueryDef(
         q_heavy_hitter_terms, _HEAVY_HITTERS_SQL, headline=True
     ),
@@ -7555,6 +7609,7 @@ _WINDOW_FRONT: list[str] = [
     "audio_features",
     "ivf_pq_refined",
     "lsh_recall_eval",
+    "k_core_nodes",
     # round-3b/4 queries (driver-green in round 4)
     "jaccard_prefix_pairs",
     "triangle_counts",
@@ -7597,7 +7652,6 @@ _WINDOW_FRONT: list[str] = [
     "anomaly_events",
     "events_hopping",
     "ivf_pq_topk",
-    "cohort_retention",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

@@ -237,3 +237,50 @@ def test_label_propagation_plan_is_equi_join_only(spark):
     plan = executed_plan_text(label_propagation(edges, iterations=2))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_k_core_matches_reference_peeling(spark):
+    """Fixed-round k-core equals a driver-side peel replay, and once
+    converged extra rounds are no-ops (monotonicity); the classic
+    shape: a 4-clique survives k=3 peeling, pendant chains dissolve."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.graph import (
+        k_core,
+    )
+
+    def reference(edge_list, k, rounds):
+        edges = list(edge_list)
+        for _ in range(rounds):
+            from collections import Counter
+
+            deg = Counter(s for s, _ in edges)
+            keep = {n for n, d in deg.items() if d >= k}
+            edges = [
+                (s, d) for s, d in edges if s in keep and d in keep
+            ]
+        out = {}
+        for s, _ in edges:
+            out[s] = out.get(s, 0) + 1
+        return out
+
+    clique = [
+        (a, b)
+        for a in "abcd"
+        for b in "abcd"
+        if a != b
+    ]
+    chain = [("d", "e"), ("e", "d"), ("e", "f"), ("f", "e")]
+    edge_list = clique + chain
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {
+        r["node"]: r["degree"]
+        for r in k_core(edges, k=3, rounds=4).collect()
+    }
+    assert got == reference(edge_list, 3, 4)
+    # the 4-clique survives with degree 3 each; the chain is peeled
+    assert got == {n: 3 for n in "abcd"}
+    # converged: more rounds change nothing
+    more = {
+        r["node"]: r["degree"]
+        for r in k_core(edges, k=3, rounds=7).collect()
+    }
+    assert more == got
