@@ -2444,6 +2444,35 @@ def compact(
     )
 
 
+def maybe_compact(
+    spark: SparkSession,
+    path: str,
+    max_small_files: int = 8,
+    small_bytes: int = 32 << 20,
+    **compact_kwargs,
+) -> int | None:
+    """Auto-OPTIMIZE policy (Delta's auto compaction, explicit): measure
+    the table's small-file + deletion-vector debt from the manifest and
+    ``os.stat`` alone, and run ``compact`` only when it exceeds the
+    threshold — returns the new version, or None when the layout is
+    healthy. Debt = live data files smaller than ``small_bytes`` plus
+    DV tombstone file sets (each is a read-time anti-join a compaction
+    folds away). Streaming twins use a fixed ``compact_every`` cadence;
+    this is the measured alternative for batch writers: call it after
+    every commit, pay an OPTIMIZE only when the debt is real."""
+    snap = load_snapshot(path)
+    debt = len(snap.dv_files or [])
+    for f in data_files(path, snap.version):
+        try:
+            if os.stat(f).st_size < small_bytes:
+                debt += 1
+        except OSError:
+            pass
+    if debt <= max_small_files:
+        return None
+    return compact(spark, path, **compact_kwargs)
+
+
 def restore(
     path: str,
     version: int | None = None,

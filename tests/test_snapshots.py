@@ -1160,3 +1160,22 @@ def test_restore_by_timestamp(spark, tmp_path):
         S.restore(path)
     with pytest.raises(ValueError, match="exactly one"):
         S.restore(path, version=0, timestamp=t0)
+
+
+def test_maybe_compact_triggers_on_measured_debt(spark, tmp_path):
+    """Auto-OPTIMIZE: healthy layouts are a no-op; accumulated tiny
+    appends + DV tombstones cross the threshold and trigger one
+    compaction that clears the debt."""
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(0, "x")]), path)
+    assert S.maybe_compact(spark, path, max_small_files=8) is None
+    for i in range(1, 9):
+        S.commit(
+            spark, _df(spark, [(i, "x")]).coalesce(1), path, mode="append"
+        )
+    S.delete_where_dv(spark, path, "k = 0")
+    v = S.maybe_compact(spark, path, max_small_files=8)
+    assert v is not None
+    assert S.read(spark, path).count() == 8
+    # debt cleared: compacted layout is healthy again
+    assert S.maybe_compact(spark, path, max_small_files=8) is None
