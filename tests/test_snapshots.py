@@ -1179,3 +1179,34 @@ def test_maybe_compact_triggers_on_measured_debt(spark, tmp_path):
     assert S.read(spark, path).count() == 8
     # debt cleared: compacted layout is healthy again
     assert S.maybe_compact(spark, path, max_small_files=8) is None
+
+
+def test_identity_allocation_is_race_safe(tmp_path):
+    """The O_EXCL allocation log under real thread concurrency: many
+    allocators racing on one table must reserve pairwise-disjoint
+    ranges (no Spark needed — the allocator is pure protocol)."""
+    import threading
+
+    path = str(tmp_path / "t")
+    os.makedirs(path, exist_ok=True)
+    bases: list[tuple[int, int]] = []
+    lock = threading.Lock()
+
+    def worker(span):
+        for _ in range(5):
+            b = S._allocate_identity_range(path, span, start=1)
+            with lock:
+                bases.append((b, span))
+
+    threads = [
+        threading.Thread(target=worker, args=(span,))
+        for span in (10, 100, 1000, 10, 100, 1000, 10, 100)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(bases) == 40
+    ranges = sorted((b, b + s) for b, s in bases)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
