@@ -6513,6 +6513,61 @@ WHERE o_orderkey % 10 != 3
 GROUP BY o_orderpriority
 """
 
+_GENERATED_IDENTITY_SQL = f"""
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bracket,
+       count(*) AS cnt,
+       count(*) AS distinct_ids,
+       CAST(1 AS BIGINT) AS ids_ok,
+       {_money_sum_sql("o_totalprice")} AS rev
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_generated_identity_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Generated + identity columns end to end
+    (sources/snapshots.set_generated_column / set_identity_column):
+    commit orders into a scratch table that declares a GENERATED price
+    bracket and a GENERATED ALWAYS AS IDENTITY row id, supplying
+    NEITHER — the write computes the bracket and allocates unique ids
+    from the O_EXCL range log. The readback aggregates per bracket; the
+    oracle recomputes the bracket expression from raw data, and the
+    identity contract is checked THROUGH the oracle:
+    ``distinct_ids`` must equal ``cnt`` (any id collision breaks the
+    hash) and ``ids_ok`` pins every id at or above the declared start."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as SN,
+    )
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = _tf.mkdtemp(prefix="sparkgraft_genident_")
+    try:
+        SN.set_generated_column(
+            path,
+            "bracket",
+            "CAST(floor(o_totalprice / 50000) AS BIGINT)",
+        )
+        SN.set_identity_column(path, "row_ident", start=1000)
+        SN.commit(spark, o.repartition(4), path)
+        return (
+            SN.read(spark, path)
+            .groupBy("bracket")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.countDistinct("row_ident").alias("distinct_ids"),
+                (F.min("row_ident") >= 1000).cast("long").alias("ids_ok"),
+                money_sum(F.col("o_totalprice")).alias("rev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
+
 
 def q_incremental_minmax(spark: SparkSession, sf: str) -> DataFrame:
     """MIN/MAX maintenance under the same CDC batch as
@@ -7539,6 +7594,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     ),
     "null_semantics": QueryDef(q_null_semantics, _NULL_SEMANTICS_SQL),
     "dv_delete_sim": QueryDef(q_dv_delete_sim, _DV_DELETE_SQL),
+    "generated_identity_sim": QueryDef(
+        q_generated_identity_sim, _GENERATED_IDENTITY_SQL
+    ),
     "incremental_minmax": QueryDef(
         q_incremental_minmax, _INCREMENTAL_MINMAX_SQL
     ),
@@ -7610,6 +7668,7 @@ _WINDOW_FRONT: list[str] = [
     "ivf_pq_refined",
     "lsh_recall_eval",
     "k_core_nodes",
+    "generated_identity_sim",
     # round-3b/4 queries (driver-green in round 4)
     "jaccard_prefix_pairs",
     "triangle_counts",
@@ -7651,7 +7710,6 @@ _WINDOW_FRONT: list[str] = [
     "profile_orders",
     "anomaly_events",
     "events_hopping",
-    "ivf_pq_topk",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)
