@@ -175,15 +175,24 @@ def stream_stream_join(
     right_ts: str = "ts",
     watermark: str = "1 hour",
     max_delay: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: right events join left events
+    """Watermarked stream-stream join: right events join left events
     with the same key arriving within ``[left_ts, left_ts + max_delay]``.
 
     Both sides carry watermarks and the join condition bounds event time in
     both directions, so the engine can size per-side join state and evict
     rows once they can no longer match — the requirement for an unbounded
     run. Works identically on batch frames (condition degenerates to a
-    range predicate)."""
+    range predicate).
+
+    ``how='leftOuter'`` additionally emits every left event that found
+    no partner, with NULL right columns — but only once the global
+    watermark passes ``left_ts + max_delay`` (the engine must be sure
+    no matching right row can still arrive), so outer rows surface a
+    trigger or two after their window closes, which is the documented
+    Structured Streaming outer-join latency, not a bug. ``rightOuter``
+    mirrors it; ``fullOuter`` does both."""
     from pyspark.sql import functions as F
 
     l, r = left.alias("l"), right.alias("r")  # noqa: E741
@@ -199,8 +208,12 @@ def stream_stream_join(
             <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
         )
     )
-    return l.join(r, cond).select(
-        F.col(f"l.{key_col}").alias(key_col),
+    return l.join(r, cond, how).select(
+        # coalesce covers every join type: one side's key is NULL only
+        # on that side's unmatched outer rows
+        F.coalesce(
+            F.col(f"l.{key_col}"), F.col(f"r.{key_col}")
+        ).alias(key_col),
         F.col(f"l.{left_ts}").alias("left_ts"),
         F.col(f"r.{right_ts}").alias("right_ts"),
         *[

@@ -225,3 +225,68 @@ def test_hopping_window_counts_batch(spark, sf_dir):
                                          "12:00:00", "18:00:00"))
         for r in rows
     )
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: the unmatched left event emits
+    with NULL right columns once the global watermark (min across both
+    inputs) passes its join window — surfaced by a second run whose
+    late rows push both sides' event time forward."""
+    import os as _os
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.ingest import (
+        stream_stream_join,
+    )
+
+    lsrc, rsrc = str(tmp_path / "l_src"), str(tmp_path / "r_src")
+    for d in (lsrc, rsrc):
+        _os.makedirs(d, exist_ok=True)
+    with open(f"{lsrc}/l.csv", "w") as f:
+        f.write("k,ts,lv\n"
+                "a,2024-01-01T00:00:00,1\n"
+                "b,2024-01-01T00:00:00,2\n")  # never matched
+    with open(f"{rsrc}/r.csv", "w") as f:
+        f.write("k,ts,rv\n"
+                "a,2024-01-01T00:10:00,10\n")
+
+    schema_l = "k string, ts timestamp, lv int"
+    schema_r = "k string, ts timestamp, rv int"
+
+    out = str(tmp_path / "out")
+
+    def run():
+        ls = (
+            spark.readStream.schema(schema_l).option("header", True)
+            .csv(lsrc)
+        )
+        rs = (
+            spark.readStream.schema(schema_r).option("header", True)
+            .csv(rsrc)
+        )
+        joined = stream_stream_join(
+            ls, rs, "k", max_delay="30 minutes", how="leftOuter"
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # push BOTH watermarks past b's window close (00:30 + 1h delay)
+    with open(f"{lsrc}/l2.csv", "w") as f:
+        f.write("k,ts,lv\nz,2024-01-01T10:00:00,9\n")
+    with open(f"{rsrc}/r2.csv", "w") as f:
+        f.write("k,ts,rv\nz,2024-01-01T09:59:00,9\n")
+    run()
+    run()  # one more trigger for the state-eviction emission
+    rows = {
+        (r["k"], r["l_lv"], r["r_rv"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert ("a", 1, 10) in rows
+    assert ("b", 2, None) in rows
