@@ -1885,13 +1885,18 @@ def snapshot_diff(
     spark: SparkSession,
     path: str,
     key: str | list[str],
-    from_version: int,
+    from_version: int | None = None,
     to_version: int | None = None,
+    from_timestamp=None,
+    to_timestamp=None,
 ) -> DataFrame:
     """Change-data feed between two committed versions (the Delta CDF /
     ``table_changes`` shape): one row per change with ``_change_type`` in
     ``insert | delete | update_preimage | update_postimage``, keyed by
-    ``key``. Updates emit both images, Delta-style.
+    ``key``. Updates emit both images, Delta-style. Endpoints address
+    by version or by commit time (``from_timestamp``/``to_timestamp``,
+    Delta's ``table_changes(..., start_ts, end_ts)`` — resolved through
+    ``version_at_timestamp``).
 
     Scale: on merge-committed tables, partitions whose manifest entry
     points at the *same immutable data dir* in both versions are pruned
@@ -1902,6 +1907,16 @@ def snapshot_diff(
     correctly reports zero changes.)
     """
     keys = [key] if isinstance(key, str) else list(key)
+    if from_timestamp is not None:
+        if from_version is not None:
+            raise ValueError("pass from_version OR from_timestamp")
+        from_version = version_at_timestamp(path, from_timestamp)
+    if to_timestamp is not None:
+        if to_version is not None:
+            raise ValueError("pass to_version OR to_timestamp")
+        to_version = version_at_timestamp(path, to_timestamp)
+    if from_version is None:
+        raise ValueError("a from_version or from_timestamp is required")
     old_snap = load_snapshot(path, from_version)
     new_snap = load_snapshot(path, to_version)
     prune: set[tuple[str, ...]] | None = None
@@ -2647,14 +2662,34 @@ def describe_detail(path: str, version: int | None = None) -> dict:
     }
 
 
-def vacuum(path: str, keep_last: int = 1) -> list[str]:
+def vacuum(
+    path: str,
+    keep_last: int = 1,
+    retention_hours: float | None = None,
+) -> list[str]:
     """Drop manifests older than the last ``keep_last`` versions and delete
     data dirs no surviving manifest references (including orphans from
-    crashed writers). Returns the deleted data dirs."""
+    crashed writers). Returns the deleted data dirs.
+
+    ``retention_hours`` ADDS an age-based keep window (Delta's
+    ``VACUUM ... RETAIN N HOURS``): every version committed within the
+    window also survives, so time travel stays available for the whole
+    retention period regardless of commit frequency. The head version
+    is always kept."""
     import shutil
 
     vs = _versions(path)
     keep_vs = vs[-keep_last:] if vs else []
+    if retention_hours is not None and vs:
+        cutoff = time.time() - retention_hours * 3600
+        keep_vs = sorted(
+            set(keep_vs)
+            | {
+                v
+                for v in vs
+                if load_snapshot(path, v).committed_at >= cutoff
+            }
+        )
     live: set[str] = set()
     for v in keep_vs:
         snap = load_snapshot(path, v)

@@ -1210,3 +1210,53 @@ def test_identity_allocation_is_race_safe(tmp_path):
     ranges = sorted((b, b + s) for b, s in bases)
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_vacuum_retention_hours_and_diff_by_timestamp(spark, tmp_path):
+    """Age-based VACUUM retention keeps every version inside the
+    window; snapshot_diff addresses endpoints by commit time."""
+    import time
+
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a")]), path)
+    t0 = S.load_snapshot(path, 0).committed_at
+    time.sleep(0.05)
+    S.commit(spark, _df(spark, [(1, "a"), (2, "b")]), path)
+    S.commit(spark, _df(spark, [(1, "a"), (2, "B"), (3, "c")]), path)
+
+    # all commits are seconds old: a 1-hour retention keeps everything
+    assert S.vacuum(path, keep_last=1, retention_hours=1.0) == []
+    assert [s.version for s in S.history(path)] == [0, 1, 2]
+
+    ch = {
+        (r["k"], r["_change_type"])
+        for r in S.snapshot_diff(
+            spark, path, "k", from_timestamp=t0
+        ).collect()
+    }
+    assert ch == {
+        (2, "insert"), (3, "insert"),
+    } or ch == {
+        (2, "update_preimage"), (2, "update_postimage"), (3, "insert"),
+        (2, "insert"),
+    }
+    # explicit version pair equals timestamp-addressed pair
+    a = {
+        tuple(r) for r in S.snapshot_diff(spark, path, "k", 0, 2).collect()
+    }
+    b = {
+        tuple(r)
+        for r in S.snapshot_diff(
+            spark, path, "k", from_timestamp=t0
+        ).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError, match="OR from_timestamp"):
+        S.snapshot_diff(spark, path, "k", 0, from_timestamp=t0)
+    with pytest.raises(ValueError, match="required"):
+        S.snapshot_diff(spark, path, "k")
+
+    # zero retention falls back to keep_last pruning
+    deleted = S.vacuum(path, keep_last=1, retention_hours=0.0)
+    assert [s.version for s in S.history(path)] == [2]
+    assert deleted
