@@ -461,3 +461,114 @@ def cm_estimate(
             F.min(F.coalesce(F.col("__s_cnt"), F.lit(0))).alias("est_cnt")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog-style register sketch (Flajolet et al. 2007). Third
+# distinct-count representation alongside KMV: where KMV keeps k hash
+# VALUES (k·8 bytes, exact below k), HLL keeps 2^p fixed REGISTERS of
+# one byte each — state is O(2^p) per group no matter the cardinality,
+# and merge is register-wise max (idempotent, commutative, associative:
+# re-delivered batches cannot corrupt it, which KMV shares but counters
+# do not). The 100 TB shape: per-partition register sketches roll up
+# into global NDV with a single map-side-combined max — no distinct
+# shuffle, no window, no per-value state.
+#
+# Determinism discipline: the estimator is the RAW HLL harmonic mean
+# only — alpha·m²/Σ2^(−M_j) — with the indicator sum computed in
+# INTEGER space (Σ 2^(Q+1−M_j) as a BIGINT, missing registers
+# contributing 2^(Q+1)) so the one floating division is IEEE-exact and
+# a DuckDB oracle reproduces the estimate bit-for-bit. The small-range
+# linear-counting correction is deliberately omitted (it needs ln(),
+# i.e. libm, whose last-ulp behavior differs across engines); the
+# valid regime is n ≳ 2.5·2^p — pick p against expected group
+# cardinality, or use the KMV family when groups may be tiny and the
+# exact-below-k path matters.
+# ---------------------------------------------------------------------------
+
+_HLL_ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}
+
+
+def hll_alpha(p: int) -> float:
+    """Standard HLL bias-correction constant for m=2^p registers."""
+    if p in _HLL_ALPHA:
+        return _HLL_ALPHA[p]
+    m = 1 << p
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_sketch(
+    df: DataFrame, keys: list[str], col: str, p: int = 6
+) -> DataFrame:
+    """Per-key HLL register rows: (keys..., reg, m) — occupied
+    registers only (absent register ≡ 0). reg = top p bits of the
+    md5-32 hash, m = max over values of rho(w) where w is the low
+    Q=32−p bits and rho = leading-zero count in the Q-bit field + 1
+    (bit length via base-2 string — Spark conv() and DuckDB bin()
+    agree digit-for-digit). NULLs ignored (COUNT DISTINCT semantics).
+    ONE map-side-combined groupBy — no distinct, no window: max() is
+    idempotent, so duplicate values need no pre-dedup pass."""
+    q = 32 - p
+    h = h32(F.col(col))
+    w = h % (1 << q)
+    bitlen = F.when(w == 0, F.lit(0)).otherwise(
+        F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            *keys,
+            F.shiftright(h, q).alias("reg"),
+            (F.lit(q + 1) - bitlen).alias("rho"),
+        )
+        .groupBy(*keys, "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Register-wise max — the sketch of the union, EXACTLY (each
+    register's max survives in one input). Idempotent: merging a batch
+    twice changes nothing, so at-least-once delivery is safe without
+    any dedup bookkeeping. union+groupBy, no join — null-safe for
+    NULL-keyed groups by construction."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys, "reg")
+        .agg(F.max("m").alias("m"))
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    keys: list[str],
+    p: int = 6,
+    round_to: int = 4,
+) -> DataFrame:
+    """(keys..., present_regs, est_distinct): the raw HLL estimator
+    alpha·m²/Σ2^(−M_j). The indicator sum is kept integral —
+    Σ 2^(Q+1−M_j) over occupied registers plus 2^(Q+1) per missing
+    register, a BIGINT — so the single double division (a Python-float
+    literal numerator over an exact integer) is reproduced bit-for-bit
+    by the SQL oracle. present_regs is exact and doubles as a
+    small-range diagnostic (estimates with present_regs ≪ m sit below
+    the raw estimator's valid regime)."""
+    q = 32 - p
+    m_regs = 1 << p
+    # alpha * m^2 * 2^(Q+1), folded to ONE literal so both engines
+    # parse (correctly-rounded) the identical double.
+    numer = hll_alpha(p) * float(m_regs) * float(m_regs) * float(1 << (q + 1))
+    agg = sketch.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_present"),
+        F.sum(F.expr(f"shiftleft(1L, {q + 1} - m)")).alias("_s_occ"),
+    )
+    s_total = F.col("_s_occ") + (F.lit(m_regs) - F.col("_present")) * F.lit(
+        1 << (q + 1)
+    ).cast("long")
+    return agg.select(
+        *keys,
+        F.col("_present").alias("present_regs"),
+        F.round(F.lit(numer) / s_total.cast("double"), round_to).alias(
+            "est_distinct"
+        ),
+    )

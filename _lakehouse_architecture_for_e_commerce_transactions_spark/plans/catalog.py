@@ -6884,6 +6884,67 @@ FROM est
 """
 
 
+def q_hll_distinct_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog register sketch, oracle-checked end to end
+    (operators/sketches.py hll_*): per order priority, sketch the
+    distinct customer set into 2^6 = 64 one-byte registers — built as
+    the register-wise-max MERGE of two half-sketches (even/odd order
+    keys) to exercise the idempotent merge algebra — and report the
+    raw-HLL estimate. The indicator sum stays in integer space
+    (Σ 2^(Q+1−M_j) as BIGINT), so the single IEEE division makes even
+    the floating estimate hash-match the DuckDB oracle; rho's
+    leading-zero count rides Spark conv(·,10,2) vs DuckDB bin(), which
+    agree digit-for-digit."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        sketches as SK,
+    )
+
+    o = load_table(spark, sf, "orders")
+    keys = ["o_orderpriority"]
+    sk = SK.hll_merge(
+        SK.hll_sketch(
+            o.filter(F.col("o_orderkey") % 2 == 0), keys, "o_custkey", p=6
+        ),
+        SK.hll_sketch(
+            o.filter(F.col("o_orderkey") % 2 == 1), keys, "o_custkey", p=6
+        ),
+        keys,
+    )
+    return SK.hll_estimate(sk, keys, p=6)
+
+
+def _hll_sql() -> str:
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        sketches as SK,
+    )
+
+    numer = SK.hll_alpha(6) * 64.0 * 64.0 * float(1 << 27)
+    h = _hex2int_sql("substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8)")
+    return f"""
+WITH b AS (
+  SELECT o_orderpriority,
+         ({h}) // 67108864 AS reg,
+         ({h}) % 67108864 AS w
+  FROM orders WHERE o_custkey IS NOT NULL),
+r AS (
+  SELECT o_orderpriority, reg,
+         max(27 - CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END) AS m
+  FROM b GROUP BY o_orderpriority, reg),
+s AS (
+  SELECT o_orderpriority, count(*) AS present,
+         sum((1::BIGINT << (27 - m))) AS s_occ
+  FROM r GROUP BY o_orderpriority)
+SELECT o_orderpriority, present AS present_regs,
+       round({numer!r} /
+             CAST(s_occ + (64 - present) * (134217728::BIGINT) AS DOUBLE),
+             4) AS est_distinct
+FROM s
+"""
+
+
+_HLL_SQL = _hll_sql()
+
+
 def q_hist_quantile_maintenance(spark: SparkSession, sf: str) -> DataFrame:
     """Delete-capable mergeable quantile sketch under the repo's
     standard CDC batch (operators/sketches.py hist_* family): the
@@ -7619,6 +7680,7 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "kmv_jaccard_segments": QueryDef(
         q_kmv_jaccard_segments, _KMV_JACCARD_SQL
     ),
+    "hll_distinct_orders": QueryDef(q_hll_distinct_orders, _HLL_SQL),
     "jpeg_decode_stats": QueryDef(
         q_jpeg_decode_stats, _JPEG_DECODE_SQL
     ),

@@ -666,3 +666,75 @@ def test_streaming_cm_maintenance_exactly_once(spark, tmp_path):
             spark, state, items, "v", depth=D, width=W
         ).collect()
     } == want
+
+
+def test_hll_merge_equals_full_build_and_is_idempotent(spark):
+    """Register-wise max is the whole merge algebra: merging two half
+    sketches equals the one-shot sketch of everything, and re-merging a
+    batch is a no-op (at-least-once delivery safety)."""
+    df = spark.range(4000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 700).alias("v"),
+    )
+    full = SK.hll_sketch(df, ["g"], "v", p=6)
+    halves = SK.hll_merge(
+        SK.hll_sketch(df.filter(F.col("id") % 2 == 0), ["g"], "v", p=6),
+        SK.hll_sketch(df.filter(F.col("id") % 2 == 1), ["g"], "v", p=6),
+        ["g"],
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, halves.collect())
+    )
+    again = SK.hll_merge(halves, full, ["g"])
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_hll_estimate_tracks_truth_in_valid_regime(spark):
+    """Raw estimator (no linear-counting correction): accuracy holds
+    for n ≳ 2.5·m. With p=6 (m=64, SE ≈ 1.04/8 = 13%), a
+    2000-distinct group must land within ~3 SE."""
+    df = spark.range(2000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    [row] = SK.hll_estimate(
+        SK.hll_sketch(df, ["g"], "v", p=6), ["g"], p=6
+    ).collect()
+    assert row["present_regs"] <= 64
+    assert abs(row["est_distinct"] - 2000) / 2000 < 0.4
+
+
+def test_hll_nulls_ignored_and_state_bounded(spark):
+    """NULL values never occupy a register (COUNT DISTINCT
+    semantics), and state is hard-capped at 2^p rows per group no
+    matter the cardinality."""
+    df = spark.range(50000).select(
+        F.lit("g").alias("g"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    sk = SK.hll_sketch(df, ["g"], "v", p=6)
+    assert sk.count() <= 64
+    only_null = spark.createDataFrame(
+        [("g", None)], "g string, v long"
+    )
+    assert SK.hll_sketch(only_null, ["g"], "v", p=6).count() == 0
+
+
+def test_hll_sketch_plan_is_single_aggregate_no_window(spark):
+    """The 100 TB plan shape: ONE map-side-combined aggregate — no
+    distinct pre-pass, no window, no join. (KMV needs the distinct +
+    top-k window; HLL's idempotent max() needs neither.)"""
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 100).alias("v"),
+    )
+    plan = (
+        SK.hll_sketch(df, ["g"], "v", p=6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
