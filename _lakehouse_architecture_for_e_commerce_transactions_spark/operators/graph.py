@@ -534,3 +534,51 @@ def k_core(
         .agg(F.count(F.lit(1)).alias("degree"))
         .select(F.col("src").alias("node"), "degree")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round multi-source BFS: shortest hop count from ANY source
+    node, for every node reachable within ``max_hops``. Returns
+    (node, hops) — sources at 0, even sources with no edges. The
+    reachability primitive behind supply-chain blast-radius, fraud-ring
+    proximity, and recommendation walks; a FIXED round count keeps the
+    result a pure function of (edges, sources), replayable by a SQL
+    oracle as unrolled iterations. Undirected graphs: supply both edge
+    directions.
+
+    Scale shape per round: one equi-join (edges ⋈ frontier on src) +
+    one distinct + one anti-join against settled distances — all
+    frontier-sized, never graph-sized; the frontier shrinks to empty
+    once the component is exhausted, making extra rounds free no-ops.
+    ``localCheckpoint`` truncates lineage so the iterated plan stays
+    flat. First-discovery = shortest distance is the BFS invariant, so
+    no min() re-aggregation is ever needed."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sources.select(F.col("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for i in range(1, max_hops + 1):
+        new = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(i))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(new)
+        frontier = new.select("node")
+    return dist

@@ -5191,6 +5191,70 @@ l{i} AS (SELECT n.node, COALESCE(p.lbl, prev.lbl) AS lbl
 _LP_SQL = _lp_sql()
 
 
+def q_bfs_reachability(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-round multi-source BFS (operators/graph.py:bfs_hops):
+    shortest hop count from one nation's suppliers (NATION_7) over the part ↔
+    supplier co-sourcing graph derived from lineitem — the
+    supply-chain blast-radius question (which parts are 1 hop out,
+    which suppliers co-source those parts at 2 hops, ...). Each round
+    is a frontier-sized equi-join + distinct + anti-join, never
+    graph-sized; the oracle replays the same three unrolled rounds."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        graph as G,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    p = F.concat(F.lit("p"), F.col("l_partkey"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey"))
+    edges = pairs.select(p.alias("src"), s.alias("dst")).unionByName(
+        pairs.select(s.alias("src"), p.alias("dst"))
+    )
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    sources = (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .filter(F.col("n_name") == "NATION_7")
+        .select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
+    )
+    return G.bfs_hops(edges, sources, max_hops=3)
+
+
+def _bfs_sql(rounds: int = 3) -> str:
+    parts = [
+        """
+WITH pairs AS (
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS p,
+         's' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM lineitem),
+e AS (SELECT p AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, p AS dst FROM pairs),
+d0 AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node, 0 AS hops
+       FROM supplier JOIN nation ON n_nationkey = s_nationkey
+       WHERE n_name = 'NATION_7'),
+f0 AS (SELECT node FROM d0)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f""",
+n{i} AS (SELECT r.node, {i} AS hops
+         FROM (SELECT DISTINCT e.dst AS node
+               FROM e JOIN f{p} f ON f.node = e.src) r
+         LEFT JOIN d{p} d ON d.node = r.node
+         WHERE d.node IS NULL),
+d{i} AS (SELECT node, hops FROM d{p}
+         UNION ALL SELECT node, hops FROM n{i}),
+f{i} AS (SELECT node FROM n{i})"""
+        )
+    parts.append(f"\nSELECT node, hops FROM d{rounds}")
+    return "".join(parts)
+
+
+_BFS_SQL = _bfs_sql()
+
+
 def q_stats_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Manifest-stats data skipping end to end (the Delta/Iceberg
     data-skipping analog over `sources.snapshots`, ref curated zone
@@ -7599,6 +7663,7 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "stats_pruned_scan": QueryDef(q_stats_pruned_scan, _STATS_PRUNE_SQL),
     "pagerank_events": QueryDef(q_pagerank_events, _PAGERANK_SQL),
     "lp_communities": QueryDef(q_lp_communities, _LP_SQL),
+    "bfs_reachability": QueryDef(q_bfs_reachability, _BFS_SQL),
     "k_core_nodes": QueryDef(q_k_core_nodes, _K_CORE_SQL),
     "heavy_hitter_terms": QueryDef(
         q_heavy_hitter_terms, _HEAVY_HITTERS_SQL, headline=True

@@ -284,3 +284,47 @@ def test_k_core_matches_reference_peeling(spark):
         for r in k_core(edges, k=3, rounds=7).collect()
     }
     assert more == got
+
+
+def test_bfs_hops_chain_distances_and_frontier_exhaustion(spark):
+    """A 0-1-2-3-4 path plus a disconnected island: hop counts are the
+    path distances, unreachable nodes never appear, and rounds beyond
+    the eccentricity are no-ops (frontier empties)."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+    edges = spark.createDataFrame(
+        und + [(d, s) for s, d in und], "src string, dst string"
+    )
+    sources = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, sources, max_hops=6).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4}
+
+
+def test_bfs_hops_multi_source_takes_nearest_and_keeps_edgeless_source(
+    spark,
+):
+    """Multi-source: every node gets the distance to its NEAREST
+    source; a source with no edges still reports hops 0; max_hops
+    truncates the horizon."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(
+        und + [(d, s) for s, d in und], "src string, dst string"
+    )
+    sources = spark.createDataFrame(
+        [("a",), ("e",), ("lonely",)], "node string"
+    )
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, sources, max_hops=1).collect()
+    }
+    assert got == {"a": 0, "e": 0, "lonely": 0, "b": 1, "d": 1}
