@@ -7282,6 +7282,70 @@ def q_replace_where_sim(spark: SparkSession, sf: str) -> DataFrame:
         _sh.rmtree(path, ignore_errors=True)
 
 
+def q_column_mapping_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-only schema evolution end to end
+    (sources/snapshots.rename_column / drop_column — Delta column
+    mapping, name mode): commit orders as a snapshot table with
+    per-file stats, RENAME o_totalprice→price (zero data movement —
+    the manifest maps the new logical name onto the unchanged physical
+    column), DV-delete expensive rows BY THE NEW NAME, DROP the
+    customer column, then append fresh rows under the post-rename
+    schema (written with physical on-disk names so old and new files
+    agree). The read-back — a stats-pruned read_where on the renamed
+    column — must show exactly the SQL oracle's view of the same
+    operations."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as SN,
+    )
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _tf.mkdtemp(prefix="sparkgraft_colmap_")
+    try:
+        SN.commit(
+            spark, o.repartition(4), path, stats_for=["o_totalprice"]
+        )
+        SN.rename_column(path, "o_totalprice", "price")
+        SN.delete_where_dv(spark, path, "price >= 400000")
+        SN.drop_column(path, "o_custkey")
+        appended = o.filter(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").alias("price"),
+        )
+        SN.commit(spark, appended, path, mode="append")
+        return (
+            SN.read_where(spark, path, [("price", "<", 450000.0)])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                money_sum(F.col("price")).alias("rev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
+
+
+_COLUMN_MAPPING_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice AS price
+  FROM orders WHERE o_totalprice < 400000),
+appended AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 10 = 0),
+live AS (
+  SELECT * FROM base UNION ALL SELECT * FROM appended)
+SELECT o_orderpriority, count(*) AS cnt, {_money_sum_sql("price")} AS rev
+FROM live WHERE price < 450000
+GROUP BY o_orderpriority
+"""
+
+
 _REPLACE_WHERE_SQL = f"""
 WITH live AS (
   SELECT o_orderpriority,
@@ -7751,6 +7815,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     ),
     "replace_where_sim": QueryDef(
         q_replace_where_sim, _REPLACE_WHERE_SQL
+    ),
+    "column_mapping_sim": QueryDef(
+        q_column_mapping_sim, _COLUMN_MAPPING_SQL
     ),
     "hist_quantile_maintenance": QueryDef(
         q_hist_quantile_maintenance, _HIST_QUANTILE_SQL

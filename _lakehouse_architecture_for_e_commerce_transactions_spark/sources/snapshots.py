@@ -49,6 +49,12 @@ Iceberg metadata layers, small enough to audit:
   time — zero file rewrites, UPDATE appends only the rewritten rows,
   both cleared by ``compact``); CHECK constraints fail violating
   commits inside their own write.
+* **Column mapping**: ``rename_column`` / ``drop_column`` are
+  METADATA-ONLY (Delta's columnMapping name mode) — the manifest maps
+  logical names onto unchanged physical file columns; reads/writes
+  translate at one seam, ``compact`` materializes the mapping away,
+  and partition-oriented ops (MERGE, replaceWhere) refuse mapped
+  tables loudly until compacted.
 
 Scale notes: the manifest lists commit *directories*, not individual
 files, so manifest size grows with commit count, not data size; `vacuum`
@@ -108,6 +114,14 @@ class Snapshot:
     # "num_deleted_rows", ...} — footer/manifest-derived counts only,
     # never an extra data scan
     metrics: dict | None = None
+    # column mapping (Delta's columnMapping name mode): logical column
+    # name -> PHYSICAL (on-disk) name, identity entries omitted. Set by
+    # rename_column; every write keeps writing physical names so old
+    # and new files agree; compact() materializes the mapping away.
+    column_mapping: dict | None = None
+    # physical names retired by drop_column — a re-added logical column
+    # may never reuse one (old files would resurrect the dropped data)
+    retired_physical: list | None = None
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -129,6 +143,25 @@ def _try_publish_manifest(path: str, version: int, manifest: dict) -> bool:
     """
     mdir = os.path.join(path, _MANIFESTS)
     os.makedirs(mdir, exist_ok=True)
+    # Column-mapping state flows through EVERY publish: a publisher
+    # that doesn't manage it inherits the predecessor's mapping
+    # verbatim (setdefault — explicit keys, including explicit None
+    # from compact/restore/clone, win). Centralizing here means no
+    # write path can silently strip a mapping and misname columns.
+    if "column_mapping" not in manifest or "retired_physical" not in manifest:
+        prior = [v for v in _versions(path) if v < version]
+        if prior:
+            try:
+                with open(_manifest_path(path, prior[-1])) as pf:
+                    pm = json.load(pf)
+                manifest.setdefault(
+                    "column_mapping", pm.get("column_mapping")
+                )
+                manifest.setdefault(
+                    "retired_physical", pm.get("retired_physical")
+                )
+            except (OSError, json.JSONDecodeError):
+                pass
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -226,6 +259,8 @@ def load_snapshot(path: str, version: int | None = None) -> Snapshot:
         m.get("dv_dead"),
         m.get("op"),
         m.get("metrics"),
+        m.get("column_mapping"),
+        m.get("retired_physical"),
     )
 
 
@@ -490,6 +525,223 @@ def _cluster_shape(
     )
 
 
+def _mapping(snap: Snapshot) -> dict[str, str]:
+    """Logical→physical column map for a snapshot ({} = identity)."""
+    return dict(snap.column_mapping or {})
+
+
+def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Rename a logical-named frame to on-disk physical names (no-op
+    without a mapping). Every data write on a mapped table goes
+    through this so old and new files agree column-for-column."""
+    if not mapping:
+        return df
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+    )
+
+
+def _phys_cols(mapping: dict[str, str], cols) -> list[str]:
+    return [mapping.get(c, c) for c in cols]
+
+
+def _logical_select(raw: DataFrame, snap: Snapshot, extra: tuple = ()):
+    """Project a physical scan onto the snapshot's LOGICAL schema:
+    rename mapped columns, null-fill columns a commit predates, cast
+    to the manifest types. The one read-side seam every mapped-table
+    consumer shares."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(snap.schema_json))
+    mapping = _mapping(snap)
+    have = set(raw.columns)
+    return raw.select(
+        *extra,
+        *[
+            F.col(mapping.get(f.name, f.name))
+            .cast(f.dataType)
+            .alias(f.name)
+            if mapping.get(f.name, f.name) in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ],
+    )
+
+
+def _no_mapping(path: str, opname: str) -> None:
+    """Ops not yet taught the logical→physical seam refuse mapped
+    tables loudly instead of misreading renamed columns."""
+    try:
+        snap = load_snapshot(path)
+    except FileNotFoundError:
+        return
+    if snap.column_mapping or snap.retired_physical:
+        raise ValueError(
+            f"{opname} does not support tables with renamed/dropped "
+            "columns (column mapping); run compact() first to "
+            "materialize the mapping into the data files"
+        )
+
+
+def _word_in_expr(col: str, expr: str) -> bool:
+    import re
+
+    return re.search(rf"\b{re.escape(col)}\b", expr) is not None
+
+
+def _guard_mapping_refs(path: str, snap: Snapshot, col: str, op: str):
+    """RENAME/DROP COLUMN refuses columns other table machinery
+    references by name (Delta refuses the same cases): partition
+    layout, declared partition transforms, CHECK constraints,
+    generated-column expressions, the identity column."""
+    if col in (snap.partition_by or []):
+        raise ValueError(f"{op}: {col!r} is a partition column")
+    for t in partition_transforms(path):
+        if col in (t.get("src"), t.get("name")):
+            raise ValueError(
+                f"{op}: {col!r} is referenced by partition transform "
+                f"{t!r}"
+            )
+    for name, expr in check_constraints(path).items():
+        if _word_in_expr(col, expr):
+            raise ValueError(
+                f"{op}: {col!r} is referenced by CHECK constraint "
+                f"{name!r} ({expr})"
+            )
+    for gcol, expr in generated_columns(path).items():
+        if col == gcol or _word_in_expr(col, expr):
+            raise ValueError(
+                f"{op}: {col!r} is referenced by generated column "
+                f"{gcol!r} ({expr})"
+            )
+    ident = identity_column(path)
+    if ident and ident.get("col") == col:
+        raise ValueError(f"{op}: {col!r} is the identity column")
+
+
+def _publish_metadata_only(
+    path: str, snap: Snapshot, patch: dict, max_retries: int = 10
+) -> int:
+    """Publish a new head that references the SAME data as ``snap``
+    with manifest fields overridden by ``patch`` — the RENAME/DROP
+    COLUMN commit shape (zero data movement, like restore)."""
+    for _ in range(max_retries):
+        head = load_snapshot(path)
+        if head.version != snap.version:
+            raise RuntimeError(
+                f"concurrent commit at {path} during metadata-only op "
+                f"(head moved {snap.version} -> {head.version}); re-run"
+            )
+        manifest = {
+            "version": snap.version + 1,
+            "dirs": snap.dirs,
+            "schema": snap.schema_json,
+            "committed_at": time.time(),
+            "column_mapping": snap.column_mapping,
+            "retired_physical": snap.retired_physical,
+        }
+        for k in (
+            "part_entries",
+            "partition_by",
+            "file_stats",
+            "stats_cols",
+            "file_blooms",
+            "bloom_cols",
+            "dv_files",
+            "dv_dead",
+        ):
+            v = getattr(snap, k)
+            if v is not None:
+                manifest[k] = v
+        manifest.update(patch)
+        if _try_publish_manifest(path, snap.version + 1, manifest):
+            return snap.version + 1
+    raise RuntimeError(f"metadata-only publish contention at {path}")
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """``ALTER TABLE ... RENAME COLUMN old TO new`` — METADATA-ONLY
+    (Delta column mapping, name mode): no data file is touched; the new
+    manifest maps the new logical name onto the column's unchanged
+    physical name. All reads/writes translate at the seam
+    (``_logical_select`` / ``_to_physical``); ``compact()``
+    materializes the mapping into fresh files and clears it. Time
+    travel to pre-rename versions shows the old name — the mapping is
+    per-manifest, not table-global.
+
+    Refused for columns referenced by partition layout/transforms,
+    CHECK constraints, generated columns, or the identity column
+    (their expressions name this column). Returns the new version."""
+    from pyspark.sql.types import StructField, StructType
+
+    snap = load_snapshot(path)
+    schema = StructType.fromJson(json.loads(snap.schema_json))
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"rename_column: no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"rename_column: column {new!r} already exists")
+    _guard_mapping_refs(path, snap, old, "rename_column")
+    mapping = _mapping(snap)
+    phys = mapping.pop(old, old)
+    if new != phys:
+        mapping[new] = phys
+    new_schema = StructType(
+        [
+            StructField(new, f.dataType, f.nullable)
+            if f.name == old
+            else f
+            for f in schema.fields
+        ]
+    )
+    return _publish_metadata_only(
+        path,
+        snap,
+        {
+            "schema": new_schema.json(),
+            "column_mapping": mapping or None,
+            "op": "RENAME COLUMN",
+            "metrics": {"renamed_from": old, "renamed_to": new},
+        },
+    )
+
+
+def drop_column(path: str, col: str) -> int:
+    """``ALTER TABLE ... DROP COLUMN`` — METADATA-ONLY: the column
+    leaves the logical schema; its physical data stays in the files
+    (readers never select it; ``compact()`` rewrites it away) and its
+    physical name is RETIRED — a later commit may not introduce a
+    column with that physical name, which is what stops old files from
+    resurrecting dropped data under a re-added name (Delta assigns
+    fresh physical ids for the same reason). Same reference guards as
+    ``rename_column``. Returns the new version."""
+    from pyspark.sql.types import StructType
+
+    snap = load_snapshot(path)
+    schema = StructType.fromJson(json.loads(snap.schema_json))
+    names = [f.name for f in schema.fields]
+    if col not in names:
+        raise ValueError(f"drop_column: no column {col!r} (have {names})")
+    if len(names) == 1:
+        raise ValueError("drop_column: cannot drop the only column")
+    _guard_mapping_refs(path, snap, col, "drop_column")
+    mapping = _mapping(snap)
+    phys = mapping.pop(col, col)
+    new_schema = StructType([f for f in schema.fields if f.name != col])
+    retired = list(snap.retired_physical or []) + [phys]
+    return _publish_metadata_only(
+        path,
+        snap,
+        {
+            "schema": new_schema.json(),
+            "column_mapping": mapping or None,
+            "retired_physical": retired,
+            "op": "DROP COLUMN",
+            "metrics": {"dropped_column": col},
+        },
+    )
+
+
 def commit(
     spark: SparkSession,
     df: DataFrame,
@@ -528,10 +780,31 @@ def commit(
         raise ValueError(f"unsupported mode {mode!r}")
     df = _stamp_identity(df, path)
     df = _apply_constraint_guard(df, path)
+    try:
+        mapping = _mapping(load_snapshot(path))
+        retired = set(load_snapshot(path).retired_physical or [])
+    except FileNotFoundError:
+        mapping, retired = {}, set()
+    if mapping or retired:
+        # a NEW logical column may not land on a physical name that a
+        # different logical column occupies or a dropped column retired
+        # — old files would alias/resurrect foreign data under it
+        taken = set(mapping.values()) | retired
+        clash = [c for c in df.columns if c not in mapping and c in taken]
+        if clash:
+            raise ValueError(
+                f"commit: column name(s) {clash} collide with physical "
+                "names in use or retired by rename/drop; pick other "
+                "names or compact() to materialize the mapping"
+            )
+        if stats_for:
+            stats_for = _phys_cols(mapping, stats_for)
+        if bloom_for:
+            bloom_for = _phys_cols(mapping, bloom_for)
     if cluster_by:
         df = _cluster_shape(df, list(cluster_by), n_files)
     commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
-    df.write.mode("errorifexists").parquet(commit_dir)
+    _to_physical(df, mapping).write.mode("errorifexists").parquet(commit_dir)
     fresh_stats = (
         collect_file_stats([commit_dir], list(stats_for))
         if stats_for
@@ -717,39 +990,21 @@ def read(
         version = version_at_timestamp(path, timestamp)
     snap = load_snapshot(path, version)
     if not snap.part_entries:
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(json.loads(snap.schema_json))
         df = _apply_dv(
             spark.read.option("mergeSchema", True).parquet(*snap.dirs),
             _dv_tombstones(spark, snap),
         )
-        have = set(df.columns)
-        return df.select(
-            *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in have
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ]
-        )
+        return _logical_select(df, snap)
     # merge-committed table: entries are hive-layout partition subdirs from
     # several commit dirs; read each commit group under its own basePath so
     # the partition columns come back, then normalize types to the manifest
     # schema (dir-name inference would otherwise pick its own types).
     # Deletion vectors apply exactly as on plain tables — the address
     # columns are captured per scan relation inside _scan_with_address.
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType
-
-    schema = StructType.fromJson(json.loads(snap.schema_json))
     out = _dv_filter(
         _scan_with_address(spark, snap), _dv_tombstones(spark, snap)
     )
-    return out.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
-    )
+    return _logical_select(out, snap)
 
 
 _PRUNE_OPS = ("==", "<", "<=", ">", ">=", "in", "is_null", "not_null")
@@ -942,13 +1197,20 @@ def read_where(
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(snap.schema_json))
+    mapping = _mapping(snap)
     fs = snap.file_stats or {}
     fb = snap.file_blooms or {}
     residual = _residual(predicates)
     # hidden partitioning: predicates on a transform's SOURCE column
     # imply derived-column conjuncts that participate in pruning only
-    # (the residual stays on the original columns)
-    prune_preds = predicates + _transposed_predicates(path, predicates)
+    # (the residual stays on the original columns). Stats/blooms/
+    # partition values are recorded under PHYSICAL names, so pruning
+    # conjuncts transpose through the column mapping (transform source
+    # columns are rename-guarded, hence already physical).
+    phys_preds = [
+        (mapping.get(c, c), op, lit) for (c, op, lit) in predicates
+    ]
+    prune_preds = phys_preds + _transposed_predicates(path, predicates)
 
     if snap.part_entries:
         from collections import defaultdict
@@ -981,11 +1243,8 @@ def read_where(
         out = frames[0]
         for fr in frames[1:]:
             out = out.unionByName(fr)
-        out = _dv_filter(out, _dv_tombstones(spark, snap)).select(
-            *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ]
+        out = _logical_select(
+            _dv_filter(out, _dv_tombstones(spark, snap)), snap
         )
         return out.filter(residual) if residual is not None else out
 
@@ -1000,9 +1259,26 @@ def read_where(
         report["files_kept"] = len(kept)
     if not kept:
         return spark.createDataFrame([], schema)
-    df = _apply_dv(
-        spark.read.schema(schema).parquet(*kept),
-        _dv_tombstones(spark, snap),
+    from pyspark.sql.types import StructField
+
+    phys_schema = (
+        StructType(
+            [
+                StructField(
+                    mapping.get(f.name, f.name), f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
+        if mapping
+        else schema
+    )
+    df = _logical_select(
+        _apply_dv(
+            spark.read.schema(phys_schema).parquet(*kept),
+            _dv_tombstones(spark, snap),
+        ),
+        snap,
     )
     return df.filter(residual) if residual is not None else df
 
@@ -1015,6 +1291,7 @@ def table_stats(path: str, version: int | None = None) -> dict:
     means some file lacks usable stats and the caller should fall back
     to a scan (correctness never depends on the fast path)."""
     snap = load_snapshot(path, version)
+    inv = {p: l for l, p in _mapping(snap).items()}
     files = data_files(path, snap.version)
     n_dead = 0
     if snap.dv_files:
@@ -1041,7 +1318,9 @@ def table_stats(path: str, version: int | None = None) -> dict:
     if snap.dv_files:
         return {
             "rows": rows,
-            "cols": {c: None for c in snap.stats_cols or []},
+            "cols": {
+                inv.get(c, c): None for c in snap.stats_cols or []
+            },
         }
     cols: dict = {}
     for c in snap.stats_cols or []:
@@ -1057,7 +1336,7 @@ def table_stats(path: str, version: int | None = None) -> dict:
                 lo = l
             if hi is None or h > hi:
                 hi = h
-        cols[c] = {"min": lo, "max": hi} if ok else None
+        cols[inv.get(c, c)] = {"min": lo, "max": hi} if ok else None
     return {"rows": rows, "cols": cols}
 
 
@@ -1097,6 +1376,7 @@ def merge_commit(
             "identity columns are supported on commit() tables only; "
             "MERGE keys rows by an explicit primary key"
         )
+    _no_mapping(path, "merge_commit")
     cols = [f.name for f in spec.schema.fields]
     source = source.select(*cols)
     if check_source_unique:
@@ -1342,12 +1622,14 @@ def delete_where(
     touching disjoint partitions rebase; overlapping ones conflict.
     """
     base = load_snapshot(path)
+    if (base.column_mapping or base.retired_physical) and base.part_entries:
+        _no_mapping(path, "delete_where (partitioned)")
     data = read(spark, path)
     cond = F.expr(predicate)
     parts = base.partition_by or []
     if base.part_entries is None or not parts:
         # plain table: read-modify-write, publish strictly at base+1
-        survivors = data.filter(~cond)
+        survivors = _to_physical(data.filter(~cond), _mapping(base))
         if data.filter(cond).limit(1).count() == 0:
             return base.version
         commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
@@ -1452,21 +1734,10 @@ def delete_where_dv(
 
     for _ in range(max_retries):
         snap = load_snapshot(path)
-        schema = StructType.fromJson(json.loads(snap.schema_json))
         raw = _dv_filter(
             _scan_with_address(spark, snap), _dv_tombstones(spark, snap)
         )
-        have = set(raw.columns)
-        live = raw.select(
-            "__fp",
-            "__ri",
-            *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in have
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ],
-        )
+        live = _logical_select(raw, snap, extra=("__fp", "__ri"))
         dels = live.filter(cond).select(
             F.col("__fp").alias("file"), F.col("__ri").alias("row_idx")
         )
@@ -1614,17 +1885,9 @@ def update_where_dv(
         raw = _dv_filter(
             _scan_with_address(spark, snap), _dv_tombstones(spark, snap)
         )
-        have = set(raw.columns)
-        live = raw.select(
-            "__fp",
-            "__ri",
-            *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in have
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ],
-        ).filter(cond)
+        live = _logical_select(raw, snap, extra=("__fp", "__ri")).filter(
+            cond
+        )
         # one pass computes both halves; cache so the tombstone write
         # and the updated-image write agree even on a flaky predicate
         live = live.cache()
@@ -1650,17 +1913,18 @@ def update_where_dv(
             # path: a violating updated image fails inside this write,
             # before publication
             updated = _apply_constraint_guard(updated, path)
+            updated_w = _to_physical(updated, _mapping(snap))
             commit_dir = os.path.join(
                 path, _DATA, f"commit-{uuid.uuid4().hex}"
             )
             if snap.part_entries is not None:
                 (
-                    updated.write.mode("errorifexists")
+                    updated_w.write.mode("errorifexists")
                     .partitionBy(*parts)
                     .parquet(commit_dir)
                 )
             else:
-                updated.write.mode("errorifexists").parquet(commit_dir)
+                updated_w.write.mode("errorifexists").parquet(commit_dir)
         finally:
             live.unpersist()
         dead = _dv_dead_counts(spark, dv_dir)
@@ -1761,6 +2025,7 @@ def replace_where_commit(
         raise ValueError("pass exactly one of predicates / (keys, key_cols)")
     if keys is not None and not key_cols:
         raise ValueError("keys requires key_cols")
+    _no_mapping(path, "replace_where_commit")
     if predicates is not None:
         for p in predicates:
             if len(p) != 3 or p[1] not in _PRUNE_OPS:
@@ -2415,12 +2680,20 @@ def compact(
                 commit_dir
             )
         nf, nr = _dir_file_metrics([commit_dir])
+        # compact MATERIALIZES the column mapping: read() yields
+        # logical names, so the rewrite lands logical-named files with
+        # dropped columns physically gone — the fresh manifest clears
+        # the mapping (explicit None beats publish-time inheritance)
+        # and re-keys stats/blooms to the now-logical on-disk names.
+        inv = {p: l for l, p in _mapping(base).items()}
         manifest = {
             "version": base.version + 1,
             "dirs": [commit_dir],
             "schema": base.schema_json,
             "committed_at": time.time(),
             "op": "OPTIMIZE",
+            "column_mapping": None,
+            "retired_physical": None,
             "metrics": {
                 "num_files_added": nf,
                 "num_files_removed": len(data_files(path, base.version)),
@@ -2428,17 +2701,30 @@ def compact(
                 "num_dv_files_cleared": len(base.dv_files or []),
             },
         }
+        live_cols = set(data.columns)  # drops fall out of the rewrite
         if base.stats_cols:
             # files were rewritten: parent per-file stats are stale
-            manifest["file_stats"] = collect_file_stats(
-                [commit_dir], base.stats_cols
-            )
-            manifest["stats_cols"] = base.stats_cols
+            stats_cols = [
+                inv.get(c, c)
+                for c in base.stats_cols
+                if inv.get(c, c) in live_cols
+            ]
+            if stats_cols:
+                manifest["file_stats"] = collect_file_stats(
+                    [commit_dir], stats_cols
+                )
+                manifest["stats_cols"] = stats_cols
         if base.bloom_cols:
-            manifest["file_blooms"] = collect_file_blooms(
-                [commit_dir], base.bloom_cols
-            )
-            manifest["bloom_cols"] = base.bloom_cols
+            bloom_cols = [
+                inv.get(c, c)
+                for c in base.bloom_cols
+                if inv.get(c, c) in live_cols
+            ]
+            if bloom_cols:
+                manifest["file_blooms"] = collect_file_blooms(
+                    [commit_dir], bloom_cols
+                )
+                manifest["bloom_cols"] = bloom_cols
         if base.part_entries is not None:
             written = _hive_leaf_dirs(commit_dir, parts)
             manifest["part_entries"] = [
@@ -2515,6 +2801,11 @@ def restore(
             "committed_at": time.time(),
             "op": "RESTORE",
             "metrics": {"restored_version": version},
+            # restored head gets the restored version's mapping, not
+            # the (possibly renamed-since) head's — explicit keys
+            # override publish-time inheritance
+            "column_mapping": snap.column_mapping,
+            "retired_physical": snap.retired_physical,
         }
         if snap.part_entries is not None:
             # a restore changes nothing physically; entries carry over
@@ -2559,6 +2850,10 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
         "committed_at": time.time(),
         "op": "CLONE",
         "metrics": {"source_version": snap.version},
+        # the clone references the source's PHYSICAL files, so it must
+        # carry the source's logical→physical mapping verbatim
+        "column_mapping": snap.column_mapping,
+        "retired_physical": snap.retired_physical,
     }
     if snap.part_entries is not None:
         manifest["part_entries"] = snap.part_entries

@@ -1,0 +1,229 @@
+"""Metadata-only RENAME/DROP COLUMN via column mapping (Delta's
+columnMapping name mode re-expressed on the manifest log): renames
+never touch data files, reads/writes translate logical↔physical at one
+seam, compact() materializes the mapping, and partition-oriented ops
+refuse mapped tables loudly."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+    snapshots as S,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string, amt double")
+
+
+def _data_file_count(path):
+    return len(S.data_files(path))
+
+
+def test_rename_is_metadata_only_and_time_travels(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a", 10.0), (2, "b", 20.0)]), path)
+    files_before = sorted(S.data_files(path))
+    v = S.rename_column(path, "v", "name")
+    assert v == 1
+    # zero data movement: identical file set, one new manifest
+    assert sorted(S.data_files(path)) == files_before
+    got = {r["k"]: r["name"] for r in S.read(spark, path).collect()}
+    assert got == {1: "a", 2: "b"}
+    assert "v" not in S.read(spark, path).columns
+    # time travel shows the pre-rename name (mapping is per-manifest)
+    assert "v" in S.read(spark, path, 0).columns
+    hist = S.describe_history(path)  # newest first
+    assert hist[0]["op"] == "RENAME COLUMN"
+
+
+def test_writes_after_rename_keep_physical_names(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a", 10.0)]), path)
+    S.rename_column(path, "v", "name")
+    appended = spark.createDataFrame(
+        [(2, "b", 20.0)], "k int, name string, amt double"
+    )
+    S.commit(spark, appended, path, mode="append")
+    # on-disk: EVERY file (old and new) carries the physical name "v"
+    for f in S.data_files(path):
+        cols = set(pq.ParquetFile(f).schema_arrow.names)
+        assert "v" in cols and "name" not in cols
+    got = {r["k"]: r["name"] for r in S.read(spark, path).collect()}
+    assert got == {1: "a", 2: "b"}
+    # overwrite after rename also round-trips through the mapping
+    S.commit(spark, appended, path, mode="overwrite")
+    assert S.read(spark, path).columns == ["k", "name", "amt"]
+    assert S.read(spark, path).count() == 1
+
+
+def test_read_where_prunes_and_filters_on_new_name(spark, tmp_path):
+    path = str(tmp_path / "t")
+    lo = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(10)],
+        "k int, v string, amt double",
+    )
+    hi = spark.createDataFrame(
+        [(i, "y", float(i)) for i in range(100, 110)],
+        "k int, v string, amt double",
+    )
+    S.commit(spark, lo, path, stats_for=["k"])
+    S.commit(spark, hi, path, mode="append", stats_for=["k"])
+    S.rename_column(path, "k", "id")
+    report = {}
+    out = S.read_where(
+        spark, path, [("id", ">=", 100)], report=report
+    )
+    assert out.count() == 10
+    assert report["files_kept"] < report["files_total"]
+    assert set(out.columns) == {"id", "v", "amt"}
+
+
+def test_drop_column_retires_physical_name(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a", 10.0)]), path)
+    S.drop_column(path, "v")
+    assert S.read(spark, path).columns == ["k", "amt"]
+    # re-introducing a column named after retired physical data must
+    # fail — old files would resurrect the dropped values under it
+    readd = spark.createDataFrame(
+        [(2, 20.0, "ghost")], "k int, amt double, v string"
+    )
+    with pytest.raises(ValueError, match="retired|collide"):
+        S.commit(spark, readd, path, mode="overwrite")
+    # compact materializes the drop; afterwards the name is free again
+    S.compact(spark, path)
+    snap = S.load_snapshot(path)
+    assert not snap.column_mapping and not snap.retired_physical
+    S.commit(spark, readd, path, mode="overwrite")
+    assert set(S.read(spark, path).columns) == {"k", "amt", "v"}
+
+
+def test_compact_materializes_rename_into_files(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    S.commit(
+        spark,
+        _df(spark, [(1, "a", 10.0), (2, "b", 20.0)]),
+        path,
+        stats_for=["k", "v"],
+    )
+    S.rename_column(path, "v", "name")
+    S.compact(spark, path)
+    snap = S.load_snapshot(path)
+    assert snap.column_mapping is None
+    # fresh files now carry the LOGICAL name; stats re-keyed to it
+    for f in S.data_files(path):
+        assert "name" in set(pq.ParquetFile(f).schema_arrow.names)
+    assert set(snap.stats_cols) == {"k", "name"}
+    got = {r["k"]: r["name"] for r in S.read(spark, path).collect()}
+    assert got == {1: "a", 2: "b"}
+
+
+def test_dv_delete_and_update_use_logical_names(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.commit(
+        spark,
+        _df(spark, [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]),
+        path,
+    )
+    S.rename_column(path, "amt", "price")
+    S.delete_where_dv(spark, path, "price >= 30.0")
+    S.update_where_dv(
+        spark, path, "price = 20.0", {"price": "price * 2"}
+    )
+    got = {r["k"]: r["price"] for r in S.read(spark, path).collect()}
+    assert got == {1: 10.0, 2: 40.0}
+    # the updated-image commit wrote PHYSICAL names: a plain read of
+    # every data dir must merge without producing a stray 'price' col
+    import pyarrow.parquet as pq
+
+    for f in S.data_files(path):
+        assert "amt" in set(pq.ParquetFile(f).schema_arrow.names)
+
+
+def test_restore_and_clone_carry_the_right_mapping(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a", 10.0)]), path)  # v0
+    S.rename_column(path, "v", "name")  # v1
+    clone_path = str(tmp_path / "c")
+    S.clone(path, clone_path)
+    assert S.read(spark, clone_path).columns == ["k", "name", "amt"]
+    assert {r["name"] for r in S.read(spark, clone_path).collect()} == {"a"}
+    # restore to v0: head shows the ORIGINAL column name again
+    S.restore(path, 0)
+    assert S.read(spark, path).columns == ["k", "v", "amt"]
+    # restore back to v1: mapping returns
+    S.restore(path, 1)
+    assert S.read(spark, path).columns == ["k", "name", "amt"]
+
+
+def test_table_stats_surface_logical_names(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.commit(
+        spark,
+        _df(spark, [(1, "a", 10.0), (2, "b", 25.0)]).coalesce(1),
+        path,
+        stats_for=["amt"],
+    )
+    S.rename_column(path, "amt", "price")
+    st = S.table_stats(path)
+    assert st["rows"] == 2
+    assert st["cols"]["price"] == {"min": 10.0, "max": 25.0}
+
+
+def test_guards_refuse_referenced_and_partition_columns(spark, tmp_path):
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        TableSpec,
+    )
+
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a", 10.0)]), path)
+    S.set_check_constraint(path, "amt_pos", "amt >= 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        S.rename_column(path, "amt", "price")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        S.drop_column(path, "amt")
+    S.drop_check_constraint(path, "amt_pos")
+    # unknown / duplicate names
+    with pytest.raises(ValueError, match="no column"):
+        S.rename_column(path, "zz", "q")
+    with pytest.raises(ValueError, match="already exists"):
+        S.rename_column(path, "v", "k")
+    # merge_commit refuses mapped tables until compacted
+    S.rename_column(path, "v", "name")
+    spec = TableSpec(
+        name="t",
+        schema=spark.createDataFrame(
+            [], "k int, name string, amt double"
+        ).schema,
+        primary_key="k",
+        partition_by=(),
+    )
+    src = spark.createDataFrame(
+        [(9, "z", 1.0)], "k int, name string, amt double"
+    )
+    with pytest.raises(ValueError, match="column mapping"):
+        S.merge_commit(spark, src, path, spec)
+
+
+def test_rename_chain_and_cdf_boundary(spark, tmp_path):
+    """A→B→C rename chain keeps pointing at the original physical
+    column; a second rename composes, not stacks."""
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a", 10.0)]), path)
+    S.rename_column(path, "v", "mid")
+    S.rename_column(path, "mid", "final")
+    snap = S.load_snapshot(path)
+    assert snap.column_mapping == {"final": "v"}
+    assert {r["final"] for r in S.read(spark, path).collect()} == {"a"}
+    # renaming BACK to the physical name drops the mapping entry
+    S.rename_column(path, "final", "v")
+    assert not (S.load_snapshot(path).column_mapping or {})
