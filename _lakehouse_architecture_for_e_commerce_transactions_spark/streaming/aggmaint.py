@@ -1285,3 +1285,110 @@ def stream_cm_maintenance(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+_HLL_STATE_SCHEMA = StructType(
+    [
+        StructField("k", StringType(), True),
+        StructField("reg", LongType(), True),
+        StructField("m", IntegerType(), True),
+        StructField("_last_batch", LongType(), True),
+        StructField("_app_id", StringType(), True),
+    ]
+)
+
+
+def read_maintained_hll_estimate(
+    spark: SparkSession, path: str, p: int = 6
+) -> DataFrame:
+    """(k, present_regs, est_distinct) view of the maintained HLL
+    register state."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        sketches as SK,
+    )
+
+    state = (
+        S.read(spark, path)
+        .filter(F.col("k").isNotNull())
+        .select("k", "reg", "m")
+    )
+    return SK.hll_estimate(state, ["k"], p=p)
+
+
+def stream_hll_maintenance(
+    spark: SparkSession,
+    raw_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    p: int = 6,
+    available_now: bool = True,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """Exactly-once streaming COUNT(DISTINCT) maintenance via the HLL
+    register sketch (operators/sketches.py hll_*): per batch, sketch
+    ONLY the batch and register-wise-max it into the stored state —
+    O(batch) + a state-sized merge bounded at 2^p rows per group
+    however many distinct values the stream has carried.
+
+    Register max is IDEMPOTENT, which makes this the most
+    delivery-tolerant twin of the family: even if the replay watermark
+    missed and a batch merged twice, the state would be unchanged (the
+    guard still skips replays — it keeps the commit count O(new
+    batches), not correctness). Insert-only like KMV: a register
+    cannot unsee a value, so the feed schema is bare ``(k, v)``."""
+    from pyspark.sql.types import StructType as _ST
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        sketches as SK,
+    )
+
+    app = _app_id(checkpoint_dir)
+    schema = _ST(
+        [
+            StructField("k", StringType(), False),
+            StructField("v", StringType(), False),
+        ]
+    )
+    reader = (
+        spark.readStream.schema(schema).option("header", True).csv(raw_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _reject_null_keys(
+            batch_df, F.col("k").isNull(), "stream_hll_maintenance"
+        )
+        state, last, aid = _table_state(
+            spark, state_path, _HLL_STATE_SCHEMA, ["k", "reg", "m"]
+        )
+        skip, rebuild = _guard(batch_id, last, aid, app)
+        if skip:
+            return
+        batch_sketch = SK.hll_sketch(batch_df, ["k"], "v", p=p)
+        if last is None or rebuild:
+            nxt = SK.hll_merge(state.limit(0), batch_sketch, ["k"])
+            _commit_with_marker(
+                spark, nxt, state_path, batch_id, app,
+                (None, None, None, batch_id, app), _HLL_STATE_SCHEMA,
+            )
+        else:
+            # O(batch): only the batch's groups' registers move
+            touched = batch_df.select("k").distinct()
+            nxt = SK.hll_merge(
+                state.join(touched, ["k"], "left_semi"), batch_sketch, ["k"]
+            )
+            _commit_with_marker(
+                spark, nxt, state_path, batch_id, app,
+                (None, None, None, batch_id, app), _HLL_STATE_SCHEMA,
+                scope_keys=touched, key_cols=["k"],
+            )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            S.compact(spark, state_path)
+
+    writer = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

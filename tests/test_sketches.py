@@ -738,3 +738,69 @@ def test_hll_sketch_plan_is_single_aggregate_no_window(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_streaming_hll_maintenance_exactly_once(spark, tmp_path):
+    """Streamed HLL register state equals the one-shot sketch of the
+    full feed after every batch; replay no-ops; a fresh checkpoint
+    rebuilds to the same registers (idempotent merge algebra)."""
+    import os
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (
+        read_maintained_hll_estimate,
+        stream_hll_maintenance,
+    )
+
+    raw = str(tmp_path / "raw")
+    state = str(tmp_path / "hll")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, pairs):
+        os.makedirs(raw, exist_ok=True)
+        with open(os.path.join(raw, name), "w") as f:
+            f.write("k,v\n")
+            for g, v in pairs:
+                f.write(f"{g},{v}\n")
+
+    seen: dict[str, set] = {}
+    batches = [
+        [("a", f"u{i}") for i in range(200)] + [("b", "x"), ("b", "y")],
+        [("a", f"u{i}") for i in range(150, 400)] + [("b", "x")],
+        [("c", f"w{i}") for i in range(40)],
+    ]
+    for i, rows in enumerate(batches, start=1):
+        write(f"b{i}.csv", rows)
+        q = stream_hll_maintenance(spark, raw, state, ckpt, p=6)
+        q.awaitTermination(120)
+        for g, v in rows:
+            seen.setdefault(g, set()).add(v)
+        got = {
+            r["k"]: (r["present_regs"], r["est_distinct"])
+            for r in read_maintained_hll_estimate(
+                spark, state, p=6
+            ).collect()
+        }
+        full = spark.createDataFrame(
+            [(g, v) for g, vs in seen.items() for v in vs],
+            "k string, v string",
+        )
+        want = {
+            r["k"]: (r["present_regs"], r["est_distinct"])
+            for r in SK.hll_estimate(
+                SK.hll_sketch(full, ["k"], "v", p=6), ["k"], p=6
+            ).collect()
+        }
+        assert got == want, f"after batch {i}"
+
+    # replay no-op; fresh checkpoint rebuilds to the same state
+    q = stream_hll_maintenance(spark, raw, state, ckpt, p=6)
+    q.awaitTermination(120)
+    q = stream_hll_maintenance(
+        spark, raw, state, str(tmp_path / "ck2"), p=6
+    )
+    q.awaitTermination(120)
+    rebuilt = {
+        r["k"]: (r["present_regs"], r["est_distinct"])
+        for r in read_maintained_hll_estimate(spark, state, p=6).collect()
+    }
+    assert rebuilt == want
