@@ -7852,6 +7852,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
 # re-verified by tools/verify_parity.py at HEAD each round).
 _WINDOW_FRONT: list[str] = [
     # new in round 5
+    "hll_distinct_orders",
+    "bfs_reachability",
+    "column_mapping_sim",
     "kmv_jaccard_segments",
     "jpeg_decode_stats",
     "replace_where_sim",
@@ -7901,9 +7904,6 @@ _WINDOW_FRONT: list[str] = [
     "heavy_hitter_terms",
     "quality_logreg",
     "orc_roundtrip",
-    "profile_orders",
-    "anomaly_events",
-    "events_hopping",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

@@ -1496,6 +1496,7 @@ def _publish_partitioned(
     max_retries: int,
     stats_cols: list[str] | None = None,
     op: str = "MERGE",
+    fresh_changed: bool = True,
 ) -> int:
     """Publish an already-written partition-granular rewrite (MERGE or
     DELETE) as the next version: carry unaffected entries by reference,
@@ -1552,7 +1553,7 @@ def _publish_partitioned(
                 "parts": list(pt),
                 "base": commit_dir,
                 "dir": d,
-                "changed": True,
+                "changed": fresh_changed,
             }
             for pt, d in written.items()
         ]
@@ -2742,6 +2743,107 @@ def compact(
         return base.version + 1
     raise RuntimeError(
         f"compact contention at {path}: {max_retries} restarts"
+    )
+
+
+def compact_where(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+    cluster_by: list[str] | None = None,
+    max_retries: int = 3,
+) -> int | None:
+    """``OPTIMIZE <table> WHERE <partition predicate>`` — rewrite ONLY
+    the partitions the predicate selects; everything else carries by
+    reference. The 100 TB compaction shape: a streaming MERGE leaves
+    small-file debt in today's partition only, so layout maintenance
+    must cost O(today), never O(table) — full ``compact`` at that scale
+    is a non-starter. Returns the new version, or None when no
+    partition matches.
+
+    ``predicates`` use the ``read_where`` conjunction form and must
+    bind to PARTITION columns only (a non-partition predicate here
+    would silently drop the rows it filters from the rewritten
+    partitions). Partition selection is conservative (fail-open): a
+    value the matcher cannot coerce rewrites that partition rather
+    than risk losing it — extra work, never loss; the rows rewritten
+    are BY CONSTRUCTION exactly the affected entries' rows (scanned
+    from their dirs, DV-filtered, so tombstones materialize for the
+    rewritten scope and stay referenced for the carried scope).
+    ``cluster_by`` sorts within the rewritten partitions (scoped
+    ZORDER). Rewritten partitions publish ``changed=False`` — logical
+    rows are untouched, so concurrent merges rebase across the
+    compaction without conflict, exactly like full ``compact``."""
+    import dataclasses
+
+    for p in predicates:
+        if len(p) != 3 or p[1] not in _PRUNE_OPS:
+            raise ValueError(f"bad predicate {p!r}; ops: {_PRUNE_OPS}")
+    _no_mapping(path, "compact_where")
+    for _ in range(max_retries):
+        base = load_snapshot(path)
+        if base.part_entries is None:
+            raise ValueError(
+                "compact_where needs a merge-committed (partitioned) "
+                "table; use compact() on plain tables"
+            )
+        parts = list(base.partition_by or [])
+        pidx = {c: i for i, c in enumerate(parts)}
+        bad = [c for (c, _, _) in predicates if c not in pidx]
+        if bad:
+            raise ValueError(
+                f"compact_where predicates must bind partition columns "
+                f"{parts}; got {bad}"
+            )
+        hit = [
+            e
+            for e in base.part_entries
+            if _part_maybe_matches(e["parts"], pidx, predicates)
+        ]
+        if not hit:
+            return None
+        affected = {tuple(e["parts"]) for e in hit}
+        scoped = dataclasses.replace(base, part_entries=hit)
+        data = _logical_select(
+            _dv_filter(
+                _scan_with_address(spark, scoped),
+                _dv_tombstones(spark, base),
+            ),
+            base,
+        )
+        cluster = [c for c in (cluster_by or []) if c not in parts]
+        shaped = data.hint("rebalance", *parts)
+        if cluster:
+            shaped = shaped.sortWithinPartitions(*parts, *cluster)
+        commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
+        shaped.write.mode("errorifexists").partitionBy(*parts).parquet(
+            commit_dir
+        )
+        try:
+            return _publish_partitioned(
+                path,
+                base.version,
+                affected,
+                _hive_leaf_dirs(commit_dir, parts),
+                commit_dir,
+                parts,
+                base.schema_json,
+                False,
+                max_retries,
+                stats_cols=base.stats_cols,
+                op="OPTIMIZE",
+                fresh_changed=False,
+            )
+        except RuntimeError:
+            # a conflicting commit touched our scope mid-rewrite:
+            # restart the pass from the new head (stale-data publish
+            # would drop the interleaved commit's rows)
+            import shutil
+
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            continue
+    raise RuntimeError(
+        f"compact_where contention at {path}: {max_retries} restarts"
     )
 
 

@@ -227,3 +227,104 @@ def test_rename_chain_and_cdf_boundary(spark, tmp_path):
     # renaming BACK to the physical name drops the mapping entry
     S.rename_column(path, "final", "v")
     assert not (S.load_snapshot(path).column_mapping or {})
+
+
+# ---------------------------------------------------------------------------
+# Partition-scoped OPTIMIZE (compact_where) — kept in this file because
+# it shares the snapshot-layer maintenance surface added this round.
+# ---------------------------------------------------------------------------
+
+
+def _part_spec():
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        TableSpec,
+    )
+
+    return TableSpec(
+        name="pt",
+        schema=StructType(
+            [
+                StructField("k", LongType(), False),
+                StructField("p", LongType(), False),
+            ]
+        ),
+        primary_key="k",
+        partition_by=("p",),
+    )
+
+
+def test_compact_where_rewrites_only_matching_partitions(spark, tmp_path):
+    path = str(tmp_path / "pt")
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+    )
+    S.merge_commit(spark, df, path, _part_spec())
+    # fragment partition p=1 with several single-row merges
+    for i in range(3):
+        src = spark.createDataFrame([(100 + i, 1)], "k long, p long")
+        S.merge_commit(spark, src, path, _part_spec())
+    before = S.load_snapshot(path)
+    carried_dirs = {
+        e["dir"] for e in before.part_entries if e["parts"] != ["1"]
+    }
+    v = S.compact_where(spark, path, [("p", "==", 1)])
+    snap = S.load_snapshot(path)
+    assert snap.version == v and snap.op == "OPTIMIZE"
+    # non-matching partitions carried BY REFERENCE (same dirs)
+    after_dirs = {
+        e["dir"] for e in snap.part_entries if e["parts"] != ["1"]
+    }
+    assert after_dirs == carried_dirs
+    # matching partition rewritten into ONE fresh dir, changed=False
+    p1 = [e for e in snap.part_entries if e["parts"] == ["1"]]
+    assert len(p1) == 1 and p1[0]["changed"] is False
+    assert p1[0]["dir"] not in {
+        e["dir"] for e in before.part_entries
+    }
+    # logical rows untouched
+    assert {r["k"] for r in S.read(spark, path).collect()} == set(
+        range(40)
+    ) | {100, 101, 102}
+
+
+def test_compact_where_materializes_dv_in_scope_keeps_rest(
+    spark, tmp_path
+):
+    path = str(tmp_path / "pt")
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    S.merge_commit(spark, df, path, _part_spec())
+    S.delete_where_dv(spark, path, "k IN (0, 1, 2, 3)")  # both partitions
+    S.compact_where(spark, path, [("p", "==", 0)])
+    snap = S.load_snapshot(path)
+    # tombstones still referenced (p=1 needs them); reads stay correct
+    assert snap.dv_files
+    assert {r["k"] for r in S.read(spark, path).collect()} == set(
+        range(4, 40)
+    )
+    # rewritten p=0 files no longer contain the deleted rows even
+    # when scanned raw (DVs materialized in scope)
+    p0 = [e for e in snap.part_entries if e["parts"] == ["0"]]
+    raw = spark.read.parquet(p0[0]["dir"])
+    assert {r["k"] for r in raw.collect()} == {
+        k for k in range(4, 40) if k % 2 == 0
+    }
+
+
+def test_compact_where_guards_and_no_match(spark, tmp_path):
+    path = str(tmp_path / "pt")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    S.merge_commit(spark, df, path, _part_spec())
+    with pytest.raises(ValueError, match="partition columns"):
+        S.compact_where(spark, path, [("k", "==", 1)])
+    assert S.compact_where(spark, path, [("p", "==", 99)]) is None
+    # plain tables refuse the scoped form
+    plain = str(tmp_path / "plain")
+    S.commit(spark, df, plain)
+    with pytest.raises(ValueError, match="merge-committed"):
+        S.compact_where(spark, plain, [("p", "==", 0)])
