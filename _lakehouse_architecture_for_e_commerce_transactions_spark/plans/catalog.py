@@ -7346,6 +7346,65 @@ GROUP BY o_orderpriority
 """
 
 
+def q_optimize_scoped_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-scoped OPTIMIZE end to end
+    (sources/snapshots.compact_where): commit orders as a
+    merge-committed table hive-partitioned by priority, DV-delete
+    expensive rows across every partition, then compact ONLY the
+    '1-URGENT' partition — materializing its tombstones into fresh
+    files while every other partition (and its deletion vectors)
+    carries by reference. Layout maintenance must be logically
+    invisible: the read-back aggregate has to equal the oracle's plain
+    statement of the delete, byte for byte. The 100 TB shape under
+    test: OPTIMIZE cost scales with the scoped partition, never the
+    table."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as SN,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        TableSpec,
+    )
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    spec = TableSpec(
+        name="opt_scope",
+        schema=o.schema,
+        primary_key="o_orderkey",
+        partition_by=("o_orderpriority",),
+    )
+    path = _tf.mkdtemp(prefix="sparkgraft_optscope_")
+    try:
+        SN.merge_commit(spark, o, path, spec)
+        SN.delete_where_dv(spark, path, "o_totalprice >= 400000")
+        SN.compact_where(
+            spark, path, [("o_orderpriority", "==", "1-URGENT")]
+        )
+        return (
+            SN.read(spark, path)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                money_sum(F.col("o_totalprice")).alias("rev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
+
+
+_OPTIMIZE_SCOPED_SQL = f"""
+SELECT o_orderpriority, count(*) AS cnt,
+       {_money_sum_sql("o_totalprice")} AS rev
+FROM orders WHERE o_totalprice < 400000
+GROUP BY o_orderpriority
+"""
+
+
 _REPLACE_WHERE_SQL = f"""
 WITH live AS (
   SELECT o_orderpriority,
@@ -7819,6 +7878,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "column_mapping_sim": QueryDef(
         q_column_mapping_sim, _COLUMN_MAPPING_SQL
     ),
+    "optimize_scoped_sim": QueryDef(
+        q_optimize_scoped_sim, _OPTIMIZE_SCOPED_SQL
+    ),
     "hist_quantile_maintenance": QueryDef(
         q_hist_quantile_maintenance, _HIST_QUANTILE_SQL
     ),
@@ -7855,6 +7917,7 @@ _WINDOW_FRONT: list[str] = [
     "hll_distinct_orders",
     "bfs_reachability",
     "column_mapping_sim",
+    "optimize_scoped_sim",
     "kmv_jaccard_segments",
     "jpeg_decode_stats",
     "replace_where_sim",
@@ -7903,7 +7966,6 @@ _WINDOW_FRONT: list[str] = [
     "pagerank_events",
     "heavy_hitter_terms",
     "quality_logreg",
-    "orc_roundtrip",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)
