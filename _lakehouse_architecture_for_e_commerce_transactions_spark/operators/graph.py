@@ -582,3 +582,55 @@ def bfs_hops(
         dist = dist.unionByName(new)
         frontier = new.select("node")
     return dist
+
+
+def sssp_costs(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Fixed-round multi-source Bellman-Ford: minimum path COST from
+    any source node using at most ``rounds`` edges. Returns
+    (node, cost) for every node reachable within the horizon — the
+    weighted sibling of ``bfs_hops`` (cheapest supply route, lowest-
+    friction referral path). A FIXED round count keeps the result a
+    pure function of (edges, sources): after k rounds it is EXACTLY
+    min-cost-over-≤k-edge-paths, replayable by a SQL oracle as k
+    unrolled relax steps; with rounds ≥ |V|−1 and non-negative
+    weights it is the true shortest path.
+
+    Per-round shape: one equi-join (edges ⋈ dist on src) + one
+    groupBy-min over (settled ∪ relaxed) — the frontier never
+    materializes all paths, only the current best cost per node.
+    Integer weights keep the relaxation exact and engine-portable
+    (double costs would carry summation order in the last ulp).
+    ``localCheckpoint`` keeps the iterated plan flat."""
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sources.select(F.col("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        cand = e.join(dist, e.src == dist.node).select(
+            F.col("dst").alias("node"),
+            (F.col("cost") + F.col("w")).alias("cost"),
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -5255,6 +5255,76 @@ f{i} AS (SELECT node FROM n{i})"""
 _BFS_SQL = _bfs_sql()
 
 
+def q_sssp_min_costs(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-round multi-source Bellman-Ford
+    (operators/graph.py:sssp_costs): cheapest ≤3-edge supply route
+    from NATION_7's suppliers over the part ↔ supplier graph, edges
+    weighted by the cheapest observed lineitem price in exact cents
+    (the money_sum fixed-point idiom, so the relaxation is pure
+    integer arithmetic both engines replay identically). The weighted
+    sibling of bfs_reachability; the oracle unrolls the same three
+    relax steps."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        graph as G,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+        "long"
+    )
+    pairs = (
+        li.select("l_partkey", "l_suppkey", cents.alias("c"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("c").alias("w"))
+    )
+    p = F.concat(F.lit("p"), F.col("l_partkey"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey"))
+    edges = pairs.select(
+        p.alias("src"), s.alias("dst"), "w"
+    ).unionByName(pairs.select(s.alias("src"), p.alias("dst"), "w"))
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    sources = (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .filter(F.col("n_name") == "NATION_7")
+        .select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
+    )
+    return G.sssp_costs(edges, sources, rounds=3)
+
+
+def _sssp_sql(rounds: int = 3) -> str:
+    parts = [
+        """
+WITH pw AS (
+  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS p,
+         's' || CAST(l_suppkey AS VARCHAR) AS s,
+         min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2),
+e AS (SELECT p AS src, s AS dst, w FROM pw
+      UNION ALL
+      SELECT s AS src, p AS dst, w FROM pw),
+d0 AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+              CAST(0 AS BIGINT) AS cost
+       FROM supplier JOIN nation ON n_nationkey = s_nationkey
+       WHERE n_name = 'NATION_7')"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f""",
+r{i} AS (SELECT e.dst AS node, d.cost + e.w AS cost
+         FROM e JOIN d{p} d ON d.node = e.src),
+d{i} AS (SELECT node, min(cost) AS cost FROM (
+           SELECT node, cost FROM d{p}
+           UNION ALL SELECT node, cost FROM r{i}) GROUP BY node)"""
+        )
+    parts.append(f"\nSELECT node, cost FROM d{rounds}")
+    return "".join(parts)
+
+
+_SSSP_SQL = _sssp_sql()
+
+
 def q_stats_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Manifest-stats data skipping end to end (the Delta/Iceberg
     data-skipping analog over `sources.snapshots`, ref curated zone
@@ -7787,6 +7857,7 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "pagerank_events": QueryDef(q_pagerank_events, _PAGERANK_SQL),
     "lp_communities": QueryDef(q_lp_communities, _LP_SQL),
     "bfs_reachability": QueryDef(q_bfs_reachability, _BFS_SQL),
+    "sssp_min_costs": QueryDef(q_sssp_min_costs, _SSSP_SQL),
     "k_core_nodes": QueryDef(q_k_core_nodes, _K_CORE_SQL),
     "heavy_hitter_terms": QueryDef(
         q_heavy_hitter_terms, _HEAVY_HITTERS_SQL, headline=True
@@ -7916,6 +7987,7 @@ _WINDOW_FRONT: list[str] = [
     # new in round 5
     "hll_distinct_orders",
     "bfs_reachability",
+    "sssp_min_costs",
     "column_mapping_sim",
     "optimize_scoped_sim",
     "kmv_jaccard_segments",
@@ -7965,7 +8037,6 @@ _WINDOW_FRONT: list[str] = [
     "stats_pruned_scan",
     "pagerank_events",
     "heavy_hitter_terms",
-    "quality_logreg",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

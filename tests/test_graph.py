@@ -328,3 +328,33 @@ def test_bfs_hops_multi_source_takes_nearest_and_keeps_edgeless_source(
         for r in bfs_hops(edges, sources, max_hops=1).collect()
     }
     assert got == {"a": 0, "e": 0, "lonely": 0, "b": 1, "d": 1}
+
+
+def test_sssp_costs_relaxes_to_cheapest_path_within_horizon(spark):
+    """Bellman-Ford with a direct-but-expensive edge vs a longer
+    cheaper path: within 1 round the direct cost wins; with enough
+    rounds the cheap 3-hop path replaces it. Integer-exact."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.graph import (
+        sssp_costs,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "z", 100),
+            ("a", "b", 10),
+            ("b", "c", 10),
+            ("c", "z", 10),
+        ],
+        "src string, dst string, w long",
+    )
+    sources = spark.createDataFrame([("a",)], "node string")
+    one = {
+        r["node"]: r["cost"]
+        for r in sssp_costs(edges, sources, rounds=1).collect()
+    }
+    assert one["z"] == 100 and one["b"] == 10
+    full = {
+        r["node"]: r["cost"]
+        for r in sssp_costs(edges, sources, rounds=4).collect()
+    }
+    assert full == {"a": 0, "b": 10, "c": 20, "z": 30}
