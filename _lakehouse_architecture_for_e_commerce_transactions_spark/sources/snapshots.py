@@ -525,6 +525,14 @@ def _cluster_shape(
     )
 
 
+def _raw_manifest(path: str, version: int | None = None) -> dict:
+    """The manifest JSON verbatim — for fields the Snapshot dataclass
+    doesn't surface (NDV sketches)."""
+    v = _versions(path)[-1] if version is None else version
+    with open(_manifest_path(path, v)) as f:
+        return json.load(f)
+
+
 def _mapping(snap: Snapshot) -> dict[str, str]:
     """Logical→physical column map for a snapshot ({} = identity)."""
     return dict(snap.column_mapping or {})
@@ -653,6 +661,11 @@ def _publish_metadata_only(
             v = getattr(snap, k)
             if v is not None:
                 manifest[k] = v
+        # rows are untouched by a metadata-only op: NDV sketches (raw
+        # manifest field, physical keys) stay valid and carry over
+        ndv = _raw_manifest(path, snap.version).get("ndv_sketches")
+        if ndv is not None:
+            manifest["ndv_sketches"] = ndv
         manifest.update(patch)
         if _try_publish_manifest(path, snap.version + 1, manifest):
             return snap.version + 1
@@ -742,6 +755,78 @@ def drop_column(path: str, col: str) -> int:
     )
 
 
+NDV_P = 8  # 2^8 = 256 one-byte registers per sketched column
+
+
+def _collect_ndv_sketch(df: DataFrame, cols: list[str]) -> dict:
+    """Per-column HLL register sketch of ``df`` as a JSON-able dict
+    {col: [[reg, m], ...]} — ≤ 2^NDV_P rows per column, a BOUNDED
+    driver collect (the same budget class as codebooks and per-batch
+    marker probes). One extra aggregation job per column over data the
+    commit is writing anyway."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        sketches as SK,
+    )
+
+    out = {}
+    for c in cols:
+        rows = SK.hll_sketch(df, [], c, p=NDV_P).collect()
+        out[c] = sorted([int(r["reg"]), int(r["m"])] for r in rows)
+    return out
+
+
+def _merge_ndv(a: dict | None, b: dict) -> dict:
+    """Register-wise max of two stored sketches — the HLL union, in
+    pure Python on ≤ 2^NDV_P entries per column."""
+    if not a:
+        return b
+    out = {}
+    for c in set(a) | set(b):
+        regs: dict[int, int] = {}
+        for reg, m in list(a.get(c, [])) + list(b.get(c, [])):
+            regs[reg] = max(regs.get(reg, 0), m)
+        out[c] = sorted([r, m] for r, m in regs.items())
+    return out
+
+
+def table_ndv(path: str, version: int | None = None) -> dict:
+    """Manifest-only COUNT(DISTINCT) estimates (the Delta/Iceberg NDV
+    statistic, HLL-backed): {col: estimate} from the register sketches
+    the commits recorded — ZERO data-file I/O, O(2^NDV_P) driver math.
+    Returns {} when the snapshot carries no sketches. Maintained by
+    ``commit`` (overwrite rebuilds, append merges — register max is
+    exact union algebra); any op that REMOVES rows (DELETE/UPDATE/
+    MERGE/replaceWhere/OPTIMIZE) drops the sketches rather than serve
+    estimates registers cannot un-see — fail-open, like per-column
+    min/max under deletion vectors. Column-mapped tables report
+    LOGICAL names."""
+    m = _raw_manifest(path, version)
+    sketches = m.get("ndv_sketches")
+    if not sketches:
+        return {}
+    q = 32 - NDV_P
+    m_regs = 1 << NDV_P
+    alpha = 0.7213 / (1.0 + 1.079 / m_regs)
+    numer = alpha * float(m_regs) * float(m_regs) * float(1 << (q + 1))
+    inv = {p: l for l, p in (m.get("column_mapping") or {}).items()}
+    out = {}
+    for c, regs in sketches.items():
+        s = sum(1 << (q + 1 - mm) for _, mm in regs)
+        s += (m_regs - len(regs)) * (1 << (q + 1))
+        est = numer / float(s)
+        zeros = m_regs - len(regs)
+        if est <= 2.5 * m_regs and zeros:
+            # Flajolet's small-range linear counting. This is DRIVER
+            # Python (math.log), fine here; the distributed
+            # operators.sketches.hll_estimate stays libm-free because
+            # IT carries a bit-exact SQL oracle contract.
+            import math
+
+            est = m_regs * math.log(m_regs / zeros)
+        out[inv.get(c, c)] = round(est, 4)
+    return out
+
+
 def commit(
     spark: SparkSession,
     df: DataFrame,
@@ -753,6 +838,7 @@ def commit(
     cluster_by: list[str] | None = None,
     n_files: int | None = None,
     bloom_for: list[str] | None = None,
+    ndv_for: list[str] | None = None,
 ) -> int:
     """Atomically commit ``df`` as the table's next version; returns it.
 
@@ -813,6 +899,28 @@ def commit(
     fresh_blooms = (
         collect_file_blooms([commit_dir], list(bloom_for))
         if bloom_for
+        else None
+    )
+    # NDV sketches: explicit request, or (append) the parent's sketched
+    # columns so table-level NDV survives appends without re-requesting.
+    # Sketch LOGICAL df columns, store under PHYSICAL keys (like stats).
+    ndv_logical = list(ndv_for) if ndv_for else None
+    if ndv_logical is None and mode == "append":
+        pvs = _versions(path)
+        if pvs:
+            with open(_manifest_path(path, pvs[-1])) as pf:
+                parent_ndv = json.load(pf).get("ndv_sketches")
+            if parent_ndv:
+                inv = {p: l for l, p in mapping.items()}
+                ndv_logical = [inv.get(c, c) for c in parent_ndv]
+    fresh_ndv = (
+        {
+            mapping.get(c, c): regs
+            for c, regs in _collect_ndv_sketch(
+                df, [c for c in ndv_logical if c in df.columns]
+            ).items()
+        }
+        if ndv_logical
         else None
     )
 
@@ -883,6 +991,14 @@ def commit(
                 }
             manifest["file_blooms"] = merged_blooms
             manifest["bloom_cols"] = list(bloom_for)
+        if fresh_ndv is not None:
+            merged_ndv = fresh_ndv
+            if mode == "append" and vs:
+                with open(_manifest_path(path, vs[-1])) as pf:
+                    merged_ndv = _merge_ndv(
+                        json.load(pf).get("ndv_sketches"), fresh_ndv
+                    )
+            manifest["ndv_sketches"] = merged_ndv
         if not _try_publish_manifest(path, next_v, manifest):
             continue  # lost the race: recompute on top of the winner
         return next_v
@@ -2909,6 +3025,9 @@ def restore(
             "column_mapping": snap.column_mapping,
             "retired_physical": snap.retired_physical,
         }
+        ndv = _raw_manifest(path, snap.version).get("ndv_sketches")
+        if ndv is not None:
+            manifest["ndv_sketches"] = ndv
         if snap.part_entries is not None:
             # a restore changes nothing physically; entries carry over
             # but must rebase-conflict with any concurrent merge, so
@@ -2957,6 +3076,9 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
         "column_mapping": snap.column_mapping,
         "retired_physical": snap.retired_physical,
     }
+    ndv = _raw_manifest(src, snap.version).get("ndv_sketches")
+    if ndv is not None:
+        manifest["ndv_sketches"] = ndv
     if snap.part_entries is not None:
         manifest["part_entries"] = snap.part_entries
         manifest["partition_by"] = snap.partition_by

@@ -1260,3 +1260,55 @@ def test_vacuum_retention_hours_and_diff_by_timestamp(spark, tmp_path):
     deleted = S.vacuum(path, keep_last=1, retention_hours=0.0)
     assert [s.version for s in S.history(path)] == [2]
     assert deleted
+
+
+def test_ndv_sketches_estimate_merge_and_fail_open(spark, tmp_path):
+    """Manifest-only NDV (HLL-backed Delta/Iceberg-style distinct
+    stats): estimates from the manifest alone, appends merge with
+    exact union algebra (append-path estimate == one-shot rebuild),
+    and any row-removing op drops the sketches (fail-open — registers
+    cannot un-see)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    a = spark.range(800).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("v")
+    )
+    b = spark.range(600, 1400).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("v")
+    )
+    S.commit(spark, a, path, ndv_for=["k", "v"])
+    est = S.table_ndv(path)
+    assert abs(est["k"] - 800) / 800 < 0.2  # ~3 SE at p=8
+    assert abs(est["v"] - 50) / 50 < 0.3
+    S.commit(spark, b, path, mode="append")  # inherits sketched cols
+    merged = S.table_ndv(path)
+    # merge algebra is exact: appended estimate == one-shot rebuild
+    path2 = str(tmp_path / "t2")
+    S.commit(spark, a.unionByName(b), path2, ndv_for=["k", "v"])
+    assert merged == S.table_ndv(path2)
+    assert abs(merged["k"] - 1400) / 1400 < 0.2
+    # time travel reads the version's own sketches
+    assert S.table_ndv(path, 0) == est
+    # a row-removing op drops the stats rather than overestimate
+    S.delete_where_dv(spark, path, "k < 100")
+    assert S.table_ndv(path) == {}
+
+
+def test_ndv_survives_metadata_ops_with_logical_names(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 20).alias("v")
+    )
+    S.commit(spark, df, path, ndv_for=["v"])
+    before = S.table_ndv(path)["v"]
+    S.rename_column(path, "v", "cat")
+    assert S.table_ndv(path) == {"cat": before}  # logical key, same regs
+    # restore back to the pre-rename version: sketches return under "v"
+    S.restore(path, 0)
+    assert S.table_ndv(path) == {"v": before}
+    # clone carries them
+    S.clone(path, str(tmp_path / "c"))
+    assert S.table_ndv(str(tmp_path / "c")) == {"v": before}
