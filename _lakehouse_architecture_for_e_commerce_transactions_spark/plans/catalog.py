@@ -7416,6 +7416,92 @@ GROUP BY o_orderpriority
 """
 
 
+def q_ndv_stats_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Manifest-level NDV statistics end to end
+    (sources/snapshots.table_ndv — the Delta/Iceberg NDV stat,
+    HLL-backed): commit even-keyed orders with an NDV sketch on
+    o_orderkey, APPEND the odd-keyed rest (the append path must merge
+    registers with exact union algebra), then answer COUNT(DISTINCT)
+    from the manifest alone — zero data-file I/O. The oracle rebuilds
+    the p=8 register sketch over all orders in SQL and applies the
+    identical integer-space raw estimator; o_orderkey is unique, so
+    every test scale sits far above the small-range regime and the
+    libm-free raw branch is the one exercised."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as SN,
+    )
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _tf.mkdtemp(prefix="sparkgraft_ndv_")
+    try:
+        SN.commit(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 0),
+            path,
+            ndv_for=["o_orderkey"],
+        )
+        SN.commit(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 1),
+            path,
+            mode="append",
+        )
+        est = SN.table_ndv(path)
+        return spark.createDataFrame(
+            [("o_orderkey", float(est["o_orderkey"]))],
+            "col string, est_distinct double",
+        )
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
+
+
+def _ndv_stats_sql() -> str:
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        sketches as SK,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources.snapshots import (
+        NDV_P,
+    )
+
+    q = 32 - NDV_P
+    m_regs = 1 << NDV_P
+    numer = (
+        SK.hll_alpha(NDV_P)
+        * float(m_regs)
+        * float(m_regs)
+        * float(1 << (q + 1))
+    )
+    h = _hex2int_sql("substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)")
+    return f"""
+WITH b AS (
+  SELECT ({h}) // {1 << q} AS reg, ({h}) % {1 << q} AS w
+  FROM orders WHERE o_orderkey IS NOT NULL),
+r AS (
+  SELECT reg,
+         max({q + 1} - CASE WHEN w = 0 THEN 0
+                            ELSE length(bin(w)) END) AS m
+  FROM b GROUP BY reg),
+s AS (
+  SELECT count(*) AS present,
+         sum((1::BIGINT << ({q + 1} - m))) AS s_occ
+  FROM r)
+SELECT 'o_orderkey' AS col,
+       round({numer!r} /
+             CAST(s_occ + ({m_regs} - present) * ({1 << (q + 1)}::BIGINT)
+                  AS DOUBLE),
+             4) AS est_distinct
+FROM s
+"""
+
+
+_NDV_STATS_SQL = _ndv_stats_sql()
+
+
 def q_optimize_scoped_sim(spark: SparkSession, sf: str) -> DataFrame:
     """Partition-scoped OPTIMIZE end to end
     (sources/snapshots.compact_where): commit orders as a
@@ -7952,6 +8038,7 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "optimize_scoped_sim": QueryDef(
         q_optimize_scoped_sim, _OPTIMIZE_SCOPED_SQL
     ),
+    "ndv_stats_sim": QueryDef(q_ndv_stats_sim, _NDV_STATS_SQL),
     "hist_quantile_maintenance": QueryDef(
         q_hist_quantile_maintenance, _HIST_QUANTILE_SQL
     ),
@@ -7990,6 +8077,7 @@ _WINDOW_FRONT: list[str] = [
     "sssp_min_costs",
     "column_mapping_sim",
     "optimize_scoped_sim",
+    "ndv_stats_sim",
     "kmv_jaccard_segments",
     "jpeg_decode_stats",
     "replace_where_sim",
@@ -8036,7 +8124,6 @@ _WINDOW_FRONT: list[str] = [
     "gap_fill_interpolate",
     "stats_pruned_scan",
     "pagerank_events",
-    "heavy_hitter_terms",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)
