@@ -927,6 +927,19 @@ def commit(
     for _ in range(max_retries):
         vs = _versions(path)
         next_v = (vs[-1] + 1) if vs else 0
+        if vs:
+            # the data files were written under the mapping loaded
+            # BEFORE the write; if a RENAME/DROP landed since, the
+            # inherited head mapping would mislabel those files —
+            # refuse rather than publish silently-corrupt columns
+            head_m = _raw_manifest(path, vs[-1])
+            if (head_m.get("column_mapping") or {}) != mapping or set(
+                head_m.get("retired_physical") or []
+            ) != retired:
+                raise RuntimeError(
+                    f"concurrent RENAME/DROP COLUMN at {path} during "
+                    "commit; re-run the commit against the new schema"
+                )
         dirs = [commit_dir]
         schema_json = df.schema.json()
         if mode == "append" and vs:
