@@ -7416,6 +7416,62 @@ GROUP BY o_orderpriority
 """
 
 
+def q_revenue_ewma_monthly(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact integer EWMA smoothing of the monthly revenue series per
+    priority (operators/timeseries.py:ewma_halving — alpha = 1/2,
+    y_t = (x_t + y_{t-1}) // 2 on fixed-point cents). The one
+    genuinely sequential recurrence in the catalog: it cannot be a
+    window aggregate, so it runs as ONE Arrow batch per series via
+    applyInPandas (parallelism = number of series, the same contract
+    as stateful streaming). Integer floor arithmetic makes the whole
+    recursion bit-exact; the oracle replays it as a DuckDB RECURSIVE
+    CTE."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        timeseries as TS,
+    )
+
+    o = load_table(spark, sf, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "long"
+    )
+    monthly = (
+        o.select(
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            cents.alias("c"),
+        )
+        .groupBy("o_orderpriority", "month")
+        .agg(F.sum("c").alias("rev_cents"))
+    )
+    return TS.ewma_halving(
+        monthly, ["o_orderpriority"], "month", "rev_cents", "ewma_cents"
+    )
+
+
+_REVENUE_EWMA_SQL = """
+WITH RECURSIVE m AS (
+  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1, 2),
+r AS (
+  SELECT o_orderpriority, month, rev_cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY month) AS rn
+  FROM m),
+w AS (
+  SELECT o_orderpriority, month, rev_cents, rn,
+         rev_cents AS ewma_cents
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.o_orderpriority, r.month, r.rev_cents, r.rn,
+         (r.rev_cents + w.ewma_cents) // 2 AS ewma_cents
+  FROM r JOIN w ON w.o_orderpriority = r.o_orderpriority
+              AND r.rn = w.rn + 1)
+SELECT o_orderpriority, month, rev_cents, ewma_cents FROM w
+"""
+
+
 def q_ndv_stats_sim(spark: SparkSession, sf: str) -> DataFrame:
     """Manifest-level NDV statistics end to end
     (sources/snapshots.table_ndv — the Delta/Iceberg NDV stat,
@@ -8039,6 +8095,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
         q_optimize_scoped_sim, _OPTIMIZE_SCOPED_SQL
     ),
     "ndv_stats_sim": QueryDef(q_ndv_stats_sim, _NDV_STATS_SQL),
+    "revenue_ewma_monthly": QueryDef(
+        q_revenue_ewma_monthly, _REVENUE_EWMA_SQL
+    ),
     "hist_quantile_maintenance": QueryDef(
         q_hist_quantile_maintenance, _HIST_QUANTILE_SQL
     ),
@@ -8078,6 +8137,7 @@ _WINDOW_FRONT: list[str] = [
     "column_mapping_sim",
     "optimize_scoped_sim",
     "ndv_stats_sim",
+    "revenue_ewma_monthly",
     "kmv_jaccard_segments",
     "jpeg_decode_stats",
     "replace_where_sim",
@@ -8123,7 +8183,6 @@ _WINDOW_FRONT: list[str] = [
     "pq_adc_topk",
     "gap_fill_interpolate",
     "stats_pruned_scan",
-    "pagerank_events",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

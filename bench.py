@@ -166,6 +166,11 @@ def main() -> None:
         "join_view_maintenance",
         "dv_delete_sim",
         "dv_partitioned_delete_sim",
+        # round-5 write-path additions: scoped OPTIMIZE, column-mapping
+        # read/write seam, manifest NDV sketch collection
+        "optimize_scoped_sim",
+        "column_mapping_sim",
+        "ndv_stats_sim",
     ]
     extras: dict[str, float] = {}
     for rep in range(reps):
