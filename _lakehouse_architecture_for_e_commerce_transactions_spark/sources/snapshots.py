@@ -3185,6 +3185,11 @@ def describe_detail(path: str, version: int | None = None) -> dict:
         "partition_columns": list(snap.partition_by or []),
         "stats_columns": list(snap.stats_cols or []),
         "bloom_columns": list(snap.bloom_cols or []),
+        "column_mapping": dict(snap.column_mapping or {}),
+        "retired_physical": list(snap.retired_physical or []),
+        "ndv_columns": sorted(
+            _raw_manifest(path, snap.version).get("ndv_sketches") or []
+        ),
         "properties": {
             "constraints": dict(meta.get("constraints", {})),
             "generated": dict(meta.get("generated", {})),

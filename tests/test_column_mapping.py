@@ -328,3 +328,18 @@ def test_compact_where_guards_and_no_match(spark, tmp_path):
     S.commit(spark, df, plain)
     with pytest.raises(ValueError, match="merge-committed"):
         S.compact_where(spark, plain, [("p", "==", 0)])
+
+
+def test_describe_detail_surfaces_mapping_and_ndv(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.commit(
+        spark,
+        _df(spark, [(1, "a", 10.0)]),
+        path,
+        ndv_for=["k"],
+    )
+    S.rename_column(path, "v", "name")
+    d = S.describe_detail(path)
+    assert d["column_mapping"] == {"name": "v"}
+    assert d["retired_physical"] == []
+    assert d["ndv_columns"] == ["k"]

@@ -804,3 +804,31 @@ def test_streaming_hll_maintenance_exactly_once(spark, tmp_path):
         for r in read_maintained_hll_estimate(spark, state, p=6).collect()
     }
     assert rebuilt == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 500), min_size=0, max_size=60),
+    st.lists(st.integers(0, 500), min_size=0, max_size=60),
+)
+def test_hll_merge_property_random_multisets(spark, xs, ys):
+    """Property: merge(sketch(A), sketch(B)) == sketch(A ∪ B)
+    register-for-register, for arbitrary overlapping multisets —
+    the exactness that makes HLL state maintainable without rescans."""
+
+    def frame(vals):
+        if not vals:
+            return spark.createDataFrame([], "g string, v long")
+        return spark.createDataFrame(
+            [("g", v) for v in vals], "g string, v long"
+        )
+
+    merged = SK.hll_merge(
+        SK.hll_sketch(frame(xs), ["g"], "v", p=4),
+        SK.hll_sketch(frame(ys), ["g"], "v", p=4),
+        ["g"],
+    )
+    full = SK.hll_sketch(frame(xs + ys), ["g"], "v", p=4)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
