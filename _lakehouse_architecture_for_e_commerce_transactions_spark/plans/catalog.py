@@ -7472,6 +7472,84 @@ SELECT o_orderpriority, month, rev_cents, ewma_cents FROM w
 """
 
 
+def q_revenue_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt level+trend double smoothing of per-priority monthly
+    revenue, plus a 3-month-ahead forecast (level + 3·trend) — all
+    exact integer recursion (operators/timeseries.py:
+    holt_linear_halving, alpha = beta = 1/2 on fixed-point cents). The
+    final month's state per series is selected with the repo's
+    deterministic latest-row window; the oracle replays the coupled
+    recursions as a DuckDB RECURSIVE CTE and picks the same endpoint."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        timeseries as TS,
+    )
+
+    o = load_table(spark, sf, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "long"
+    )
+    monthly = (
+        o.select(
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            cents.alias("c"),
+        )
+        .groupBy("o_orderpriority", "month")
+        .agg(F.sum("c").alias("rev_cents"))
+    )
+    smoothed = TS.holt_linear_halving(
+        monthly, ["o_orderpriority"], "month", "rev_cents"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("month").desc()
+    )
+    return (
+        smoothed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            "month",
+            "level",
+            "trend",
+            (F.col("level") + 3 * F.col("trend")).alias("forecast_3m"),
+        )
+    )
+
+
+_REVENUE_HOLT_SQL = """
+WITH RECURSIVE m AS (
+  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1, 2),
+r AS (
+  SELECT o_orderpriority, month, rev_cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY month) AS rn
+  FROM m),
+w AS (
+  SELECT o_orderpriority, month, rev_cents, rn,
+         rev_cents AS level, CAST(0 AS BIGINT) AS trend
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.o_orderpriority, r.month, r.rev_cents, r.rn,
+         (r.rev_cents + w.level + w.trend) // 2 AS level,
+         (w.trend +
+          ((r.rev_cents + w.level + w.trend) // 2 - w.level)) // 2
+           AS trend
+  FROM r JOIN w ON w.o_orderpriority = r.o_orderpriority
+              AND r.rn = w.rn + 1),
+last AS (
+  SELECT o_orderpriority, month, level, trend,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY month DESC) AS rn
+  FROM w)
+SELECT o_orderpriority, month, level, trend,
+       level + 3 * trend AS forecast_3m
+FROM last WHERE rn = 1
+"""
+
+
 def q_ndv_stats_sim(spark: SparkSession, sf: str) -> DataFrame:
     """Manifest-level NDV statistics end to end
     (sources/snapshots.table_ndv — the Delta/Iceberg NDV stat,
@@ -8098,6 +8176,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "revenue_ewma_monthly": QueryDef(
         q_revenue_ewma_monthly, _REVENUE_EWMA_SQL
     ),
+    "revenue_holt_forecast": QueryDef(
+        q_revenue_holt_forecast, _REVENUE_HOLT_SQL
+    ),
     "hist_quantile_maintenance": QueryDef(
         q_hist_quantile_maintenance, _HIST_QUANTILE_SQL
     ),
@@ -8138,6 +8219,7 @@ _WINDOW_FRONT: list[str] = [
     "optimize_scoped_sim",
     "ndv_stats_sim",
     "revenue_ewma_monthly",
+    "revenue_holt_forecast",
     "kmv_jaccard_segments",
     "jpeg_decode_stats",
     "replace_where_sim",
@@ -8182,7 +8264,6 @@ _WINDOW_FRONT: list[str] = [
     "percentile_envelope",
     "pq_adc_topk",
     "gap_fill_interpolate",
-    "stats_pruned_scan",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

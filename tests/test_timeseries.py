@@ -27,8 +27,9 @@ def test_ewma_recursion_matches_hand_walk(spark):
     }
 
 
-def test_ewma_floor_semantics_on_negatives_and_determinism(spark):
-    # Python // and SQL // both floor toward -inf: (-3 + 0)//2 == -2
+def test_ewma_truncating_semantics_on_negatives_and_determinism(spark):
+    # SQL DIV truncates toward zero (DuckDB // agrees): (-3 + 0) DIV 2
+    # == -1, NOT Python floor's -2
     df = spark.createDataFrame(
         [("g", 1, -3), ("g", 2, 0)], "g string, t int, x long"
     )
@@ -36,7 +37,7 @@ def test_ewma_floor_semantics_on_negatives_and_determinism(spark):
         ewma_halving(df, ["g"], "t", "x").collect(),
         key=lambda r: r["t"],
     )
-    assert r2["ewma"] == -2
+    assert r2["ewma"] == -1
     # partitioning-invariant: same result at any parallelism
     wide = spark.createDataFrame(
         [("g", t, t * 13 % 97) for t in range(200)],
