@@ -1392,3 +1392,155 @@ def stream_hll_maintenance(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+_EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("k", StringType(), True),
+        StructField("t", LongType(), True),
+        StructField("ewma", LongType(), True),
+        StructField("_last_batch", LongType(), True),
+        StructField("_app_id", StringType(), True),
+    ]
+)
+
+
+def read_maintained_ewma(spark: SparkSession, path: str) -> DataFrame:
+    """(k, t, ewma) — each key's latest observation time and smoothed
+    value."""
+    return (
+        S.read(spark, path)
+        .filter(F.col("k").isNotNull())
+        .select("k", "t", "ewma")
+    )
+
+
+def stream_ewma_maintenance(
+    spark: SparkSession,
+    raw_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """Exactly-once streaming EWMA maintenance (the twin of
+    operators/timeseries.ewma_halving, same truncating-DIV alpha=1/2
+    recursion): per batch, each key's new observations are walked IN
+    ORDER seeded from the stored (t, ewma) state and only the touched
+    keys' state rows move — O(batch) however long the history.
+
+    EWMA is ORDER-SENSITIVE, which forces a stricter feed contract
+    than the other twins: a batch observation at or before a key's
+    stored high-water t is REJECTED loudly (retrofitting late data
+    into a recurrence means a rescan — that is the batch operator's
+    job), as are in-batch duplicate (k, t) pairs. Feed schema:
+    ``(k, t, x)`` with integer t and x."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.types import StructType as _ST
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.timeseries import (
+        _half,
+    )
+
+    app = _app_id(checkpoint_dir)
+    schema = _ST(
+        [
+            StructField("k", StringType(), False),
+            StructField("t", LongType(), False),
+            StructField("x", LongType(), False),
+        ]
+    )
+    reader = (
+        spark.readStream.schema(schema).option("header", True).csv(raw_dir)
+    )
+    out_schema = _ST(
+        [
+            StructField("k", StringType(), True),
+            StructField("t", LongType(), True),
+            StructField("ewma", LongType(), True),
+        ]
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _reject_null_keys(
+            batch_df,
+            F.col("k").isNull()
+            | F.col("t").isNull()
+            | F.col("x").isNull(),
+            "stream_ewma_maintenance",
+        )
+        dup = (
+            batch_df.groupBy("k", "t")
+            .count()
+            .filter(F.col("count") > 1)
+            .take(1)
+        )
+        if dup:
+            raise ValueError(
+                f"stream_ewma_maintenance: duplicate (k, t) in batch "
+                f"({tuple(dup[0])!r}) — the recursion is order-ambiguous"
+            )
+        state, last, aid = _table_state(
+            spark, state_path, _EWMA_STATE_SCHEMA, ["k", "t", "ewma"]
+        )
+        skip, rebuild = _guard(batch_id, last, aid, app)
+        if skip:
+            return
+        if last is None or rebuild:
+            seed = state.limit(0)
+        else:
+            seed = state
+        touched = batch_df.select("k").distinct()
+        seed_touched = seed.join(touched, ["k"], "left_semi")
+        late = (
+            batch_df.join(
+                seed_touched.select("k", F.col("t").alias("_hw")), ["k"]
+            )
+            .filter(F.col("t") <= F.col("_hw"))
+            .take(1)
+        )
+        if late:
+            raise ValueError(
+                f"stream_ewma_maintenance: out-of-order observation "
+                f"{tuple(late[0])!r} at or before the key's high-water "
+                "t — late data needs the batch operator's full rescan"
+            )
+        union = batch_df.select(
+            "k", "t", F.col("x").alias("v"), F.lit(0).alias("_seed")
+        ).unionByName(
+            seed_touched.select(
+                "k", "t", F.col("ewma").alias("v"), F.lit(1).alias("_seed")
+            )
+        )
+
+        def walk(pdf):
+            pdf = pdf.sort_values(["_seed", "t"], ascending=[False, True])
+            prev = None
+            for is_seed, v in zip(pdf["_seed"], pdf["v"]):
+                v = int(v)
+                if prev is None:
+                    prev = v  # seed ewma, or first-ever observation
+                elif int(is_seed) == 0:
+                    prev = _half(v + prev)
+            return pdf.iloc[-1:][["k"]].assign(
+                t=int(pdf["t"].max()), ewma=prev
+            )
+
+        nxt = union.groupBy("k").applyInPandas(walk, out_schema)
+        _commit_with_marker(
+            spark, nxt, state_path, batch_id, app,
+            (None, None, None, batch_id, app), _EWMA_STATE_SCHEMA,
+            scope_keys=None if (last is None or rebuild) else touched,
+            key_cols=["k"],
+        )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            S.compact(spark, state_path)
+
+    writer = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -72,3 +72,78 @@ def test_ewma_rejects_nulls_and_order_ties(spark):
             "t",
             "x",
         )
+
+
+def test_streaming_ewma_maintenance_exactly_once(spark, tmp_path):
+    """Streamed per-key EWMA state equals the batch operator's
+    endpoint over the concatenated feed after every batch; replays
+    no-op; a fresh checkpoint rebuilds; out-of-order data is rejected
+    loudly."""
+    import os
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (
+        read_maintained_ewma,
+        stream_ewma_maintenance,
+    )
+
+    raw = str(tmp_path / "raw")
+    state = str(tmp_path / "ewma")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        os.makedirs(raw, exist_ok=True)
+        with open(os.path.join(raw, name), "w") as f:
+            f.write("k,t,x\n")
+            for k, t, x in rows:
+                f.write(f"{k},{t},{x}\n")
+
+    feed: dict[str, list] = {}
+    batches = [
+        [("a", 1, 100), ("a", 2, 50), ("b", 1, 7)],
+        [("a", 3, 51), ("b", 2, 9), ("c", 1, 40)],
+        [("c", 2, 44), ("c", 3, 48)],
+    ]
+    for i, rows in enumerate(batches, start=1):
+        write(f"b{i}.csv", rows)
+        q = stream_ewma_maintenance(spark, raw, state, ckpt)
+        q.awaitTermination(120)
+        for k, t, x in rows:
+            feed.setdefault(k, []).append((t, x))
+        got = {
+            r["k"]: (r["t"], r["ewma"])
+            for r in read_maintained_ewma(spark, state).collect()
+        }
+        full = spark.createDataFrame(
+            [(k, t, x) for k, ts in feed.items() for t, x in ts],
+            "k string, t long, x long",
+        )
+        endpoint = {}
+        for r in ewma_halving(full, ["k"], "t", "x").collect():
+            cur = endpoint.get(r["k"])
+            if cur is None or r["t"] > cur[0]:
+                endpoint[r["k"]] = (r["t"], r["ewma"])
+        assert got == endpoint, f"after batch {i}"
+
+    # replay no-op; fresh checkpoint rebuilds to the same state
+    q = stream_ewma_maintenance(spark, raw, state, ckpt)
+    q.awaitTermination(120)
+    q = stream_ewma_maintenance(spark, raw, state, str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+    rebuilt = {
+        r["k"]: (r["t"], r["ewma"])
+        for r in read_maintained_ewma(spark, state).collect()
+    }
+    assert rebuilt == endpoint
+
+    # out-of-order arrival fails the batch loudly (on the checkpoint
+    # that now owns the table — the rebuild stamped its app id)
+    write("b9.csv", [("a", 2, 999)])
+    q = stream_ewma_maintenance(spark, raw, state, str(tmp_path / "ck2"))
+    with pytest.raises(Exception, match="out-of-order"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+    # the failed batch must not have corrupted state
+    assert {
+        r["k"]: (r["t"], r["ewma"])
+        for r in read_maintained_ewma(spark, state).collect()
+    } == endpoint
