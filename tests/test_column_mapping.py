@@ -343,3 +343,34 @@ def test_describe_detail_surfaces_mapping_and_ndv(spark, tmp_path):
     assert d["column_mapping"] == {"name": "v"}
     assert d["retired_physical"] == []
     assert d["ndv_columns"] == ["k"]
+
+
+def test_compact_where_restarts_when_a_merge_races_its_scope(
+    spark, tmp_path, monkeypatch
+):
+    """A MERGE into the scoped partition landing between the rewrite
+    and the publish must NOT be erased: compact_where detects the
+    conflicting head, abandons the stale rewrite, and restarts from
+    the new head — the merged row survives the compaction."""
+    path = str(tmp_path / "pt")
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    S.merge_commit(spark, df, path, _part_spec())
+
+    fired = {"n": 0}
+    orig = S._hive_leaf_dirs
+
+    def hooked(commit_dir, parts):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            src = spark.createDataFrame([(500, 0)], "k long, p long")
+            S.merge_commit(spark, src, path, _part_spec())
+        return orig(commit_dir, parts)
+
+    monkeypatch.setattr(S, "_hive_leaf_dirs", hooked)
+    v = S.compact_where(spark, path, [("p", "==", 0)])
+    snap = S.load_snapshot(path)
+    assert snap.version == v and snap.op == "OPTIMIZE"
+    got = {r["k"] for r in S.read(spark, path).collect()}
+    assert got == set(range(20)) | {500}
