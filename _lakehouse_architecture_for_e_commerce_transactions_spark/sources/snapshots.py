@@ -1505,7 +1505,11 @@ def merge_commit(
             "identity columns are supported on commit() tables only; "
             "MERGE keys rows by an explicit primary key"
         )
-    _no_mapping(path, "merge_commit")
+    if list(spec.partition_by):
+        # the partition-granular manifest surgery has no logical→
+        # physical seam yet; unpartitioned MERGE (full read-modify-
+        # write) goes through the same _to_physical gate as commit()
+        _no_mapping(path, "merge_commit (partitioned)")
     cols = [f.name for f in spec.schema.fields]
     source = source.select(*cols)
     if check_source_unique:
@@ -1529,17 +1533,21 @@ def merge_commit(
         # new head (a blind overwrite would silently erase its rows).
         base_version = None
         parent_stats_cols = None
+        mapping: dict[str, str] = {}
         try:
             parent = load_snapshot(path)
             base_version = parent.version
             parent_stats_cols = parent.stats_cols
+            mapping = _mapping(parent)
             target = read(spark, path).select(*cols)
             merged = M.merge_plan(source, target, spec)
         except FileNotFoundError:
             merged = source
         merged = _apply_constraint_guard(merged, path)
         commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
-        merged.write.mode("errorifexists").parquet(commit_dir)
+        _to_physical(merged, mapping).write.mode("errorifexists").parquet(
+            commit_dir
+        )
         next_v = 0 if base_version is None else base_version + 1
         nf, nr = _dir_file_metrics([commit_dir])
         manifest = {
@@ -1550,7 +1558,11 @@ def merge_commit(
             "op": "MERGE",
             "metrics": {"num_files_added": nf, "num_output_rows": nr},
         }
-        eff_stats = stats_for or parent_stats_cols
+        eff_stats = (
+            _phys_cols(mapping, stats_for)
+            if stats_for
+            else parent_stats_cols  # already physical
+        )
         if eff_stats:
             manifest["file_stats"] = collect_file_stats(
                 [commit_dir], list(eff_stats)

@@ -197,8 +197,11 @@ def test_guards_refuse_referenced_and_partition_columns(spark, tmp_path):
         S.rename_column(path, "zz", "q")
     with pytest.raises(ValueError, match="already exists"):
         S.rename_column(path, "v", "k")
-    # merge_commit refuses mapped tables until compacted
+    # PARTITIONED merge refuses mapped tables until compacted;
+    # unpartitioned MERGE goes through the mapping seam for real
     S.rename_column(path, "v", "name")
+    import pyarrow.parquet as pq
+
     spec = TableSpec(
         name="t",
         schema=spark.createDataFrame(
@@ -208,10 +211,25 @@ def test_guards_refuse_referenced_and_partition_columns(spark, tmp_path):
         partition_by=(),
     )
     src = spark.createDataFrame(
-        [(9, "z", 1.0)], "k int, name string, amt double"
+        [(1, "a2", 11.0), (9, "z", 1.0)],
+        "k int, name string, amt double",
+    )
+    S.merge_commit(spark, src, path, spec)
+    got = {r["k"]: (r["name"], r["amt"]) for r in S.read(spark, path).collect()}
+    assert got == {1: ("a2", 11.0), 9: ("z", 1.0)}
+    for f in S.data_files(path):
+        cols = set(pq.ParquetFile(f).schema_arrow.names)
+        assert "v" in cols and "name" not in cols
+    pspec = TableSpec(
+        name="t",
+        schema=spark.createDataFrame(
+            [], "k int, name string, amt double"
+        ).schema,
+        primary_key="k",
+        partition_by=("name",),
     )
     with pytest.raises(ValueError, match="column mapping"):
-        S.merge_commit(spark, src, path, spec)
+        S.merge_commit(spark, src, path, pspec)
 
 
 def test_rename_chain_and_cdf_boundary(spark, tmp_path):
