@@ -52,9 +52,10 @@ Iceberg metadata layers, small enough to audit:
 * **Column mapping**: ``rename_column`` / ``drop_column`` are
   METADATA-ONLY (Delta's columnMapping name mode) — the manifest maps
   logical names onto unchanged physical file columns; reads/writes
-  translate at one seam, ``compact`` materializes the mapping away,
-  and partition-oriented ops (MERGE, replaceWhere) refuse mapped
-  tables loudly until compacted.
+  (including unpartitioned MERGE) translate at one seam, ``compact``
+  materializes the mapping away, and the partition-granular ops
+  (partitioned MERGE/DELETE, replaceWhere) refuse mapped tables
+  loudly until compacted.
 
 Scale notes: the manifest lists commit *directories*, not individual
 files, so manifest size grows with commit count, not data size; `vacuum`
