@@ -58,10 +58,14 @@ Iceberg metadata layers, small enough to audit:
   loudly until compacted.
 
 Scale notes: the manifest lists commit *directories*, not individual
-files, so manifest size grows with commit count, not data size; `vacuum`
-bounds history. At real scale the manifest store moves from a local dir
-to an object store with if-none-match puts — same protocol, one I/O
-primitive swapped.
+files, so manifest size grows with commit count, not data size; the
+per-FILE metadata (stats/blooms/dv-dead counts) lives in immutable
+SIDECAR files the manifest references by name, so a commit serializes
+only the entries for files it touched — publish cost is O(files
+touched), never O(table files) (see the sidecar section below).
+`vacuum` bounds history and GCs unreferenced sidecars. At real scale
+the manifest store moves from a local dir to an object store with
+if-none-match puts — same protocol, one I/O primitive swapped.
 """
 
 from __future__ import annotations
@@ -70,6 +74,7 @@ import json
 import os
 import time
 import uuid
+from collections.abc import Mapping
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -92,13 +97,16 @@ class Snapshot:
     # ops like compact() that need to re-derive the layout)
     partition_by: list[str] | None = None
     # per-data-file column statistics for planning-time skipping:
-    # {file_path: {"rows": n, "cols": {col: {"min","max","nulls"}}}}
-    file_stats: dict | None = None
+    # {file_path: {"rows": n, "cols": {col: {"min","max","nulls"}}}}.
+    # Stored in SIDECAR files, not the manifest (see module notes);
+    # surfaced here as a lazy Mapping merged on first access.
+    file_stats: Mapping | None = None
     # which columns stats were collected for (compact() re-collects them)
     stats_cols: list[str] | None = None
     # per-file Bloom filters for point-lookup skipping:
-    # {file_path: {col: {"m", "k", "bits"}}}
-    file_blooms: dict | None = None
+    # {file_path: {col: {"m", "k", "bits"}}} — sidecar-backed lazy
+    # Mapping, like file_stats
+    file_blooms: Mapping | None = None
     bloom_cols: list[str] | None = None
     # deletion vectors (row-level DELETE without file rewrites): parquet
     # dirs of (file, row_idx) tombstones readers anti-join at scan time
@@ -227,6 +235,181 @@ def _versions(path: str) -> list[int]:
     )
 
 
+# ---------------------------------------------------------------------------
+# Stats sidecars: per-file metadata outside the manifest, O(touched) commits
+#
+# A manifest does NOT inline the per-file stats / Bloom / dv-dead maps
+# (that would make every publish re-serialize metadata for the whole
+# table — O(table files) per commit, the write-path scale killer).
+# Instead those maps live in immutable SIDECAR files under _manifests/
+# (``sc-<uuid>.json``) and the manifest stores only their NAMES:
+#
+#   stats_sidecars: [name, ...]   entries merge left→right, later wins
+#   bloom_sidecars: [name, ...]   same
+#   dv_sidecars:    [name, ...]   entries are DELTAS and SUM (two deletes
+#                                 may tombstone different rows of a file)
+#
+# A commit writes ONE new sidecar holding only the entries it produced
+# and carries the predecessor's names verbatim — the same
+# carry-by-reference discipline part_entries applies to data dirs — so
+# commit metadata cost is O(files touched), never O(table). Ops that
+# REMOVE files rewrite only the sidecars containing entries for the
+# removed files. ``compact`` folds the whole log into fresh sidecars;
+# past _SIDECAR_FOLD names the log folds into one checkpoint sidecar
+# (Delta's checkpoint-every-N shape) so read amplification stays
+# bounded. Names are manifest-relative, keeping tables relocatable.
+# Pre-sidecar manifests with inline maps still load (and their inline
+# maps migrate into a sidecar at the next touching commit).
+# ---------------------------------------------------------------------------
+
+_SIDECAR_FOLD = 64
+
+_SC_INLINE = {"stats": "file_stats", "bloom": "file_blooms", "dv": "dv_dead"}
+_SC_REFS = {"stats": "stats_sidecars", "bloom": "bloom_sidecars",
+            "dv": "dv_sidecars"}
+
+
+class _SidecarMap(Mapping):
+    """Lazy merged view of per-file manifest entries (stats/blooms):
+    the sidecar files are opened on FIRST real access, so snapshot
+    loads on paths that never consult stats (plain reads, merges) pay
+    zero stats I/O. A missing/corrupt sidecar fails open — its entries
+    read as absent, which every consumer treats as 'cannot prune'."""
+
+    def __init__(self, mdir: str, inline: dict | None, refs: list[str]):
+        self._mdir = mdir
+        self._inline = inline
+        self._refs = refs
+        self._merged: dict | None = None
+
+    def _m(self) -> dict:
+        if self._merged is None:
+            out = dict(self._inline or {})
+            for name in self._refs:
+                try:
+                    with open(os.path.join(self._mdir, name)) as f:
+                        out.update(json.load(f))
+                except (OSError, json.JSONDecodeError):
+                    continue
+            self._merged = out
+        return self._merged
+
+    def __getitem__(self, k):
+        return self._m()[k]
+
+    def __iter__(self):
+        return iter(self._m())
+
+    def __len__(self):
+        return len(self._m())
+
+
+def _write_sidecar(path: str, entries: dict) -> str:
+    """Write an immutable sidecar map under ``_manifests/`` and return
+    its NAME. Fresh uuid name — no publish race to lose; bytes are
+    durable (fsync) before any manifest referencing the name can
+    publish, so a reader never resolves a name to torn content."""
+    mdir = os.path.join(path, _MANIFESTS)
+    os.makedirs(mdir, exist_ok=True)
+    name = f"sc-{uuid.uuid4().hex}.json"
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(entries, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(mdir, name))
+    return name
+
+
+def _carry_sidecars(
+    path: str,
+    refs: list[str] | None,
+    keep=None,
+    fresh: dict | None = None,
+    extra: dict | None = None,
+    summed: bool = False,
+) -> list[str]:
+    """The next manifest's sidecar name list. Carried names whose every
+    entry survives ``keep(key)`` ride by reference — zero rewrite;
+    dirty sidecars are rewritten without the dead entries (plus
+    ``extra``, the inline-migration bucket); ``fresh`` entries land in
+    their OWN new sidecar, never mixed into salvage — mixing would
+    re-dirty the combined sidecar on every later op that touches any
+    of its partitions. Publish cost = O(entries touched). ``summed``
+    selects the dv-delta algebra (entries add; otherwise later-wins).
+    Past _SIDECAR_FOLD names the list folds into one checkpoint
+    sidecar — amortized O(table)/_SIDECAR_FOLD per commit, and
+    ``compact`` folds to fresh anyway."""
+    mdir = os.path.join(path, _MANIFESTS)
+
+    def _acc(dst: dict, src: dict) -> None:
+        if summed:
+            for k, v in src.items():
+                dst[k] = dst.get(k, 0) + v
+        else:
+            dst.update(src)
+
+    out: list[str] = []
+    salvage: dict = dict(extra or {})
+    for name in refs or []:
+        if keep is None:
+            out.append(name)
+            continue
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                ent = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue  # vacuumed/corrupt: entries were already fail-open
+        if all(keep(k) for k in ent):
+            out.append(name)
+        else:
+            _acc(salvage, {k: v for k, v in ent.items() if keep(k)})
+    if salvage:
+        out.append(_write_sidecar(path, salvage))
+    if fresh:
+        out.append(_write_sidecar(path, fresh))
+    if len(out) > _SIDECAR_FOLD:
+        whole: dict = {}
+        for name in out:
+            try:
+                with open(os.path.join(mdir, name)) as f:
+                    _acc(whole, json.load(f))
+            except (OSError, json.JSONDecodeError):
+                continue
+        out = [_write_sidecar(path, whole)] if whole else []
+    return out
+
+
+def _next_sidecars(
+    path: str,
+    parent_manifest: dict | None,
+    kind: str,
+    keep=None,
+    fresh: dict | None = None,
+) -> list[str]:
+    """Sidecar carry for one publish, ``kind`` in stats|bloom|dv: the
+    parent's names carry per `_carry_sidecars`; a pre-sidecar parent's
+    INLINE map migrates into the fresh sidecar once (transition path —
+    new-format tables never hit it)."""
+    summed = kind == "dv"
+    m = parent_manifest or {}
+    refs = list(m.get(_SC_REFS[kind]) or [])
+    inline = m.get(_SC_INLINE[kind])
+    kept_inline = (
+        {k: v for k, v in inline.items() if keep is None or keep(k)}
+        if inline
+        else None
+    )
+    return _carry_sidecars(
+        path,
+        refs,
+        keep=keep,
+        fresh=fresh,
+        extra=kept_inline,
+        summed=summed,
+    )
+
+
 def load_snapshot(path: str, version: int | None = None) -> Snapshot:
     vs = _versions(path)
     if not vs:
@@ -245,6 +428,35 @@ def load_snapshot(path: str, version: int | None = None) -> Snapshot:
                 f"{_manifest_path(path, v)} to expose the previous "
                 "version"
             ) from e
+    mdir = os.path.join(path, _MANIFESTS)
+
+    def lazy(kind: str) -> Mapping | None:
+        inline = m.get(_SC_INLINE[kind])
+        refs = m.get(_SC_REFS[kind]) or []
+        if inline is None and not refs:
+            return None
+        return _SidecarMap(mdir, inline, refs)
+
+    # dv_dead is EAGER and summed (delta algebra), and POISONS to None
+    # on a missing sidecar: an undercounted dead map would make the
+    # metadata-only COUNT silently overcount — None makes it fail open
+    # to a scan instead (stats/blooms fail open entry-wise, which is
+    # always safe for pruning).
+    dv_inline = m.get("dv_dead")
+    dv_refs = m.get("dv_sidecars") or []
+    if dv_inline is None and not dv_refs:
+        dv_dead = None
+    else:
+        dv_dead = dict(dv_inline or {})
+        for name in dv_refs:
+            try:
+                with open(os.path.join(mdir, name)) as sf:
+                    delta = json.load(sf)
+            except (OSError, json.JSONDecodeError):
+                dv_dead = None
+                break
+            for k, n in delta.items():
+                dv_dead[k] = dv_dead.get(k, 0) + n
     return Snapshot(
         m["version"],
         m["dirs"],
@@ -252,12 +464,12 @@ def load_snapshot(path: str, version: int | None = None) -> Snapshot:
         m["committed_at"],
         m.get("part_entries"),
         m.get("partition_by"),
-        m.get("file_stats"),
+        lazy("stats"),
         m.get("stats_cols"),
-        m.get("file_blooms"),
+        lazy("bloom"),
         m.get("bloom_cols"),
         m.get("dv_files"),
-        m.get("dv_dead"),
+        dv_dead,
         m.get("op"),
         m.get("metrics"),
         m.get("column_mapping"),
@@ -605,25 +817,26 @@ def _guard_mapping_refs(path: str, snap: Snapshot, col: str, op: str):
     generated-column expressions, the identity column."""
     if col in (snap.partition_by or []):
         raise ValueError(f"{op}: {col!r} is a partition column")
-    for t in partition_transforms(path):
+    meta = _load_table_meta(path)  # one read feeds all four guards
+    for t in partition_transforms(path, meta):
         if col in (t.get("src"), t.get("name")):
             raise ValueError(
                 f"{op}: {col!r} is referenced by partition transform "
                 f"{t!r}"
             )
-    for name, expr in check_constraints(path).items():
+    for name, expr in check_constraints(path, meta).items():
         if _word_in_expr(col, expr):
             raise ValueError(
                 f"{op}: {col!r} is referenced by CHECK constraint "
                 f"{name!r} ({expr})"
             )
-    for gcol, expr in generated_columns(path).items():
+    for gcol, expr in generated_columns(path, meta).items():
         if col == gcol or _word_in_expr(col, expr):
             raise ValueError(
                 f"{op}: {col!r} is referenced by generated column "
                 f"{gcol!r} ({expr})"
             )
-    ident = identity_column(path)
+    ident = identity_column(path, meta)
     if ident and ident.get("col") == col:
         raise ValueError(f"{op}: {col!r} is the identity column")
 
@@ -652,19 +865,30 @@ def _publish_metadata_only(
         for k in (
             "part_entries",
             "partition_by",
-            "file_stats",
             "stats_cols",
-            "file_blooms",
             "bloom_cols",
             "dv_files",
-            "dv_dead",
         ):
             v = getattr(snap, k)
             if v is not None:
                 manifest[k] = v
+        raw = _raw_manifest(path, snap.version)
+        # per-file stats/blooms/dv-deltas live in sidecar files; a
+        # metadata-only publish carries the NAMES — O(1), not O(table).
+        # Pre-sidecar inline maps carry verbatim (no migration cost).
+        for k in (
+            "stats_sidecars",
+            "bloom_sidecars",
+            "dv_sidecars",
+            "file_stats",
+            "file_blooms",
+            "dv_dead",
+        ):
+            if raw.get(k) is not None:
+                manifest[k] = raw[k]
         # rows are untouched by a metadata-only op: NDV sketches (raw
         # manifest field, physical keys) stay valid and carry over
-        ndv = _raw_manifest(path, snap.version).get("ndv_sketches")
+        ndv = raw.get("ndv_sketches")
         if ndv is not None:
             manifest["ndv_sketches"] = ndv
         manifest.update(patch)
@@ -865,11 +1089,15 @@ def commit(
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
-    df = _stamp_identity(df, path)
-    df = _apply_constraint_guard(df, path)
+    # one table-meta read feeds every per-commit hook (identity stamp,
+    # generated columns, CHECK constraints) — hooks never re-load it
+    meta = _load_table_meta(path)
+    df = _stamp_identity(df, path, meta)
+    df = _apply_constraint_guard(df, path, meta)
     try:
-        mapping = _mapping(load_snapshot(path))
-        retired = set(load_snapshot(path).retired_physical or [])
+        head0 = load_snapshot(path)
+        mapping = _mapping(head0)
+        retired = set(head0.retired_physical or [])
     except FileNotFoundError:
         mapping, retired = {}, set()
     if mapping or retired:
@@ -943,8 +1171,10 @@ def commit(
                 )
         dirs = [commit_dir]
         schema_json = df.schema.json()
-        if mode == "append" and vs:
-            parent = load_snapshot(path, vs[-1])
+        parent = (
+            load_snapshot(path, vs[-1]) if mode == "append" and vs else None
+        )
+        if parent is not None:
             if parent.part_entries is not None:
                 raise ValueError(
                     "commit(mode='append') onto a merge-committed table "
@@ -977,41 +1207,42 @@ def commit(
             "op": "WRITE" if mode == "overwrite" else "APPEND",
             "metrics": {"num_files_added": nf, "num_output_rows": nr},
         }
-        if mode == "append" and vs:
+        parent_m = head_m if parent is not None else None
+        if parent is not None and parent.dv_files:
             # appended files can't have tombstones, but the carried
-            # parent files keep theirs
-            parent_snap = load_snapshot(path, vs[-1])
-            if parent_snap.dv_files:
-                manifest["dv_files"] = parent_snap.dv_files
-                if parent_snap.dv_dead is not None:
-                    manifest["dv_dead"] = parent_snap.dv_dead
+            # parent files keep theirs (sidecar names carry verbatim)
+            manifest["dv_files"] = parent.dv_files
+            dv_scs = _next_sidecars(path, parent_m, "dv")
+            if dv_scs:
+                manifest["dv_sidecars"] = dv_scs
         if fresh_stats is not None:
-            merged_stats = dict(fresh_stats)
-            if mode == "append" and vs:
-                parent = load_snapshot(path, vs[-1])
-                merged_stats = {
-                    **(parent.file_stats or {}),
-                    **fresh_stats,
-                }
-            manifest["file_stats"] = merged_stats
+            # carry the parent's sidecar names by reference; only the
+            # freshly written files' stats serialize — O(touched)
+            manifest["stats_sidecars"] = _next_sidecars(
+                path, parent_m, "stats", fresh=fresh_stats
+            )
             manifest["stats_cols"] = list(stats_for)
         if fresh_blooms is not None:
-            merged_blooms = dict(fresh_blooms)
-            if mode == "append" and vs:
-                parent = load_snapshot(path, vs[-1])
-                merged_blooms = {
-                    **(parent.file_blooms or {}),
-                    **fresh_blooms,
-                }
-            manifest["file_blooms"] = merged_blooms
+            manifest["bloom_sidecars"] = _next_sidecars(
+                path, parent_m, "bloom", fresh=fresh_blooms
+            )
             manifest["bloom_cols"] = list(bloom_for)
         if fresh_ndv is not None:
             merged_ndv = fresh_ndv
-            if mode == "append" and vs:
-                with open(_manifest_path(path, vs[-1])) as pf:
-                    merged_ndv = _merge_ndv(
-                        json.load(pf).get("ndv_sketches"), fresh_ndv
-                    )
+            if parent_m is not None:
+                parent_ndv_m = parent_m.get("ndv_sketches")
+                if ndv_for is not None and parent_ndv_m:
+                    # explicit ndv_for narrower than the parent's
+                    # sketched set: the un-requested columns' sketches
+                    # never see the appended rows' values — carrying
+                    # them would silently underestimate. Drop them
+                    # (fail-open, like row-removing ops).
+                    parent_ndv_m = {
+                        c: r
+                        for c, r in parent_ndv_m.items()
+                        if c in fresh_ndv
+                    }
+                merged_ndv = _merge_ndv(parent_ndv_m, fresh_ndv)
             manifest["ndv_sketches"] = merged_ndv
         if not _try_publish_manifest(path, next_v, manifest):
             continue  # lost the race: recompute on top of the winner
@@ -1501,7 +1732,8 @@ def merge_commit(
         merge as M,
     )
 
-    if identity_column(path):
+    meta = _load_table_meta(path)  # one read feeds every commit hook
+    if identity_column(path, meta):
         raise ValueError(
             "identity columns are supported on commit() tables only; "
             "MERGE keys rows by an explicit primary key"
@@ -1544,7 +1776,7 @@ def merge_commit(
             merged = M.merge_plan(source, target, spec)
         except FileNotFoundError:
             merged = source
-        merged = _apply_constraint_guard(merged, path)
+        merged = _apply_constraint_guard(merged, path, meta)
         commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
         _to_physical(merged, mapping).write.mode("errorifexists").parquet(
             commit_dir
@@ -1565,9 +1797,14 @@ def merge_commit(
             else parent_stats_cols  # already physical
         )
         if eff_stats:
-            manifest["file_stats"] = collect_file_stats(
-                [commit_dir], list(eff_stats)
-            )
+            # full rewrite: every old file left the snapshot, so no
+            # sidecar carries — one fresh sidecar holds the new stats
+            manifest["stats_sidecars"] = [
+                _write_sidecar(
+                    path,
+                    collect_file_stats([commit_dir], list(eff_stats)),
+                )
+            ]
             manifest["stats_cols"] = list(eff_stats)
         if not _try_publish_manifest(path, next_v, manifest):
             raise RuntimeError(
@@ -1601,7 +1838,7 @@ def merge_commit(
     except FileNotFoundError:
         parent, merged, affected = None, source, None  # initial commit
 
-    merged = _apply_constraint_guard(merged, path)
+    merged = _apply_constraint_guard(merged, path, meta)
     commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
     (
         merged.write.mode("errorifexists")
@@ -1681,6 +1918,9 @@ def _publish_partitioned(
                         f"write conflict at {path}: version {v} touched "
                         "overlapping partitions; re-run the merge"
                     )
+        head_m = (
+            _raw_manifest(path, head.version) if head is not None else None
+        )
         carried = (
             []
             if head is None or head.part_entries is None
@@ -1723,22 +1963,38 @@ def _publish_partitioned(
             # no carried entries everything was rewritten from the
             # DV-filtered read, so the vectors are fully materialized.
             manifest["dv_files"] = head.dv_files
-            if head.dv_dead is not None:
-                manifest["dv_dead"] = head.dv_dead
+            dv_scs = _next_sidecars(path, head_m, "dv")
+            if dv_scs:
+                manifest["dv_sidecars"] = dv_scs
         if fresh_stats is not None:
             # match on directory boundaries: a carried dir .../p=1 must not
-            # prefix-capture files in a rewritten sibling .../p=10
+            # prefix-capture files in a rewritten sibling .../p=10.
+            # Sidecars wholly inside carried partitions ride by name —
+            # only sidecars holding entries for rewritten partitions are
+            # rewritten (minus those entries), so publish cost follows
+            # the partitions this commit touched, never the table.
             carried_dirs = tuple(
                 e["dir"].rstrip(os.sep) + os.sep for e in carried
             )
-            carried_stats = {
-                f: st
-                for f, st in (
-                    head.file_stats if head and head.file_stats else {}
-                ).items()
-                if f.startswith(carried_dirs)
-            }
-            manifest["file_stats"] = {**carried_stats, **fresh_stats}
+            scs = _next_sidecars(
+                path,
+                head_m,
+                "stats",
+                keep=lambda f: f.startswith(carried_dirs),
+            )
+            # fresh entries land one sidecar PER PARTITION DIR: a later
+            # op rewriting one partition then dirties exactly one
+            # sidecar — the log converges to partition-scoped chunks
+            from collections import defaultdict
+
+            by_dir: dict[str, dict] = defaultdict(dict)
+            for f, st in fresh_stats.items():
+                by_dir[os.path.dirname(f)][f] = st
+            scs += [
+                _write_sidecar(path, ent)
+                for _, ent in sorted(by_dir.items())
+            ]
+            manifest["stats_sidecars"] = scs
             manifest["stats_cols"] = list(stats_cols)
         if not _try_publish_manifest(path, next_v, manifest):
             continue  # raced: loop re-checks conflicts against new head
@@ -1787,9 +2043,13 @@ def delete_where(
             "metrics": {"num_files_added": nf, "num_output_rows": nr},
         }
         if base.stats_cols:
-            manifest["file_stats"] = collect_file_stats(
-                [commit_dir], base.stats_cols
-            )
+            # full rewrite: one fresh sidecar, no carries
+            manifest["stats_sidecars"] = [
+                _write_sidecar(
+                    path,
+                    collect_file_stats([commit_dir], base.stats_cols),
+                )
+            ]
             manifest["stats_cols"] = base.stats_cols
         if not _try_publish_manifest(path, base.version + 1, manifest):
             raise RuntimeError(
@@ -1895,13 +2155,16 @@ def delete_where_dv(
 
             shutil.rmtree(dv_dir, ignore_errors=True)
             return snap.version
+        raw_m = _raw_manifest(path, snap.version)
         manifest = {
             "version": snap.version + 1,
             "dirs": snap.dirs,
             "schema": snap.schema_json,
             "committed_at": time.time(),
             "dv_files": (snap.dv_files or []) + [dv_dir],
-            "dv_dead": _merge_dead(snap.dv_dead, dead),
+            # dead counts are DELTAS that sum across sidecars: this
+            # commit serializes only the files IT tombstoned
+            "dv_sidecars": _next_sidecars(path, raw_m, "dv", fresh=dead),
             "op": "DELETE",
             "metrics": {
                 "num_deleted_rows": sum(dead.values()),
@@ -1917,10 +2180,15 @@ def delete_where_dv(
             ]
             manifest["partition_by"] = snap.partition_by
         if snap.file_stats is not None:
-            manifest["file_stats"] = snap.file_stats
+            # no file left the snapshot: sidecar names carry verbatim
+            manifest["stats_sidecars"] = _next_sidecars(
+                path, raw_m, "stats"
+            )
             manifest["stats_cols"] = snap.stats_cols
         if snap.file_blooms is not None:
-            manifest["file_blooms"] = snap.file_blooms
+            manifest["bloom_sidecars"] = _next_sidecars(
+                path, raw_m, "bloom"
+            )
             manifest["bloom_cols"] = snap.bloom_cols
         if not _try_publish_manifest(path, snap.version + 1, manifest):
             import shutil
@@ -1946,15 +2214,6 @@ def _dv_dead_counts(spark: SparkSession, dv_dir: str) -> dict[str, int]:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-
-
-def _merge_dead(old: dict | None, new: dict[str, int]) -> dict:
-    """Sum per-file dead counts across successive DV commits (two
-    deletes may tombstone different rows of the same file)."""
-    out = dict(old or {})
-    for f, n in new.items():
-        out[f] = out.get(f, 0) + n
-    return out
 
 
 def _dv_affected_partitions(
@@ -2016,6 +2275,7 @@ def update_where_dv(
     """
     unknown_cols = set(set_map)
     cond = F.expr(predicate)
+    meta = _load_table_meta(path)  # one read feeds every commit hook
     from pyspark.sql.types import StructType
 
     for _ in range(max_retries):
@@ -2055,7 +2315,7 @@ def update_where_dv(
             # same CHECK-constraint enforcement as every other write
             # path: a violating updated image fails inside this write,
             # before publication
-            updated = _apply_constraint_guard(updated, path)
+            updated = _apply_constraint_guard(updated, path, meta)
             updated_w = _to_physical(updated, _mapping(snap))
             commit_dir = os.path.join(
                 path, _DATA, f"commit-{uuid.uuid4().hex}"
@@ -2072,13 +2332,14 @@ def update_where_dv(
             live.unpersist()
         dead = _dv_dead_counts(spark, dv_dir)
         nf, nr = _dir_file_metrics([commit_dir])
+        raw_m = _raw_manifest(path, snap.version)
         manifest = {
             "version": snap.version + 1,
             "dirs": snap.dirs + [commit_dir],
             "schema": snap.schema_json,
             "committed_at": time.time(),
             "dv_files": (snap.dv_files or []) + [dv_dir],
-            "dv_dead": _merge_dead(snap.dv_dead, dead),
+            "dv_sidecars": _next_sidecars(path, raw_m, "dv", fresh=dead),
             "op": "UPDATE",
             "metrics": {
                 "num_updated_rows": sum(dead.values()),
@@ -2105,16 +2366,21 @@ def update_where_dv(
             ]
             manifest["partition_by"] = parts
         if snap.file_stats is not None and snap.stats_cols:
-            manifest["file_stats"] = {
-                **snap.file_stats,
-                **collect_file_stats([commit_dir], snap.stats_cols),
-            }
+            # carries ride by name; only the updated images' stats write
+            manifest["stats_sidecars"] = _next_sidecars(
+                path,
+                raw_m,
+                "stats",
+                fresh=collect_file_stats([commit_dir], snap.stats_cols),
+            )
             manifest["stats_cols"] = snap.stats_cols
         if snap.file_blooms is not None and snap.bloom_cols:
-            manifest["file_blooms"] = {
-                **snap.file_blooms,
-                **collect_file_blooms([commit_dir], snap.bloom_cols),
-            }
+            manifest["bloom_sidecars"] = _next_sidecars(
+                path,
+                raw_m,
+                "bloom",
+                fresh=collect_file_blooms([commit_dir], snap.bloom_cols),
+            )
             manifest["bloom_cols"] = snap.bloom_cols
         if not _try_publish_manifest(path, snap.version + 1, manifest):
             import shutil
@@ -2188,7 +2454,7 @@ def replace_where_commit(
         raise ValueError(
             "replacement schema differs from table schema"
         )
-    df = _apply_constraint_guard(df, path)
+    df = _apply_constraint_guard(df, path, _load_table_meta(path))
     # the replacement data is scope-independent: write it once, reuse
     # across contention retries (same pattern as commit())
     commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
@@ -2257,22 +2523,31 @@ def replace_where_commit(
                 "num_output_rows": nr,
             },
         }
+        raw_m = _raw_manifest(path, snap.version)
         if dv_dir is not None or snap.dv_files:
             manifest["dv_files"] = (snap.dv_files or []) + (
                 [dv_dir] if dv_dir is not None else []
             )
-            manifest["dv_dead"] = _merge_dead(snap.dv_dead, dead)
+            dv_scs = _next_sidecars(path, raw_m, "dv", fresh=dead)
+            if dv_scs:
+                manifest["dv_sidecars"] = dv_scs
         if stats_cols:
-            manifest["file_stats"] = {
-                **(snap.file_stats or {}),
-                **collect_file_stats([commit_dir], stats_cols),
-            }
+            # per-batch streaming commits ride this path: carried names
+            # pass by reference, only df-sized fresh stats serialize
+            manifest["stats_sidecars"] = _next_sidecars(
+                path,
+                raw_m,
+                "stats",
+                fresh=collect_file_stats([commit_dir], stats_cols),
+            )
             manifest["stats_cols"] = stats_cols
         if bloom_cols:
-            manifest["file_blooms"] = {
-                **(snap.file_blooms or {}),
-                **collect_file_blooms([commit_dir], bloom_cols),
-            }
+            manifest["bloom_sidecars"] = _next_sidecars(
+                path,
+                raw_m,
+                "bloom",
+                fresh=collect_file_blooms([commit_dir], bloom_cols),
+            )
             manifest["bloom_cols"] = bloom_cols
         if not _try_publish_manifest(path, snap.version + 1, manifest):
             import shutil
@@ -2520,8 +2795,10 @@ def set_partition_transform(
     _store_table_meta(path, meta)
 
 
-def partition_transforms(path: str) -> list[dict]:
-    return list(_load_table_meta(path).get("transforms", []))
+def partition_transforms(path: str, meta: dict | None = None) -> list[dict]:
+    if meta is None:
+        meta = _load_table_meta(path)
+    return list(meta.get("transforms", []))
 
 
 def _transform_value(t: dict, val):
@@ -2586,8 +2863,10 @@ def drop_check_constraint(path: str, name: str) -> None:
     _store_table_meta(path, meta)
 
 
-def check_constraints(path: str) -> dict[str, str]:
-    return dict(_load_table_meta(path).get("constraints", {}))
+def check_constraints(path: str, meta: dict | None = None) -> dict[str, str]:
+    if meta is None:
+        meta = _load_table_meta(path)
+    return dict(meta.get("constraints", {}))
 
 
 def set_generated_column(path: str, col: str, expression: str) -> None:
@@ -2607,8 +2886,10 @@ def drop_generated_column(path: str, col: str) -> None:
     _store_table_meta(path, meta)
 
 
-def generated_columns(path: str) -> dict[str, str]:
-    return dict(_load_table_meta(path).get("generated", {}))
+def generated_columns(path: str, meta: dict | None = None) -> dict[str, str]:
+    if meta is None:
+        meta = _load_table_meta(path)
+    return dict(meta.get("generated", {}))
 
 
 _IDENT = "_identity"
@@ -2629,8 +2910,10 @@ def set_identity_column(path: str, col: str, start: int = 1) -> None:
     _store_table_meta(path, meta)
 
 
-def identity_column(path: str) -> dict | None:
-    return _load_table_meta(path).get("identity")
+def identity_column(path: str, meta: dict | None = None) -> dict | None:
+    if meta is None:
+        meta = _load_table_meta(path)
+    return meta.get("identity")
 
 
 def _identity_head(path: str, start: int) -> tuple[int, int]:
@@ -2675,12 +2958,14 @@ def _allocate_identity_range(
     raise RuntimeError(f"identity allocation contention at {path}")
 
 
-def _stamp_identity(df: DataFrame, path: str) -> DataFrame:
+def _stamp_identity(
+    df: DataFrame, path: str, meta: dict | None = None
+) -> DataFrame:
     """Assign identity values for a write that omits the column. The
     input is pinned by ``localCheckpoint`` so the partition count (the
     range-span bound: ids are ``base + 1 + partition<<33 + row``) and
     row membership cannot shift between sizing and stamping."""
-    ident = identity_column(path)
+    ident = identity_column(path, meta)
     if not ident:
         return df
     icol = ident["col"]
@@ -2698,7 +2983,9 @@ def _stamp_identity(df: DataFrame, path: str) -> DataFrame:
     )
 
 
-def _apply_constraint_guard(df: DataFrame, path: str) -> DataFrame:
+def _apply_constraint_guard(
+    df: DataFrame, path: str, meta: dict | None = None
+) -> DataFrame:
     """Apply the table's write rules with zero extra scans: generated
     columns are computed (when omitted) or validated (when supplied —
     value must null-safe-equal the expression), then CHECK constraints
@@ -2707,8 +2994,8 @@ def _apply_constraint_guard(df: DataFrame, path: str) -> DataFrame:
     fails the write job *before* publication (the crashed commit dir is
     unreferenced — vacuum fodder), exactly like Delta's per-task
     invariant checks. No pre-scan, no second pass."""
-    constraints = check_constraints(path)
-    for col, expr in generated_columns(path).items():
+    constraints = check_constraints(path, meta)
+    for col, expr in generated_columns(path, meta).items():
         if col not in df.columns:
             df = df.withColumn(col, F.expr(expr))
         else:
@@ -2853,9 +3140,13 @@ def compact(
                 if inv.get(c, c) in live_cols
             ]
             if stats_cols:
-                manifest["file_stats"] = collect_file_stats(
-                    [commit_dir], stats_cols
-                )
+                # every file is fresh: the whole sidecar log folds into
+                # one checkpoint sidecar (compact = metadata OPTIMIZE)
+                manifest["stats_sidecars"] = [
+                    _write_sidecar(
+                        path, collect_file_stats([commit_dir], stats_cols)
+                    )
+                ]
                 manifest["stats_cols"] = stats_cols
         if base.bloom_cols:
             bloom_cols = [
@@ -2864,9 +3155,12 @@ def compact(
                 if inv.get(c, c) in live_cols
             ]
             if bloom_cols:
-                manifest["file_blooms"] = collect_file_blooms(
-                    [commit_dir], bloom_cols
-                )
+                manifest["bloom_sidecars"] = [
+                    _write_sidecar(
+                        path,
+                        collect_file_blooms([commit_dir], bloom_cols),
+                    )
+                ]
                 manifest["bloom_cols"] = bloom_cols
         if base.part_entries is not None:
             written = _hive_leaf_dirs(commit_dir, parts)
@@ -3051,7 +3345,8 @@ def restore(
             "column_mapping": snap.column_mapping,
             "retired_physical": snap.retired_physical,
         }
-        ndv = _raw_manifest(path, snap.version).get("ndv_sketches")
+        raw = _raw_manifest(path, snap.version)
+        ndv = raw.get("ndv_sketches")
         if ndv is not None:
             manifest["ndv_sketches"] = ndv
         if snap.part_entries is not None:
@@ -3062,18 +3357,27 @@ def restore(
                 {**e, "changed": True} for e in snap.part_entries
             ]
             manifest["partition_by"] = snap.partition_by
-        if snap.file_stats is not None:
-            manifest["file_stats"] = snap.file_stats
+        # stats/blooms/dv-deltas carry as sidecar NAMES (plus verbatim
+        # inline maps from pre-sidecar manifests) — restore stays a
+        # pure O(1) manifest write, never O(table) metadata
+        for k in (
+            "stats_sidecars",
+            "bloom_sidecars",
+            "dv_sidecars",
+            "file_stats",
+            "file_blooms",
+            "dv_dead",
+        ):
+            if raw.get(k) is not None:
+                manifest[k] = raw[k]
+        if snap.stats_cols is not None:
             manifest["stats_cols"] = snap.stats_cols
-        if snap.file_blooms is not None:
-            manifest["file_blooms"] = snap.file_blooms
+        if snap.bloom_cols is not None:
             manifest["bloom_cols"] = snap.bloom_cols
         if snap.dv_files:
             # "exact file references" includes the tombstones: dropping
             # them would resurrect DV-deleted rows at the restored head
             manifest["dv_files"] = snap.dv_files
-            if snap.dv_dead is not None:
-                manifest["dv_dead"] = snap.dv_dead
         if not _try_publish_manifest(path, next_v, manifest):
             continue
         return next_v
@@ -3108,18 +3412,29 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
     if snap.part_entries is not None:
         manifest["part_entries"] = snap.part_entries
         manifest["partition_by"] = snap.partition_by
+    # sidecar names are table-relative, so the clone MATERIALIZES the
+    # source's merged stats into its own sidecars (one read of the
+    # source metadata at clone time) — the clone's metadata is then
+    # self-contained and a source-side vacuum can't strip its pruning
+    # stats (data dirs keep the documented shallow-clone caveat)
     if snap.file_stats is not None:
-        manifest["file_stats"] = snap.file_stats
+        manifest["stats_sidecars"] = [
+            _write_sidecar(dst, dict(snap.file_stats))
+        ]
         manifest["stats_cols"] = snap.stats_cols
     if snap.file_blooms is not None:
-        manifest["file_blooms"] = snap.file_blooms
+        manifest["bloom_sidecars"] = [
+            _write_sidecar(dst, dict(snap.file_blooms))
+        ]
         manifest["bloom_cols"] = snap.bloom_cols
     if snap.dv_files:
         # the clone references the source's files AS FILTERED — without
         # the tombstones it would contain the source's deleted rows
         manifest["dv_files"] = snap.dv_files
         if snap.dv_dead is not None:
-            manifest["dv_dead"] = snap.dv_dead
+            manifest["dv_sidecars"] = [
+                _write_sidecar(dst, dict(snap.dv_dead))
+            ]
     if not _try_publish_manifest(dst, 0, manifest):
         raise ValueError(f"clone target {dst} was created concurrently")
     return 0
@@ -3200,8 +3515,15 @@ def describe_detail(path: str, version: int | None = None) -> dict:
         "bloom_columns": list(snap.bloom_cols or []),
         "column_mapping": dict(snap.column_mapping or {}),
         "retired_physical": list(snap.retired_physical or []),
+        # sketches are stored under PHYSICAL keys; report LOGICAL names
+        # so this surface agrees with table_ndv and the logical schema
+        # on column-mapped tables
         "ndv_columns": sorted(
-            _raw_manifest(path, snap.version).get("ndv_sketches") or []
+            {p: l for l, p in (snap.column_mapping or {}).items()}.get(
+                c, c
+            )
+            for c in _raw_manifest(path, snap.version).get("ndv_sketches")
+            or []
         ),
         "properties": {
             "constraints": dict(meta.get("constraints", {})),
@@ -3250,9 +3572,24 @@ def vacuum(
         # (conservative — subdir-granular deletion is a later refinement)
         for e in snap.part_entries or []:
             live.add(e["base"])
+    # sidecar GC: a stats/bloom/dv sidecar survives iff some surviving
+    # manifest names it (same liveness rule as data dirs)
+    live_sc: set[str] = set()
+    for v in keep_vs:
+        m = _raw_manifest(path, v)
+        for k in ("stats_sidecars", "bloom_sidecars", "dv_sidecars"):
+            live_sc.update(m.get(k) or [])
     for v in vs:
         if v not in keep_vs:
             os.remove(_manifest_path(path, v))
+    mdir = os.path.join(path, _MANIFESTS)
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if name.startswith("sc-") and name not in live_sc:
+                try:
+                    os.remove(os.path.join(mdir, name))
+                except OSError:
+                    pass
     deleted = []
     data_root = os.path.join(path, _DATA)
     if os.path.isdir(data_root):
