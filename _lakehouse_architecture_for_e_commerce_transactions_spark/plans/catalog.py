@@ -7416,6 +7416,92 @@ GROUP BY o_orderpriority
 """
 
 
+def q_column_mapping_part_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Column mapping on the PARTITIONED write paths end to end
+    (sources/snapshots.py round 6 — the reference's curated tables are
+    all partitioned, orders_etl.py:74, so rename-then-merge on a
+    partitioned table is the first thing a real user does): build a
+    hive-partitioned orders table via merge_commit, RENAME
+    o_totalprice→price (metadata-only), then — all through the
+    logical→physical seam — MERGE doubled prices into ONE partition
+    (the other partitions carry by reference under the mapping),
+    DV-delete expensive rows BY THE NEW NAME, scoped-OPTIMIZE the
+    merged partition (compact_where keeps physical names — carried
+    partitions must agree column-for-column), and read back. The
+    oracle states the same upsert+delete as plain SQL."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as SN,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        TableSpec,
+    )
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _tf.mkdtemp(prefix="sparkgraft_colmap_part_")
+    try:
+        SN.merge_commit(
+            spark,
+            o,
+            path,
+            TableSpec(
+                name="cmp",
+                schema=o.schema,
+                primary_key="o_orderkey",
+                partition_by=("o_orderpriority",),
+            ),
+            stats_for=["o_orderkey"],
+        )
+        SN.rename_column(path, "o_totalprice", "price")
+        renamed = o.withColumnRenamed("o_totalprice", "price")
+        src = renamed.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderkey") % 7 == 0)
+        ).withColumn("price", F.col("price") * 2)
+        SN.merge_commit(
+            spark,
+            src,
+            path,
+            TableSpec(
+                name="cmp",
+                schema=renamed.schema,
+                primary_key="o_orderkey",
+                partition_by=("o_orderpriority",),
+            ),
+        )
+        SN.delete_where_dv(spark, path, "price >= 400000")
+        SN.compact_where(
+            spark, path, [("o_orderpriority", "==", "1-URGENT")]
+        )
+        return (
+            SN.read(spark, path)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                money_sum(F.col("price")).alias("rev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
+
+
+_COLUMN_MAPPING_PART_SQL = f"""
+WITH merged AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0
+              THEN o_totalprice * 2 ELSE o_totalprice END AS price
+  FROM orders),
+live AS (SELECT * FROM merged WHERE price < 400000)
+SELECT o_orderpriority, count(*) AS cnt, {_money_sum_sql("price")} AS rev
+FROM live GROUP BY o_orderpriority
+"""
+
+
 def q_revenue_ewma_monthly(spark: SparkSession, sf: str) -> DataFrame:
     """Exact integer EWMA smoothing of the monthly revenue series per
     priority (operators/timeseries.py:ewma_halving — alpha = 1/2,
@@ -8168,6 +8254,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     ),
     "column_mapping_sim": QueryDef(
         q_column_mapping_sim, _COLUMN_MAPPING_SQL
+    ),
+    "column_mapping_part_sim": QueryDef(
+        q_column_mapping_part_sim, _COLUMN_MAPPING_PART_SQL
     ),
     "optimize_scoped_sim": QueryDef(
         q_optimize_scoped_sim, _OPTIMIZE_SCOPED_SQL

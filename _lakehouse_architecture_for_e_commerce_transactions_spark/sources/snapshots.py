@@ -51,11 +51,14 @@ Iceberg metadata layers, small enough to audit:
   commits inside their own write.
 * **Column mapping**: ``rename_column`` / ``drop_column`` are
   METADATA-ONLY (Delta's columnMapping name mode) — the manifest maps
-  logical names onto unchanged physical file columns; reads/writes
-  (including unpartitioned MERGE) translate at one seam, ``compact``
-  materializes the mapping away, and the partition-granular ops
-  (partitioned MERGE/DELETE, replaceWhere) refuse mapped tables
-  loudly until compacted.
+  logical names onto unchanged physical file columns; EVERY read and
+  write path (plain and partitioned MERGE/DELETE, replaceWhere,
+  scoped OPTIMIZE, DV delete/update) translates at one seam
+  (``_logical_select`` / ``_to_physical``), and ``compact``
+  materializes the mapping away. The only refusal left is naming a
+  MAPPED column as a new partition key (hive dir layouts can't carry
+  a translation); a RENAME/DROP landing mid-write conflicts instead
+  of publishing mislabeled files.
 
 Scale notes: the manifest lists commit *directories*, not individual
 files, so manifest size grows with commit count, not data size; the
@@ -787,21 +790,6 @@ def _logical_select(raw: DataFrame, snap: Snapshot, extra: tuple = ()):
             for f in schema.fields
         ],
     )
-
-
-def _no_mapping(path: str, opname: str) -> None:
-    """Ops not yet taught the logical→physical seam refuse mapped
-    tables loudly instead of misreading renamed columns."""
-    try:
-        snap = load_snapshot(path)
-    except FileNotFoundError:
-        return
-    if snap.column_mapping or snap.retired_physical:
-        raise ValueError(
-            f"{opname} does not support tables with renamed/dropped "
-            "columns (column mapping); run compact() first to "
-            "materialize the mapping into the data files"
-        )
 
 
 def _word_in_expr(col: str, expr: str) -> bool:
@@ -1738,11 +1726,6 @@ def merge_commit(
             "identity columns are supported on commit() tables only; "
             "MERGE keys rows by an explicit primary key"
         )
-    if list(spec.partition_by):
-        # the partition-granular manifest surgery has no logical→
-        # physical seam yet; unpartitioned MERGE (full read-modify-
-        # write) goes through the same _to_physical gate as commit()
-        _no_mapping(path, "merge_commit (partitioned)")
     cols = [f.name for f in spec.schema.fields]
     source = source.select(*cols)
     if check_source_unique:
@@ -1815,9 +1798,38 @@ def merge_commit(
 
     base_version: int | None = None
     full_rewrite = False
+    mapping = {}
+    retired: set = set()
     try:
         parent = load_snapshot(path)
         base_version = parent.version
+        # column mapping flows through the partitioned path like
+        # commit(): the target reads back LOGICAL (read() translates),
+        # the merge plans logically, and the rewrite lands PHYSICAL
+        # names so rewritten and carried partitions agree column-for-
+        # column. Partition columns are rename-guarded, so the hive
+        # layout itself never needs translating.
+        mapping = _mapping(parent)
+        retired = set(parent.retired_physical or [])
+        taken = set(mapping.values()) | retired
+        clash = [c for c in cols if c not in mapping and c in taken]
+        if clash:
+            raise ValueError(
+                f"merge_commit: column name(s) {clash} collide with "
+                "physical names in use or retired by rename/drop; "
+                "compact() to materialize the mapping first"
+            )
+        # rename_column refuses partition columns of partitioned
+        # tables, but a plain mapped table being RE-partitioned here
+        # could name a mapped column as the partition key — the hive
+        # dir layout can't carry a logical→physical translation
+        mapped_parts = [p for p in parts if mapping.get(p, p) != p]
+        if mapped_parts:
+            raise ValueError(
+                f"merge_commit: partition column(s) {mapped_parts} are "
+                "renamed via column mapping; compact() first to "
+                "materialize the mapping into the data files"
+            )
         target = read(spark, path).select(*cols)
         if parent.part_entries is None:
             # parent was a plain commit (no partition-granular entries):
@@ -1841,7 +1853,8 @@ def merge_commit(
     merged = _apply_constraint_guard(merged, path, meta)
     commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
     (
-        merged.write.mode("errorifexists")
+        _to_physical(merged, mapping)
+        .write.mode("errorifexists")
         .partitionBy(*parts)
         .parquet(commit_dir)
     )
@@ -1858,8 +1871,13 @@ def merge_commit(
         merged.schema.json(),
         full_rewrite,
         max_retries,
-        stats_cols=stats_for
-        or (parent.stats_cols if parent is not None else None),
+        stats_cols=(
+            _phys_cols(mapping, stats_for)
+            if stats_for
+            else (parent.stats_cols if parent is not None else None)
+        ),
+        mapping=mapping,
+        retired=retired,
     )
 
 
@@ -1876,12 +1894,17 @@ def _publish_partitioned(
     stats_cols: list[str] | None = None,
     op: str = "MERGE",
     fresh_changed: bool = True,
+    mapping: dict | None = None,
+    retired: set | None = None,
 ) -> int:
     """Publish an already-written partition-granular rewrite (MERGE or
     DELETE) as the next version: carry unaffected entries by reference,
     rebase across disjoint intervening commits, conflict otherwise.
     With ``stats_cols``, fresh files get footer stats collected and
-    carried entries keep the parent's (their dirs are immutable)."""
+    carried entries keep the parent's (their dirs are immutable).
+    ``mapping``/``retired`` are the column-mapping state the data files
+    were written under — a RENAME/DROP landing mid-rewrite conflicts
+    (the files would publish under a mapping that mislabels them)."""
     fresh_stats = (
         collect_file_stats([commit_dir], stats_cols) if stats_cols else None
     )
@@ -1896,6 +1919,18 @@ def _publish_partitioned(
         if head is not None and base_version is None:
             raise RuntimeError(
                 f"write conflict at {path}: table created concurrently"
+            )
+        if (
+            head is not None
+            and mapping is not None
+            and (
+                _mapping(head) != mapping
+                or set(head.retired_physical or []) != (retired or set())
+            )
+        ):
+            raise RuntimeError(
+                f"concurrent RENAME/DROP COLUMN at {path} during "
+                f"{op}; re-run against the new schema"
             )
         if head is not None and head.version != base_version:
             if full_rewrite:
@@ -2021,8 +2056,6 @@ def delete_where(
     touching disjoint partitions rebase; overlapping ones conflict.
     """
     base = load_snapshot(path)
-    if (base.column_mapping or base.retired_physical) and base.part_entries:
-        _no_mapping(path, "delete_where (partitioned)")
     data = read(spark, path)
     cond = F.expr(predicate)
     parts = base.partition_by or []
@@ -2080,7 +2113,10 @@ def delete_where(
     survivors = data.filter(part_match).filter(~cond)
     commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
     (
-        survivors.write.mode("errorifexists")
+        # survivors read back logical; the rewrite lands physical names
+        # so rewritten and carried partitions agree column-for-column
+        _to_physical(survivors, _mapping(base))
+        .write.mode("errorifexists")
         .partitionBy(*parts)
         .parquet(commit_dir)
     )
@@ -2097,6 +2133,8 @@ def delete_where(
         max_retries,
         stats_cols=base.stats_cols,
         op="DELETE",
+        mapping=_mapping(base),
+        retired=set(base.retired_physical or []),
     )
 
 
@@ -2434,12 +2472,11 @@ def replace_where_commit(
         raise ValueError("pass exactly one of predicates / (keys, key_cols)")
     if keys is not None and not key_cols:
         raise ValueError("keys requires key_cols")
-    _no_mapping(path, "replace_where_commit")
     if predicates is not None:
         for p in predicates:
             if len(p) != 3 or p[1] not in _PRUNE_OPS:
                 raise ValueError(f"bad predicate {p!r}; ops: {_PRUNE_OPS}")
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     head = load_snapshot(path)
     if head.part_entries is not None:
@@ -2454,44 +2491,76 @@ def replace_where_commit(
         raise ValueError(
             "replacement schema differs from table schema"
         )
+    # column mapping: the replacement frame and scope are LOGICAL; the
+    # data write and the tombstone scan run under PHYSICAL names (the
+    # same seam as commit()/read_where). Captured ONCE here — a
+    # concurrent RENAME/DROP conflicts inside the retry loop below.
+    mapping = _mapping(head)
+    retired = set(head.retired_physical or [])
     df = _apply_constraint_guard(df, path, _load_table_meta(path))
     # the replacement data is scope-independent: write it once, reuse
     # across contention retries (same pattern as commit())
     commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
-    df.write.mode("errorifexists").parquet(commit_dir)
+    _to_physical(df, mapping).write.mode("errorifexists").parquet(
+        commit_dir
+    )
 
     for _ in range(max_retries):
         snap = load_snapshot(path)
+        if _mapping(snap) != mapping or set(
+            snap.retired_physical or []
+        ) != retired:
+            raise RuntimeError(
+                f"concurrent RENAME/DROP COLUMN at {path} during "
+                "replace_where_commit; re-run against the new schema"
+            )
         schema = StructType.fromJson(json.loads(snap.schema_json))
+        phys_schema = StructType(
+            [
+                StructField(
+                    mapping.get(f.name, f.name), f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
         fs, fb = snap.file_stats or {}, snap.file_blooms or {}
         # tombstone scan over the PRE-append head (commit_dir is not in
         # snap.dirs yet, so the fresh rows can never self-tombstone)
         if predicates is not None:
+            # stats/blooms and the files are keyed by PHYSICAL names
+            phys_preds = [
+                (mapping.get(c, c), op_, v) for (c, op_, v) in predicates
+            ]
             all_files = data_files(path, snap.version)
             kept = [
                 f
                 for f in all_files
-                if _file_maybe_matches(fs.get(f), predicates, fb.get(f))
+                if _file_maybe_matches(fs.get(f), phys_preds, fb.get(f))
             ]
             if report is not None:
                 report["files_total"] = len(all_files)
                 report["files_kept"] = len(kept)
             if kept:
                 marked = (
-                    spark.read.schema(schema)
+                    spark.read.schema(phys_schema)
                     .parquet(*kept)
                     .withColumn("__fp", F.col("_metadata.file_path"))
                     .withColumn("__ri", F.col("_metadata.row_index"))
                 )
                 dels = _dv_filter(
                     marked, _dv_tombstones(spark, snap)
-                ).filter(_residual(predicates))
+                ).filter(_residual(phys_preds))
             else:
                 dels = None
         else:
             marked = _dv_filter(
                 _scan_with_address(spark, snap),
                 _dv_tombstones(spark, snap),
+            )
+            # key columns are logical: project through the read seam
+            # before the semi-join (identity projection when unmapped)
+            marked = _logical_select(
+                marked, snap, extra=("__fp", "__ri")
             )
             dels = marked.join(
                 keys.select(*key_cols).distinct(), key_cols, "left_semi"
@@ -2508,8 +2577,16 @@ def replace_where_commit(
 
             shutil.rmtree(dv_dir, ignore_errors=True)
             dv_dir = None
-        stats_cols = list(stats_for or snap.stats_cols or []) or None
-        bloom_cols = list(bloom_for or snap.bloom_cols or []) or None
+        stats_cols = (
+            _phys_cols(mapping, stats_for)
+            if stats_for
+            else list(snap.stats_cols or [])
+        ) or None
+        bloom_cols = (
+            _phys_cols(mapping, bloom_for)
+            if bloom_for
+            else list(snap.bloom_cols or [])
+        ) or None
         nf, nr = _dir_file_metrics([commit_dir])
         manifest = {
             "version": snap.version + 1,
@@ -3215,7 +3292,6 @@ def compact_where(
     for p in predicates:
         if len(p) != 3 or p[1] not in _PRUNE_OPS:
             raise ValueError(f"bad predicate {p!r}; ops: {_PRUNE_OPS}")
-    _no_mapping(path, "compact_where")
     for _ in range(max_retries):
         base = load_snapshot(path)
         if base.part_entries is None:
@@ -3252,9 +3328,12 @@ def compact_where(
         if cluster:
             shaped = shaped.sortWithinPartitions(*parts, *cluster)
         commit_dir = os.path.join(path, _DATA, f"commit-{uuid.uuid4().hex}")
-        shaped.write.mode("errorifexists").partitionBy(*parts).parquet(
-            commit_dir
-        )
+        # a SCOPED compaction cannot materialize the mapping away (the
+        # carried partitions keep physical names), so rewritten files
+        # land physical too — only full compact() clears the mapping
+        _to_physical(shaped, _mapping(base)).write.mode(
+            "errorifexists"
+        ).partitionBy(*parts).parquet(commit_dir)
         try:
             return _publish_partitioned(
                 path,
@@ -3269,6 +3348,8 @@ def compact_where(
                 stats_cols=base.stats_cols,
                 op="OPTIMIZE",
                 fresh_changed=False,
+                mapping=_mapping(base),
+                retired=set(base.retired_physical or []),
             )
         except RuntimeError:
             # a conflicting commit touched our scope mid-rewrite:

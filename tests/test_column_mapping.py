@@ -1,8 +1,9 @@
 """Metadata-only RENAME/DROP COLUMN via column mapping (Delta's
 columnMapping name mode re-expressed on the manifest log): renames
-never touch data files, reads/writes translate logical↔physical at one
-seam, compact() materializes the mapping, and partition-oriented ops
-refuse mapped tables loudly."""
+never touch data files, every read/write path — plain and partitioned
+MERGE/DELETE, replaceWhere, scoped OPTIMIZE, DV ops — translates
+logical↔physical at one seam, and compact() materializes the
+mapping. Racing RENAMEs conflict instead of mislabeling files."""
 
 from __future__ import annotations
 
@@ -197,8 +198,9 @@ def test_guards_refuse_referenced_and_partition_columns(spark, tmp_path):
         S.rename_column(path, "zz", "q")
     with pytest.raises(ValueError, match="already exists"):
         S.rename_column(path, "v", "k")
-    # PARTITIONED merge refuses mapped tables until compacted;
-    # unpartitioned MERGE goes through the mapping seam for real
+    # MERGE goes through the mapping seam for real; the one refusal
+    # left is RE-partitioning by a column that is itself mapped (the
+    # hive dir layout cannot carry a logical→physical translation)
     S.rename_column(path, "v", "name")
     import pyarrow.parquet as pq
 
@@ -392,3 +394,158 @@ def test_compact_where_restarts_when_a_merge_races_its_scope(
     assert snap.version == v and snap.op == "OPTIMIZE"
     got = {r["k"] for r in S.read(spark, path).collect()}
     assert got == set(range(20)) | {500}
+
+
+# ---------------------------------------------------------------------------
+# Round 6: the partitioned write paths learned the mapping seam — the
+# reference's curated tables are ALL partitioned (orders_etl.py:74), so
+# rename-then-merge on a partitioned table is the first thing a real
+# user does.
+# ---------------------------------------------------------------------------
+
+
+def _vspec(spark, label_col: str):
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        TableSpec,
+    )
+
+    return TableSpec(
+        name="t",
+        schema=spark.createDataFrame(
+            [], f"k long, p long, {label_col} string"
+        ).schema,
+        primary_key="k",
+        partition_by=("p",),
+    )
+
+
+def test_partitioned_lifecycle_on_mapped_table(spark, tmp_path):
+    """rename → partitioned MERGE → partition DELETE → DV delete →
+    scoped OPTIMIZE → read, all through the mapping seam; compact()
+    finally materializes the rename into the files."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "pt")
+    df = spark.range(20).selectExpr(
+        "id AS k", "id % 2 AS p", "concat('L', id) AS label"
+    )
+    S.merge_commit(spark, df, path, _vspec(spark, "label"), stats_for=["k"])
+    S.rename_column(path, "label", "tag")
+
+    def phys_names():
+        cols = set()
+        for f in S.data_files(path):
+            cols |= set(pq.ParquetFile(f).schema_arrow.names)
+        return cols
+
+    # partitioned MERGE under the mapping: upsert + insert
+    src = spark.createDataFrame(
+        [(1, 1, "X1"), (100, 0, "X100")], "k long, p long, tag string"
+    )
+    S.merge_commit(spark, src, path, _vspec(spark, "tag"))
+    got = {r["k"]: r["tag"] for r in S.read(spark, path).collect()}
+    assert got[1] == "X1" and got[100] == "X100" and got[2] == "L2"
+    assert "label" in phys_names() and "tag" not in phys_names()
+
+    # partition-granular DELETE with the predicate on the LOGICAL name
+    S.delete_where(spark, path, "tag = 'X100'")
+    assert 100 not in {r["k"] for r in S.read(spark, path).collect()}
+    assert "label" in phys_names() and "tag" not in phys_names()
+
+    # row-level DV delete, then scoped OPTIMIZE over the mapped table
+    S.delete_where_dv(spark, path, "k = 3")
+    v = S.compact_where(spark, path, [("p", "==", 1)])
+    snap = S.load_snapshot(path)
+    assert snap.version == v and snap.op == "OPTIMIZE"
+    assert snap.column_mapping == {"tag": "label"}
+    got = {r["k"] for r in S.read(spark, path).collect()}
+    assert got == set(range(20)) - {3, 100} | {1}
+    # scoped compaction keeps PHYSICAL names (carried partitions agree)
+    assert "label" in phys_names() and "tag" not in phys_names()
+
+    # data-skipping read on the mapped table still prunes
+    rep = {}
+    assert (
+        S.read_where(spark, path, [("k", "==", 5)], report=rep).count()
+        == 1
+    )
+
+    # full compact materializes: files renamed, mapping cleared
+    S.compact(spark, path)
+    assert "tag" in phys_names() and "label" not in phys_names()
+    assert not (S.load_snapshot(path).column_mapping or {})
+
+
+def test_replace_where_on_mapped_table(spark, tmp_path):
+    """replaceWhere with both scope forms (predicates and keys) on a
+    renamed table — the streaming twins' commit path unblocked."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr(
+        "id AS k", "concat('v', id) AS label"
+    )
+    S.commit(spark, df, path, stats_for=["k"], bloom_for=["k"])
+    S.rename_column(path, "label", "tag")
+
+    repl = spark.range(5).selectExpr("id AS k", "concat('R', id) AS tag")
+    rep = {}
+    S.replace_where_commit(
+        spark, repl, path, predicates=[("k", "<", 5)], report=rep
+    )
+    got = {r["k"]: r["tag"] for r in S.read(spark, path).collect()}
+    assert got[0] == "R0" and got[4] == "R4" and got[5] == "v5"
+    assert len(got) == 100
+    for f in S.data_files(path):
+        names = set(pq.ParquetFile(f).schema_arrow.names)
+        assert "label" in names and "tag" not in names
+
+    # keys-form scope joins on the LOGICAL key column
+    keys = spark.createDataFrame([(7,), (8,)], "k long")
+    repl2 = spark.createDataFrame(
+        [(7, "K7"), (8, "K8")], "k long, tag string"
+    )
+    S.replace_where_commit(spark, repl2, path, keys=keys, key_cols=["k"])
+    got = {r["k"]: r["tag"] for r in S.read(spark, path).collect()}
+    assert got[7] == "K7" and got[8] == "K8" and len(got) == 100
+
+    # a predicate on the renamed column itself transposes to the
+    # physical stats/blooms (no pruning assertion needed — correctness)
+    repl3 = spark.createDataFrame([(0, "Z0")], "k long, tag string")
+    S.replace_where_commit(
+        spark, repl3, path, predicates=[("tag", "==", "R0")]
+    )
+    got = {r["k"]: r["tag"] for r in S.read(spark, path).collect()}
+    assert got[0] == "Z0" and len(got) == 100
+
+
+def test_merge_conflicts_on_racing_rename(spark, tmp_path, monkeypatch):
+    """A RENAME landing between a partitioned merge's data write and
+    its publish must conflict — publishing would mislabel the freshly
+    written files under the new mapping."""
+    path = str(tmp_path / "pt")
+    df = spark.range(10).selectExpr(
+        "id AS k", "id % 2 AS p", "concat('L', id) AS label"
+    )
+    S.merge_commit(spark, df, path, _vspec(spark, "label"))
+
+    fired = {"n": 0}
+    orig = S._hive_leaf_dirs
+
+    def hooked(commit_dir, parts):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            S.rename_column(path, "label", "tag")
+        return orig(commit_dir, parts)
+
+    monkeypatch.setattr(S, "_hive_leaf_dirs", hooked)
+    src = spark.createDataFrame(
+        [(1, 1, "X1")], "k long, p long, label string"
+    )
+    with pytest.raises(RuntimeError, match="concurrent RENAME"):
+        S.merge_commit(spark, src, path, _vspec(spark, "label"))
+    # the losing merge left no trace; the rename won
+    assert "tag" in S.read(spark, path).columns
+    assert {r["tag"] for r in S.read(spark, path).collect()} == {
+        f"L{i}" for i in range(10)
+    }
