@@ -435,7 +435,9 @@ def label_propagation(
     2007) over a directed edge list — community detection by a
     DIFFERENT rule than connected_components' min-label spread: each
     round, every node adopts the label carried by the PLURALITY of its
-    in-neighbors (tie → smallest label), so dense clusters converge to
+    OUT-neighbors — the nodes it points at (the join fetches labels at
+    ``dst`` and groups by ``src``; tie → smallest label) — so dense
+    clusters converge to
     one label while a single bridge edge between two dense regions
     does NOT merge them (the min-label rule would). Undirected graphs:
     supply both edge directions.

@@ -136,6 +136,16 @@ class Snapshot:
     retired_physical: list | None = None
 
 
+class VacuumedVersionError(ValueError):
+    """A time-travel target (version or timestamp) that the retention
+    policy already dropped: vacuum deleted its manifest, so the request
+    is unserviceable BY DESIGN, not by accident. Raised at resolution
+    time — callers never get as far as a scan that would die on missing
+    data files deep inside Spark. Actionable: widen ``retention_hours``
+    / ``keep_last`` before the next vacuum, or target a surviving
+    version."""
+
+
 def _manifest_path(path: str, version: int) -> str:
     return os.path.join(path, _MANIFESTS, f"v{version:012d}.json")
 
@@ -419,6 +429,14 @@ def load_snapshot(path: str, version: int | None = None) -> Snapshot:
         raise FileNotFoundError(f"no snapshot table at {path}")
     v = vs[-1] if version is None else version
     if v not in vs:
+        if 0 <= v < vs[0]:
+            raise VacuumedVersionError(
+                f"version {v} of {path} was removed by vacuum (oldest "
+                f"surviving version: {vs[0]}); time travel is bounded "
+                "by the vacuum retention window — target a surviving "
+                "version or keep more history (retention_hours/"
+                "keep_last)"
+            )
         raise ValueError(f"version {v} not in {path} (have {vs})")
     with open(_manifest_path(path, v)) as f:
         try:
@@ -1052,6 +1070,7 @@ def commit(
     n_files: int | None = None,
     bloom_for: list[str] | None = None,
     ndv_for: list[str] | None = None,
+    op: str | None = None,
 ) -> int:
     """Atomically commit ``df`` as the table's next version; returns it.
 
@@ -1192,7 +1211,10 @@ def commit(
             "dirs": dirs,
             "schema": schema_json,
             "committed_at": time.time(),
-            "op": "WRITE" if mode == "overwrite" else "APPEND",
+            # ``op`` override: maintenance passes that publish through
+            # commit() (e.g. the streaming state compactor) keep their
+            # true operation name in DESCRIBE HISTORY
+            "op": op or ("WRITE" if mode == "overwrite" else "APPEND"),
             "metrics": {"num_files_added": nf, "num_output_rows": nr},
         }
         parent_m = head_m if parent is not None else None
@@ -1311,10 +1333,22 @@ def version_at_timestamp(path: str, ts) -> int:
 
     if isinstance(ts, _dt.datetime):
         ts = ts.timestamp()
-    eligible = [
-        s.version for s in history(path) if s.committed_at <= float(ts)
-    ]
+    hist = history(path)
+    eligible = [s.version for s in hist if s.committed_at <= float(ts)]
     if not eligible:
+        oldest = min(hist, key=lambda s: s.version)
+        if oldest.version > 0:
+            # versions 0..oldest-1 existed but were vacuumed: the
+            # timestamp falls outside the retention window, which is a
+            # different (and actionable) failure than "table is younger
+            # than the timestamp"
+            raise VacuumedVersionError(
+                f"timestamp {ts} predates the retention window of "
+                f"{path}: versions before v{oldest.version} (oldest "
+                f"surviving, committed at {oldest.committed_at}) were "
+                "vacuumed — keep more history (retention_hours/"
+                "keep_last) or target a surviving version"
+            )
         raise ValueError(
             f"no version of {path} committed at or before {ts}"
         )

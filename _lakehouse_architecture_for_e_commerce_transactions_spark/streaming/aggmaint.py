@@ -215,6 +215,44 @@ def _commit_with_marker(
         )
 
 
+def _compact_state(spark: SparkSession, path: str) -> None:
+    """OPTIMIZE for a marker-bearing snapshot state table: folds the
+    accumulated slice files and deletion vectors like
+    ``snapshots.compact`` AND collapses the watermark marker rows.
+    Every applied scoped commit appends one NULL-key marker row that
+    no scope ever tombstones, so without this fold a long-running
+    stream's state table grows by one marker row per batch forever
+    (``max(_last_batch)`` stays exact either way — this bounds state
+    size, it does not fix a wrong answer). Only the max-batch marker
+    survives; data rows keep their stamps, so the watermark is
+    unchanged. ONE rewrite does both jobs — the same O(state) pass a
+    plain compact already pays at this cadence."""
+    snap = S.load_snapshot(path)
+    cur = S.read(spark, path)
+    key0 = cur.columns[0]  # every state/fact schema leads with its key
+    mb = (
+        cur.filter(F.col(key0).isNull())
+        .agg(F.max("_last_batch"))
+        .first()[0]
+    )
+    if mb is None:
+        S.compact(spark, path)
+        return
+    kept = cur.filter(
+        F.col(key0).isNotNull() | (F.col("_last_batch") == F.lit(mb))
+    )
+    inv = {p: l for l, p in (snap.column_mapping or {}).items()}
+    S.commit(
+        spark,
+        kept.hint("rebalance"),
+        path,
+        mode="overwrite",
+        stats_for=[inv.get(c, c) for c in snap.stats_cols or []] or None,
+        bloom_for=[inv.get(c, c) for c in snap.bloom_cols or []] or None,
+        op="OPTIMIZE",
+    )
+
+
 def read_maintained_agg(spark: SparkSession, table_path: str) -> DataFrame:
     """The queryable view of the maintained aggregate (marker row and
     bookkeeping columns stripped)."""
@@ -288,7 +326,7 @@ def stream_agg_maintenance(
                 scope_keys=touched, key_cols=["k"],
             )
         if compact_every and (batch_id + 1) % compact_every == 0:
-            S.compact(spark, table_path)
+            _compact_state(spark, table_path)
         if on_batch is not None:
             on_batch(batch_id, n_changes)
 
@@ -550,8 +588,8 @@ def stream_join_view_maintenance(
                     scope_keys=affected, key_cols=["fact_key"],
                 )
         if compact_every and (batch_id + 1) % compact_every == 0:
-            S.compact(spark, dim_path)
-            S.compact(spark, view_path)
+            _compact_state(spark, dim_path)
+            _compact_state(spark, view_path)
 
     writer = (
         reader.writeStream.foreachBatch(process_batch)
@@ -879,8 +917,8 @@ def stream_minmax_maintenance(
                     scope_keys=touched, key_cols=["k"],
                 )
             if compact_every and (batch_id + 1) % compact_every == 0:
-                S.compact(spark, fact_path)
-                S.compact(spark, state_path)
+                _compact_state(spark, fact_path)
+                _compact_state(spark, state_path)
         finally:
             batch_df.unpersist()
 
@@ -953,8 +991,8 @@ def stream_topk_maintenance(
                     scope_keys=touched, key_cols=["k"],
                 )
             if compact_every and (batch_id + 1) % compact_every == 0:
-                S.compact(spark, fact_path)
-                S.compact(spark, state_path)
+                _compact_state(spark, fact_path)
+                _compact_state(spark, state_path)
         finally:
             batch_df.unpersist()
 
@@ -1063,7 +1101,7 @@ def stream_kmv_maintenance(
                 scope_keys=touched, key_cols=["k"],
             )
         if compact_every and (batch_id + 1) % compact_every == 0:
-            S.compact(spark, state_path)
+            _compact_state(spark, state_path)
 
     writer = (
         reader.writeStream.foreachBatch(process_batch)
@@ -1168,7 +1206,7 @@ def stream_hist_maintenance(
                 scope_keys=touched, key_cols=["k"],
             )
         if compact_every and (batch_id + 1) % compact_every == 0:
-            S.compact(spark, state_path)
+            _compact_state(spark, state_path)
 
     writer = (
         reader.writeStream.foreachBatch(process_batch)
@@ -1275,7 +1313,7 @@ def stream_cm_maintenance(
                 scope_keys=touched, key_cols=["k"],
             )
         if compact_every and (batch_id + 1) % compact_every == 0:
-            S.compact(spark, state_path)
+            _compact_state(spark, state_path)
 
     writer = (
         reader.writeStream.foreachBatch(process_batch)
@@ -1382,7 +1420,7 @@ def stream_hll_maintenance(
                 scope_keys=touched, key_cols=["k"],
             )
         if compact_every and (batch_id + 1) % compact_every == 0:
-            S.compact(spark, state_path)
+            _compact_state(spark, state_path)
 
     writer = (
         reader.writeStream.foreachBatch(process_batch)
@@ -1534,7 +1572,7 @@ def stream_ewma_maintenance(
             key_cols=["k"],
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
-            S.compact(spark, state_path)
+            _compact_state(spark, state_path)
 
     writer = (
         reader.writeStream.foreachBatch(process_batch)

@@ -384,3 +384,48 @@ def test_state_commits_are_o_batch_across_all_twins(spark, tmp_path):
         q.awaitTermination(120)
     pin(dimp)
     pin(viewp)
+
+
+def test_compact_collapses_marker_rows_and_keeps_watermark(
+    spark, tmp_path
+):
+    """Every applied scoped commit appends one NULL-key watermark
+    marker that no scope ever tombstones; the compact_every fold must
+    collapse them to the single max-batch marker (state size stays
+    bounded over a long-running stream) while the stream keeps its
+    exactly-once skip behavior across a restart."""
+    from pyspark.sql import functions as F
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as S,
+    )
+
+    raw = str(tmp_path / "raw")
+    table = str(tmp_path / "agg_table")
+    ckpt = str(tmp_path / "ckpt")
+    batches = [_BATCH1, _BATCH2, _BATCH3, ["d,I,,1.0"]]
+    for i, rows in enumerate(batches, start=1):
+        _write(os.path.join(raw, f"b{i}.csv"), rows)
+        q = stream_agg_maintenance(
+            spark, raw, table, ckpt, compact_every=4
+        )
+        q.awaitTermination(120)
+
+    markers = (
+        S.read(spark, table).filter(F.col("k").isNull()).collect()
+    )
+    # four applied batches wrote four markers; the cadence-4 fold after
+    # batch 3 (0-indexed) collapsed them to the max-batch one
+    assert len(markers) == 1
+    assert markers[0]["_last_batch"] == 3
+    assert S.load_snapshot(table).op == "OPTIMIZE"
+    assert _state(spark, table) == {
+        "a": (1, _fx(12.0)),
+        "c": (1, _fx(7.75)),
+        "d": (1, _fx(1.0)),
+    }
+    # replaying the whole input against the same checkpoint applies
+    # nothing (watermark intact post-collapse)
+    q = stream_agg_maintenance(spark, raw, table, ckpt)
+    q.awaitTermination(120)
+    assert S.load_snapshot(table).op == "OPTIMIZE"  # no new commit
