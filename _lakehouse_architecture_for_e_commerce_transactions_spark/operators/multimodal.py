@@ -203,6 +203,72 @@ def _make_content_decoders():
     # stalling an executor for minutes.
     max_decode_bytes = 1 << 24
 
+    def _clean_scan(b: bytes, start: int):
+        """Destuff (0xFF00 → 0xFF) the JPEG entropy stream and split it
+        at restart markers in one pass over MARKER positions only
+        (``bytes.find`` — O(0xFF occurrences), not O(bytes) of Python
+        branching). Returns ``[(clean_bytes, terminator), ...]`` with
+        terminator ``("rst", n)`` | ``("marker", byte)`` | ``("end",)``
+        — the reader raises the old per-byte errors from the
+        terminator if it runs out of bits mid-symbol."""
+        segs = []
+        cur = bytearray()
+        i, n = start, len(b)
+        while True:
+            j = b.find(b"\xff", i)
+            if j < 0:
+                cur += b[i:]
+                segs.append((bytes(cur), ("end",)))
+                return segs
+            cur += b[i:j]
+            if j + 1 >= n:
+                # trailing 0xFF with nothing after: reading it would
+                # have been "truncated"; never reading it is fine
+                segs.append((bytes(cur), ("end",)))
+                return segs
+            nxt = b[j + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i = j + 2
+            elif 0xD0 <= nxt <= 0xD7:
+                segs.append((bytes(cur), ("rst", nxt - 0xD0)))
+                cur = bytearray()
+                i = j + 2
+            else:
+                segs.append((bytes(cur), ("marker", nxt)))
+                return segs
+
+    # plain dict cache, NOT functools.lru_cache: the closure ships to
+    # executors by value via cloudpickle, which cannot pickle a
+    # decorator-wrapped local
+    _lut_cache: dict = {}
+
+    def _huff_lut(items: tuple):
+        """Flat 16-bit Huffman decode tables (values, lengths) from a
+        canonical ``{(length, code): symbol}`` table: a single list
+        index resolves any symbol from the next 16 peeked bits. Longer
+        codes are painted first so a (malformed) shorter prefix
+        overrides its extensions — the same shortest-match-wins order
+        as a bit-serial reader. Unreachable peeks keep length 0 →
+        'invalid JPEG Huffman code'. Cached per table content: a
+        corpus sharing DHT segments builds each LUT once per executor."""
+        hit = _lut_cache.get(items)
+        if hit is not None:
+            return hit
+        val = np.zeros(1 << 16, np.int32)
+        ln = np.zeros(1 << 16, np.int32)
+        for (length, code), sym in sorted(
+            items, key=lambda kv: -kv[0][0]
+        ):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            val[lo:hi] = sym
+            ln[lo:hi] = length
+        out = (val.tolist(), ln.tolist())
+        if len(_lut_cache) < 64:
+            _lut_cache[items] = out
+        return out
+
     def bmp(payload: bytes):
         b = bytes(payload)
         if b[:2] != b"BM" or len(b) < 34:
@@ -603,63 +669,91 @@ def _make_content_decoders():
         mcux = -(-wdt // (8 * hmax))
         mcuy = -(-hgt // (8 * vmax))
 
-        # MSB-first bit reader over the entropy stream (0xFF00 byte
-        # stuffing removed; restart markers surfaced to the MCU loop)
-        idx = scan_start
+        # MSB-first reader over the entropy stream, vectorized shape:
+        # the scan is destuffed and split at restart markers in ONE
+        # bytes.find pass (_clean_scan — the reader never pays a
+        # per-byte Python marker branch), Huffman symbols resolve
+        # through a 16-bit peek into a flat lookup table (one list
+        # index per SYMBOL instead of a dict probe per BIT), and the
+        # bit buffer refills eight bytes at a time. Decoded output is
+        # bit-identical to the bit-serial reader this replaces; the
+        # poison contract (truncation / stray marker / restart
+        # cadence / invalid code → ValueError) is preserved case by
+        # case below.
+        segs = _clean_scan(b, scan_start)
+        si = 0
+        seg, term = segs[0]
+        seglen = len(seg)
+        pos = 0
         bitbuf = bitcnt = 0
 
-        def fill() -> None:
-            nonlocal idx, bitbuf, bitcnt
-            if idx >= len(b):
+        def _starve():
+            # out of bits mid-symbol: report what the raw stream held
+            # where more entropy data was needed, exactly like the
+            # old per-byte reader did when fill() hit it
+            if term[0] == "end":
                 raise ValueError("truncated JPEG scan data")
-            byte = b[idx]
-            if byte == 0xFF:
-                if idx + 1 >= len(b):
-                    raise ValueError("truncated JPEG scan data")
-                nxt = b[idx + 1]
-                if nxt == 0x00:
-                    idx += 2
-                else:
-                    # a real marker mid-entropy-data (EOI = truncation,
-                    # RSTn out of cadence = corruption)
-                    raise ValueError(
-                        f"unexpected marker {nxt:#x} in JPEG scan"
-                    )
-            else:
-                idx += 1
-            bitbuf = (bitbuf << 8) | byte
-            bitcnt += 8
+            code = term[1] if term[0] == "marker" else 0xD0 + term[1]
+            raise ValueError(f"unexpected marker {code:#x} in JPEG scan")
 
-        def getbit() -> int:
-            nonlocal bitcnt
-            if bitcnt == 0:
-                fill()
-            bitcnt -= 1
-            return (bitbuf >> bitcnt) & 1
+        def _refill(n: int) -> bool:
+            """Top the buffer up to >= n bits from the current
+            interval; False when the interval is exhausted first. The
+            buffer is trimmed before growing so it never accumulates
+            consumed high bits across a long scan."""
+            nonlocal bitbuf, bitcnt, pos
+            bitbuf &= (1 << bitcnt) - 1
+            while bitcnt < n:
+                take = min(8, seglen - pos)
+                if take <= 0:
+                    return False
+                bitbuf = (bitbuf << (take * 8)) | int.from_bytes(
+                    seg[pos : pos + take], "big"
+                )
+                pos += take
+                bitcnt += take * 8
+            return True
 
         def getbits(n: int) -> int:
-            v = 0
-            for _ in range(n):
-                v = (v << 1) | getbit()
-            return v
+            nonlocal bitcnt
+            if bitcnt < n and not _refill(n):
+                _starve()
+            bitcnt -= n
+            return (bitbuf >> bitcnt) & ((1 << n) - 1)
 
         def restart(m: int) -> None:
-            nonlocal idx, bitbuf, bitcnt
-            bitbuf = bitcnt = 0  # byte-align
-            if idx + 2 > len(b) or b[idx] != 0xFF or b[idx + 1] != (
-                0xD0 + (m & 7)
+            nonlocal si, seg, term, seglen, pos, bitbuf, bitcnt
+            # the interval must be exhausted up to byte-align padding
+            # (< 8 unconsumed bits) and terminated by the expected
+            # RSTn — the same two checks the raw-stream reader made
+            if 8 * (seglen - pos) + bitcnt >= 8 or term != (
+                "rst",
+                m & 7,
             ):
                 raise ValueError("missing/mis-sequenced restart marker")
-            idx += 2
+            si += 1
+            seg, term = segs[si]
+            seglen = len(seg)
+            pos = 0
+            bitbuf = bitcnt = 0
 
-        def huffdecode(table: dict) -> int:
-            code = 0
-            for length in range(1, 17):
-                code = (code << 1) | getbit()
-                v = table.get((length, code))
-                if v is not None:
-                    return v
-            raise ValueError("invalid JPEG Huffman code")
+        def huffdecode(lv: list, ll: list) -> int:
+            nonlocal bitcnt
+            if bitcnt < 16:
+                _refill(16)
+            if bitcnt >= 16:
+                pk = (bitbuf >> (bitcnt - 16)) & 0xFFFF
+            else:
+                # stream end: a short code may still fit — pad zeros
+                # and let the matched length decide below
+                pk = (bitbuf << (16 - bitcnt)) & 0xFFFF
+            length = ll[pk]
+            if length == 0 or length > bitcnt:
+                if bitcnt < 16:
+                    _starve()
+                raise ValueError("invalid JPEG Huffman code")
+            bitcnt -= length
+            return lv[pk]
 
         def receive_extend(s: int) -> int:
             if s == 0:
@@ -667,16 +761,16 @@ def _make_content_decoders():
             v = getbits(s)
             return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
-        def decode_block(dctab, actab, q, pred):
+        def decode_block(dcv, dcl, acv, acl, q, pred):
             coef = np.zeros(64, np.int64)
-            s = huffdecode(dctab)
+            s = huffdecode(dcv, dcl)
             if s > 11:
                 raise ValueError("DC category out of range")
             pred += receive_extend(s)
             coef[0] = pred * int(q[0])
             kk = 1
             while kk < 64:
-                rs = huffdecode(actab)
+                rs = huffdecode(acv, acl)
                 r, s = rs >> 4, rs & 15
                 if s == 0:
                     if r == 15:  # ZRL: sixteen zeros
@@ -706,6 +800,14 @@ def _make_content_decoders():
                 raise ValueError("missing Huffman table")
         preds = {cs: 0 for cs, _, _ in smap}
         ci_by_id = {c[0]: i for i, c in enumerate(comps)}
+        # flat 16-bit decode tables, one per referenced DHT (cached
+        # across payloads sharing tables — a corpus re-using one DHT
+        # pays the build once per executor)
+        luts = {
+            key: _huff_lut(tuple(sorted(huff[key].items())))
+            for cs, td, ta in smap
+            for key in ((0, td), (1, ta))
+        }
         mcount = rst = 0
         for my in range(mcuy):
             for mx in range(mcux):
@@ -717,10 +819,12 @@ def _make_content_decoders():
                 for cs, td, ta in smap:
                     _, hs, vs, tq = comp_by_id[cs]
                     plane = planes[ci_by_id[cs]]
+                    dcv, dcl = luts[(0, td)]
+                    acv, acl = luts[(1, ta)]
                     for by in range(vs):
                         for bx in range(hs):
                             px, preds[cs] = decode_block(
-                                huff[(0, td)], huff[(1, ta)],
+                                dcv, dcl, acv, acl,
                                 qt[tq], preds[cs],
                             )
                             plane[
