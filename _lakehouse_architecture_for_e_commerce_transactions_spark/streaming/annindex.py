@@ -162,7 +162,14 @@ def stream_ivf_index_maintenance(
             mode="overwrite" if rebuild else "append",
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
-            S.compact(spark, index_path)
+            # aggmaint's fold: layout compaction + watermark-marker
+            # collapse (the index accumulates one NULL-cell marker per
+            # applied batch like every other state table)
+            from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (
+                _compact_state,
+            )
+
+            _compact_state(spark, index_path)
 
     writer = (
         reader.writeStream.foreachBatch(process_batch)
@@ -326,4 +333,221 @@ def check_and_recluster(
     if recall >= threshold:
         return recall, False
     recluster_ivf(spark, index_path, codebook_path, stride)
+    return recall, True
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ lifecycle: the COMPRESSED index has a second stale axis.
+# check_and_recluster repairs drifted IVF centroids; the PQ codebooks
+# (operators/pq.py) quantize per-subspace geometry and go stale the
+# same way — drifted vectors land far from every trained centroid, ADC
+# distances flatten, and the compressed ranking (and the refine short
+# list fed from it) degrades even when the right cells are probed.
+# These helpers version the PQ codebooks as a snapshot table and close
+# the same measure → retrain → atomic-replace loop over BOTH artifacts.
+# ---------------------------------------------------------------------------
+
+PQ_CODEBOOK_SCHEMA = StructType(
+    [
+        StructField("j", LongType(), True),
+        StructField("code", LongType(), True),
+        StructField("cent", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def commit_pq_codebooks(
+    spark: SparkSession,
+    pq_path: str,
+    vectors: DataFrame,
+    m: int = 1,
+    k_codes: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Train per-subspace PQ codebooks (operators/pq.py
+    pq_codebooks_kmeans) and commit them as a snapshot table —
+    m·k_codes rows, bounded — so queries, the ADC recall monitor and
+    the retrain path share ONE versioned artifact with atomic replace
+    and time travel, exactly like the IVF centroid codebook."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        pq as PQ,
+    )
+
+    books = PQ.pq_codebooks_kmeans(
+        vectors, id_col, vec_col, m=m, k_codes=k_codes, iters=iters
+    )
+    rows = [
+        (j, ci, [float(x) for x in cent])
+        for j, book in enumerate(books)
+        for ci, cent in enumerate(book)
+    ]
+    return S.commit(
+        spark,
+        spark.createDataFrame(rows, PQ_CODEBOOK_SCHEMA),
+        pq_path,
+        mode="overwrite",
+    )
+
+
+def read_pq_codebooks(spark: SparkSession, pq_path: str):
+    """Stored codebooks → the nested-list driver form the PQ operators
+    take. A bounded collect: m·k_codes rows, same budget class as the
+    IVF centroid broadcast."""
+    by_j: dict[int, dict[int, list[float]]] = {}
+    for r in S.read(spark, pq_path).collect():
+        by_j.setdefault(int(r["j"]), {})[int(r["code"])] = list(r["cent"])
+    return [
+        [by_j[j][c] for c in sorted(by_j[j])] for j in sorted(by_j)
+    ]
+
+
+def ivf_pq_index_topk(
+    spark: SparkSession,
+    index_path: str,
+    codebook_path: str,
+    pq_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The compressed query path over the MAINTAINED index: probe
+    ``nprobe`` cells from the committed IVF centroids, ADC-rank the
+    probed rows against the committed PQ codebooks, and with
+    ``rerank`` fetch only that short list's raw vectors for an exact
+    cosine re-rank (operators/pq.ivf_pq_refined's refine stage, wired
+    to the streaming tables). Returns (qid, cid, rank).
+
+    Shape: centroids/LUT broadcast; candidates are one cell equi-join
+    (probed fraction of the index); codes are computed from the probed
+    rows behind the same seam a codes-at-ingest index serves — at
+    corpus scale the encode moves into the maintenance stream's append
+    (O(batch), like cell assignment) and this query reads the stored
+    codes column instead."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        pq as PQ,
+    )
+
+    books = read_pq_codebooks(spark, pq_path)
+    cents = S.read(spark, codebook_path)
+    q = queries.select(
+        F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
+    )
+    qcell = SIM._assign_cells(q, cents, nprobe).select(
+        F.col("id").alias("qid"), "cell"
+    )
+    idx = read_index(spark, index_path)
+    # every vector lives in exactly one cell → (qid, id) unique
+    cand = idx.join(F.broadcast(qcell), "cell").select("qid", "id")
+    probed = idx.join(
+        cand.select("id").distinct(), "id", "left_semi"
+    ).select(F.col("id").alias("vec_id"), F.col("v").alias("embedding"))
+    codes = PQ.pq_encode(probed, books, "vec_id", "embedding")
+    lut = PQ._adc_lut(spark, queries, books, id_col, vec_col)
+    scored = (
+        cand.join(codes, "id")
+        .select("qid", "id", F.posexplode("codes").alias("j", "code"))
+        .join(F.broadcast(lut), ["qid", "j", "code"])
+        .groupBy("qid", "id")
+        .agg(F.sum("d2_micro").alias("adc_d2"))
+    )
+    short = PQ._two_stage_topk(scored, rerank or k)
+    if not rerank:
+        return short.select("qid", "cid", "rank")
+    qv = queries.select(
+        F.col(id_col).alias("qid"),
+        V.as_double(F.col(vec_col)).alias("qv"),
+    )
+    cv = idx.select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+    rescored = (
+        short.select("qid", "cid")
+        .join(qv, "qid")
+        .join(cv, "cid")
+        .withColumn(
+            "cos", F.round(V.cosine(F.col("qv"), F.col("cv")), 5)
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("cid").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "rank")
+    )
+
+
+def ivf_pq_index_recall(
+    spark: SparkSession,
+    index_path: str,
+    codebook_path: str,
+    pq_path: str,
+    probe_queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    rerank: int | None = None,
+) -> float:
+    """ADC recall@k of the compressed probe path against exact brute
+    force over the SAME index rows (all-cells raw-cosine ranking) —
+    the drift monitor for BOTH stale axes at once: wrong cells probed
+    (IVF centroids) and wrong compressed ranking (PQ codebooks). Run
+    on a probe sample on a monitoring cadence, like
+    ``ivf_index_recall``."""
+    n_cells = S.read(spark, codebook_path).count()
+    approx = ivf_pq_index_topk(
+        spark, index_path, codebook_path, pq_path, probe_queries,
+        k=k, nprobe=nprobe, rerank=rerank,
+    )
+    exact = ivf_index_topk(
+        spark, index_path, codebook_path, probe_queries,
+        k=k, nprobe=n_cells,
+    )
+    total = exact.count()
+    if total == 0:
+        return 1.0
+    hits = approx.join(
+        exact.select("qid", "cid"), ["qid", "cid"], "left_semi"
+    ).count()
+    return hits / total
+
+
+def check_and_retrain_pq(
+    spark: SparkSession,
+    index_path: str,
+    codebook_path: str,
+    pq_path: str,
+    probe_queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    threshold: float = 0.8,
+    stride: int = 37,
+    m: int = 1,
+    k_codes: int = 8,
+    rerank: int | None = None,
+) -> tuple[float, bool]:
+    """The measured drift trigger for the COMPRESSED index: evaluate
+    ADC recall@k on ``probe_queries``; below ``threshold``, retrain
+    BOTH artifacts on the current index vectors — IVF recluster
+    (``recluster_ivf``: centroids + full re-assign, watermark
+    re-stamped, atomic) then PQ codebook retrain (atomic overwrite of
+    the codebook table). Returns (observed recall, whether a retrain
+    ran). A query racing the replaces sees one degraded read, never an
+    invalid result — same guarantee as ``check_and_recluster``."""
+    recall = ivf_pq_index_recall(
+        spark, index_path, codebook_path, pq_path, probe_queries,
+        k=k, nprobe=nprobe, rerank=rerank,
+    )
+    if recall >= threshold:
+        return recall, False
+    recluster_ivf(spark, index_path, codebook_path, stride)
+    vectors = read_index(spark, index_path).select(
+        F.col("id").alias("vec_id"), F.col("v").alias("embedding")
+    )
+    commit_pq_codebooks(
+        spark, pq_path, vectors, m=m, k_codes=k_codes
+    )
     return recall, True

@@ -217,3 +217,94 @@ def test_drift_triggers_recluster_and_recall_recovers(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert read_index(spark, idx).count() == 170
+
+
+def test_pq_drift_decays_adc_recall_and_retrain_recovers(
+    spark, tmp_path
+):
+    """The IVF-PQ lifecycle loop (round-5 verdict task 7): PQ
+    codebooks trained on the seed region quantize drifted vectors
+    onto far-away centroids, so the COMPRESSED probe path (ADC +
+    exact refine) loses the true neighbors — both because the frozen
+    IVF centroids probe the wrong cells and because the stale PQ
+    books misrank; check_and_retrain_pq observes the ADC recall decay
+    with the recall evaluator and recovers by retraining BOTH
+    artifacts (recluster_ivf + PQ codebook retrain, each an atomic
+    replace); post-retrain recall is perfect on the probe set."""
+    import math
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.annindex import (
+        check_and_retrain_pq,
+        commit_pq_codebooks,
+        ivf_pq_index_recall,
+    )
+
+    raw = str(tmp_path / "raw")
+    cb = str(tmp_path / "codebook")
+    pq = str(tmp_path / "pq")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def seed_vec(i: int) -> list[float]:
+        th = math.radians(i * 6.0)
+        return [math.cos(th), math.sin(th), 0.0]
+
+    def drift_vec(i: int) -> list[float]:
+        s = 0.001 if i % 2 == 0 else -0.001
+        return [s, 0.0, 1.0]
+
+    def write(path, rows):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            for i, v in rows:
+                f.write(
+                    json.dumps({"vec_id": i, "embedding": v}) + "\n"
+                )
+
+    seed = [(i, seed_vec(i)) for i in range(60)]
+    seed_df = spark.createDataFrame(
+        seed, "vec_id long, embedding array<double>"
+    )
+    build_ivf_codebook(spark, seed_df, cb, stride=10)
+    commit_pq_codebooks(spark, pq, seed_df, m=1, k_codes=8)
+
+    write(os.path.join(raw, "b1.json"), seed)
+    q = stream_ivf_index_maintenance(spark, raw, cb, idx, ckpt)
+    q.awaitTermination(120)
+
+    probes_seed = spark.createDataFrame(
+        [(9000 + j, seed_vec(3 * j + 1)) for j in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    base = ivf_pq_index_recall(
+        spark, idx, cb, pq, probes_seed, k=5, nprobe=2, rerank=10
+    )
+    assert base >= 0.8, f"healthy-index ADC recall too low: {base}"
+
+    drifted = [(i, drift_vec(i)) for i in range(101, 201)]
+    write(os.path.join(raw, "b2.json"), drifted)
+    q = stream_ivf_index_maintenance(spark, raw, cb, idx, ckpt)
+    q.awaitTermination(120)
+
+    probes = spark.createDataFrame(
+        [(9100 + j, drift_vec(9100 + j)) for j in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    recall, retrained = check_and_retrain_pq(
+        spark, idx, cb, pq, probes,
+        k=5, nprobe=1, threshold=0.8, stride=10, m=1, k_codes=8,
+        rerank=10,
+    )
+    assert recall < 0.8, f"drift did not decay ADC recall: {recall}"
+    assert retrained
+    after = ivf_pq_index_recall(
+        spark, idx, cb, pq, probes, k=5, nprobe=1, rerank=10
+    )
+    assert after == 1.0, f"retrain did not recover ADC recall: {after}"
+    # healthy index: the trigger does NOT fire twice
+    recall2, retrained2 = check_and_retrain_pq(
+        spark, idx, cb, pq, probes,
+        k=5, nprobe=1, threshold=0.8, stride=10, m=1, k_codes=8,
+        rerank=10,
+    )
+    assert recall2 == 1.0 and not retrained2
