@@ -208,6 +208,53 @@ def srp_near_dup_pairs(
     )
 
 
+def srp_cross_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    round_to: int = 5,
+) -> DataFrame:
+    """Embedding-space DECONTAMINATION: which training vectors are
+    near-duplicates of a held-out benchmark set? The cross-corpus twin
+    of ``srp_near_dup_pairs`` — both sides SRP-bucket with the same
+    deterministic hyperplanes, candidates come from the bucket
+    EQUI-join (never train × bench), and exact cosine verifies.
+    Returns one row per contaminated training vector:
+    ``(train_id, n_bench_hits, max_cos)``.
+
+    Scale: the benchmark side is the small one by construction (eval
+    sets are thousands of rows, training sets are billions), so Spark
+    broadcasts it inside each bucket join; the training corpus is
+    scanned once and never shuffled beyond the bucket hash. At high
+    thresholds the SRP family's same-bucket probability ≈ 1, so recall
+    stays high while cost drops from |T|·|B| to Σ bucket_T·bucket_B."""
+    t = spread(
+        train.select(
+            F.col(id_col).alias("train_id"),
+            V.as_double(F.col(vec_col)).alias("tv"),
+        )
+    ).withColumn("bucket", srp_bucket(F.col("tv"), n_planes))
+    b = bench.select(
+        F.col(id_col).alias("bench_id"),
+        V.as_double(F.col(vec_col)).alias("bv"),
+    ).withColumn("bucket", srp_bucket(F.col("bv"), n_planes))
+    return (
+        t.join(F.broadcast(b), "bucket")
+        .withColumn(
+            "cos", F.round(V.cosine(F.col("tv"), F.col("bv")), round_to)
+        )
+        .filter(F.col("cos") >= threshold)
+        .groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_hits"),
+            F.max("cos").alias("max_cos"),
+        )
+    )
+
+
 def ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str, stride: int) -> DataFrame:
     """Deterministic centroid pick (every stride-th vector). A production
     index trains k-means here; the cell-assignment/probe machinery below is

@@ -1947,6 +1947,224 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def q_er_golden_records(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution end-to-end: blocking (nation) → pairwise match
+    (Levenshtein ≤ 1) → transitive closure (connected components) →
+    SURVIVORSHIP — one golden record per resolved entity carrying the
+    merged attributes (member count, lexicographic-min canonical name,
+    max/total balance in exact cents). The full record-linkage pipeline
+    `fuzzy_name_pairs` is the first stage of, composed as one plan.
+
+    Scale: candidate generation is the blocked equi-join (never
+    all-pairs), closure is the threshold-gated union-find /
+    star-contraction of `operators/graph.py`, survivorship is one
+    shuffle on entity id."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    c = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    a = c.select(
+        F.col("c_custkey").alias("k1"),
+        F.col("c_name").alias("n1"),
+        F.col("c_nationkey").alias("blk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("k2"),
+        F.col("c_name").alias("n2"),
+        F.col("c_nationkey").alias("blk"),
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("k1") < F.col("k2"))
+        .filter(F.levenshtein(F.col("n1"), F.col("n2")) <= 1)
+        .select("k1", "k2")
+    )
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    return (
+        dedup_clusters(pairs, "k1", "k2")
+        .join(c, F.col("node") == F.col("c_custkey"))
+        .groupBy(F.col("component").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("c_name").alias("canonical_name"),
+            F.max(cents).alias("max_balance_cents"),
+            F.sum(cents).cast("long").alias("total_balance_cents"),
+        )
+    )
+
+
+_ER_GOLDEN_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS k1, b.c_custkey AS k2
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+edges AS (
+  SELECT k1 AS a, k2 AS b FROM pairs
+  UNION
+  SELECT k2, k1 FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+comp AS (SELECT node, min(r) AS entity_id FROM reach GROUP BY node)
+SELECT entity_id,
+       count(*) AS n_members,
+       min(c.c_name) AS canonical_name,
+       max(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))
+         AS max_balance_cents,
+       CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_balance_cents
+FROM comp JOIN customer c ON c.c_custkey = comp.node
+GROUP BY entity_id
+"""
+
+
+def q_decontaminate_train_bench(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus embedding DECONTAMINATION: benchmark = every 10th
+    vector; training corpus = the rest ∪ planted exact leaks of the
+    benchmark (ids + 200000); report each training vector whose cosine
+    to ANY benchmark vector reaches 0.99 — SRP buckets on both sides,
+    bucket equi-join (benchmark side broadcast), exact-cosine verify.
+    The embedding-space twin of `contamination_ngram_overlap`."""
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    bench = emb.filter(F.col("vec_id") % 10 == 0)
+    leaked = bench.select(
+        (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+    )
+    train = emb.filter(F.col("vec_id") % 10 != 0).unionByName(leaked)
+    return SIM.srp_cross_contamination(
+        train, bench, "vec_id", "embedding", threshold=0.99, n_planes=8
+    ).select("train_id", "n_bench_hits", "max_cos")
+
+
+def _decontaminate_sql(n_planes: int = 8) -> str:
+    return f"""
+WITH bench AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 10 = 0),
+train AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 10 != 0
+  UNION ALL
+  SELECT vec_id + 200000, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 10 = 0),
+tproj AS (
+  SELECT id, p,
+         sum(v[d + 1] * (CASE WHEN ((p * 1000003 + d * 7919) % 97) % 2 = 0
+                              THEN 1.0 ELSE -1.0 END)) AS s
+  FROM train,
+       unnest(generate_series(0, len(v) - 1)) AS t(d),
+       unnest(generate_series(0, {n_planes - 1})) AS t2(p)
+  GROUP BY id, p),
+tsig AS (
+  SELECT id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY p) AS bucket
+  FROM tproj GROUP BY id),
+bproj AS (
+  SELECT id, p,
+         sum(v[d + 1] * (CASE WHEN ((p * 1000003 + d * 7919) % 97) % 2 = 0
+                              THEN 1.0 ELSE -1.0 END)) AS s
+  FROM bench,
+       unnest(generate_series(0, len(v) - 1)) AS t(d),
+       unnest(generate_series(0, {n_planes - 1})) AS t2(p)
+  GROUP BY id, p),
+bsig AS (
+  SELECT id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY p) AS bucket
+  FROM bproj GROUP BY id),
+cand AS (
+  SELECT t.id AS train_id, b.id AS bench_id, ct.v AS tv, cb.v AS bv
+  FROM tsig t JOIN bsig b ON t.bucket = b.bucket
+  JOIN train ct ON ct.id = t.id
+  JOIN bench cb ON cb.id = b.id),
+terms AS (
+  SELECT train_id, bench_id, unnest(tv) AS e1, unnest(bv) AS e2 FROM cand),
+scored AS (
+  SELECT train_id, bench_id,
+         round(sum(e1 * e2) / (sqrt(sum(e1 * e1)) * sqrt(sum(e2 * e2))), 5)
+           AS cos
+  FROM terms GROUP BY train_id, bench_id)
+SELECT train_id, count(*) AS n_bench_hits, max(cos) AS max_cos
+FROM scored WHERE cos >= 0.99
+GROUP BY train_id
+"""
+
+
+def q_snapshot_tail_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """The snapshot-table STREAMING SOURCE end-to-end (`streaming/
+    tablesource.py`): three append commits with an OPTIMIZE between
+    them, tailed by ``readStream.format("snapshot_tail")`` from
+    `earliest` in one availableNow pass. The emitted rows — each
+    append exactly once, the compaction's rewritten bytes NOT
+    re-emitted — are re-aggregated per priority; the oracle computes
+    the same aggregate straight from `orders`, so a duplicated or
+    dropped commit shows up as a count/sum mismatch."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as SN,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.tablesource import (
+        read_table_stream,
+    )
+
+    base = _os.path.join(
+        _tf.gettempdir(),
+        f"sparkgraft_tailsim_{_os.path.basename(sf.rstrip('/'))}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    path = _os.path.join(base, "t")
+    ckpt = _os.path.join(base, "ckpt")
+    o = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 200)
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    SN.commit(spark, o.filter(F.col("o_orderkey") % 3 == 0).select(*cols), path)
+    SN.commit(
+        spark,
+        o.filter(F.col("o_orderkey") % 3 == 1).select(*cols),
+        path,
+        mode="append",
+    )
+    SN.compact(spark, path)  # dataChange=false: must NOT re-emit
+    SN.commit(
+        spark,
+        o.filter(F.col("o_orderkey") % 3 == 2).select(*cols),
+        path,
+        mode="append",
+    )
+
+    got: list = []
+    q = (
+        read_table_stream(spark, path, starting_version="earliest")
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, _bid: got.extend(df.collect()))
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.createDataFrame(
+        got, schema="o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    return emitted.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+_SNAPSHOT_TAIL_SQL = f"""
+SELECT o_orderpriority, count(*) AS n,
+       {_money_sum_sql("o_totalprice")} AS total
+FROM orders WHERE o_custkey < 200
+GROUP BY o_orderpriority
+"""
+
+
 def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs → connected components → canonical docs: iterative
     min-label propagation, cross-checked against DuckDB recursive SQL."""
@@ -8258,6 +8476,11 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "column_mapping_part_sim": QueryDef(
         q_column_mapping_part_sim, _COLUMN_MAPPING_PART_SQL
     ),
+    "er_golden_records": QueryDef(q_er_golden_records, _ER_GOLDEN_SQL),
+    "decontaminate_train_bench": QueryDef(
+        q_decontaminate_train_bench, _decontaminate_sql()
+    ),
+    "snapshot_tail_sim": QueryDef(q_snapshot_tail_sim, _SNAPSHOT_TAIL_SQL),
     "optimize_scoped_sim": QueryDef(
         q_optimize_scoped_sim, _OPTIMIZE_SCOPED_SQL
     ),
@@ -8300,6 +8523,11 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
 # run; the rest of the window backfills with already-green anchors (all
 # re-verified by tools/verify_parity.py at HEAD each round).
 _WINDOW_FRONT: list[str] = [
+    # new in round 6
+    "column_mapping_part_sim",
+    "er_golden_records",
+    "decontaminate_train_bench",
+    "snapshot_tail_sim",
     # new in round 5
     "hll_distinct_orders",
     "bfs_reachability",
@@ -8349,10 +8577,6 @@ _WINDOW_FRONT: list[str] = [
     "semantic_dedup",
     "table_changes_sim",
     "bm25_search",
-    "unigram_logprob",
-    "percentile_envelope",
-    "pq_adc_topk",
-    "gap_fill_interpolate",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

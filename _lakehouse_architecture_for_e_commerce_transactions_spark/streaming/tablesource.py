@@ -1,0 +1,384 @@
+"""Snapshot tables as a first-class Structured Streaming SOURCE.
+
+The round-5 layer could stream INTO snapshot tables (`streaming/
+ingest.py`, `streaming/corpus.py`) but not OUT of one: a downstream
+consumer of a curated table had to batch-poll `snapshot_diff` by hand.
+This module closes the loop with the Delta-streaming-source shape —
+``spark.readStream`` over a snapshot table emits each APPEND commit's
+rows exactly once, resumable from the streaming checkpoint — built on
+the public PySpark Python Data Source API
+(``pyspark.sql.datasource.DataSource`` / ``DataSourceStreamReader``,
+SPARK-44076, Spark 4.0+).
+
+Semantics (matching Delta's streaming source contract):
+
+- **Offsets are commit versions.** ``{"version": N}`` means "everything
+  through manifest vN has been emitted". A micro-batch covers the
+  version range ``(start, end]``; replay after a crash re-plans the
+  same range from the same immutable manifests, so delivery is
+  exactly-once end-to-end when the sink is (foreachBatch into another
+  snapshot table, or any idempotent sink keyed by batch).
+- **Append commits stream.** A version that only ADDS data dirs (op
+  WRITE/APPEND/MERGE insert-only is still structurally append-only)
+  becomes one ``InputPartition`` per added parquet FILE — read
+  parallelism equals file count, and a 1000-executor cluster fans the
+  batch out with zero shuffle.
+- **OPTIMIZE commits are skipped** (compaction/z-order rewrite bytes,
+  not rows — Delta's ``dataChange=false``), and metadata-only commits
+  (RENAME/DROP COLUMN, NDV refresh) emit nothing.
+- **Change commits refuse loudly.** A version that removes dirs or
+  grows deletion vectors (DELETE/UPDATE/MERGE-with-matches/REPLACE
+  WHERE/RESTORE) raises :class:`ChangeCommitError` — silently
+  re-emitting rewritten partitions would double-count. Pass
+  ``skip_change_commits=True`` (Delta's ``skipChangeCommits``) to
+  skip them and keep tailing inserts only.
+- **startingVersion.** Default starts at the current head (future
+  commits only, Delta's default). ``starting_version=N`` replays
+  history from vN; ``"earliest"`` replays from the oldest surviving
+  version, whose snapshot is emitted as the baseline. A baseline that
+  carries deletion-vector tombstones refuses loudly (emitting its raw
+  files would resurrect deleted rows) — ``compact()`` first.
+
+Column mapping: files store PHYSICAL names; every emitted batch is
+projected onto the table's LOGICAL schema (rename + null-fill +
+cast) — the same contract as the batch read seam
+(``snapshots._logical_select``). Partition columns come back from the
+hive path segments (they are never mappable — ``_guard_mapping_refs``
+refuses renaming them — so path names are logical names).
+
+Scale: ``partitions()`` work is O(files ADDED by the commit) — the
+driver never lists the table, only the new commit dirs; ``read()``
+is executor-side pyarrow → Arrow RecordBatches, no Python row loop.
+
+Reference: the reference repo (Glue ETL, `orders_etl.py` /
+`product_etl.py`) has no streaming surface at all — this is part of
+the rebuild's §2.9 streaming envelope, not a ported behavior.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+    snapshots as S,
+)
+
+SOURCE_NAME = "snapshot_tail"
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+class ChangeCommitError(ValueError):
+    """The stream reached a commit that rewrote or deleted existing
+    rows (DELETE/UPDATE/matched MERGE/REPLACE WHERE/RESTORE). An
+    append-tail source cannot represent it without double-emitting the
+    rewritten partitions. Actionable: restart with
+    ``skip_change_commits=True`` to tail inserts only, or consume the
+    full change feed via ``snapshots.snapshot_diff``."""
+
+
+class _FileSlice(InputPartition):
+    """One appended parquet file: the unit of read parallelism."""
+
+    def __init__(
+        self,
+        file_path: str,
+        hive_pairs: list,  # [(name, raw-string-or-None), ...] from path
+        mapping: dict,  # logical -> physical at the emitting version
+    ) -> None:
+        self.file_path = file_path
+        self.hive_pairs = hive_pairs
+        self.mapping = mapping
+
+
+def _hive_pairs_under(root_dir: str, file_dir: str) -> list:
+    """Decode ``k=v`` path segments between a commit dir and a file."""
+    rel = os.path.relpath(file_dir, root_dir)
+    pairs = []
+    if rel and rel != ".":
+        for seg in rel.split(os.sep):
+            if "=" in seg:
+                k, raw = seg.split("=", 1)
+                pairs.append((k, None if raw == _HIVE_NULL else raw))
+    return pairs
+
+
+def _parquet_files(d: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(d):
+        for fn in sorted(files):
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                out.append(os.path.join(root, fn))
+    return out
+
+
+def _coerce_hive(raw, spark_type_name: str):
+    """Hive path string -> Python value for the partition column's
+    declared type (the streaming twin of ``snapshots._part_coerce``,
+    which coerces toward a sample VALUE; here we have the TYPE)."""
+    if raw is None:
+        return None
+    t = spark_type_name
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return int(raw)
+    if t in ("float", "double"):
+        return float(raw)
+    if t == "boolean":
+        low = raw.lower()
+        if low in ("true", "false"):
+            return low == "true"
+        raise ValueError(f"bad boolean partition value {raw!r}")
+    if t == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(raw)
+    return raw  # string-family: the path segment IS the value
+
+
+class SnapshotTailReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                f"{SOURCE_NAME}: .option('path', <table dir>) is required"
+            )
+        self._path = path
+        self._schema = schema
+        self._skip_change = str(
+            options.get("skipchangecommits", "false")
+        ).lower() in ("true", "1")
+        self._starting = options.get("startingversion")
+        # Resolve logical -> PHYSICAL names once, at the same moment
+        # the schema is captured: physical names are immutable (rename
+        # is metadata-only and writes keep writing physical names), so
+        # this one mapping resolves files of EVERY version the stream
+        # will emit — including files committed before the rename.
+        self._mapping = dict(
+            S.load_snapshot(self._path).column_mapping or {}
+        )
+
+    # -- offset plumbing (driver-side) --------------------------------
+
+    def initialOffset(self) -> dict:
+        vs = S._versions(self._path)
+        if not vs:
+            raise FileNotFoundError(
+                f"{SOURCE_NAME}: no snapshot table at {self._path}"
+            )
+        if self._starting is None:
+            # Delta default: tail future commits only
+            return {"version": vs[-1]}
+        if str(self._starting).lower() == "earliest":
+            return {"version": vs[0] - 1}
+        v = int(self._starting)
+        if v not in vs:
+            # same typed refusals as batch time travel
+            S.load_snapshot(self._path, v)
+        return {"version": v - 1}
+
+    def latestOffset(self) -> dict:
+        vs = S._versions(self._path)
+        return {"version": vs[-1] if vs else -1}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        out: list[InputPartition] = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            out.extend(self._version_partitions(v))
+        return out
+
+    def _version_partitions(self, v: int) -> list[InputPartition]:
+        snap = S.load_snapshot(self._path, v)
+        try:
+            prev = S.load_snapshot(self._path, v - 1)
+        except (S.VacuumedVersionError, ValueError, FileNotFoundError):
+            prev = None  # v is the stream's baseline snapshot
+        if prev is None and snap.dv_dead and any(snap.dv_dead.values()):
+            raise ChangeCommitError(
+                f"{SOURCE_NAME}: baseline version {v} of "
+                f"{self._path} carries deletion-vector tombstones; "
+                "raw files would resurrect deleted rows. compact() "
+                "the table or start from a later version."
+            )
+        if snap.op == "OPTIMIZE":
+            return []  # rewrite of bytes, not rows (dataChange=false)
+        dv_changed = prev is not None and (
+            sorted(snap.dv_files or []) != sorted(prev.dv_files or [])
+            or (snap.dv_dead or {}) != (prev.dv_dead or {})
+        )
+        if snap.part_entries is not None:
+            # merge-committed table: partition entries are the
+            # authority (`dirs` only names the newest commit dir).
+            # Carried entries keep their immutable dir by reference,
+            # so a same-parts entry with a DIFFERENT dir is a rewrite.
+            cur = {tuple(e["parts"]): e for e in snap.part_entries}
+            prev_map = (
+                {tuple(e["parts"]): e for e in prev.part_entries}
+                if prev is not None and prev.part_entries is not None
+                else {}
+            )
+            added_entries = [
+                e for k, e in sorted(cur.items()) if k not in prev_map
+            ]
+            rewritten = [
+                k
+                for k in cur
+                if k in prev_map and cur[k]["dir"] != prev_map[k]["dir"]
+            ]
+            dropped = [k for k in prev_map if k not in cur]
+            changed_detail = (
+                f"rewrote {len(rewritten)} and dropped {len(dropped)} "
+                "partition(s)"
+                if (rewritten or dropped)
+                else "grew deletion vectors"
+            )
+            if rewritten or dropped or dv_changed:
+                if self._skip_change:
+                    return []
+                raise ChangeCommitError(
+                    f"{SOURCE_NAME}: version {v} of {self._path} is a "
+                    f"change commit (op={snap.op}): it {changed_detail}"
+                    ". Restart with skip_change_commits=True to tail "
+                    "inserts only, or consume snapshots.snapshot_diff "
+                    "for the full change feed."
+                )
+            mapping = self._mapping
+            pby = list(snap.partition_by or [])
+            parts: list[InputPartition] = []
+            for e in added_entries:
+                hive = [
+                    (c, None if raw == _HIVE_NULL else raw)
+                    for c, raw in zip(pby, e["parts"])
+                ]
+                for fp in _parquet_files(e["dir"]):
+                    parts.append(_FileSlice(fp, hive, mapping))
+            return parts
+        if prev is None:
+            added = list(snap.dirs)
+            removed: set = set()
+        else:
+            prev_dirs = set(prev.dirs)
+            added = [d for d in snap.dirs if d not in prev_dirs]
+            removed = prev_dirs - set(snap.dirs)
+        if removed or dv_changed:
+            if self._skip_change:
+                return []
+            raise ChangeCommitError(
+                f"{SOURCE_NAME}: version {v} of {self._path} is a "
+                f"change commit (op={snap.op}): it "
+                + (
+                    f"removed {len(removed)} data dir(s)"
+                    if removed
+                    else "grew deletion vectors"
+                )
+                + ". Restart with skip_change_commits=True to tail "
+                "inserts only, or consume snapshots.snapshot_diff for "
+                "the full change feed."
+            )
+        if not added:
+            return []  # metadata-only commit
+        mapping = self._mapping
+        parts = []
+        for d in added:
+            for fp in _parquet_files(d):
+                parts.append(
+                    _FileSlice(
+                        fp,
+                        _hive_pairs_under(d, os.path.dirname(fp)),
+                        mapping,
+                    )
+                )
+        return parts
+
+    # -- executor-side read -------------------------------------------
+
+    def read(self, partition: InputPartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        assert isinstance(partition, _FileSlice)
+        target = to_arrow_schema(self._schema)
+        tbl = pq.read_table(partition.file_path)
+        hive = dict(partition.hive_pairs)
+        n = tbl.num_rows
+        cols = []
+        for f, af in zip(self._schema.fields, target):
+            phys = partition.mapping.get(f.name, f.name)
+            if phys in tbl.column_names:
+                col = tbl.column(phys).combine_chunks()
+                if (
+                    pa.types.is_timestamp(col.type)
+                    and col.type.tz is None
+                    and pa.types.is_timestamp(af.type)
+                    and af.type.tz is not None
+                ):
+                    col = pc.assume_timezone(col, af.type.tz)
+                if col.type != af.type:
+                    col = col.cast(af.type)
+            elif f.name in hive:
+                val = _coerce_hive(
+                    hive[f.name], f.dataType.simpleString()
+                )
+                col = pa.array([val] * n).cast(af.type)
+            else:
+                # a column this commit predates (schema evolution)
+                col = pa.nulls(n, type=af.type)
+            cols.append(col)
+        out = pa.Table.from_arrays(cols, schema=target)
+        yield from out.to_batches(max_chunksize=1 << 16)
+
+
+class SnapshotTailDataSource(DataSource):
+    """``spark.readStream.format("snapshot_tail").option("path", p)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                f"{SOURCE_NAME}: .option('path', <table dir>) is required"
+            )
+        snap = S.load_snapshot(path)
+        # manifest schema fields are LOGICAL names (mapping only
+        # redirects them to physical file columns)
+        return StructType.fromJson(json.loads(snap.schema_json))
+
+    def streamReader(self, schema: StructType) -> SnapshotTailReader:
+        return SnapshotTailReader(schema, dict(self.options))
+
+
+def register(spark: SparkSession) -> None:
+    """Register the source under ``snapshot_tail`` (idempotent)."""
+    spark.dataSource.register(SnapshotTailDataSource)
+
+
+def read_table_stream(
+    spark: SparkSession,
+    path: str,
+    starting_version: int | str | None = None,
+    skip_change_commits: bool = False,
+) -> DataFrame:
+    """The one-call wrapper: a streaming DataFrame tailing ``path``."""
+    register(spark)
+    r = (
+        spark.readStream.format(SOURCE_NAME)
+        .option("path", path)
+        .option("skipChangeCommits", str(skip_change_commits).lower())
+    )
+    if starting_version is not None:
+        r = r.option("startingVersion", str(starting_version))
+    return r.load()

@@ -1,0 +1,249 @@
+"""Snapshot tables as a Structured Streaming SOURCE (`streaming/
+tablesource.py`): append commits emit exactly once across checkpointed
+restarts, OPTIMIZE and metadata-only commits emit nothing, change
+commits refuse loudly (or skip on request), hive partition columns and
+column-mapped logical names come back typed, and a vacuumed baseline
+carrying deletion vectors refuses rather than resurrecting deleted
+rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+    snapshots as S,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.tablesource import (
+    read_table_stream,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, v=v, amt=float(a)) for k, v, a in rows]
+    )
+
+
+def _part_spec():
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        TableSpec,
+    )
+
+    return TableSpec(
+        name="pt",
+        schema=StructType(
+            [
+                StructField("k", LongType(), False),
+                StructField("p", LongType(), False),
+                StructField("v", StringType(), True),
+            ]
+        ),
+        primary_key="k",
+        partition_by=("p",),
+    )
+
+
+def _drain(spark, path, ckpt, **kw):
+    """Run one availableNow pass; return the rows it emitted."""
+    got: list = []
+    q = (
+        read_table_stream(spark, path, **kw)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, _bid: got.extend(df.collect()))
+        .start()
+    )
+    q.awaitTermination()
+    return got
+
+
+def test_tail_appends_exactly_once(spark, tmp_path):
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    S.commit(spark, _df(spark, [(1, "a", 10), (2, "b", 20)]), path)
+    S.commit(
+        spark, _df(spark, [(3, "c", 30)]), path, mode="append"
+    )
+
+    got = _drain(spark, path, ckpt, starting_version="earliest")
+    assert sorted(r.k for r in got) == [1, 2, 3]
+    assert {r.v for r in got} == {"a", "b", "c"}
+
+    # nothing new: a second pass over the same checkpoint emits nothing
+    assert _drain(spark, path, ckpt, starting_version="earliest") == []
+
+    # two more appends, one pass: both arrive, prior rows do NOT repeat
+    S.commit(spark, _df(spark, [(4, "d", 40)]), path, mode="append")
+    S.commit(spark, _df(spark, [(5, "e", 50)]), path, mode="append")
+    got2 = _drain(spark, path, ckpt, starting_version="earliest")
+    assert sorted(r.k for r in got2) == [4, 5]
+
+
+def test_default_start_is_current_head(spark, tmp_path):
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    S.commit(spark, _df(spark, [(1, "a", 10)]), path)
+    # no startingVersion: the existing snapshot is NOT replayed
+    assert _drain(spark, path, ckpt) == []
+    S.commit(spark, _df(spark, [(2, "b", 20)]), path, mode="append")
+    got = _drain(spark, path, ckpt)
+    assert [r.k for r in got] == [2]
+
+
+def test_change_commit_refuses_then_skips(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a", 10), (2, "b", 20)]), path)
+    S.commit(spark, _df(spark, [(3, "c", 30)]), path, mode="append")
+    S.delete_where_dv(spark, path, "k = 2")
+    S.commit(spark, _df(spark, [(4, "d", 40)]), path, mode="append")
+
+    with pytest.raises(Exception, match="change commit"):
+        _drain(
+            spark,
+            path,
+            str(tmp_path / "ckpt1"),
+            starting_version="earliest",
+        )
+
+    # skip_change_commits tails the INSERT history only: the deleted
+    # row still appears (it was inserted before the delete) — Delta's
+    # skipChangeCommits contract, documented, not a bug
+    got = _drain(
+        spark,
+        path,
+        str(tmp_path / "ckpt2"),
+        starting_version="earliest",
+        skip_change_commits=True,
+    )
+    assert sorted(r.k for r in got) == [1, 2, 3, 4]
+
+
+def test_optimize_and_metadata_commits_emit_nothing(spark, tmp_path):
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    S.commit(spark, _df(spark, [(1, "a", 10)]), path)
+    S.commit(spark, _df(spark, [(2, "b", 20)]), path, mode="append")
+    S.commit(spark, _df(spark, [(3, "c", 30)]), path, mode="append")
+    S.compact(spark, path)  # OPTIMIZE: bytes rewritten, rows unchanged
+    S.commit(spark, _df(spark, [(4, "d", 40)]), path, mode="append")
+
+    got = _drain(spark, path, ckpt, starting_version="earliest")
+    # each row exactly once: the compacted rewrite is not re-emitted
+    assert sorted(r.k for r in got) == [1, 2, 3, 4]
+
+
+def test_partitioned_appends_return_typed_partition_columns(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.createDataFrame(
+        [Row(k=1, p=10, v="a"), Row(k=2, p=20, v="b")]
+    )
+    spec = _part_spec()
+    S.merge_commit(spark, df, path, spec)
+    # insert-only into a FRESH partition: structurally append-only
+    S.merge_commit(
+        spark,
+        spark.createDataFrame([Row(k=3, p=30, v="c")]),
+        path,
+        spec,
+    )
+    got = _drain(spark, path, ckpt, starting_version="earliest")
+    assert sorted((r.k, r.p, r.v) for r in got) == [
+        (1, 10, "a"),
+        (2, 20, "b"),
+        (3, 30, "c"),
+    ]
+    assert all(isinstance(r.p, int) for r in got)
+
+
+def test_merge_into_existing_partition_is_a_change_commit(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    spec = _part_spec()
+    S.merge_commit(
+        spark,
+        spark.createDataFrame([Row(k=1, p=10, v="a")]),
+        path,
+        spec,
+    )
+    # rewrites partition p=10 (removed dir) even though k=2 is new
+    S.merge_commit(
+        spark,
+        spark.createDataFrame([Row(k=2, p=10, v="b")]),
+        path,
+        spec,
+    )
+    with pytest.raises(Exception, match="change commit"):
+        _drain(
+            spark,
+            path,
+            str(tmp_path / "ckpt"),
+            starting_version="earliest",
+        )
+
+
+def test_column_mapped_table_streams_logical_names(spark, tmp_path):
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    S.commit(spark, _df(spark, [(1, "a", 10)]), path)
+    S.rename_column(path, "v", "name")  # metadata-only
+    appended = spark.createDataFrame([Row(k=2, name="b", amt=20.0)])
+    S.commit(spark, appended, path, mode="append")
+
+    got = _drain(spark, path, ckpt, starting_version="earliest")
+    by_k = {r.k: r for r in got}
+    assert set(by_k) == {1, 2}
+    # old file's physical column surfaces under the LOGICAL name
+    assert by_k[1].name == "a" and by_k[2].name == "b"
+    assert "v" not in got[0].asDict()
+
+
+def test_schema_evolution_null_fills_old_commits(spark, tmp_path):
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    S.commit(spark, spark.createDataFrame([Row(k=1, v="a")]), path)
+    S.commit(
+        spark,
+        spark.createDataFrame([Row(k=2, v="b", extra=99)]),
+        path,
+        mode="append",
+        merge_schema=True,
+    )
+    got = _drain(spark, path, ckpt, starting_version="earliest")
+    by_k = {r.k: r for r in got}
+    assert by_k[1].extra is None and by_k[2].extra == 99
+
+
+def test_vacuumed_dv_baseline_refuses(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a", 10), (2, "b", 20)]), path)
+    S.delete_where_dv(spark, path, "k = 1")
+    S.vacuum(path, keep_last=1)  # head (with live tombstones) survives
+    with pytest.raises(Exception, match="tombstone"):
+        _drain(
+            spark,
+            path,
+            str(tmp_path / "ckpt"),
+            starting_version="earliest",
+        )
+
+
+def test_starting_version_mid_history(spark, tmp_path):
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    S.commit(spark, _df(spark, [(1, "a", 10)]), path)  # v0
+    S.commit(spark, _df(spark, [(2, "b", 20)]), path, mode="append")
+    S.commit(spark, _df(spark, [(3, "c", 30)]), path, mode="append")
+    got = _drain(spark, path, ckpt, starting_version=1)
+    assert sorted(r.k for r in got) == [2, 3]
