@@ -158,6 +158,17 @@ class SnapshotTailReader(DataSourceStreamReader):
             options.get("skipchangecommits", "false")
         ).lower() in ("true", "1")
         self._starting = options.get("startingversion")
+        # Admission control (Delta's maxFilesPerTrigger analog, in
+        # commit units): cap how many VERSIONS one micro-batch may
+        # cover, so replaying a long history ("earliest" over 10k
+        # commits) proceeds in bounded, checkpointed steps instead of
+        # one giant batch. A throughput valve, not a correctness
+        # device: after a driver restart the in-memory cursor is gone
+        # and the first batch may cover the full backlog (Spark's own
+        # file-source limit is best-effort the same way).
+        mvpt = options.get("maxversionspertrigger")
+        self._max_versions = int(mvpt) if mvpt is not None else None
+        self._cursor: int | None = None
         # Resolve logical -> PHYSICAL names once, at the same moment
         # the schema is captured: physical names are immutable (rename
         # is metadata-only and writes keep writing physical names), so
@@ -169,7 +180,7 @@ class SnapshotTailReader(DataSourceStreamReader):
 
     # -- offset plumbing (driver-side) --------------------------------
 
-    def initialOffset(self) -> dict:
+    def _resolve_start(self) -> int:
         vs = S._versions(self._path)
         if not vs:
             raise FileNotFoundError(
@@ -177,23 +188,48 @@ class SnapshotTailReader(DataSourceStreamReader):
             )
         if self._starting is None:
             # Delta default: tail future commits only
-            return {"version": vs[-1]}
+            return vs[-1]
         if str(self._starting).lower() == "earliest":
-            return {"version": vs[0] - 1}
+            return vs[0] - 1
         v = int(self._starting)
         if v not in vs:
             # same typed refusals as batch time travel
             S.load_snapshot(self._path, v)
-        return {"version": v - 1}
+        return v - 1
+
+    def initialOffset(self) -> dict:
+        off = self._resolve_start()
+        self._cursor = off
+        return {"version": off}
 
     def latestOffset(self) -> dict:
         vs = S._versions(self._path)
-        return {"version": vs[-1] if vs else -1}
+        head = vs[-1] if vs else -1
+        if self._max_versions is None:
+            self._cursor = head
+            return {"version": head}
+        # The engine may route initialOffset and latestOffset to
+        # different reader instances, and after a restart the cursor
+        # is gone entirely — re-seed it from the starting option and
+        # RATCHET forward max_versions per call. If the checkpoint
+        # position is ahead of the seed, the returned offset is simply
+        # "no new data" until the ratchet catches up — bounded batches
+        # remain guaranteed, progress resumes within a few triggers.
+        if self._cursor is None:
+            self._cursor = self._resolve_start()
+        end = min(head, self._cursor + self._max_versions)
+        if end > self._cursor:
+            self._cursor = end
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         out: list[InputPartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             out.extend(self._version_partitions(v))
+        # keep the admission-control cursor honest under replay: the
+        # engine may re-plan a checkpointed range after restart
+        if self._cursor is None or int(end["version"]) > self._cursor:
+            self._cursor = int(end["version"])
         return out
 
     def _version_partitions(self, v: int) -> list[InputPartition]:
@@ -371,6 +407,7 @@ def read_table_stream(
     path: str,
     starting_version: int | str | None = None,
     skip_change_commits: bool = False,
+    max_versions_per_trigger: int | None = None,
 ) -> DataFrame:
     """The one-call wrapper: a streaming DataFrame tailing ``path``."""
     register(spark)
@@ -381,4 +418,97 @@ def read_table_stream(
     )
     if starting_version is not None:
         r = r.option("startingVersion", str(starting_version))
+    if max_versions_per_trigger is not None:
+        r = r.option("maxVersionsPerTrigger", str(max_versions_per_trigger))
     return r.load()
+
+
+def last_applied_tail_batch(dst_path: str) -> int:
+    """Newest ``@tailbatch=N`` marker in the destination's commit log
+    (−1 if none). Walk cost is bounded by ops since the last tail
+    batch — 0 in steady state, where the marker IS the head."""
+    try:
+        vs = S._versions(dst_path)
+    except FileNotFoundError:
+        return -1
+    for v in reversed(vs):
+        op = S.load_snapshot(dst_path, v).op or ""
+        if "@tailbatch=" in op:
+            try:
+                return int(op.rsplit("@tailbatch=", 1)[1])
+            except ValueError:
+                return -1
+    return -1
+
+
+def apply_tail_batch(
+    spark: SparkSession,
+    dst_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    transform=None,
+) -> bool:
+    """Idempotently publish one tailed micro-batch into ``dst_path``;
+    True if a commit was published, False for an empty or replayed
+    batch. The batch id rides the destination manifest's op string, so
+    the dedup check and the data land in ONE atomic publish — a crash
+    between sink commit and checkpoint advance replays into a no-op."""
+    if batch_df.isEmpty():
+        return False
+    if batch_id <= last_applied_tail_batch(dst_path):
+        return False  # replayed batch: already published atomically
+    out = transform(batch_df) if transform is not None else batch_df
+    try:
+        exists = bool(S._versions(dst_path))
+    except FileNotFoundError:
+        exists = False
+    S.commit(
+        spark,
+        out,
+        dst_path,
+        mode="append" if exists else "overwrite",
+        op=f"APPEND@tailbatch={batch_id}",
+    )
+    return True
+
+
+def stream_table_to_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    checkpoint: str,
+    transform=None,
+    starting_version: int | str | None = "earliest",
+    skip_change_commits: bool = False,
+    max_versions_per_trigger: int | None = None,
+    trigger: dict | None = None,
+):
+    """The medallion hop as one call: tail ``src_path``, apply
+    ``transform(df) -> df`` (default: identity), append each micro-batch
+    to the ``dst_path`` snapshot table — continuously, exactly-once.
+
+    Exactly-once: the foreachBatch sink skips a replayed batch id. The
+    last applied batch id is recorded IN the destination table's commit
+    (a ``__tail_batch`` column would pollute the schema, so it rides the
+    manifest op string: ``APPEND@tailbatch=N``) — after a crash between
+    sink commit and checkpoint advance, the replayed batch sees its own
+    id already published and becomes a no-op, the same idempotence
+    contract `streaming/corpus.py` uses.
+
+    Returns the StreamingQuery (caller owns awaitTermination/stop)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_tail_batch(spark, dst_path, batch_df, batch_id, transform)
+
+    src = read_table_stream(
+        spark,
+        src_path,
+        starting_version=starting_version,
+        skip_change_commits=skip_change_commits,
+        max_versions_per_trigger=max_versions_per_trigger,
+    )
+    w = src.writeStream.option("checkpointLocation", checkpoint).foreachBatch(
+        _sink
+    )
+    w = w.trigger(**(trigger or {"availableNow": True}))
+    return w.start()

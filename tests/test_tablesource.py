@@ -247,3 +247,137 @@ def test_starting_version_mid_history(spark, tmp_path):
     S.commit(spark, _df(spark, [(3, "c", 30)]), path, mode="append")
     got = _drain(spark, path, ckpt, starting_version=1)
     assert sorted(r.k for r in got) == [2, 3]
+
+
+# --- medallion hop: bronze -> silver, continuously, exactly-once ---------
+
+
+def _silver_ops(path):
+    return [
+        S.load_snapshot(path, v).op or ""
+        for v in S._versions(path)
+    ]
+
+
+def test_stream_table_to_table_exactly_once(spark, tmp_path):
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.tablesource import (
+        stream_table_to_table,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    S.commit(spark, _df(spark, [(1, "a", 10), (2, "b", 20)]), bronze)
+    S.commit(spark, _df(spark, [(3, "c", 30)]), bronze, mode="append")
+
+    q = stream_table_to_table(
+        spark,
+        bronze,
+        silver,
+        ckpt,
+        transform=lambda df: df.filter("amt >= 20"),
+    )
+    q.awaitTermination()
+    assert sorted(
+        r.k for r in S.read(spark, silver).collect()
+    ) == [2, 3]
+
+    # more bronze commits; rerun from the same checkpoint
+    S.commit(spark, _df(spark, [(4, "d", 40)]), bronze, mode="append")
+    S.commit(spark, _df(spark, [(5, "e", 5)]), bronze, mode="append")
+    q2 = stream_table_to_table(
+        spark,
+        bronze,
+        silver,
+        ckpt,
+        transform=lambda df: df.filter("amt >= 20"),
+    )
+    q2.awaitTermination()
+    assert sorted(
+        r.k for r in S.read(spark, silver).collect()
+    ) == [2, 3, 4]
+
+    # a third run with nothing new leaves silver untouched
+    before = S._versions(silver)
+    q3 = stream_table_to_table(
+        spark,
+        bronze,
+        silver,
+        ckpt,
+        transform=lambda df: df.filter("amt >= 20"),
+    )
+    q3.awaitTermination()
+    assert S._versions(silver) == before
+
+
+def test_apply_tail_batch_replay_is_idempotent(spark, tmp_path):
+    """A crash between the sink commit and the checkpoint advance makes
+    the engine replay the batch: the second apply with the same batch
+    id must publish nothing (the id rides the destination manifest)."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.tablesource import (
+        apply_tail_batch,
+        last_applied_tail_batch,
+    )
+
+    silver = str(tmp_path / "silver")
+    batch = _df(spark, [(1, "a", 10), (2, "b", 20)])
+    assert apply_tail_batch(spark, silver, batch, 0) is True
+    assert last_applied_tail_batch(silver) == 0
+    v0 = S._versions(silver)
+    # replay of batch 0: no new version, no duplicate rows
+    assert apply_tail_batch(spark, silver, batch, 0) is False
+    assert S._versions(silver) == v0
+    assert len(S.read(spark, silver).collect()) == 2
+    # the NEXT batch still lands, and survives an OPTIMIZE on top
+    assert apply_tail_batch(
+        spark, silver, _df(spark, [(3, "c", 30)]), 1
+    )
+    S.compact(spark, silver)
+    assert last_applied_tail_batch(silver) == 1  # marker found below head
+    assert apply_tail_batch(
+        spark, silver, _df(spark, [(3, "c", 30)]), 1
+    ) is False
+
+
+def test_max_versions_per_trigger_paces_backfill(spark, tmp_path):
+    import time as _time
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.tablesource import (
+        stream_table_to_table,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    S.commit(spark, _df(spark, [(1, "a", 10)]), bronze)
+    for i in range(2, 5):
+        S.commit(
+            spark,
+            _df(spark, [(i, chr(96 + i), i * 10)]),
+            bronze,
+            mode="append",
+        )
+    q = stream_table_to_table(
+        spark,
+        bronze,
+        silver,
+        ckpt,
+        max_versions_per_trigger=1,
+        trigger={"processingTime": "0 seconds"},
+    )
+    try:
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            try:
+                if len(S.read(spark, silver).collect()) >= 4:
+                    break
+            except FileNotFoundError:
+                pass
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = sorted(r.k for r in S.read(spark, silver).collect())
+    assert rows == [1, 2, 3, 4]
+    # one bounded batch per bronze version: four separate silver commits
+    tail_ops = [op for op in _silver_ops(silver) if "@tailbatch=" in op]
+    assert len(tail_ops) == 4
