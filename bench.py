@@ -173,6 +173,12 @@ def main() -> None:
         "ndv_stats_sim",
         # round-6: the partitioned write paths learned the mapping seam
         "column_mapping_part_sim",
+        # round-6: snapshot-tail streaming source end-to-end (3 commits
+        # + compact + availableNow drain through the Python data source)
+        "snapshot_tail_sim",
+        # round-6: ER survivorship + cross-corpus decontamination
+        "er_golden_records",
+        "decontaminate_train_bench",
     ]
     extras: dict[str, float] = {}
     for rep in range(reps):
