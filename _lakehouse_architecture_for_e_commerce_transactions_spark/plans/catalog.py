@@ -2165,6 +2165,117 @@ GROUP BY o_orderpriority
 """
 
 
+def q_snapshot_cdf_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """The row-level CHANGE DATA FEED source end-to-end (`streaming/
+    cdf.py`): baseline write, append, deletion-vector DELETE, DV
+    UPDATE (pre+post images), an OPTIMIZE that must emit nothing, and
+    a final append — drained from `earliest` in one availableNow pass
+    and re-aggregated per (_commit_version, _change_type). Every
+    operation's predicate is arithmetic on o_orderkey, so the oracle
+    reconstructs the exact change feed straight from `orders` — a
+    wrong change type, version, row set, or post-image value all
+    surface as hash mismatches."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as SN,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.cdf import (
+        read_changes_stream,
+    )
+
+    base = _os.path.join(
+        _tf.gettempdir(),
+        f"sparkgraft_cdfsim_{_os.path.basename(sf.rstrip('/'))}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    path = _os.path.join(base, "t")
+    ckpt = _os.path.join(base, "ckpt")
+    o = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 150)
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    # v0 baseline, v1 append (key mod 4 slices), v2 DV delete (mod 20
+    # ⊂ the mod-4=0 slice), v3 DV update (mod 28 = 1 ⊂ the mod-4=1
+    # slice), v4 OPTIMIZE (silent), v5 append
+    SN.commit(spark, o.filter(F.col("o_orderkey") % 4 == 0).select(*cols), path)
+    SN.commit(
+        spark,
+        o.filter(F.col("o_orderkey") % 4 == 1).select(*cols),
+        path,
+        mode="append",
+    )
+    SN.delete_where_dv(spark, path, "o_orderkey % 20 = 0")
+    SN.update_where_dv(
+        spark,
+        path,
+        "o_orderkey % 28 = 1",
+        {"o_totalprice": "o_totalprice + 100.0"},
+    )
+    SN.compact(spark, path)  # dataChange=false: must NOT emit
+    SN.commit(
+        spark,
+        o.filter(F.col("o_orderkey") % 4 == 2).select(*cols),
+        path,
+        mode="append",
+    )
+
+    got: list = []
+    q = (
+        read_changes_stream(spark, path, starting_version="earliest")
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, _bid: got.extend(df.collect()))
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.createDataFrame(
+        got,
+        schema=(
+            "o_orderkey long, o_orderpriority string, o_totalprice double,"
+            " _change_type string, _commit_version long"
+        ),
+    )
+    return emitted.groupBy(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        money_sum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+_SNAPSHOT_CDF_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_custkey < 150),
+changes AS (
+  SELECT CAST(0 AS BIGINT) AS commit_version, 'insert' AS change_type,
+         o_orderkey, o_totalprice
+  FROM base WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT 1, 'insert', o_orderkey, o_totalprice
+  FROM base WHERE o_orderkey % 4 = 1
+  UNION ALL
+  SELECT 2, 'delete', o_orderkey, o_totalprice
+  FROM base WHERE o_orderkey % 4 = 0 AND o_orderkey % 20 = 0
+  UNION ALL
+  SELECT 3, 'update_preimage', o_orderkey, o_totalprice
+  FROM base WHERE o_orderkey % 4 = 1 AND o_orderkey % 28 = 1
+  UNION ALL
+  SELECT 3, 'update_postimage', o_orderkey, o_totalprice + 100.0
+  FROM base WHERE o_orderkey % 4 = 1 AND o_orderkey % 28 = 1
+  UNION ALL
+  SELECT 5, 'insert', o_orderkey, o_totalprice
+  FROM base WHERE o_orderkey % 4 = 2)
+SELECT commit_version, change_type, count(*) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       {_money_sum_sql("o_totalprice")} AS total
+FROM changes GROUP BY commit_version, change_type
+"""
+
+
 def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs → connected components → canonical docs: iterative
     min-label propagation, cross-checked against DuckDB recursive SQL."""
@@ -8481,6 +8592,7 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
         q_decontaminate_train_bench, _decontaminate_sql()
     ),
     "snapshot_tail_sim": QueryDef(q_snapshot_tail_sim, _SNAPSHOT_TAIL_SQL),
+    "snapshot_cdf_sim": QueryDef(q_snapshot_cdf_sim, _SNAPSHOT_CDF_SQL),
     "optimize_scoped_sim": QueryDef(
         q_optimize_scoped_sim, _OPTIMIZE_SCOPED_SQL
     ),
@@ -8528,6 +8640,7 @@ _WINDOW_FRONT: list[str] = [
     "er_golden_records",
     "decontaminate_train_bench",
     "snapshot_tail_sim",
+    "snapshot_cdf_sim",
     # new in round 5
     "hll_distinct_orders",
     "bfs_reachability",
@@ -8576,7 +8689,6 @@ _WINDOW_FRONT: list[str] = [
     "bpe_pair_merges",
     "semantic_dedup",
     "table_changes_sim",
-    "bm25_search",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

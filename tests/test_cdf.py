@@ -1,0 +1,254 @@
+"""Streaming change-data feed over snapshot tables (`streaming/cdf.py`):
+inserts, deletion-vector deletes (row-precise), DV updates (pre+post
+images), partition rewrites (net-effect delete+insert), OPTIMIZE and
+metadata commits emitting nothing, baselines with tombstones excluding
+dead rows, and exactly-once delivery across checkpointed restarts —
+capped by a feed-replay test that reconstructs the table from changes
+alone."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+    snapshots as S,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.cdf import (
+    read_changes_stream,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, v=v, amt=float(a)) for k, v, a in rows]
+    )
+
+
+def _part_spec():
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        TableSpec,
+    )
+
+    return TableSpec(
+        name="pt",
+        schema=StructType(
+            [
+                StructField("k", LongType(), False),
+                StructField("p", LongType(), False),
+                StructField("v", StringType(), True),
+            ]
+        ),
+        primary_key="k",
+        partition_by=("p",),
+    )
+
+
+def _drain(spark, path, ckpt, **kw):
+    """Run one availableNow pass; return the change rows it emitted."""
+    got: list = []
+    q = (
+        read_changes_stream(spark, path, **kw)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, _bid: got.extend(df.collect()))
+        .start()
+    )
+    q.awaitTermination()
+    return got
+
+
+def _ct(rows, ct):
+    return [r for r in rows if r._change_type == ct]
+
+
+def test_appends_emit_inserts_with_version(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a", 10), (2, "b", 20)]), path)
+    S.commit(spark, _df(spark, [(3, "c", 30)]), path, mode="append")
+    got = _drain(
+        spark, path, str(tmp_path / "ckpt"), starting_version="earliest"
+    )
+    assert {r._change_type for r in got} == {"insert"}
+    assert sorted((r.k, r._commit_version) for r in got) == [
+        (1, 0),
+        (2, 0),
+        (3, 1),
+    ]
+
+
+def test_dv_delete_emits_precise_delete_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    S.commit(
+        spark, _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)]), path
+    )
+    _drain(spark, path, ckpt, starting_version="earliest")
+    S.delete_where_dv(spark, path, "k = 2")
+    got = _drain(spark, path, ckpt)
+    assert [(r.k, r.v, r.amt, r._change_type, r._commit_version)
+            for r in got] == [(2, "b", 20.0, "delete", 1)]
+
+
+def test_dv_update_emits_pre_and_post_images(spark, tmp_path):
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    S.commit(spark, _df(spark, [(1, "a", 10), (2, "b", 20)]), path)
+    _drain(spark, path, ckpt, starting_version="earliest")
+    S.update_where_dv(spark, path, "k = 1", {"amt": "amt + 5"})
+    got = _drain(spark, path, ckpt)
+    pre = _ct(got, "update_preimage")
+    post = _ct(got, "update_postimage")
+    assert [(r.k, r.amt) for r in pre] == [(1, 10.0)]
+    assert [(r.k, r.amt) for r in post] == [(1, 15.0)]
+    assert {r._commit_version for r in got} == {1}
+
+
+def test_partition_rewrite_is_net_effect_exact(spark, tmp_path):
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    spec = _part_spec()
+    S.merge_commit(
+        spark,
+        spark.createDataFrame([Row(k=1, p=10, v="a"), Row(k=2, p=10, v="b")]),
+        path,
+        spec,
+    )
+    _drain(spark, path, ckpt, starting_version="earliest")
+    # rewrites partition p=10: k=1 updated, k=2 carried, k=3 new
+    S.merge_commit(
+        spark,
+        spark.createDataFrame([Row(k=1, p=10, v="A"), Row(k=3, p=10, v="c")]),
+        path,
+        spec,
+    )
+    got = _drain(spark, path, ckpt)
+    # coarse but net-effect exact: old partition rows deleted, new
+    # partition rows inserted, partition column comes back typed
+    assert sorted((r.k, r.v) for r in _ct(got, "delete")) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    assert sorted((r.k, r.v) for r in _ct(got, "insert")) == [
+        (1, "A"),
+        (2, "b"),
+        (3, "c"),
+    ]
+    assert all(r.p == 10 for r in got)
+
+
+def test_optimize_and_metadata_emit_nothing(spark, tmp_path):
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    S.commit(spark, _df(spark, [(1, "a", 10), (2, "b", 20)]), path)
+    S.commit(spark, _df(spark, [(3, "c", 30)]), path, mode="append")
+    _drain(spark, path, ckpt, starting_version="earliest")
+    S.compact(spark, path)  # rewrites bytes, not rows
+    S.rename_column(path, "v", "name")  # metadata-only
+    assert _drain(spark, path, ckpt) == []
+
+
+def test_starting_version_means_changes_from_there(spark, tmp_path):
+    """Delta's startingVersion=N contract: version N's COMMIT streams
+    as changes (not the snapshot at N as a baseline)."""
+    path = str(tmp_path / "t")
+    S.commit(
+        spark, _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)]), path
+    )
+    S.delete_where_dv(spark, path, "k = 2")
+    got = _drain(
+        spark, path, str(tmp_path / "ckpt"), starting_version=1
+    )
+    assert [(r.k, r._change_type) for r in got] == [(2, "delete")]
+
+
+def test_vacuumed_baseline_with_tombstones_excludes_dead_rows(
+    spark, tmp_path
+):
+    """Where the tail source must REFUSE (a baseline carrying live
+    tombstones would resurrect deleted rows), the change feed can
+    represent it: the earliest surviving snapshot emits live rows
+    only, dead positions excluded executor-side."""
+    path = str(tmp_path / "t")
+    S.commit(
+        spark, _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)]), path
+    )
+    S.delete_where_dv(spark, path, "k = 2")
+    S.vacuum(path, keep_last=1)  # head (with live tombstones) survives
+    got = _drain(
+        spark, path, str(tmp_path / "ckpt"), starting_version="earliest"
+    )
+    assert sorted(r.k for r in got) == [1, 3]
+    assert {r._change_type for r in got} == {"insert"}
+
+
+def test_delete_of_dv_surviving_rows_only(spark, tmp_path):
+    """A partition-rewrite delete after a DV delete must not re-report
+    the already-dead row."""
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    spec = _part_spec()
+    S.merge_commit(
+        spark,
+        spark.createDataFrame(
+            [Row(k=1, p=10, v="a"), Row(k=2, p=10, v="b"),
+             Row(k=3, p=20, v="c")]
+        ),
+        path,
+        spec,
+    )
+    S.delete_where_dv(spark, path, "k = 1")
+    _drain(spark, path, ckpt, starting_version="earliest")
+    S.delete_where(spark, path, "p = 10")
+    got = _drain(spark, path, ckpt)
+    # k=1 was already dead at the previous version: only k=2 dies here
+    assert [(r.k, r._change_type) for r in got] == [(2, "delete")]
+
+
+def test_feed_replay_reconstructs_table(spark, tmp_path):
+    """Net-effect correctness, end-to-end: applying the whole change
+    feed (inserts minus deletes, updates as pre-out/post-in) rebuilds
+    exactly the table's final live rowset."""
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a", 10), (2, "b", 20)]), path)
+    S.commit(spark, _df(spark, [(3, "c", 30), (4, "d", 40)]), path,
+             mode="append")
+    S.delete_where_dv(spark, path, "k = 2")
+    S.update_where_dv(spark, path, "k = 3", {"amt": "amt * 2"})
+    S.compact(spark, path)
+    S.commit(spark, _df(spark, [(5, "e", 50)]), path, mode="append")
+    got = _drain(
+        spark, path, str(tmp_path / "ckpt"), starting_version="earliest"
+    )
+    state: dict = {}
+    for r in sorted(got, key=lambda r: r._commit_version):
+        key = (r.k, r.v, r.amt)
+        if r._change_type in ("insert", "update_postimage"):
+            state[key] = state.get(key, 0) + 1
+        else:
+            state[key] = state.get(key, 0) - 1
+    live = sorted(k for k, n in state.items() if n > 0)
+    expect = sorted(
+        (r.k, r.v, r.amt) for r in S.read(spark, path).collect()
+    )
+    assert live == expect
+
+
+def test_exactly_once_across_checkpoint(spark, tmp_path):
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    S.commit(spark, _df(spark, [(1, "a", 10)]), path)
+    got1 = _drain(spark, path, ckpt, starting_version="earliest")
+    assert len(got1) == 1
+    # same checkpoint, no new commits: nothing re-emits
+    assert _drain(spark, path, ckpt, starting_version="earliest") == []
+    S.delete_where_dv(spark, path, "k = 1")
+    got2 = _drain(spark, path, ckpt, starting_version="earliest")
+    assert [(r.k, r._change_type) for r in got2] == [(1, "delete")]
+    assert _drain(spark, path, ckpt, starting_version="earliest") == []
