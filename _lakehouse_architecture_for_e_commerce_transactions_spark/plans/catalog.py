@@ -1955,10 +1955,16 @@ def q_er_golden_records(spark: SparkSession, sf: str) -> DataFrame:
     max/total balance in exact cents). The full record-linkage pipeline
     `fuzzy_name_pairs` is the first stage of, composed as one plan.
 
-    Scale: candidate generation is the blocked equi-join (never
-    all-pairs), closure is the threshold-gated union-find /
-    star-contraction of `operators/graph.py`, survivorship is one
-    shuffle on entity id."""
+    Scale: candidate generation is a DELETION-NEIGHBORHOOD signature
+    equi-join (FastSS, Bocek et al. 2007) — two names are within one
+    edit iff their {self + every single-character-deletion} signature
+    sets intersect, so candidates come from hash-joining an exploded
+    signature column instead of scanning nation-block² pairs; the
+    handful of signature-collision false positives (transpositions)
+    are killed by a banded threshold Levenshtein (k=1 early-exit, not
+    the full O(L²) matrix). Closure is the threshold-gated union-find /
+    star-contraction of `operators/graph.py`, survivorship one shuffle
+    on entity id."""
     from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.graph import (
         dedup_clusters,
     )
@@ -1966,21 +1972,34 @@ def q_er_golden_records(spark: SparkSession, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal"
     )
-    a = c.select(
-        F.col("c_custkey").alias("k1"),
-        F.col("c_name").alias("n1"),
-        F.col("c_nationkey").alias("blk"),
+    n = F.col("c_name")
+    sigs = F.array_union(
+        F.array(n),
+        F.transform(
+            F.sequence(F.lit(1), F.length(n)),
+            lambda i: F.concat(
+                n.substr(F.lit(1), i - 1), n.substr(i + 1, F.length(n))
+            ),
+        ),
     )
-    b = c.select(
-        F.col("c_custkey").alias("k2"),
-        F.col("c_name").alias("n2"),
+    sig = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("nm"),
         F.col("c_nationkey").alias("blk"),
+        F.explode(sigs).alias("sig"),
+    )
+    a = sig.select(
+        F.col("k").alias("k1"), F.col("nm").alias("n1"), "blk", "sig"
+    )
+    b = sig.select(
+        F.col("k").alias("k2"), F.col("nm").alias("n2"), "blk", "sig"
     )
     pairs = (
-        a.join(b, "blk")
+        a.join(b, ["blk", "sig"])
         .filter(F.col("k1") < F.col("k2"))
-        .filter(F.levenshtein(F.col("n1"), F.col("n2")) <= 1)
+        .filter(F.levenshtein(F.col("n1"), F.col("n2"), 1) >= 0)
         .select("k1", "k2")
+        .distinct()
     )
     cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
     return (
