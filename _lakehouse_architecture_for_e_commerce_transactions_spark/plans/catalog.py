@@ -2295,6 +2295,81 @@ FROM changes GROUP BY commit_version, change_type
 """
 
 
+def q_table_mv_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized-view-over-a-table end-to-end (`streaming/
+    cdfmaint.py`): a snapshot table takes a baseline write, an append,
+    a deletion-vector DELETE, and a DV UPDATE; a per-key MIN/MAX
+    aggregate is maintained FROM THE TABLE'S CHANGE FEED (snapshot_cdf
+    → maintenance twin), never rescanning the table. The returned
+    state must equal the batch aggregate of the final live rows — the
+    oracle computes exactly that from `orders` arithmetic, so a
+    missed delete, double-applied update, or phantom rewrite row all
+    surface as value mismatches."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as SN,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming import (
+        aggmaint as AM,
+        cdfmaint as CDM,
+    )
+
+    base = _os.path.join(
+        _tf.gettempdir(),
+        f"sparkgraft_mvsim_{_os.path.basename(sf.rstrip('/'))}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    src = _os.path.join(base, "src")
+    o = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 50).cast("string").alias("k"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    SN.commit(spark, o.filter(F.col("o_orderkey") % 3 == 0), src)
+    SN.commit(
+        spark, o.filter(F.col("o_orderkey") % 3 == 1), src, mode="append"
+    )
+    # mod-9 ⊂ the mod-3=0 slice; mod-21=1 ⊂ the mod-3=1 slice, and the
+    # two are CRT-disjoint (no x has x≡0 (mod 9) ∧ x≡1 (mod 21))
+    SN.delete_where_dv(spark, src, "o_orderkey % 9 = 0")
+    SN.update_where_dv(spark, src, "o_orderkey % 21 = 1", {"v": "v + 50.0"})
+
+    q = CDM.table_minmax_maintenance(
+        spark,
+        src,
+        _os.path.join(base, "fact"),
+        _os.path.join(base, "state"),
+        _os.path.join(base, "ckpt"),
+        key_col="k",
+        val_col="v",
+    )
+    q.awaitTermination()
+    return AM.read_maintained_minmax(spark, _os.path.join(base, "state"))
+
+
+_TABLE_MV_SQL = """
+WITH live AS (
+  SELECT CAST(o_custkey % 50 AS VARCHAR) AS k,
+         CASE WHEN o_orderkey % 21 = 1 THEN o_totalprice + 50.0
+              ELSE o_totalprice END AS v
+  FROM orders
+  WHERE o_custkey < 100
+    AND o_orderkey % 3 IN (0, 1)
+    AND o_orderkey % 9 <> 0)
+SELECT k,
+       min(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS min_scaled,
+       max(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS max_scaled
+FROM live GROUP BY k
+"""
+
+
 def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs → connected components → canonical docs: iterative
     min-label propagation, cross-checked against DuckDB recursive SQL."""
@@ -8612,6 +8687,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     ),
     "snapshot_tail_sim": QueryDef(q_snapshot_tail_sim, _SNAPSHOT_TAIL_SQL),
     "snapshot_cdf_sim": QueryDef(q_snapshot_cdf_sim, _SNAPSHOT_CDF_SQL),
+    "table_mv_maintenance_sim": QueryDef(
+        q_table_mv_maintenance, _TABLE_MV_SQL
+    ),
     "optimize_scoped_sim": QueryDef(
         q_optimize_scoped_sim, _OPTIMIZE_SCOPED_SQL
     ),
@@ -8660,6 +8738,7 @@ _WINDOW_FRONT: list[str] = [
     "decontaminate_train_bench",
     "snapshot_tail_sim",
     "snapshot_cdf_sim",
+    "table_mv_maintenance_sim",
     # new in round 5
     "hll_distinct_orders",
     "bfs_reachability",
@@ -8706,7 +8785,6 @@ _WINDOW_FRONT: list[str] = [
     "window_funcs_extended",
     "vector_array_funcs",
     "bpe_pair_merges",
-    "semantic_dedup",
     "table_changes_sim",
 ]
 

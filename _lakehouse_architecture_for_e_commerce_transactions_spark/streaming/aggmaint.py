@@ -78,6 +78,21 @@ CHANGE_STREAM_SCHEMA = StructType(
     ]
 )
 
+
+def _change_reader(spark: SparkSession, src) -> DataFrame:
+    """The change-row feed a maintenance twin consumes: a directory of
+    change CSVs (the original contract), or any STREAMING DataFrame
+    already in ``CHANGE_STREAM_SCHEMA`` shape — e.g. a snapshot table's
+    change feed adapted by ``cdfmaint.changes_as_ops`` — so the same
+    exactly-once maintenance core serves both transports."""
+    if isinstance(src, DataFrame):
+        return src
+    return (
+        spark.readStream.schema(CHANGE_STREAM_SCHEMA)
+        .option("header", True)
+        .csv(src)
+    )
+
 _STATE_SCHEMA = StructType(
     [
         StructField("k", StringType(), True),
@@ -283,11 +298,7 @@ def stream_agg_maintenance(
     only for applied, non-replayed batches).
     """
     app = _app_id(checkpoint_dir)
-    reader = (
-        spark.readStream.schema(CHANGE_STREAM_SCHEMA)
-        .option("header", True)
-        .csv(raw_dir)
-    )
+    reader = _change_reader(spark, raw_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         _reject_null_keys(
@@ -871,11 +882,7 @@ def stream_minmax_maintenance(
     deletion vectors every N applied batches (amortized layout
     maintenance — correctness never depends on it)."""
     app = _app_id(checkpoint_dir)
-    reader = (
-        spark.readStream.schema(CHANGE_STREAM_SCHEMA)
-        .option("header", True)
-        .csv(raw_dir)
-    )
+    reader = _change_reader(spark, raw_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
@@ -952,11 +959,7 @@ def stream_topk_maintenance(
     O(batch); ``compact_every`` folds small files/DVs periodically
     (see ``stream_minmax_maintenance``)."""
     app = _app_id(checkpoint_dir)
-    reader = (
-        spark.readStream.schema(CHANGE_STREAM_SCHEMA)
-        .option("header", True)
-        .csv(raw_dir)
-    )
+    reader = _change_reader(spark, raw_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
@@ -1167,11 +1170,7 @@ def stream_hist_maintenance(
     )
 
     app = _app_id(checkpoint_dir)
-    reader = (
-        spark.readStream.schema(CHANGE_STREAM_SCHEMA)
-        .option("header", True)
-        .csv(raw_dir)
-    )
+    reader = _change_reader(spark, raw_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         _reject_null_keys(
@@ -1278,11 +1277,7 @@ def stream_cm_maintenance(
     )
 
     app = _app_id(checkpoint_dir)
-    reader = (
-        spark.readStream.schema(CHANGE_STREAM_SCHEMA)
-        .option("header", True)
-        .csv(raw_dir)
-    )
+    reader = _change_reader(spark, raw_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         _reject_null_keys(
