@@ -2370,6 +2370,103 @@ FROM live GROUP BY k
 """
 
 
+def q_cdc_replicate_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """APPLY CHANGES INTO end-to-end (`streaming/cdfmaint.
+    apply_changes_into`): a source table takes a baseline write, an
+    append, a DV DELETE, and a DV UPDATE; a keyed REPLICA is kept in
+    sync from the change feed (netted per key, MERGE upserts +
+    join-based DV deletes, exactly-once markers). The replica — not
+    the source — is aggregated; the oracle computes the source's live
+    rows directly, so a lost delete, unapplied update, or double-applied
+    batch all surface as mismatches."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as SN,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming import (
+        cdfmaint as CDM,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        TableSpec,
+    )
+
+    base = _os.path.join(
+        _tf.gettempdir(),
+        f"sparkgraft_cdcapply_{_os.path.basename(sf.rstrip('/'))}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    src = _os.path.join(base, "src")
+    dst = _os.path.join(base, "dst")
+    o = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_custkey") < 120)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderpriority").alias("g"),
+            F.col("o_totalprice").alias("amt"),
+        )
+    )
+    SN.commit(spark, o.filter(F.col("id") % 4 == 0), src)
+    SN.commit(spark, o.filter(F.col("id") % 4 == 2), src, mode="append")
+    # mod-8 deletes ⊂ the mod-4=0 slice; mod-12=2 updates ⊂ the
+    # mod-4=2 slice, CRT-disjoint from the deletes (8k mod 12 ≠ 2)
+    SN.delete_where_dv(spark, src, "id % 8 = 0")
+    SN.update_where_dv(spark, src, "id % 12 = 2", {"amt": "amt + 25.0"})
+
+    spec = TableSpec(
+        name="replica",
+        schema=StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("g", StringType(), True),
+                StructField("amt", DoubleType(), True),
+            ]
+        ),
+        primary_key="id",
+        partition_by=(),
+    )
+    q = CDM.apply_changes_into(
+        spark, src, dst, spec, _os.path.join(base, "ckpt")
+    )
+    q.awaitTermination()
+    return (
+        SN.read(spark, dst)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("key_sum"),
+            money_sum(F.col("amt")).alias("total"),
+        )
+    )
+
+
+_CDC_REPLICATE_SQL = f"""
+WITH live AS (
+  SELECT o_orderkey AS id, o_orderpriority AS g,
+         CASE WHEN o_orderkey % 12 = 2 THEN o_totalprice + 25.0
+              ELSE o_totalprice END AS amt
+  FROM orders
+  WHERE o_custkey < 120
+    AND o_orderkey % 4 IN (0, 2)
+    AND o_orderkey % 8 <> 0)
+SELECT g, count(*) AS n,
+       CAST(sum(id) AS BIGINT) AS key_sum,
+       {_money_sum_sql("amt")} AS total
+FROM live GROUP BY g
+"""
+
+
 def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs → connected components → canonical docs: iterative
     min-label propagation, cross-checked against DuckDB recursive SQL."""
@@ -8690,6 +8787,7 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "table_mv_maintenance_sim": QueryDef(
         q_table_mv_maintenance, _TABLE_MV_SQL
     ),
+    "cdc_replicate_sim": QueryDef(q_cdc_replicate_sim, _CDC_REPLICATE_SQL),
     "optimize_scoped_sim": QueryDef(
         q_optimize_scoped_sim, _OPTIMIZE_SCOPED_SQL
     ),
@@ -8739,6 +8837,7 @@ _WINDOW_FRONT: list[str] = [
     "snapshot_tail_sim",
     "snapshot_cdf_sim",
     "table_mv_maintenance_sim",
+    "cdc_replicate_sim",
     # new in round 5
     "hll_distinct_orders",
     "bfs_reachability",
@@ -8785,7 +8884,6 @@ _WINDOW_FRONT: list[str] = [
     "window_funcs_extended",
     "vector_array_funcs",
     "bpe_pair_merges",
-    "table_changes_sim",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

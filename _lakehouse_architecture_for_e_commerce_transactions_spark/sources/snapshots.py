@@ -1731,6 +1731,7 @@ def merge_commit(
     check_source_unique: bool = True,
     max_retries: int = 10,
     stats_for: list[str] | None = None,
+    op: str = "MERGE",
 ) -> int:
     """MERGE upsert published as an atomic snapshot version.
 
@@ -1805,7 +1806,7 @@ def merge_commit(
             "dirs": [commit_dir],
             "schema": merged.schema.json(),
             "committed_at": time.time(),
-            "op": "MERGE",
+            "op": op,
             "metrics": {"num_files_added": nf, "num_output_rows": nr},
         }
         eff_stats = (
@@ -1910,6 +1911,7 @@ def merge_commit(
             if stats_for
             else (parent.stats_cols if parent is not None else None)
         ),
+        op=op,
         mapping=mapping,
         retired=retired,
     )
@@ -2205,15 +2207,49 @@ def delete_where_dv(
     pre-delete read.
     """
     cond = F.expr(predicate)
-    from pyspark.sql.types import StructType
+    return _delete_selected_dv(
+        spark, path, lambda live: live.filter(cond), max_retries
+    )
 
+
+def delete_matching_dv(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    key_cols: list[str],
+    max_retries: int = 10,
+    op: str = "DELETE",
+) -> int:
+    """Deletion-vector DELETE of every row whose ``key_cols`` tuple
+    appears in ``keys_df`` (the MERGE ``WHEN MATCHED THEN DELETE`` /
+    CDC-apply shape): the key set stays a DataFrame end-to-end — a
+    left-semi join selects the doomed rows, so a million-key delete
+    never serializes into a predicate string or a driver IN-list.
+    Same tombstone mechanism, retry/rebase, and metadata bookkeeping
+    as :func:`delete_where_dv` (which see). ``op`` customizes the
+    manifest op string (exactly-once batch markers ride it)."""
+    keys = list(key_cols)
+
+    def _select(live: DataFrame) -> DataFrame:
+        return live.join(keys_df.select(*keys).distinct(), keys, "left_semi")
+
+    return _delete_selected_dv(spark, path, _select, max_retries, op=op)
+
+
+def _delete_selected_dv(
+    spark: SparkSession,
+    path: str,
+    selector,
+    max_retries: int = 10,
+    op: str = "DELETE",
+) -> int:
     for _ in range(max_retries):
         snap = load_snapshot(path)
         raw = _dv_filter(
             _scan_with_address(spark, snap), _dv_tombstones(spark, snap)
         )
         live = _logical_select(raw, snap, extra=("__fp", "__ri"))
-        dels = live.filter(cond).select(
+        dels = selector(live).select(
             F.col("__fp").alias("file"), F.col("__ri").alias("row_idx")
         )
         dv_dir = os.path.join(path, _DATA, f"dv-{uuid.uuid4().hex}")
@@ -2237,7 +2273,7 @@ def delete_where_dv(
             # dead counts are DELTAS that sum across sidecars: this
             # commit serializes only the files IT tombstoned
             "dv_sidecars": _next_sidecars(path, raw_m, "dv", fresh=dead),
-            "op": "DELETE",
+            "op": op,
             "metrics": {
                 "num_deleted_rows": sum(dead.values()),
                 "num_files_with_dv": len(dead),
@@ -2271,7 +2307,7 @@ def delete_where_dv(
             continue
         return snap.version + 1
     raise RuntimeError(
-        f"delete_where_dv contention at {path}: {max_retries} retries"
+        f"dv delete contention at {path}: {max_retries} retries"
     )
 
 

@@ -149,6 +149,130 @@ def table_agg_maintenance(
     )
 
 
+_CDC_MARK = "@cdcbatch="
+
+
+def last_applied_changes_batch(dst_path: str) -> int:
+    """Newest ``@cdcbatch=N`` marker in the destination's commit log
+    (−1 if none); walk cost bounded by ops since the last applied
+    batch — 0 in steady state."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as S,
+    )
+
+    try:
+        vs = S._versions(dst_path)
+    except FileNotFoundError:
+        return -1
+    for v in reversed(vs):
+        op = S.load_snapshot(dst_path, v).op or ""
+        if _CDC_MARK in op:
+            try:
+                return int(op.rsplit(_CDC_MARK, 1)[1])
+            except ValueError:
+                return -1
+    return -1
+
+
+def apply_changes_into(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    spec,
+    checkpoint: str,
+    starting_version: int | str | None = "earliest",
+    max_versions_per_trigger: int | None = None,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """``APPLY CHANGES INTO`` (the DLT/Delta CDC-apply shape): tail
+    ``src_path``'s change feed and keep ``dst_path`` a live REPLICA
+    keyed by ``spec.primary_key`` — inserts and update postimages
+    upsert (MERGE), deletes delete (join-based deletion vectors, never
+    a driver IN-list) — continuously, exactly-once in effect.
+
+    Per micro-batch the changes are NETTED per key first (latest
+    commit version wins; an add at that version beats the delete the
+    same rewrite emitted), so one batch spanning many commits applies
+    as one MERGE + one DV delete, not one commit per source commit.
+
+    Exactly-once: the batch id rides the destination manifest's op
+    string (``MERGE@cdcbatch=N``). Deletes apply BEFORE the marker
+    commit, so a crash between them replays into: no-op delete (keys
+    already dead) + the marker MERGE — idempotent by value. A replayed
+    batch whose marker is already published skips entirely.
+
+    Returns the StreamingQuery (caller owns awaitTermination/stop)."""
+    from pyspark.sql.window import Window
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as S,
+    )
+
+    keys = (
+        [spec.primary_key]
+        if isinstance(spec.primary_key, str)
+        else list(spec.primary_key)
+    )
+    data_cols = [f.name for f in spec.schema.fields]
+    is_add = F.col("_change_type").isin(*_ADDS)
+
+    def _dst_exists() -> bool:
+        try:
+            return bool(S._versions(dst_path))
+        except FileNotFoundError:
+            return False
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id <= last_applied_changes_batch(dst_path):
+            return  # replayed batch: marker already published
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("_commit_version").desc(),
+            is_add.cast("int").desc(),
+        )
+        final = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .cache()
+        )
+        try:
+            ups = final.filter(is_add).select(*data_cols)
+            dels = final.filter(~is_add).select(*keys)
+            has_ups = not ups.isEmpty()
+            if _dst_exists() and not dels.isEmpty():
+                S.delete_matching_dv(
+                    spark,
+                    dst_path,
+                    dels,
+                    keys,
+                    op=(
+                        "DELETE@cdcapplying"
+                        if has_ups
+                        else f"DELETE{_CDC_MARK}{batch_id}"
+                    ),
+                )
+            if has_ups:
+                S.merge_commit(
+                    spark, ups, dst_path, spec,
+                    op=f"MERGE{_CDC_MARK}{batch_id}",
+                )
+        finally:
+            final.unpersist()
+
+    src = read_changes_stream(
+        spark,
+        src_path,
+        starting_version=starting_version,
+        max_versions_per_trigger=max_versions_per_trigger,
+    )
+    w = src.writeStream.option("checkpointLocation", checkpoint).foreachBatch(
+        _apply
+    )
+    w = w.trigger(**(trigger or {"availableNow": True}))
+    return w.start()
+
+
 def table_cm_maintenance(
     spark: SparkSession,
     table_path: str,

@@ -1,0 +1,165 @@
+"""APPLY CHANGES INTO (`streaming/cdfmaint.apply_changes_into`): a
+destination table tracks a source snapshot table as a live keyed
+replica through appends, DV deletes, DV updates, and partition
+rewrites — exactly-once in effect across checkpointed restarts — plus
+the join-based `delete_matching_dv` primitive it rides on."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+    snapshots as S,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming import (
+    cdfmaint as CM,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+    TableSpec,
+)
+
+
+def _spec(partitioned: bool = False) -> TableSpec:
+    return TableSpec(
+        name="replica",
+        schema=StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("g", StringType(), True),
+                StructField("amt", DoubleType(), True),
+            ]
+        ),
+        primary_key="id",
+        partition_by=("g",) if partitioned else (),
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(id=i, g=g, amt=float(a)) for i, g, a in rows]
+    )
+
+
+def _sync(spark, src, dst, ckpt, spec, **kw):
+    q = CM.apply_changes_into(spark, src, dst, spec, ckpt, **kw)
+    q.awaitTermination()
+
+
+def _rows(spark, path):
+    try:
+        return sorted(
+            (r.id, r.g, r.amt) for r in S.read(spark, path).collect()
+        )
+    except FileNotFoundError:
+        return []
+
+
+def test_delete_matching_dv_joins_not_inlists(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.commit(
+        spark, _df(spark, [(1, "a", 1), (2, "a", 2), (3, "b", 3)]), path
+    )
+    keys = spark.createDataFrame([Row(id=2), Row(id=3), Row(id=99)])
+    v = S.delete_matching_dv(spark, path, keys, ["id"])
+    assert v == 1
+    assert _rows(spark, path) == [(1, "a", 1.0)]
+    # nothing left to match: unchanged head, no empty commit
+    assert S.delete_matching_dv(spark, path, keys, ["id"]) == 1
+
+
+def test_replica_tracks_source_through_all_commit_kinds(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    spec = _spec()
+    S.commit(spark, _df(spark, [(1, "a", 10), (2, "a", 20)]), src)
+    _sync(spark, src, dst, ckpt, spec)
+    assert _rows(spark, dst) == _rows(spark, src)
+
+    S.commit(spark, _df(spark, [(3, "b", 30)]), src, mode="append")
+    S.delete_where_dv(spark, src, "id = 2")
+    S.update_where_dv(spark, src, "id = 1", {"amt": "amt + 1.0"})
+    _sync(spark, src, dst, ckpt, spec)
+    assert _rows(spark, dst) == _rows(spark, src) == [
+        (1, "a", 11.0),
+        (3, "b", 30.0),
+    ]
+
+
+def test_exactly_once_marker_skips_replayed_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    spec = _spec()
+    S.commit(spark, _df(spark, [(1, "a", 10)]), src)
+    _sync(spark, src, dst, ckpt, spec)
+    v_after = S.load_snapshot(dst).version
+    # same checkpoint, no new source commits: no destination commit
+    _sync(spark, src, dst, ckpt, spec)
+    assert S.load_snapshot(dst).version == v_after
+    # a fresh checkpoint replays history, but the batch-id marker is
+    # 0-based again and <= the recorded one: still no double apply
+    _sync(spark, src, dst, str(tmp_path / "ckpt2"), spec)
+    assert S.load_snapshot(dst).version == v_after
+    assert _rows(spark, dst) == [(1, "a", 10.0)]
+
+
+def test_partitioned_replica_and_rewrite_commits(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    spec = _spec(partitioned=True)
+    S.merge_commit(
+        spark, _df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]),
+        src, spec,
+    )
+    _sync(spark, src, dst, ckpt, spec)
+    # matched MERGE rewrites partition a (coarse delete+insert in the
+    # feed): the netting must upsert the carried row, not delete it
+    S.merge_commit(
+        spark, _df(spark, [(1, "a", 15), (4, "a", 40)]), src, spec
+    )
+    _sync(spark, src, dst, ckpt, spec)
+    assert _rows(spark, dst) == _rows(spark, src) == [
+        (1, "a", 15.0),
+        (2, "a", 20.0),
+        (3, "b", 30.0),
+        (4, "a", 40.0),
+    ]
+
+
+def test_batched_history_nets_per_key(spark, tmp_path):
+    """One version per micro-batch (maxVersionsPerTrigger=1): the
+    replica passes through intermediate states and still lands exactly
+    on the source's final rowset."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    spec = _spec()
+    import time as _time
+
+    S.commit(spark, _df(spark, [(1, "a", 10), (2, "a", 20)]), src)
+    S.delete_where_dv(spark, src, "id = 1")
+    S.commit(spark, _df(spark, [(1, "a", 99)]), src, mode="append")
+    want = [(1, "a", 99.0), (2, "a", 20.0)]
+    q = CM.apply_changes_into(
+        spark, src, dst, spec, ckpt,
+        max_versions_per_trigger=1,
+        trigger={"processingTime": "0 seconds"},
+    )
+    try:
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            if _rows(spark, dst) == want:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    assert _rows(spark, dst) == _rows(spark, src) == want
