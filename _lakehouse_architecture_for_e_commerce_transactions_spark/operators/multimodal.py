@@ -1314,72 +1314,84 @@ def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
     dequant → IDCT path runs for real."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
         import pandas as _pd
 
-        def seg(marker: int, body: bytes) -> bytes:
-            return (
-                bytes([0xFF, marker])
-                + struct.pack(">H", len(body) + 2)
-                + body
-            )
-
-        def payload(doc_id: int) -> bytes:
-            dc = (doc_id * 7) % 100 - 50
-            dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
-            # DC: categories 0..11 as 4-bit codes; AC: EOB as 1 bit
-            dht_dc = seg(
-                0xC4,
-                bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12)
-                + bytes(range(12)),
-            )
-            dht_ac = seg(
-                0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0])
-            )
-            sof = seg(
-                0xC0,
-                bytes([8]) + struct.pack(">HH", 8, 16)
-                + bytes([1, 1, 0x11, 0]),
-            )
-            sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-            bits: list[int] = []
-
-            def put(v: int, n: int) -> None:
-                bits.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
-
-            for blk in range(2):  # 16x8 = two 8x8 blocks
-                d = dc if blk == 0 else 0  # DC diff vs predictor
-                s = abs(d).bit_length()
-                put(s, 4)
-                if s:
-                    put(d if d > 0 else d + (1 << s) - 1, s)
-                put(0, 1)  # EOB
-            bits += [1] * ((-len(bits)) % 8)
-            scan = bytearray()
-            for i in range(0, len(bits), 8):
-                byte = 0
-                for bit in bits[i : i + 8]:
-                    byte = (byte << 1) | bit
-                scan.append(byte)
-                if byte == 0xFF:
-                    scan.append(0x00)
-            return (
-                b"\xff\xd8" + dqt + dht_dc + dht_ac + sof + sos
-                + bytes(scan) + b"\xff\xd9"
-            )
+        dc_jpeg = _make_dc_jpeg()
 
         for pdf in it:
             ids = [int(d) for d in pdf["doc_id"]]
             yield _pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
-                    "payload": [payload(d) for d in ids],
+                    "payload": [
+                        dc_jpeg((d * 7) % 100 - 50) for d in ids
+                    ],
                     "media_type": ["image"] * len(ids),
                 }
             )
 
     return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def _make_dc_jpeg():
+    """``dc_jpeg(dc) -> bytes``: the 16×8 grayscale DC-only baseline
+    JPEG of ``synthesize_jpeg_media`` (flat q=16 table, genuinely
+    Huffman-coded scan), factored so the MJPEG video synthesizer can
+    reuse frames with closed-form decoded content (uniform
+    ``128 + 2·dc`` exactly)."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(body) + 2)
+            + body
+        )
+
+    def dc_jpeg(dc: int) -> bytes:
+        dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
+        # DC: categories 0..11 as 4-bit codes; AC: EOB as 1 bit
+        dht_dc = seg(
+            0xC4,
+            bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12)
+            + bytes(range(12)),
+        )
+        dht_ac = seg(
+            0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0])
+        )
+        sof = seg(
+            0xC0,
+            bytes([8]) + struct.pack(">HH", 8, 16)
+            + bytes([1, 1, 0x11, 0]),
+        )
+        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        bits: list[int] = []
+
+        def put(v: int, n: int) -> None:
+            bits.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
+
+        for blk in range(2):  # 16x8 = two 8x8 blocks
+            d = dc if blk == 0 else 0  # DC diff vs predictor
+            s = abs(d).bit_length()
+            put(s, 4)
+            if s:
+                put(d if d > 0 else d + (1 << s) - 1, s)
+            put(0, 1)  # EOB
+        bits += [1] * ((-len(bits)) % 8)
+        scan = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for bit in bits[i : i + 8]:
+                byte = (byte << 1) | bit
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0x00)
+        return (
+            b"\xff\xd8" + dqt + dht_dc + dht_ac + sof + sos
+            + bytes(scan) + b"\xff\xd9"
+        )
+
+    return dc_jpeg
 
 
 def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
@@ -1551,3 +1563,286 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Video: AVI/MJPEG container plumbing + frame sampling.
+#
+# The container walk is REAL (RIFF chunk grammar, 'hdrl'/'avih'/'strl'
+# headers, 'movi' frame chunks — the public AVI spec), and each sampled
+# MJPEG frame runs through the real baseline-JPEG decoder above. The
+# same typed-refusal discipline as the image codecs: structural damage
+# raises ValueError; stats ops map poison payloads to NULL rows.
+# --------------------------------------------------------------------------
+
+
+def _make_avi_decoders():
+    """(avi_info, avi_frames) closures, import-free of this module so
+    mapInPandas tasks can carry them like the image decoders."""
+    import struct
+
+    def _expect(cond: bool, msg: str) -> None:
+        if not cond:
+            raise ValueError(msg)
+
+    def _chunks(b: bytes, off: int, end: int):
+        """Yield (fourcc, body_offset, body_size) of the RIFF chunks in
+        [off, end); bodies pad to even offsets per the spec."""
+        while off + 8 <= end:
+            cc = b[off : off + 4]
+            size = struct.unpack("<I", b[off + 4 : off + 8])[0]
+            body = off + 8
+            _expect(
+                body + size <= end,
+                f"AVI: chunk {cc!r} overruns its container",
+            )
+            yield cc, body, size
+            off = body + size + (size & 1)
+
+    def avi_info(payload: bytes) -> dict:
+        b = payload
+        _expect(
+            len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ",
+            "not an AVI (RIFF/'AVI ') container",
+        )
+        end = min(len(b), 8 + struct.unpack("<I", b[4:8])[0])
+        info = None
+        streams: list = []
+        for cc, o, n in _chunks(b, 12, end):
+            if cc != b"LIST" or b[o : o + 4] != b"hdrl":
+                continue
+            for cc2, o2, n2 in _chunks(b, o + 4, o + n):
+                if cc2 == b"avih":
+                    _expect(n2 >= 40, "AVI: truncated avih header")
+                    v = struct.unpack("<10I", b[o2 : o2 + 40])
+                    info = {
+                        "usec_per_frame": v[0],
+                        "n_frames": v[4],
+                        "n_streams": v[6],
+                        "width": v[8],
+                        "height": v[9],
+                    }
+                elif cc2 == b"LIST" and b[o2 : o2 + 4] == b"strl":
+                    for cc3, o3, n3 in _chunks(b, o2 + 4, o2 + n2):
+                        if cc3 == b"strh":
+                            _expect(n3 >= 8, "AVI: truncated strh")
+                            streams.append(
+                                (
+                                    b[o3 : o3 + 4].decode("ascii", "replace"),
+                                    b[o3 + 4 : o3 + 8].decode(
+                                        "ascii", "replace"
+                                    ),
+                                )
+                            )
+        _expect(info is not None, "AVI: missing avih header")
+        info["streams"] = streams
+        return info
+
+    def avi_frames(payload: bytes):
+        """Yield each compressed video frame chunk ('##dc'/'##db')
+        of the 'movi' list, in stream order."""
+        b = payload
+        avi_info(b)  # validates the container grammar first
+        end = min(len(b), 8 + struct.unpack("<I", b[4:8])[0])
+        for cc, o, n in _chunks(b, 12, end):
+            if cc == b"LIST" and b[o : o + 4] == b"movi":
+                for cc2, o2, n2 in _chunks(b, o + 4, o + n):
+                    if cc2[2:4] in (b"dc", b"db"):
+                        yield bytes(b[o2 : o2 + n2])
+
+    return avi_info, avi_frames
+
+
+def avi_container_info(payload: bytes) -> dict:
+    """Parsed AVI main header + stream fourccs (see _make_avi_decoders)."""
+    return _make_avi_decoders()[0](payload)
+
+
+def avi_frame_payloads(payload: bytes) -> list:
+    """The compressed frame chunks of an AVI 'movi' list, in order."""
+    return list(_make_avi_decoders()[1](payload))
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("usec_per_frame", LongType(), True),
+        StructField("codec", StringType(), True),
+    ]
+)
+
+
+def extract_video_meta(media: DataFrame) -> DataFrame:
+    """Header-level video metadata (frame count, dimensions, frame
+    interval, first stream codec) from AVI payloads — the container
+    walk only, no frame decode. Poison payloads yield NULL columns."""
+    avi_info, _ = _make_avi_decoders()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def one(b: bytes) -> tuple:
+            try:
+                m = avi_info(b)
+            except ValueError:
+                return (None, None, None, None, None)
+            codec = m["streams"][0][1] if m["streams"] else None
+            return (
+                m["n_frames"], m["width"], m["height"],
+                m["usec_per_frame"], codec,
+            )
+
+        for pdf in it:
+            stats = [one(bytes(p)) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames": [s[0] for s in stats],
+                    "width": [s[1] for s in stats],
+                    "height": [s[2] for s in stats],
+                    "usec_per_frame": [s[3] for s in stats],
+                    "codec": [s[4] for s in stats],
+                }
+            )
+
+    return media.mapInPandas(batches, VIDEO_META_SCHEMA)
+
+
+VIDEO_FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", LongType(), True),
+        StructField("frame_idx", LongType(), True),
+        StructField("px_count", LongType(), True),
+        StructField("px_sum", LongType(), True),
+        StructField("px_min", LongType(), True),
+        StructField("px_max", LongType(), True),
+    ]
+)
+
+
+def sample_video_frame_stats(
+    media: DataFrame, every_n: int = 2
+) -> DataFrame:
+    """FRAME SAMPLING with real decode: every ``every_n``-th MJPEG
+    frame of each AVI payload is Huffman-decoded through the baseline
+    JPEG path and reduced to exact integer pixel stats — one output
+    row per sampled frame, exploded inside ``mapInPandas`` (payloads
+    and pixels never leave the task; a row carries ~32 bytes out).
+    This is the crawl-pipeline shape: sample → decode → featurize,
+    costed by frames SAMPLED, not frames stored. A structurally
+    damaged container yields one NULL row; a single undecodable frame
+    NULLs only that frame's stats."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    _, avi_frames = _make_avi_decoders()
+    jpeg_core = _make_content_decoders()[4]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def rows(media_id: int, b: bytes):
+            try:
+                frames = list(avi_frames(b))
+            except ValueError:
+                yield (media_id, None, None, None, None, None, None)
+                return
+            n = len(frames)
+            for idx in range(0, n, every_n):
+                try:
+                    px = jpeg_core(frames[idx]).astype("int64")
+                    yield (
+                        media_id, n, idx, px.size, int(px.sum()),
+                        int(px.min()), int(px.max()),
+                    )
+                except (NotImplementedError, ValueError, IndexError):
+                    yield (media_id, n, idx, None, None, None, None)
+
+        for pdf in it:
+            out = [
+                r
+                for mid, p in zip(pdf["media_id"], pdf["payload"])
+                for r in rows(int(mid), bytes(p))
+            ]
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_frames", "frame_idx", "px_count",
+                    "px_sum", "px_min", "px_max",
+                ],
+            )
+
+    return media.mapInPandas(batches, VIDEO_FRAME_STATS_SCHEMA)
+
+
+def synthesize_mjpeg_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL AVI/MJPEG videos with CLOSED-FORM frame
+    content, for the oracle-checked frame-sampling path: per doc_id an
+    AVI whose ``3 + doc_id % 4`` frames are the DC-only baseline JPEGs
+    of ``synthesize_jpeg_media`` (frame f carries
+    ``dc = (doc_id·7 + f·13) mod 100 − 50``, decoding to the uniform
+    16×8 value ``128 + 2·dc`` exactly), wrapped in a spec-complete
+    RIFF container (avih + strl/strh 'vids'/'MJPG' + strf + movi) the
+    parser walks for real. A SQL oracle recomputes every sampled
+    frame's stats from doc_id alone."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as _pd
+
+        dc_jpeg = _make_dc_jpeg()
+
+        def chunk(cc: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) & 1 else b""
+            return cc + struct.pack("<I", len(body)) + body + pad
+
+        def lst(kind: bytes, body: bytes) -> bytes:
+            return chunk(b"LIST", kind + body)
+
+        def payload(doc_id: int) -> bytes:
+            n = 3 + doc_id % 4
+            frames = [
+                dc_jpeg((doc_id * 7 + f * 13) % 100 - 50)
+                for f in range(n)
+            ]
+            avih = chunk(
+                b"avih",
+                struct.pack(
+                    "<10I", 40000, 0, 0, 0, n, 0, 1, 0, 16, 8
+                )
+                + b"\x00" * 16,
+            )
+            strh = chunk(
+                b"strh",
+                b"vids" + b"MJPG"
+                + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 25, 0,
+                              n, 0, 0, 0, 0),
+            )
+            strf = chunk(
+                b"strf",
+                struct.pack(
+                    "<IiiHH4sIiiII", 40, 16, 8, 1, 24, b"MJPG",
+                    16 * 8 * 3, 0, 0, 0, 0,
+                ),
+            )
+            hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+            movi = lst(
+                b"movi", b"".join(chunk(b"00dc", f) for f in frames)
+            )
+            return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+        for pdf in it:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [payload(d) for d in ids],
+                    "media_type": ["video"] * len(ids),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)

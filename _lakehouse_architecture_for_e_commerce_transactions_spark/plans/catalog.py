@@ -2467,6 +2467,52 @@ FROM live GROUP BY g
 """
 
 
+def q_video_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """VIDEO frame sampling with real decode (operators/multimodal.py
+    AVI layer): per document a genuine RIFF/AVI container whose MJPEG
+    frames are the closed-form DC-only JPEGs; every 2nd frame is
+    sampled, Huffman-decoded through the real baseline-JPEG path, and
+    reduced to exact integer pixel stats inside mapInPandas. Frame f
+    of doc d decodes to the uniform value 128 + 2·((d·7 + f·13) mod
+    100 − 50) exactly, so the oracle recomputes every sampled frame's
+    stats from doc_id alone — container walk, frame addressing, and
+    decoder all checked against math."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        multimodal as MM,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    media = MM.synthesize_mjpeg_media(docs)
+    return (
+        MM.sample_video_frame_stats(media, every_n=2)
+        .groupBy(F.col("media_id").alias("doc_id"))
+        .agg(
+            F.max("n_frames").alias("n_frames"),
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("px_sum").alias("px_sum_total"),
+            F.min("px_min").alias("px_min"),
+            F.max("px_max").alias("px_max"),
+        )
+    )
+
+
+_VIDEO_FRAME_SQL = """
+SELECT d.doc_id,
+       CAST(3 + d.doc_id % 4 AS BIGINT) AS n_frames,
+       count(*) AS n_sampled,
+       CAST(sum(128 * (128 + 2 * (((d.doc_id * 7 + s.f * 13) % 100) - 50)))
+            AS BIGINT) AS px_sum_total,
+       CAST(min(128 + 2 * (((d.doc_id * 7 + s.f * 13) % 100) - 50))
+            AS BIGINT) AS px_min,
+       CAST(max(128 + 2 * (((d.doc_id * 7 + s.f * 13) % 100) - 50))
+            AS BIGINT) AS px_max
+FROM documents d
+JOIN (SELECT * FROM range(0, 7, 2) AS t(f)) s
+  ON s.f < 3 + d.doc_id % 4
+GROUP BY d.doc_id
+"""
+
+
 def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs → connected components → canonical docs: iterative
     min-label propagation, cross-checked against DuckDB recursive SQL."""
@@ -8788,6 +8834,7 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
         q_table_mv_maintenance, _TABLE_MV_SQL
     ),
     "cdc_replicate_sim": QueryDef(q_cdc_replicate_sim, _CDC_REPLICATE_SQL),
+    "video_frame_stats": QueryDef(q_video_frame_stats, _VIDEO_FRAME_SQL),
     "optimize_scoped_sim": QueryDef(
         q_optimize_scoped_sim, _OPTIMIZE_SCOPED_SQL
     ),
@@ -8838,6 +8885,7 @@ _WINDOW_FRONT: list[str] = [
     "snapshot_cdf_sim",
     "table_mv_maintenance_sim",
     "cdc_replicate_sim",
+    "video_frame_stats",
     # new in round 5
     "hll_distinct_orders",
     "bfs_reachability",
@@ -8883,7 +8931,6 @@ _WINDOW_FRONT: list[str] = [
     "kmeans_iteration",
     "window_funcs_extended",
     "vector_array_funcs",
-    "bpe_pair_merges",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)
