@@ -196,9 +196,9 @@ class SnapshotCDFReader(SnapshotTailReader):
 
         if new_dv_dirs:
             pos = _dv_positions(new_dv_dirs)
-            owners = self._file_owners(prev)
+            dir_hive = self._dir_hive_map(prev)
             for fp, idxs in sorted(pos.items()):
-                hive = owners.get(fp)
+                hive = self._owner_hive(dir_hive, fp)
                 if hive is None:
                     # tombstone for a file outside the previous
                     # snapshot (rewritten away in the same commit):
@@ -270,13 +270,19 @@ class SnapshotCDFReader(SnapshotTailReader):
             removed.extend(self._dir_files(d, old[d]))
         return added, removed
 
-    def _file_owners(self, snap) -> dict[str, list]:
-        """{file path: hive pairs} across a snapshot — resolves which
-        partition a tombstoned file belongs to. O(files of the
-        partitions the tombstones touch) would need the tombstone set
-        first; O(snapshot files) of driver os.walk is the simple bound
-        and stays metadata-scale (no file content is read)."""
-        return dict(self._snapshot_files(snap))
+    @staticmethod
+    def _owner_hive(dir_hive: dict, fp: str) -> list | None:
+        """Hive pairs of the snapshot dir owning file ``fp`` (None if
+        no dir of the snapshot contains it) — dir-PREFIX matching
+        against the manifest's dir list, so resolving a DV commit's
+        tombstoned files costs O(files tombstoned × manifest dirs),
+        never an os.walk of the table."""
+        for d, hive in dir_hive.items():
+            if fp.startswith(d.rstrip(os.sep) + os.sep):
+                if hive is not None:
+                    return hive
+                return _hive_pairs_under(d, os.path.dirname(fp))
+        return None
 
     # -- executor-side read -------------------------------------------
 
