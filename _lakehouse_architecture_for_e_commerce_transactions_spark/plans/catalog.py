@@ -2513,6 +2513,122 @@ GROUP BY d.doc_id
 """
 
 
+def q_merge_cdc_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-time CDC for MERGE (`merge_commit(change_data=True)`,
+    Delta's enableChangeDataFeed): a PARTITIONED table takes an
+    initial merge, then an upserting merge; the change feed must emit
+    the second merge's PRECISE rows — every matched key as update
+    pre+post image, every new key as insert, and NOT the rewritten
+    partition's carried rows (the structural churn the change files
+    exist to replace). The oracle restates the exact expected feed
+    from orders arithmetic."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as SN,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.cdf import (
+        read_changes_stream,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        TableSpec,
+    )
+
+    base = _os.path.join(
+        _tf.gettempdir(),
+        f"sparkgraft_mergecdc_{_os.path.basename(sf.rstrip('/'))}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    path = _os.path.join(base, "t")
+    spec = TableSpec(
+        name="t",
+        schema=StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("g", StringType(), True),
+                StructField("amt", DoubleType(), True),
+            ]
+        ),
+        primary_key="id",
+        partition_by=("g",),
+    )
+    o = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderpriority").alias("g"),
+            F.col("o_totalprice").alias("amt"),
+        )
+    )
+    SN.merge_commit(
+        spark, o.filter(F.col("id") % 3 == 0), path, spec,
+        change_data=True,
+    )
+    # matched updates (mod-6 ⊂ the mod-3=0 slice) + fresh inserts
+    src2 = o.filter(F.col("id") % 6 == 0).withColumn(
+        "amt", F.col("amt") + 10.0
+    ).unionByName(o.filter(F.col("id") % 3 == 1))
+    SN.merge_commit(spark, src2, path, spec, change_data=True)
+
+    got: list = []
+    q = (
+        read_changes_stream(spark, path, starting_version="earliest")
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .foreachBatch(lambda df, _bid: got.extend(df.collect()))
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.createDataFrame(
+        got,
+        schema=(
+            "id long, g string, amt double,"
+            " _change_type string, _commit_version long"
+        ),
+    )
+    return emitted.groupBy(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").alias("key_sum"),
+        money_sum(F.col("amt")).alias("total"),
+    )
+
+
+_MERGE_CDC_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS id, o_totalprice AS amt
+  FROM orders WHERE o_custkey < 100),
+changes AS (
+  SELECT CAST(0 AS BIGINT) AS commit_version, 'insert' AS change_type,
+         id, amt
+  FROM base WHERE id % 3 = 0
+  UNION ALL
+  SELECT 1, 'update_preimage', id, amt FROM base WHERE id % 6 = 0
+  UNION ALL
+  SELECT 1, 'update_postimage', id, amt + 10.0
+  FROM base WHERE id % 6 = 0
+  UNION ALL
+  SELECT 1, 'insert', id, amt FROM base WHERE id % 3 = 1)
+SELECT commit_version, change_type, count(*) AS n,
+       CAST(sum(id) AS BIGINT) AS key_sum,
+       {_money_sum_sql("amt")} AS total
+FROM changes GROUP BY commit_version, change_type
+"""
+
+
 def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs → connected components → canonical docs: iterative
     min-label propagation, cross-checked against DuckDB recursive SQL."""
@@ -8835,6 +8951,7 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     ),
     "cdc_replicate_sim": QueryDef(q_cdc_replicate_sim, _CDC_REPLICATE_SQL),
     "video_frame_stats": QueryDef(q_video_frame_stats, _VIDEO_FRAME_SQL),
+    "merge_cdc_sim": QueryDef(q_merge_cdc_sim, _MERGE_CDC_SQL),
     "optimize_scoped_sim": QueryDef(
         q_optimize_scoped_sim, _OPTIMIZE_SCOPED_SQL
     ),
@@ -8886,6 +9003,7 @@ _WINDOW_FRONT: list[str] = [
     "table_mv_maintenance_sim",
     "cdc_replicate_sim",
     "video_frame_stats",
+    "merge_cdc_sim",
     # new in round 5
     "hll_distinct_orders",
     "bfs_reachability",
@@ -8930,7 +9048,6 @@ _WINDOW_FRONT: list[str] = [
     "dup_span_pairs",
     "kmeans_iteration",
     "window_funcs_extended",
-    "vector_array_funcs",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

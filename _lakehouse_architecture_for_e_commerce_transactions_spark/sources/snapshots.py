@@ -1732,8 +1732,20 @@ def merge_commit(
     max_retries: int = 10,
     stats_for: list[str] | None = None,
     op: str = "MERGE",
+    change_data: bool = False,
 ) -> int:
     """MERGE upsert published as an atomic snapshot version.
+
+    ``change_data=True`` is Delta's ``enableChangeDataFeed`` at the
+    commit site: the merge ALSO writes its precise row-level changes
+    (every matched key as ``update_preimage``+``update_postimage``,
+    every new key as ``insert`` — Delta's matched-row semantics) to a
+    ``_change_data`` dir inside the commit (underscore-prefixed:
+    invisible to every data scan), referenced from the manifest. The
+    ``snapshot_cdf`` stream then emits THESE rows for the version
+    instead of the structural whole-partition delete+insert churn —
+    row-precise CDC for rewrites, at the cost of one extra
+    source-scaled write. Off by default, like Delta.
 
     Only *affected* partitions (those the source writes into or steals a
     matched key from) are rewritten; unaffected partitions' entries carry
@@ -1785,6 +1797,7 @@ def merge_commit(
         base_version = None
         parent_stats_cols = None
         mapping: dict[str, str] = {}
+        target = None
         try:
             parent = load_snapshot(path)
             base_version = parent.version
@@ -1809,6 +1822,10 @@ def merge_commit(
             "op": op,
             "metrics": {"num_files_added": nf, "num_output_rows": nr},
         }
+        if change_data:
+            manifest["change_data"] = _write_change_data(
+                spec, source, target, commit_dir, mapping
+            )
         eff_stats = (
             _phys_cols(mapping, stats_for)
             if stats_for
@@ -1835,6 +1852,7 @@ def merge_commit(
     full_rewrite = False
     mapping = {}
     retired: set = set()
+    target = None
     try:
         parent = load_snapshot(path)
         base_version = parent.version
@@ -1896,6 +1914,11 @@ def merge_commit(
     written = _hive_leaf_dirs(commit_dir, parts)
     if affected is None:
         affected = set(written)
+    cdc_dir = (
+        _write_change_data(spec, source, target, commit_dir, mapping)
+        if change_data
+        else None
+    )
     return _publish_partitioned(
         path,
         base_version,
@@ -1914,7 +1937,49 @@ def merge_commit(
         op=op,
         mapping=mapping,
         retired=retired,
+        change_data_dir=cdc_dir,
     )
+
+
+def _write_change_data(
+    spec, source: DataFrame, target: DataFrame | None, commit_dir: str,
+    mapping: dict,
+) -> str:
+    """Write a MERGE's precise row-level changes (Delta
+    ``_change_data`` shape) under the commit dir — underscore-prefixed
+    so no data scan (Spark or the tail source's file walk) ever reads
+    it as rows. Matched keys emit update_preimage+update_postimage
+    (Delta's matched-row semantics: every matched row is an update),
+    unmatched source keys emit insert; an initial commit is all
+    inserts. Columns land under PHYSICAL names + ``_change_type`` so
+    the CDF stream's one mapping serves data and change files alike.
+    Cost: source-scaled joins and one source-scaled write — never
+    table-scaled."""
+    keys = (
+        [spec.primary_key]
+        if isinstance(spec.primary_key, str)
+        else list(spec.primary_key)
+    )
+    if target is None:
+        changes = source.withColumn("_change_type", F.lit("insert"))
+    else:
+        pre = target.join(source, keys, "left_semi").withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = source.join(target, keys, "left_semi").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        ins = source.join(target, keys, "left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        changes = pre.unionByName(post).unionByName(ins)
+    cdc_dir = os.path.join(commit_dir, "_change_data")
+    # _to_physical passes unmapped names through, so _change_type
+    # (never a data column) survives the rename untouched
+    _to_physical(changes, mapping).write.mode("errorifexists").parquet(
+        cdc_dir
+    )
+    return cdc_dir
 
 
 def _publish_partitioned(
@@ -1932,6 +1997,7 @@ def _publish_partitioned(
     fresh_changed: bool = True,
     mapping: dict | None = None,
     retired: set | None = None,
+    change_data_dir: str | None = None,
 ) -> int:
     """Publish an already-written partition-granular rewrite (MERGE or
     DELETE) as the next version: carry unaffected entries by reference,
@@ -2027,6 +2093,8 @@ def _publish_partitioned(
                 "num_partitions_carried": len(carried),
             },
         }
+        if change_data_dir is not None:
+            manifest["change_data"] = change_data_dir
         if head is not None and head.dv_files and carried:
             # carried-by-reference partitions still need their deletion
             # vectors (dropping them would resurrect DV-deleted rows);

@@ -161,6 +161,19 @@ class SnapshotCDFReader(SnapshotTailReader):
         mapping = self._mapping
         out: list[InputPartition] = []
 
+        cdc_dir = S._raw_manifest(self._path, v).get("change_data")
+        if cdc_dir is not None and prev is not None:
+            # the commit recorded its PRECISE row-level changes at
+            # write time (merge_commit(change_data=True)): emit those
+            # and skip the structural classification — the rewrite's
+            # whole-partition delete+insert churn is exactly what the
+            # change files exist to replace. (A baseline version still
+            # emits the snapshot: the net state IS the feed's start.)
+            return [
+                _ChangeSlice("cdc", fp, [], mapping, v, "")
+                for fp in _parquet_files(cdc_dir)
+            ]
+
         if prev is None:
             # baseline: the whole snapshot as inserts, dead rows excluded
             excl = list(snap.dv_files or [])
@@ -320,9 +333,17 @@ class SnapshotCDFReader(SnapshotTailReader):
         for f in self._schema.fields:
             af = target.field(f.name)
             if f.name == "_change_type":
-                cols.append(
-                    pa.array([partition.change_type] * n).cast(af.type)
-                )
+                if partition.kind == "cdc":
+                    # write-time change files carry their own types
+                    cols.append(
+                        tbl.column("_change_type")
+                        .combine_chunks()
+                        .cast(af.type)
+                    )
+                else:
+                    cols.append(
+                        pa.array([partition.change_type] * n).cast(af.type)
+                    )
                 continue
             if f.name == "_commit_version":
                 cols.append(

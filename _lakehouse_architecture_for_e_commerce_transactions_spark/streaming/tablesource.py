@@ -115,7 +115,13 @@ def _hive_pairs_under(root_dir: str, file_dir: str) -> list:
 
 def _parquet_files(d: str) -> list[str]:
     out = []
-    for root, _dirs, files in os.walk(d):
+    for root, dirs, files in os.walk(d):
+        # Hadoop convention: _-/.-prefixed dirs are metadata, not data
+        # (e.g. a commit's _change_data CDC files must never stream as
+        # table rows)
+        dirs[:] = sorted(
+            x for x in dirs if not x.startswith(("_", "."))
+        )
         for fn in sorted(files):
             if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
                 out.append(os.path.join(root, fn))

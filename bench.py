@@ -179,6 +179,13 @@ def main() -> None:
         # round-6: ER survivorship + cross-corpus decontamination
         "er_golden_records",
         "decontaminate_train_bench",
+        # round-6: change-data-feed source end-to-end (baseline +
+        # append + DV delete + DV update + silent OPTIMIZE, drained
+        # and re-aggregated) and CDF-driven MIN/MAX view maintenance
+        "snapshot_cdf_sim",
+        "table_mv_maintenance_sim",
+        # round-6: AVI/MJPEG frame sampling through the real JPEG path
+        "video_frame_stats",
     ]
     extras: dict[str, float] = {}
     for rep in range(reps):

@@ -252,3 +252,100 @@ def test_exactly_once_across_checkpoint(spark, tmp_path):
     got2 = _drain(spark, path, ckpt, starting_version="earliest")
     assert [(r.k, r._change_type) for r in got2] == [(1, "delete")]
     assert _drain(spark, path, ckpt, starting_version="earliest") == []
+
+
+def test_change_data_merge_is_row_precise(spark, tmp_path):
+    """merge_commit(change_data=True) writes Delta-style _change_data
+    files; the feed emits THOSE (matched keys as update pre+post, new
+    keys as insert) instead of whole-partition delete+insert churn."""
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    spec = _part_spec()
+    S.merge_commit(
+        spark,
+        spark.createDataFrame(
+            [Row(k=1, p=10, v="a"), Row(k=2, p=10, v="b")]
+        ),
+        path,
+        spec,
+        change_data=True,
+    )
+    _drain(spark, path, ckpt, starting_version="earliest")
+    # k=1 updated, k=2 carried (must NOT appear at all), k=3 new
+    S.merge_commit(
+        spark,
+        spark.createDataFrame([Row(k=1, p=10, v="A"), Row(k=3, p=10, v="c")]),
+        path,
+        spec,
+        change_data=True,
+    )
+    got = _drain(spark, path, ckpt)
+    by = sorted((r._change_type, r.k, r.v) for r in got)
+    assert by == [
+        ("insert", 3, "c"),
+        ("update_postimage", 1, "A"),
+        ("update_preimage", 1, "a"),
+    ]
+    assert all(r.p == 10 and r._commit_version == 1 for r in got)
+
+
+def test_change_data_files_never_leak_into_data_scans(spark, tmp_path):
+    """_change_data lives inside the commit dir but is invisible to
+    batch reads AND the append-tail stream."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.tablesource import (
+        read_table_stream,
+    )
+
+    path = str(tmp_path / "t")
+    spec = _part_spec()
+    S.merge_commit(
+        spark,
+        spark.createDataFrame(
+            [Row(k=1, p=10, v="a"), Row(k=2, p=20, v="b")]
+        ),
+        path,
+        spec,
+        change_data=True,
+    )
+    assert sorted(r.k for r in S.read(spark, path).collect()) == [1, 2]
+    got: list = []
+    q = (
+        read_table_stream(spark, path, starting_version="earliest")
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "tc"))
+        .foreachBatch(lambda df, _b: got.extend(df.collect()))
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r.k for r in got) == [1, 2]  # not doubled by CDC rows
+
+
+def test_feed_replay_reconstructs_through_cdc_merges(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spec = _part_spec()
+    S.merge_commit(
+        spark,
+        spark.createDataFrame([Row(k=1, p=10, v="a"), Row(k=2, p=20, v="b")]),
+        path, spec, change_data=True,
+    )
+    S.merge_commit(
+        spark,
+        spark.createDataFrame([Row(k=1, p=10, v="A"), Row(k=4, p=20, v="d")]),
+        path, spec, change_data=True,
+    )
+    S.delete_where_dv(spark, path, "k = 2")
+    got = _drain(
+        spark, path, str(tmp_path / "ckpt"), starting_version="earliest"
+    )
+    state: dict = {}
+    for r in sorted(got, key=lambda r: r._commit_version):
+        key = (r.k, r.p, r.v)
+        if r._change_type in ("insert", "update_postimage"):
+            state[key] = state.get(key, 0) + 1
+        else:
+            state[key] = state.get(key, 0) - 1
+    live = sorted(k for k, n in state.items() if n > 0)
+    expect = sorted(
+        (r.k, r.p, r.v) for r in S.read(spark, path).collect()
+    )
+    assert live == expect == [(1, 10, "A"), (4, 20, "d")]
