@@ -2146,10 +2146,14 @@ def delete_where(
     path: str,
     predicate: str,
     max_retries: int = 10,
+    change_data: bool = False,
 ) -> int:
     """``DELETE FROM <table> WHERE predicate`` published as an atomic
     next version (Delta DELETE semantics). Returns the new version, or
     the unchanged head version when no row matches (no empty commit).
+    ``change_data=True`` also records the deleted rows as precise
+    ``delete`` change rows (see ``merge_commit``) so the change feed
+    skips the rewritten partitions' carried-row churn.
 
     On a merge-committed (partition-granular) table only partitions that
     contain matching rows are rewritten — every other partition carries
@@ -2179,6 +2183,10 @@ def delete_where(
             "op": "DELETE",
             "metrics": {"num_files_added": nf, "num_output_rows": nr},
         }
+        if change_data:
+            manifest["change_data"] = _write_typed_changes(
+                data.filter(cond), "delete", commit_dir, _mapping(base)
+            )
         if base.stats_cols:
             # full rewrite: one fresh sidecar, no carries
             manifest["stats_sidecars"] = [
@@ -2225,6 +2233,13 @@ def delete_where(
         .parquet(commit_dir)
     )
     written = _hive_leaf_dirs(commit_dir, parts)
+    cdc_dir = (
+        _write_typed_changes(
+            data.filter(cond), "delete", commit_dir, _mapping(base)
+        )
+        if change_data
+        else None
+    )
     return _publish_partitioned(
         path,
         base.version,
@@ -2239,7 +2254,20 @@ def delete_where(
         op="DELETE",
         mapping=_mapping(base),
         retired=set(base.retired_physical or []),
+        change_data_dir=cdc_dir,
     )
+
+
+def _write_typed_changes(
+    rows: DataFrame, change_type: str, commit_dir: str, mapping: dict
+) -> str:
+    """One-type variant of ``_write_change_data`` (DELETE's precise
+    change rows); same physical-name + underscore-dir contract."""
+    cdc_dir = os.path.join(commit_dir, "_change_data")
+    _to_physical(
+        rows.withColumn("_change_type", F.lit(change_type)), mapping
+    ).write.mode("errorifexists").parquet(cdc_dir)
+    return cdc_dir
 
 
 def delete_where_dv(

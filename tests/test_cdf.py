@@ -349,3 +349,26 @@ def test_feed_replay_reconstructs_through_cdc_merges(spark, tmp_path):
         (r.k, r.p, r.v) for r in S.read(spark, path).collect()
     )
     assert live == expect == [(1, 10, "A"), (4, 20, "d")]
+
+
+def test_change_data_delete_is_row_precise(spark, tmp_path):
+    """delete_where(change_data=True): the feed emits exactly the
+    deleted rows — survivors in the rewritten partition stay silent."""
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    spec = _part_spec()
+    S.merge_commit(
+        spark,
+        spark.createDataFrame(
+            [Row(k=1, p=10, v="a"), Row(k=2, p=10, v="b"),
+             Row(k=3, p=20, v="c")]
+        ),
+        path,
+        spec,
+    )
+    _drain(spark, path, ckpt, starting_version="earliest")
+    S.delete_where(spark, path, "k = 1", change_data=True)
+    got = _drain(spark, path, ckpt)
+    assert [(r.k, r.p, r.v, r._change_type) for r in got] == [
+        (1, 10, "a", "delete")
+    ]
