@@ -372,3 +372,27 @@ def test_change_data_delete_is_row_precise(spark, tmp_path):
     assert [(r.k, r.p, r.v, r._change_type) for r in got] == [
         (1, 10, "a", "delete")
     ]
+
+
+def test_replace_where_is_already_row_precise(spark, tmp_path):
+    """replaceWhere commits via deletion vectors + an appended dir, so
+    the feed gets row-precise deletes (tombstone positions) and
+    inserts (the replacement) with NO write-time change files."""
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    S.commit(
+        spark, _df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]), path
+    )
+    _drain(spark, path, ckpt, starting_version="earliest")
+    S.replace_where_commit(
+        spark,
+        _df(spark, [(9, "a", 99)]),
+        path,
+        predicates=[("v", "==", "a")],
+    )
+    got = _drain(spark, path, ckpt)
+    assert sorted((r.k, r._change_type) for r in got) == [
+        (1, "delete"),
+        (2, "delete"),
+        (9, "insert"),
+    ]
