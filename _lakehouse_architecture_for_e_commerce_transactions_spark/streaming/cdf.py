@@ -57,7 +57,11 @@ import os
 from typing import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
@@ -372,6 +376,39 @@ class SnapshotCDFReader(SnapshotTailReader):
         yield from out.to_batches(max_chunksize=1 << 16)
 
 
+class SnapshotCDFBatchReader(DataSourceReader):
+    """BATCH change read (Delta's ``table_changes(t, a, b)`` TVF
+    shape): every change of versions ``(startingVersion−1,
+    endingVersion]`` in one DataFrame, planned by the SAME per-version
+    classifier as the stream — structural adds, row-precise DV
+    deletes, write-time change files — so batch and streaming
+    consumers see byte-identical change rows."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        opts = dict(options)
+        opts.setdefault("startingversion", "earliest")
+        self._inner = SnapshotCDFReader(schema, opts)
+        self._ending = options.get("endingversion")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        lo = self._inner._resolve_start()
+        vs = S._versions(self._inner._path)
+        hi = vs[-1]
+        if self._ending is not None:
+            hi = int(self._ending)
+            if hi not in vs:
+                # same typed refusals as batch time travel
+                S.load_snapshot(self._inner._path, hi)
+        out: list[InputPartition] = []
+        for v in vs:
+            if lo < v <= hi:
+                out.extend(self._inner._version_partitions(v))
+        return out
+
+    def read(self, partition: InputPartition) -> Iterator:
+        return self._inner.read(partition)
+
+
 class SnapshotCDFDataSource(DataSource):
     """``spark.readStream.format("snapshot_cdf").option("path", p)``."""
 
@@ -399,6 +436,9 @@ class SnapshotCDFDataSource(DataSource):
     def streamReader(self, schema: StructType) -> SnapshotCDFReader:
         return SnapshotCDFReader(schema, dict(self.options))
 
+    def reader(self, schema: StructType) -> SnapshotCDFBatchReader:
+        return SnapshotCDFBatchReader(schema, dict(self.options))
+
 
 def register(spark: SparkSession) -> None:
     """Register the source under ``snapshot_cdf`` (idempotent)."""
@@ -418,4 +458,27 @@ def read_changes_stream(
         r = r.option("startingVersion", str(starting_version))
     if max_versions_per_trigger is not None:
         r = r.option("maxVersionsPerTrigger", str(max_versions_per_trigger))
+    return r.load()
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    starting_version: int | str = "earliest",
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Delta's ``table_changes(t, from, to)`` as a BATCH DataFrame:
+    every change row of versions ``[starting_version, ending_version]``
+    (default: earliest through head), identical to what the stream
+    would emit for the same range. ``starting_version='earliest'``
+    replays from the oldest surviving snapshot (its rows as the
+    baseline inserts)."""
+    register(spark)
+    r = (
+        spark.read.format(CDF_SOURCE_NAME)
+        .option("path", path)
+        .option("startingVersion", str(starting_version))
+    )
+    if ending_version is not None:
+        r = r.option("endingVersion", str(ending_version))
     return r.load()

@@ -174,6 +174,85 @@ def last_applied_changes_batch(dst_path: str) -> int:
     return -1
 
 
+def apply_changes_batch(
+    spark: SparkSession,
+    dst_path: str,
+    spec,
+    batch_df: DataFrame,
+    batch_id: int,
+) -> bool:
+    """Idempotently apply ONE netted micro-batch of change rows into
+    ``dst_path`` (the foreachBatch body of :func:`apply_changes_into`,
+    module-level so crash-window behavior is directly testable).
+    Returns True if anything was committed.
+
+    Crash contract: the batch id marker rides the LAST commit. Deletes
+    land first under a non-marker op (``DELETE@cdcapplying``) when
+    upserts follow — a crash between the two replays the batch, the
+    delete re-run matches nothing (keys already dead), and the marker
+    MERGE completes; a crash after the marker makes the replay a full
+    no-op."""
+    from pyspark.sql.window import Window
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as S,
+    )
+
+    keys = (
+        [spec.primary_key]
+        if isinstance(spec.primary_key, str)
+        else list(spec.primary_key)
+    )
+    data_cols = [f.name for f in spec.schema.fields]
+    is_add = F.col("_change_type").isin(*_ADDS)
+    if batch_df.isEmpty():
+        return False
+    if batch_id <= last_applied_changes_batch(dst_path):
+        return False  # replayed batch: marker already published
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("_commit_version").desc(),
+        is_add.cast("int").desc(),
+    )
+    final = (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .cache()
+    )
+    try:
+        dst_exists = True
+        try:
+            S._versions(dst_path)
+        except FileNotFoundError:
+            dst_exists = False
+        ups = final.filter(is_add).select(*data_cols)
+        dels = final.filter(~is_add).select(*keys)
+        has_ups = not ups.isEmpty()
+        wrote = False
+        if dst_exists and not dels.isEmpty():
+            before = S.load_snapshot(dst_path).version
+            after = S.delete_matching_dv(
+                spark,
+                dst_path,
+                dels,
+                keys,
+                op=(
+                    "DELETE@cdcapplying"
+                    if has_ups
+                    else f"DELETE{_CDC_MARK}{batch_id}"
+                ),
+            )
+            wrote = wrote or after != before
+        if has_ups:
+            S.merge_commit(
+                spark, ups, dst_path, spec,
+                op=f"MERGE{_CDC_MARK}{batch_id}",
+            )
+            wrote = True
+        return wrote
+    finally:
+        final.unpersist()
+
+
 def apply_changes_into(
     spark: SparkSession,
     src_path: str,
@@ -208,57 +287,8 @@ def apply_changes_into(
         snapshots as S,
     )
 
-    keys = (
-        [spec.primary_key]
-        if isinstance(spec.primary_key, str)
-        else list(spec.primary_key)
-    )
-    data_cols = [f.name for f in spec.schema.fields]
-    is_add = F.col("_change_type").isin(*_ADDS)
-
-    def _dst_exists() -> bool:
-        try:
-            return bool(S._versions(dst_path))
-        except FileNotFoundError:
-            return False
-
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        if batch_id <= last_applied_changes_batch(dst_path):
-            return  # replayed batch: marker already published
-        w = Window.partitionBy(*keys).orderBy(
-            F.col("_commit_version").desc(),
-            is_add.cast("int").desc(),
-        )
-        final = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .cache()
-        )
-        try:
-            ups = final.filter(is_add).select(*data_cols)
-            dels = final.filter(~is_add).select(*keys)
-            has_ups = not ups.isEmpty()
-            if _dst_exists() and not dels.isEmpty():
-                S.delete_matching_dv(
-                    spark,
-                    dst_path,
-                    dels,
-                    keys,
-                    op=(
-                        "DELETE@cdcapplying"
-                        if has_ups
-                        else f"DELETE{_CDC_MARK}{batch_id}"
-                    ),
-                )
-            if has_ups:
-                S.merge_commit(
-                    spark, ups, dst_path, spec,
-                    op=f"MERGE{_CDC_MARK}{batch_id}",
-                )
-        finally:
-            final.unpersist()
+        apply_changes_batch(spark, dst_path, spec, batch_df, batch_id)
 
     src = read_changes_stream(
         spark,

@@ -163,3 +163,60 @@ def test_batched_history_nets_per_key(spark, tmp_path):
     finally:
         q.stop()
     assert _rows(spark, dst) == _rows(spark, src) == want
+
+
+def test_crash_between_delete_and_marker_merge_replays_clean(
+    spark, tmp_path, monkeypatch
+):
+    """The crash window the marker design exists for: deletes land
+    (non-marker op), the process dies before the marker MERGE, the
+    batch replays — the delete re-run must be a no-op and the merge
+    must complete, leaving the replica exact with no double-apply."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    spec = _spec()
+    S.commit(spark, _df(spark, [(1, "a", 10), (2, "a", 20)]), src)
+    _sync(spark, src, dst, str(tmp_path / "ckpt"), spec)
+
+    # one batch carrying BOTH a delete (id=2) and an upsert (id=3)
+    batch = spark.createDataFrame(
+        [
+            Row(id=2, g="a", amt=20.0, _change_type="delete",
+                _commit_version=1),
+            Row(id=3, g="b", amt=30.0, _change_type="insert",
+                _commit_version=1),
+        ]
+    )
+
+    real_merge = S.merge_commit
+    calls = {"n": 0}
+
+    def dying_merge(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before the marker merge")
+        return real_merge(*a, **kw)
+
+    monkeypatch.setattr(S, "merge_commit", dying_merge)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        CM.apply_changes_batch(spark, dst, spec, batch, batch_id=1)
+    # the delete landed without a marker; the replica is mid-batch
+    assert _rows(spark, dst) == [(1, "a", 10.0)]
+    assert CM.last_applied_changes_batch(dst) == 0
+
+    # replay (what the restarted stream does): delete no-ops, merge
+    # completes with the marker
+    assert CM.apply_changes_batch(spark, dst, spec, batch, batch_id=1)
+    assert _rows(spark, dst) == [(1, "a", 10.0), (3, "b", 30.0)]
+    assert CM.last_applied_changes_batch(dst) == 1
+    dv_deletes = [
+        v
+        for v in S._versions(dst)
+        if "DELETE" in (S.load_snapshot(dst, v).op or "")
+    ]
+    assert len(dv_deletes) == 1  # the replayed delete committed nothing
+
+    # a second replay of the marked batch is a full no-op
+    assert not CM.apply_changes_batch(spark, dst, spec, batch, batch_id=1)

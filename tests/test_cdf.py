@@ -396,3 +396,43 @@ def test_replace_where_is_already_row_precise(spark, tmp_path):
         (2, "delete"),
         (9, "insert"),
     ]
+
+
+def test_batch_table_changes_equals_stream(spark, tmp_path):
+    """The batch table_changes read plans with the SAME per-version
+    classifier as the stream: identical rows for the same range, and
+    version-range selection works."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.cdf import (
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a", 10), (2, "b", 20)]), path)
+    S.commit(spark, _df(spark, [(3, "c", 30)]), path, mode="append")
+    S.delete_where_dv(spark, path, "k = 1")
+    S.update_where_dv(spark, path, "k = 3", {"amt": "amt * 2"})
+
+    streamed = sorted(
+        (r.k, r.v, r.amt, r._change_type, r._commit_version)
+        for r in _drain(
+            spark, path, str(tmp_path / "ckpt"),
+            starting_version="earliest",
+        )
+    )
+    batch = sorted(
+        (r.k, r.v, r.amt, r._change_type, r._commit_version)
+        for r in table_changes(spark, path).collect()
+    )
+    assert batch == streamed and len(batch) == 6
+
+    # a bounded range: only the delete commit (version 2)
+    ranged = table_changes(
+        spark, path, starting_version=2, ending_version=2
+    ).collect()
+    assert [(r.k, r._change_type) for r in ranged] == [(1, "delete")]
+
+    # refusing an uncommitted ending version, typed like time travel
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        table_changes(spark, path, ending_version=99).collect()
