@@ -192,8 +192,10 @@ class SnapshotCDFReader(SnapshotTailReader):
 
         prev_dv = list(prev.dv_files or [])
         new_dv_dirs = [d for d in (snap.dv_files or []) if d not in prev_dv]
-        pre_ct = "update_preimage" if snap.op == "UPDATE" else "delete"
-        post_ct = "update_postimage" if snap.op == "UPDATE" else "insert"
+        # prefix match: ops may carry batch markers ("UPDATE@...")
+        is_update = (snap.op or "").startswith("UPDATE")
+        pre_ct = "update_preimage" if is_update else "delete"
+        post_ct = "update_postimage" if is_update else "insert"
 
         added_files, removed_files = self._structural_delta(snap, prev)
 

@@ -174,6 +174,12 @@ class SnapshotTailReader(DataSourceStreamReader):
         # file-source limit is best-effort the same way).
         mvpt = options.get("maxversionspertrigger")
         self._max_versions = int(mvpt) if mvpt is not None else None
+        # Delta's maxFilesPerTrigger analog: stop advancing the offset
+        # once the batch's cumulative ADDED-file count would exceed the
+        # budget (always admitting at least one version so progress
+        # never stalls). Same best-effort contract as max_versions.
+        mfpt = options.get("maxfilespertrigger")
+        self._max_files = int(mfpt) if mfpt is not None else None
         self._cursor: int | None = None
         # Resolve logical -> PHYSICAL names once, at the same moment
         # the schema is captured: physical names are immutable (rename
@@ -211,19 +217,37 @@ class SnapshotTailReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         vs = S._versions(self._path)
         head = vs[-1] if vs else -1
-        if self._max_versions is None:
+        if self._max_versions is None and self._max_files is None:
             self._cursor = head
             return {"version": head}
         # The engine may route initialOffset and latestOffset to
         # different reader instances, and after a restart the cursor
         # is gone entirely — re-seed it from the starting option and
-        # RATCHET forward max_versions per call. If the checkpoint
-        # position is ahead of the seed, the returned offset is simply
-        # "no new data" until the ratchet catches up — bounded batches
-        # remain guaranteed, progress resumes within a few triggers.
+        # RATCHET forward per call. If the checkpoint position is
+        # ahead of the seed, the returned offset is simply "no new
+        # data" until the ratchet catches up — bounded batches remain
+        # guaranteed, progress resumes within a few triggers.
         if self._cursor is None:
             self._cursor = self._resolve_start()
-        end = min(head, self._cursor + self._max_versions)
+        end = head
+        if self._max_versions is not None:
+            end = min(end, self._cursor + self._max_versions)
+        if self._max_files is not None:
+            # admit versions until the file budget is spent; always at
+            # least one so the stream never stalls. Planning cost is
+            # O(versions admitted) manifest loads — the work
+            # partitions() pays anyway.
+            budget = self._max_files
+            v = self._cursor
+            while v < end:
+                n = len(self._version_partitions(v + 1))
+                if v > self._cursor and n > budget:
+                    break
+                budget -= n
+                v += 1
+                if budget <= 0:
+                    break
+            end = v
         if end > self._cursor:
             self._cursor = end
         return {"version": end}
@@ -414,6 +438,7 @@ def read_table_stream(
     starting_version: int | str | None = None,
     skip_change_commits: bool = False,
     max_versions_per_trigger: int | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """The one-call wrapper: a streaming DataFrame tailing ``path``."""
     register(spark)
@@ -426,6 +451,8 @@ def read_table_stream(
         r = r.option("startingVersion", str(starting_version))
     if max_versions_per_trigger is not None:
         r = r.option("maxVersionsPerTrigger", str(max_versions_per_trigger))
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return r.load()
 
 
@@ -487,6 +514,7 @@ def stream_table_to_table(
     starting_version: int | str | None = "earliest",
     skip_change_commits: bool = False,
     max_versions_per_trigger: int | None = None,
+    max_files_per_trigger: int | None = None,
     trigger: dict | None = None,
 ):
     """The medallion hop as one call: tail ``src_path``, apply
@@ -512,6 +540,7 @@ def stream_table_to_table(
         starting_version=starting_version,
         skip_change_commits=skip_change_commits,
         max_versions_per_trigger=max_versions_per_trigger,
+        max_files_per_trigger=max_files_per_trigger,
     )
     w = src.writeStream.option("checkpointLocation", checkpoint).foreachBatch(
         _sink

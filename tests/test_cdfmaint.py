@@ -190,3 +190,38 @@ def test_partition_rewrite_churn_is_absorbed(spark, tmp_path):
     _run_minmax(spark, tmp_path, src)
     assert _got_minmax(spark, tmp_path) == _expected_minmax(spark, src)
     assert _got_minmax(spark, tmp_path) == {"a": (500, 1000)}
+
+
+def test_topk_tracks_table_with_deletes(spark, tmp_path):
+    src = str(tmp_path / "src")
+    S.commit(
+        spark,
+        _df(
+            spark,
+            [("a", 10), ("a", 30), ("a", 20), ("a", 40), ("b", 5)],
+        ),
+        src,
+    )
+    S.delete_where_dv(spark, src, "amt = 40.0")  # evict a's current top
+    q = CM.table_topk_maintenance(
+        spark,
+        src,
+        str(tmp_path / "fact"),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        key_col="g",
+        val_col="amt",
+        k=2,
+    )
+    q.awaitTermination()
+    got = {
+        (r["k"], r["pos"]): r["val_scaled"]
+        for r in AM.read_maintained_topk(
+            spark, str(tmp_path / "state"), k=2
+        ).collect()
+    }
+    assert got == {
+        ("a", 1): 3000,
+        ("a", 2): 2000,
+        ("b", 1): 500,
+    }

@@ -381,3 +381,50 @@ def test_max_versions_per_trigger_paces_backfill(spark, tmp_path):
     # one bounded batch per bronze version: four separate silver commits
     tail_ops = [op for op in _silver_ops(silver) if "@tailbatch=" in op]
     assert len(tail_ops) == 4
+
+
+def test_max_files_per_trigger_paces_by_file_count(spark, tmp_path):
+    """The Delta maxFilesPerTrigger analog: offset advancement stops
+    once a batch's cumulative added-file budget is spent, but always
+    admits at least one version so the stream never stalls."""
+    import time as _time
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.tablesource import (
+        stream_table_to_table,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    S.commit(spark, _df(spark, [(1, "a", 10)]), bronze)
+    for i in range(2, 5):
+        S.commit(
+            spark,
+            _df(spark, [(i, chr(96 + i), i * 10)]),
+            bronze,
+            mode="append",
+        )
+    q = stream_table_to_table(
+        spark,
+        bronze,
+        silver,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        trigger={"processingTime": "0 seconds"},
+    )
+    try:
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            try:
+                if len(S.read(spark, silver).collect()) >= 4:
+                    break
+            except FileNotFoundError:
+                pass
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    assert sorted(r.k for r in S.read(spark, silver).collect()) == [
+        1, 2, 3, 4,
+    ]
+    # a 1-file budget admits one bronze version per batch: four hops
+    tail_ops = [op for op in _silver_ops(silver) if "@tailbatch=" in op]
+    assert len(tail_ops) == 4
