@@ -11,8 +11,9 @@ update_preimage | update_postimage`` plus ``_commit_version`` — exactly
 once per commit, resumable from the checkpoint, built on the same
 public Python Data Source API (SPARK-44076).
 
-How each commit class becomes change rows (all classification is
-structural — immutable manifests in, no write-path cooperation needed):
+How each commit class becomes change rows (classification is
+structural — immutable manifests in — except where a commit opted in
+to write-time CDC, which then wins):
 
 - **Append commits** (WRITE/APPEND/insert-only MERGE): every row of
   every added file → ``insert``.
@@ -28,11 +29,13 @@ structural — immutable manifests in, no write-path cooperation needed):
   (previous version's tombstones excluded) → ``delete``; the new
   dirs' rows → ``insert``. This is COARSE — an untouched row inside a
   rewritten partition emits a delete+insert pair — but net-effect
-  exact: applying the feed reproduces the table. (Delta is row-precise
-  here only because ``delta.enableChangeDataFeed`` writes extra
-  ``_change_data`` files at commit time; a purely structural feed
-  cannot be, and says so here. Key-level pairing is the batch
-  ``snapshots.snapshot_diff``'s job.)
+  exact: applying the feed reproduces the table. For ROW-PRECISE
+  rewrites, commit with ``merge_commit(change_data=True)`` /
+  ``delete_where(change_data=True)`` (Delta's
+  ``delta.enableChangeDataFeed``): the commit records its exact
+  change rows in a ``_change_data`` dir and the feed emits those
+  instead of the churn. Key-level pairing without write-time files
+  remains the batch ``snapshots.snapshot_diff``'s job.
 - **OPTIMIZE emits nothing** (bytes rewritten, not rows — Delta's
   ``dataChange=false``), metadata-only commits emit nothing.
 - **Baselines carry tombstones fine**: a ``startingVersion`` whose
@@ -93,6 +96,9 @@ class _ChangeSlice(InputPartition):
       - ``positions``      only ``positions`` (or the positions found
                            for this file in ``dv_dirs`` when they were
                            too many to embed), as ``change_type``
+      - ``cdc``            a write-time ``_change_data`` file: every
+                           row rides out under the ``_change_type``
+                           it carries in the file itself
     """
 
     def __init__(
