@@ -281,11 +281,6 @@ def apply_changes_into(
     batch whose marker is already published skips entirely.
 
     Returns the StreamingQuery (caller owns awaitTermination/stop)."""
-    from pyspark.sql.window import Window
-
-    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
-        snapshots as S,
-    )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         apply_changes_batch(spark, dst_path, spec, batch_df, batch_id)
