@@ -1069,7 +1069,11 @@ def stream_kmv_maintenance(
         ]
     )
     reader = (
-        spark.readStream.schema(schema).option("header", True).csv(raw_dir)
+        raw_dir
+        if isinstance(raw_dir, DataFrame)
+        else spark.readStream.schema(schema)
+        .option("header", True)
+        .csv(raw_dir)
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1383,7 +1387,11 @@ def stream_hll_maintenance(
         ]
     )
     reader = (
-        spark.readStream.schema(schema).option("header", True).csv(raw_dir)
+        raw_dir
+        if isinstance(raw_dir, DataFrame)
+        else spark.readStream.schema(schema)
+        .option("header", True)
+        .csv(raw_dir)
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1484,7 +1492,11 @@ def stream_ewma_maintenance(
         ]
     )
     reader = (
-        spark.readStream.schema(schema).option("header", True).csv(raw_dir)
+        raw_dir
+        if isinstance(raw_dir, DataFrame)
+        else spark.readStream.schema(schema)
+        .option("header", True)
+        .csv(raw_dir)
     )
     out_schema = _ST(
         [

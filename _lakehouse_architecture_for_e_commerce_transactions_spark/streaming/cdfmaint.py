@@ -149,6 +149,76 @@ def table_agg_maintenance(
     )
 
 
+def table_rows_as_kv(
+    spark: SparkSession,
+    table_path: str,
+    key_col: str,
+    val_col: str,
+    starting_version: int | str | None = "earliest",
+) -> DataFrame:
+    """A table's APPENDED rows as the ``(k string, v string)`` feed the
+    monotone-sketch twins consume. Built on the append-only TAIL source
+    deliberately: KMV and HLL registers cannot retract, so a commit
+    that deletes or rewrites rows REFUSES LOUDLY (``ChangeCommitError``)
+    instead of silently serving estimates the sketch cannot un-see —
+    the streaming twin of the manifest-NDV fail-open rule. Delete-
+    capable aggregates (count/sum, min/max, top-k, Count-Min) maintain
+    from the CHANGE feed via :func:`changes_as_ops` instead."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.tablesource import (
+        read_table_stream,
+    )
+
+    src = read_table_stream(
+        spark, table_path, starting_version=starting_version
+    )
+    return src.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(val_col).cast("string").alias("v"),
+    )
+
+
+def table_hll_maintenance(
+    spark: SparkSession,
+    table_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    val_col: str,
+    **kw,
+) -> StreamingQuery:
+    """Per-key HLL NDV of ``val_col``, kept current from ``table_path``'s
+    APPENDS (change commits refuse — registers cannot retract); read
+    with ``aggmaint.read_maintained_hll_estimate``."""
+    return AM.stream_hll_maintenance(
+        spark,
+        table_rows_as_kv(spark, table_path, key_col, val_col),
+        state_path,
+        checkpoint_dir,
+        **kw,
+    )
+
+
+def table_kmv_maintenance(
+    spark: SparkSession,
+    table_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    val_col: str,
+    **kw,
+) -> StreamingQuery:
+    """Per-key KMV distinct sketch of ``val_col`` from ``table_path``'s
+    APPENDS (same refuse-on-change contract as the HLL twin); read with
+    ``aggmaint.read_maintained_kmv_estimate``."""
+    return AM.stream_kmv_maintenance(
+        spark,
+        table_rows_as_kv(spark, table_path, key_col, val_col),
+        state_path,
+        checkpoint_dir,
+        **kw,
+    )
+
+
 _CDC_MARK = "@cdcbatch="
 
 

@@ -225,3 +225,50 @@ def test_topk_tracks_table_with_deletes(spark, tmp_path):
         ("a", 2): 2000,
         ("b", 1): 500,
     }
+
+
+def test_hll_from_table_appends_and_refuses_changes(spark, tmp_path):
+    """Monotone sketches maintain from the APPEND tail: NDV tracks
+    appended rows, and a delete in the source fails the stream loudly
+    (registers cannot retract) instead of serving a stale estimate."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+    from pyspark.sql.streaming import StreamingQueryException
+
+    import pytest as _pytest
+
+    src = str(tmp_path / "src")
+    rows = [Row(g="a", item=f"i{n}") for n in range(40)] + [
+        Row(g="b", item="x")
+    ]
+    S.commit(spark, spark.createDataFrame(rows), src)
+    S.commit(
+        spark,
+        spark.createDataFrame([Row(g="b", item="y"), Row(g="b", item="x")]),
+        src,
+        mode="append",
+    )
+    q = CM.table_hll_maintenance(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        key_col="g", val_col="item",
+    )
+    q.awaitTermination()
+    got = {
+        r["k"]: (r["present_regs"], r["est_distinct"])
+        for r in AM.read_maintained_hll_estimate(
+            spark, str(tmp_path / "state")
+        ).collect()
+    }
+    # present_regs is exact (the raw estimator is deliberately served
+    # uncorrected — small-range linear counting is table_ndv's job)
+    assert got["b"][0] == 2
+    assert 25 <= got["a"][0] <= 40  # 40 items over 64 registers
+    assert got["a"][1] > got["b"][1]
+
+    S.delete_where_dv(spark, src, "item = 'x'")
+    q2 = CM.table_hll_maintenance(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        key_col="g", val_col="item",
+    )
+    with _pytest.raises(StreamingQueryException, match="change commit"):
+        q2.awaitTermination()
