@@ -289,9 +289,9 @@ def apply_changes_batch(
         .cache()
     )
     try:
-        dst_exists = True
         try:
-            S._versions(dst_path)
+            # _versions returns [] (no raise) for a missing table
+            dst_exists = bool(S._versions(dst_path))
         except FileNotFoundError:
             dst_exists = False
         ups = final.filter(is_add).select(*data_cols)

@@ -220,3 +220,17 @@ def test_crash_between_delete_and_marker_merge_replays_clean(
 
     # a second replay of the marked batch is a full no-op
     assert not CM.apply_changes_batch(spark, dst, spec, batch, batch_id=1)
+
+
+def test_first_batch_with_net_deletes_creates_replica(spark, tmp_path):
+    """A fresh replica whose FIRST batch nets both deletes and upserts
+    (insert@v0 + delete@v2 for the same key in one availableNow pass)
+    must skip the deletes against the not-yet-existing destination and
+    create it from the upserts alone."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    spec = _spec()
+    S.commit(spark, _df(spark, [(1, "a", 10), (2, "a", 20)]), src)
+    S.delete_where_dv(spark, src, "id = 1")
+    _sync(spark, src, dst, str(tmp_path / "ckpt"), spec)
+    assert _rows(spark, dst) == _rows(spark, src) == [(2, "a", 20.0)]
