@@ -2629,6 +2629,109 @@ FROM changes GROUP BY commit_version, change_type
 """
 
 
+def q_table_changes_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """BATCH change reads (`streaming/cdf.table_changes`, Delta's
+    ``table_changes`` TVF): the same six-commit program as
+    `snapshot_cdf_sim` — baseline, append, DV delete, DV update,
+    silent OPTIMIZE, append — read back as ONE batch DataFrame through
+    the same per-version planner the stream uses (no streaming engine,
+    no checkpoint), plus a bounded version range. The oracle restates
+    the full feed; the range read is checked by filtering the batch to
+    the delete commit only."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as SN,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.cdf import (
+        table_changes,
+    )
+
+    base = _os.path.join(
+        _tf.gettempdir(),
+        f"sparkgraft_tcbatch_{_os.path.basename(sf.rstrip('/'))}",
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    path = _os.path.join(base, "t")
+    o = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 150)
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    SN.commit(spark, o.filter(F.col("o_orderkey") % 4 == 0).select(*cols), path)
+    SN.commit(
+        spark,
+        o.filter(F.col("o_orderkey") % 4 == 1).select(*cols),
+        path,
+        mode="append",
+    )
+    SN.delete_where_dv(spark, path, "o_orderkey % 20 = 0")
+    SN.update_where_dv(
+        spark,
+        path,
+        "o_orderkey % 28 = 1",
+        {"o_totalprice": "o_totalprice + 100.0"},
+    )
+    SN.compact(spark, path)
+    SN.commit(
+        spark,
+        o.filter(F.col("o_orderkey") % 4 == 2).select(*cols),
+        path,
+        mode="append",
+    )
+    full = table_changes(spark, path)
+    ranged = table_changes(
+        spark, path, starting_version=2, ending_version=2
+    ).select(
+        F.col("o_orderkey"),
+        F.col("o_orderpriority"),
+        F.col("o_totalprice"),
+        F.col("_change_type"),
+        F.col("_commit_version"),
+    )
+    return full.unionByName(ranged).groupBy(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        money_sum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+_TABLE_CHANGES_BATCH_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_custkey < 150),
+feed AS (
+  SELECT CAST(0 AS BIGINT) AS commit_version, 'insert' AS change_type,
+         o_orderkey, o_totalprice
+  FROM base WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT 1, 'insert', o_orderkey, o_totalprice
+  FROM base WHERE o_orderkey % 4 = 1
+  UNION ALL
+  SELECT 2, 'delete', o_orderkey, o_totalprice
+  FROM base WHERE o_orderkey % 4 = 0 AND o_orderkey % 20 = 0
+  UNION ALL
+  SELECT 3, 'update_preimage', o_orderkey, o_totalprice
+  FROM base WHERE o_orderkey % 4 = 1 AND o_orderkey % 28 = 1
+  UNION ALL
+  SELECT 3, 'update_postimage', o_orderkey, o_totalprice + 100.0
+  FROM base WHERE o_orderkey % 4 = 1 AND o_orderkey % 28 = 1
+  UNION ALL
+  SELECT 5, 'insert', o_orderkey, o_totalprice
+  FROM base WHERE o_orderkey % 4 = 2),
+changes AS (
+  SELECT * FROM feed
+  UNION ALL
+  SELECT * FROM feed WHERE commit_version = 2)
+SELECT commit_version, change_type, count(*) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       {_money_sum_sql("o_totalprice")} AS total
+FROM changes GROUP BY commit_version, change_type
+"""
+
+
 def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs → connected components → canonical docs: iterative
     min-label propagation, cross-checked against DuckDB recursive SQL."""
@@ -8952,6 +9055,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "cdc_replicate_sim": QueryDef(q_cdc_replicate_sim, _CDC_REPLICATE_SQL),
     "video_frame_stats": QueryDef(q_video_frame_stats, _VIDEO_FRAME_SQL),
     "merge_cdc_sim": QueryDef(q_merge_cdc_sim, _MERGE_CDC_SQL),
+    "table_changes_batch": QueryDef(
+        q_table_changes_batch, _TABLE_CHANGES_BATCH_SQL
+    ),
     "optimize_scoped_sim": QueryDef(
         q_optimize_scoped_sim, _OPTIMIZE_SCOPED_SQL
     ),
@@ -9004,6 +9110,7 @@ _WINDOW_FRONT: list[str] = [
     "cdc_replicate_sim",
     "video_frame_stats",
     "merge_cdc_sim",
+    "table_changes_batch",
     # new in round 5
     "hll_distinct_orders",
     "bfs_reachability",
@@ -9047,7 +9154,6 @@ _WINDOW_FRONT: list[str] = [
     "doc_repetition_signals",
     "dup_span_pairs",
     "kmeans_iteration",
-    "window_funcs_extended",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)
