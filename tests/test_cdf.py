@@ -436,3 +436,29 @@ def test_batch_table_changes_equals_stream(spark, tmp_path):
 
     with _pytest.raises(Exception):
         table_changes(spark, path, ending_version=99).collect()
+
+
+def test_schema_evolution_null_fills_old_change_rows(spark, tmp_path):
+    """The feed reads every version onto the HEAD logical schema:
+    change rows from commits predating an added column null-fill it
+    (same contract as the tail source), including DV-delete rows read
+    back from the old files."""
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a", 10), (2, "b", 20)]), path)
+    S.commit(
+        spark,
+        spark.createDataFrame([Row(k=3, v="c", amt=30.0, extra=99)]),
+        path,
+        mode="append",
+        merge_schema=True,
+    )
+    S.delete_where_dv(spark, path, "k = 1")
+    got = _drain(
+        spark, path, str(tmp_path / "ckpt"), starting_version="earliest"
+    )
+    by = {(r.k, r._change_type): r for r in got}
+    assert by[(1, "insert")].extra is None
+    assert by[(3, "insert")].extra == 99
+    # the delete row re-reads a pre-evolution file: still null-filled
+    assert by[(1, "delete")].extra is None
+    assert by[(1, "delete")].amt == 10.0
