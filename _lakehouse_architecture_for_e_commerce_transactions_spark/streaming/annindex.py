@@ -181,6 +181,127 @@ def stream_ivf_index_maintenance(
     return writer.start()
 
 
+def table_ivf_index_maintenance(
+    spark: SparkSession,
+    table_path: str,
+    codebook_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    starting_version="earliest",
+    available_now: bool = True,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """The IVF index as a SECONDARY INDEX of a snapshot table,
+    maintained from its CHANGE FEED — the missing delete story:
+    ``stream_ivf_index_maintenance`` can only grow, but a vectors
+    table takes DV deletes and updates, and an index serving deleted
+    ids returns ghosts. Per micro-batch the changes are netted per id
+    (latest commit wins, add beats the same rewrite's delete); every
+    netted id's old index rows are removed (join-based deletion
+    vectors — an update is delete+reinsert by construction), then the
+    surviving adds are cell-assigned and appended WITH the batch
+    marker. Crash between the two commits replays into a no-op delete
+    + the marker append — the aggmaint idempotence contract.
+
+    A rebuild (fresh checkpoint → new derivation id at batch 0) nets
+    over the ENTIRE replayed feed, so the overwritten index holds
+    exactly the table's live vectors."""
+    from pyspark.sql import Window as W
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (
+        _reject_null_keys,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.cdf import (
+        read_changes_stream,
+    )
+
+    app = _app_id(checkpoint_dir)
+    feed = read_changes_stream(
+        spark, table_path, starting_version=starting_version
+    ).select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        "_change_type",
+        "_commit_version",
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _reject_null_keys(
+            batch_df,
+            F.col("vec_id").isNull(),
+            "table_ivf_index_maintenance",
+        )
+        _, last, aid = _table_state(
+            spark, index_path, INDEX_SCHEMA, ["cell", "id", "v"]
+        )
+        skip, rebuild = _guard(batch_id, last, aid, app)
+        if skip:
+            return
+        is_add = F.col("_change_type").isin("insert", "update_postimage")
+        w = W.partitionBy("vec_id").orderBy(
+            F.col("_commit_version").desc(), is_add.cast("int").desc()
+        )
+        final = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .cache()
+        )
+        try:
+            adds = final.filter(is_add).select(
+                F.col("vec_id").alias("id"),
+                V.as_double(F.col("embedding")).alias("v"),
+            )
+            if last is not None and not rebuild:
+                # upsert-by-delete: every netted id's old index rows go
+                # (an update reassigns its cell; a delete just goes)
+                S.delete_matching_dv(
+                    spark,
+                    index_path,
+                    final.select(F.col("vec_id").alias("id")),
+                    ["id"],
+                    op="DELETE@ivfmaint",
+                )
+            cents = S.read(spark, codebook_path)
+            assigned = SIM._assign_cells(adds, cents, 1).select(
+                "cell", "id", "v"
+            )
+            marker = spark.createDataFrame(
+                [(None, None, None, batch_id, app)], INDEX_SCHEMA
+            )
+            out = (
+                assigned.withColumn(
+                    "_last_batch", F.lit(batch_id).cast("long")
+                )
+                .withColumn("_app_id", F.lit(app))
+                .unionByName(marker)
+            )
+            S.commit(
+                spark, out, index_path,
+                mode="overwrite" if rebuild or last is None else "append",
+            )
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (
+                    _compact_state,
+                )
+
+                _compact_state(spark, index_path)
+        finally:
+            final.unpersist()
+
+    writer = (
+        feed.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def ivf_index_topk(
     spark: SparkSession,
     index_path: str,

@@ -9,6 +9,9 @@ import json
 import math
 import os
 
+from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming import (
+    annindex as AI,
+)
 from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.annindex import (
     build_ivf_codebook,
     ivf_index_topk,
@@ -308,3 +311,77 @@ def test_pq_drift_decays_adc_recall_and_retrain_recovers(
         rerank=10,
     )
     assert recall2 == 1.0 and not retrained2
+
+
+def test_table_index_tracks_deletes_and_updates(spark, tmp_path):
+    """The IVF index as a secondary index of a vectors TABLE: DV
+    deletes remove ids from the index, DV updates reassign them, and
+    after every pass the index holds exactly the table's live vectors."""
+    from pyspark.sql import Row
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as S,
+    )
+
+    src = str(tmp_path / "vectors")
+    cb = str(tmp_path / "codebook")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        Row(vec_id=i, embedding=[float(i), float(i % 3), 1.0])
+        for i in range(12)
+    ]
+    S.commit(spark, spark.createDataFrame(rows), src)
+    AI.build_ivf_codebook(
+        spark, S.read(spark, src), cb, stride=5
+    )
+
+    def run():
+        q = AI.table_ivf_index_maintenance(
+            spark, src, cb, idx, ckpt
+        )
+        q.awaitTermination()
+
+    def index_ids():
+        return sorted(
+            r.id for r in AI.read_index(spark, idx).collect()
+        )
+
+    def table_ids():
+        return sorted(r.vec_id for r in S.read(spark, src).collect())
+
+    run()
+    assert index_ids() == table_ids() == list(range(12))
+
+    S.delete_where_dv(spark, src, "vec_id IN (2, 7)")
+    S.update_where_dv(
+        spark, src, "vec_id = 4", {"embedding": "array(9.0D, 9.0D, 9.0D)"}
+    )
+    S.commit(
+        spark,
+        spark.createDataFrame(
+            [Row(vec_id=20, embedding=[0.5, 0.5, 0.5])]
+        ),
+        src,
+        mode="append",
+    )
+    run()
+    assert index_ids() == table_ids()
+    assert 2 not in set(index_ids()) and 20 in set(index_ids())
+    # the updated vector reindexed with its NEW value
+    v4 = [
+        r.v
+        for r in AI.read_index(spark, idx).collect()
+        if r.id == 4
+    ]
+    assert v4 == [[9.0, 9.0, 9.0]]
+
+    # replay with no new commits: nothing changes
+    before = sorted(
+        (r.cell, r.id) for r in AI.read_index(spark, idx).collect()
+    )
+    run()
+    after = sorted(
+        (r.cell, r.id) for r in AI.read_index(spark, idx).collect()
+    )
+    assert before == after
