@@ -2308,6 +2308,9 @@ def delete_where_dv(
     )
 
 
+_DELETE_KEY_CAP = 2048  # small key sets become literal predicates
+
+
 def delete_matching_dv(
     spark: SparkSession,
     path: str,
@@ -2318,13 +2321,45 @@ def delete_matching_dv(
 ) -> int:
     """Deletion-vector DELETE of every row whose ``key_cols`` tuple
     appears in ``keys_df`` (the MERGE ``WHEN MATCHED THEN DELETE`` /
-    CDC-apply shape): the key set stays a DataFrame end-to-end — a
-    left-semi join selects the doomed rows, so a million-key delete
-    never serializes into a predicate string or a driver IN-list.
+    CDC-apply shape). Two regimes, the same cap discipline as the
+    streaming fact mirror (``aggmaint._REPLACE_KEY_CAP``):
+
+    * a SMALL single-column key set (≤ ``_DELETE_KEY_CAP`` distinct,
+      one bounded collect) becomes a literal IN predicate — the scan
+      prunes via parquet row-group min/max everywhere, and on plain
+      snapshot tables additionally via the manifest's per-file
+      stats/Blooms (files that provably hold none of the keys are
+      never opened) — the per-batch CDC-delete shape, costed by files
+      that COULD hold the keys, not table size;
+    * otherwise the key set stays a DataFrame end-to-end and a
+      left-semi join selects the doomed rows — a million-key delete
+      never serializes into a predicate string or a driver IN-list.
+
     Same tombstone mechanism, retry/rebase, and metadata bookkeeping
     as :func:`delete_where_dv` (which see). ``op`` customizes the
     manifest op string (exactly-once batch markers ride it)."""
     keys = list(key_cols)
+    lits = None
+    if len(keys) == 1:
+        sample = (
+            keys_df.select(keys[0])
+            .distinct()
+            .limit(_DELETE_KEY_CAP + 1)
+            .collect()
+        )
+        if len(sample) <= _DELETE_KEY_CAP:
+            lits = [r[0] for r in sample if r[0] is not None]
+    if lits is not None:
+        if not lits:
+            return load_snapshot(path).version  # nothing can match
+        return _delete_selected_dv(
+            spark,
+            path,
+            lambda live: live.filter(F.col(keys[0]).isin(lits)),
+            max_retries,
+            op=op,
+            prune=(keys[0], lits),
+        )
 
     def _select(live: DataFrame) -> DataFrame:
         return live.join(keys_df.select(*keys).distinct(), keys, "left_semi")
@@ -2338,12 +2373,50 @@ def _delete_selected_dv(
     selector,
     max_retries: int = 10,
     op: str = "DELETE",
+    prune: tuple | None = None,
 ) -> int:
     for _ in range(max_retries):
         snap = load_snapshot(path)
-        raw = _dv_filter(
-            _scan_with_address(spark, snap), _dv_tombstones(spark, snap)
-        )
+        raw = None
+        if prune is not None and snap.part_entries is None:
+            # manifest-level file skipping for the tombstone scan
+            # (plain tables; the kept-file read loses hive columns, so
+            # partitioned tables take the full scan below — their
+            # parquet reader still row-group-skips on the IN filter)
+            col, lits = prune
+            phys = _mapping(snap).get(col, col)
+            fs, fb = snap.file_stats or {}, snap.file_blooms or {}
+            if fs or fb:
+                from pyspark.sql.types import StructType as _ST
+
+                preds = [(phys, "in", list(lits))]
+                kept = [
+                    f
+                    for f in data_files(path, snap.version)
+                    if _file_maybe_matches(fs.get(f), preds, fb.get(f))
+                ]
+                if not kept:
+                    return snap.version  # no file can hold the keys
+                schema = _ST.fromJson(json.loads(snap.schema_json))
+                phys_schema = _ST(
+                    [
+                        type(f)(
+                            _mapping(snap).get(f.name, f.name),
+                            f.dataType,
+                            f.nullable,
+                        )
+                        for f in schema.fields
+                    ]
+                )
+                raw = (
+                    spark.read.schema(phys_schema)
+                    .parquet(*kept)
+                    .withColumn("__fp", F.col("_metadata.file_path"))
+                    .withColumn("__ri", F.col("_metadata.row_index"))
+                )
+        if raw is None:
+            raw = _scan_with_address(spark, snap)
+        raw = _dv_filter(raw, _dv_tombstones(spark, snap))
         live = _logical_select(raw, snap, extra=("__fp", "__ri"))
         dels = selector(live).select(
             F.col("__fp").alias("file"), F.col("__ri").alias("row_idx")

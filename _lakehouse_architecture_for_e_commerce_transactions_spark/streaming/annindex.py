@@ -282,6 +282,9 @@ def table_ivf_index_maintenance(
             S.commit(
                 spark, out, index_path,
                 mode="overwrite" if rebuild or last is None else "append",
+                # id stats + blooms make the per-batch upsert-delete a
+                # pruned scan (delete_matching_dv's literal-key path)
+                stats_for=["id"], bloom_for=["id"],
             )
             if compact_every and (batch_id + 1) % compact_every == 0:
                 from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (

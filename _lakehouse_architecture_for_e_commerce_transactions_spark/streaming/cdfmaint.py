@@ -316,6 +316,9 @@ def apply_changes_batch(
             S.merge_commit(
                 spark, ups, dst_path, spec,
                 op=f"MERGE{_CDC_MARK}{batch_id}",
+                # key min/max on the replica's files keep the next
+                # batch's delete scan pruned
+                stats_for=keys,
             )
             wrote = True
         return wrote

@@ -234,3 +234,24 @@ def test_first_batch_with_net_deletes_creates_replica(spark, tmp_path):
     S.delete_where_dv(spark, src, "id = 1")
     _sync(spark, src, dst, str(tmp_path / "ckpt"), spec)
     assert _rows(spark, dst) == _rows(spark, src) == [(2, "a", 20.0)]
+
+
+def test_literal_key_delete_prunes_files(spark, tmp_path):
+    """The small-key delete path: with per-file id stats + Blooms on a
+    multi-file table, the tombstone scan opens only files that can
+    hold the keys — and the result is identical to the join path."""
+    path = str(tmp_path / "t")
+    lo = _df(spark, [(i, "a", i) for i in range(0, 50)]).coalesce(1)
+    hi = _df(spark, [(i, "b", i) for i in range(1000, 1050)]).coalesce(1)
+    S.commit(spark, lo, path, stats_for=["id"], bloom_for=["id"])
+    S.commit(
+        spark, hi, path, mode="append", stats_for=["id"], bloom_for=["id"]
+    )
+    keys = spark.createDataFrame([Row(id=1001), Row(id=1007)])
+    v = S.delete_matching_dv(spark, path, keys, ["id"])
+    assert v == 2
+    got = sorted(r.id for r in S.read(spark, path).collect())
+    assert 1001 not in got and 1007 not in got and len(got) == 98
+    # keys no file can hold: unchanged head, zero scan
+    ghost = spark.createDataFrame([Row(id=999999)])
+    assert S.delete_matching_dv(spark, path, ghost, ["id"]) == 2
