@@ -3760,6 +3760,25 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
     return 0
 
 
+def deep_clone(
+    spark: SparkSession, src: str, dst: str, version: int | None = None
+) -> int:
+    """Deep CLONE (Delta's ``CLONE`` without ``SHALLOW``): a fully
+    SELF-CONTAINED copy of a source snapshot that survives vacuuming —
+    or deleting — the source. Composed from the verified primitives:
+    a shallow clone publishes the manifest, ``compact`` rewrites every
+    referenced row into dst-owned dirs (preserving partition layout,
+    applying deletion vectors, materializing column mapping — its
+    normal contract), and a ``keep_last=1`` vacuum retires the one
+    transient version that still referenced source dirs. Cost = one
+    read+write of the cloned snapshot's live rows, the same bytes real
+    deep clone copies."""
+    clone(src, dst, version)
+    v = compact(spark, dst)
+    vacuum(dst, keep_last=1)
+    return v
+
+
 def data_files(path: str, version: int | None = None) -> list[str]:
     """All parquet data files a snapshot references (maintenance/tests)."""
     snap = load_snapshot(path, version)

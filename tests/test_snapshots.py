@@ -1312,3 +1312,80 @@ def test_ndv_survives_metadata_ops_with_logical_names(spark, tmp_path):
     # clone carries them
     S.clone(path, str(tmp_path / "c"))
     assert S.table_ndv(str(tmp_path / "c")) == {"v": before}
+
+
+def test_deep_clone_survives_source_deletion(spark, tmp_path):
+    """deep_clone: self-contained copy — the SOURCE can be deleted
+    outright and the clone still serves its live (DV-filtered) rows
+    from dst-owned files; the transient source-referencing version is
+    vacuumed away with a typed time-travel boundary."""
+    import shutil
+
+    from pyspark.sql import Row
+
+    import pytest as _pytest
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    S.commit(
+        spark,
+        spark.createDataFrame(
+            [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+        ),
+        src,
+    )
+    S.delete_where_dv(spark, src, "k = 2")
+    v = S.deep_clone(spark, src, dst)
+    shutil.rmtree(src)
+    assert sorted(r.k for r in S.read(spark, dst).collect()) == [1, 3]
+    dstp = os.path.abspath(dst) + os.sep
+    assert all(
+        f.startswith(dstp) for f in S.data_files(dst, v)
+    )
+    with _pytest.raises(S.VacuumedVersionError):
+        S.read(spark, dst, version=0)
+
+
+def test_deep_clone_preserves_partition_layout(spark, tmp_path):
+    import shutil
+
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
+        TableSpec,
+    )
+
+    spec = TableSpec(
+        name="t",
+        schema=StructType(
+            [
+                StructField("k", LongType(), False),
+                StructField("p", StringType(), False),
+                StructField("v", LongType(), True),
+            ]
+        ),
+        primary_key="k",
+        partition_by=("p",),
+    )
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    S.merge_commit(
+        spark,
+        spark.createDataFrame(
+            [Row(k=1, p="x", v=10), Row(k=2, p="y", v=20)]
+        ),
+        src,
+        spec,
+    )
+    S.deep_clone(spark, src, dst)
+    shutil.rmtree(src)
+    got = sorted((r.k, r.p, r.v) for r in S.read(spark, dst).collect())
+    assert got == [(1, "x", 10), (2, "y", 20)]
+    snap = S.load_snapshot(dst)
+    assert snap.part_entries is not None  # layout survived the copy
