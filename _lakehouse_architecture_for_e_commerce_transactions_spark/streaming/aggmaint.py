@@ -241,7 +241,11 @@ def _compact_state(spark: SparkSession, path: str) -> None:
     size, it does not fix a wrong answer). Only the max-batch marker
     survives; data rows keep their stamps, so the watermark is
     unchanged. ONE rewrite does both jobs — the same O(state) pass a
-    plain compact already pays at this cadence."""
+    plain compact already pays at this cadence. Published under
+    op="MAINTENANCE", not "OPTIMIZE": dropping marker rows IS a row
+    change, and OPTIMIZE is the one label the stream sources trust to
+    mean bytes-only (when no markers exist, the plain ``compact``
+    below keeps its honest OPTIMIZE label)."""
     snap = S.load_snapshot(path)
     cur = S.read(spark, path)
     key0 = cur.columns[0]  # every state/fact schema leads with its key
@@ -264,7 +268,14 @@ def _compact_state(spark: SparkSession, path: str) -> None:
         mode="overwrite",
         stats_for=[inv.get(c, c) for c in snap.stats_cols or []] or None,
         bloom_for=[inv.get(c, c) for c in snap.bloom_cols or []] or None,
-        op="OPTIMIZE",
+        # NOT op="OPTIMIZE": this rewrite DROPS rows (the stale marker
+        # rows), and the stream sources skip OPTIMIZE unconditionally
+        # as "bytes only, dataChange=false" — labeling a row-changing
+        # commit OPTIMIZE would make a consumer tailing/change-feeding
+        # this state table silently miss it. Under MAINTENANCE the
+        # sources classify it structurally (a change commit: refuse,
+        # skip_change_commits, or coarse delete+insert via the CDF).
+        op="MAINTENANCE",
     )
 
 

@@ -165,10 +165,22 @@ class SnapshotCDFReader(SnapshotTailReader):
         except (S.VacuumedVersionError, ValueError, FileNotFoundError):
             prev = None
 
+        self._note_version(v, snap, prev)
         if snap.op == "OPTIMIZE":
             return []  # rewrite of bytes, not rows (dataChange=false)
 
-        mapping = self._mapping
+        # logical -> physical resolved per naming ERA (inherited
+        # `_mapping_for`): a head capture breaks rename-then-compact
+        # replays — compact clears the mapping but the surviving
+        # pre-compact manifests still need theirs composed in. Files
+        # referenced at v (adds) and at v-1 (structural removes,
+        # DV-tombstoned rows) are always same-era here: the only
+        # era-crossing transition is the compact itself, OPTIMIZE-
+        # skipped above.
+        mapping = self._mapping_for(v, snap)
+        prev_mapping = (
+            self._mapping_for(v - 1, prev) if prev is not None else mapping
+        )
         out: list[InputPartition] = []
 
         cdc_dir = S._raw_manifest(self._path, v).get("change_data")
@@ -214,7 +226,7 @@ class SnapshotCDFReader(SnapshotTailReader):
             # the commit that killed them
             out.append(
                 _ChangeSlice(
-                    "add", fp, hive, mapping, v, "delete",
+                    "add", fp, hive, prev_mapping, v, "delete",
                     exclude_dv_dirs=prev_dv,
                 )
             )
@@ -232,14 +244,14 @@ class SnapshotCDFReader(SnapshotTailReader):
                 if len(idxs) <= _DV_EMBED_CAP:
                     out.append(
                         _ChangeSlice(
-                            "positions", fp, hive, mapping, v, pre_ct,
+                            "positions", fp, hive, prev_mapping, v, pre_ct,
                             positions=idxs,
                         )
                     )
                 else:
                     out.append(
                         _ChangeSlice(
-                            "positions", fp, hive, mapping, v, pre_ct,
+                            "positions", fp, hive, prev_mapping, v, pre_ct,
                             dv_dirs=new_dv_dirs,
                         )
                     )
@@ -363,6 +375,8 @@ class SnapshotCDFReader(SnapshotTailReader):
                 )
                 continue
             phys = partition.mapping.get(f.name, f.name)
+            if phys not in tbl.column_names and f.name in tbl.column_names:
+                phys = f.name  # materialized-logical file (restore edge)
             if phys in tbl.column_names:
                 col = tbl.column(phys).combine_chunks()
                 if (

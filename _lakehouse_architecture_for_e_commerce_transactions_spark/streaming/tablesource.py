@@ -75,6 +75,7 @@ from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
 
 SOURCE_NAME = "snapshot_tail"
 
+
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
@@ -169,9 +170,10 @@ class SnapshotTailReader(DataSourceStreamReader):
         # cover, so replaying a long history ("earliest" over 10k
         # commits) proceeds in bounded, checkpointed steps instead of
         # one giant batch. A throughput valve, not a correctness
-        # device: after a driver restart the in-memory cursor is gone
-        # and the first batch may cover the full backlog (Spark's own
-        # file-source limit is best-effort the same way).
+        # device (Spark's own file-source limit is best-effort the
+        # same way): after a driver restart the cursor re-warms from
+        # the engine's own recovery calls (see latestOffset), so
+        # resumption stays paced AND never regresses the offset.
         mvpt = options.get("maxversionspertrigger")
         self._max_versions = int(mvpt) if mvpt is not None else None
         # Delta's maxFilesPerTrigger analog: stop advancing the offset
@@ -181,14 +183,17 @@ class SnapshotTailReader(DataSourceStreamReader):
         mfpt = options.get("maxfilespertrigger")
         self._max_files = int(mfpt) if mfpt is not None else None
         self._cursor: int | None = None
-        # Resolve logical -> PHYSICAL names once, at the same moment
-        # the schema is captured: physical names are immutable (rename
-        # is metadata-only and writes keep writing physical names), so
-        # this one mapping resolves files of EVERY version the stream
-        # will emit — including files committed before the rename.
-        self._mapping = dict(
-            S.load_snapshot(self._path).column_mapping or {}
-        )
+        # Column-mapping resolution is ERA-based (see _mapping_for):
+        # anchor at the head snapshot the stream schema was captured
+        # from; full compacts found while scanning older history become
+        # composition boundaries.
+        _head = S.load_snapshot(self._path)
+        self._ref_version: int = _head.version
+        self._ref_mapping: dict = dict(_head.column_mapping or {})
+        self._down_boundaries: list[tuple[int, dict]] = []
+        self._down_scanned_to: int = self._ref_version + 1
+        self._post_ref_boundary = False
+        self._eff_cache: dict = {}
 
     # -- offset plumbing (driver-side) --------------------------------
 
@@ -220,14 +225,24 @@ class SnapshotTailReader(DataSourceStreamReader):
         if self._max_versions is None and self._max_files is None:
             self._cursor = head
             return {"version": head}
-        # The engine may route initialOffset and latestOffset to
-        # different reader instances, and after a restart the cursor
-        # is gone entirely — re-seed it from the starting option and
-        # RATCHET forward per call. If the checkpoint position is
-        # ahead of the seed, the returned offset is simply "no new
-        # data" until the ratchet catches up — bounded batches remain
-        # guaranteed, progress resumes within a few triggers.
         if self._cursor is None:
+            # Cold cursor. On a FRESH stream the runner calls
+            # latestOffset before initialOffset (observed, Spark 4.1
+            # python_streaming_source_runner), so seeding from the
+            # starting option is what makes the FIRST batch paced. On
+            # a RESTART this seed may sit BELOW the checkpointed
+            # offset — returning it then would REGRESS the offset
+            # (Spark plans a batch whenever latest DIFFERS from the
+            # committed offset, commits the regression, and the
+            # ratchet would re-deliver already-committed versions
+            # under NEW batch ids that no @tailbatch/@cdcbatch marker
+            # dedups). That cannot happen because the engine always
+            # reconstructs the last checkpointed batch FIRST on
+            # restart — a partitions(start, end) call that the
+            # ratchet below (which reads BOTH bounds) and commit()
+            # use to warm the cursor to the engine's position before
+            # the first paced latestOffset runs. Pinned by
+            # test_paced_restart_is_exactly_once.
             self._cursor = self._resolve_start()
         end = head
         if self._max_versions is not None:
@@ -257,10 +272,100 @@ class SnapshotTailReader(DataSourceStreamReader):
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             out.extend(self._version_partitions(v))
         # keep the admission-control cursor honest under replay: the
-        # engine may re-plan a checkpointed range after restart
-        if self._cursor is None or int(end["version"]) > self._cursor:
-            self._cursor = int(end["version"])
+        # engine re-plans the last checkpointed range on restart, and
+        # BOTH bounds reveal its position (start == end == committed
+        # for the clean-restart reconstruction), so ratchet on the max
+        # — this is what guarantees the first paced latestOffset after
+        # a restart never returns an offset behind the checkpoint.
+        seen = max(int(start["version"]), int(end["version"]))
+        if self._cursor is None or seen > self._cursor:
+            self._cursor = seen
         return out
+
+    def commit(self, end: dict) -> None:
+        """Engine notification that everything through ``end`` is
+        checkpoint-committed: ratchet the pacing cursor so a later
+        ``latestOffset()`` can never return an offset behind the
+        engine's own position."""
+        v = int(end["version"])
+        if self._cursor is None or v > self._cursor:
+            self._cursor = v
+
+    # -- column-mapping eras -------------------------------------------
+
+    def _note_version(self, v: int, snap, prev) -> None:
+        """Track full compacts committed AFTER the reader's anchor
+        head: they start a new naming era (files materialized to
+        then-logical names, mapping cleared), after which each
+        version's OWN mapping is authoritative."""
+        if (
+            v > self._ref_version
+            and prev is not None
+            and snap.op == "OPTIMIZE"
+            and (snap.column_mapping or {}) != (prev.column_mapping or {})
+        ):
+            self._post_ref_boundary = True
+
+    def _mapping_for(self, v: int, snap) -> dict:
+        """Logical (stream-schema) name -> PHYSICAL file column name
+        for files referenced by version ``v``'s manifest.
+
+        Physical names are immutable WITHIN a naming era, but a full
+        ``compact()`` starts a new era: it materializes the then-
+        logical names into fresh files and clears the mapping, while
+        the pre-compact manifests (and their old-physical files)
+        survive for replay. A single head-pinned mapping therefore
+        null-fills renamed columns on a rename-then-compact replay,
+        and a version's OWN mapping null-fills files written before a
+        rename. The correct resolution composes across eras: start
+        from the anchor head's mapping and, at every full-compact
+        boundary in ``(v, head]``, translate through the pre-compact
+        era's final mapping (whose keys are exactly the names the
+        compact materialized). Boundary scan is lazy, one manifest
+        read per history version at most once per reader — the same
+        O(history) the replay's own planning pays.
+
+        Known limit (documented, matches the head-pinned behavior this
+        replaces): a RESTORE that jumps backward across a compact
+        re-references files whose era no longer matches their version
+        order; ``read()``'s logical-name fallback covers the
+        materialized-name side of that edge."""
+        if v >= self._ref_version:
+            if self._post_ref_boundary:
+                return dict(snap.column_mapping or {})
+            return dict(self._ref_mapping)
+        while self._down_scanned_to - 1 > v:
+            c = self._down_scanned_to - 1
+            sc = S.load_snapshot(self._path, c)
+            try:
+                pm = S.load_snapshot(self._path, c - 1)
+            except (S.VacuumedVersionError, ValueError, FileNotFoundError):
+                pm = None
+            if (
+                pm is not None
+                and sc.op == "OPTIMIZE"
+                and (sc.column_mapping or {})
+                != (pm.column_mapping or {})
+            ):
+                self._down_boundaries.append(
+                    (c, dict(pm.column_mapping or {}))
+                )
+            self._down_scanned_to = c
+        era = min(
+            (c for c, _ in self._down_boundaries if c > v), default=None
+        )
+        if era in self._eff_cache:
+            return self._eff_cache[era]
+        eff = {
+            f.name: self._ref_mapping.get(f.name, f.name)
+            for f in self._schema.fields
+        }
+        for c, pre in sorted(self._down_boundaries, reverse=True):
+            if c > v:
+                eff = {f: pre.get(p, p) for f, p in eff.items()}
+        eff = {f: p for f, p in eff.items() if f != p}
+        self._eff_cache[era] = eff
+        return eff
 
     def _version_partitions(self, v: int) -> list[InputPartition]:
         snap = S.load_snapshot(self._path, v)
@@ -268,6 +373,7 @@ class SnapshotTailReader(DataSourceStreamReader):
             prev = S.load_snapshot(self._path, v - 1)
         except (S.VacuumedVersionError, ValueError, FileNotFoundError):
             prev = None  # v is the stream's baseline snapshot
+        self._note_version(v, snap, prev)
         if prev is None and snap.dv_dead and any(snap.dv_dead.values()):
             raise ChangeCommitError(
                 f"{SOURCE_NAME}: baseline version {v} of "
@@ -317,7 +423,7 @@ class SnapshotTailReader(DataSourceStreamReader):
                     "inserts only, or consume snapshots.snapshot_diff "
                     "for the full change feed."
                 )
-            mapping = self._mapping
+            mapping = self._mapping_for(v, snap)
             pby = list(snap.partition_by or [])
             parts: list[InputPartition] = []
             for e in added_entries:
@@ -352,7 +458,7 @@ class SnapshotTailReader(DataSourceStreamReader):
             )
         if not added:
             return []  # metadata-only commit
-        mapping = self._mapping
+        mapping = self._mapping_for(v, snap)
         parts = []
         for d in added:
             for fp in _parquet_files(d):
@@ -381,6 +487,8 @@ class SnapshotTailReader(DataSourceStreamReader):
         cols = []
         for f, af in zip(self._schema.fields, target):
             phys = partition.mapping.get(f.name, f.name)
+            if phys not in tbl.column_names and f.name in tbl.column_names:
+                phys = f.name  # materialized-logical file (restore edge)
             if phys in tbl.column_names:
                 col = tbl.column(phys).combine_chunks()
                 if (

@@ -462,3 +462,38 @@ def test_schema_evolution_null_fills_old_change_rows(spark, tmp_path):
     # the delete row re-reads a pre-evolution file: still null-filled
     assert by[(1, "delete")].extra is None
     assert by[(1, "delete")].amt == 10.0
+
+
+def test_cdf_rename_then_compact_replay_resolves_old_names(
+    spark, tmp_path
+):
+    """Round-6 ADVICE: the change feed must resolve pre-compact files
+    under THEIR era's mapping on a rename-then-compact replay (the
+    head mapping is cleared by compact, so a head capture null-fills
+    the renamed column)."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.cdf import (
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a", 10)]), path)  # v0: phys "v"
+    S.rename_column(path, "v", "name")  # v1
+    S.commit(
+        spark,
+        spark.createDataFrame([Row(k=2, name="b", amt=20.0)]),
+        path,
+        mode="append",
+    )  # v2: phys "v"
+    S.delete_where_dv(spark, path, "k = 1")  # v3: row-precise delete
+    S.compact(spark, path)  # v4: logical files, mapping cleared
+
+    got = table_changes(spark, path, starting_version="earliest")
+    rows = sorted(
+        (r.k, r.name, r._change_type, r._commit_version)
+        for r in got.collect()
+    )
+    assert rows == [
+        (1, "a", "delete", 3),
+        (1, "a", "insert", 0),
+        (2, "b", "insert", 2),
+    ]

@@ -418,7 +418,9 @@ def test_compact_collapses_marker_rows_and_keeps_watermark(
     # batch 3 (0-indexed) collapsed them to the max-batch one
     assert len(markers) == 1
     assert markers[0]["_last_batch"] == 3
-    assert S.load_snapshot(table).op == "OPTIMIZE"
+    # marker-dropping fold is a ROW change: published as MAINTENANCE,
+    # never OPTIMIZE (the one label stream sources skip as bytes-only)
+    assert S.load_snapshot(table).op == "MAINTENANCE"
     assert _state(spark, table) == {
         "a": (1, _fx(12.0)),
         "c": (1, _fx(7.75)),
@@ -428,4 +430,4 @@ def test_compact_collapses_marker_rows_and_keeps_watermark(
     # nothing (watermark intact post-collapse)
     q = stream_agg_maintenance(spark, raw, table, ckpt)
     q.awaitTermination(120)
-    assert S.load_snapshot(table).op == "OPTIMIZE"  # no new commit
+    assert S.load_snapshot(table).op == "MAINTENANCE"  # no new commit

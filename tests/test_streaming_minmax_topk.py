@@ -358,7 +358,9 @@ def test_compact_every_folds_mirror_and_stream_continues(spark, tmp_path):
         _apply(log, rows)
 
     head = S.load_snapshot(factp)
-    assert head.op == "OPTIMIZE"  # batch 3 (+1) % 2 == 0 compacted
+    # batch 3 (+1) % 2 == 0 compacted; the fold drops marker rows, so
+    # it publishes as MAINTENANCE (a change commit), not OPTIMIZE
+    assert head.op == "MAINTENANCE"
     assert not head.dv_files
     assert len(head.dirs) == 1
 

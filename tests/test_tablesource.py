@@ -428,3 +428,177 @@ def test_max_files_per_trigger_paces_by_file_count(spark, tmp_path):
     # a 1-file budget admits one bronze version per batch: four hops
     tail_ops = [op for op in _silver_ops(silver) if "@tailbatch=" in op]
     assert len(tail_ops) == 4
+
+
+def test_rename_then_compact_replay_resolves_old_physical_names(
+    spark, tmp_path
+):
+    """Round-6 ADVICE: compact() materializes logical names and CLEARS
+    the column mapping while pre-compact manifests survive, so a
+    head-pinned mapping null-fills the renamed column on a replay from
+    'earliest'. Era-composed resolution (`_mapping_for`) must surface
+    the old physical values under the logical name."""
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    S.commit(spark, _df(spark, [(1, "a", 10)]), path)  # v0: physical "v"
+    S.rename_column(path, "v", "name")  # v1: mapping {name: v}
+    S.commit(
+        spark,
+        spark.createDataFrame([Row(k=2, name="b", amt=20.0)]),
+        path,
+        mode="append",
+    )  # v2: still physical "v"
+    S.compact(spark, path)  # v3: logical-named files, mapping cleared
+
+    got = _drain(spark, path, ckpt, starting_version="earliest")
+    # the replay emits v0+v2 (v3 is OPTIMIZE-skipped) — both eras'
+    # files must resolve, never null-fill
+    by_k = {r.k: r.name for r in got}
+    assert by_k == {1: "a", 2: "b"}
+
+
+def test_two_era_replay_composes_mappings_across_compact(spark, tmp_path):
+    """Rename → compact → rename again: resolving the head-logical
+    name against first-era files requires composing the head mapping
+    with the pre-compact era's final mapping."""
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    S.commit(spark, _df(spark, [(1, "a", 10)]), path)  # v0: phys "v"
+    S.rename_column(path, "v", "name")  # v1
+    S.commit(
+        spark,
+        spark.createDataFrame([Row(k=2, name="b", amt=20.0)]),
+        path,
+        mode="append",
+    )  # v2: phys "v"
+    S.compact(spark, path)  # v3: files now "name", mapping cleared
+    S.commit(
+        spark,
+        spark.createDataFrame([Row(k=3, name="c", amt=30.0)]),
+        path,
+        mode="append",
+    )  # v4: phys "name"
+    S.rename_column(path, "name", "label")  # v5: mapping {label: name}
+    S.commit(
+        spark,
+        spark.createDataFrame([Row(k=4, label="d", amt=40.0)]),
+        path,
+        mode="append",
+    )  # v6: phys "name"
+
+    got = _drain(spark, path, ckpt, starting_version="earliest")
+    by_k = {r.k: r.label for r in got}
+    assert by_k == {1: "a", 2: "b", 3: "c", 4: "d"}
+
+
+def test_restart_recovery_warms_pacing_cursor(spark, tmp_path):
+    """Round-6 ADVICE (high): after a restart the paced reader's first
+    latestOffset must never return an offset behind the engine's
+    checkpointed position. The engine reconstructs the last
+    checkpointed batch first — both the partitions() bounds and
+    commit() must warm the cursor, so pacing resumes FROM the
+    checkpoint, not from the startingVersion seed."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.tablesource import (
+        SnapshotTailReader,
+    )
+
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a", 10)]), path)
+    for i in range(2, 5):
+        S.commit(
+            spark,
+            _df(spark, [(i, chr(96 + i), i * 10)]),
+            path,
+            mode="append",
+        )  # head = v3
+    schema = StructType.fromJson(
+        _json.loads(S.load_snapshot(path).schema_json)
+    )
+    opts = {
+        "path": path,
+        "startingversion": "earliest",
+        "maxversionspertrigger": "1",
+    }
+
+    # restart shape 1: clean restart — engine re-plans the committed
+    # batch as an empty range (start == end == checkpoint position)
+    r = SnapshotTailReader(schema, dict(opts))
+    r.partitions({"version": 2}, {"version": 2})
+    assert r.latestOffset() == {"version": 3}  # paced from 2, not -1
+
+    # restart shape 2: crash mid-batch — engine re-plans the pending
+    # range, then commits it
+    r = SnapshotTailReader(schema, dict(opts))
+    r.partitions({"version": 1}, {"version": 2})
+    r.commit({"version": 2})
+    assert r.latestOffset() == {"version": 3}
+
+    # fresh start stays paced: cold cursor seeds from startingVersion
+    r = SnapshotTailReader(schema, dict(opts))
+    assert r.latestOffset() == {"version": 0}
+
+
+def test_paced_restart_is_exactly_once(spark, tmp_path):
+    """E2E for the round-6 ADVICE (high) offset-regression bug: stop a
+    paced backfill stream, append more commits, restart from the same
+    checkpoint — every source row must land in the sink EXACTLY once
+    (a regressed offset re-delivers committed versions under new batch
+    ids, which the @tailbatch marker cannot dedup)."""
+    import time as _time
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.tablesource import (
+        stream_table_to_table,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    S.commit(spark, _df(spark, [(1, "a", 10)]), bronze)
+    for i in range(2, 5):
+        S.commit(
+            spark,
+            _df(spark, [(i, chr(96 + i), i * 10)]),
+            bronze,
+            mode="append",
+        )
+
+    def _run(expect):
+        q = stream_table_to_table(
+            spark,
+            bronze,
+            silver,
+            ckpt,
+            starting_version="earliest",
+            max_versions_per_trigger=1,
+            trigger={"processingTime": "0 seconds"},
+        )
+        try:
+            deadline = _time.time() + 90
+            while _time.time() < deadline:
+                try:
+                    if len(S.read(spark, silver).collect()) >= expect:
+                        break
+                except FileNotFoundError:
+                    pass
+                _time.sleep(0.5)
+            # grace window: a regressing stream would now be busily
+            # re-delivering old versions as extra rows
+            _time.sleep(3)
+        finally:
+            q.stop()
+
+    _run(4)
+    for i in range(5, 7):
+        S.commit(
+            spark,
+            _df(spark, [(i, chr(96 + i), i * 10)]),
+            bronze,
+            mode="append",
+        )
+    _run(6)  # restart from the same checkpoint
+    rows = sorted(r.k for r in S.read(spark, silver).collect())
+    assert rows == [1, 2, 3, 4, 5, 6]  # no duplicates, nothing lost
