@@ -603,11 +603,17 @@ def _make_content_decoders():
                         )
                     )
                 frame = (hh, ww, comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker == 0xC2:
+                # progressive: different scan structure — reparsed and
+                # decoded by _jpeg_progressive (multi-scan, spectral
+                # selection + successive approximation)
+                raise _ProgressiveSOF()
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
-                    "only baseline sequential JPEG (SOF0/SOF1) is "
-                    f"decodable (got SOF marker {marker:#x})"
+                    "only baseline sequential (SOF0/SOF1) and "
+                    "progressive (SOF2) JPEG are decodable (got SOF "
+                    f"marker {marker:#x})"
                 )
             elif marker == 0xDD:  # DRI
                 if len(seg) < 2:

@@ -19,7 +19,23 @@ def spark(tmp_path_factory):
         "tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.sql.warehouse.dir": wh},
+        extra_conf={
+            "spark.sql.warehouse.dir": wh,
+            # One shared driver JVM survives the whole ~460-test suite
+            # (tens of thousands of stages). The default 1g heap OOMs
+            # late-suite on accumulated listener/UI history alone, so:
+            # give the driver real headroom and stop retaining history
+            # nobody reads in CI (the UI is off; the status stores
+            # still collect unless bounded).
+            "spark.driver.memory": "6g",
+            "spark.ui.enabled": "false",
+            "spark.ui.retainedJobs": "50",
+            "spark.ui.retainedStages": "100",
+            "spark.ui.retainedTasks": "500",
+            "spark.sql.ui.retainedExecutions": "10",
+            "spark.ui.dagGraph.retainedRootRDDs": "10",
+            "spark.appStateStore.asyncTracking.enable": "true",
+        },
     )
     yield s
 
