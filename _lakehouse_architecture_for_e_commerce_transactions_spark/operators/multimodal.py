@@ -207,10 +207,13 @@ def _make_content_decoders():
         """Destuff (0xFF00 → 0xFF) the JPEG entropy stream and split it
         at restart markers in one pass over MARKER positions only
         (``bytes.find`` — O(0xFF occurrences), not O(bytes) of Python
-        branching). Returns ``[(clean_bytes, terminator), ...]`` with
-        terminator ``("rst", n)`` | ``("marker", byte)`` | ``("end",)``
-        — the reader raises the old per-byte errors from the
-        terminator if it runs out of bits mid-symbol."""
+        branching). Returns ``([(clean_bytes, terminator), ...], end)``
+        with terminator ``("rst", n)`` | ``("marker", byte)`` |
+        ``("end",)`` — the reader raises the old per-byte errors from
+        the terminator if it runs out of bits mid-symbol — and ``end``
+        the offset of the 0xFF introducing the terminating marker (or
+        ``len(b)``), where a multi-scan parser resumes its marker
+        walk."""
         segs = []
         cur = bytearray()
         i, n = start, len(b)
@@ -219,13 +222,13 @@ def _make_content_decoders():
             if j < 0:
                 cur += b[i:]
                 segs.append((bytes(cur), ("end",)))
-                return segs
+                return segs, n
             cur += b[i:j]
             if j + 1 >= n:
                 # trailing 0xFF with nothing after: reading it would
                 # have been "truncated"; never reading it is fine
                 segs.append((bytes(cur), ("end",)))
-                return segs
+                return segs, n
             nxt = b[j + 1]
             if nxt == 0x00:
                 cur.append(0xFF)
@@ -236,7 +239,7 @@ def _make_content_decoders():
                 i = j + 2
             else:
                 segs.append((bytes(cur), ("marker", nxt)))
-                return segs
+                return segs, j
 
     # plain dict cache, NOT functools.lru_cache: the closure ships to
     # executors by value via cloudpickle, which cannot pickle a
@@ -603,17 +606,11 @@ def _make_content_decoders():
                         )
                     )
                 frame = (hh, ww, comps)
-            elif marker == 0xC2:
-                # progressive: different scan structure — reparsed and
-                # decoded by _jpeg_progressive (multi-scan, spectral
-                # selection + successive approximation)
-                raise _ProgressiveSOF()
-            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
-                    "only baseline sequential (SOF0/SOF1) and "
-                    "progressive (SOF2) JPEG are decodable (got SOF "
-                    f"marker {marker:#x})"
+                    "only baseline sequential JPEG (SOF0/SOF1) is "
+                    f"decodable (got SOF marker {marker:#x})"
                 )
             elif marker == 0xDD:  # DRI
                 if len(seg) < 2:
@@ -686,7 +683,7 @@ def _make_content_decoders():
         # poison contract (truncation / stray marker / restart
         # cadence / invalid code → ValueError) is preserved case by
         # case below.
-        segs = _clean_scan(b, scan_start)
+        segs, _scan_end = _clean_scan(b, scan_start)
         si = 0
         seg, term = segs[0]
         seglen = len(seg)
