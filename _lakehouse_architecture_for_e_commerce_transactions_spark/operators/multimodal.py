@@ -525,9 +525,80 @@ def _make_content_decoders():
         ]
     )
 
+    class _ProgressiveSOF(Exception):
+        """Internal dispatch only: ``_jpeg_segments`` hit SOF2, so the
+        payload is a progressive JPEG and must be re-walked by
+        ``_jpeg_progressive`` (multi-scan structure). Never escapes
+        ``jpeg`` — callers see pixels, ValueError or
+        NotImplementedError like every other decoder."""
+
+    def _parse_dqt(seg: bytes, qt: dict) -> None:
+        # DQT segment body (possibly several tables)
+        o = 0
+        while o < len(seg):
+            pq, tq = seg[o] >> 4, seg[o] & 15
+            if pq != 0:
+                raise NotImplementedError("16-bit quantization tables")
+            tbl = seg[o + 1 : o + 65]
+            if len(tbl) != 64:
+                raise ValueError("truncated DQT")
+            qt[tq] = np.frombuffer(tbl, np.uint8).astype(np.int32)
+            o += 65
+
+    def _parse_dht(seg: bytes, huff: dict) -> None:
+        # DHT segment body (possibly several tables)
+        o = 0
+        while o < len(seg):
+            if o + 17 > len(seg):
+                raise ValueError("truncated DHT")
+            tc, th = seg[o] >> 4, seg[o] & 15
+            counts = seg[o + 1 : o + 17]
+            total = sum(counts)
+            vals = seg[o + 17 : o + 17 + total]
+            if len(vals) != total:
+                raise ValueError("truncated DHT")
+            table: dict[tuple[int, int], int] = {}
+            code = vi = 0
+            for length in range(1, 17):
+                for _ in range(counts[length - 1]):
+                    table[(length, code)] = vals[vi]
+                    vi += 1
+                    code += 1
+                if code > (1 << length):
+                    raise ValueError("overfull Huffman table")
+                code <<= 1
+            huff[(tc, th)] = table
+            o += 17 + total
+
+    def _parse_sof(seg: bytes):
+        # SOF segment body -> (height, width, [(id, h, v, tq), ...])
+        if len(seg) < 6:
+            raise ValueError("truncated SOF")
+        prec = seg[0]
+        hh, ww = struct.unpack(">HH", seg[1:5])
+        nc = seg[5]
+        if prec != 8:
+            raise NotImplementedError("12-bit JPEG")
+        comps = []
+        for ci in range(nc):
+            base = 6 + 3 * ci
+            if base + 3 > len(seg):
+                raise ValueError("truncated SOF components")
+            comps.append(
+                (
+                    seg[base],
+                    seg[base + 1] >> 4,
+                    seg[base + 1] & 15,
+                    seg[base + 2],
+                )
+            )
+        return (hh, ww, comps)
+
     def _jpeg_segments(b: bytes):
         """Parse the marker stream up to (and including) SOS. Returns
-        (qt, huff, frame, dri, scan_map, scan_start)."""
+        (qt, huff, frame, dri, scan_map, scan_start). Raises
+        _ProgressiveSOF on SOF2 so ``jpeg`` re-dispatches the payload
+        to the multi-scan progressive walk."""
         qt: dict[int, object] = {}
         huff: dict[tuple[int, int], dict] = {}
         frame = None
@@ -548,69 +619,20 @@ def _make_content_decoders():
             seg = b[pos + 4 : pos + 2 + ln]
             if ln < 2 or len(seg) != ln - 2:
                 raise ValueError("truncated JPEG segment")
-            if marker == 0xDB:  # DQT (possibly several tables)
-                o = 0
-                while o < len(seg):
-                    pq, tq = seg[o] >> 4, seg[o] & 15
-                    if pq != 0:
-                        raise NotImplementedError(
-                            "16-bit quantization tables"
-                        )
-                    tbl = seg[o + 1 : o + 65]
-                    if len(tbl) != 64:
-                        raise ValueError("truncated DQT")
-                    qt[tq] = np.frombuffer(tbl, np.uint8).astype(np.int32)
-                    o += 65
-            elif marker == 0xC4:  # DHT (possibly several tables)
-                o = 0
-                while o < len(seg):
-                    if o + 17 > len(seg):
-                        raise ValueError("truncated DHT")
-                    tc, th = seg[o] >> 4, seg[o] & 15
-                    counts = seg[o + 1 : o + 17]
-                    total = sum(counts)
-                    vals = seg[o + 17 : o + 17 + total]
-                    if len(vals) != total:
-                        raise ValueError("truncated DHT")
-                    table: dict[tuple[int, int], int] = {}
-                    code = vi = 0
-                    for length in range(1, 17):
-                        for _ in range(counts[length - 1]):
-                            table[(length, code)] = vals[vi]
-                            vi += 1
-                            code += 1
-                        if code > (1 << length):
-                            raise ValueError("overfull Huffman table")
-                        code <<= 1
-                    huff[(tc, th)] = table
-                    o += 17 + total
+            if marker == 0xDB:  # DQT
+                _parse_dqt(seg, qt)
+            elif marker == 0xC4:  # DHT
+                _parse_dht(seg, huff)
             elif marker in (0xC0, 0xC1):  # baseline / extended seq.
-                if len(seg) < 6:
-                    raise ValueError("truncated SOF")
-                prec = seg[0]
-                hh, ww = struct.unpack(">HH", seg[1:5])
-                nc = seg[5]
-                if prec != 8:
-                    raise NotImplementedError("12-bit JPEG")
-                comps = []
-                for ci in range(nc):
-                    base = 6 + 3 * ci
-                    if base + 3 > len(seg):
-                        raise ValueError("truncated SOF components")
-                    comps.append(
-                        (
-                            seg[base],
-                            seg[base + 1] >> 4,
-                            seg[base + 1] & 15,
-                            seg[base + 2],
-                        )
-                    )
-                frame = (hh, ww, comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                frame = _parse_sof(seg)
+            elif marker == 0xC2:  # progressive: different scan walk
+                raise _ProgressiveSOF()
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
-                    "only baseline sequential JPEG (SOF0/SOF1) is "
-                    f"decodable (got SOF marker {marker:#x})"
+                    "only baseline sequential (SOF0/SOF1) and "
+                    "progressive (SOF2) JPEG are decodable (got SOF "
+                    f"marker {marker:#x})"
                 )
             elif marker == 0xDD:  # DRI
                 if len(seg) < 2:
@@ -632,58 +654,16 @@ def _make_content_decoders():
             pos += 2 + ln
         raise ValueError("JPEG missing SOS")
 
-    def jpeg(payload: bytes):
-        """Baseline sequential JPEG (SOF0/SOF1, Huffman, 8-bit) pixel
-        decode: grayscale -> (H, W, 1), YCbCr -> (H, W, 3) RGB
-        (JFIF/BT.601 full-range), integer-ratio chroma subsampling
-        (4:4:4 / 4:2:2 / 4:2:0) upsampled by replication, restart
-        markers honored. Progressive (SOF2), arithmetic coding and
-        12-bit precision stay behind NotImplementedError; truncation
-        and spec violations raise ValueError (strict-poison, like the
-        other decoders)."""
-        b = bytes(payload)
-        if b[:2] != b"\xff\xd8":
-            raise ValueError("not a JPEG container")
-        qt, huff, frame, dri, smap, scan_start = _jpeg_segments(b)
-        if frame is None:
-            raise ValueError("JPEG missing SOF")
-        hgt, wdt, comps = frame
-        if hgt == 0 or wdt == 0:
-            raise ValueError("zero-dimension JPEG")
-        nch = len(comps)
-        if nch not in (1, 3):
-            raise NotImplementedError(f"{nch}-component JPEG")
-        if wdt * hgt * nch > max_decode_bytes:
-            raise ValueError(
-                f"JPEG too large for pure-Python decode ({wdt}x{hgt})"
-            )
-        if len(smap) != nch:
-            raise NotImplementedError("multi-scan JPEG")
-        comp_by_id = {c[0]: c for c in comps}
-        hmax = max(c[1] for c in comps)
-        vmax = max(c[2] for c in comps)
-        if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
-            raise ValueError("bad sampling factors")
-        for _, hs, vs, _ in comps:
-            if hs < 1 or vs < 1 or hmax % hs or vmax % vs:
-                raise NotImplementedError(
-                    "non-integer chroma subsampling ratio"
-                )
-        mcux = -(-wdt // (8 * hmax))
-        mcuy = -(-hgt // (8 * vmax))
-
-        # MSB-first reader over the entropy stream, vectorized shape:
-        # the scan is destuffed and split at restart markers in ONE
-        # bytes.find pass (_clean_scan — the reader never pays a
-        # per-byte Python marker branch), Huffman symbols resolve
-        # through a 16-bit peek into a flat lookup table (one list
-        # index per SYMBOL instead of a dict probe per BIT), and the
-        # bit buffer refills eight bytes at a time. Decoded output is
-        # bit-identical to the bit-serial reader this replaces; the
-        # poison contract (truncation / stray marker / restart
-        # cadence / invalid code → ValueError) is preserved case by
-        # case below.
-        segs, _scan_end = _clean_scan(b, scan_start)
+    def _make_entropy_reader(segs):
+        """MSB-first reader over a destuffed, restart-split entropy
+        stream (the output of ``_clean_scan``) — the shared machinery
+        of the baseline and progressive decoders. Huffman symbols
+        resolve through a 16-bit peek into a flat lookup table (one
+        list index per SYMBOL instead of a dict probe per BIT) and the
+        bit buffer refills eight bytes at a time; running out of bits
+        mid-symbol reports what the raw stream held where more entropy
+        data was needed (truncation / stray marker → ValueError).
+        Returns ``(getbits, restart, huffdecode, receive_extend)``."""
         si = 0
         seg, term = segs[0]
         seglen = len(seg)
@@ -691,9 +671,6 @@ def _make_content_decoders():
         bitbuf = bitcnt = 0
 
         def _starve():
-            # out of bits mid-symbol: report what the raw stream held
-            # where more entropy data was needed, exactly like the
-            # old per-byte reader did when fill() hit it
             if term[0] == "end":
                 raise ValueError("truncated JPEG scan data")
             code = term[1] if term[0] == "marker" else 0xD0 + term[1]
@@ -728,7 +705,7 @@ def _make_content_decoders():
             nonlocal si, seg, term, seglen, pos, bitbuf, bitcnt
             # the interval must be exhausted up to byte-align padding
             # (< 8 unconsumed bits) and terminated by the expected
-            # RSTn — the same two checks the raw-stream reader made
+            # RSTn — the same two checks a raw-stream reader makes
             if 8 * (seglen - pos) + bitcnt >= 8 or term != (
                 "rst",
                 m & 7,
@@ -763,6 +740,401 @@ def _make_content_decoders():
                 return 0
             v = getbits(s)
             return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        return getbits, restart, huffdecode, receive_extend
+
+    def _prog_frame_geometry(frame):
+        """Validate an SOF2 frame and allocate the per-component
+        zigzag coefficient accumulators every scan writes into.
+        Returns ``(geom, coefs)``: ``geom[cid] = (niw, nih, hs, vs)``
+        with (niw, nih) the NON-interleaved block grid
+        (ceil(component dim / 8) — what a single-component scan
+        covers) and ``geom["_mcu"] = (mcux, mcuy, hmax, vmax)``;
+        ``coefs[cid]`` is the full MCU-padded (blocks_y, blocks_x, 64)
+        int32 array in zigzag order."""
+        hgt, wdt, comps = frame
+        if hgt == 0 or wdt == 0:
+            raise ValueError("zero-dimension JPEG")
+        nch = len(comps)
+        if nch not in (1, 3):
+            raise NotImplementedError(f"{nch}-component JPEG")
+        if wdt * hgt * nch > max_decode_bytes:
+            raise ValueError(
+                f"JPEG too large for pure-Python decode ({wdt}x{hgt})"
+            )
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
+            raise ValueError("bad sampling factors")
+        for _, hs, vs, _ in comps:
+            if hs < 1 or vs < 1 or hmax % hs or vmax % vs:
+                raise NotImplementedError(
+                    "non-integer chroma subsampling ratio"
+                )
+        mcux = -(-wdt // (8 * hmax))
+        mcuy = -(-hgt // (8 * vmax))
+        geom: dict = {"_mcu": (mcux, mcuy, hmax, vmax)}
+        coefs: dict = {}
+        for cid, hs, vs, tq in comps:
+            if cid in coefs:
+                raise ValueError("duplicate component id")
+            cw = -(-(wdt * hs) // hmax)
+            ch = -(-(hgt * vs) // vmax)
+            geom[cid] = (-(-cw // 8), -(-ch // 8), hs, vs)
+            coefs[cid] = np.zeros((mcuy * vs, mcux * hs, 64), np.int32)
+        return geom, coefs
+
+    def _prog_scan(seg, segs, frame, geom, coefs, huff, dri):
+        """Decode ONE progressive scan (T.81 §G.2) into the coefficient
+        accumulators: a DC scan (Ss=0, optionally interleaved; first
+        pass Huffman-codes point-transformed predictor diffs,
+        refinement passes append one raw bit per block) or a
+        single-component AC band scan over [Ss, Se] (first pass with
+        EOB-run coding across blocks and ZRL, refinement pass with
+        correction bits for every already-nonzero coefficient).
+        Restart markers reset DC predictors AND the EOB run."""
+        ns = seg[0]
+        if len(seg) < 4 + 2 * ns:
+            raise ValueError("truncated SOS components")
+        smap = [
+            (seg[1 + 2 * si], seg[2 + 2 * si] >> 4, seg[2 + 2 * si] & 15)
+            for si in range(ns)
+        ]
+        ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+        ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+        hgt, wdt, comps = frame
+        comp_by_id = {c[0]: c for c in comps}
+        for cs, _, _ in smap:
+            if cs not in comp_by_id:
+                raise ValueError("SOS names unknown component")
+        if ah > 13 or al > 13:
+            raise ValueError("bad successive-approximation bits")
+        if ah != 0 and ah != al + 1:
+            raise ValueError("non-contiguous successive approximation")
+        mcux, mcuy, hmax, vmax = geom["_mcu"]
+        getbits, restart, huffdecode, receive_extend = (
+            _make_entropy_reader(segs)
+        )
+
+        if ss == 0:
+            # ---- DC scan (first pass or refinement) ----
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            luts = {}
+            if ah == 0:
+                for cs, td, _ in smap:
+                    if (0, td) not in huff:
+                        raise ValueError("missing Huffman table")
+                    luts[cs] = _huff_lut(
+                        tuple(sorted(huff[(0, td)].items()))
+                    )
+            preds = {cs: 0 for cs, _, _ in smap}
+
+            def dc_block(cof, cs):
+                if ah == 0:
+                    dcv, dcl = luts[cs]
+                    s = huffdecode(dcv, dcl)
+                    if s > 11:
+                        raise ValueError("DC category out of range")
+                    preds[cs] += receive_extend(s)
+                    cof[0] = preds[cs] << al
+                elif getbits(1):
+                    cof[0] |= 1 << al
+
+            units = rst = 0
+            if ns > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if dri and units and units % dri == 0:
+                            restart(rst)
+                            rst = (rst + 1) & 7
+                            for cs in preds:
+                                preds[cs] = 0
+                        for cs, _, _ in smap:
+                            _, hs, vs, _ = comp_by_id[cs]
+                            arr = coefs[cs]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    dc_block(
+                                        arr[my * vs + by, mx * hs + bx],
+                                        cs,
+                                    )
+                        units += 1
+            else:
+                cs = smap[0][0]
+                niw, nih, _, _ = geom[cs]
+                arr = coefs[cs]
+                for byi in range(nih):
+                    for bxi in range(niw):
+                        if dri and units and units % dri == 0:
+                            restart(rst)
+                            rst = (rst + 1) & 7
+                            preds[cs] = 0
+                        dc_block(arr[byi, bxi], cs)
+                        units += 1
+            return
+
+        # ---- AC band scan: always single-component ----
+        if ns != 1:
+            raise ValueError("interleaved progressive AC scan")
+        if se < ss or se > 63:
+            raise ValueError("bad spectral selection band")
+        cs, _, ta = smap[0]
+        if (1, ta) not in huff:
+            raise ValueError("missing Huffman table")
+        acv, acl = _huff_lut(tuple(sorted(huff[(1, ta)].items())))
+        niw, nih, _, _ = geom[cs]
+        arr = coefs[cs]
+        eobrun = 0
+        p1 = 1 << al
+        m1 = -1 << al
+
+        def ac_first(cof):
+            nonlocal eobrun
+            if eobrun:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = huffdecode(acv, acl)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:  # EOBn: run of end-of-band blocks
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += getbits(r)
+                        return
+                    k += 16  # ZRL
+                else:
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    cof[k] = receive_extend(s) << al
+                    k += 1
+
+        def ac_refine(cof):
+            # the classic T.81 §G.2 / libjpeg-style refinement walk:
+            # each symbol advances over zero-HISTORY coefficients
+            # (emitting a correction bit for every nonzero one
+            # passed), then either plants a new ±2^Al coefficient or
+            # opens an EOB run whose tail still corrects the nonzero
+            # coefficients left in this block
+            nonlocal eobrun
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = huffdecode(acv, acl)
+                    r, s = rs >> 4, rs & 15
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += getbits(r)
+                            break
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "bad AC refinement magnitude"
+                            )
+                        val = p1 if getbits(1) else m1
+                    while k <= se:
+                        v = int(cof[k])
+                        if v:
+                            if getbits(1) and (v & p1) == 0:
+                                cof[k] = v + (p1 if v >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val:
+                        if k > se:
+                            raise ValueError(
+                                "AC refinement run past band end"
+                            )
+                        cof[k] = val
+                    k += 1
+            if eobrun:
+                while k <= se:
+                    v = int(cof[k])
+                    if v and getbits(1) and (v & p1) == 0:
+                        cof[k] = v + (p1 if v >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+        block = ac_first if ah == 0 else ac_refine
+        units = rst = 0
+        for byi in range(nih):
+            for bxi in range(niw):
+                if dri and units and units % dri == 0:
+                    restart(rst)
+                    rst = (rst + 1) & 7
+                    eobrun = 0
+                block(arr[byi, bxi])
+                units += 1
+
+    def _prog_reconstruct(frame, geom, coefs, qt):
+        """Dequantize + IDCT + upsample + color-convert the
+        accumulated coefficients ONCE, vectorized over every block
+        (einsum over (blocks_y, blocks_x, 8, 8) — no per-block Python
+        IDCT), mirroring the baseline decoder's output conventions
+        exactly (replication upsampling, BT.601 full-range,
+        round-clip-uint8)."""
+        hgt, wdt, comps = frame
+        nch = len(comps)
+        _, _, hmax, vmax = geom["_mcu"]
+        full = []
+        for cid, hs, vs, tq in comps:
+            if tq not in qt:
+                raise ValueError(f"missing quantization table {tq}")
+            arr = coefs[cid]
+            nbh, nbw = arr.shape[:2]
+            deq = arr.astype(np.float64) * np.asarray(
+                qt[tq], np.float64
+            )[None, None, :]
+            z = np.zeros((nbh, nbw, 8, 8))
+            z[:, :, _ZR, _ZC] = deq
+            px = np.einsum("ab,ijbc,cd->ijad", _A.T, z, _A) + 128.0
+            plane = px.transpose(0, 2, 1, 3).reshape(nbh * 8, nbw * 8)
+            up = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+            full.append(up[:hgt, :wdt])
+        if nch == 1:
+            out = full[0][..., np.newaxis]
+        else:
+            y, cb, cr = full
+            out = np.stack(
+                [
+                    y + 1.402 * (cr - 128.0),
+                    y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                    y + 1.772 * (cb - 128.0),
+                ],
+                axis=-1,
+            )
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+    def _jpeg_progressive(b: bytes):
+        """Progressive JPEG (SOF2, Huffman, 8-bit) pixel decode — the
+        full multi-scan protocol of ITU-T T.81 Annex G: DC scans
+        (optionally interleaved) and per-component AC band scans with
+        spectral selection [Ss, Se] and successive approximation
+        (Ah=0 first passes, Ah>0 refinement passes, EOB-run coding,
+        ZRL and correction bits), tables redefinable between scans,
+        restart markers honored. Every scan accumulates into
+        per-component zigzag coefficient arrays; dequantize + IDCT +
+        upsample + color conversion run once at EOI, vectorized over
+        all blocks. Same strict-poison contract as the baseline path:
+        truncation, bad band structure, Huffman errors and run
+        overflows raise ValueError; arithmetic coding and 12-bit
+        precision stay behind NotImplementedError."""
+        qt: dict[int, object] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        frame = None
+        geom = coefs = None
+        dri = 0
+        nscans = 0
+        pos = 2
+        while pos + 2 <= len(b):
+            if b[pos] != 0xFF:
+                raise ValueError("bad JPEG marker stream")
+            marker = b[pos + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                pos += 2
+                continue
+            if marker == 0xD9:
+                break
+            if pos + 4 > len(b):
+                raise ValueError("truncated JPEG segment header")
+            (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+            seg = b[pos + 4 : pos + 2 + ln]
+            if ln < 2 or len(seg) != ln - 2:
+                raise ValueError("truncated JPEG segment")
+            if marker == 0xDB:
+                _parse_dqt(seg, qt)
+            elif marker == 0xC4:
+                _parse_dht(seg, huff)
+            elif marker == 0xC2:
+                if frame is not None:
+                    raise ValueError("multiple SOF segments")
+                frame = _parse_sof(seg)
+                geom, coefs = _prog_frame_geometry(frame)
+            elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError("conflicting SOF segments")
+            elif marker == 0xDD:
+                if len(seg) < 2:
+                    raise ValueError("truncated DRI")
+                (dri,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xDA:
+                if frame is None:
+                    raise ValueError("JPEG scan before SOF")
+                nscans += 1
+                if nscans > 1024:  # adversarial scan-count bound
+                    raise ValueError("too many progressive scans")
+                segs, end = _clean_scan(b, pos + 2 + ln)
+                _prog_scan(seg, segs, frame, geom, coefs, huff, dri)
+                pos = end
+                continue
+            pos += 2 + ln
+        if frame is None:
+            raise ValueError("JPEG missing SOF")
+        if nscans == 0:
+            raise ValueError("JPEG missing SOS")
+        return _prog_reconstruct(frame, geom, coefs, qt)
+
+    def jpeg(payload: bytes):
+        """Baseline sequential (SOF0/SOF1) AND progressive (SOF2)
+        JPEG pixel decode, Huffman, 8-bit: grayscale -> (H, W, 1),
+        YCbCr -> (H, W, 3) RGB (JFIF/BT.601 full-range),
+        integer-ratio chroma subsampling (4:4:4 / 4:2:2 / 4:2:0)
+        upsampled by replication, restart markers honored.
+        Progressive payloads take the multi-scan accumulation path
+        (_jpeg_progressive). Arithmetic coding and 12-bit precision
+        stay behind NotImplementedError; truncation and spec
+        violations raise ValueError (strict-poison, like the other
+        decoders)."""
+        b = bytes(payload)
+        if b[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG container")
+        try:
+            qt, huff, frame, dri, smap, scan_start = _jpeg_segments(b)
+        except _ProgressiveSOF:
+            return _jpeg_progressive(b)
+        if frame is None:
+            raise ValueError("JPEG missing SOF")
+        hgt, wdt, comps = frame
+        if hgt == 0 or wdt == 0:
+            raise ValueError("zero-dimension JPEG")
+        nch = len(comps)
+        if nch not in (1, 3):
+            raise NotImplementedError(f"{nch}-component JPEG")
+        if wdt * hgt * nch > max_decode_bytes:
+            raise ValueError(
+                f"JPEG too large for pure-Python decode ({wdt}x{hgt})"
+            )
+        if len(smap) != nch:
+            raise NotImplementedError("multi-scan JPEG")
+        comp_by_id = {c[0]: c for c in comps}
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
+            raise ValueError("bad sampling factors")
+        for _, hs, vs, _ in comps:
+            if hs < 1 or vs < 1 or hmax % hs or vmax % vs:
+                raise NotImplementedError(
+                    "non-integer chroma subsampling ratio"
+                )
+        mcux = -(-wdt // (8 * hmax))
+        mcuy = -(-hgt // (8 * vmax))
+
+        # MSB-first reader over the entropy stream (shared with the
+        # progressive decoder — see _make_entropy_reader)
+        segs, _scan_end = _clean_scan(b, scan_start)
+        getbits, restart, huffdecode, receive_extend = (
+            _make_entropy_reader(segs)
+        )
 
         def decode_block(dcv, dcl, acv, acl, q, pred):
             coef = np.zeros(64, np.int64)
@@ -1395,6 +1767,113 @@ def _make_dc_jpeg():
         )
 
     return dc_jpeg
+
+
+def synthesize_progressive_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL progressive (SOF2) JPEGs with CLOSED-FORM
+    decoded content, mirroring ``synthesize_jpeg_media``: per doc_id
+    the same 16×8 grayscale DC-only image (``dc = (doc_id·7) mod 100
+    − 50``, flat q=16 → uniform ``128 + 2·dc`` exactly), but emitted
+    as a three-scan Annex G script — a DC first scan at Al=1
+    (Huffman-coded point-transformed predictor diffs), a DC
+    refinement bit scan at Al=0, and an AC first scan whose single
+    EOB-run symbol covers both blocks — so the multi-scan
+    accumulation, successive-approximation and EOB-run machinery of
+    ``_jpeg_progressive`` runs for real against a SQL oracle computed
+    from doc_id alone."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        prog_jpeg = _make_progressive_dc_jpeg()
+
+        for pdf in it:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        prog_jpeg((d * 7) % 100 - 50) for d in ids
+                    ],
+                    "media_type": ["image"] * len(ids),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def _make_progressive_dc_jpeg():
+    """``prog_jpeg(dc) -> bytes``: the progressive (SOF2) twin of
+    ``_make_dc_jpeg`` — same 16×8 grayscale DC-only content under a
+    flat q=16 table, split into DC-first (Al=1) + DC-refinement
+    (Al=0) + EOB-run AC scans. Decodes to uniform ``128 + 2·dc``."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(body) + 2)
+            + body
+        )
+
+    def scan_bytes(bits: list) -> bytes:
+        bits = bits + [1] * ((-len(bits)) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for bit in bits[i : i + 8]:
+                byte = (byte << 1) | bit
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+    def prog_jpeg(dc: int) -> bytes:
+        dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
+        # DC: categories 0..11 as 4-bit codes; AC: EOB1 as 1-bit code
+        dht_dc = seg(
+            0xC4,
+            bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12)
+            + bytes(range(12)),
+        )
+        dht_ac = seg(
+            0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x10])
+        )
+        sof = seg(
+            0xC2,
+            bytes([8]) + struct.pack(">HH", 8, 16)
+            + bytes([1, 1, 0x11, 0]),
+        )
+
+        def put(bits, v, n):
+            bits.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
+
+        # scan 1 — DC first, Al=1: diffs of (dc >> 1) over two blocks
+        b1: list = []
+        t = dc >> 1
+        for d in (t, 0):
+            s = abs(d).bit_length()
+            put(b1, s, 4)
+            if s:
+                put(b1, d if d > 0 else d + (1 << s) - 1, s)
+        sos1 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+        # scan 2 — DC refinement, Ah=1 Al=0: one raw bit per block
+        b2: list = []
+        put(b2, dc & 1, 1)
+        put(b2, dc & 1, 1)
+        sos2 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+        # scan 3 — AC first over [1, 63]: one EOB1 symbol (run of 2)
+        b3: list = [0, 0]  # EOB1 code (1 bit) + 1 extension bit (0)
+        sos3 = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+        return (
+            b"\xff\xd8" + dqt + dht_dc + dht_ac + sof
+            + sos1 + scan_bytes(b1)
+            + sos2 + scan_bytes(b2)
+            + sos3 + scan_bytes(b3)
+            + b"\xff\xd9"
+        )
+
+    return prog_jpeg
 
 
 def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:

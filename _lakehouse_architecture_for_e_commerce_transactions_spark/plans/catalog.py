@@ -8086,6 +8086,36 @@ FROM documents
 """
 
 
+def q_jpeg_progressive_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL progressive-JPEG decode, oracle-checked
+    (operators/multimodal.py _jpeg_progressive): per document a
+    genuine three-scan SOF2 payload — DC first scan at Al=1, DC
+    refinement bit scan, EOB-run AC scan —
+    (synthesize_progressive_jpeg_media) decoded through the full
+    multi-scan accumulation → successive approximation → dequantize →
+    vectorized IDCT path inside mapInPandas. Same closed form as the
+    baseline twin (uniform 128 + 2·dc), so the oracle recomputes
+    every stat from doc_id alone."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        multimodal as MM,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    media = MM.synthesize_progressive_jpeg_media(docs)
+    return MM.extract_decoded_stats(media).select(
+        F.col("media_id").alias("doc_id"),
+        "format",
+        "n_units",
+        "content_sum",
+        "content_min",
+        "content_max",
+        "top_row_sum",
+    )
+
+
+_JPEG_PROGRESSIVE_SQL = _JPEG_DECODE_SQL
+
+
 def q_replace_where_sim(spark: SparkSession, sf: str) -> DataFrame:
     """Atomic replaceWhere end to end
     (sources/snapshots.replace_where_commit): commit orders as a
@@ -9034,6 +9064,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "jpeg_decode_stats": QueryDef(
         q_jpeg_decode_stats, _JPEG_DECODE_SQL
     ),
+    "jpeg_progressive_stats": QueryDef(
+        q_jpeg_progressive_stats, _JPEG_PROGRESSIVE_SQL
+    ),
     "replace_where_sim": QueryDef(
         q_replace_where_sim, _REPLACE_WHERE_SQL
     ),
@@ -9100,6 +9133,8 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
 # run; the rest of the window backfills with already-green anchors (all
 # re-verified by tools/verify_parity.py at HEAD each round).
 _WINDOW_FRONT: list[str] = [
+    # new in round 8
+    "jpeg_progressive_stats",
     # new in round 6
     "column_mapping_part_sim",
     "er_golden_records",
@@ -9153,7 +9188,6 @@ _WINDOW_FRONT: list[str] = [
     "domain_mixture_weights",
     "doc_repetition_signals",
     "dup_span_pairs",
-    "kmeans_iteration",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

@@ -877,6 +877,260 @@ def _jpeg_encode(pixels, subsample=None, q=16, dri=0):
     return head + sof + sos + bytes(bw.out) + b"\xff\xd9", coeffs
 
 
+# progressive AC symbol set: EOBn (r<<4, r 0..14), ZRL, and
+# (run<<4)|size — all at canonical 9-bit codes (176 symbols)
+_JPEG_PAC_SYMS = [r << 4 for r in range(15)] + [0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_JPEG_PAC_CODE = {sym: i for i, sym in enumerate(_JPEG_PAC_SYMS)}
+
+
+def _jpeg_encode_progressive(pixels, subsample=None, q=16, dri=0,
+                             bands=((1, 5), (6, 63)), approx=1):
+    """Progressive (SOF2) mirror of _jpeg_encode: the same forward DCT
+    and quantized-coefficient store, emitted as a T.81 Annex G scan
+    script — an interleaved DC first scan at Al=approx plus DC
+    refinement bit scans down to 0, then per-component AC band scans
+    (first pass with EOB-run/ZRL coding, refinement passes with
+    correction bits and buffered-bit EOB runs, libjpeg jcphuff-style).
+    Full refinement to Al=0 reconstructs the coefficients EXACTLY, so
+    the decoder is checked against _jpeg_reference_decode like the
+    baseline path. Returns (payload, coeffs)."""
+    import struct
+
+    import numpy as np
+
+    A = np.array(
+        [
+            [
+                (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    px = np.asarray(pixels, dtype=np.float64)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px]
+        samps = [(1, 1)]
+    else:
+        r_, g_, b_ = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = 128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
+        cr = 128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+        sy, sx = subsample or (1, 1)
+        if subsample:
+            cb = cb.reshape(h // sy, sy, w // sx, sx).mean((1, 3))
+            cr = cr.reshape(h // sy, sy, w // sx, sx).mean((1, 3))
+        planes = [y, cb, cr]
+        samps = [(sy, sx), (1, 1), (1, 1)]
+    hmax = max(s[1] for s in samps)
+    vmax = max(s[0] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    padded = []
+    for plane, (vs, hs) in zip(planes, samps):
+        ph, pw = mcuy * vs * 8, mcux * hs * 8
+        pp = np.zeros((ph, pw))
+        pp[: plane.shape[0], : plane.shape[1]] = plane
+        pp[plane.shape[0] :, : plane.shape[1]] = plane[-1:]
+        pp[:, plane.shape[1] :] = pp[:, plane.shape[1] - 1 : plane.shape[1]]
+        padded.append(pp)
+
+    # quantized coefficient store + zigzag vectors per block
+    coeffs = {ci: {} for ci in range(len(planes))}
+    zz = {ci: {} for ci in range(len(planes))}
+    for ci, (plane, (vs, hs)) in enumerate(zip(padded, samps)):
+        for gy in range(mcuy * vs):
+            for gx in range(mcux * hs):
+                blk = plane[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8]
+                Fq = np.round(A @ (blk - 128.0) @ A.T / q).astype(np.int64)
+                coeffs[ci][(gy, gx)] = Fq
+                zz[ci][(gy, gx)] = [int(Fq[r2, c2]) for r2, c2 in _JPEG_ZZ]
+
+    # per-component NON-interleaved block grids (what AC scans cover)
+    ni = []
+    for vs, hs in samps:
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        ni.append((-(-ch // 8), -(-cw // 8)))
+
+    def put_mag(bw, x, s):
+        bw.put(x if x > 0 else x + (1 << s) - 1, s)
+
+    def rst_break(bw, state):
+        bw.flush()
+        bw.out += bytes([0xFF, 0xD0 + state["rst"]])
+        state["rst"] = (state["rst"] + 1) & 7
+
+    def dc_scan(al, first):
+        bw = _JpegBits()
+        preds = [0] * len(planes)
+        state = {"rst": 0}
+        mcount = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and mcount and mcount % dri == 0:
+                    rst_break(bw, state)
+                    preds = [0] * len(planes)
+                for ci, (vs, hs) in enumerate(samps):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            dc = zz[ci][(my * vs + by, mx * hs + bx)][0]
+                            if first:
+                                t = dc >> al
+                                d = t - preds[ci]
+                                preds[ci] = t
+                                s = abs(d).bit_length()
+                                bw.put(s, 4)
+                                if s:
+                                    put_mag(bw, d, s)
+                            else:
+                                bw.put((dc >> al) & 1, 1)
+                mcount += 1
+        bw.flush()
+        ncomp = len(planes)
+        sos = _jpeg_seg(
+            0xDA,
+            bytes([ncomp])
+            + b"".join(bytes([ci + 1, 0x00]) for ci in range(ncomp))
+            + bytes([0, 0, ((al + 1 if not first else 0) << 4) | al]),
+        )
+        return sos + bytes(bw.out)
+
+    def ac_sym(bw, sym):
+        bw.put(_JPEG_PAC_CODE[sym], 9)
+
+    def ac_scan(ci, band, al, first):
+        ss, se = band
+        nih, niw = ni[ci]
+        bw = _JpegBits()
+        state = {"rst": 0}
+        eobrun = 0
+        bebits = []
+
+        def flush_eob():
+            nonlocal eobrun, bebits
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                ac_sym(bw, nb << 4)
+                if nb:
+                    bw.put(eobrun - (1 << nb), nb)
+                for bit in bebits:
+                    bw.put(bit, 1)
+                bebits = []
+                eobrun = 0
+
+        bcount = 0
+        for gy in range(nih):
+            for gx in range(niw):
+                if dri and bcount and bcount % dri == 0:
+                    flush_eob()
+                    rst_break(bw, state)
+                zzb = zz[ci][(gy, gx)]
+                if first:
+                    run = 0
+                    for k in range(ss, se + 1):
+                        v = zzb[k]
+                        t = abs(v) >> al
+                        if t == 0:
+                            run += 1
+                            continue
+                        flush_eob()
+                        while run > 15:
+                            ac_sym(bw, 0xF0)
+                            run -= 16
+                        s = t.bit_length()
+                        ac_sym(bw, (run << 4) | s)
+                        put_mag(bw, t if v > 0 else -t, s)
+                        run = 0
+                    if run:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                else:
+                    absv = [abs(zzb[k]) >> al for k in range(ss, se + 1)]
+                    eobpos = 0
+                    for i, t in enumerate(absv):
+                        if t == 1:
+                            eobpos = i + 1
+                    r = 0
+                    br = []
+                    for i, t in enumerate(absv):
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and i < eobpos:
+                            flush_eob()
+                            ac_sym(bw, 0xF0)
+                            r -= 16
+                            for bit in br:
+                                bw.put(bit, 1)
+                            br = []
+                        if t > 1:
+                            br.append(t & 1)
+                            continue
+                        flush_eob()
+                        ac_sym(bw, (r << 4) | 1)
+                        r = 0
+                        bw.put(1 if zzb[ss + i] > 0 else 0, 1)
+                        for bit in br:
+                            bw.put(bit, 1)
+                        br = []
+                    if r > 0 or br:
+                        eobrun += 1
+                        bebits.extend(br)
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                bcount += 1
+        flush_eob()
+        bw.flush()
+        sos = _jpeg_seg(
+            0xDA,
+            bytes([1, ci + 1, 0x00])
+            + bytes([ss, se, ((al + 1 if not first else 0) << 4) | al]),
+        )
+        return sos + bytes(bw.out)
+
+    dqt = _jpeg_seg(0xDB, bytes([0]) + bytes([q] * 64))
+    dht_dc = _jpeg_seg(
+        0xC4,
+        bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12)),
+    )
+    dht_ac = _jpeg_seg(
+        0xC4,
+        bytes([0x10]) + bytes([0] * 8 + [len(_JPEG_PAC_SYMS)] + [0] * 7)
+        + bytes(_JPEG_PAC_SYMS),
+    )
+    ncomp = len(planes)
+    sof_comps = b"".join(
+        bytes([ci + 1, (samps[ci][1] << 4) | samps[ci][0], 0])
+        for ci in range(ncomp)
+    )
+    sof = _jpeg_seg(
+        0xC2,
+        bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp]) + sof_comps,
+    )
+    head = b"\xff\xd8" + dqt + dht_dc + dht_ac
+    if dri:
+        head += _jpeg_seg(0xDD, struct.pack(">H", dri))
+    body = dc_scan(approx, True)
+    for al in range(approx - 1, -1, -1):
+        body += dc_scan(al, False)
+    for ci in range(ncomp):
+        for band in bands:
+            body += ac_scan(ci, band, approx, True)
+    for al in range(approx - 1, -1, -1):
+        for ci in range(ncomp):
+            for band in bands:
+                body += ac_scan(ci, band, al, False)
+    return head + sof + body + b"\xff\xd9", coeffs
+
+
 def _jpeg_reference_decode(coeffs, samps, h, w, q=16):
     """Independent reconstruction from the encoder's quantized
     coefficients: explicit-loop IDCT (different implementation from
@@ -1000,6 +1254,79 @@ def test_jpeg_420_subsampling_and_restart_markers():
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
 
 
+def test_jpeg_progressive_grayscale_spectral_bands():
+    import numpy as np
+
+    # rich AC content, two spectral bands, one refinement level:
+    # exercises DC first+refine, AC first (EOBRUN/ZRL) and AC
+    # refinement (correction bits, buffered-bit EOB runs)
+    img = _jpeg_test_image(16, 24, 1)
+    payload, coeffs = _jpeg_encode_progressive(img)
+    got = MM.decode_jpeg_pixels(payload)
+    want = _jpeg_reference_decode(coeffs, [(1, 1)], 16, 24)
+    assert got.shape == (16, 24, 1)
+    # full refinement restores the exact coefficients, so the only
+    # slack is the decoder-vs-reference IDCT float boundary (±1)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    # and the progressive payload must agree with the BASELINE
+    # encoding of the same image block for block
+    base_payload, base_coeffs = _jpeg_encode(img)
+    base = MM.decode_jpeg_pixels(base_payload)
+    assert np.array_equal(got, base)
+
+
+def test_jpeg_progressive_color_subsampled_deep_approx():
+    import numpy as np
+
+    # 4:2:0 color, 24x24 (Y's non-interleaved grid 3x3 < padded 4x4
+    # MCU grid — pins the interleaved-DC vs per-component-AC block
+    # coverage difference), two successive-approximation levels,
+    # single full band
+    img = _jpeg_test_image(24, 24, 3)
+    payload, coeffs = _jpeg_encode_progressive(
+        img, subsample=(2, 2), bands=((1, 63),), approx=2
+    )
+    got = MM.decode_jpeg_pixels(payload)
+    want = _jpeg_reference_decode(
+        coeffs, [(2, 2), (1, 1), (1, 1)], 24, 24
+    )
+    assert got.shape == (24, 24, 3)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_jpeg_progressive_restart_markers():
+    import numpy as np
+
+    img = _jpeg_test_image(16, 32, 1)
+    payload, coeffs = _jpeg_encode_progressive(img, dri=2)
+    got = MM.decode_jpeg_pixels(payload)
+    want = _jpeg_reference_decode(coeffs, [(1, 1)], 16, 32)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_jpeg_progressive_poison():
+    import pytest
+
+    img = _jpeg_test_image(16, 16, 1)
+    payload, _ = _jpeg_encode_progressive(img)
+
+    # truncated mid-scan -> ValueError (never fabricated pixels)
+    with pytest.raises(ValueError):
+        MM.decode_jpeg_pixels(payload[:-8])
+    # truncated before any scan completes its data
+    with pytest.raises(ValueError):
+        MM.decode_jpeg_pixels(payload[:40])
+    # corrupt entropy byte: strict rejection or a (valid) different
+    # decode are acceptable; a crash is not
+    corrupt = bytearray(payload)
+    corrupt[-12] ^= 0x55
+    try:
+        MM.decode_jpeg_pixels(bytes(corrupt))
+    except ValueError:
+        pass
+
+
 def test_jpeg_poison_and_unsupported_variants():
     import struct
 
@@ -1023,10 +1350,17 @@ def test_jpeg_poison_and_unsupported_variants():
     # ...and through the poison-safe stats path it yields NULLs, and a
     # VALID payload decodes for real (exercised via mapInPandas below)
 
-    # progressive (SOF2) stays behind NotImplementedError
+    # a baseline payload with its SOF marker swapped to SOF2 is a
+    # spec-invalid progressive stream (DC scan must have Se == 0):
+    # typed rejection, never a crash and never fabricated pixels
     prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="Se != 0"):
         MM.decode_jpeg_pixels(prog)
+    # arithmetic-coded progressive (SOF10) stays behind
+    # NotImplementedError
+    arith = payload.replace(b"\xff\xc0", b"\xff\xca", 1)
+    with pytest.raises(NotImplementedError):
+        MM.decode_jpeg_pixels(arith)
 
     # oversized declared dims fail fast (byte cap)
     big = payload.replace(
