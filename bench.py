@@ -186,6 +186,16 @@ def main() -> None:
         "table_mv_maintenance_sim",
         # round-6: AVI/MJPEG frame sampling through the real JPEG path
         "video_frame_stats",
+        # round-8: the CDC-apply hot path priced round-over-round —
+        # write-time CDC capture at MERGE (merge_cdc_sim), APPLY
+        # CHANGES INTO a replica with literal-key DV pruning
+        # (cdc_replicate_sim), and the batch table_changes surface
+        # (table_changes_batch)
+        "merge_cdc_sim",
+        "cdc_replicate_sim",
+        "table_changes_batch",
+        # round-8: progressive-JPEG decode leg (multi-scan SOF2)
+        "jpeg_progressive_stats",
     ]
     extras: dict[str, float] = {}
     for rep in range(reps):
