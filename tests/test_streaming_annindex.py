@@ -385,3 +385,142 @@ def test_table_index_tracks_deletes_and_updates(spark, tmp_path):
         (r.cell, r.id) for r in AI.read_index(spark, idx).collect()
     )
     assert before == after
+
+def test_long_cdc_stream_index_growth_bounded(spark, tmp_path):
+    """50 maintenance batches against a churning vectors table: with a
+    compact_every cadence the index table's live dir count and
+    dead-row fraction stay BOUNDED (no per-batch monotone growth from
+    upsert-by-delete tombstones and watermark markers), answers stay
+    exact after every compaction, and the compaction commit publishes
+    as MAINTENANCE — a row-changing label the index table's own CDF
+    consumers classify structurally instead of silently skipping
+    (streaming/aggmaint._compact_state contract)."""
+    from pyspark.sql import Row
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as S,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.cdf import (
+        table_changes,
+    )
+
+    src = str(tmp_path / "vectors")
+    cb = str(tmp_path / "codebook")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    EVERY = 8
+
+    def v3(i: int) -> list[float]:
+        return [float(i % 7), float(i % 3), 1.0 + (i % 5)]
+
+    S.commit(
+        spark,
+        spark.createDataFrame(
+            [Row(vec_id=i, embedding=v3(i)) for i in range(10)]
+        ),
+        src,
+    )
+    build_ivf_codebook(spark, S.read(spark, src), cb, stride=4)
+
+    def drain():
+        q = AI.table_ivf_index_maintenance(
+            spark, src, cb, idx, ckpt, compact_every=EVERY
+        )
+        q.awaitTermination(120)
+
+    def idx_stats():
+        head = S.load_snapshot(idx)
+        dead = sum((head.dv_dead or {}).values())
+        total = sum(
+            st.get("rows", 0) for st in (head.file_stats or {}).values()
+        )
+        return head, len(head.dirs), dead, total
+
+    drain()  # batch 0: baseline
+    next_id = 10
+    max_dirs = 0
+    max_dead_frac = 0.0
+    compact_ops = []
+    for b in range(1, 50):
+        mode = b % 3
+        if mode == 0:
+            S.delete_where_dv(
+                spark, src, f"vec_id = {(b * 13) % next_id}"
+            )
+        elif mode == 1:
+            S.commit(
+                spark,
+                spark.createDataFrame(
+                    [Row(vec_id=next_id, embedding=v3(next_id))]
+                ),
+                src,
+                mode="append",
+            )
+            next_id += 1
+        else:
+            S.update_where_dv(
+                spark, src,
+                f"vec_id = {(b * 7) % next_id}",
+                {"embedding": f"array({float(b)}D, 1.0D, 2.0D)"},
+            )
+        drain()
+        head, ndirs, dead, total = idx_stats()
+        max_dirs = max(max_dirs, ndirs)
+        if total:
+            max_dead_frac = max(max_dead_frac, dead / total)
+        if head.op == "MAINTENANCE":
+            # the fold just ran: tombstones gone, layout re-folded,
+            # exactly one surviving marker row, honest MAINTENANCE op
+            compact_ops.append(head.version)
+            assert not head.dv_files
+            assert ndirs <= 2, ndirs
+            live = S.read(spark, idx)
+            markers = live.filter("cell is null").count()
+            assert markers == 1, markers
+
+    # bounded growth: between folds the dir count and dead fraction
+    # may climb, but never past what one EVERY-batch window can add
+    assert max_dirs <= 2 * EVERY + 4, max_dirs
+    assert max_dead_frac <= 0.9, max_dead_frac
+    assert len(compact_ops) >= 5
+
+    # the index still holds exactly the table's live vectors, and the
+    # index answer for every live vector is itself (recall green)
+    table_rows = {
+        r.vec_id: list(r.embedding)
+        for r in S.read(spark, src).collect()
+    }
+    index_rows = {
+        r.id: list(r.v) for r in read_index(spark, idx).collect()
+    }
+    assert index_rows == table_rows
+    probes = spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=table_rows[i])
+            for i in sorted(table_rows)[:6]
+        ]
+    )
+    top1 = {
+        r.qid: r.cid
+        for r in ivf_index_topk(
+            spark, idx, cb, probes, k=1, nprobe=4
+        ).collect()
+    }
+    assert top1 == {i: i for i in sorted(table_rows)[:6]}
+
+    # CDF-consumer pin: the MAINTENANCE fold is a CHANGE commit — a
+    # change feed over the index table spanning the fold emits its
+    # structural delete+insert rows rather than skipping it the way
+    # a true bytes-only OPTIMIZE is skipped
+    vc = compact_ops[-1]
+    ch = table_changes(spark, idx, vc, vc)
+    kinds = {
+        r["_change_type"]
+        for r in ch.select("_change_type").distinct().collect()
+    }
+    assert "insert" in kinds and "delete" in kinds, kinds
+
+    # replay with nothing new: a no-op (watermark survived the folds)
+    before = S.load_snapshot(idx).version
+    drain()
+    assert S.load_snapshot(idx).version == before
