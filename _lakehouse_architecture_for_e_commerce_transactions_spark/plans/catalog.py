@@ -8086,6 +8086,84 @@ FROM documents
 """
 
 
+def q_type_widening_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Type widening as METADATA-ONLY schema evolution
+    (sources/snapshots._merged_schema_json widening chains +
+    _physical_schema declared-schema reads): commit orders with an
+    INT key and FLOAT price, append rows whose key overflows int32
+    and whose price needs double precision (merge_schema=True widens
+    int→long and float→double without rewriting a byte — the old
+    files keep their narrow physical types and the scan upcasts),
+    then DV-delete through the widened column. The oracle restates
+    the same pipeline in SQL over the raw table."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as SN,
+    )
+
+    o = load_table(spark, sf, "orders")
+    base = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").cast("int").alias("k"),
+        F.col("o_totalprice").cast("float").alias("price"),
+        "o_orderpriority",
+    )
+    wide = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        (F.col("o_orderkey") + F.lit(10_000_000_000)).alias("k"),
+        (F.col("o_totalprice") + F.lit(0.5)).alias("price"),
+        "o_orderpriority",
+    )
+    path = _tf.mkdtemp(prefix="sparkgraft_widen_")
+    try:
+        SN.commit(spark, base.repartition(4), path, stats_for=["k"])
+        SN.commit(spark, wide, path, mode="append", merge_schema=True)
+        SN.delete_where_dv(spark, path, "k % 7 = 0")
+        df = SN.read(spark, path)
+        got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        assert got["k"] == "bigint" and got["price"] == "double", got
+        return (
+            df.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("k").alias("sum_k"),
+                F.min("price").alias("min_price"),
+                F.max("price").alias("max_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
+
+
+_TYPE_WIDENING_SQL = """
+WITH base AS (
+  SELECT CAST(o_orderkey AS INTEGER) AS k,
+         CAST(o_totalprice AS REAL) AS price,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 3 <> 0),
+wide AS (
+  SELECT o_orderkey + 10000000000 AS k,
+         o_totalprice + 0.5 AS price,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 3 = 0),
+unioned AS (
+  SELECT CAST(k AS BIGINT) AS k, CAST(price AS DOUBLE) AS price,
+         o_orderpriority
+  FROM base
+  UNION ALL
+  SELECT k, CAST(price AS DOUBLE) AS price, o_orderpriority FROM wide)
+SELECT o_orderpriority,
+       COUNT(*) AS cnt,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(price) AS min_price,
+       MAX(price) AS max_price
+FROM unioned
+WHERE k % 7 <> 0
+GROUP BY o_orderpriority
+"""
+
+
 def q_jpeg_progressive_stats(spark: SparkSession, sf: str) -> DataFrame:
     """REAL progressive-JPEG decode, oracle-checked
     (operators/multimodal.py _jpeg_progressive): per document a
@@ -9067,6 +9145,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "jpeg_progressive_stats": QueryDef(
         q_jpeg_progressive_stats, _JPEG_PROGRESSIVE_SQL
     ),
+    "type_widening_sim": QueryDef(
+        q_type_widening_sim, _TYPE_WIDENING_SQL
+    ),
     "replace_where_sim": QueryDef(
         q_replace_where_sim, _REPLACE_WHERE_SQL
     ),
@@ -9135,6 +9216,7 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
 _WINDOW_FRONT: list[str] = [
     # new in round 8
     "jpeg_progressive_stats",
+    "type_widening_sim",
     # new in round 6
     "column_mapping_part_sim",
     "er_golden_records",
@@ -9187,7 +9269,6 @@ _WINDOW_FRONT: list[str] = [
     "sequence_packing",
     "domain_mixture_weights",
     "doc_repetition_signals",
-    "dup_span_pairs",
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

@@ -498,11 +498,35 @@ def load_snapshot(path: str, version: int | None = None) -> Snapshot:
     )
 
 
+# type-widening chains (Delta's typeWidening set for integral and
+# floating types): evolution may move a column RIGHTWARD along its
+# chain only — the table schema takes the wider of (table, incoming)
+# and old data files keep their narrower physical type, upcast at scan
+# time by the declared read schema (a metadata-only change, no rewrite)
+_WIDENING_CHAINS = (
+    ("byte", "short", "integer", "long"),
+    ("float", "double"),
+)
+
+
+def _widened_type(old_dt, new_dt):
+    """The wider of two types when both sit on ONE widening chain;
+    None when the pair is not a legal widening (caller refuses)."""
+    o, n = old_dt.typeName(), new_dt.typeName()
+    for chain in _WIDENING_CHAINS:
+        if o in chain and n in chain:
+            return old_dt if chain.index(o) >= chain.index(n) else new_dt
+    return None
+
+
 def _merged_schema_json(parent_json: str, df: DataFrame) -> str:
     """Schema evolution for appends: parent fields keep their order, new
-    fields append at the end; a type change on an existing field is an
-    error (Delta's ``mergeSchema`` rule — widen by addition only)."""
-    from pyspark.sql.types import StructType
+    fields append at the end; an existing field may WIDEN along an
+    integral/float chain (int→long, float→double — the table type
+    becomes the wider of the two, a metadata-only update); any other
+    type change — including narrowing and cross-kind changes — is a
+    typed refusal (Delta's ``mergeSchema`` + typeWidening rule)."""
+    from pyspark.sql.types import StructField, StructType
 
     parent = StructType.fromJson(json.loads(parent_json))
     have = {f.name: f for f in parent.fields}
@@ -512,10 +536,18 @@ def _merged_schema_json(parent_json: str, df: DataFrame) -> str:
         if old is None:
             merged.append(f)
         elif old.dataType != f.dataType:
-            raise ValueError(
-                f"schema evolution cannot change {f.name!r}: "
-                f"{old.dataType} -> {f.dataType}"
-            )
+            wide = _widened_type(old.dataType, f.dataType)
+            if wide is None:
+                raise ValueError(
+                    f"schema evolution cannot change {f.name!r}: "
+                    f"{old.dataType} -> {f.dataType}"
+                )
+            merged = [
+                StructField(m.name, wide, m.nullable)
+                if m.name == f.name
+                else m
+                for m in merged
+            ]
     return StructType(merged).json()
 
 
@@ -1293,15 +1325,42 @@ def _apply_dv(df: DataFrame, dv: DataFrame | None) -> DataFrame:
     return _dv_filter(marked, dv).drop("__fp", "__ri")
 
 
+def _physical_schema(snap: Snapshot):
+    """The DECLARED read schema for a snapshot's data files: manifest
+    fields under their PHYSICAL (on-disk) names and their manifest —
+    i.e. widest-ever — types. Declaring the schema (instead of
+    footer ``mergeSchema``) is what makes type widening metadata-only:
+    files written before an int→long / float→double widening keep
+    their narrow physical type and the parquet reader upcasts them at
+    scan time; footer merging would refuse the type conflict. Fields a
+    file predates (add-column evolution) read as null exactly as under
+    mergeSchema. Everything is declared nullable — old files null-fill
+    evolved columns regardless of the manifest's nullability."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType.fromJson(json.loads(snap.schema_json))
+    mapping = _mapping(snap)
+    return StructType(
+        [
+            StructField(mapping.get(f.name, f.name), f.dataType, True)
+            for f in schema.fields
+        ]
+    )
+
+
 def _scan_with_address(spark: SparkSession, snap: Snapshot) -> DataFrame:
     """Raw file scan of a snapshot's data rows with physical-address
     columns (``__fp``, ``__ri``) attached. The ``_metadata``
     pseudo-column resolves against each file-source relation, so on
     merge-committed (hive-partitioned) layouts it is captured per base
     group BEFORE the union; partition columns come back via basePath.
-    No DV filtering, no schema normalization — callers do both."""
+    The scan declares the snapshot's physical schema (see
+    ``_physical_schema`` — add-column evolution null-fills, type
+    widening upcasts, both without footer merging). No DV filtering,
+    no logical normalization — callers do both."""
+    phys = _physical_schema(snap)
     if not snap.part_entries:
-        df = spark.read.option("mergeSchema", True).parquet(*snap.dirs)
+        df = spark.read.schema(phys).parquet(*snap.dirs)
         return df.withColumn(
             "__fp", F.col("_metadata.file_path")
         ).withColumn("__ri", F.col("_metadata.row_index"))
@@ -1311,7 +1370,8 @@ def _scan_with_address(spark: SparkSession, snap: Snapshot) -> DataFrame:
     for e in snap.part_entries:
         groups[e["base"]].append(e["dir"])
     frames = [
-        spark.read.option("basePath", base)
+        spark.read.schema(phys)
+        .option("basePath", base)
         .parquet(*dirs)
         .withColumn("__fp", F.col("_metadata.file_path"))
         .withColumn("__ri", F.col("_metadata.row_index"))
@@ -1374,7 +1434,7 @@ def read(
     snap = load_snapshot(path, version)
     if not snap.part_entries:
         df = _apply_dv(
-            spark.read.option("mergeSchema", True).parquet(*snap.dirs),
+            spark.read.schema(_physical_schema(snap)).parquet(*snap.dirs),
             _dv_tombstones(spark, snap),
         )
         return _logical_select(df, snap)

@@ -1389,3 +1389,167 @@ def test_deep_clone_preserves_partition_layout(spark, tmp_path):
     assert got == [(1, "x", 10), (2, "y", 20)]
     snap = S.load_snapshot(dst)
     assert snap.part_entries is not None  # layout survived the copy
+
+def test_type_widening_metadata_only(spark, tmp_path):
+    """int→long / float→double evolution at append is METADATA-ONLY
+    (sources/snapshots._merged_schema_json widening chains): the old
+    narrow files are not rewritten (their parquet physical types stay
+    int32/float — _physical_schema's declared read schema upcasts at
+    scan), narrower late appends upcast, every non-chain change stays
+    a typed refusal, and time travel still shows the narrow era."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as S,
+    )
+
+    path = str(tmp_path / "t")
+    S.commit(
+        spark,
+        spark.range(4).selectExpr(
+            "cast(id as int) k", "cast(id as float) x", "cast(id as string) s"
+        ),
+        path,
+        stats_for=["k"],
+    )
+    files_before = sorted(S.data_files(path))
+    S.commit(
+        spark,
+        spark.range(4, 6).selectExpr(
+            "cast(id + 10000000000 as long) k",
+            "cast(id + 0.5 as double) x",
+            "cast(id as string) s",
+        ),
+        path,
+        mode="append",
+        merge_schema=True,
+        stats_for=["k"],
+    )
+    df = S.read(spark, path)
+    assert df.schema["k"].dataType.simpleString() == "bigint"
+    assert df.schema["x"].dataType.simpleString() == "double"
+    got = sorted((r.k, r.x) for r in df.collect())
+    assert got == [(0, 0.0), (1, 1.0), (2, 2.0), (3, 3.0),
+                   (10000000004, 4.5), (10000000005, 5.5)]
+
+    # metadata-only: the narrow-era files survived byte-identical with
+    # their narrow PHYSICAL parquet types
+    assert set(files_before) <= set(S.data_files(path))
+    sch = pq.read_schema(files_before[0])
+    assert str(sch.field("k").type) == "int32"
+    assert str(sch.field("x").type) == "float"
+
+    # a narrower late append upcasts; the schema stays wide
+    S.commit(
+        spark,
+        spark.range(6, 7).selectExpr(
+            "cast(id as int) k", "cast(id as float) x", "cast(id as string) s"
+        ),
+        path,
+        mode="append",
+        merge_schema=True,
+        stats_for=["k"],
+    )
+    df = S.read(spark, path)
+    assert df.schema["k"].dataType.simpleString() == "bigint"
+    assert df.count() == 7
+
+    # non-chain changes stay typed refusals: cross-kind and cross-chain
+    for expr in ("cast(id as string) k", "cast(id as double) k"):
+        with pytest.raises(ValueError, match="cannot change"):
+            S.commit(
+                spark,
+                spark.range(1).selectExpr(
+                    expr if "k" in expr else "cast(id as long) k",
+                    "cast(id as float) x",
+                    "cast(id as string) s",
+                ),
+                path,
+                mode="append",
+                merge_schema=True,
+            )
+
+    # stats-pruned read through the widened column still answers right
+    # (narrow-era int stats compared against a long literal)
+    r = {}
+    out = S.read_where(
+        spark, path, [("k", ">=", 10_000_000_000)], report=r
+    )
+    assert sorted(x.k for x in out.collect()) == [
+        10000000004, 10000000005,
+    ]
+    assert r["files_kept"] < r["files_total"]
+
+    # DV delete/update plan against the DECLARED wide schema
+    S.delete_where_dv(spark, path, "k = 10000000004")
+    S.update_where_dv(spark, path, "k = 2", {"x": "99.0D"})
+    vals = {r.k: r.x for r in S.read(spark, path).collect()}
+    assert 10000000004 not in vals and vals[2] == 99.0
+
+    # time travel: the narrow era reads back with its own narrow schema
+    v0 = S.read(spark, path, version=0)
+    assert v0.schema["k"].dataType.simpleString() == "int"
+    assert v0.schema["x"].dataType.simpleString() == "float"
+    assert v0.count() == 4
+
+
+def test_type_widening_through_merge_commit(spark, tmp_path):
+    """A MERGE whose source needs wider types widens the table schema
+    through union coercion; carried (unrewritten) partitions keep
+    their narrow files and upcast at scan."""
+    from pyspark.sql import Row
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.merge import (
+        TableSpec,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as S,
+    )
+    from pyspark.sql.types import (
+        FloatType,
+        IntegerType,
+        LongType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = str(tmp_path / "t")
+    narrow = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("x", FloatType()),
+            StructField("p", StringType()),
+        ]
+    )
+    spec_n = TableSpec(
+        name="t", schema=narrow, primary_key="k", partition_by=("p",)
+    )
+    base = spark.createDataFrame(
+        [Row(k=i, x=float(i), p="ab"[i % 2]) for i in range(6)], narrow
+    )
+    S.merge_commit(spark, base, path, spec_n)
+
+    wide = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("x", DoubleType()),
+            StructField("p", StringType()),
+        ]
+    )
+    spec_w = TableSpec(
+        name="t", schema=wide, primary_key="k", partition_by=("p",)
+    )
+    src = spark.createDataFrame(
+        [Row(k=10_000_000_000, x=7.25, p="a"), Row(k=1, x=1.5, p="b")],
+        wide,
+    )
+    S.merge_commit(spark, src, path, spec_w)
+    df = S.read(spark, path)
+    assert df.schema["k"].dataType.simpleString() == "bigint"
+    got = {r.k: (r.x, r.p) for r in df.collect()}
+    assert got[10_000_000_000] == (7.25, "a")
+    assert got[1] == (1.5, "b")  # matched row moved partition + updated
+    assert len(got) == 7
