@@ -1339,7 +1339,115 @@ DECODED_STATS_SCHEMA = StructType(
 )
 
 
-def extract_decoded_stats(media: DataFrame) -> DataFrame:
+class NativeDecoderDrift(RuntimeError):
+    """A native codec disagreed with the oracle-exact pure decoder on
+    a sampled cross-check. Deliberately NOT a subclass of the
+    poison-caught exceptions (ValueError etc.): decoder drift means
+    every NON-sampled payload may be silently wrong, so the task must
+    fail loud instead of yielding one quiet NULL row."""
+
+
+def _load_native_codecs(pure: dict) -> dict:
+    """Opt-in pluggable NATIVE codec seam, resolved where decode runs
+    (executor side). Gate: ``SPARK_GRAFT_NATIVE_DECODE``:
+
+    * unset/empty — ``{}``: the pure, oracle-exact decoders are the
+      only path (this container ships no codec library; on a cluster
+      image with Pillow the same code picks up libjpeg-turbo-class
+      throughput).
+    * ``"1"`` — probe ``PIL.Image``; map JPEG/PNG/GIF/BMP to it with
+      the pure decoders' output conventions (grayscale as (H, W, 1),
+      GIF first frame as RGB, BMP as RGB). Missing import → ``{}``.
+    * ``"fake"`` / ``"fake-drift"`` — CLEARLY-MARKED deterministic
+      test fakes built over the captured pure decoders (the brief's
+      sanctioned stub: the libs aren't in this container, so the
+      Spark-side plumbing is exercised with a fake; ``fake-drift``
+      perturbs pixels to prove the sampled cross-check fails LOUD).
+    """
+    import os as _os
+
+    mode = _os.environ.get("SPARK_GRAFT_NATIVE_DECODE", "")
+    if mode in ("fake", "fake-drift"):
+        import numpy as _np
+
+        def _mk(fmt):
+            def f(payload):
+                out = pure[fmt](payload)
+                if mode == "fake-drift":
+                    out = out.copy()
+                    out[..., -1] = _np.minimum(out[..., -1] + 2, 255)
+                return out
+
+            return f
+
+        return {fmt: _mk(fmt) for fmt in pure}
+    if mode != "1":
+        return {}
+    try:
+        import io as _io
+
+        import numpy as _np
+        from PIL import Image as _Image
+    except ImportError:
+        return {}
+
+    def _pil(payload):
+        im = _Image.open(_io.BytesIO(bytes(payload)))
+        im.load()
+        if im.mode == "L":
+            return _np.asarray(im, dtype=_np.uint8)[..., None]
+        if im.mode == "P":
+            im = im.convert("RGB")
+        elif im.mode not in ("RGB", "RGBA"):
+            im = im.convert("RGB")
+        return _np.asarray(im, dtype=_np.uint8)
+
+    return {fmt: _pil for fmt in ("jpeg", "png", "gif", "bmp")}
+
+
+def _make_pixel_decoder(pure: dict, native: dict, xcheck_every: int):
+    """``decode(fmt, payload) -> uint8 ndarray``: native codec when one
+    is registered for the format, pure decoder otherwise. Every
+    ``xcheck_every``-th native decode (per task, starting with the
+    first) is RE-decoded through the oracle-exact pure path and
+    compared — shape must match exactly, values exactly for lossless
+    formats and within ±1 for JPEG (IDCT float boundaries). Drift
+    raises NativeDecoderDrift, which no poison catch swallows."""
+    import numpy as _np
+
+    state = {"n": 0}
+
+    def decode(fmt: str, payload: bytes):
+        nd = native.get(fmt)
+        if nd is None:
+            return pure[fmt](payload)
+        out = nd(payload)
+        state["n"] += 1
+        if xcheck_every and state["n"] % xcheck_every == 1 % xcheck_every:
+            ref = pure[fmt](payload)
+            bad = tuple(out.shape) != tuple(ref.shape)
+            if not bad and ref.size:
+                tol = 1 if fmt == "jpeg" else 0
+                diff = _np.abs(
+                    out.astype(_np.int64) - ref.astype(_np.int64)
+                )
+                bad = int(diff.max()) > tol
+            if bad:
+                raise NativeDecoderDrift(
+                    f"native {fmt} codec disagrees with the pure "
+                    f"decoder on a sampled payload (shape "
+                    f"{tuple(out.shape)} vs {tuple(ref.shape)})"
+                )
+        return out
+
+    return decode
+
+
+def extract_decoded_stats(
+    media: DataFrame,
+    native_codecs: dict | None = None,
+    xcheck_every: int = 64,
+) -> DataFrame:
     """Partition-parallel FULL-CONTENT decode over binary payloads for
     the uncompressed containers (24-bit BMP pixels, 16-bit PCM WAV
     samples) — the real thing, not a header skim: bytes are decoded to
@@ -1350,11 +1458,24 @@ def extract_decoded_stats(media: DataFrame) -> DataFrame:
     PNG and GIF are decoded for real (zlib inflate + unfilter; LZW +
     palette). Unsupported variants or unparseable payloads yield NULL
     stats with the header format (poison files must not kill a
-    corpus-scale job)."""
+    corpus-scale job).
+
+    Image decode goes through the pluggable native seam
+    (``_load_native_codecs`` / ``_make_pixel_decoder``): pure
+    oracle-exact decoders by default, an env-gated native codec with
+    sampled pure-path cross-checks when one is importable.
+    ``native_codecs`` injects codecs explicitly (tests);
+    ``xcheck_every`` sets the sampling stride (0 disables)."""
     bmp_core, wav_core, png_core, gif_core, jpeg_core = (
         _make_content_decoders()
     )
     header_core = _make_header_parser()
+    pure = {
+        "bmp": bmp_core,
+        "png": png_core,
+        "gif": gif_core,
+        "jpeg": jpeg_core,
+    }
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
@@ -1362,18 +1483,19 @@ def extract_decoded_stats(media: DataFrame) -> DataFrame:
 
         import pandas as _pd
 
+        native = (
+            native_codecs
+            if native_codecs is not None
+            else _load_native_codecs(pure)
+        )
+        decode = _make_pixel_decoder(pure, native, xcheck_every)
+
         def one(b: bytes) -> tuple:
             meta = header_core(b) or {}
             fmt = meta.get("format")
             try:
                 if fmt in ("bmp", "png", "gif", "jpeg"):
-                    core = {
-                        "bmp": bmp_core,
-                        "png": png_core,
-                        "gif": gif_core,
-                        "jpeg": jpeg_core,
-                    }[fmt]
-                    px = core(b).astype("int64")
+                    px = decode(fmt, b).astype("int64")
                     return (fmt, px.size, int(px.sum()), int(px.min()),
                             int(px.max()), int(px[0].sum()))
                 if fmt == "wav":
@@ -1922,6 +2044,12 @@ def resize_image_stats(media: DataFrame, factor: int = 2) -> DataFrame:
         raise ValueError(f"factor must be >= 1, got {factor}")
     bmp_core, _, png_core, gif_core, jpeg_core = _make_content_decoders()
     header_core = _make_header_parser()
+    pure = {
+        "bmp": bmp_core,
+        "png": png_core,
+        "gif": gif_core,
+        "jpeg": jpeg_core,
+    }
     f = int(factor)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1930,18 +2058,15 @@ def resize_image_stats(media: DataFrame, factor: int = 2) -> DataFrame:
 
         import pandas as _pd
 
+        # same pluggable native seam as extract_decoded_stats
+        decode = _make_pixel_decoder(pure, _load_native_codecs(pure), 64)
+
         def one(b: bytes) -> tuple:
             meta = header_core(b) or {}
             fmt = meta.get("format")
             try:
                 if fmt in ("bmp", "png", "gif", "jpeg"):
-                    core = {
-                        "bmp": bmp_core,
-                        "png": png_core,
-                        "gif": gif_core,
-                        "jpeg": jpeg_core,
-                    }[fmt]
-                    px = core(b).astype("int64")
+                    px = decode(fmt, b).astype("int64")
                     h2, w2 = px.shape[0] // f, px.shape[1] // f
                     if h2 == 0 or w2 == 0:
                         return (fmt, None, None, None, None, None, None)

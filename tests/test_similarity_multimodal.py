@@ -1475,3 +1475,99 @@ def test_extract_audio_features_known_waveform(spark):
     # sign pattern + - + - 0 - +  (0 counts as non-negative): 6 flips
     assert got["zero_crossings"] == 6
     assert rows[6]["n_samples"] is None
+
+# --- pluggable native-decode seam (operators/multimodal.py
+# _load_native_codecs / _make_pixel_decoder) ---
+
+def test_native_seam_defaults_to_pure_and_env_gate(monkeypatch):
+    import numpy as np
+
+    payload = _bmp_bytes_gradient(8, 6, seed=3)
+    pure = {"bmp": MM.decode_bmp_pixels}
+
+    # no env: pure path only
+    monkeypatch.delenv("SPARK_GRAFT_NATIVE_DECODE", raising=False)
+    assert MM._load_native_codecs(pure) == {}
+    dec = MM._make_pixel_decoder(pure, {}, 64)
+    assert np.array_equal(dec("bmp", payload), MM.decode_bmp_pixels(payload))
+
+    # env "1" in this container: PIL absent -> empty registry, pure path
+    monkeypatch.setenv("SPARK_GRAFT_NATIVE_DECODE", "1")
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        assert MM._load_native_codecs(pure) == {}
+
+    # the clearly-marked deterministic fakes exercise the plumbing
+    monkeypatch.setenv("SPARK_GRAFT_NATIVE_DECODE", "fake")
+    fakes = MM._load_native_codecs(pure)
+    assert set(fakes) == {"bmp"}
+    dec = MM._make_pixel_decoder(pure, fakes, 1)
+    assert np.array_equal(dec("bmp", payload), MM.decode_bmp_pixels(payload))
+
+    # fake-drift: the every-call cross-check fails LOUD with the
+    # non-poison exception
+    import pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_NATIVE_DECODE", "fake-drift")
+    drift = MM._load_native_codecs(pure)
+    dec = MM._make_pixel_decoder(pure, drift, 1)
+    with pytest.raises(MM.NativeDecoderDrift):
+        dec("bmp", payload)
+    # sampling stride honored: stride 3 checks calls 1, 4, 7...
+    dec = MM._make_pixel_decoder(pure, drift, 3)
+    with pytest.raises(MM.NativeDecoderDrift):
+        dec("bmp", payload)
+    dec2 = MM._make_pixel_decoder(pure, drift, 0)  # 0 disables checks
+    assert dec2("bmp", payload) is not None
+
+
+def test_native_seam_through_spark_decoded_stats(spark):
+    import numpy as np
+
+    rows = [
+        (i, bytearray(_bmp_bytes_gradient(8, 6, seed=i)), "image")
+        for i in range(1, 7)
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+    want = {
+        r["media_id"]: r
+        for r in MM.extract_decoded_stats(media).collect()
+    }
+    # a correct injected native codec: identical stats through the
+    # real mapInPandas path, cross-checked on every payload
+    # codecs defined as closures so cloudpickle ships them by value
+    # into the python workers (a test-module reference would not import)
+    dec_bmp = MM.decode_bmp_pixels
+
+    def fake_native(p, _d=dec_bmp):
+        return _d(p)
+
+    def drifting_native(p, _d=dec_bmp):
+        out = _d(p).copy()
+        out[..., 0] = 255 - out[..., 0]
+        return out
+
+    got = {
+        r["media_id"]: r
+        for r in MM.extract_decoded_stats(
+            media, native_codecs={"bmp": fake_native},
+            xcheck_every=1,
+        ).collect()
+    }
+    for k in want:
+        assert tuple(want[k]) == tuple(got[k])
+
+    # a DRIFTING native codec kills the task (loud), never NULL-rows
+    import pytest
+
+    with pytest.raises(Exception, match="drift|NativeDecoderDrift"):
+        MM.extract_decoded_stats(
+            media, native_codecs={"bmp": drifting_native},
+            xcheck_every=1,
+        ).collect()
