@@ -243,6 +243,17 @@ class SnapshotTailReader(DataSourceStreamReader):
             # use to warm the cursor to the engine's position before
             # the first paced latestOffset runs. Pinned by
             # test_paced_restart_is_exactly_once.
+            #
+            # SPARK-UPGRADE NOTE: "reconstructs the checkpointed batch
+            # first" is observed engine behavior (Spark 4.1), not API
+            # contract. If an upgrade ever skips that re-plan, the
+            # cold seed below would again be the first offset the
+            # engine sees after restart — re-run
+            # test_paced_restart_is_exactly_once against the new
+            # runner before trusting a version bump. The max-bound
+            # ratchet (partitions()/commit() both raise the cursor,
+            # latestOffset never returns below it) is the defensive
+            # layer that has to keep holding either way.
             self._cursor = self._resolve_start()
         end = head
         if self._max_versions is not None:
@@ -297,13 +308,47 @@ class SnapshotTailReader(DataSourceStreamReader):
         """Track full compacts committed AFTER the reader's anchor
         head: they start a new naming era (files materialized to
         then-logical names, mapping cleared), after which each
-        version's OWN mapping is authoritative."""
+        version's OWN mapping is authoritative.
+
+        Guard: if a column was RENAMED after the anchor and then
+        compacted, the materialized file column matches neither the
+        anchored stream-schema name nor the post-compact mapping —
+        continuing would silently null-fill that column for every
+        subsequent version. That is a non-additive schema change under
+        the anchored schema, so it raises (Delta's behavior: the
+        stream must be restarted to pick up the new schema); a
+        post-anchor compact whose materialized names all still equal
+        the anchored names stays transparent."""
         if (
             v > self._ref_version
             and prev is not None
             and snap.op == "OPTIMIZE"
             and (snap.column_mapping or {}) != (prev.column_mapping or {})
         ):
+            # pre-compact era: logical -> physical; invert to map the
+            # anchored physical names onto the names the compact
+            # materialized (its then-logical names)
+            inv = {
+                p: l for l, p in (prev.column_mapping or {}).items()
+            }
+            moved = sorted(
+                f.name
+                for f in self._schema.fields
+                if inv.get(
+                    self._ref_mapping.get(f.name, f.name),
+                    self._ref_mapping.get(f.name, f.name),
+                )
+                != f.name
+            )
+            if moved:
+                raise ChangeCommitError(
+                    f"{SOURCE_NAME}: version {v} of {self._path} "
+                    f"compacted a post-anchor column rename; column(s) "
+                    f"{moved} of the anchored stream schema no longer "
+                    "exist under their anchored names in the "
+                    "materialized files. Restart the stream to adopt "
+                    "the renamed schema."
+                )
             self._post_ref_boundary = True
 
     def _mapping_for(self, v: int, snap) -> dict:

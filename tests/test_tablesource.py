@@ -602,3 +602,59 @@ def test_paced_restart_is_exactly_once(spark, tmp_path):
     _run(6)  # restart from the same checkpoint
     rows = sorted(r.k for r in S.read(spark, silver).collect())
     assert rows == [1, 2, 3, 4, 5, 6]  # no duplicates, nothing lost
+
+
+def test_post_anchor_rename_then_compact_raises_schema_change(
+    spark, tmp_path
+):
+    """Round-7 ADVICE (low): a rename committed AFTER a long-running
+    stream's anchor and then compacted used to silently null-fill the
+    renamed column (its anchored name matches neither the post-compact
+    mapping nor the materialized file columns). The reader now detects
+    the mismatch at the compact boundary and raises a
+    restart-required schema-change error; a post-anchor compact with
+    NO rename (and a compact of a PRE-anchor rename) stay
+    transparent."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.tablesource import (
+        ChangeCommitError,
+        SnapshotTailReader,
+    )
+
+    path = str(tmp_path / "t")
+    S.commit(spark, _df(spark, [(1, "a", 10)]), path)  # v0
+    schema = StructType.fromJson(
+        _json.loads(S.load_snapshot(path).schema_json)
+    )
+    opts = {"path": path, "startingversion": "earliest"}
+    r = SnapshotTailReader(schema, dict(opts))  # anchored at v0
+    S.rename_column(path, "v", "name")  # v1: post-anchor rename
+    S.compact(spark, path)  # v2: materializes "name"
+    with pytest.raises(ChangeCommitError, match="Restart the stream"):
+        r.partitions({"version": -1}, {"version": 2})
+
+    # transparent case 1: post-anchor compact without any rename
+    path2 = str(tmp_path / "t2")
+    S.commit(spark, _df(spark, [(1, "a", 10)]), path2)
+    r2 = SnapshotTailReader(schema, {**opts, "path": path2})
+    S.commit(
+        spark, _df(spark, [(2, "b", 20)]), path2, mode="append"
+    )
+    S.compact(spark, path2)
+    parts = r2.partitions({"version": -1}, {"version": 2})
+    assert parts  # plans, no raise
+
+    # transparent case 2: PRE-anchor rename compacted after the anchor
+    path3 = str(tmp_path / "t3")
+    S.commit(spark, _df(spark, [(1, "a", 10)]), path3)
+    S.rename_column(path3, "v", "name")
+    schema3 = StructType.fromJson(
+        _json.loads(S.load_snapshot(path3).schema_json)
+    )
+    r3 = SnapshotTailReader(schema3, {**opts, "path": path3})
+    S.compact(spark, path3)
+    parts3 = r3.partitions({"version": -1}, {"version": 2})
+    assert parts3
