@@ -327,53 +327,24 @@ def _make_content_decoders():
         samples = np.frombuffer(data[:usable], "<i2").reshape(-1, ch)
         return sr, samples
 
-    def png(payload: bytes):
-        b = bytes(payload)
-        if b[:8] != b"\x89PNG\r\n\x1a\n":
-            raise ValueError("not a PNG container")
-        off, idat = 8, []
-        w = h = depth = ct = interlace = None
-        while off + 8 <= len(b):
-            (ln,) = struct.unpack(">I", b[off : off + 4])
-            typ = b[off + 4 : off + 8]
-            data = b[off + 8 : off + 8 + ln]
-            if typ == b"IHDR":
-                if len(data) < 13:
-                    raise ValueError("truncated IHDR")
-                w, h, depth, ct, _, _, interlace = struct.unpack(
-                    ">IIBBBBB", data[:13]
-                )
-            elif typ == b"IDAT":
-                idat.append(data)
-            elif typ == b"IEND":
-                break
-            off += 12 + ln  # length + type + data + crc
-        if w is None or not idat:
-            raise ValueError("PNG missing IHDR/IDAT")
-        channels = {0: 1, 2: 3, 6: 4}.get(ct)
-        if depth != 8 or channels is None or interlace != 0:
-            raise NotImplementedError(
-                "pure-Python PNG decode covers 8-bit gray/RGB/RGBA "
-                f"non-interlaced only (depth={depth}, color={ct}, "
-                f"interlace={interlace})"
-            )
-        if w * h * channels > max_decode_bytes:
-            # declared-dimensions cap: a zip bomb must not OOM the
-            # executor before the scanline length check can run
-            raise ValueError(f"PNG too large for pure-Python decode "
-                             f"({w}x{h}x{channels})")
-        stride = w * channels
-        need = h * (stride + 1)
-        # bounded inflate: never allocate beyond the declared scanline
-        # bytes, whatever the deflate stream claims to expand to
-        raw = zlib.decompressobj().decompress(b"".join(idat), need)
-        if len(raw) < need:
+    def _png_unfilter(raw: bytes, off: int, h: int, stride: int,
+                      bpp: int) -> bytearray:
+        """Reverse the per-scanline filters of ``h`` rows of ``stride``
+        filtered bytes starting at ``raw[off]`` (spec
+        None/Sub/Up/Average/Paeth; ``bpp`` is the filter delta in
+        BYTES, rounded up to 1 for sub-byte depths). Shared by the
+        whole-image path and each Adam7 pass (every pass filters
+        independently). Returns the reconstructed bytes; short input
+        raises ValueError."""
+        if len(raw) - off < h * (stride + 1):
             raise ValueError("truncated PNG scanline data")
         out = bytearray(h * stride)
-        bpp = channels  # bytes per pixel at depth 8
         for y in range(h):
-            ft = raw[y * (stride + 1)]
-            row = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+            ft = raw[off + y * (stride + 1)]
+            row = raw[
+                off + y * (stride + 1) + 1 :
+                off + (y + 1) * (stride + 1)
+            ]
             base = y * stride
             prow = out[base - stride : base] if y else bytes(stride)
             if ft == 0:  # None
@@ -401,11 +372,137 @@ def _make_content_decoders():
                     out[base + x] = (row[x] + pred) & 0xFF
             else:
                 raise ValueError(f"bad PNG filter type {ft}")
-        return (
-            np.frombuffer(bytes(out), np.uint8)
-            .reshape(h, w, channels)
-            .copy()
+        return out
+
+    def _png_unpack(rowbytes, h: int, w: int, depth: int):
+        """(h, row-packed bytes) -> (h, w) uint8 SAMPLE array for one
+        1/2/4/8-bit channel-1 image (MSB-first bit order per spec)."""
+        arr = np.frombuffer(bytes(rowbytes), np.uint8).reshape(h, -1)
+        if depth == 8:
+            return arr[:, :w].copy()
+        per = 8 // depth
+        shifts = np.arange(per - 1, -1, -1) * depth
+        vals = (
+            (arr[:, :, None] >> shifts[None, None, :])
+            & ((1 << depth) - 1)
+        ).reshape(h, -1)
+        return vals[:, :w].astype(np.uint8)
+
+    # Adam7: (x0, y0, dx, dy) per pass
+    _ADAM7 = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+
+    def png(payload: bytes):
+        """8-bit gray/RGB/RGBA, PALETTE (PLTE) and 1/2/4-bit
+        gray/palette PNG, non-interlaced or Adam7-INTERLACED: real
+        zlib inflate, spec unfiltering per image (or per pass — each
+        Adam7 pass filters independently), sub-byte sample unpacking
+        (MSB-first), palette lookup to RGB, and gray bit-replication
+        scaling (v·255/(2^d−1), what every real decoder renders).
+        16-bit depth stays behind NotImplementedError."""
+        b = bytes(payload)
+        if b[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG container")
+        off, idat = 8, []
+        plte = None
+        w = h = depth = ct = interlace = None
+        while off + 8 <= len(b):
+            (ln,) = struct.unpack(">I", b[off : off + 4])
+            typ = b[off + 4 : off + 8]
+            data = b[off + 8 : off + 8 + ln]
+            if typ == b"IHDR":
+                if len(data) < 13:
+                    raise ValueError("truncated IHDR")
+                w, h, depth, ct, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", data[:13]
+                )
+            elif typ == b"PLTE":
+                if ln % 3 or ln == 0:
+                    raise ValueError("bad PLTE length")
+                plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+            off += 12 + ln  # length + type + data + crc
+        if w is None or not idat:
+            raise ValueError("PNG missing IHDR/IDAT")
+        channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ct)
+        sub_ok = ct in (0, 3) and depth in (1, 2, 4)
+        if channels is None or (depth != 8 and not sub_ok) or (
+            interlace not in (0, 1)
+        ):
+            raise NotImplementedError(
+                "pure-Python PNG decode covers 8-bit gray/RGB/RGBA/"
+                "palette and 1/2/4-bit gray/palette, none/Adam7 "
+                f"interlace only (depth={depth}, color={ct}, "
+                f"interlace={interlace})"
+            )
+        if ct == 3 and plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        out_ch = 3 if ct == 3 else channels
+        if w * h * out_ch > max_decode_bytes:
+            # declared-dimensions cap: a zip bomb must not OOM the
+            # executor before the scanline length check can run
+            raise ValueError(f"PNG too large for pure-Python decode "
+                             f"({w}x{h}x{out_ch})")
+
+        def rbytes(width: int) -> int:
+            return (width * channels * depth + 7) // 8
+
+        bpp = max(1, channels * depth // 8)
+        if interlace == 0:
+            passes = [(0, 0, 1, 1, w, h)]
+        else:
+            passes = [
+                (x0, y0, dx, dy,
+                 (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+                for x0, y0, dx, dy in _ADAM7
+            ]
+        need = sum(
+            ph * (rbytes(pw) + 1) for *_, pw, ph in passes if pw and ph
         )
+        # bounded inflate: never allocate beyond the declared scanline
+        # bytes, whatever the deflate stream claims to expand to
+        raw = zlib.decompressobj().decompress(b"".join(idat), need)
+        if len(raw) < need:
+            raise ValueError("truncated PNG scanline data")
+        samples = np.zeros(
+            (h, w) if channels == 1 else (h, w * channels), np.uint8
+        )
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            if pw == 0 or ph == 0:
+                continue
+            stride = rbytes(pw)
+            rows = _png_unfilter(raw, pos, ph, stride, bpp)
+            pos += ph * (stride + 1)
+            if channels == 1:
+                vals = _png_unpack(rows, ph, pw, depth)
+                samples[y0::dy, x0::dx] = vals
+            else:
+                vals = (
+                    np.frombuffer(bytes(rows), np.uint8)
+                    .reshape(ph, stride)[:, : pw * channels]
+                    .reshape(ph, pw, channels)
+                )
+                dest = samples.reshape(h, w, channels)
+                dest[y0::dy, x0::dx, :] = vals
+        if ct == 3:
+            idx = samples.reshape(h, w)
+            if int(idx.max(initial=0)) >= plte.shape[0]:
+                raise ValueError("PNG palette index outside PLTE")
+            return plte[idx].copy()
+        if channels == 1:
+            vals = samples.reshape(h, w, 1)
+            if depth != 8:
+                vals = (
+                    vals.astype(np.uint16) * 255 // ((1 << depth) - 1)
+                ).astype(np.uint8)
+            return vals.copy()
+        return samples.reshape(h, w, channels).copy()
 
     def _gif_walk(b: bytes):
         """Yield each image block as (w, h, color_table, lzw_payload,
@@ -440,10 +537,7 @@ def _make_content_decoders():
                     n = 3 * (2 << (ipacked & 0x07))
                     ct = b[off : off + n]
                     off += n
-                if ipacked & 0x40:
-                    raise NotImplementedError(
-                        "interlaced GIF decode not implemented"
-                    )
+                interlaced = bool(ipacked & 0x40)
                 min_code = b[off]
                 off += 1
                 data = bytearray()
@@ -452,7 +546,7 @@ def _make_content_decoders():
                     data += b[off + 1 : off + 1 + ln]
                     off += 1 + ln
                 off += 1  # block terminator
-                yield w, h, ct, bytes(data), min_code
+                yield w, h, ct, bytes(data), min_code, interlaced
             elif tag == 0x3B:
                 return
             else:
@@ -463,7 +557,7 @@ def _make_content_decoders():
         of image descriptor blocks, from a header/block walk only."""
         return sum(1 for _ in _gif_walk(bytes(payload)))
 
-    def _gif_frame_pixels(w, h, ct, data, min_code):
+    def _gif_frame_pixels(w, h, ct, data, min_code, interlaced=False):
         if ct is None:
             raise ValueError("GIF image without a color table")
         if w * h * 3 > max_decode_bytes:  # RGB output bytes
@@ -476,7 +570,19 @@ def _make_content_decoders():
         idx = np.frombuffer(bytes(indices[: w * h]), np.uint8)
         if idx.max(initial=0) >= pal.shape[0]:
             raise ValueError("GIF index outside color table")
-        return pal[idx].reshape(h, w, 3).copy()
+        px = pal[idx].reshape(h, w, 3)
+        if interlaced:
+            # GIF89a four-pass interlace: the data stream carries rows
+            # 0,8,16… then 4,12… then 2,6,10… then 1,3,5… — scatter
+            # the sequential rows back onto their display positions
+            order = np.concatenate([
+                np.arange(0, h, 8), np.arange(4, h, 8),
+                np.arange(2, h, 4), np.arange(1, h, 2),
+            ])
+            out = np.empty_like(px)
+            out[order] = px
+            return out.copy()
+        return px.copy()
 
     def gif(payload: bytes, frame: int = 0):
         for i, blk in enumerate(_gif_walk(bytes(payload))):
