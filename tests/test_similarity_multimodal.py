@@ -458,6 +458,210 @@ def test_png_full_pixel_decode_all_filter_types():
         MM.decode_png_pixels(bad)
 
 
+def _png_chunk(typ, data):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_pack_row(samples_row, depth):
+    """Pack one row of per-channel samples (flat, channel-major within
+    pixel) to spec scanline bytes: MSB-first sub-byte packing for
+    depth<8, big-endian two-byte samples for depth 16."""
+    if depth == 8:
+        return bytes(int(v) & 0xFF for v in samples_row)
+    if depth == 16:
+        out = bytearray()
+        for v in samples_row:
+            out += int(v).to_bytes(2, "big")
+        return bytes(out)
+    per = 8 // depth
+    out = bytearray()
+    for i in range(0, len(samples_row), per):
+        byte = 0
+        for j, v in enumerate(samples_row[i : i + per]):
+            byte |= (int(v) & ((1 << depth) - 1)) << (
+                8 - depth * (j + 1)
+            )
+        out.append(byte)
+    return bytes(out)
+
+
+def _png_build(samples, depth, ct, palette=None, interlace=0,
+               filters=None):
+    """Build a real PNG from a (h, w) or (h, w, ch) sample array.
+    ``filters`` maps a sequential scanline index (across passes, in
+    pass order for Adam7) to a filter type; unlisted rows use 0.
+    Filtering is applied per the spec so any type round-trips."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(samples)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    filters = filters or {}
+    bpp = max(1, ch * depth // 8)
+    if interlace == 0:
+        passes = [arr]
+    else:
+        passes = [
+            arr[y0::dy, x0::dx] for x0, y0, dx, dy in _PNG_ADAM7
+        ]
+    raw = bytearray()
+    seq = 0
+    for p in passes:
+        ph, pw = p.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        prev = None
+        for y in range(ph):
+            flat = [int(v) for v in p[y].reshape(-1)]
+            row = _png_pack_row(flat, depth)
+            ft = filters.get(seq, 0)
+            seq += 1
+            if ft == 0:
+                filt = row
+            else:
+                up = prev if prev is not None else bytes(len(row))
+                filt = bytearray()
+                for x in range(len(row)):
+                    a = row[x - bpp] if x >= bpp else 0
+                    b = up[x]
+                    c = up[x - bpp] if x >= bpp else 0
+                    if ft == 1:
+                        pred = a
+                    elif ft == 2:
+                        pred = b
+                    elif ft == 3:
+                        pred = (a + b) // 2
+                    else:
+                        pp = a + b - c
+                        pa, pb, pc = (
+                            abs(pp - a), abs(pp - b), abs(pp - c)
+                        )
+                        pred = (
+                            a if pa <= pb and pa <= pc
+                            else (b if pb <= pc else c)
+                        )
+                    filt.append((row[x] - pred) & 0xFF)
+            raw += bytes([ft]) + bytes(filt)
+            prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, interlace)
+    body = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += _png_chunk(
+            b"PLTE", b"".join(bytes(c) for c in palette)
+        )
+    return (
+        body + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_palette_and_sub_byte_depths():
+    """Palette (PLTE) lookup and 1/2/4-bit gray decode: MSB-first
+    unpacking and v*255//(2^d-1) scaling must match spec rendering."""
+    import numpy as np
+    import pytest
+
+    # palette-8: indices map through PLTE to RGB
+    pal = [(9, 8, 7), (255, 0, 128), (1, 2, 3), (200, 100, 50)]
+    idx = np.array([[0, 1, 2], [3, 2, 1]], np.uint8)
+    px = MM.decode_png_pixels(_png_build(idx, 8, 3, palette=pal))
+    want = np.array([[pal[i] for i in r] for r in idx], np.uint8)
+    assert np.array_equal(px, want)
+
+    # palette-2bit: sub-byte indices through PLTE (w=5 leaves pad bits)
+    idx = np.array([[0, 1, 2, 3, 1], [3, 0, 3, 0, 2]], np.uint8)
+    px = MM.decode_png_pixels(_png_build(idx, 2, 3, palette=pal))
+    want = np.array([[pal[i] for i in r] for r in idx], np.uint8)
+    assert np.array_equal(px, want)
+
+    # 1-bit gray: bit v scales to v*255; w=10 spans >1 byte per row
+    bits = np.array(
+        [[1, 0, 1, 1, 0, 0, 1, 0, 1, 1],
+         [0, 1, 0, 0, 1, 1, 0, 1, 0, 0]], np.uint8
+    )
+    px = MM.decode_png_pixels(_png_build(bits, 1, 0))
+    assert px.shape == (2, 10, 1)
+    assert np.array_equal(px.reshape(2, 10), bits * 255)
+
+    # 2-bit gray: v*255//3 = 0,85,170,255
+    g2 = np.array([[0, 1, 2, 3, 3]], np.uint8)
+    px = MM.decode_png_pixels(_png_build(g2, 2, 0))
+    assert px.reshape(-1).tolist() == [0, 85, 170, 255, 255]
+
+    # 4-bit gray: v*255//15 = v*17
+    g4 = np.array([[0, 5, 10, 15], [15, 10, 5, 0]], np.uint8)
+    px = MM.decode_png_pixels(_png_build(g4, 4, 0))
+    assert np.array_equal(px.reshape(2, 4), g4 * 17)
+
+    # sub-byte with non-zero filters (Sub/Up on packed bytes, bpp=1)
+    g4f = np.arange(32, dtype=np.uint8).reshape(4, 8) % 16
+    px = MM.decode_png_pixels(
+        _png_build(g4f, 4, 0, filters={1: 1, 2: 2, 3: 4})
+    )
+    assert np.array_equal(px.reshape(4, 8), g4f * 17)
+
+    # palette index outside PLTE is a loud ValueError, not garbage
+    bad = _png_build(np.array([[0, 9]], np.uint8), 8, 3, palette=pal)
+    with pytest.raises(ValueError):
+        MM.decode_png_pixels(bad)
+
+
+def test_png_adam7_interlace_decode():
+    """Adam7: each pass filters independently; rows/cols scatter back
+    to (x0+i*dx, y0+j*dy). Covers 8x8 (all 7 passes), 5x3
+    (non-multiple size with empty-pass edge cases) and the combined
+    Adam7+palette+4-bit case."""
+    import numpy as np
+
+    # 8x8 RGB, deterministic content, mixed per-pass filters
+    rgb = (
+        np.arange(8 * 8 * 3, dtype=np.uint32) * 37 % 251
+    ).astype(np.uint8).reshape(8, 8, 3)
+    filts = {i: (i % 5) for i in range(64)}
+    px = MM.decode_png_pixels(
+        _png_build(rgb, 8, 2, interlace=1, filters=filts)
+    )
+    assert np.array_equal(px, rgb)
+
+    # 5x3 gray: passes 3 and 7 partially/fully empty at this size
+    g = (np.arange(15, dtype=np.uint8) * 11 % 256).reshape(3, 5)
+    px = MM.decode_png_pixels(_png_build(g, 8, 0, interlace=1))
+    assert np.array_equal(px.reshape(3, 5), g)
+
+    # combined: Adam7 + palette + 4-bit sub-byte packing
+    pal = [(i, 2 * i, 3 * i) for i in range(16)]
+    idx = (np.arange(9 * 9, dtype=np.uint8) * 7 % 16).reshape(9, 9)
+    px = MM.decode_png_pixels(
+        _png_build(idx, 4, 3, palette=pal, interlace=1)
+    )
+    want = np.array([[pal[i] for i in r] for r in idx], np.uint8)
+    assert np.array_equal(px, want)
+
+    # 4x4 RGBA Adam7 (passes 1,2,4,6 empty of full blocks exercise
+    # the pw/ph clamping)
+    rgba = (
+        np.arange(4 * 4 * 4, dtype=np.uint32) * 13 % 256
+    ).astype(np.uint8).reshape(4, 4, 4)
+    px = MM.decode_png_pixels(_png_build(rgba, 8, 6, interlace=1))
+    assert np.array_equal(px, rgba)
+
+
 def test_extract_decoded_stats_includes_real_png(spark):
     docs = spark.createDataFrame(
         [(2, "z")], "doc_id long, text string"
@@ -544,7 +748,6 @@ def _gif_build(w, h, palette, indices, min_code, interlace=False):
 
 def test_gif_full_lzw_decode_real_bytes():
     import numpy as np
-    import pytest
 
     palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
     # repeating structure drives dictionary growth incl. the KwKwK case
@@ -561,10 +764,20 @@ def test_gif_full_lzw_decode_real_bytes():
     with_ext = payload[:13 + 3 * 4] + ext + payload[13 + 3 * 4:]
     assert np.array_equal(MM.decode_gif_pixels(with_ext), want)
 
-    # interlaced stays behind NotImplementedError
-    bad = _gif_build(w, h, palette, idx, min_code=2, interlace=True)
-    with pytest.raises(NotImplementedError):
-        MM.decode_gif_pixels(bad)
+    # interlaced GIF now decodes for real: the stream carries rows in
+    # GIF89a pass order (0,8,16… / 4,12… / 2,6,10… / 1,3,5…) and the
+    # decoder scatters them back to display positions
+    inter = _gif_build(w, h, palette, idx, min_code=2, interlace=True)
+    order = np.concatenate([
+        np.arange(0, h, 8), np.arange(4, h, 8),
+        np.arange(2, h, 4), np.arange(1, h, 2),
+    ])
+    want_inter = np.empty_like(want)
+    want_inter[order] = want
+    got = MM.decode_gif_pixels(inter)
+    assert got.shape == (h, w, 3)
+    assert np.array_equal(got, want_inter)
+    assert not np.array_equal(got, want)  # scatter actually reorders
 
 
 def test_gif_poison_payload_yields_null_stats(spark):
