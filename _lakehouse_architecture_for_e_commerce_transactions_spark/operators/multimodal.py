@@ -8,11 +8,12 @@ fixed fields + chunk/segment walks — no codec library needed), and
 ``extract_media_headers`` runs it partition-parallel. Full content
 decode is REAL for ALL FIVE containers
 (``_make_content_decoders``): 24-bit BMP pixels, 16-bit PCM WAV
-samples, 8-bit PNG (zlib inflate + scanline unfiltering), GIF
+samples, PNG at 1/2/4/8/16-bit depths incl. palette and Adam7
+interlace (zlib inflate + scanline unfiltering), GIF incl. interlace
 (variable-width LZW + palette, frame-addressable for animations), and
-baseline sequential JPEG (canonical Huffman decode, dequantize, 8x8
-IDCT, chroma upsample, YCbCr→RGB, restart markers) — pure Python +
-numpy, no codec library. Progressive JPEG, 12-bit precision and
+baseline-sequential + progressive JPEG (canonical Huffman decode,
+dequantize, 8x8 IDCT, chroma upsample, YCbCr→RGB, restart markers) —
+pure Python + numpy, no codec library. 12-bit JPEG precision and
 arithmetic coding stay behind NotImplementedError.
 ``extract_image_meta`` keeps the sha-derived deterministic metadata
 used by the oracle-checked catalog rows.
@@ -174,20 +175,24 @@ def _make_content_decoders():
       chunk walk to ``fmt ``/``data``, little-endian int16 frames
       de-interleaved per channel. Returns ``(sample_rate, samples)``
       with ``samples`` shaped (n_frames, n_channels).
-    * ``png(payload)`` — REAL entropy-coded decode for 8-bit
-      grayscale/RGB/RGBA non-interlaced PNG: IDAT chunks are inflated
-      with stdlib zlib and every scanline un-filtered per the spec
-      (None/Sub/Up/Average/Paeth). Returns an (H, W, C) uint8 array.
-      Unfiltering is an O(pixels) Python loop — correct and
-      dependency-free; swap in PIL for throughput where it exists.
+    * ``png(payload)`` — REAL entropy-coded decode for
+      grayscale/RGB/RGBA PNG at 8/16-bit depth, palette (PLTE) and
+      1/2/4-bit gray/palette, none or Adam7 interlace: IDAT chunks
+      are inflated with stdlib zlib and every scanline un-filtered
+      per the spec (None/Sub/Up/Average/Paeth), per pass for Adam7.
+      Returns an (H, W, C) uint8 array (uint16 for 16-bit depth).
+      Unfiltering is numpy-vectorized per row where the filter allows
+      (None/Up memcpy/add, Sub per-lane cumsum); Average/Paeth rows
+      fall back to a scalar x-loop — swap in PIL for throughput
+      where it exists.
     * ``gif(payload)`` — REAL LZW decode of the first frame of a
-      non-interlaced GIF87a/89a: variable-width LSB-first codes,
+      GIF87a/89a, interlaced or not: variable-width LSB-first codes,
       growing dictionary with clear/end codes, global or local color
-      table, extension blocks skipped. Returns an (H, W, 3) uint8 RGB
-      array.
+      table, extension blocks skipped, four-pass interlace row
+      scatter. Returns an (H, W, 3) uint8 RGB array.
 
-    Unsupported variants (palette/16-bit/interlaced PNG, interlaced
-    GIF, paletted BMP, float WAV) raise NotImplementedError — the
+    Unsupported variants (paletted BMP, float WAV, 12-bit or
+    arithmetic-coded JPEG) raise NotImplementedError — the
     header-only path still covers them.
     """
     import struct
@@ -338,41 +343,73 @@ def _make_content_decoders():
         raises ValueError."""
         if len(raw) - off < h * (stride + 1):
             raise ValueError("truncated PNG scanline data")
-        out = bytearray(h * stride)
+        buf = np.frombuffer(
+            raw, np.uint8, count=h * (stride + 1), offset=off
+        ).reshape(h, stride + 1)
+        fts = buf[:, 0]
+        if int(fts.max(initial=0)) > 4:
+            bad = int(fts[fts > 4][0])
+            raise ValueError(f"bad PNG filter type {bad}")
+        data = buf[:, 1:]
+        out = np.zeros((h, stride), np.uint8)
+        lanes = (stride + bpp - 1) // bpp  # Sub cumsum groups
+        prow = np.zeros(stride, np.uint8)
         for y in range(h):
-            ft = raw[off + y * (stride + 1)]
-            row = raw[
-                off + y * (stride + 1) + 1 :
-                off + (y + 1) * (stride + 1)
-            ]
-            base = y * stride
-            prow = out[base - stride : base] if y else bytes(stride)
-            if ft == 0:  # None
-                out[base : base + stride] = row
-            elif ft == 2:  # Up
-                for x in range(stride):
-                    out[base + x] = (row[x] + prow[x]) & 0xFF
-            elif ft in (1, 3, 4):  # Sub / Average / Paeth
-                for x in range(stride):
-                    a = out[base + x - bpp] if x >= bpp else 0
-                    bb = prow[x]
-                    c = prow[x - bpp] if x >= bpp else 0
-                    if ft == 1:
-                        pred = a
-                    elif ft == 3:
-                        pred = (a + bb) // 2
-                    else:
-                        p = a + bb - c
-                        pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
-                        pred = (
-                            a
-                            if pa <= pb and pa <= pc
-                            else (bb if pb <= pc else c)
-                        )
-                    out[base + x] = (row[x] + pred) & 0xFF
-            else:
-                raise ValueError(f"bad PNG filter type {ft}")
-        return out
+            ft = fts[y]
+            row = data[y]
+            if ft == 0:  # None: memcpy
+                out[y] = row
+            elif ft == 2:  # Up: whole-row uint8 add (wraps mod 256)
+                np.add(row, prow, out=out[y])
+            elif ft == 1:  # Sub: per-lane cumulative sum mod 256
+                padded = np.zeros(lanes * bpp, np.uint8)
+                padded[:stride] = row
+                np.add.accumulate(
+                    padded.reshape(lanes, bpp), axis=0,
+                    dtype=np.uint8, out=padded.reshape(lanes, bpp),
+                )
+                out[y] = padded[:stride]
+            elif ft == 3:  # Average: x-sequential per lane (out[x]
+                # reads out[x-bpp] UNCONDITIONALLY — not vectorizable;
+                # fixpoint iteration was measured at 17-33 passes to
+                # converge, costlier than this loop). Per-lane running
+                # accumulator avoids one list index per byte.
+                r, p = row.tolist(), prow.tolist()
+                o = [0] * stride
+                for lane in range(bpp):
+                    o[lane] = acc = (r[lane] + p[lane] // 2) & 0xFF
+                    for x in range(lane + bpp, stride, bpp):
+                        o[x] = acc = (r[x] + ((acc + p[x]) >> 1)) & 0xFF
+                out[y] = o
+            else:  # Paeth: genuinely sequential in x (pred selection
+                # depends on the just-reconstructed left byte; on
+                # smooth content pred=a chains span the whole row, so
+                # fixpoint iteration does not converge). |b-c| and
+                # b-2c are a-independent — precompute them vectorized.
+                r, p = row.tolist(), prow.tolist()
+                c16 = np.zeros(stride, np.int16)
+                c16[bpp:] = prow[:-bpp]
+                pa_l = np.abs(prow.astype(np.int16) - c16).tolist()
+                d_l = (prow.astype(np.int16) - 2 * c16).tolist()
+                o = [0] * stride
+                for lane in range(bpp):
+                    o[lane] = a = (r[lane] + p[lane]) & 0xFF  # pred=b
+                    for x in range(lane + bpp, stride, bpp):
+                        c = p[x - bpp]
+                        pb = a - c if a >= c else c - a
+                        t = a + d_l[x]
+                        pc = t if t >= 0 else -t
+                        pa = pa_l[x]
+                        if pa <= pb and pa <= pc:
+                            pred = a
+                        elif pb <= pc:
+                            pred = p[x]
+                        else:
+                            pred = c
+                        o[x] = a = (r[x] + pred) & 0xFF
+                out[y] = o
+            prow = out[y]
+        return out.tobytes()
 
     def _png_unpack(rowbytes, h: int, w: int, depth: int):
         """(h, row-packed bytes) -> (h, w) uint8 SAMPLE array for one
@@ -395,13 +432,15 @@ def _make_content_decoders():
     )
 
     def png(payload: bytes):
-        """8-bit gray/RGB/RGBA, PALETTE (PLTE) and 1/2/4-bit
+        """8/16-bit gray/RGB/RGBA, PALETTE (PLTE) and 1/2/4-bit
         gray/palette PNG, non-interlaced or Adam7-INTERLACED: real
         zlib inflate, spec unfiltering per image (or per pass — each
         Adam7 pass filters independently), sub-byte sample unpacking
         (MSB-first), palette lookup to RGB, and gray bit-replication
         scaling (v·255/(2^d−1), what every real decoder renders).
-        16-bit depth stays behind NotImplementedError."""
+        16-bit samples are two-byte big-endian (bpp = 2·channels for
+        filtering) and return a uint16 array — stats consumers upcast
+        to int64 before summing."""
         b = bytes(payload)
         if b[:8] != b"\x89PNG\r\n\x1a\n":
             raise ValueError("not a PNG container")
@@ -431,19 +470,20 @@ def _make_content_decoders():
             raise ValueError("PNG missing IHDR/IDAT")
         channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ct)
         sub_ok = ct in (0, 3) and depth in (1, 2, 4)
-        if channels is None or (depth != 8 and not sub_ok) or (
-            interlace not in (0, 1)
-        ):
+        wide_ok = ct in (0, 2, 6) and depth == 16
+        if channels is None or (
+            depth != 8 and not sub_ok and not wide_ok
+        ) or interlace not in (0, 1):
             raise NotImplementedError(
-                "pure-Python PNG decode covers 8-bit gray/RGB/RGBA/"
-                "palette and 1/2/4-bit gray/palette, none/Adam7 "
+                "pure-Python PNG decode covers 8/16-bit gray/RGB/RGBA, "
+                "8-bit palette and 1/2/4-bit gray/palette, none/Adam7 "
                 f"interlace only (depth={depth}, color={ct}, "
                 f"interlace={interlace})"
             )
         if ct == 3 and plte is None:
             raise ValueError("palette PNG missing PLTE")
         out_ch = 3 if ct == 3 else channels
-        if w * h * out_ch > max_decode_bytes:
+        if w * h * out_ch * (2 if depth == 16 else 1) > max_decode_bytes:
             # declared-dimensions cap: a zip bomb must not OOM the
             # executor before the scanline length check can run
             raise ValueError(f"PNG too large for pure-Python decode "
@@ -470,7 +510,8 @@ def _make_content_decoders():
         if len(raw) < need:
             raise ValueError("truncated PNG scanline data")
         samples = np.zeros(
-            (h, w) if channels == 1 else (h, w * channels), np.uint8
+            (h, w) if channels == 1 else (h, w * channels),
+            np.uint16 if depth == 16 else np.uint8,
         )
         pos = 0
         for x0, y0, dx, dy, pw, ph in passes:
@@ -479,7 +520,21 @@ def _make_content_decoders():
             stride = rbytes(pw)
             rows = _png_unfilter(raw, pos, ph, stride, bpp)
             pos += ph * (stride + 1)
-            if channels == 1:
+            if depth == 16:
+                # two-byte big-endian samples; stride is byte-aligned
+                # (16 bits) so the whole pass buffer views as >u2
+                vals = (
+                    np.frombuffer(bytes(rows), ">u2")
+                    .reshape(ph, pw * channels)
+                )
+                if channels == 1:
+                    samples[y0::dy, x0::dx] = vals
+                else:
+                    dest = samples.reshape(h, w, channels)
+                    dest[y0::dy, x0::dx, :] = vals.reshape(
+                        ph, pw, channels
+                    )
+            elif channels == 1:
                 vals = _png_unpack(rows, ph, pw, depth)
                 samples[y0::dy, x0::dx] = vals
             else:
@@ -497,7 +552,7 @@ def _make_content_decoders():
             return plte[idx].copy()
         if channels == 1:
             vals = samples.reshape(h, w, 1)
-            if depth != 8:
+            if depth < 8:
                 vals = (
                     vals.astype(np.uint16) * 255 // ((1 << depth) - 1)
                 ).astype(np.uint8)
@@ -1411,9 +1466,10 @@ def decode_wav_samples(payload: bytes):
 
 
 def decode_png_pixels(payload: bytes):
-    """See ``_make_content_decoders``: (H, W, C) uint8 pixels of an
-    8-bit gray/RGB/RGBA non-interlaced PNG — real zlib inflate + spec
-    unfiltering, no codec library."""
+    """See ``_make_content_decoders``: (H, W, C) pixels (uint8, or
+    uint16 for 16-bit depth) of a gray/RGB/RGBA/palette PNG at
+    1/2/4/8/16-bit depth, none/Adam7 interlace — real zlib inflate +
+    spec unfiltering, no codec library."""
     return _make_content_decoders()[2](payload)
 
 
@@ -1511,14 +1567,56 @@ def _load_native_codecs(pure: dict) -> dict:
     return {fmt: _pil for fmt in ("jpeg", "png", "gif", "bmp")}
 
 
+def _jpeg_is_subsampled(b: bytes) -> bool:
+    """Walk the segment chain to the first SOF and report whether any
+    component's sampling factors differ (i.e. 4:2:0/4:2:2/4:1:1).
+    Unparseable headers report True — the LOOSER cross-check bound —
+    so a truncated header can never turn legitimate upsampling
+    variance into a spurious drift kill."""
+    import struct as _struct
+
+    i, n = 2, len(b)
+    while i + 4 <= n and b[i] == 0xFF:
+        m = b[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        (ln,) = _struct.unpack(">H", b[i + 2 : i + 4])
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            nc = b[i + 9] if i + 9 < n else 0
+            if i + 10 + 3 * nc > n:
+                return True
+            facs = {b[i + 11 + 3 * k] for k in range(nc)}
+            return len(facs) > 1
+        i += 2 + ln
+    return True
+
+
 def _make_pixel_decoder(pure: dict, native: dict, xcheck_every: int):
     """``decode(fmt, payload) -> uint8 ndarray``: native codec when one
     is registered for the format, pure decoder otherwise. Every
     ``xcheck_every``-th native decode (per task, starting with the
     first) is RE-decoded through the oracle-exact pure path and
-    compared — shape must match exactly, values exactly for lossless
-    formats and within ±1 for JPEG (IDCT float boundaries). Drift
-    raises NativeDecoderDrift, which no poison catch swallows."""
+    compared. Tolerances reflect LEGITIMATE decoder variance:
+
+    * lossless formats (png/gif/bmp): shape and values exact;
+    * grayscale / 4:4:4 JPEG: only IDCT rounding differs (libjpeg
+      integer IDCT vs our float IDCT, legitimately ±1 on a large
+      fraction of pixels) — max |diff| ≤ 2, mean ≤ 1.0;
+    * subsampled JPEG (4:2:0 etc.): libjpeg's fancy (triangular)
+      chroma upsampling vs our replication upsampling legitimately
+      diverges by tens at chroma edges — compare aggregates instead:
+      mean |diff| ≤ 3.0 and |mean(out) − mean(ref)| ≤ 1.0, which a
+      wrong image (mean |diff| ~60+ on natural content) still trips.
+
+    A payload the PURE decoders cannot decode (a variant only the
+    native codec supports, e.g. CMYK JPEG) SKIPS the comparison
+    instead of leaking the pure decoder's exception: output must not
+    depend on which call positions the sampling stride lands on.
+    Drift raises NativeDecoderDrift, which no poison catch swallows."""
+    import struct as _struct
+    import zlib as _zlib
+
     import numpy as _np
 
     state = {"n": 0}
@@ -1530,19 +1628,51 @@ def _make_pixel_decoder(pure: dict, native: dict, xcheck_every: int):
         out = nd(payload)
         state["n"] += 1
         if xcheck_every and state["n"] % xcheck_every == 1 % xcheck_every:
-            ref = pure[fmt](payload)
-            bad = tuple(out.shape) != tuple(ref.shape)
-            if not bad and ref.size:
-                tol = 1 if fmt == "jpeg" else 0
+            try:
+                ref = pure[fmt](payload)
+            except (
+                NotImplementedError,
+                ValueError,
+                IndexError,
+                KeyError,
+                _struct.error,
+                _zlib.error,
+            ):
+                return out  # pure path can't decode this variant
+            why = None
+            if tuple(out.shape) != tuple(ref.shape):
+                why = (
+                    f"shape {tuple(out.shape)} vs {tuple(ref.shape)}"
+                )
+            elif ref.size:
                 diff = _np.abs(
                     out.astype(_np.int64) - ref.astype(_np.int64)
                 )
-                bad = int(diff.max()) > tol
-            if bad:
+                dmax = int(diff.max())
+                dmean = float(diff.mean())
+                if fmt != "jpeg":
+                    if dmax > 0:
+                        why = f"lossless format, max|diff|={dmax}"
+                elif not _jpeg_is_subsampled(bytes(payload)):
+                    if dmax > 2 or dmean > 1.0:
+                        why = (
+                            f"4:4:4/gray JPEG, max|diff|={dmax}, "
+                            f"mean|diff|={dmean:.2f}"
+                        )
+                else:
+                    bias = abs(
+                        float(out.astype(_np.float64).mean())
+                        - float(ref.astype(_np.float64).mean())
+                    )
+                    if dmean > 3.0 or bias > 1.0:
+                        why = (
+                            f"subsampled JPEG, mean|diff|="
+                            f"{dmean:.2f}, mean bias={bias:.2f}"
+                        )
+            if why is not None:
                 raise NativeDecoderDrift(
                     f"native {fmt} codec disagrees with the pure "
-                    f"decoder on a sampled payload (shape "
-                    f"{tuple(out.shape)} vs {tuple(ref.shape)})"
+                    f"decoder on a sampled payload ({why})"
                 )
         return out
 
@@ -1995,6 +2125,239 @@ def _make_dc_jpeg():
         )
 
     return dc_jpeg
+
+
+def synthesize_png_variant_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PNG/GIF VARIANT containers with CLOSED-FORM
+    decoded content, by ``doc_id mod 5`` — the round-8 decode paths
+    (palette, sub-byte depths, Adam7, GIF interlace) plus 16-bit,
+    each in front of the SQL oracle so none can silently regress:
+
+    * 0 → PALETTE PNG (8-bit PLTE indices), 8×4: raster index ``i``
+      carries palette index ``(doc_id·3 + i) mod 16``; entry ``j``
+      decodes to RGB ``(17j, 13j, 7j)``.
+    * 1 → Adam7-INTERLACED 4-bit GRAY PNG, 9×5 (non-multiple size →
+      partially-empty passes): raster sample ``(doc_id + i) mod 16``
+      renders as ``sample·17`` (v·255/15). ``top_row_sum`` pins the
+      de-interlace scatter — a sequential read would sum pass-order
+      rows instead of display row 0.
+    * 2 → 16-BIT gray PNG, 6×3: sample ``(doc_id·2654435761 +
+      i·48271) mod 65536`` — values no 8-bit path can represent.
+    * 3 → INTERLACED GIF, 12×9 (all four passes non-empty): color
+      index ``(doc_id·5 + i) mod 8``; palette entry ``j`` decodes to
+      ``(31j, 17j, 11j)``. The LZW stream carries rows in pass
+      order; ``top_row_sum`` pins the scatter.
+    * 4 → 1-BIT gray PNG, 10×4 (MSB-first packing with 6 pad bits
+      per row): bit ``(doc_id + i) mod 2`` renders as ``bit·255``.
+
+    PNG scanline filters cycle None/Sub/Up/Average/Paeth per row
+    (independently per Adam7 pass), so every decode exercises real
+    unfiltering, and the Adam7 stream proves per-pass filter resets.
+    Construction runs in ``mapInPandas``, self-contained so it ships
+    by value."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import pandas as _pd
+
+        ADAM7 = (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        )
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data))
+            )
+
+        def pack_row(samples, depth):
+            if depth == 8:
+                return bytes(v & 0xFF for v in samples)
+            if depth == 16:
+                out = bytearray()
+                for v in samples:
+                    out += int(v).to_bytes(2, "big")
+                return bytes(out)
+            per = 8 // depth
+            out = bytearray()
+            for i in range(0, len(samples), per):
+                byte = 0
+                for j, v in enumerate(samples[i : i + per]):
+                    byte |= (v & ((1 << depth) - 1)) << (
+                        8 - depth * (j + 1)
+                    )
+                out.append(byte)
+            return bytes(out)
+
+        def filt_row(ft, row, prev, bpp):
+            """Spec-filter one packed scanline (inverse of decode)."""
+            if ft == 0:
+                return row
+            up = prev if prev is not None else bytes(len(row))
+            out = bytearray()
+            for x in range(len(row)):
+                a = row[x - bpp] if x >= bpp else 0
+                b = up[x]
+                c = up[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c)
+                    )
+                out.append((row[x] - pred) & 0xFF)
+            return bytes(out)
+
+        def png_build(w, h, depth, ct, sample_at, palette=None,
+                      interlace=0):
+            """samples via sample_at(raster_index); filters cycle
+            0..4 per emitted scanline."""
+            ch = 3 if ct == 2 else 1
+            bpp = max(1, ch * depth // 8)
+            if interlace == 0:
+                passes = [(0, 0, 1, 1)]
+            else:
+                passes = ADAM7
+            raw, seq = bytearray(), 0
+            for x0, y0, dx, dy in passes:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                prev = None
+                for j in range(ph):
+                    y = y0 + j * dy
+                    flat = []
+                    for k in range(pw):
+                        x = x0 + k * dx
+                        flat.append(sample_at(y * w + x))
+                    row = pack_row(flat, depth)
+                    ft = seq % 5
+                    seq += 1
+                    raw += bytes([ft]) + filt_row(ft, row, prev, bpp)
+                    prev = row
+            ihdr = struct.pack(
+                ">IIBBBBB", w, h, depth, ct, 0, 0, interlace
+            )
+            body = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            if palette is not None:
+                body += chunk(
+                    b"PLTE", b"".join(bytes(c) for c in palette)
+                )
+            return (
+                body + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b"")
+            )
+
+        def gif_lzw(indices, min_code):
+            """Greedy-dictionary GIF-LZW encoder (variable width,
+            LSB-first) — the decoder's exact inverse."""
+            clear, end = 1 << min_code, (1 << min_code) + 1
+            out_bits: list[int] = []
+            width = min_code + 1
+
+            def emit(code):
+                for i in range(width):
+                    out_bits.append((code >> i) & 1)
+
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            emit(clear)
+            prev = b""
+            for idx in indices:
+                cur = prev + bytes([idx])
+                if cur in table:
+                    prev = cur
+                    continue
+                emit(table[prev])
+                if next_code < 4096:
+                    table[cur] = next_code
+                    next_code += 1
+                if next_code == (1 << width) + 1 and width < 12:
+                    width += 1
+                prev = bytes([idx])
+            emit(table[prev])
+            emit(end)
+            data = bytearray()
+            for i in range(0, len(out_bits), 8):
+                byte = 0
+                for j, bit in enumerate(out_bits[i : i + 8]):
+                    byte |= bit << j
+                data.append(byte)
+            return bytes(data)
+
+        def gif_build(w, h, palette, indices, interlace):
+            min_code = 3  # 8-entry table
+            ct = b"".join(bytes(c) for c in palette)
+            lzw = gif_lzw(indices, min_code)
+            sub = b""
+            for i in range(0, len(lzw), 255):
+                blk = lzw[i : i + 255]
+                sub += bytes([len(blk)]) + blk
+            return (
+                b"GIF89a"
+                + struct.pack("<HHBBB", w, h, 0x80 | 2, 0, 0)
+                + ct
+                + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+                + bytes([0x40 if interlace else 0, min_code])
+                + sub + b"\x00" + b"\x3b"
+            )
+
+        def payload(d: int) -> bytes:
+            k = d % 5
+            if k == 0:
+                pal = [(17 * j, 13 * j, 7 * j) for j in range(16)]
+                return png_build(
+                    8, 4, 8, 3,
+                    lambda i: (d * 3 + i) % 16, palette=pal,
+                )
+            if k == 1:
+                return png_build(
+                    9, 5, 4, 0, lambda i: (d + i) % 16, interlace=1
+                )
+            if k == 2:
+                return png_build(
+                    6, 3, 16, 0,
+                    lambda i: (d * 2654435761 + i * 48271) % 65536,
+                )
+            if k == 3:
+                w, h = 12, 9
+                pal = [(31 * j, 17 * j, 11 * j) for j in range(8)]
+                raster = [(d * 5 + i) % 8 for i in range(w * h)]
+                # the stream carries rows in GIF89a pass order
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                stream: list[int] = []
+                for y in order:
+                    stream += raster[y * w : (y + 1) * w]
+                return gif_build(w, h, pal, stream, interlace=True)
+            return png_build(
+                10, 4, 1, 0, lambda i: (d + i) % 2
+            )
+
+        for pdf in it:
+            ids = [int(x) for x in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [payload(d) for d in ids],
+                    "media_type": ["image"] * len(ids),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def synthesize_progressive_jpeg_media(docs: DataFrame) -> DataFrame:

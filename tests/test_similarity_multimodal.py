@@ -447,11 +447,11 @@ def test_png_full_pixel_decode_all_filter_types():
     assert px.shape == (1, 2, 4)
     assert px.flatten().tolist() == list(range(8))
 
-    # 16-bit depth stays behind NotImplementedError
-    ihdr16 = struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0)
+    # 16-bit palette is not a legal PNG combination — typed refusal
+    ihdr16p = struct.pack(">IIBBBBB", 2, 1, 16, 3, 0, 0, 0)
     bad = (
-        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
-        + chunk(b"IDAT", zlib.compress(b"\x00" * 13))
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16p)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 5))
         + chunk(b"IEND", b"")
     )
     with pytest.raises(NotImplementedError):
@@ -660,6 +660,57 @@ def test_png_adam7_interlace_decode():
     ).astype(np.uint8).reshape(4, 4, 4)
     px = MM.decode_png_pixels(_png_build(rgba, 8, 6, interlace=1))
     assert np.array_equal(px, rgba)
+
+
+def test_png_16bit_depth_decode():
+    """16-bit PNG: two-byte big-endian samples, same spec filters with
+    bpp = 2·channels, uint16 output (no 255-scaling — 16-bit is full
+    range already). Covers gray/RGB/RGBA, all filter types on
+    multi-byte samples, Adam7, and values that overflow uint8."""
+    import numpy as np
+
+    # gray with values only 16 bits can hold
+    g = np.array([[0, 65535, 256], [4660, 43981, 1]], np.uint32)
+    px = MM.decode_png_pixels(_png_build(g, 16, 0))
+    assert px.dtype == np.uint16 and px.shape == (2, 3, 1)
+    assert np.array_equal(px.reshape(2, 3), g)
+
+    # RGB with every filter type: Sub/Average/Paeth use bpp=6, and a
+    # filtered byte stream splits sample halves across predictions
+    rgb = (
+        np.arange(5 * 4 * 3, dtype=np.uint32) * 9973 % 65536
+    ).reshape(5, 4, 3)
+    px = MM.decode_png_pixels(
+        _png_build(rgb, 16, 2, filters={1: 1, 2: 2, 3: 3, 4: 4})
+    )
+    assert px.dtype == np.uint16
+    assert np.array_equal(px, rgb.astype(np.uint16))
+
+    # RGBA + Adam7 interlace at a non-multiple size
+    rgba = (
+        np.arange(5 * 3 * 4, dtype=np.uint32) * 31337 % 65536
+    ).reshape(3, 5, 4)
+    px = MM.decode_png_pixels(_png_build(rgba, 16, 6, interlace=1))
+    assert np.array_equal(px, rgba.astype(np.uint16))
+
+
+def test_extract_decoded_stats_16bit_png(spark):
+    """A 16-bit PNG flows through the mapInPandas stats path with
+    int64 sums (values beyond uint8/uint16 totals must not wrap)."""
+    import numpy as np
+
+    g = np.array([[60000, 65535], [1, 70]], np.uint32)
+    payload = _png_build(g, 16, 0)
+    media = spark.createDataFrame(
+        [(7, bytearray(payload), "image")], MM.MEDIA_SCHEMA
+    )
+    r = MM.extract_decoded_stats(media).collect()[0]
+    assert r["format"] == "png"
+    assert r["n_units"] == 4
+    assert r["content_sum"] == 60000 + 65535 + 1 + 70
+    assert r["content_min"] == 1
+    assert r["content_max"] == 65535
+    assert r["top_row_sum"] == 60000 + 65535
 
 
 def test_extract_decoded_stats_includes_real_png(spark):
@@ -1737,6 +1788,155 @@ def test_native_seam_defaults_to_pure_and_env_gate(monkeypatch):
         dec("bmp", payload)
     dec2 = MM._make_pixel_decoder(pure, drift, 0)  # 0 disables checks
     assert dec2("bmp", payload) is not None
+
+
+def test_synthesize_png_variant_media_round_trip(spark):
+    """The five PNG/GIF variant containers (palette, Adam7 4-bit,
+    16-bit, interlaced GIF, 1-bit) decode back to their generating
+    closed forms through the real mapInPandas stats path — the same
+    math the png_variants_stats SQL oracle recomputes."""
+    docs = spark.createDataFrame(
+        [(d, "t") for d in range(5, 15)], "doc_id long, text string"
+    )
+    media = MM.synthesize_png_variant_media(docs)
+    got = {
+        r["media_id"]: r
+        for r in MM.extract_decoded_stats(media).collect()
+    }
+    assert len(got) == 10
+
+    def expect(d):
+        k = d % 5
+        if k == 0:
+            vals = [
+                (17, 13, 7)[c] * ((d * 3 + i) % 16)
+                for i in range(32) for c in range(3)
+            ]
+            return "png", vals, 24
+        if k == 1:
+            vals = [((d + i) % 16) * 17 for i in range(45)]
+            return "png", vals, 9
+        if k == 2:
+            vals = [
+                (d * 2654435761 + i * 48271) % 65536 for i in range(18)
+            ]
+            return "png", vals, 6
+        if k == 3:
+            vals = [
+                (31, 17, 11)[c] * ((d * 5 + i) % 8)
+                for i in range(108) for c in range(3)
+            ]
+            return "gif", vals, 36
+        vals = [((d + i) % 2) * 255 for i in range(40)]
+        return "png", vals, 10
+
+    for d in range(5, 15):
+        fmt, vals, top_n = expect(d)
+        r = got[d]
+        assert r["format"] == fmt, (d, r)
+        assert r["n_units"] == len(vals), (d, r)
+        assert r["content_sum"] == sum(vals), (d, r)
+        assert r["content_min"] == min(vals), (d, r)
+        assert r["content_max"] == max(vals), (d, r)
+        assert r["top_row_sum"] == sum(vals[:top_n]), (d, r)
+
+
+def _jpeg_sof_header(subsampled):
+    """Minimal JFIF prefix with one SOF0: enough for
+    _jpeg_is_subsampled's segment walk."""
+    import struct
+
+    comps = (
+        [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)]
+        if subsampled
+        else [(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)]
+    )
+    sof = bytes([8]) + struct.pack(">HH", 16, 16) + bytes([len(comps)])
+    for cid, fac, tq in comps:
+        sof += bytes([cid, fac, tq])
+    return (
+        b"\xff\xd8\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    )
+
+
+def test_native_xcheck_skips_pure_undecodable_variants():
+    """A variant only the native codec can decode (pure raises
+    NotImplementedError/ValueError) must NOT leak the pure decoder's
+    exception out of a sampled cross-check: output would otherwise
+    depend on which call positions the sampling stride lands on."""
+    import numpy as np
+
+    px = np.full((4, 4, 3), 7, np.uint8)
+
+    def pure_refuses(_p):
+        raise NotImplementedError("pure decoder lacks this variant")
+
+    def pure_chokes(_p):
+        raise ValueError("pure decoder thinks it is corrupt")
+
+    for pure_fn in (pure_refuses, pure_chokes):
+        dec = MM._make_pixel_decoder(
+            {"bmp": pure_fn}, {"bmp": lambda p: px}, 1
+        )
+        # every call sampled; every call must still return native out
+        for _ in range(3):
+            assert np.array_equal(dec("bmp", b"payload"), px)
+
+
+def test_native_xcheck_jpeg_tolerances():
+    """JPEG cross-check reflects legitimate decoder variance:
+    4:4:4/grayscale allows IDCT rounding (max 2, mean 0.5);
+    subsampled compares aggregates (mean|diff| 3.0, mean bias 1.0)
+    because fancy vs replication chroma upsampling legitimately
+    differs by tens at edges. A genuinely wrong image still trips
+    both."""
+    import numpy as np
+    import pytest
+
+    sub = _jpeg_sof_header(subsampled=True)
+    full = _jpeg_sof_header(subsampled=False)
+    assert MM._jpeg_is_subsampled(sub) is True
+    assert MM._jpeg_is_subsampled(full) is False
+    assert MM._jpeg_is_subsampled(b"\xff\xd8\x00") is True  # loose
+
+    rng = np.random.default_rng(5)
+    ref = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+
+    def mk(native_out, payload):
+        dec = MM._make_pixel_decoder(
+            {"jpeg": lambda p: ref}, {"jpeg": lambda p: native_out}, 1
+        )
+        return lambda: dec("jpeg", payload)
+
+    # 4:4:4: +/-1 IDCT rounding passes, +3 somewhere fails
+    wobble = ref.astype(np.int16)
+    wobble[0::2] += 1
+    wobble[1::4] -= 1
+    ok444 = np.clip(wobble, 0, 255).astype(np.uint8)
+    assert mk(ok444, full)() is not None
+    bad444 = ref.copy()
+    bad444[0, 0, 0] = (int(ref[0, 0, 0]) + 3) % 256
+    with pytest.raises(MM.NativeDecoderDrift):
+        mk(bad444, full)()
+
+    # subsampled: large LOCAL chroma-edge diffs pass if aggregates
+    # stay close (zero-sum perturbation, mean|diff| <= 3.0)
+    edge = ref.astype(np.int64)
+    edge[0, 0:2, 2] += 40   # fancy-vs-replication style edge diff
+    edge[0, 2:4, 2] -= 40   # balanced: no mean bias
+    edge = np.clip(edge, 0, 255).astype(np.uint8)
+    assert mk(edge, sub)() is not None
+    # but the SAME perturbation on a 4:4:4 payload is drift
+    with pytest.raises(MM.NativeDecoderDrift):
+        mk(edge, full)()
+    # a wrong image (different content) trips the aggregate check
+    wrong = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    with pytest.raises(MM.NativeDecoderDrift):
+        mk(wrong, sub)()
+    # and a systematic bias trips it even with small per-pixel diffs
+    biased = np.clip(ref.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+    with pytest.raises(MM.NativeDecoderDrift):
+        mk(biased, sub)()
 
 
 def test_native_seam_through_spark_decoded_stats(spark):
