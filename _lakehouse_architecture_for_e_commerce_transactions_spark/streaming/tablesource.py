@@ -194,6 +194,10 @@ class SnapshotTailReader(DataSourceStreamReader):
         self._down_scanned_to: int = self._ref_version + 1
         self._post_ref_boundary = False
         self._eff_cache: dict = {}
+        # last post-anchor schema_json verified type-compatible with
+        # the anchored schema (see _note_version); avoids reparsing
+        # an unchanged schema on every version
+        self._type_ok_json: str | None = None
 
     # -- offset plumbing (driver-side) --------------------------------
 
@@ -318,7 +322,44 @@ class SnapshotTailReader(DataSourceStreamReader):
         the anchored schema, so it raises (Delta's behavior: the
         stream must be restarted to pick up the new schema); a
         post-anchor compact whose materialized names all still equal
-        the anchored names stays transparent."""
+        the anchored names stays transparent.
+
+        Second guard: a post-anchor TYPE CHANGE on an anchored column
+        (type widening: int→long / float→double) writes files the
+        anchored schema cannot read safely — the executor-side arrow
+        cast would silently NARROW fitting values and raise a raw
+        ArrowInvalid on overflowing ones. Both are worse than
+        stopping, so this raises the same restart-required error
+        (Delta's non-additive schema-change behavior). Checked only
+        when schema_json differs from the last verified one, so an
+        unchanged schema costs one string compare per version."""
+        if (
+            v > self._ref_version
+            and snap.schema_json != self._type_ok_json
+        ):
+            by_name = {
+                f.name: f.dataType
+                for f in StructType.fromJson(
+                    json.loads(snap.schema_json)
+                ).fields
+            }
+            changed = sorted(
+                f"{f.name} ({f.dataType.simpleString()} -> "
+                f"{by_name[f.name].simpleString()})"
+                for f in self._schema.fields
+                if f.name in by_name and by_name[f.name] != f.dataType
+            )
+            if changed:
+                raise ChangeCommitError(
+                    f"{SOURCE_NAME}: version {v} of {self._path} "
+                    f"changed the type of anchored stream column(s) "
+                    f"{changed} — e.g. type widening. Reading the "
+                    "post-change files through the anchored schema "
+                    "would silently narrow fitting values and fail "
+                    "on overflowing ones. Restart the stream to "
+                    "adopt the new schema."
+                )
+            self._type_ok_json = snap.schema_json
         if (
             v > self._ref_version
             and prev is not None

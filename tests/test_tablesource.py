@@ -658,3 +658,61 @@ def test_post_anchor_rename_then_compact_raises_schema_change(
     S.compact(spark, path3)
     parts3 = r3.partitions({"version": -1}, {"version": 2})
     assert parts3
+
+
+def test_post_anchor_type_widening_raises_schema_change(
+    spark, tmp_path
+):
+    """Round-8 ADVICE (medium): a stream anchored before a
+    type-widening commit used to read post-widening files through an
+    arrow cast against the anchored schema — silently NARROWING
+    fitting values and raising a raw ArrowInvalid on overflowing
+    ones. The reader now raises the typed restart-required
+    schema-change error at the widening commit; an appended COLUMN
+    (additive change) stays transparent."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.tablesource import (
+        ChangeCommitError,
+        SnapshotTailReader,
+    )
+
+    path = str(tmp_path / "tw")
+    narrow = _df(spark, [(1, "a", 10)]).select(
+        F.col("k").cast("int").alias("k"), "v",
+        F.col("amt").cast("float").alias("amt"),
+    )
+    S.commit(spark, narrow, path)  # v0: int k, float amt
+    schema = StructType.fromJson(
+        _json.loads(S.load_snapshot(path).schema_json)
+    )
+    opts = {"path": path, "startingversion": "earliest"}
+    r = SnapshotTailReader(schema, dict(opts))  # anchored at v0
+    wide = _df(spark, [(2, "b", 20)]).select(
+        (F.col("k") + F.lit(10_000_000_000)).alias("k"), "v", "amt",
+    )
+    S.commit(
+        spark, wide, path, mode="append", merge_schema=True
+    )  # v1: k widens int->bigint, amt float->double
+    with pytest.raises(
+        ChangeCommitError, match="Restart the stream"
+    ) as ei:
+        r.partitions({"version": -1}, {"version": 1})
+    assert "k" in str(ei.value) and "bigint" in str(ei.value)
+
+    # additive change (new column) stays transparent: the anchored
+    # schema simply never selects it
+    path2 = str(tmp_path / "tw2")
+    S.commit(spark, narrow, path2)
+    r2 = SnapshotTailReader(schema, {**opts, "path": path2})
+    extra = narrow.withColumn("note", F.lit("x")).withColumn(
+        "k", F.col("k") + 1
+    )
+    S.commit(spark, extra, path2, mode="append", merge_schema=True)
+    parts = r2.partitions({"version": -1}, {"version": 1})
+    assert parts  # plans, no raise
+    rows = [row for p in parts for row in r2.read(p)]
+    assert rows  # and the anchored-read path still decodes the files
