@@ -196,6 +196,9 @@ def main() -> None:
         "table_changes_batch",
         # round-8: progressive-JPEG decode leg (multi-scan SOF2)
         "jpeg_progressive_stats",
+        # round-9: the PNG/GIF variant decode paths (palette, Adam7,
+        # 16-bit, interlaced GIF, 1-bit) priced round-over-round
+        "png_variants_stats",
     ]
     extras: dict[str, float] = {}
     for rep in range(reps):
