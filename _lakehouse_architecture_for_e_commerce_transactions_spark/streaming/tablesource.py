@@ -198,6 +198,16 @@ class SnapshotTailReader(DataSourceStreamReader):
         # the anchored schema (see _note_version); avoids reparsing
         # an unchanged schema on every version
         self._type_ok_json: str | None = None
+        # option-gated protocol trace (traceFile): a test seam that
+        # records the ENGINE's driver-side call order, pinning the
+        # restart behavior the cold-cursor pacing seed depends on
+        # (see the SPARK-UPGRADE NOTE in latestOffset)
+        self._trace_path = options.get("tracefile")
+
+    def _tr(self, event: str) -> None:
+        if self._trace_path:
+            with open(self._trace_path, "a") as fh:
+                fh.write(event + "\n")
 
     # -- offset plumbing (driver-side) --------------------------------
 
@@ -219,11 +229,13 @@ class SnapshotTailReader(DataSourceStreamReader):
         return v - 1
 
     def initialOffset(self) -> dict:
+        self._tr(f"initialOffset cold={self._cursor is None}")
         off = self._resolve_start()
         self._cursor = off
         return {"version": off}
 
     def latestOffset(self) -> dict:
+        self._tr(f"latestOffset cold={self._cursor is None}")
         vs = S._versions(self._path)
         head = vs[-1] if vs else -1
         if self._max_versions is None and self._max_files is None:
@@ -283,6 +295,7 @@ class SnapshotTailReader(DataSourceStreamReader):
         return {"version": end}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._tr(f"partitions {start['version']} {end['version']}")
         out: list[InputPartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             out.extend(self._version_partitions(v))
@@ -302,6 +315,7 @@ class SnapshotTailReader(DataSourceStreamReader):
         checkpoint-committed: ratchet the pacing cursor so a later
         ``latestOffset()`` can never return an offset behind the
         engine's own position."""
+        self._tr(f"commit {end['version']}")
         v = int(end["version"])
         if self._cursor is None or v > self._cursor:
             self._cursor = v
@@ -633,6 +647,7 @@ def read_table_stream(
     skip_change_commits: bool = False,
     max_versions_per_trigger: int | None = None,
     max_files_per_trigger: int | None = None,
+    trace_file: str | None = None,
 ) -> DataFrame:
     """The one-call wrapper: a streaming DataFrame tailing ``path``."""
     register(spark)
@@ -647,6 +662,8 @@ def read_table_stream(
         r = r.option("maxVersionsPerTrigger", str(max_versions_per_trigger))
     if max_files_per_trigger is not None:
         r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if trace_file is not None:
+        r = r.option("traceFile", trace_file)
     return r.load()
 
 

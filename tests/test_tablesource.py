@@ -660,6 +660,58 @@ def test_post_anchor_rename_then_compact_raises_schema_change(
     assert parts3
 
 
+def test_restart_protocol_reconstructs_before_paced_latest_offset(
+    spark, tmp_path
+):
+    """SPARK-UPGRADE PIN (round-8 ADVICE, low): the cold-cursor
+    pacing seed in latestOffset is safe on restart ONLY because the
+    engine reconstructs the last checkpointed batch (a
+    partitions(start, end) call) before the first paced latestOffset
+    consults the cursor. That is observed Spark 4.1 behavior, not an
+    API contract — this test records the reader's driver-side call
+    order through the traceFile seam and fails loudly if a Spark
+    version bump ever reorders it (which would reopen the
+    offset-regression hole test_paced_restart_is_exactly_once covers
+    end to end)."""
+    bronze = str(tmp_path / "b")
+    ckpt = str(tmp_path / "ck")
+    trace = str(tmp_path / "trace.txt")
+    S.commit(spark, _df(spark, [(1, "a", 10)]), bronze)
+    for i in range(2, 4):
+        S.commit(
+            spark, _df(spark, [(i, "b", i)]), bronze, mode="append"
+        )
+    # paced availableNow advances one version per drain, so the
+    # second drain below is a genuine restart from the checkpoint
+    # with more versions still pending
+    got = _drain(
+        spark, bronze, ckpt,
+        starting_version="earliest", max_versions_per_trigger=1,
+    )
+    assert sorted(r.k for r in got) == [1]
+    got2 = _drain(
+        spark, bronze, ckpt,
+        starting_version="earliest", max_versions_per_trigger=1,
+        trace_file=trace,
+    )
+    assert sorted(r.k for r in got2) == [2]
+    with open(trace) as fh:
+        events = [ln.strip() for ln in fh if ln.strip()]
+    latest = [
+        i for i, e in enumerate(events) if e.startswith("latestOffset")
+    ]
+    assert latest, events
+    first = latest[0]
+    # the engine revealed its checkpointed position (a partitions or
+    # commit call) BEFORE the first latestOffset ran...
+    assert any(
+        e.startswith(("partitions", "commit")) for e in events[:first]
+    ), events
+    # ...so that latestOffset was NOT cold: the defensive resolve-
+    # start seed never decided the restarted stream's first offset
+    assert events[first].endswith("cold=False"), events
+
+
 def test_post_anchor_type_widening_raises_schema_change(
     spark, tmp_path
 ):
