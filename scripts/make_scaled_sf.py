@@ -1,0 +1,116 @@
+"""Synthesize an N-times-scaled testdata dir from an existing one,
+for the round-9 scale probe (VERDICT task 5): replicate every fact
+table with KEY-SPACE OFFSETS so foreign keys stay consistent
+(replica r adds r*(max_key+1) to custkey/orderkey/partkey/suppkey/
+doc_id/vec_id/event_id/user_id), keep the dimension tables
+(region/nation) as-is, and ROTATE each document's words per replica
+so cross-replica near-duplicate structure does not hand the dedup
+legs artificial quadratic work (10 exact copies of every doc would
+put all replicas in the same MinHash buckets: bucket sizes x10 =
+verify pairs x100, a replication artifact, not a scale signal).
+
+pyarrow/pandas only — no Spark session, so it can run alongside a
+Spark test suite. Layout mirrors the source dir (one
+``<table>.parquet`` per table); row groups are sized so Spark can
+split the bigger files across tasks.
+
+Usage: python scripts/make_scaled_sf.py SRC_DIR DST_DIR [FACTOR]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# per-table key columns drawing from a shared key SPACE; every space
+# is offset by r * (max over all columns in the space + 1)
+KEY_SPACES: dict[str, list[tuple[str, str]]] = {
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "doc": [("documents", "doc_id")],
+    "vec": [("embeddings", "vec_id")],
+    "event": [("events", "event_id")],
+    "user": [("events", "user_id")],
+}
+DIMENSIONS = ("region", "nation")
+
+
+def _rotate_words(text: str, r: int) -> str:
+    words = text.split(" ")
+    if r == 0 or len(words) < 2:
+        return text
+    k = (r * 7) % len(words)
+    if k == 0:
+        return text
+    return " ".join(words[k:] + words[:k])
+
+
+def main(src: str, dst: str, factor: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    tables = {
+        f[: -len(".parquet")]: pq.read_table(os.path.join(src, f))
+        for f in sorted(os.listdir(src))
+        if f.endswith(".parquet")
+    }
+    offsets: dict[tuple[str, str], int] = {}
+    for cols in KEY_SPACES.values():
+        space_max = max(
+            int(pa.compute.max(tables[t].column(c)).as_py() or 0)
+            for t, c in cols
+        )
+        for t, c in cols:
+            offsets[(t, c)] = space_max + 1
+
+    for name, tbl in tables.items():
+        out_path = os.path.join(dst, f"{name}.parquet")
+        if name in DIMENSIONS:
+            pq.write_table(tbl, out_path)
+            print(f"{name}: {tbl.num_rows} rows (dimension, copied)")
+            continue
+        reps = []
+        for r in range(factor):
+            cols = []
+            for field in tbl.schema:
+                col = tbl.column(field.name)
+                off = offsets.get((name, field.name))
+                if off is not None and r > 0:
+                    col = pa.compute.add(col, r * off)
+                    col = col.cast(field.type)
+                elif name == "documents" and field.name == "text":
+                    col = pa.array(
+                        [_rotate_words(v, r) for v in col.to_pylist()],
+                        type=field.type,
+                    )
+                cols.append(col)
+            if name == "documents":
+                # keep n_chars consistent with the rotated text
+                idx = tbl.schema.get_field_index("n_chars")
+                cols[idx] = pa.array(
+                    [
+                        len(v)
+                        for v in cols[
+                            tbl.schema.get_field_index("text")
+                        ].to_pylist()
+                    ],
+                    type=tbl.schema.field(idx).type,
+                )
+            reps.append(pa.Table.from_arrays(cols, schema=tbl.schema))
+        out = pa.concat_tables(reps)
+        rg = max(10_000, out.num_rows // 16)
+        pq.write_table(out, out_path, row_group_size=rg)
+        print(
+            f"{name}: {tbl.num_rows} -> {out.num_rows} rows "
+            f"(row_group_size={rg})"
+        )
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1.0"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    main(src, dst, factor)
