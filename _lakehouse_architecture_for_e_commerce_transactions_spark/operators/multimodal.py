@@ -7,14 +7,16 @@ GIF / WAV / JPEG dimensions and audio rates in pure Python (magic bytes +
 fixed fields + chunk/segment walks — no codec library needed), and
 ``extract_media_headers`` runs it partition-parallel. Full content
 decode is REAL for ALL FIVE containers
-(``_make_content_decoders``): 24-bit BMP pixels, 16-bit PCM WAV
-samples, PNG at 1/2/4/8/16-bit depths incl. palette and Adam7
-interlace (zlib inflate + scanline unfiltering), GIF incl. interlace
-(variable-width LZW + palette, frame-addressable for animations), and
-baseline-sequential + progressive JPEG (canonical Huffman decode,
-dequantize, 8x8 IDCT, chroma upsample, YCbCr→RGB, restart markers) —
-pure Python + numpy, no codec library. 12-bit JPEG precision and
-arithmetic coding stay behind NotImplementedError.
+(``_make_content_decoders``): 24-bit and 8-bit-paletted BMP pixels,
+16-bit PCM and 32-bit IEEE-float WAV samples, PNG at 1/2/4/8/16-bit
+depths incl. palette and Adam7 interlace (zlib inflate + scanline
+unfiltering), GIF incl. interlace (variable-width LZW + palette,
+frame-addressable for animations), and baseline-sequential +
+progressive JPEG (canonical Huffman decode, dequantize, 8x8 IDCT,
+chroma upsample, YCbCr→RGB, restart markers; 12-bit baseline
+grayscale with 16-bit DQT tables) — pure Python + numpy, no codec
+library. Arithmetic-coded JPEG, 12-bit color/progressive JPEG and
+compressed BMP stay behind NotImplementedError.
 ``extract_image_meta`` keeps the sha-derived deterministic metadata
 used by the oracle-checked catalog rows.
 
@@ -191,9 +193,12 @@ def _make_content_decoders():
       table, extension blocks skipped, four-pass interlace row
       scatter. Returns an (H, W, 3) uint8 RGB array.
 
-    Unsupported variants (paletted BMP, float WAV, 12-bit or
+    Unsupported variants (compressed/1-4-bit BMP, non-16-bit-PCM
+    non-float32 WAV, 12-bit COLOR or progressive JPEG,
     arithmetic-coded JPEG) raise NotImplementedError — the
-    header-only path still covers them.
+    header-only path still covers them. 8-bit paletted BMP, 32-bit
+    IEEE-float WAV (decoded into the int16 sample domain via v·32768
+    clipped) and 12-bit baseline GRAYSCALE JPEG decode for real.
     """
     import struct
     import zlib
@@ -285,12 +290,48 @@ def _make_content_decoders():
         w, h = struct.unpack("<ii", b[18:26])
         (bpp,) = struct.unpack("<H", b[28:30])
         (comp,) = struct.unpack("<I", b[30:34])
-        if bpp != 24 or comp != 0:
+        if bpp not in (4, 8, 24) or comp != 0:
             raise NotImplementedError(
                 "pure-Python pixel decode covers uncompressed 24-bit "
-                f"BMP only (got bpp={bpp}, compression={comp})"
+                "and 4/8-bit PALETTED BMP only "
+                f"(got bpp={bpp}, compression={comp})"
             )
         top_down, hh = h < 0, abs(h)
+        if bpp in (4, 8):
+            # paletted: BGRA color table follows the DIB header;
+            # 4-bit rows pack two indices per byte, HIGH nibble first
+            if len(b) < 50:
+                raise ValueError("truncated BMP header")
+            (dib_size,) = struct.unpack("<I", b[14:18])
+            (clr_used,) = struct.unpack("<I", b[46:50])
+            n_pal = clr_used or (1 << bpp)
+            pal_off = 14 + dib_size
+            if pal_off + 4 * n_pal > len(b):
+                raise ValueError("truncated BMP color table")
+            pal = (
+                np.frombuffer(b, np.uint8, count=4 * n_pal,
+                              offset=pal_off)
+                .reshape(n_pal, 4)[:, 2::-1]  # BGR(A) → RGB
+            )
+            stride = (w * bpp + 31) // 32 * 4  # rows pad to 4 bytes
+            if off + stride * hh > len(b):
+                raise ValueError("truncated BMP pixel data")
+            raw = np.frombuffer(
+                b, np.uint8, count=stride * hh, offset=off
+            ).reshape(hh, stride)
+            if bpp == 8:
+                idx = raw[:, :w]
+            else:
+                nib = np.empty((hh, stride * 2), np.uint8)
+                nib[:, 0::2] = raw >> 4
+                nib[:, 1::2] = raw & 0x0F
+                idx = nib[:, :w]
+            if int(idx.max(initial=0)) >= n_pal:
+                raise ValueError("BMP index outside color table")
+            px = pal[idx]
+            if not top_down:
+                px = px[::-1]
+            return px.copy()
         stride = (w * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
         if off + stride * hh > len(b):
             raise ValueError("truncated BMP pixel data")
@@ -323,10 +364,23 @@ def _make_content_decoders():
             raise ValueError("truncated WAV fmt chunk")
         audio_fmt, ch, sr = struct.unpack("<HHI", fmt[0:8])
         (bits,) = struct.unpack("<H", fmt[14:16])
+        if audio_fmt == 3 and bits == 32 and ch >= 1:
+            # IEEE-float WAV: decode to the same int16 sample domain
+            # the rest of the audio stack speaks (v·32768, clipped to
+            # [-32768, 32767] — the exact inverse of int16/32768
+            # normalization, so dyadic payloads round-trip losslessly)
+            usable = len(data) // (4 * ch) * 4 * ch
+            f = np.frombuffer(data[:usable], "<f4").reshape(-1, ch)
+            scaled = np.clip(
+                np.round(f.astype(np.float64) * 32768.0),
+                -32768, 32767,
+            ).astype(np.int16)
+            return sr, scaled
         if audio_fmt != 1 or bits != 16 or ch < 1:
             raise NotImplementedError(
                 "pure-Python sample decode covers 16-bit integer PCM "
-                f"only (got format={audio_fmt}, bits={bits})"
+                "and 32-bit IEEE-float WAV only "
+                f"(got format={audio_fmt}, bits={bits})"
             )
         usable = len(data) // (2 * ch) * 2 * ch  # drop a torn frame
         samples = np.frombuffer(data[:usable], "<i2").reshape(-1, ch)
@@ -694,17 +748,26 @@ def _make_content_decoders():
         NotImplementedError like every other decoder."""
 
     def _parse_dqt(seg: bytes, qt: dict) -> None:
-        # DQT segment body (possibly several tables)
+        # DQT segment body (possibly several tables); Pq=1 tables
+        # carry 16-bit big-endian entries (the usual companion of
+        # 12-bit sample precision)
         o = 0
         while o < len(seg):
             pq, tq = seg[o] >> 4, seg[o] & 15
-            if pq != 0:
-                raise NotImplementedError("16-bit quantization tables")
-            tbl = seg[o + 1 : o + 65]
-            if len(tbl) != 64:
-                raise ValueError("truncated DQT")
-            qt[tq] = np.frombuffer(tbl, np.uint8).astype(np.int32)
-            o += 65
+            if pq == 0:
+                tbl = seg[o + 1 : o + 65]
+                if len(tbl) != 64:
+                    raise ValueError("truncated DQT")
+                qt[tq] = np.frombuffer(tbl, np.uint8).astype(np.int32)
+                o += 65
+            elif pq == 1:
+                tbl = seg[o + 1 : o + 129]
+                if len(tbl) != 128:
+                    raise ValueError("truncated DQT")
+                qt[tq] = np.frombuffer(tbl, ">u2").astype(np.int32)
+                o += 129
+            else:
+                raise ValueError(f"bad DQT precision {pq}")
 
     def _parse_dht(seg: bytes, huff: dict) -> None:
         # DHT segment body (possibly several tables)
@@ -732,14 +795,15 @@ def _make_content_decoders():
             o += 17 + total
 
     def _parse_sof(seg: bytes):
-        # SOF segment body -> (height, width, [(id, h, v, tq), ...])
+        # SOF segment body ->
+        # (height, width, [(id, h, v, tq), ...], precision)
         if len(seg) < 6:
             raise ValueError("truncated SOF")
         prec = seg[0]
         hh, ww = struct.unpack(">HH", seg[1:5])
         nc = seg[5]
-        if prec != 8:
-            raise NotImplementedError("12-bit JPEG")
+        if prec not in (8, 12):
+            raise NotImplementedError(f"{prec}-bit JPEG precision")
         comps = []
         for ci in range(nc):
             base = 6 + 3 * ci
@@ -753,7 +817,7 @@ def _make_content_decoders():
                     seg[base + 2],
                 )
             )
-        return (hh, ww, comps)
+        return (hh, ww, comps, prec)
 
     def _jpeg_segments(b: bytes):
         """Parse the marker stream up to (and including) SOS. Returns
@@ -913,7 +977,12 @@ def _make_content_decoders():
         covers) and ``geom["_mcu"] = (mcux, mcuy, hmax, vmax)``;
         ``coefs[cid]`` is the full MCU-padded (blocks_y, blocks_x, 64)
         int32 array in zigzag order."""
-        hgt, wdt, comps = frame
+        hgt, wdt, comps, prec = frame
+        if prec != 8:
+            raise NotImplementedError(
+                f"{prec}-bit progressive JPEG (12-bit is baseline "
+                "grayscale only)"
+            )
         if hgt == 0 or wdt == 0:
             raise ValueError("zero-dimension JPEG")
         nch = len(comps)
@@ -963,7 +1032,7 @@ def _make_content_decoders():
         ]
         ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
         ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
-        hgt, wdt, comps = frame
+        hgt, wdt, comps, _prec = frame
         comp_by_id = {c[0]: c for c in comps}
         for cs, _, _ in smap:
             if cs not in comp_by_id:
@@ -1142,7 +1211,7 @@ def _make_content_decoders():
         IDCT), mirroring the baseline decoder's output conventions
         exactly (replication upsampling, BT.601 full-range,
         round-clip-uint8)."""
-        hgt, wdt, comps = frame
+        hgt, wdt, comps, _prec = frame
         nch = len(comps)
         _, _, hmax, vmax = geom["_mcu"]
         full = []
@@ -1247,15 +1316,17 @@ def _make_content_decoders():
 
     def jpeg(payload: bytes):
         """Baseline sequential (SOF0/SOF1) AND progressive (SOF2)
-        JPEG pixel decode, Huffman, 8-bit: grayscale -> (H, W, 1),
+        JPEG pixel decode, Huffman: grayscale -> (H, W, 1),
         YCbCr -> (H, W, 3) RGB (JFIF/BT.601 full-range),
         integer-ratio chroma subsampling (4:4:4 / 4:2:2 / 4:2:0)
         upsampled by replication, restart markers honored.
         Progressive payloads take the multi-scan accumulation path
-        (_jpeg_progressive). Arithmetic coding and 12-bit precision
-        stay behind NotImplementedError; truncation and spec
-        violations raise ValueError (strict-poison, like the other
-        decoders)."""
+        (_jpeg_progressive). 12-BIT precision is decoded for
+        baseline GRAYSCALE (16-bit DQT tables, DC categories to 15,
+        2048 level shift, uint16 output — the medical/scientific
+        shape); 12-bit color/progressive and arithmetic coding stay
+        behind NotImplementedError; truncation and spec violations
+        raise ValueError (strict-poison, like the other decoders)."""
         b = bytes(payload)
         if b[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG container")
@@ -1265,16 +1336,23 @@ def _make_content_decoders():
             return _jpeg_progressive(b)
         if frame is None:
             raise ValueError("JPEG missing SOF")
-        hgt, wdt, comps = frame
+        hgt, wdt, comps, prec = frame
         if hgt == 0 or wdt == 0:
             raise ValueError("zero-dimension JPEG")
         nch = len(comps)
         if nch not in (1, 3):
             raise NotImplementedError(f"{nch}-component JPEG")
-        if wdt * hgt * nch > max_decode_bytes:
+        if prec == 12 and nch != 1:
+            raise NotImplementedError(
+                "12-bit JPEG decode covers grayscale only"
+            )
+        if wdt * hgt * nch * (2 if prec == 12 else 1) > max_decode_bytes:
             raise ValueError(
                 f"JPEG too large for pure-Python decode ({wdt}x{hgt})"
             )
+        level = float(1 << (prec - 1))
+        dc_cat_max = 11 if prec == 8 else 15
+        max_sample = (1 << prec) - 1
         if len(smap) != nch:
             raise NotImplementedError("multi-scan JPEG")
         comp_by_id = {c[0]: c for c in comps}
@@ -1300,7 +1378,7 @@ def _make_content_decoders():
         def decode_block(dcv, dcl, acv, acl, q, pred):
             coef = np.zeros(64, np.int64)
             s = huffdecode(dcv, dcl)
-            if s > 11:
+            if s > dc_cat_max:
                 raise ValueError("DC category out of range")
             pred += receive_extend(s)
             coef[0] = pred * int(q[0])
@@ -1320,7 +1398,7 @@ def _make_content_decoders():
                 kk += 1
             blk = np.zeros((8, 8))
             blk[_ZR, _ZC] = coef
-            return _A.T @ blk @ _A + 128.0, pred
+            return _A.T @ blk @ _A + level, pred
 
         planes = []
         for cid, hs, vs, tq in comps:
@@ -1387,7 +1465,9 @@ def _make_content_decoders():
                 ],
                 axis=-1,
             )
-        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+        return np.clip(np.round(out), 0, max_sample).astype(
+            np.uint16 if prec == 12 else np.uint8
+        )
 
     def _gif_lzw(data: bytes, min_code: int, limit: int) -> bytearray:
         """Variable-width LSB-first LZW (the GIF flavor): dictionary of
@@ -2125,6 +2205,173 @@ def _make_dc_jpeg():
         )
 
     return dc_jpeg
+
+
+def _make_dc_jpeg12():
+    """``dc_jpeg12(dc) -> bytes``: a 16×8 GRAYSCALE **12-bit**
+    baseline DC-only JPEG — Pq=1 (16-bit) flat q=16 quantization
+    table, 5-bit DC category codes (so categories up to 15 are
+    encodable, per the 12-bit DC range), genuinely Huffman-coded
+    scan. The IDCT of a DC-only block is uniform:
+    dc·16/8 + 2048 = **2048 + 2·dc** exactly — closed form for the
+    SQL oracle, with values an 8-bit path cannot represent."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(body) + 2)
+            + body
+        )
+
+    def dc_jpeg12(dc: int, q0: int = 16) -> bytes:
+        qtbl = b"".join(struct.pack(">H", q0) for _ in range(64))
+        dqt = seg(0xDB, bytes([0x10]) + qtbl)  # Pq=1, Tq=0
+        # DC: categories 0..15 as 5-bit codes; AC: EOB as 1 bit
+        dht_dc = seg(
+            0xC4,
+            bytes([0x00]) + bytes([0, 0, 0, 0, 16] + [0] * 11)
+            + bytes(range(16)),
+        )
+        dht_ac = seg(
+            0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0])
+        )
+        sof = seg(
+            0xC0,
+            bytes([12]) + struct.pack(">HH", 8, 16)
+            + bytes([1, 1, 0x11, 0]),
+        )
+        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        bits: list[int] = []
+
+        def put(v: int, n: int) -> None:
+            bits.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
+
+        for blk in range(2):  # 16x8 = two 8x8 blocks
+            d = dc if blk == 0 else 0  # DC diff vs predictor
+            s = abs(d).bit_length()
+            put(s, 5)
+            if s:
+                put(d if d > 0 else d + (1 << s) - 1, s)
+            put(0, 1)  # EOB
+        bits += [1] * ((-len(bits)) % 8)
+        scan = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for bit in bits[i : i + 8]:
+                byte = (byte << 1) | bit
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0x00)
+        return (
+            b"\xff\xd8" + dqt + dht_dc + dht_ac + sof + sos
+            + bytes(scan) + b"\xff\xd9"
+        )
+
+    return dc_jpeg12
+
+
+def synthesize_jpeg12_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL 12-BIT grayscale baseline JPEGs with
+    closed-form decoded content (``_make_dc_jpeg12``): per doc_id a
+    16×8 image uniformly ``2048 + 2·dc`` with
+    ``dc = (doc_id·11) mod 2000 − 1000`` — decoded values span
+    [48, 4046], almost all beyond what any 8-bit path could produce,
+    so a stats regression to 8-bit arithmetic cannot hide."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        dc_jpeg12 = _make_dc_jpeg12()
+
+        for pdf in it:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        dc_jpeg12((d * 11) % 2000 - 1000) for d in ids
+                    ],
+                    "media_type": ["image"] * len(ids),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def synthesize_bmp_wav_variant_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL containers for the round-9 BMP/WAV variant
+    decode paths, by ``doc_id mod 2``:
+
+    * 0 → 8-bit PALETTED BMP, 8×4, stored bottom-up: LOGICAL raster
+      position ``i`` carries palette index ``(doc_id·3 + i) mod 16``;
+      color-table entry ``j`` decodes to RGB ``(10j, 5j, 3j)``.
+      ``top_row_sum`` (logical row 0 = the LAST stored row) pins the
+      bottom-up flip through the palette path.
+    * 1 → 32-bit IEEE-FLOAT mono WAV, 128 samples: sample ``i`` is
+      the dyadic float ``k/32768`` with
+      ``k = ((doc_id·13 + i·37) mod 65536) − 32768``, which the
+      decoder's v·32768 convention returns as exactly ``k`` — the
+      same closed form as the PCM arm of media_decode_stats, through
+      the float path."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as _pd
+
+        def bmp8_payload(d: int) -> bytes:
+            w, h = 8, 4
+            pal = b"".join(
+                bytes([3 * j, 5 * j, 10 * j, 0]) for j in range(16)
+            )  # stored BGRA
+            rows = []
+            for y in range(h):
+                rows.append(
+                    bytes((d * 3 + y * w + x) % 16 for x in range(w))
+                )  # stride 8: already 4-byte aligned
+            body = b"".join(reversed(rows))  # bottom-up storage
+            off = 54 + len(pal)
+            header = b"BM" + struct.pack(
+                "<IHHI", off + len(body), 0, 0, off
+            )
+            dib = struct.pack(
+                "<IiiHHIIiiII",
+                40, w, h, 1, 8, 0, len(body), 2835, 2835, 16, 16,
+            )
+            return header + dib + pal + body
+
+        def wavf_payload(d: int) -> bytes:
+            data = b"".join(
+                struct.pack(
+                    "<f",
+                    (((d * 13 + i * 37) % 65536) - 32768) / 32768.0,
+                )
+                for i in range(128)
+            )
+            fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+            return (
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+
+        def payload(d: int) -> bytes:
+            return (bmp8_payload, wavf_payload)[d % 2](d)
+
+        for pdf in it:
+            ids = [int(x) for x in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [payload(d) for d in ids],
+                    "media_type": [
+                        "audio" if d % 2 else "image" for d in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def synthesize_png_variant_media(docs: DataFrame) -> DataFrame:

@@ -8086,6 +8086,107 @@ FROM documents
 """
 
 
+def q_jpeg12_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL 12-BIT baseline-JPEG decode, oracle-checked
+    (operators/multimodal.py jpeg decoder, round-9: Pq=1 16-bit
+    quantization tables, DC categories to 15, 2048 level shift,
+    uint16 output): per document a genuine Huffman-coded 16×8
+    grayscale 12-bit JPEG whose blocks carry only a DC coefficient
+    (synthesize_jpeg12_media). A DC-only block's IDCT is uniform
+    (2048 + 2·dc with the flat q=16 table), so the oracle recomputes
+    every stat from doc_id alone — with values an 8-bit decode path
+    cannot produce, so a precision regression cannot hide."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        multimodal as MM,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    media = MM.synthesize_jpeg12_media(docs)
+    return MM.extract_decoded_stats(media).select(
+        F.col("media_id").alias("doc_id"),
+        "format",
+        "n_units",
+        "content_sum",
+        "content_min",
+        "content_max",
+        "top_row_sum",
+    )
+
+
+_JPEG12_DECODE_SQL = """
+SELECT doc_id,
+       'jpeg' AS format,
+       CAST(128 AS BIGINT) AS n_units,
+       CAST((2048 + 2 * (((doc_id * 11) % 2000) - 1000)) * 128 AS BIGINT)
+         AS content_sum,
+       CAST(2048 + 2 * (((doc_id * 11) % 2000) - 1000) AS BIGINT)
+         AS content_min,
+       CAST(2048 + 2 * (((doc_id * 11) % 2000) - 1000) AS BIGINT)
+         AS content_max,
+       CAST((2048 + 2 * (((doc_id * 11) % 2000) - 1000)) * 16 AS BIGINT)
+         AS top_row_sum
+FROM documents
+"""
+
+
+def q_bmp_wav_variants_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL decode of the round-9 BMP/WAV variant paths,
+    oracle-checked (operators/multimodal.py bmp/wav decoders +
+    synthesize_bmp_wav_variant_media): per document either an 8-bit
+    PALETTED BMP (BGRA color table, bottom-up rows — top_row_sum
+    pins the flip through the palette lookup) or a 32-bit IEEE-FLOAT
+    mono WAV whose dyadic samples k/32768 decode to exactly k under
+    the v·32768 int16-domain convention. The oracle recomputes every
+    stat from doc_id and position alone."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        multimodal as MM,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    media = MM.synthesize_bmp_wav_variant_media(docs)
+    return MM.extract_decoded_stats(media).select(
+        F.col("media_id").alias("doc_id"),
+        "format",
+        "n_units",
+        "content_sum",
+        "content_min",
+        "content_max",
+        "top_row_sum",
+    )
+
+
+_BMP_WAV_VARIANTS_SQL = """
+WITH bp AS (
+  SELECT d.doc_id, t.k,
+         (CASE t.k % 3 WHEN 0 THEN 10 WHEN 1 THEN 5 ELSE 3 END)
+           * ((d.doc_id * 3 + t.k // 3) % 16) AS v
+  FROM documents d CROSS JOIN range(0, 96) t(k)
+  WHERE d.doc_id % 2 = 0),
+bpagg AS (
+  SELECT doc_id, 'bmp' AS format,
+         CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(v) AS BIGINT) AS content_sum,
+         CAST(min(v) AS BIGINT) AS content_min,
+         CAST(max(v) AS BIGINT) AS content_max,
+         CAST(sum(CASE WHEN k < 24 THEN v END) AS BIGINT)
+           AS top_row_sum
+  FROM bp GROUP BY doc_id),
+wf AS (
+  SELECT d.doc_id, ((d.doc_id * 13 + t.i * 37) % 65536) - 32768 AS v
+  FROM documents d CROSS JOIN range(0, 128) t(i)
+  WHERE d.doc_id % 2 = 1),
+wfagg AS (
+  SELECT doc_id, 'wav' AS format,
+         CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(v) AS BIGINT) AS content_sum,
+         CAST(min(v) AS BIGINT) AS content_min,
+         CAST(max(v) AS BIGINT) AS content_max,
+         CAST(NULL AS BIGINT) AS top_row_sum
+  FROM wf GROUP BY doc_id)
+SELECT * FROM bpagg UNION ALL SELECT * FROM wfagg
+"""
+
+
 def q_png_variants_stats(spark: SparkSession, sf: str) -> DataFrame:
     """REAL decode of the PNG/GIF VARIANT paths, oracle-checked
     (operators/multimodal.py:_make_content_decoders +
@@ -9260,6 +9361,12 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "png_variants_stats": QueryDef(
         q_png_variants_stats, _PNG_VARIANTS_SQL
     ),
+    "jpeg12_decode_stats": QueryDef(
+        q_jpeg12_decode_stats, _JPEG12_DECODE_SQL
+    ),
+    "bmp_wav_variants_stats": QueryDef(
+        q_bmp_wav_variants_stats, _BMP_WAV_VARIANTS_SQL
+    ),
     "type_widening_sim": QueryDef(
         q_type_widening_sim, _TYPE_WIDENING_SQL
     ),
@@ -9331,8 +9438,10 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
 _WINDOW_FRONT: list[str] = [
     # new in round 9 (palette/sub-byte/Adam7 PNG, interlaced GIF,
     # 16-bit PNG — the round-8 shipped-untested decode surface, now
-    # oracle-fronted)
+    # oracle-fronted) and 12-bit grayscale baseline JPEG
     "png_variants_stats",
+    "jpeg12_decode_stats",
+    "bmp_wav_variants_stats",
     # new in round 8
     "jpeg_progressive_stats",
     "type_widening_sim",
@@ -9385,10 +9494,9 @@ _WINDOW_FRONT: list[str] = [
     "hist_quantile_maintenance",
     # green anchors (driver-verified in round 3)
     "contamination_ngram_overlap",
-    "sequence_packing",
-    "domain_mixture_weights",
-    # evicted to keep the window at 50: doc_repetition_signals
-    # (green r8 row on record; still in the registry + parity gate)
+    # evicted to keep the window at 50: doc_repetition_signals,
+    # domain_mixture_weights, sequence_packing (green r8 rows on
+    # record; still in the registry + parity gate)
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

@@ -197,8 +197,11 @@ def main() -> None:
         # round-8: progressive-JPEG decode leg (multi-scan SOF2)
         "jpeg_progressive_stats",
         # round-9: the PNG/GIF variant decode paths (palette, Adam7,
-        # 16-bit, interlaced GIF, 1-bit) priced round-over-round
+        # 16-bit, interlaced GIF, 1-bit) and 12-bit grayscale JPEG
+        # priced round-over-round
         "png_variants_stats",
+        "jpeg12_decode_stats",
+        "bmp_wav_variants_stats",
     ]
     extras: dict[str, float] = {}
     for rep in range(reps):

@@ -320,13 +320,53 @@ def test_bmp_full_pixel_decode_real_bytes():
     px_td = MM.decode_bmp_pixels(hdr + dib_td + body_td)
     assert np.array_equal(px, px_td)
 
-    # 8-bit / compressed BMPs stay behind NotImplementedError
+    # 8-bit PALETTED BMP decodes for real: BGRA color table after the
+    # DIB, 4-byte row stride on the index bytes, bottom-up order
     import pytest
 
-    dib8 = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, 0,
+    pal = [(10 * j, 5 * j, 3 * j) for j in range(16)]  # RGB
+    table = b"".join(bytes([b2, g2, r2, 0]) for (r2, g2, b2) in pal)
+    idx_rows = [[0, 5, 15], [7, 1, 2]]  # logical top-down
+    body8 = b""
+    for row in reversed(idx_rows):
+        body8 += bytes(row) + b"\x00" * (4 - w)  # stride 4 at w=3
+    off8 = 54 + len(table)
+    hdr8 = b"BM" + struct.pack("<IHHI", off8 + len(body8), 0, 0, off8)
+    dib8 = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                       len(body8), 2835, 2835, 16, 16)
+    px8 = MM.decode_bmp_pixels(hdr8 + dib8 + table + body8)
+    assert px8.tolist() == [
+        [list(pal[i]) for i in row] for row in idx_rows
+    ]
+
+    # an index beyond the declared color table is poison, not garbage
+    bad = bytearray(hdr8 + dib8 + table + body8)
+    bad[off8] = 16  # first stored index: outside the 16-entry table
+    with pytest.raises(ValueError):
+        MM.decode_bmp_pixels(bytes(bad))
+
+    # 4-bit PALETTED BMP: two indices per byte, HIGH nibble first,
+    # rows pad to 4 bytes (w=3 -> 2 data bytes + 2 pad)
+    idx4 = [[0, 5, 15], [7, 1, 2]]
+    body4 = b""
+    for row in reversed(idx4):
+        body4 += bytes(
+            [(row[0] << 4) | row[1], row[2] << 4]
+        ) + b"\x00\x00"
+    off4 = 54 + len(table)
+    hdr4 = b"BM" + struct.pack("<IHHI", off4 + len(body4), 0, 0, off4)
+    dib4 = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 4, 0,
+                       len(body4), 2835, 2835, 16, 16)
+    px4 = MM.decode_bmp_pixels(hdr4 + dib4 + table + body4)
+    assert px4.tolist() == [
+        [list(pal[i]) for i in row] for row in idx4
+    ]
+
+    # compressed (RLE) BMPs stay behind NotImplementedError
+    dibc = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, 0,
                        2835, 2835, 0, 0)
     with pytest.raises(NotImplementedError):
-        MM.decode_bmp_pixels(hdr + dib8 + body)
+        MM.decode_bmp_pixels(hdr + dibc + body)
 
 
 def test_wav_full_sample_decode_real_bytes():
@@ -351,11 +391,29 @@ def test_wav_full_sample_decode_real_bytes():
     assert s.shape == (3, 2)
     assert s.tolist() == [list(f) for f in frames]
 
-    # float WAV (format 3) stays behind NotImplementedError
-    fmt_f = struct.pack("<HHIIHH", 3, 2, 44100, 176400, 4, 16)
+    # 32-bit IEEE-FLOAT WAV decodes for real, into the int16 sample
+    # domain (v*32768 clipped): dyadic payloads k/32768 round-trip to
+    # exactly k, +/-1.0 clip to the int16 rails
+    fvals = [(-32768, 32767), (100, -100), (0, 1)]
+    fdata = b"".join(
+        struct.pack("<ff", lo / 32768.0, hi / 32768.0)
+        for (lo, hi) in fvals
+    ) + struct.pack("<ff", 1.0, -1.5)  # clips to 32767 / -32768
+    fmt_f = struct.pack("<HHIIHH", 3, 2, 8000, 64000, 8, 32)
+    fpayload = (
+        b"RIFF" + struct.pack("<I", 36 + len(fdata)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt_f
+        + b"data" + struct.pack("<I", len(fdata)) + fdata
+    )
+    srf, sf = MM.decode_wav_samples(fpayload)
+    assert srf == 8000 and sf.dtype.name == "int16"
+    assert sf.tolist() == [list(f) for f in fvals] + [[32767, -32768]]
+
+    # float WAV at non-32-bit width stays behind NotImplementedError
+    fmt_f16 = struct.pack("<HHIIHH", 3, 2, 44100, 176400, 4, 16)
     bad = (
         b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-        + b"fmt " + struct.pack("<I", 16) + fmt_f
+        + b"fmt " + struct.pack("<I", 16) + fmt_f16
         + b"data" + struct.pack("<I", len(data)) + data
     )
     with pytest.raises(NotImplementedError):
@@ -1788,6 +1846,117 @@ def test_native_seam_defaults_to_pure_and_env_gate(monkeypatch):
         dec("bmp", payload)
     dec2 = MM._make_pixel_decoder(pure, drift, 0)  # 0 disables checks
     assert dec2("bmp", payload) is not None
+
+
+def test_synthesize_bmp_wav_variant_media_round_trip(spark):
+    """Paletted-BMP and float-WAV variant containers decode back to
+    their generating closed forms through the mapInPandas stats path
+    (the math the bmp_wav_variants_stats SQL oracle recomputes)."""
+    docs = spark.createDataFrame(
+        [(d, "t") for d in range(20, 26)], "doc_id long, text string"
+    )
+    media = MM.synthesize_bmp_wav_variant_media(docs)
+    got = {
+        r["media_id"]: r
+        for r in MM.extract_decoded_stats(media).collect()
+    }
+    for d in range(20, 26):
+        r = got[d]
+        if d % 2 == 0:
+            vals = [
+                (10, 5, 3)[c] * ((d * 3 + i) % 16)
+                for i in range(32) for c in range(3)
+            ]
+            assert r["format"] == "bmp"
+            assert r["n_units"] == 96
+            assert r["top_row_sum"] == sum(vals[:24])
+        else:
+            vals = [
+                ((d * 13 + i * 37) % 65536) - 32768 for i in range(128)
+            ]
+            assert r["format"] == "wav"
+            assert r["n_units"] == 128
+            assert r["top_row_sum"] is None
+        assert r["content_sum"] == sum(vals)
+        assert r["content_min"] == min(vals)
+        assert r["content_max"] == max(vals)
+
+
+def test_jpeg_12bit_grayscale_decode():
+    """12-bit baseline grayscale JPEG decodes for real: Pq=1 (16-bit)
+    quantization tables, DC categories beyond 11, 2048 level shift,
+    uint16 output. A DC-only block is uniform dc*q0/8 + 2048
+    exactly."""
+    import numpy as np
+    import pytest
+
+    enc = MM._make_dc_jpeg12()
+    for dc in (0, 7, -50, 999, -1000):
+        px = MM.decode_jpeg_pixels(enc(dc))
+        assert px.shape == (8, 16, 1) and px.dtype == np.uint16
+        want = 2048 + 2 * dc
+        assert int(px.min()) == int(px.max()) == want, (dc, want)
+
+    # DC category 12 (|dc| >= 2048) exercises the 12-bit category
+    # range the 8-bit path rejects
+    px = MM.decode_jpeg_pixels(enc(-2048, q0=8))
+    assert int(px.min()) == int(px.max()) == 0  # 2048 - 2048
+
+    # 12-bit COLOR stays a typed refusal (grayscale only)
+    import struct
+
+    def seg(marker, body):
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(body) + 2) + body
+        )
+
+    color_sof = seg(
+        0xC0,
+        bytes([12]) + struct.pack(">HH", 8, 8)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    base = enc(0)
+    sof_at = base.find(b"\xff\xc0")
+    sof_len = 2 + struct.unpack(">H", base[sof_at + 2 : sof_at + 4])[0]
+    color = base[:sof_at] + color_sof + base[sof_at + sof_len :]
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        MM.decode_jpeg_pixels(color)
+
+    # 12-bit PROGRESSIVE stays a typed refusal
+    prog = base[:sof_at] + b"\xff\xc2" + base[sof_at + 2 :]
+    with pytest.raises(NotImplementedError, match="progressive"):
+        MM.decode_jpeg_pixels(prog)
+
+    # a bad DQT precision nibble is poison (ValueError), not decode
+    dqt_at = base.find(b"\xff\xdb")
+    bad = bytearray(base)
+    bad[dqt_at + 4] = 0x20  # Pq=2: not a thing
+    with pytest.raises(ValueError, match="DQT precision"):
+        MM.decode_jpeg_pixels(bytes(bad))
+
+
+def test_extract_decoded_stats_12bit_jpeg(spark):
+    """12-bit JPEGs flow through the mapInPandas stats path with
+    values far beyond uint8 (the closed form the jpeg12_decode_stats
+    oracle recomputes)."""
+    docs = spark.createDataFrame(
+        [(d, "t") for d in (3, 100, 777)], "doc_id long, text string"
+    )
+    media = MM.synthesize_jpeg12_media(docs)
+    got = {
+        r["media_id"]: r
+        for r in MM.extract_decoded_stats(media).collect()
+    }
+    for d in (3, 100, 777):
+        want = 2048 + 2 * ((d * 11) % 2000 - 1000)
+        r = got[d]
+        assert r["format"] == "jpeg"
+        assert r["n_units"] == 128
+        assert r["content_sum"] == want * 128
+        assert r["content_min"] == want
+        assert r["content_max"] == want
+        assert r["top_row_sum"] == want * 16
 
 
 def test_synthesize_png_variant_media_round_trip(spark):
