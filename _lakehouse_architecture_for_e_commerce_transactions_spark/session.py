@@ -63,6 +63,16 @@ def get_spark(
         builder = builder.master(master)
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    if master and master.startswith("local"):
+        # In local mode the driver JVM IS the executor, and it also
+        # BUILDS every broadcast relation — pyspark's 1g default heap
+        # cannot hold a 64 MiB-threshold broadcast once it inflates
+        # 5-10x on-heap (found by the sf1.0 scale probe: a broadcast
+        # build OOM at 10x data). On a real cluster spark-submit owns
+        # this; only the local dev/bench default is raised here.
+        conf["spark.driver.memory"] = os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "8g"
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

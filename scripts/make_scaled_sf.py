@@ -8,6 +8,12 @@ so cross-replica near-duplicate structure does not hand the dedup
 legs artificial quadratic work (10 exact copies of every doc would
 put all replicas in the same MinHash buckets: bucket sizes x10 =
 verify pairs x100, a replication artifact, not a scale signal).
+The same reasoning de-duplicates every OTHER similarity-bearing
+column: entity names (c_name/s_name/p_name) get a per-replica
+suffix at edit distance >= 2 so FastSS ER sees 10x the entities
+rather than 10 exact copies of each, and each embedding vector gets
+one replica-dependent dimension shifted so LSH/IVF buckets are not
+handed 10 identical members per vector.
 
 pyarrow/pandas only — no Spark session, so it can run alongside a
 Spark test suite. Layout mirrors the source dir (one
@@ -86,6 +92,31 @@ def main(src: str, dst: str, factor: int) -> None:
                         [_rotate_words(v, r) for v in col.to_pylist()],
                         type=field.type,
                     )
+                elif r > 0 and field.name in (
+                    "c_name", "s_name", "p_name"
+                ):
+                    # edit distance >= 2 between replicas: ER must
+                    # see 10x entities, not 10 copies of each
+                    col = pa.array(
+                        [f"{v}~r{r}" for v in col.to_pylist()],
+                        type=field.type,
+                    )
+                elif r > 0 and field.name == "embedding":
+                    # roll each replica's vector by r positions:
+                    # norms and within-replica geometry are preserved
+                    # exactly, cross-replica cosine drops to the
+                    # vector's autocorrelation (low for embedding-like
+                    # data) — replica r models NEW vectors, not 10
+                    # near-copies of each (a 1-dim nudge keeps copies
+                    # above near-dup thresholds and hands the
+                    # similarity legs a genuinely x100-denser pair
+                    # space; see TUNING.md round-9 probe)
+                    vecs = [
+                        v[-r % len(v):] + v[: -r % len(v)]
+                        if v else v
+                        for v in col.to_pylist()
+                    ]
+                    col = pa.array(vecs, type=field.type)
                 cols.append(col)
             if name == "documents":
                 # keep n_chars consistent with the rotated text
