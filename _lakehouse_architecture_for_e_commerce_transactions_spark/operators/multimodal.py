@@ -193,12 +193,12 @@ def _make_content_decoders():
       table, extension blocks skipped, four-pass interlace row
       scatter. Returns an (H, W, 3) uint8 RGB array.
 
-    Unsupported variants (compressed/1-4-bit BMP, non-16-bit-PCM
-    non-float32 WAV, 12-bit COLOR or progressive JPEG,
-    arithmetic-coded JPEG) raise NotImplementedError — the
-    header-only path still covers them. 8-bit paletted BMP, 32-bit
-    IEEE-float WAV (decoded into the int16 sample domain via v·32768
-    clipped) and 12-bit baseline GRAYSCALE JPEG decode for real.
+    Unsupported variants (compressed/1-2-bit BMP, non-16-bit-PCM
+    non-float32 WAV, 12-bit COLOR JPEG, arithmetic-coded JPEG) raise
+    NotImplementedError — the header-only path still covers them.
+    4/8-bit paletted BMP, 32-bit IEEE-float WAV (decoded into the
+    int16 sample domain via v·32768 clipped) and 12-bit GRAYSCALE
+    JPEG (baseline and progressive) decode for real.
     """
     import struct
     import zlib
@@ -978,10 +978,9 @@ def _make_content_decoders():
         ``coefs[cid]`` is the full MCU-padded (blocks_y, blocks_x, 64)
         int32 array in zigzag order."""
         hgt, wdt, comps, prec = frame
-        if prec != 8:
+        if prec == 12 and len(comps) != 1:
             raise NotImplementedError(
-                f"{prec}-bit progressive JPEG (12-bit is baseline "
-                "grayscale only)"
+                "12-bit progressive JPEG decode covers grayscale only"
             )
         if hgt == 0 or wdt == 0:
             raise ValueError("zero-dimension JPEG")
@@ -1032,7 +1031,8 @@ def _make_content_decoders():
         ]
         ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
         ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
-        hgt, wdt, comps, _prec = frame
+        hgt, wdt, comps, prec = frame
+        dc_cat_max = 11 if prec == 8 else 15
         comp_by_id = {c[0]: c for c in comps}
         for cs, _, _ in smap:
             if cs not in comp_by_id:
@@ -1064,7 +1064,7 @@ def _make_content_decoders():
                 if ah == 0:
                     dcv, dcl = luts[cs]
                     s = huffdecode(dcv, dcl)
-                    if s > 11:
+                    if s > dc_cat_max:
                         raise ValueError("DC category out of range")
                     preds[cs] += receive_extend(s)
                     cof[0] = preds[cs] << al
@@ -1210,8 +1210,10 @@ def _make_content_decoders():
         (einsum over (blocks_y, blocks_x, 8, 8) — no per-block Python
         IDCT), mirroring the baseline decoder's output conventions
         exactly (replication upsampling, BT.601 full-range,
-        round-clip-uint8)."""
-        hgt, wdt, comps, _prec = frame
+        round-clip-uint8; 12-bit grayscale shifts by 2048, clips to
+        4095, returns uint16 like the baseline path)."""
+        hgt, wdt, comps, prec = frame
+        level = float(1 << (prec - 1))
         nch = len(comps)
         _, _, hmax, vmax = geom["_mcu"]
         full = []
@@ -1225,7 +1227,7 @@ def _make_content_decoders():
             )[None, None, :]
             z = np.zeros((nbh, nbw, 8, 8))
             z[:, :, _ZR, _ZC] = deq
-            px = np.einsum("ab,ijbc,cd->ijad", _A.T, z, _A) + 128.0
+            px = np.einsum("ab,ijbc,cd->ijad", _A.T, z, _A) + level
             plane = px.transpose(0, 2, 1, 3).reshape(nbh * 8, nbw * 8)
             up = np.repeat(
                 np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
@@ -1243,7 +1245,9 @@ def _make_content_decoders():
                 ],
                 axis=-1,
             )
-        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+        return np.clip(np.round(out), 0, (1 << prec) - 1).astype(
+            np.uint16 if prec == 12 else np.uint8
+        )
 
     def _jpeg_progressive(b: bytes):
         """Progressive JPEG (SOF2, Huffman, 8-bit) pixel decode — the
@@ -1258,7 +1262,8 @@ def _make_content_decoders():
         all blocks. Same strict-poison contract as the baseline path:
         truncation, bad band structure, Huffman errors and run
         overflows raise ValueError; arithmetic coding and 12-bit
-        precision stay behind NotImplementedError."""
+        COLOR stay behind NotImplementedError (12-bit grayscale
+        decodes, mirroring the baseline path)."""
         qt: dict[int, object] = {}
         huff: dict[tuple[int, int], dict] = {}
         frame = None
@@ -1322,11 +1327,12 @@ def _make_content_decoders():
         upsampled by replication, restart markers honored.
         Progressive payloads take the multi-scan accumulation path
         (_jpeg_progressive). 12-BIT precision is decoded for
-        baseline GRAYSCALE (16-bit DQT tables, DC categories to 15,
-        2048 level shift, uint16 output — the medical/scientific
-        shape); 12-bit color/progressive and arithmetic coding stay
-        behind NotImplementedError; truncation and spec violations
-        raise ValueError (strict-poison, like the other decoders)."""
+        GRAYSCALE, baseline AND progressive (16-bit DQT tables, DC
+        categories to 15, 2048 level shift, uint16 output — the
+        medical/scientific shape); 12-bit color and arithmetic
+        coding stay behind NotImplementedError; truncation and spec
+        violations raise ValueError (strict-poison, like the other
+        decoders)."""
         b = bytes(payload)
         if b[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG container")
@@ -2641,10 +2647,12 @@ def synthesize_progressive_jpeg_media(docs: DataFrame) -> DataFrame:
 
 
 def _make_progressive_dc_jpeg():
-    """``prog_jpeg(dc) -> bytes``: the progressive (SOF2) twin of
-    ``_make_dc_jpeg`` — same 16×8 grayscale DC-only content under a
-    flat q=16 table, split into DC-first (Al=1) + DC-refinement
-    (Al=0) + EOB-run AC scans. Decodes to uniform ``128 + 2·dc``."""
+    """``prog_jpeg(dc, prec=8) -> bytes``: the progressive (SOF2)
+    twin of ``_make_dc_jpeg`` — same 16×8 grayscale DC-only content
+    under a flat q=16 table, split into DC-first (Al=1) +
+    DC-refinement (Al=0) + EOB-run AC scans. Decodes to uniform
+    ``128 + 2·dc`` (``prec=12``: Pq=1 table, 5-bit DC categories,
+    uniform ``2048 + 2·dc``)."""
     import struct
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -2666,20 +2674,34 @@ def _make_progressive_dc_jpeg():
                 out.append(0x00)
         return bytes(out)
 
-    def prog_jpeg(dc: int) -> bytes:
-        dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
-        # DC: categories 0..11 as 4-bit codes; AC: EOB1 as 1-bit code
-        dht_dc = seg(
-            0xC4,
-            bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12)
-            + bytes(range(12)),
-        )
+    def prog_jpeg(dc: int, prec: int = 8) -> bytes:
+        if prec == 8:
+            dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
+            # DC: categories 0..11 as 4-bit codes
+            dht_dc = seg(
+                0xC4,
+                bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12)
+                + bytes(range(12)),
+            )
+            dc_bits = 4
+        else:  # 12-bit: Pq=1 table, categories 0..15 as 5-bit codes
+            dqt = seg(
+                0xDB,
+                bytes([0x10])
+                + b"".join(struct.pack(">H", 16) for _ in range(64)),
+            )
+            dht_dc = seg(
+                0xC4,
+                bytes([0x00]) + bytes([0, 0, 0, 0, 16] + [0] * 11)
+                + bytes(range(16)),
+            )
+            dc_bits = 5
         dht_ac = seg(
             0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x10])
         )
         sof = seg(
             0xC2,
-            bytes([8]) + struct.pack(">HH", 8, 16)
+            bytes([prec]) + struct.pack(">HH", 8, 16)
             + bytes([1, 1, 0x11, 0]),
         )
 
@@ -2691,7 +2713,7 @@ def _make_progressive_dc_jpeg():
         t = dc >> 1
         for d in (t, 0):
             s = abs(d).bit_length()
-            put(b1, s, 4)
+            put(b1, s, dc_bits)
             if s:
                 put(b1, d if d > 0 else d + (1 << s) - 1, s)
         sos1 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))

@@ -1923,10 +1923,13 @@ def test_jpeg_12bit_grayscale_decode():
     with pytest.raises(NotImplementedError, match="grayscale"):
         MM.decode_jpeg_pixels(color)
 
-    # 12-bit PROGRESSIVE stays a typed refusal
-    prog = base[:sof_at] + b"\xff\xc2" + base[sof_at + 2 :]
-    with pytest.raises(NotImplementedError, match="progressive"):
-        MM.decode_jpeg_pixels(prog)
+    # 12-bit PROGRESSIVE grayscale decodes for real too (three-scan
+    # successive-approximation script, same closed form)
+    penc = MM._make_progressive_dc_jpeg()
+    for dc in (5, -321):
+        ppx = MM.decode_jpeg_pixels(penc(dc, prec=12))
+        assert ppx.dtype == np.uint16
+        assert int(ppx.min()) == int(ppx.max()) == 2048 + 2 * dc
 
     # a bad DQT precision nibble is poison (ValueError), not decode
     dqt_at = base.find(b"\xff\xdb")
