@@ -1204,6 +1204,174 @@ def _make_content_decoders():
                 block(arr[byi, bxi])
                 units += 1
 
+    def _seq_scan(seg, segs, frame, geom, coefs, huff, dri):
+        """Decode ONE baseline-SEQUENTIAL scan (full spectral band
+        Ss=0/Se=63, Ah=Al=0) into the coefficient accumulators — the
+        multi-scan sequential layout T.81 §B.2 allows, where each
+        SOS covers a SUBSET of the frame's components (some encoders
+        emit one scan per component). Interleaved (ns>1) scans walk
+        MCUs of the scan's own components; a single-component scan
+        walks that component's non-interleaved block grid. Restart
+        markers reset the scan's DC predictors. Coefficients are
+        stored UNquantized (the shared reconstruct step multiplies
+        by the quantization table, exactly like progressive)."""
+        ns = seg[0]
+        if len(seg) < 4 + 2 * ns:
+            raise ValueError("truncated SOS components")
+        smap = [
+            (seg[1 + 2 * si], seg[2 + 2 * si] >> 4, seg[2 + 2 * si] & 15)
+            for si in range(ns)
+        ]
+        ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+        ahal = seg[3 + 2 * ns]
+        if ss != 0 or se != 63 or ahal != 0:
+            raise ValueError("bad sequential scan header")
+        hgt, wdt, comps, prec = frame
+        dc_cat_max = 11 if prec == 8 else 15
+        comp_by_id = {c[0]: c for c in comps}
+        for cs, td, ta in smap:
+            if cs not in comp_by_id:
+                raise ValueError("SOS names unknown component")
+            if (0, td) not in huff or (1, ta) not in huff:
+                raise ValueError("missing Huffman table")
+        mcux, mcuy, hmax, vmax = geom["_mcu"]
+        getbits, restart, huffdecode, receive_extend = (
+            _make_entropy_reader(segs)
+        )
+        luts = {
+            key: _huff_lut(tuple(sorted(huff[key].items())))
+            for cs, td, ta in smap
+            for key in ((0, td), (1, ta))
+        }
+        preds = {cs: 0 for cs, _, _ in smap}
+
+        def block(cof, cs, td, ta):
+            dcv, dcl = luts[(0, td)]
+            acv, acl = luts[(1, ta)]
+            s = huffdecode(dcv, dcl)
+            if s > dc_cat_max:
+                raise ValueError("DC category out of range")
+            preds[cs] += receive_extend(s)
+            cof[0] = preds[cs]
+            kk = 1
+            while kk < 64:
+                rs = huffdecode(acv, acl)
+                r, s2 = rs >> 4, rs & 15
+                if s2 == 0:
+                    if r == 15:  # ZRL
+                        kk += 16
+                        continue
+                    break  # EOB
+                kk += r
+                if kk > 63:
+                    raise ValueError("AC run past block end")
+                cof[kk] = receive_extend(s2)
+                kk += 1
+
+        units = rst = 0
+        if ns > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and units and units % dri == 0:
+                        restart(rst)
+                        rst = (rst + 1) & 7
+                        for cs in preds:
+                            preds[cs] = 0
+                    for cs, td, ta in smap:
+                        _, hs, vs, _ = comp_by_id[cs]
+                        arr = coefs[cs]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                block(
+                                    arr[my * vs + by, mx * hs + bx],
+                                    cs, td, ta,
+                                )
+                    units += 1
+        else:
+            cs, td, ta = smap[0]
+            niw, nih, _, _ = geom[cs]
+            arr = coefs[cs]
+            for byi in range(nih):
+                for bxi in range(niw):
+                    if dri and units and units % dri == 0:
+                        restart(rst)
+                        rst = (rst + 1) & 7
+                        preds[cs] = 0
+                    block(arr[byi, bxi], cs, td, ta)
+                    units += 1
+        return {cs for cs, _, _ in smap}
+
+    def _jpeg_multiscan_sequential(b: bytes):
+        """Baseline/extended-sequential JPEG whose components arrive
+        over SEVERAL scans (the first SOS covers fewer components
+        than the frame declares): same marker walk as the
+        progressive decoder, each scan decoded by ``_seq_scan`` into
+        the shared coefficient accumulators, one vectorized
+        dequantize+IDCT at EOI. Every frame component must appear in
+        at least one scan."""
+        qt: dict[int, object] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        frame = None
+        geom = coefs = None
+        dri = 0
+        nscans = 0
+        seen: set = set()
+        pos = 2
+        while pos + 2 <= len(b):
+            if b[pos] != 0xFF:
+                raise ValueError("bad JPEG marker stream")
+            marker = b[pos + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                pos += 2
+                continue
+            if marker == 0xD9:
+                break
+            if pos + 4 > len(b):
+                raise ValueError("truncated JPEG segment header")
+            (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+            seg = b[pos + 4 : pos + 2 + ln]
+            if ln < 2 or len(seg) != ln - 2:
+                raise ValueError("truncated JPEG segment")
+            if marker == 0xDB:
+                _parse_dqt(seg, qt)
+            elif marker == 0xC4:
+                _parse_dht(seg, huff)
+            elif marker in (0xC0, 0xC1):
+                if frame is not None:
+                    raise ValueError("multiple SOF segments")
+                frame = _parse_sof(seg)
+                geom, coefs = _prog_frame_geometry(frame)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError("conflicting SOF segments")
+            elif marker == 0xDD:
+                if len(seg) < 2:
+                    raise ValueError("truncated DRI")
+                (dri,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xDA:
+                if frame is None:
+                    raise ValueError("JPEG scan before SOF")
+                nscans += 1
+                if nscans > 64:  # ≤ one scan per component in spec
+                    raise ValueError("too many sequential scans")
+                segs, end = _clean_scan(b, pos + 2 + ln)
+                seen |= _seq_scan(
+                    seg, segs, frame, geom, coefs, huff, dri
+                )
+                pos = end
+                continue
+            pos += 2 + ln
+        if frame is None:
+            raise ValueError("JPEG missing SOF")
+        if nscans == 0:
+            raise ValueError("JPEG missing SOS")
+        missing = {c[0] for c in frame[2]} - seen
+        if missing:
+            raise ValueError(
+                f"components {sorted(missing)} never scanned"
+            )
+        return _prog_reconstruct(frame, geom, coefs, qt)
+
     def _prog_reconstruct(frame, geom, coefs, qt):
         """Dequantize + IDCT + upsample + color-convert the
         accumulated coefficients ONCE, vectorized over every block
@@ -1326,7 +1494,11 @@ def _make_content_decoders():
         integer-ratio chroma subsampling (4:4:4 / 4:2:2 / 4:2:0)
         upsampled by replication, restart markers honored.
         Progressive payloads take the multi-scan accumulation path
-        (_jpeg_progressive). 12-BIT precision is decoded for
+        (_jpeg_progressive); SEQUENTIAL frames whose components
+        arrive over several scans (one scan per component, partial
+        interleaves) take _jpeg_multiscan_sequential — same
+        accumulate-then-one-IDCT shape. 12-BIT precision is decoded
+        for
         GRAYSCALE, baseline AND progressive (16-bit DQT tables, DC
         categories to 15, 2048 level shift, uint16 output — the
         medical/scientific shape); 12-bit color and arithmetic
@@ -1360,7 +1532,9 @@ def _make_content_decoders():
         dc_cat_max = 11 if prec == 8 else 15
         max_sample = (1 << prec) - 1
         if len(smap) != nch:
-            raise NotImplementedError("multi-scan JPEG")
+            # sequential frame whose components arrive over several
+            # scans: re-walk with the multi-scan accumulator
+            return _jpeg_multiscan_sequential(b)
         comp_by_id = {c[0]: c for c in comps}
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
@@ -2278,26 +2452,33 @@ def _make_dc_jpeg12():
 
 
 def synthesize_jpeg12_media(docs: DataFrame) -> DataFrame:
-    """Deterministic REAL 12-BIT grayscale baseline JPEGs with
-    closed-form decoded content (``_make_dc_jpeg12``): per doc_id a
-    16×8 image uniformly ``2048 + 2·dc`` with
-    ``dc = (doc_id·11) mod 2000 − 1000`` — decoded values span
-    [48, 4046], almost all beyond what any 8-bit path could produce,
-    so a stats regression to 8-bit arithmetic cannot hide."""
+    """Deterministic REAL 12-BIT grayscale JPEGs with closed-form
+    decoded content: per doc_id a 16×8 image uniformly
+    ``2048 + 2·dc`` with ``dc = (doc_id·11) mod 2000 − 1000`` —
+    values almost all beyond what any 8-bit path could produce, so a
+    precision regression cannot hide. Even doc_ids emit BASELINE
+    (``_make_dc_jpeg12``), odd ones the PROGRESSIVE three-scan twin
+    (``_make_progressive_dc_jpeg`` at prec=12) — same closed form,
+    one oracle, both 12-bit decode paths in front of the driver."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
         dc_jpeg12 = _make_dc_jpeg12()
+        prog_jpeg = _make_progressive_dc_jpeg()
+
+        def payload(d: int) -> bytes:
+            dc = (d * 11) % 2000 - 1000
+            if d % 2 == 0:
+                return dc_jpeg12(dc)
+            return prog_jpeg(dc, prec=12)
 
         for pdf in it:
             ids = [int(d) for d in pdf["doc_id"]]
             yield _pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
-                    "payload": [
-                        dc_jpeg12((d * 11) % 2000 - 1000) for d in ids
-                    ],
+                    "payload": [payload(d) for d in ids],
                     "media_type": ["image"] * len(ids),
                 }
             )

@@ -1199,6 +1199,92 @@ def _jpeg_encode(pixels, subsample=None, q=16, dri=0):
     return head + sof + sos + bytes(bw.out) + b"\xff\xd9", coeffs
 
 
+def _jpeg_multiscan_from(pixels, groups, q=16):
+    """Re-emit a 4:4:4 image's quantized coefficients (from
+    ``_jpeg_encode``) as MULTIPLE sequential scans: ``groups`` is a
+    tuple of component-index tuples, one scan per group, each with
+    its own DC predictors and byte-aligned entropy segment. A
+    single-component group walks that component's block grid; a
+    multi-component group walks MCUs interleaved (4:4:4 → one block
+    per component per MCU)."""
+    import numpy as np
+
+    payload, coeffs = _jpeg_encode(pixels, q=q)
+    head = payload[: payload.find(b"\xff\xda")]
+    h, w = np.asarray(pixels).shape[:2]
+    nbh, nbw = -(-h // 8), -(-w // 8)
+    out = bytearray(head)
+
+    def put_block(bw, zzsrc, pred):
+        zz = [int(zzsrc[r_, c_]) for r_, c_ in _JPEG_ZZ]
+        d = zz[0] - pred
+        s = abs(d).bit_length()
+        bw.put(s, 4)
+        if s:
+            bw.put(d if d > 0 else d + (1 << s) - 1, s)
+        run = 0
+        for kk in range(1, 64):
+            v = zz[kk]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                bw.put(_JPEG_AC_CODE[0xF0], 8)
+                run -= 16
+            s = abs(v).bit_length()
+            bw.put(_JPEG_AC_CODE[(run << 4) | s], 8)
+            bw.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            bw.put(_JPEG_AC_CODE[0x00], 8)
+        return zz[0]
+
+    for group in groups:
+        bw = _JpegBits()
+        preds = {ci: 0 for ci in group}
+        for gy in range(nbh):
+            for gx in range(nbw):
+                for ci in group:
+                    preds[ci] = put_block(
+                        bw, coeffs[ci][(gy, gx)], preds[ci]
+                    )
+        bw.flush()
+        comps = b"".join(bytes([ci + 1, 0x00]) for ci in group)
+        out += _jpeg_seg(
+            0xDA, bytes([len(group)]) + comps + bytes([0, 63, 0])
+        )
+        out += bytes(bw.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_multiscan_sequential_jpeg_decode():
+    """T.81 allows a sequential frame's components to arrive over
+    several scans (one per component, or partial interleaves). The
+    multi-scan accumulator must decode them bit-identically to the
+    standard single interleaved scan of the same coefficients."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    inter, _ = _jpeg_encode(img)
+    want = MM.decode_jpeg_pixels(inter)
+
+    # one scan per component
+    multi = _jpeg_multiscan_from(img, groups=((0,), (1,), (2,)))
+    assert np.array_equal(MM.decode_jpeg_pixels(multi), want)
+
+    # partial interleave: (Y, Cb) MCU-walked together, Cr alone
+    mixed = _jpeg_multiscan_from(img, groups=((0, 1), (2,)))
+    assert np.array_equal(MM.decode_jpeg_pixels(mixed), want)
+
+    # a component never scanned is a loud ValueError, not gray mush
+    short = _jpeg_multiscan_from(img, groups=((0,), (1,)))
+    with pytest.raises(ValueError, match="never scanned"):
+        MM.decode_jpeg_pixels(short)
+
+
 # progressive AC symbol set: EOBn (r<<4, r 0..14), ZRL, and
 # (run<<4)|size — all at canonical 9-bit codes (176 symbols)
 _JPEG_PAC_SYMS = [r << 4 for r in range(15)] + [0xF0] + [
