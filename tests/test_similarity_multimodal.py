@@ -720,6 +720,110 @@ def test_png_adam7_interlace_decode():
     assert np.array_equal(px, rgba)
 
 
+def test_png_gif_randomized_round_trip():
+    """Randomized encoder-vs-decoder property sweep over the full
+    PNG variant space (depth x color-type x interlace x per-row
+    filter choice x odd sizes) and interlaced/non-interlaced GIF:
+    every payload must decode to exactly the samples it was built
+    from. Seeds are fixed — failures reproduce."""
+    import numpy as np
+
+    rng = np.random.default_rng(2024)
+    for case in range(40):
+        h = int(rng.integers(1, 14))
+        w = int(rng.integers(1, 14))
+        interlace = int(rng.integers(0, 2))
+        kind = case % 5
+        n_rows_total = h * 4  # generous bound for filter map
+        filters = {
+            i: int(rng.integers(0, 5)) for i in range(n_rows_total)
+        }
+        if kind == 0:  # 8-bit RGB / RGBA
+            ch = int(rng.choice([3, 4]))
+            ct = 2 if ch == 3 else 6
+            img = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+            px = MM.decode_png_pixels(
+                _png_build(img, 8, ct, interlace=interlace,
+                           filters=filters)
+            )
+            assert np.array_equal(px, img), (case, h, w, ct)
+        elif kind == 1:  # 8-bit gray
+            img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            px = MM.decode_png_pixels(
+                _png_build(img, 8, 0, interlace=interlace,
+                           filters=filters)
+            )
+            assert np.array_equal(px.reshape(h, w), img), (case,)
+        elif kind == 2:  # sub-byte gray or palette
+            depth = int(rng.choice([1, 2, 4]))
+            top = 1 << depth
+            img = rng.integers(0, top, (h, w)).astype(np.uint8)
+            if rng.integers(0, 2):  # palette
+                pal = [
+                    tuple(int(x) for x in rng.integers(0, 256, 3))
+                    for _ in range(top)
+                ]
+                px = MM.decode_png_pixels(
+                    _png_build(img, depth, 3, palette=pal,
+                               interlace=interlace, filters=filters)
+                )
+                want = np.array(
+                    [[pal[i] for i in r] for r in img], np.uint8
+                )
+                assert np.array_equal(px, want), (case, depth)
+            else:  # gray with bit-replication scaling
+                px = MM.decode_png_pixels(
+                    _png_build(img, depth, 0, interlace=interlace,
+                               filters=filters)
+                )
+                want = (
+                    img.astype(np.uint16) * 255 // (top - 1)
+                ).astype(np.uint8)
+                assert np.array_equal(px.reshape(h, w), want), (
+                    case, depth,
+                )
+        elif kind == 3:  # 16-bit gray / RGB / RGBA
+            ch = int(rng.choice([1, 3, 4]))
+            ct = {1: 0, 3: 2, 4: 6}[ch]
+            img = rng.integers(0, 65536, (h, w, ch)).astype(np.uint32)
+            px = MM.decode_png_pixels(
+                _png_build(img if ch > 1 else img.reshape(h, w),
+                           16, ct, interlace=interlace,
+                           filters=filters)
+            )
+            assert px.dtype == np.uint16
+            assert np.array_equal(
+                px.reshape(h, w, ch), img.astype(np.uint16)
+            ), (case, ch)
+        else:  # GIF, interlaced or not
+            pal = [
+                tuple(int(x) for x in rng.integers(0, 256, 3))
+                for _ in range(8)
+            ]
+            idx = rng.integers(0, 8, h * w).astype(int).tolist()
+            if interlace:
+                order = np.concatenate([
+                    np.arange(0, h, 8), np.arange(4, h, 8),
+                    np.arange(2, h, 4), np.arange(1, h, 2),
+                ])
+                raster = np.array(idx).reshape(h, w)
+                stream = np.concatenate(
+                    [raster[y] for y in order]
+                ).tolist()
+            else:
+                stream = idx
+            payload = _gif_build(
+                w, h, pal, stream, min_code=3, interlace=bool(interlace)
+            )
+            px = MM.decode_gif_pixels(payload)
+            want = np.array(
+                [[pal[i] for i in r]
+                 for r in np.array(idx).reshape(h, w)],
+                np.uint8,
+            )
+            assert np.array_equal(px, want), (case, interlace)
+
+
 def test_png_16bit_depth_decode():
     """16-bit PNG: two-byte big-endian samples, same spec filters with
     bpp = 2·channels, uint16 output (no 255-scaling — 16-bit is full
