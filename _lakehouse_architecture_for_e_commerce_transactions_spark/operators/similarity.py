@@ -15,6 +15,8 @@ pure function of the data and reproducible under any summation order.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -203,6 +205,85 @@ def srp_near_dup_pairs(
         a.join(b, "bucket")
         .filter(F.col("id1") < F.col("id2"))
         .withColumn("cos", F.round(V.cosine(F.col("v1"), F.col("v2")), round_to))
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", "cos")
+    )
+
+
+def scaled_plane_count(n_rows: int, margin: int = 2) -> int:
+    """Plane count for a scale-safe SRP signature: ``ceil(log2 N) + margin``
+    (floor 8). With b ≈ log2(N) + 2 planes, a balanced signature has ~4·N
+    buckets, so expected bucket occupancy stays O(1) and the self-join's
+    Σ bucket² candidate volume stays O(N) at ANY corpus size — the fix for
+    the fixed-width form's N²/2^b blowup (a frozen 8-plane signature caps at
+    256 buckets, so candidates grow quadratically once N ≫ 256; measured
+    11.6–22.4× wall at 10× data in TUNING.md's sf1.0 probe)."""
+    return max(8, math.ceil(math.log2(max(n_rows, 2))) + margin)
+
+
+def srp_near_dup_pairs_scaled(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    bands: int = 2,
+    plane_margin: int = 2,
+    round_to: int = 5,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Scale-safe embedding near-dup detection: the 100 TB form of
+    ``srp_near_dup_pairs``.
+
+    Two knobs close the fixed-width form's quadratic gap without giving up
+    recall:
+
+    * **Plane count grows with the corpus** (``scaled_plane_count``:
+      ~log2 N + margin), so expected bucket occupancy — and the bucket
+      self-join's Σ bucket² candidate cost — is O(N) at any scale instead
+      of N²/2^b.
+    * **Multiple OR-composed bands** (disjoint hyperplane index ranges)
+      recover the recall a single narrower band loses: a true near-dup pair
+      is a candidate if it collides in ANY band, and at near-dup thresholds
+      (cos ≥ 0.99 ⇒ per-plane agreement ≥ 1 − θ/π ≈ 0.97) per-band recall
+      is already ≥ 0.97^b, so two bands push misses to sub-percent.
+
+    One scan computes all band signatures (posexplode of a signature array
+    — no per-band re-read), one equi-join generates candidates, pairs found
+    in several bands dedup BEFORE the exact-cosine verify so each candidate
+    is scored once. ``n_rows`` lets a caller that already knows the corpus
+    size skip the count job; otherwise one O(1)-result count action sizes
+    the signature. Skewed buckets (correlated real-world embeddings) are
+    split by AQE's skew-join handling; the margin knob widens signatures
+    when occupancy stays too high."""
+    n = int(n_rows) if n_rows is not None else df.count()
+    n_planes = scaled_plane_count(n, plane_margin)
+    v = spread(
+        df.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
+    )
+    band_sigs = []
+    for band in range(bands):
+        bits = [
+            srp_signature_bit(F.col("v"), band * n_planes + p)
+            for p in range(n_planes)
+        ]
+        band_sigs.append(
+            F.concat_ws(
+                "", F.lit(f"{band}:"), *[b.cast("string") for b in bits]
+            )
+        )
+    banded = v.select(
+        "id", "v", F.explode(F.array(*band_sigs)).alias("bucket")
+    )
+    a = banded.select(F.col("id").alias("id1"), F.col("v").alias("v1"), "bucket")
+    b = banded.select(F.col("id").alias("id2"), F.col("v").alias("v2"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "v1", "v2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cand.withColumn("cos", F.round(V.cosine(F.col("v1"), F.col("v2")), round_to))
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
     )

@@ -1573,6 +1573,75 @@ SELECT id1, id2, cos FROM scored WHERE cos >= 0.99
 """
 
 
+def q_embedding_near_dup_scaled(spark: SparkSession, sf: str) -> DataFrame:
+    """The SCALE-SAFE near-dup form (round-9 verdict's lead task): corpus ∪
+    NEAR-twins (coordinate 0 scaled ×1.001 — genuinely distinct vectors at
+    cos ≈ 0.9999998, not bit-identical copies), SRP signature whose plane
+    count grows ~log2(N) so Σ bucket² candidates stay O(N), two OR-composed
+    bands for recall, exact cosine ≥ 0.99 verify. The oracle mirrors the
+    EXACT integer-hyperplane signature (including the dynamic plane count,
+    computed from the same corpus count), so both engines generate identical
+    candidate sets. Contrast ``embedding_near_dup_pairs`` (frozen bench leg):
+    its fixed 8-plane single band caps at 256 buckets and goes quadratic once
+    N ≫ 256 (measured in TUNING.md's sf1.0 probe); this form is the one to
+    run at 100 TB. Recall vs the exact all-pairs baseline is pinned in
+    tests/test_similarity_multimodal.py."""
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    twins = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x * F.when(i == 0, F.lit(1.001)).otherwise(F.lit(1.0)),
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(twins)
+    return SIM.srp_near_dup_pairs_scaled(
+        corpus, "vec_id", "embedding", threshold=0.99, bands=2, plane_margin=2
+    )
+
+
+_NEAR_DUP_SCALED_SQL = """
+WITH corpus AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        (x, i) -> CASE WHEN i = 1 THEN x * 1.001 ELSE x END)
+  FROM embeddings),
+params AS (
+  SELECT greatest(8, CAST(ceil(log2(count(*))) AS INT) + 2) AS np FROM corpus),
+proj AS (
+  SELECT id, p,
+         sum(v[d + 1] * (CASE WHEN ((p * 1000003 + d * 7919) % 97) % 2 = 0
+                              THEN 1.0 ELSE -1.0 END)) AS s
+  FROM corpus, params,
+       unnest(generate_series(0, len(v) - 1)) AS t(d),
+       unnest(generate_series(0, 2 * np - 1)) AS t2(p)
+  GROUP BY id, p),
+sigs AS (
+  SELECT id, p // np AS band,
+         string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY p) AS bucket
+  FROM proj, params GROUP BY id, p // np),
+cand AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.id < b.id),
+pairs AS (
+  SELECT id1, id2, c1.v AS v1, c2.v AS v2
+  FROM cand JOIN corpus c1 ON c1.id = id1 JOIN corpus c2 ON c2.id = id2),
+terms AS (SELECT id1, id2, unnest(v1) AS e1, unnest(v2) AS e2 FROM pairs),
+scored AS (
+  SELECT id1, id2,
+         round(sum(e1 * e2) / (sqrt(sum(e1 * e1)) * sqrt(sum(e2 * e2))), 5)
+           AS cos
+  FROM terms GROUP BY id1, id2)
+SELECT id1, id2, cos FROM scored WHERE cos >= 0.99
+"""
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-style ANN. The deterministic centroid pick (every 37th corpus
     id) makes the whole assign→probe→rank pipeline a pure function of the
@@ -9231,6 +9300,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "embedding_near_dup_pairs": QueryDef(
         q_embedding_near_dup, _near_dup_sql(), headline=True
     ),
+    "embedding_near_dup_scaled": QueryDef(
+        q_embedding_near_dup_scaled, _NEAR_DUP_SCALED_SQL
+    ),
     "array_agg_orders": QueryDef(q_array_agg_orders, _ARRAY_AGG_SQL),
     "cosine_topk_fast": QueryDef(
         q_cosine_topk_fast, _COSINE_TOPK_SQL, headline=True
@@ -9436,6 +9508,9 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
 # run; the rest of the window backfills with already-green anchors (all
 # re-verified by tools/verify_parity.py at HEAD each round).
 _WINDOW_FRONT: list[str] = [
+    # new in round 10: the scale-safe ANN near-dup form (r9 verdict's
+    # lead task — n_planes ~ log2 N, two OR-composed bands)
+    "embedding_near_dup_scaled",
     # new in round 9 (palette/sub-byte/Adam7 PNG, interlaced GIF,
     # 16-bit PNG — the round-8 shipped-untested decode surface, now
     # oracle-fronted) and 12-bit grayscale baseline JPEG
@@ -9492,11 +9567,10 @@ _WINDOW_FRONT: list[str] = [
     "media_decode_stats",
     "kmv_distinct_customers",
     "hist_quantile_maintenance",
-    # green anchors (driver-verified in round 3)
-    "contamination_ngram_overlap",
     # evicted to keep the window at 50: doc_repetition_signals,
-    # domain_mixture_weights, sequence_packing (green r8 rows on
-    # record; still in the registry + parity gate)
+    # domain_mixture_weights, sequence_packing (green r8 rows),
+    # contamination_ngram_overlap (green r09 row) — all still in the
+    # registry + parity gate
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

@@ -202,6 +202,11 @@ def main() -> None:
         "png_variants_stats",
         "jpeg12_decode_stats",
         "bmp_wav_variants_stats",
+        # round-10: the scale-safe ANN near-dup form (n_planes ~ log2 N,
+        # two OR-composed bands) priced alongside the frozen single-band
+        # embedding_near_dup_pairs headline leg so the Σ bucket² fix has
+        # a round-over-round number
+        "embedding_near_dup_scaled",
     ]
     extras: dict[str, float] = {}
     for rep in range(reps):

@@ -99,6 +99,61 @@ def test_embedding_near_dup_pairs_full_recall_on_twins(spark, sf_dir):
         assert r["id2"] == r["id1"] + 100000 and r["cos"] == 1.0
 
 
+def test_scaled_plane_count_tracks_corpus_size():
+    """b = ceil(log2 N) + 2 (floor 8): bucket space ~4N at every scale, so
+    Σ bucket² candidate volume stays O(N) instead of N²/2^b."""
+    assert SIM.scaled_plane_count(100) == 9
+    assert SIM.scaled_plane_count(1000) == 12
+    assert SIM.scaled_plane_count(1_000_000) == 22
+    assert SIM.scaled_plane_count(10**9) == 32
+    assert SIM.scaled_plane_count(2) == 8  # floor
+    # margin knob widens the signature (recall/occupancy trade)
+    assert SIM.scaled_plane_count(1000, margin=4) == 14
+
+
+def test_scaled_near_dup_recall_vs_exact_baseline(spark, sf_dir):
+    """Recall of the scale-safe form (log2-N planes, two OR-composed bands)
+    against the EXACT all-pairs cosine baseline, on planted NOISY near-twins
+    (seeded gaussian perturbation, cos ≈ 0.9998 — pairs a narrow signature
+    can genuinely miss, unlike bit-identical copies which collide in every
+    band by construction). Pins the round-10 scale-safe query's recall."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = [int(r["vec_id"]) for r in rows]
+    V0 = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(7)
+    scale = np.linalg.norm(V0, axis=1, keepdims=True) / np.sqrt(V0.shape[1])
+    V1 = V0 + rng.normal(0.0, 0.02, V0.shape) * scale
+    all_ids = ids + [i + 100000 for i in ids]
+    allv = np.vstack([V0, V1])
+    normed = allv / np.linalg.norm(allv, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    n = len(all_ids)
+    exact = {
+        (all_ids[i], all_ids[j]) if all_ids[i] < all_ids[j] else (all_ids[j], all_ids[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+        if sims[i, j] >= 0.99
+    }
+    assert len(exact) >= len(ids)  # at least every planted pair
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in zip(all_ids, allv)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["id1"], r["id2"])
+        for r in SIM.srp_near_dup_pairs_scaled(
+            corpus, threshold=0.99, bands=2, plane_margin=2
+        ).collect()
+    }
+    assert not got - exact  # precision 1.0: every pair is exact-verified
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.97, f"recall {recall:.4f} over {len(exact)} true pairs"
+
+
 def test_cosine_topk_fast_matches_expression_version(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
