@@ -2016,6 +2016,52 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def er_fastss_stages(c: DataFrame) -> dict[str, DataFrame]:
+    """The FastSS candidate-generation stages of the ER pipeline, exposed
+    individually so scale probes can COUNT each intermediate instead of
+    arguing about it (tools/er_probe.py; round-9 verdict task 2):
+
+    * ``signatures`` — one row per (customer, deletion-neighborhood
+      signature): the name itself plus every single-character deletion.
+    * ``collisions`` — raw signature-join output (k1 < k2, pre-dedup,
+      pre-verify): THE number that decides whether the path is linear at
+      scale — everything downstream is a filter or dedup of this.
+    * ``candidates`` — distinct verified pairs (banded Levenshtein ≤ 1),
+      the edge set fed to connected components.
+
+    Input: customer columns (c_custkey, c_name, c_nationkey, c_acctbal).
+    """
+    n = F.col("c_name")
+    sigs = F.array_union(
+        F.array(n),
+        F.transform(
+            F.sequence(F.lit(1), F.length(n)),
+            lambda i: F.concat(
+                n.substr(F.lit(1), i - 1), n.substr(i + 1, F.length(n))
+            ),
+        ),
+    )
+    sig = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("nm"),
+        F.col("c_nationkey").alias("blk"),
+        F.explode(sigs).alias("sig"),
+    )
+    a = sig.select(
+        F.col("k").alias("k1"), F.col("nm").alias("n1"), "blk", "sig"
+    )
+    b = sig.select(
+        F.col("k").alias("k2"), F.col("nm").alias("n2"), "blk", "sig"
+    )
+    collisions = a.join(b, ["blk", "sig"]).filter(F.col("k1") < F.col("k2"))
+    candidates = (
+        collisions.filter(F.levenshtein(F.col("n1"), F.col("n2"), 1) >= 0)
+        .select("k1", "k2")
+        .distinct()
+    )
+    return {"signatures": sig, "collisions": collisions, "candidates": candidates}
+
+
 def q_er_golden_records(spark: SparkSession, sf: str) -> DataFrame:
     """Entity resolution end-to-end: blocking (nation) → pairwise match
     (Levenshtein ≤ 1) → transitive closure (connected components) →
@@ -2041,35 +2087,7 @@ def q_er_golden_records(spark: SparkSession, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal"
     )
-    n = F.col("c_name")
-    sigs = F.array_union(
-        F.array(n),
-        F.transform(
-            F.sequence(F.lit(1), F.length(n)),
-            lambda i: F.concat(
-                n.substr(F.lit(1), i - 1), n.substr(i + 1, F.length(n))
-            ),
-        ),
-    )
-    sig = c.select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_name").alias("nm"),
-        F.col("c_nationkey").alias("blk"),
-        F.explode(sigs).alias("sig"),
-    )
-    a = sig.select(
-        F.col("k").alias("k1"), F.col("nm").alias("n1"), "blk", "sig"
-    )
-    b = sig.select(
-        F.col("k").alias("k2"), F.col("nm").alias("n2"), "blk", "sig"
-    )
-    pairs = (
-        a.join(b, ["blk", "sig"])
-        .filter(F.col("k1") < F.col("k2"))
-        .filter(F.levenshtein(F.col("n1"), F.col("n2"), 1) >= 0)
-        .select("k1", "k2")
-        .distinct()
-    )
+    pairs = er_fastss_stages(c)["candidates"]
     cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
     return (
         dedup_clusters(pairs, "k1", "k2")
