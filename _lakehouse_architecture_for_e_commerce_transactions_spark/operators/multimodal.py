@@ -987,7 +987,8 @@ def _make_content_decoders():
         nch = len(comps)
         if nch not in (1, 3):
             raise NotImplementedError(f"{nch}-component JPEG")
-        if wdt * hgt * nch > max_decode_bytes:
+        if wdt * hgt * nch * (2 if prec == 12 else 1) > max_decode_bytes:
+            # x2 for 12-bit output, mirroring the baseline path's cap
             raise ValueError(
                 f"JPEG too large for pure-Python decode ({wdt}x{hgt})"
             )
@@ -1870,16 +1871,21 @@ def _make_pixel_decoder(pure: dict, native: dict, xcheck_every: int):
       wrong image (mean |diff| ~60+ on natural content) still trips.
 
     A payload the PURE decoders cannot decode (a variant only the
-    native codec supports, e.g. CMYK JPEG) SKIPS the comparison
-    instead of leaking the pure decoder's exception: output must not
-    depend on which call positions the sampling stride lands on.
+    native codec supports, e.g. arithmetic-coded JPEG, or one past the
+    pure path's size cap) SKIPS the comparison instead of leaking the
+    pure decoder's exception: output must not depend on which call
+    positions the sampling stride lands on. The skip is NARROW —
+    NotImplementedError (the typed unsupported-variant signal) and
+    ValueError (the typed malformed/over-cap signal) only; a pure
+    decoder CRASHING (IndexError/KeyError/struct/zlib leaking through)
+    on a payload it should decode is a regression that must surface,
+    not silently disable drift detection. And if EVERY sampled
+    cross-check in a task skipped (≥8 samples), that raises too: a
+    task whose drift detector never actually ran should say so.
     Drift raises NativeDecoderDrift, which no poison catch swallows."""
-    import struct as _struct
-    import zlib as _zlib
-
     import numpy as _np
 
-    state = {"n": 0}
+    state = {"n": 0, "xchecks": 0, "xskips": 0}
 
     def decode(fmt: str, payload: bytes):
         nd = native.get(fmt)
@@ -1888,16 +1894,18 @@ def _make_pixel_decoder(pure: dict, native: dict, xcheck_every: int):
         out = nd(payload)
         state["n"] += 1
         if xcheck_every and state["n"] % xcheck_every == 1 % xcheck_every:
+            state["xchecks"] += 1
             try:
                 ref = pure[fmt](payload)
-            except (
-                NotImplementedError,
-                ValueError,
-                IndexError,
-                KeyError,
-                _struct.error,
-                _zlib.error,
-            ):
+            except (NotImplementedError, ValueError):
+                state["xskips"] += 1
+                if state["xskips"] == state["xchecks"] >= 8:
+                    raise NativeDecoderDrift(
+                        f"all {state['xchecks']} sampled native-{fmt} "
+                        "cross-checks skipped (pure path decoded none "
+                        "of them) — drift detection never ran in this "
+                        "task"
+                    ) from None
                 return out  # pure path can't decode this variant
             why = None
             if tuple(out.shape) != tuple(ref.shape):
@@ -1924,10 +1932,16 @@ def _make_pixel_decoder(pure: dict, native: dict, xcheck_every: int):
                         float(out.astype(_np.float64).mean())
                         - float(ref.astype(_np.float64).mean())
                     )
-                    if dmean > 3.0 or bias > 1.0:
+                    # max|diff| ≤ 128: fancy-vs-replication chroma
+                    # upsampling legitimately differs by tens at hard
+                    # chroma edges, but a corrupted region (one wrong
+                    # MCU) lands near full-range — catch gross LOCAL
+                    # corruption the global aggregates dilute away
+                    if dmean > 3.0 or bias > 1.0 or dmax > 128:
                         why = (
                             f"subsampled JPEG, mean|diff|="
-                            f"{dmean:.2f}, mean bias={bias:.2f}"
+                            f"{dmean:.2f}, mean bias={bias:.2f}, "
+                            f"max|diff|={dmax}"
                         )
             if why is not None:
                 raise NativeDecoderDrift(

@@ -54,6 +54,34 @@ def assert_no_python_row_udf(df: DataFrame) -> None:
     )
 
 
+def scale_killer_flags(df: DataFrame) -> list[str]:
+    """Scan a plan for the two patterns that are NEVER acceptable in this
+    repo's query catalog, whatever the operator (the 100 TB checklist's
+    hard lines): an unconditioned cartesian product (CartesianProduct —
+    note BroadcastNestedLoopJoin is allowed: every crossJoin in the catalog
+    broadcasts a scalar/tiny side by design) and a row-at-a-time Python
+    UDF (BatchEvalPython; Arrow-batched nodes are the sanctioned Python
+    path). Inspects the PRE-execution physical plan, so sweeping the whole
+    catalog doesn't execute it; tests/test_plan_health.py runs this over
+    every catalog builder so a new query can't land with a scale-killer
+    plan unnoticed."""
+    text = plan_text(df)
+    flags = []
+    if "CartesianProduct" in text:
+        flags.append("cartesian-product")
+    if "BatchEvalPython" in text:
+        flags.append("row-python-udf")
+    return flags
+
+
+def has_nonempty_pushed_filters(df: DataFrame) -> bool:
+    """True if at least one scan in the plan reports a non-empty
+    PushedFilters list — the 'did my predicate reach parquet' pin."""
+    import re
+
+    return bool(re.search(r"PushedFilters: \[[^\]]", plan_text(df)))
+
+
 def executed_plan_text(df: DataFrame) -> str:
     """Final physical plan after execution — under AQE the pre-execution
     plan is a placeholder (isFinalPlan=false) with no codegen markers, so

@@ -79,4 +79,23 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    want_mem = conf.get("spark.driver.memory")
+    if want_mem:
+        # builder.config only takes effect when THIS process launches the
+        # JVM — under spark-submit, or when getOrCreate reuses a running
+        # session, the setting is silently ignored. Warn instead of
+        # failing: the submit-time owner may have sized it deliberately.
+        got_mem = spark.sparkContext.getConf().get("spark.driver.memory", "")
+        if got_mem != want_mem:
+            import warnings
+
+            warnings.warn(
+                f"requested spark.driver.memory={want_mem} but the JVM "
+                f"runs with {got_mem or '(default 1g)'} — the session "
+                "predates this call or was launched via spark-submit; "
+                "broadcast-heavy local runs may OOM (set --driver-memory "
+                "or SPARK_GRAFT_DRIVER_MEM at launch)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return spark

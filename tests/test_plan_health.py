@@ -1,0 +1,62 @@
+"""Catalog-wide plan-health sweep (round-9 verdict task 4).
+
+Every query in the catalog gets its PRE-execution physical plan checked for
+the two hard-line scale killers — CartesianProduct and row-at-a-time
+BatchEvalPython — so a future query cannot land with one unnoticed. The
+checker itself is validated against deliberately bad plans (a hint-forced
+cartesian and a row UDF), and the pushdown pin is asserted on the legs that
+pin it today.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.plans import (
+    catalog,
+    explain,
+)
+
+
+def test_catalog_sweep_no_cartesian_no_row_python(spark, sf_dir):
+    """Sweep EVERY catalog builder at sf0.001: building the DataFrame is
+    enough (plan inspection never executes the query), so this also covers
+    queries added in future rounds automatically."""
+    bad: dict[str, list[str]] = {}
+    for name, qd in catalog.CATALOG.items():
+        df = qd.builder(spark, sf_dir)
+        flags = explain.scale_killer_flags(df)
+        if flags:
+            bad[name] = flags
+    assert not bad, f"scale-killer plans: {bad}"
+
+
+def test_sweep_detects_injected_cartesian(spark):
+    a = spark.range(100)
+    b = spark.range(100).withColumnRenamed("id", "jd")
+    forced = a.hint("shuffle_replicate_nl").crossJoin(b)
+    assert "cartesian-product" in explain.scale_killer_flags(forced)
+
+
+def test_sweep_detects_injected_row_udf(spark):
+    inc = F.udf(lambda x: x + 1, "long")
+    bad = spark.range(10).select(inc("id").alias("x"))
+    assert "row-python-udf" in explain.scale_killer_flags(bad)
+    # and the sanctioned Arrow path is NOT flagged
+    ok = spark.range(10).mapInPandas(lambda it: it, "id long")
+    assert explain.scale_killer_flags(ok) == []
+
+
+def test_pushdown_pins_still_hold(spark, sf_dir):
+    """The legs that pin predicate pushdown today: their filters must keep
+    reaching the parquet scan (non-empty PushedFilters in the plan)."""
+    for name in (
+        "scan_filter_project",
+        "partition_pruned_day",
+        "shipping_priority",
+        "local_supplier_volume",
+    ):
+        df = catalog.CATALOG[name].builder(spark, sf_dir)
+        assert explain.has_nonempty_pushed_filters(df), (
+            f"{name}: no non-empty PushedFilters in scan"
+        )

@@ -2300,6 +2300,59 @@ def test_native_xcheck_skips_pure_undecodable_variants():
             assert np.array_equal(dec("bmp", b"payload"), px)
 
 
+def test_native_xcheck_pure_crash_surfaces():
+    """The skip is NARROW: a pure decoder CRASHING (IndexError/KeyError —
+    not the typed NotImplementedError/ValueError boundary signals) on a
+    sampled payload is a regression that must leak, not silently disable
+    drift detection (round-9 ADVICE)."""
+    import numpy as np
+    import pytest
+
+    px = np.full((4, 4, 3), 7, np.uint8)
+
+    def pure_crashes(_p):
+        raise IndexError("pure decoder crashed on a decodable payload")
+
+    dec = MM._make_pixel_decoder({"bmp": pure_crashes}, {"bmp": lambda p: px}, 1)
+    with pytest.raises(IndexError):
+        dec("bmp", b"payload")
+
+
+def test_native_xcheck_all_skipped_raises():
+    """If EVERY sampled cross-check in a task skipped (>=8 samples), the
+    task's drift detector never ran — that raises instead of silently
+    certifying nothing (round-9 ADVICE). A single successful comparison
+    anywhere in the task clears the condition."""
+    import numpy as np
+    import pytest
+
+    px = np.full((4, 4, 3), 7, np.uint8)
+
+    def pure_refuses(_p):
+        raise NotImplementedError("native-only variant")
+
+    dec = MM._make_pixel_decoder({"bmp": pure_refuses}, {"bmp": lambda p: px}, 1)
+    for _ in range(7):
+        dec("bmp", b"payload")
+    with pytest.raises(MM.NativeDecoderDrift, match="skipped"):
+        dec("bmp", b"payload")
+
+    # one real comparison early -> later skips never trip the counter
+    calls = {"n": 0}
+
+    def pure_first_only(_p):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return px
+        raise NotImplementedError("native-only variant")
+
+    dec2 = MM._make_pixel_decoder(
+        {"bmp": pure_first_only}, {"bmp": lambda p: px}, 1
+    )
+    for _ in range(20):
+        assert np.array_equal(dec2("bmp", b"payload"), px)
+
+
 def test_native_xcheck_jpeg_tolerances():
     """JPEG cross-check reflects legitimate decoder variance:
     4:4:4/grayscale allows IDCT rounding (max 2, mean 0.5);
@@ -2354,6 +2407,21 @@ def test_native_xcheck_jpeg_tolerances():
     biased = np.clip(ref.astype(np.int16) + 2, 0, 255).astype(np.uint8)
     with pytest.raises(MM.NativeDecoderDrift):
         mk(biased, sub)()
+    # gross LOCAL corruption (one wrong region, aggregates diluted on a
+    # big image): max|diff| > 128 trips the localized bound even though
+    # mean|diff| and bias stay tiny (round-9 ADVICE)
+    big = np.full((64, 64, 3), 120, np.uint8)
+    corrupt = big.copy()
+    corrupt[0:4, 0:8, :] = 255  # one wrong MCU, half blown high...
+    corrupt[4:8, 0:8, :] = 1    # ...half blown low: no mean bias
+    dec_big = MM._make_pixel_decoder(
+        {"jpeg": lambda p: big}, {"jpeg": lambda p: corrupt}, 1
+    )
+    diff = np.abs(corrupt.astype(np.int64) - big.astype(np.int64))
+    assert diff.mean() <= 3.0  # global aggregates alone would pass...
+    assert abs(corrupt.astype(np.float64).mean() - 120.0) <= 1.0
+    with pytest.raises(MM.NativeDecoderDrift):  # ...max|diff| trips
+        dec_big("jpeg", sub)
 
 
 def test_native_seam_through_spark_decoded_stats(spark):
