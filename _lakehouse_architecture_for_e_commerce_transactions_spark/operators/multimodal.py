@@ -819,15 +819,26 @@ def _make_content_decoders():
             )
         return (hh, ww, comps, prec)
 
+    def _parse_app14(seg: bytes):
+        """Adobe APP14 color-transform flag, or None for a non-Adobe
+        APP14. Body: 'Adobe' + version(2) + flags0(2) + flags1(2) +
+        transform(1) — the byte that decides the color model of
+        3-component (1=YCbCr, 0=RGB) and 4-component (2=YCCK, 0=CMYK)
+        frames, which T.81 itself leaves undefined."""
+        if seg[:5] == b"Adobe" and len(seg) >= 12:
+            return seg[11]
+        return None
+
     def _jpeg_segments(b: bytes):
         """Parse the marker stream up to (and including) SOS. Returns
-        (qt, huff, frame, dri, scan_map, scan_start). Raises
+        (qt, huff, frame, dri, scan_map, scan_start, adobe). Raises
         _ProgressiveSOF on SOF2 so ``jpeg`` re-dispatches the payload
         to the multi-scan progressive walk."""
         qt: dict[int, object] = {}
         huff: dict[tuple[int, int], dict] = {}
         frame = None
         dri = 0
+        adobe = None
         pos = 2
         while pos + 2 <= len(b):
             if b[pos] != 0xFF:
@@ -863,6 +874,8 @@ def _make_content_decoders():
                 if len(seg) < 2:
                     raise ValueError("truncated DRI")
                 (dri,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xEE:  # APP14: Adobe color transform
+                adobe = _parse_app14(seg) if adobe is None else adobe
             elif marker == 0xDA:  # SOS: scan header then entropy data
                 if not seg:
                     raise ValueError("truncated SOS")
@@ -874,7 +887,7 @@ def _make_content_decoders():
                      seg[2 + 2 * si] & 15)
                     for si in range(ns)
                 ]
-                return qt, huff, frame, dri, smap, pos + 2 + ln
+                return qt, huff, frame, dri, smap, pos + 2 + ln, adobe
             # APPn / COM and anything else with a length: skipped
             pos += 2 + ln
         raise ValueError("JPEG missing SOS")
@@ -985,7 +998,7 @@ def _make_content_decoders():
         if hgt == 0 or wdt == 0:
             raise ValueError("zero-dimension JPEG")
         nch = len(comps)
-        if nch not in (1, 3):
+        if nch not in (1, 3, 4):
             raise NotImplementedError(f"{nch}-component JPEG")
         if wdt * hgt * nch * (2 if prec == 12 else 1) > max_decode_bytes:
             # x2 for 12-bit output, mirroring the baseline path's cap
@@ -1315,6 +1328,7 @@ def _make_content_decoders():
         frame = None
         geom = coefs = None
         dri = 0
+        adobe = None
         nscans = 0
         seen: set = set()
         pos = 2
@@ -1349,6 +1363,8 @@ def _make_content_decoders():
                 if len(seg) < 2:
                     raise ValueError("truncated DRI")
                 (dri,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xEE:
+                adobe = _parse_app14(seg) if adobe is None else adobe
             elif marker == 0xDA:
                 if frame is None:
                     raise ValueError("JPEG scan before SOF")
@@ -1371,16 +1387,65 @@ def _make_content_decoders():
             raise ValueError(
                 f"components {sorted(missing)} never scanned"
             )
-        return _prog_reconstruct(frame, geom, coefs, qt)
+        return _prog_reconstruct(frame, geom, coefs, qt, adobe)
 
-    def _prog_reconstruct(frame, geom, coefs, qt):
+    def _jpeg_color_out(full, nch, adobe):
+        """Assemble decoded component planes into the output array
+        (pre round/clip) — shared by the baseline and progressive
+        reconstructions. 3-component: BT.601 full-range YCbCr→RGB,
+        unless an Adobe APP14 transform=0 declares the planes already
+        RGB. 4-component (the Adobe CMYK family; T.81 defines no color
+        model — the APP14 transform byte decides): transform 2 = YCCK
+        (YCC→CMY through the same BT.601 equations, K untouched),
+        0/absent = CMYK planes stored directly. Either way the stored
+        values follow Adobe's INVERTED-ink convention (stored =
+        255 − ink), so RGB = stored_component · stored_K / 255,
+        rounded half-up via floor(x+0.5) — the engine-portable form a
+        SQL oracle mirrors bit-identically (np.round's half-even would
+        drift at exact .5)."""
+        if nch == 1:
+            return full[0][..., np.newaxis]
+        if nch == 3:
+            if adobe == 0:
+                return np.stack(full, axis=-1)
+            y, cb, cr = full
+            return np.stack(
+                [
+                    y + 1.402 * (cr - 128.0),
+                    y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                    y + 1.772 * (cb - 128.0),
+                ],
+                axis=-1,
+            )
+        if adobe == 2:  # YCCK
+            y, cb, cr, k = full
+            c = np.clip(y + 1.402 * (cr - 128.0), 0.0, 255.0)
+            m = np.clip(
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                0.0,
+                255.0,
+            )
+            ye = np.clip(y + 1.772 * (cb - 128.0), 0.0, 255.0)
+        elif adobe in (None, 0):  # CMYK stored directly
+            c, m, ye, k = (np.clip(p, 0.0, 255.0) for p in full)
+        else:
+            raise NotImplementedError(
+                f"Adobe color transform {adobe} for 4-component JPEG"
+            )
+        k = np.clip(k, 0.0, 255.0)
+        return np.floor(
+            np.stack([c * k, m * k, ye * k], axis=-1) / 255.0 + 0.5
+        )
+
+    def _prog_reconstruct(frame, geom, coefs, qt, adobe=None):
         """Dequantize + IDCT + upsample + color-convert the
         accumulated coefficients ONCE, vectorized over every block
         (einsum over (blocks_y, blocks_x, 8, 8) — no per-block Python
         IDCT), mirroring the baseline decoder's output conventions
         exactly (replication upsampling, BT.601 full-range,
         round-clip-uint8; 12-bit grayscale shifts by 2048, clips to
-        4095, returns uint16 like the baseline path)."""
+        4095, returns uint16 like the baseline path; Adobe
+        CMYK/YCCK via the shared ``_jpeg_color_out``)."""
         hgt, wdt, comps, prec = frame
         level = float(1 << (prec - 1))
         nch = len(comps)
@@ -1402,18 +1467,7 @@ def _make_content_decoders():
                 np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
             )
             full.append(up[:hgt, :wdt])
-        if nch == 1:
-            out = full[0][..., np.newaxis]
-        else:
-            y, cb, cr = full
-            out = np.stack(
-                [
-                    y + 1.402 * (cr - 128.0),
-                    y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
-                    y + 1.772 * (cb - 128.0),
-                ],
-                axis=-1,
-            )
+        out = _jpeg_color_out(full, nch, adobe)
         return np.clip(np.round(out), 0, (1 << prec) - 1).astype(
             np.uint16 if prec == 12 else np.uint8
         )
@@ -1438,6 +1492,7 @@ def _make_content_decoders():
         frame = None
         geom = coefs = None
         dri = 0
+        adobe = None
         nscans = 0
         pos = 2
         while pos + 2 <= len(b):
@@ -1471,6 +1526,8 @@ def _make_content_decoders():
                 if len(seg) < 2:
                     raise ValueError("truncated DRI")
                 (dri,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xEE:
+                adobe = _parse_app14(seg) if adobe is None else adobe
             elif marker == 0xDA:
                 if frame is None:
                     raise ValueError("JPEG scan before SOF")
@@ -1502,7 +1559,9 @@ def _make_content_decoders():
         for
         GRAYSCALE, baseline AND progressive (16-bit DQT tables, DC
         categories to 15, 2048 level shift, uint16 output — the
-        medical/scientific shape); 12-bit color and arithmetic
+        medical/scientific shape); FOUR-COMPONENT Adobe CMYK/YCCK
+        (APP14 transform flag, inverted-ink convention) decodes to
+        RGB via ``_jpeg_color_out``; 12-bit color and arithmetic
         coding stay behind NotImplementedError; truncation and spec
         violations raise ValueError (strict-poison, like the other
         decoders)."""
@@ -1510,7 +1569,9 @@ def _make_content_decoders():
         if b[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG container")
         try:
-            qt, huff, frame, dri, smap, scan_start = _jpeg_segments(b)
+            qt, huff, frame, dri, smap, scan_start, adobe = (
+                _jpeg_segments(b)
+            )
         except _ProgressiveSOF:
             return _jpeg_progressive(b)
         if frame is None:
@@ -1519,7 +1580,7 @@ def _make_content_decoders():
         if hgt == 0 or wdt == 0:
             raise ValueError("zero-dimension JPEG")
         nch = len(comps)
-        if nch not in (1, 3):
+        if nch not in (1, 3, 4):
             raise NotImplementedError(f"{nch}-component JPEG")
         if prec == 12 and nch != 1:
             raise NotImplementedError(
@@ -1634,18 +1695,7 @@ def _make_content_decoders():
                 np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
             )
             full.append(up[:hgt, :wdt])
-        if nch == 1:
-            out = full[0][..., np.newaxis]
-        else:
-            y, cb, cr = full
-            out = np.stack(
-                [
-                    y + 1.402 * (cr - 128.0),
-                    y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
-                    y + 1.772 * (cb - 128.0),
-                ],
-                axis=-1,
-            )
+        out = _jpeg_color_out(full, nch, adobe)
         return np.clip(np.round(out), 0, max_sample).astype(
             np.uint16 if prec == 12 else np.uint8
         )
@@ -2463,6 +2513,114 @@ def _make_dc_jpeg12():
         )
 
     return dc_jpeg12
+
+
+def _make_dc_jpeg_cmyk():
+    """``cmyk_jpeg(dcs, transform) -> bytes``: a 16×8 FOUR-COMPONENT
+    DC-only baseline JPEG with an Adobe APP14 marker carrying the
+    color-transform flag (0 = CMYK planes stored directly, 2 = YCCK).
+    Flat q=16 table shared by all components, 1×1 sampling (one block
+    per component per MCU, two MCUs), genuinely Huffman-coded
+    interleaved Ns=4 scan. Each decoded plane is uniformly
+    ``128 + 2·dc`` exactly, so the decoder's APP14 dispatch +
+    inverted-ink CMYK→RGB math has a closed form a SQL oracle
+    recomputes from the dcs alone."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(body) + 2)
+            + body
+        )
+
+    def cmyk_jpeg(dcs, transform: int) -> bytes:
+        app14 = seg(
+            0xEE,
+            b"Adobe" + struct.pack(">HHH", 100, 0, 0)
+            + bytes([transform]),
+        )
+        dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
+        dht_dc = seg(
+            0xC4,
+            bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12)
+            + bytes(range(12)),
+        )
+        dht_ac = seg(
+            0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0])
+        )
+        sof = seg(
+            0xC0,
+            bytes([8]) + struct.pack(">HH", 8, 16) + bytes([4])
+            + b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3, 4)),
+        )
+        sos = seg(
+            0xDA,
+            bytes([4])
+            + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3, 4))
+            + bytes([0, 63, 0]),
+        )
+        bits: list[int] = []
+
+        def put(v: int, n: int) -> None:
+            bits.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
+
+        for mcu in range(2):  # 16x8 at 1x1 sampling = two MCUs
+            for ci in range(4):
+                d = dcs[ci] if mcu == 0 else 0  # diff vs predictor
+                s = abs(d).bit_length()
+                put(s, 4)
+                if s:
+                    put(d if d > 0 else d + (1 << s) - 1, s)
+                put(0, 1)  # EOB
+        bits += [1] * ((-len(bits)) % 8)
+        scan = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for bit in bits[i : i + 8]:
+                byte = (byte << 1) | bit
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0x00)
+        return (
+            b"\xff\xd8" + app14 + dqt + dht_dc + dht_ac + sof + sos
+            + bytes(scan) + b"\xff\xd9"
+        )
+
+    return cmyk_jpeg
+
+
+def synthesize_cmyk_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL 4-component Adobe JPEGs with closed-form
+    decoded content: per doc_id four DC values
+    ``dc_i = (doc_id·7 + 13·i) mod 100 − 50`` (plane_i uniformly
+    ``128 + 2·dc_i``); even doc_ids carry APP14 transform **0**
+    (CMYK planes stored directly), odd ones transform **2** (YCCK:
+    first three planes go through BT.601 to inverted CMY). Both
+    variants land in the same inverted-ink → RGB math
+    (``_jpeg_color_out``), so one oracle covers the APP14 dispatch
+    AND both transform paths."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        cmyk_jpeg = _make_dc_jpeg_cmyk()
+
+        def payload(d: int) -> bytes:
+            dcs = [(d * 7 + 13 * i) % 100 - 50 for i in range(4)]
+            return cmyk_jpeg(dcs, 0 if d % 2 == 0 else 2)
+
+        for pdf in it:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [payload(d) for d in ids],
+                    "media_type": ["image"] * len(ids),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def synthesize_jpeg12_media(docs: DataFrame) -> DataFrame:

@@ -8216,6 +8216,74 @@ FROM documents
 """
 
 
+def q_jpeg_cmyk_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL 4-component Adobe CMYK/YCCK JPEG decode, oracle-checked
+    (operators/multimodal.py APP14 dispatch + inverted-ink CMYK→RGB,
+    round 10 — previously a typed NotImplementedError boundary and
+    the most common refusal in the wild: print/Adobe pipelines). Per
+    document a genuine Huffman-coded 16×8 four-component DC-only
+    JPEG (synthesize_cmyk_jpeg_media): even doc_ids APP14 transform 0
+    (CMYK planes stored directly), odd transform 2 (YCCK through
+    BT.601). Uniform planes 128+2·dc give the RGB output a closed
+    form the oracle recomputes from doc_id alone — floor(x+0.5)
+    rounding in both engines, with every pre-floor value ≥0.005 from
+    a boundary by construction (audited over the full dc cycle)."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        multimodal as MM,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    media = MM.synthesize_cmyk_jpeg_media(docs)
+    return MM.extract_decoded_stats(media).select(
+        F.col("media_id").alias("doc_id"),
+        "format",
+        "n_units",
+        "content_sum",
+        "content_min",
+        "content_max",
+        "top_row_sum",
+    )
+
+
+_JPEG_CMYK_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         128 + 2 * (((doc_id * 7 + 13 * 0) % 100) - 50) AS p0,
+         128 + 2 * (((doc_id * 7 + 13 * 1) % 100) - 50) AS p1,
+         128 + 2 * (((doc_id * 7 + 13 * 2) % 100) - 50) AS p2,
+         128 + 2 * (((doc_id * 7 + 13 * 3) % 100) - 50) AS p3
+  FROM documents),
+st AS (
+  SELECT doc_id, CAST(p3 AS DOUBLE) AS kst,
+         CASE WHEN doc_id % 2 = 0 THEN CAST(p0 AS DOUBLE)
+              ELSE LEAST(GREATEST(p0 + 1.402 * (p2 - 128), 0.0), 255.0)
+         END AS cst,
+         CASE WHEN doc_id % 2 = 0 THEN CAST(p1 AS DOUBLE)
+              ELSE LEAST(GREATEST(
+                p0 - 0.344136 * (p1 - 128) - 0.714136 * (p2 - 128),
+                0.0), 255.0)
+         END AS mst,
+         CASE WHEN doc_id % 2 = 0 THEN CAST(p2 AS DOUBLE)
+              ELSE LEAST(GREATEST(p0 + 1.772 * (p1 - 128), 0.0), 255.0)
+         END AS yst
+  FROM p),
+rgb AS (
+  SELECT doc_id,
+         CAST(floor(cst * kst / 255.0 + 0.5) AS BIGINT) AS r,
+         CAST(floor(mst * kst / 255.0 + 0.5) AS BIGINT) AS g,
+         CAST(floor(yst * kst / 255.0 + 0.5) AS BIGINT) AS b
+  FROM st)
+SELECT doc_id,
+       'jpeg' AS format,
+       CAST(384 AS BIGINT) AS n_units,
+       CAST(128 * (r + g + b) AS BIGINT) AS content_sum,
+       CAST(least(r, g, b) AS BIGINT) AS content_min,
+       CAST(greatest(r, g, b) AS BIGINT) AS content_max,
+       CAST(16 * (r + g + b) AS BIGINT) AS top_row_sum
+FROM rgb
+"""
+
+
 def q_bmp_wav_variants_stats(spark: SparkSession, sf: str) -> DataFrame:
     """REAL decode of the round-9 BMP/WAV variant paths,
     oracle-checked (operators/multimodal.py bmp/wav decoders +
@@ -9454,6 +9522,7 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "jpeg12_decode_stats": QueryDef(
         q_jpeg12_decode_stats, _JPEG12_DECODE_SQL
     ),
+    "jpeg_cmyk_stats": QueryDef(q_jpeg_cmyk_stats, _JPEG_CMYK_SQL),
     "bmp_wav_variants_stats": QueryDef(
         q_bmp_wav_variants_stats, _BMP_WAV_VARIANTS_SQL
     ),
@@ -9527,8 +9596,10 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
 # re-verified by tools/verify_parity.py at HEAD each round).
 _WINDOW_FRONT: list[str] = [
     # new in round 10: the scale-safe ANN near-dup form (r9 verdict's
-    # lead task — n_planes ~ log2 N, two OR-composed bands)
+    # lead task — n_planes ~ log2 N, two OR-composed bands) and the
+    # 4-component Adobe CMYK/YCCK JPEG decode leg
     "embedding_near_dup_scaled",
+    "jpeg_cmyk_stats",
     # new in round 9 (palette/sub-byte/Adam7 PNG, interlaced GIF,
     # 16-bit PNG — the round-8 shipped-untested decode surface, now
     # oracle-fronted) and 12-bit grayscale baseline JPEG
@@ -9584,11 +9655,10 @@ _WINDOW_FRONT: list[str] = [
     "dv_partitioned_delete_sim",
     "media_decode_stats",
     "kmv_distinct_customers",
-    "hist_quantile_maintenance",
     # evicted to keep the window at 50: doc_repetition_signals,
     # domain_mixture_weights, sequence_packing (green r8 rows),
-    # contamination_ngram_overlap (green r09 row) — all still in the
-    # registry + parity gate
+    # contamination_ngram_overlap, hist_quantile_maintenance (green
+    # r09 rows) — all still in the registry + parity gate
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

@@ -205,8 +205,10 @@ def main() -> None:
         # round-10: the scale-safe ANN near-dup form (n_planes ~ log2 N,
         # two OR-composed bands) priced alongside the frozen single-band
         # embedding_near_dup_pairs headline leg so the Σ bucket² fix has
-        # a round-over-round number
+        # a round-over-round number; and the 4-component Adobe CMYK/YCCK
+        # JPEG decode leg
         "embedding_near_dup_scaled",
+        "jpeg_cmyk_stats",
     ]
     extras: dict[str, float] = {}
     for rep in range(reps):

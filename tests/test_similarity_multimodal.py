@@ -2276,6 +2276,192 @@ def _jpeg_sof_header(subsampled):
     )
 
 
+def test_jpeg_cmyk_and_ycck_decode():
+    """4-component Adobe JPEG (round 10): APP14 transform 0 (CMYK
+    planes stored directly) and 2 (YCCK) both decode to RGB under the
+    inverted-ink convention; a 4-component frame WITHOUT APP14
+    defaults to CMYK (the libjpeg convention); a nonsense transform
+    raises the typed refusal."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    _, _, _, _, jpeg = MM._make_content_decoders()
+    mk = MM._make_dc_jpeg_cmyk()
+
+    def expect(dcs, transform):
+        p = [128.0 + 2 * d for d in dcs]
+        if transform == 0:
+            c, m, y, k = p
+        else:
+            yy, cb, cr, k = p
+            c = min(max(yy + 1.402 * (cr - 128.0), 0.0), 255.0)
+            m = min(
+                max(
+                    yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                    0.0,
+                ),
+                255.0,
+            )
+            y = min(max(yy + 1.772 * (cb - 128.0), 0.0), 255.0)
+        return tuple(
+            math.floor(v * k / 255.0 + 0.5) for v in (c, m, y)
+        )
+
+    for dcs, transform in [
+        ([10, -20, 30, 40], 0),
+        ([10, -20, 30, 40], 2),
+        ([-50, 49, -1, 0], 0),
+        ([25, 5, -35, 45], 2),
+    ]:
+        px = jpeg(mk(dcs, transform))
+        assert px.shape == (8, 16, 3) and px.dtype == np.uint8
+        assert {tuple(v) for row in px for v in row} == {
+            expect(dcs, transform)
+        }
+
+    # APP14 absent -> CMYK default: strip the APP14 segment (it is
+    # the first marker after SOI, 2 + 2 + 14 bytes long)
+    payload = mk([10, -20, 30, 40], 0)
+    assert payload[2:4] == b"\xff\xee"
+    stripped = payload[:2] + payload[4 + 14 :]
+    assert np.array_equal(jpeg(stripped), jpeg(payload))
+
+    # transform=1 (YCbCr) on a 4-component frame: typed refusal
+    with pytest.raises(NotImplementedError, match="transform"):
+        jpeg(mk([10, -20, 30, 40], 1))
+
+
+def test_jpeg_adobe_rgb_three_component():
+    """A 3-component frame with APP14 transform=0 stores RGB planes
+    directly (no BT.601 step) — the other side of the Adobe dispatch."""
+    import struct
+
+    import numpy as np
+
+    _, _, _, _, jpeg = MM._make_content_decoders()
+    base = MM._make_dc_jpeg()(14)  # grayscale: uniform 156
+
+    # splice a 3-component SOF/SOS around the same DC tables: easier
+    # to build from the CMYK builder by dropping component 4
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
+    dht_dc = seg(
+        0xC4, bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+    )
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0]))
+    sof = seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", 8, 16) + bytes([3])
+        + b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3)),
+    )
+    sos = seg(
+        0xDA,
+        bytes([3]) + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+        + bytes([0, 63, 0]),
+    )
+    bits = []
+
+    def put(v, n):
+        bits.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
+
+    dcs = [10, -20, 30]
+    for mcu in range(2):
+        for ci in range(3):
+            d = dcs[ci] if mcu == 0 else 0
+            s = abs(d).bit_length()
+            put(s, 4)
+            if s:
+                put(d if d > 0 else d + (1 << s) - 1, s)
+            put(0, 1)
+    bits += [1] * ((-len(bits)) % 8)
+    scan = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for bit in bits[i : i + 8]:
+            byte = (byte << 1) | bit
+        scan.append(byte)
+        if byte == 0xFF:
+            scan.append(0x00)
+    body = dqt + dht_dc + dht_ac + sof + sos + bytes(scan) + b"\xff\xd9"
+    rgb_app14 = seg(0xEE, b"Adobe" + struct.pack(">HHH", 100, 0, 0) + bytes([0]))
+    px_rgb = jpeg(b"\xff\xd8" + rgb_app14 + body)
+    # transform=0: planes ARE RGB -> uniform (148, 88, 188)
+    assert {tuple(v) for row in px_rgb for v in row} == {(148, 88, 188)}
+    # without APP14 the same payload goes through BT.601 (different)
+    px_ycc = jpeg(b"\xff\xd8" + body)
+    assert not np.array_equal(px_rgb, px_ycc)
+    assert base is not None  # silence unused (sanity that helper works)
+
+
+def test_jpeg_cmyk_multiscan_sequential():
+    """4-component sequential JPEG whose components arrive one scan
+    each (Ns=1 x4) — drives the multiscan accumulator + the shared
+    _prog_reconstruct through the new 4-component color path."""
+    import math
+    import struct
+
+    import numpy as np
+
+    _, _, _, _, jpeg = MM._make_content_decoders()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def one_comp_scan(cid, dc):
+        sos = seg(0xDA, bytes([1, cid, 0x00, 0, 63, 0]))
+        bits = []
+
+        def put(v, n):
+            bits.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
+
+        for blk in range(2):  # niw=2 blocks (16 wide, 1x1 sampling)
+            d = dc if blk == 0 else 0
+            s = abs(d).bit_length()
+            put(s, 4)
+            if s:
+                put(d if d > 0 else d + (1 << s) - 1, s)
+            put(0, 1)
+        bits += [1] * ((-len(bits)) % 8)
+        scan = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for bit in bits[i : i + 8]:
+                byte = (byte << 1) | bit
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0x00)
+        return sos + bytes(scan)
+
+    dcs = [10, -20, 30, 40]
+    app14 = seg(0xEE, b"Adobe" + struct.pack(">HHH", 100, 0, 0) + bytes([2]))
+    dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
+    dht_dc = seg(
+        0xC4, bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+    )
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0]))
+    sof = seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", 8, 16) + bytes([4])
+        + b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3, 4)),
+    )
+    payload = (
+        b"\xff\xd8" + app14 + dqt + dht_dc + dht_ac + sof
+        + b"".join(one_comp_scan(cid, dcs[cid - 1]) for cid in (1, 2, 3, 4))
+        + b"\xff\xd9"
+    )
+    px = jpeg(payload)
+    # same closed form as the interleaved builder at transform=2
+    interleaved = jpeg(MM._make_dc_jpeg_cmyk()(dcs, 2))
+    assert np.array_equal(px, interleaved)
+    yy, cb, cr, k = (128.0 + 2 * d for d in dcs)
+    c = min(max(yy + 1.402 * (cr - 128.0), 0.0), 255.0)
+    assert px[0, 0, 0] == math.floor(c * k / 255.0 + 0.5)
+
+
 def test_native_xcheck_skips_pure_undecodable_variants():
     """A variant only the native codec can decode (pure raises
     NotImplementedError/ValueError) must NOT leak the pure decoder's
