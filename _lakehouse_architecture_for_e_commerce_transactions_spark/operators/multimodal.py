@@ -193,12 +193,13 @@ def _make_content_decoders():
       table, extension blocks skipped, four-pass interlace row
       scatter. Returns an (H, W, 3) uint8 RGB array.
 
-    Unsupported variants (compressed/1-2-bit BMP, non-16-bit-PCM
+    Unsupported variants (BI_BITFIELDS/1-2-bit BMP, non-16-bit-PCM
     non-float32 WAV, 12-bit COLOR JPEG, arithmetic-coded JPEG) raise
     NotImplementedError — the header-only path still covers them.
-    4/8-bit paletted BMP, 32-bit IEEE-float WAV (decoded into the
-    int16 sample domain via v·32768 clipped) and 12-bit GRAYSCALE
-    JPEG (baseline and progressive) decode for real.
+    4/8-bit paletted BMP, BI_RLE8/BI_RLE4 compressed BMP, 32-bit
+    IEEE-float WAV (decoded into the int16 sample domain via v·32768
+    clipped), 12-bit GRAYSCALE JPEG (baseline and progressive) and
+    4-component Adobe CMYK/YCCK JPEG decode for real.
     """
     import struct
     import zlib
@@ -282,6 +283,76 @@ def _make_content_decoders():
             _lut_cache[items] = out
         return out
 
+    def _bmp_rle_indices(data: bytes, w: int, hh: int, bpp: int):
+        """Decode a BI_RLE8/BI_RLE4 pixel stream into an (hh, w) index
+        raster in STORED (bottom-up) row order. The three escapes are
+        honored: 0=end-of-line, 1=end-of-bitmap, 2=delta (cursor move;
+        skipped pixels keep index 0, the spec's 'undefined' that every
+        decoder renders as entry 0); count>0 is an encoded run (RLE4
+        alternates the byte's two nibbles), escape>=3 is absolute mode
+        (literal indices, word-aligned). A run painting past the row or
+        bitmap, a truncated stream, or a missing end-of-bitmap raises
+        ValueError (strict-poison). Cost is O(runs) Python steps with
+        numpy slice fills — decompression output is bounded by the
+        header's w*hh before any byte is read."""
+        idx = np.zeros((hh, w), np.uint8)
+        x = y = i = 0
+        n = len(data)
+        while i + 1 < n:
+            cnt, val = data[i], data[i + 1]
+            i += 2
+            if cnt > 0:  # encoded run
+                if y >= hh or x + cnt > w:
+                    raise ValueError("BMP RLE run past row/bitmap end")
+                if bpp == 8:
+                    idx[y, x : x + cnt] = val
+                else:
+                    pair = np.array(
+                        [val >> 4, val & 0x0F], np.uint8
+                    )
+                    idx[y, x : x + cnt] = np.tile(
+                        pair, (cnt + 1) // 2
+                    )[:cnt]
+                x += cnt
+            elif val == 0:  # end of line
+                x, y = 0, y + 1
+            elif val == 1:  # end of bitmap
+                return idx
+            elif val == 2:  # delta
+                if i + 2 > n:
+                    raise ValueError("truncated BMP RLE delta")
+                x += data[i]
+                y += data[i + 1]
+                i += 2
+                if x > w or y > hh:
+                    raise ValueError("BMP RLE delta past bitmap")
+            else:  # absolute mode: val literal indices
+                cnt = val
+                if y >= hh or x + cnt > w:
+                    raise ValueError(
+                        "BMP RLE absolute run past row/bitmap end"
+                    )
+                if bpp == 8:
+                    nb = (cnt + 1) // 2 * 2  # pad to word boundary
+                    if i + nb > n:
+                        raise ValueError("truncated BMP RLE absolute run")
+                    idx[y, x : x + cnt] = np.frombuffer(
+                        data, np.uint8, cnt, i
+                    )
+                else:
+                    nbytes = (cnt + 1) // 2
+                    nb = (nbytes + 1) // 2 * 2  # pad to word boundary
+                    if i + nb > n:
+                        raise ValueError("truncated BMP RLE absolute run")
+                    byts = np.frombuffer(data, np.uint8, nbytes, i)
+                    nibs = np.empty(nbytes * 2, np.uint8)
+                    nibs[0::2] = byts >> 4
+                    nibs[1::2] = byts & 0x0F
+                    idx[y, x : x + cnt] = nibs[:cnt]
+                i += nb
+                x += cnt
+        raise ValueError("BMP RLE stream missing end-of-bitmap")
+
     def bmp(payload: bytes):
         b = bytes(payload)
         if b[:2] != b"BM" or len(b) < 34:
@@ -290,11 +361,16 @@ def _make_content_decoders():
         w, h = struct.unpack("<ii", b[18:26])
         (bpp,) = struct.unpack("<H", b[28:30])
         (comp,) = struct.unpack("<I", b[30:34])
-        if bpp not in (4, 8, 24) or comp != 0:
+        if comp not in (0, 1, 2) or (comp == 0 and bpp not in (4, 8, 24)):
             raise NotImplementedError(
-                "pure-Python pixel decode covers uncompressed 24-bit "
-                "and 4/8-bit PALETTED BMP only "
+                "pure-Python pixel decode covers uncompressed 24-bit, "
+                "4/8-bit PALETTED and BI_RLE8/BI_RLE4 BMP only "
                 f"(got bpp={bpp}, compression={comp})"
+            )
+        if comp and bpp != (8 if comp == 1 else 4):
+            raise ValueError(
+                f"BI_RLE{8 if comp == 1 else 4} requires "
+                f"bpp={8 if comp == 1 else 4}, got {bpp}"
             )
         top_down, hh = h < 0, abs(h)
         if bpp in (4, 8):
@@ -313,19 +389,28 @@ def _make_content_decoders():
                               offset=pal_off)
                 .reshape(n_pal, 4)[:, 2::-1]  # BGR(A) → RGB
             )
-            stride = (w * bpp + 31) // 32 * 4  # rows pad to 4 bytes
-            if off + stride * hh > len(b):
-                raise ValueError("truncated BMP pixel data")
-            raw = np.frombuffer(
-                b, np.uint8, count=stride * hh, offset=off
-            ).reshape(hh, stride)
-            if bpp == 8:
-                idx = raw[:, :w]
+            if comp:  # BI_RLE8 / BI_RLE4
+                if top_down:
+                    raise ValueError("top-down RLE BMP is invalid")
+                if w * hh * 3 > max_decode_bytes:
+                    raise ValueError(
+                        "BMP too large for pure-Python decode"
+                    )
+                idx = _bmp_rle_indices(b[off:], w, hh, bpp)
             else:
-                nib = np.empty((hh, stride * 2), np.uint8)
-                nib[:, 0::2] = raw >> 4
-                nib[:, 1::2] = raw & 0x0F
-                idx = nib[:, :w]
+                stride = (w * bpp + 31) // 32 * 4  # rows pad to 4 bytes
+                if off + stride * hh > len(b):
+                    raise ValueError("truncated BMP pixel data")
+                raw = np.frombuffer(
+                    b, np.uint8, count=stride * hh, offset=off
+                ).reshape(hh, stride)
+                if bpp == 8:
+                    idx = raw[:, :w]
+                else:
+                    nib = np.empty((hh, stride * 2), np.uint8)
+                    nib[:, 0::2] = raw >> 4
+                    nib[:, 1::2] = raw & 0x0F
+                    idx = nib[:, :w]
             if int(idx.max(initial=0)) >= n_pal:
                 raise ValueError("BMP index outside color table")
             px = pal[idx]
@@ -2662,11 +2747,18 @@ def synthesize_bmp_wav_variant_media(docs: DataFrame) -> DataFrame:
     """Deterministic REAL containers for the round-9 BMP/WAV variant
     decode paths, by ``doc_id mod 2``:
 
-    * 0 → 8-bit PALETTED BMP, 8×4, stored bottom-up: LOGICAL raster
+    * 0 → PALETTED BMP, 8×4, stored bottom-up: LOGICAL raster
       position ``i`` carries palette index ``(doc_id·3 + i) mod 16``;
       color-table entry ``j`` decodes to RGB ``(10j, 5j, 3j)``.
       ``top_row_sum`` (logical row 0 = the LAST stored row) pins the
-      bottom-up flip through the palette path.
+      bottom-up flip through the palette path. The CONTAINER rotates
+      by ``doc_id mod 8`` over the SAME index raster (round 10):
+      0/4 → uncompressed 8-bit, 2 → **BI_RLE8**, 6 → **BI_RLE4** —
+      the RLE streams alternate absolute-mode and encoded-run rows,
+      carry a content-neutral delta escape and end-of-line/bitmap
+      escapes, and must decode to identical pixels, so the one
+      closed-form oracle covers all three containers and any
+      container-specific drift breaks the hash.
     * 1 → 32-bit IEEE-FLOAT mono WAV, 128 samples: sample ``i`` is
       the dyadic float ``k/32768`` with
       ``k = ((doc_id·13 + i·37) mod 65536) − 32768``, which the
@@ -2678,6 +2770,52 @@ def synthesize_bmp_wav_variant_media(docs: DataFrame) -> DataFrame:
         import struct
 
         import pandas as _pd
+
+        def bmp_rle_payload(d: int, bpp: int) -> bytes:
+            """Same raster as ``bmp8_payload`` in a BI_RLE8 (bpp=8) or
+            BI_RLE4 (bpp=4) container: even stored rows absolute-mode,
+            odd rows encoded runs, a (0,0) delta escape opening stored
+            row 1, EOL after every row, EOB at the end."""
+            w, h = 8, 4
+            pal = b"".join(
+                bytes([3 * j, 5 * j, 10 * j, 0]) for j in range(16)
+            )
+            stream = bytearray()
+            for r in range(h):  # stored order: bottom-up
+                y = h - 1 - r  # logical row
+                row = [(d * 3 + y * w + x) % 16 for x in range(w)]
+                if r == 1:
+                    stream += bytes([0, 2, 0, 0])  # delta: no-op move
+                if r % 2 == 0:  # absolute mode (count 8: word-aligned)
+                    if bpp == 8:
+                        stream += bytes([0, 8]) + bytes(row)
+                    else:
+                        stream += bytes([0, 8]) + bytes(
+                            (row[i] << 4) | row[i + 1]
+                            for i in range(0, 8, 2)
+                        )
+                else:  # encoded runs
+                    if bpp == 8:
+                        for v in row:
+                            stream += bytes([1, v])
+                    else:
+                        for i in range(0, 8, 2):
+                            stream += bytes(
+                                [2, (row[i] << 4) | row[i + 1]]
+                            )
+                stream += bytes([0, 0])  # end of line
+            stream += bytes([0, 1])  # end of bitmap
+            body = bytes(stream)
+            off = 54 + len(pal)
+            header = b"BM" + struct.pack(
+                "<IHHI", off + len(body), 0, 0, off
+            )
+            dib = struct.pack(
+                "<IiiHHIIiiII",
+                40, w, h, 1, bpp, 1 if bpp == 8 else 2,
+                len(body), 2835, 2835, 16, 16,
+            )
+            return header + dib + pal + body
 
         def bmp8_payload(d: int) -> bytes:
             w, h = 8, 4
@@ -2716,7 +2854,13 @@ def synthesize_bmp_wav_variant_media(docs: DataFrame) -> DataFrame:
             )
 
         def payload(d: int) -> bytes:
-            return (bmp8_payload, wavf_payload)[d % 2](d)
+            if d % 2:
+                return wavf_payload(d)
+            if d % 8 == 2:
+                return bmp_rle_payload(d, 8)
+            if d % 8 == 6:
+                return bmp_rle_payload(d, 4)
+            return bmp8_payload(d)
 
         for pdf in it:
             ids = [int(x) for x in pdf["doc_id"]]

@@ -417,8 +417,10 @@ def test_bmp_full_pixel_decode_real_bytes():
         [list(pal[i]) for i in row] for row in idx4
     ]
 
-    # compressed (RLE) BMPs stay behind NotImplementedError
-    dibc = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, 0,
+    # BI_RLE8/RLE4 decode for real since round 10
+    # (test_bmp_rle8_and_rle4_decode); BI_BITFIELDS (comp=3) stays a
+    # typed refusal
+    dibc = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 3, 0,
                        2835, 2835, 0, 0)
     with pytest.raises(NotImplementedError):
         MM.decode_bmp_pixels(hdr + dibc + body)
@@ -2274,6 +2276,116 @@ def _jpeg_sof_header(subsampled):
     return (
         b"\xff\xd8\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     )
+
+
+def _rle_bmp(stream: bytes, w: int, h: int, bpp: int, comp: int) -> bytes:
+    import struct
+
+    pal = b"".join(bytes([3 * j, 5 * j, 10 * j, 0]) for j in range(16))
+    off = 54 + len(pal)
+    header = b"BM" + struct.pack("<IHHI", off + len(stream), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, comp, len(stream),
+        2835, 2835, 16, 16,
+    )
+    return header + dib + pal + stream
+
+
+def test_bmp_rle8_and_rle4_decode():
+    """BI_RLE8/BI_RLE4: encoded runs, absolute mode (word-aligned),
+    EOL/EOB escapes, bottom-up flip through the palette — decoded
+    pixels must equal the uncompressed-paletted rendering of the same
+    index raster."""
+    import numpy as np
+
+    bmp, _, _, _, _ = MM._make_content_decoders()
+
+    # 4x2 raster, logical rows: [1,2,3,4] / [5,6,7,8] -> stored
+    # bottom-up: row0=[5,6,7,8] (absolute mode), row1=[1,2,3,4]
+    # (encoded single-pixel runs), EOL between, EOB at the end
+    s8 = (
+        bytes([0, 4, 5, 6, 7, 8])           # absolute, count 4 (even)
+        + bytes([0, 0])                      # EOL
+        + bytes([1, 1, 1, 2, 1, 3, 1, 4])    # runs (1,v) each
+        + bytes([0, 0, 0, 1])                # EOL + EOB
+    )
+    px8 = bmp(_rle_bmp(s8, 4, 2, 8, 1))
+    pal = np.array(
+        [[10 * j, 5 * j, 3 * j] for j in range(16)], np.uint8
+    )
+    want = pal[np.array([[1, 2, 3, 4], [5, 6, 7, 8]])]
+    assert np.array_equal(px8, want)
+
+    # same raster as RLE4: encoded runs alternate the byte's nibbles
+    s4 = (
+        bytes([0, 4, 0x56, 0x78])           # absolute, 2 packed bytes
+        + bytes([0, 0])
+        + bytes([2, 0x12, 2, 0x34])         # runs of 2: [1,2], [3,4]
+        + bytes([0, 0, 0, 1])
+    )
+    px4 = bmp(_rle_bmp(s4, 4, 2, 4, 2))
+    assert np.array_equal(px4, want)
+
+    # odd-count encoded RLE4 run: [9,5,9] from one byte's nibbles
+    s4odd = (
+        bytes([3, 0x95, 1, 0x20])           # row: 9,5,9 then single 2
+        + bytes([0, 0])                      # (high nibble first)
+        + bytes([4, 0x11, 0, 0])            # second stored row: all 1
+        + bytes([0, 1])
+    )
+    px = bmp(_rle_bmp(s4odd, 4, 2, 4, 2))
+    assert np.array_equal(px[1], pal[np.array([9, 5, 9, 2])])
+    assert np.array_equal(px[0], pal[np.array([1, 1, 1, 1])])
+
+
+def test_bmp_rle_delta_and_short_rows_fill_zero():
+    """The delta escape moves the cursor; skipped pixels (and rows
+    ended early) keep palette index 0 — the conventional rendering of
+    the spec's 'undefined' pixels."""
+    import numpy as np
+
+    bmp, _, _, _, _ = MM._make_content_decoders()
+    stream = (
+        bytes([1, 7])           # stored row 0: one pixel of 7
+        + bytes([0, 2, 2, 1])   # delta: right 2, up 1 (skips rest)
+        + bytes([1, 9])         # stored row 1, x=3: one pixel of 9
+        + bytes([0, 0])         # EOL
+        + bytes([0, 1])         # EOB (row 2+ untouched -> 0)
+    )
+    px = bmp(_rle_bmp(stream, 4, 3, 8, 1))
+    pal = np.array([[10 * j, 5 * j, 3 * j] for j in range(16)], np.uint8)
+    stored = np.zeros((3, 4), int)
+    stored[0, 0] = 7
+    stored[1, 3] = 9
+    want = pal[stored[::-1]]  # bottom-up flip
+    assert np.array_equal(px, want)
+
+
+def test_bmp_rle_poison_payloads_raise():
+    import pytest
+
+    bmp, _, _, _, _ = MM._make_content_decoders()
+    # run past row end
+    with pytest.raises(ValueError, match="past row"):
+        bmp(_rle_bmp(bytes([6, 1, 0, 1]), 4, 2, 8, 1))
+    # missing end-of-bitmap
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        bmp(_rle_bmp(bytes([1, 1, 0, 0]), 4, 2, 8, 1))
+    # truncated absolute run
+    with pytest.raises(ValueError, match="truncated"):
+        bmp(_rle_bmp(bytes([0, 4, 1, 2]), 4, 2, 8, 1))
+    # delta past bitmap
+    with pytest.raises(ValueError, match="delta past"):
+        bmp(_rle_bmp(bytes([0, 2, 9, 9, 0, 1]), 4, 2, 8, 1))
+    # top-down RLE is invalid
+    with pytest.raises(ValueError, match="top-down"):
+        bmp(_rle_bmp(bytes([0, 1]), 4, -2, 8, 1))
+    # compression/bpp mismatch
+    with pytest.raises(ValueError, match="BI_RLE8"):
+        bmp(_rle_bmp(bytes([0, 1]), 4, 2, 4, 1))
+    # BI_BITFIELDS stays a typed refusal
+    with pytest.raises(NotImplementedError):
+        bmp(_rle_bmp(bytes([0, 1]), 4, 2, 8, 3))
 
 
 def test_jpeg_cmyk_and_ycck_decode():
