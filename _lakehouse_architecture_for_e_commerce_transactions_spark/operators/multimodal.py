@@ -1076,9 +1076,10 @@ def _make_content_decoders():
         ``coefs[cid]`` is the full MCU-padded (blocks_y, blocks_x, 64)
         int32 array in zigzag order."""
         hgt, wdt, comps, prec = frame
-        if prec == 12 and len(comps) != 1:
+        if prec == 12 and len(comps) not in (1, 3):
             raise NotImplementedError(
-                "12-bit progressive JPEG decode covers grayscale only"
+                "12-bit progressive JPEG decode covers grayscale "
+                "and YCbCr color only"
             )
         if hgt == 0 or wdt == 0:
             raise ValueError("zero-dimension JPEG")
@@ -1474,33 +1475,42 @@ def _make_content_decoders():
             )
         return _prog_reconstruct(frame, geom, coefs, qt, adobe)
 
-    def _jpeg_color_out(full, nch, adobe):
+    def _jpeg_color_out(full, nch, adobe, prec=8):
         """Assemble decoded component planes into the output array
         (pre round/clip) — shared by the baseline and progressive
-        reconstructions. 3-component: BT.601 full-range YCbCr→RGB,
-        unless an Adobe APP14 transform=0 declares the planes already
-        RGB. 4-component (the Adobe CMYK family; T.81 defines no color
-        model — the APP14 transform byte decides): transform 2 = YCCK
-        (YCC→CMY through the same BT.601 equations, K untouched),
-        0/absent = CMYK planes stored directly. Either way the stored
-        values follow Adobe's INVERTED-ink convention (stored =
-        255 − ink), so RGB = stored_component · stored_K / 255,
-        rounded half-up via floor(x+0.5) — the engine-portable form a
-        SQL oracle mirrors bit-identically (np.round's half-even would
-        drift at exact .5)."""
+        reconstructions. 3-component: BT.601 full-range YCbCr→RGB
+        with chroma centered at 2^(prec−1) (128 for 8-bit, 2048 for
+        12-bit — the coefficients are precision-independent, only the
+        zero point scales), unless an Adobe APP14 transform=0
+        declares the planes already RGB. 4-component (the Adobe CMYK
+        family; T.81 defines no color model — the APP14 transform
+        byte decides): transform 2 = YCCK (YCC→CMY through the same
+        BT.601 equations, K untouched), 0/absent = CMYK planes stored
+        directly. Either way the stored values follow Adobe's
+        INVERTED-ink convention (stored = max − ink), so RGB =
+        stored_component · stored_K / max, rounded half-up via
+        floor(x+0.5) — the engine-portable form a SQL oracle mirrors
+        bit-identically (np.round's half-even would drift at exact
+        .5). 12-bit CMYK stays a typed refusal (no real-world
+        corpus; YCbCr is the 12-bit color shape)."""
         if nch == 1:
             return full[0][..., np.newaxis]
+        ctr = float(1 << (prec - 1))
         if nch == 3:
             if adobe == 0:
                 return np.stack(full, axis=-1)
             y, cb, cr = full
             return np.stack(
                 [
-                    y + 1.402 * (cr - 128.0),
-                    y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
-                    y + 1.772 * (cb - 128.0),
+                    y + 1.402 * (cr - ctr),
+                    y - 0.344136 * (cb - ctr) - 0.714136 * (cr - ctr),
+                    y + 1.772 * (cb - ctr),
                 ],
                 axis=-1,
+            )
+        if prec != 8:
+            raise NotImplementedError(
+                f"{prec}-bit 4-component (CMYK) JPEG"
             )
         if adobe == 2:  # YCCK
             y, cb, cr, k = full
@@ -1552,7 +1562,7 @@ def _make_content_decoders():
                 np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
             )
             full.append(up[:hgt, :wdt])
-        out = _jpeg_color_out(full, nch, adobe)
+        out = _jpeg_color_out(full, nch, adobe, prec)
         return np.clip(np.round(out), 0, (1 << prec) - 1).astype(
             np.uint16 if prec == 12 else np.uint8
         )
@@ -1667,9 +1677,10 @@ def _make_content_decoders():
         nch = len(comps)
         if nch not in (1, 3, 4):
             raise NotImplementedError(f"{nch}-component JPEG")
-        if prec == 12 and nch != 1:
+        if prec == 12 and nch not in (1, 3):
             raise NotImplementedError(
-                "12-bit JPEG decode covers grayscale only"
+                "12-bit JPEG decode covers grayscale and YCbCr "
+                "color only"
             )
         if wdt * hgt * nch * (2 if prec == 12 else 1) > max_decode_bytes:
             raise ValueError(
@@ -1780,7 +1791,7 @@ def _make_content_decoders():
                 np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
             )
             full.append(up[:hgt, :wdt])
-        out = _jpeg_color_out(full, nch, adobe)
+        out = _jpeg_color_out(full, nch, adobe, prec)
         return np.clip(np.round(out), 0, max_sample).astype(
             np.uint16 if prec == 12 else np.uint8
         )
@@ -2600,6 +2611,75 @@ def _make_dc_jpeg12():
     return dc_jpeg12
 
 
+def _make_dc_jpeg12_color():
+    """``dc_jpeg12_color(dcs) -> bytes``: a 16×8 THREE-COMPONENT
+    **12-bit** baseline DC-only JPEG (Pq=1 flat q=16 table shared,
+    1×1 sampling, 5-bit DC categories, interleaved Ns=3 scan).
+    Plane ``i`` decodes uniformly to ``2048 + 2·dc_i``; the YCbCr
+    conversion then runs at the 12-bit chroma center (2048), so a
+    wrong-center regression (e.g. reusing 128) shifts the output by
+    thousands and cannot hide."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(body) + 2)
+            + body
+        )
+
+    def dc_jpeg12_color(dcs) -> bytes:
+        qtbl = b"".join(struct.pack(">H", 16) for _ in range(64))
+        dqt = seg(0xDB, bytes([0x10]) + qtbl)  # Pq=1, Tq=0
+        dht_dc = seg(
+            0xC4,
+            bytes([0x00]) + bytes([0, 0, 0, 0, 16] + [0] * 11)
+            + bytes(range(16)),
+        )
+        dht_ac = seg(
+            0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0])
+        )
+        sof = seg(
+            0xC0,
+            bytes([12]) + struct.pack(">HH", 8, 16) + bytes([3])
+            + b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3)),
+        )
+        sos = seg(
+            0xDA,
+            bytes([3])
+            + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+            + bytes([0, 63, 0]),
+        )
+        bits: list[int] = []
+
+        def put(v: int, n: int) -> None:
+            bits.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
+
+        for mcu in range(2):  # 16x8 at 1x1 sampling = two MCUs
+            for ci in range(3):
+                d = dcs[ci] if mcu == 0 else 0
+                s = abs(d).bit_length()
+                put(s, 5)
+                if s:
+                    put(d if d > 0 else d + (1 << s) - 1, s)
+                put(0, 1)  # EOB
+        bits += [1] * ((-len(bits)) % 8)
+        scan = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for bit in bits[i : i + 8]:
+                byte = (byte << 1) | bit
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0x00)
+        return (
+            b"\xff\xd8" + dqt + dht_dc + dht_ac + sof + sos
+            + bytes(scan) + b"\xff\xd9"
+        )
+
+    return dc_jpeg12_color
+
+
 def _make_dc_jpeg_cmyk():
     """``cmyk_jpeg(dcs, transform) -> bytes``: a 16×8 FOUR-COMPONENT
     DC-only baseline JPEG with an Adobe APP14 marker carrying the
@@ -2713,21 +2793,29 @@ def synthesize_jpeg12_media(docs: DataFrame) -> DataFrame:
     decoded content: per doc_id a 16×8 image uniformly
     ``2048 + 2·dc`` with ``dc = (doc_id·11) mod 2000 − 1000`` —
     values almost all beyond what any 8-bit path could produce, so a
-    precision regression cannot hide. Even doc_ids emit BASELINE
-    (``_make_dc_jpeg12``), odd ones the PROGRESSIVE three-scan twin
-    (``_make_progressive_dc_jpeg`` at prec=12) — same closed form,
-    one oracle, both 12-bit decode paths in front of the driver."""
+    precision regression cannot hide. ``doc_id mod 4``: 0 → BASELINE
+    grayscale (``_make_dc_jpeg12``), 1/3 → the PROGRESSIVE three-scan
+    twin (``_make_progressive_dc_jpeg`` at prec=12), 2 → baseline
+    THREE-COMPONENT 12-bit COLOR (``_make_dc_jpeg12_color``, round
+    10) with zero chroma DCs, so Cb=Cr=2048 and RGB = (v, v, v)
+    exactly — trivial chroma, but a wrong chroma center (the 8-bit
+    128 instead of 2048) would shift every channel by thousands;
+    n_units becomes 384 for the color rows. One closed-form oracle
+    covers all three 12-bit decode paths."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
         dc_jpeg12 = _make_dc_jpeg12()
+        dc_jpeg12_color = _make_dc_jpeg12_color()
         prog_jpeg = _make_progressive_dc_jpeg()
 
         def payload(d: int) -> bytes:
             dc = (d * 11) % 2000 - 1000
-            if d % 2 == 0:
+            if d % 4 == 0:
                 return dc_jpeg12(dc)
+            if d % 4 == 2:
+                return dc_jpeg12_color([dc, 0, 0])
             return prog_jpeg(dc, prec=12)
 
         for pdf in it:

@@ -8174,15 +8174,18 @@ FROM documents
 
 
 def q_jpeg12_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """REAL 12-BIT baseline-JPEG decode, oracle-checked
-    (operators/multimodal.py jpeg decoder, round-9: Pq=1 16-bit
-    quantization tables, DC categories to 15, 2048 level shift,
-    uint16 output): per document a genuine Huffman-coded 16×8
-    grayscale 12-bit JPEG whose blocks carry only a DC coefficient
-    (synthesize_jpeg12_media). A DC-only block's IDCT is uniform
-    (2048 + 2·dc with the flat q=16 table), so the oracle recomputes
-    every stat from doc_id alone — with values an 8-bit decode path
-    cannot produce, so a precision regression cannot hide."""
+    """REAL 12-BIT JPEG decode, oracle-checked (operators/
+    multimodal.py jpeg decoder: Pq=1 16-bit quantization tables, DC
+    categories to 15, 2048 level shift, uint16 output): per document
+    a genuine Huffman-coded 16×8 12-bit JPEG whose blocks carry only
+    a DC coefficient (synthesize_jpeg12_media) — baseline grayscale,
+    progressive grayscale, or (round 10) baseline THREE-COMPONENT
+    COLOR through the YCbCr conversion at the 12-bit chroma center
+    (2048; color rows use zero chroma DCs so RGB = (v,v,v) exactly,
+    and a wrong-center regression shifts channels by thousands). A
+    DC-only block's IDCT is uniform (2048 + 2·dc with the flat q=16
+    table), so the oracle recomputes every stat from doc_id alone —
+    with values an 8-bit decode path cannot produce."""
     from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
         multimodal as MM,
     )
@@ -8201,18 +8204,19 @@ def q_jpeg12_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _JPEG12_DECODE_SQL = """
+WITH v AS (
+  SELECT doc_id,
+         2048 + 2 * (((doc_id * 11) % 2000) - 1000) AS val,
+         CASE WHEN doc_id % 4 = 2 THEN 3 ELSE 1 END AS nch
+  FROM documents)
 SELECT doc_id,
        'jpeg' AS format,
-       CAST(128 AS BIGINT) AS n_units,
-       CAST((2048 + 2 * (((doc_id * 11) % 2000) - 1000)) * 128 AS BIGINT)
-         AS content_sum,
-       CAST(2048 + 2 * (((doc_id * 11) % 2000) - 1000) AS BIGINT)
-         AS content_min,
-       CAST(2048 + 2 * (((doc_id * 11) % 2000) - 1000) AS BIGINT)
-         AS content_max,
-       CAST((2048 + 2 * (((doc_id * 11) % 2000) - 1000)) * 16 AS BIGINT)
-         AS top_row_sum
-FROM documents
+       CAST(128 * nch AS BIGINT) AS n_units,
+       CAST(val * 128 * nch AS BIGINT) AS content_sum,
+       CAST(val AS BIGINT) AS content_min,
+       CAST(val AS BIGINT) AS content_max,
+       CAST(val * 16 * nch AS BIGINT) AS top_row_sum
+FROM v
 """
 
 
