@@ -7,16 +7,20 @@ GIF / WAV / JPEG dimensions and audio rates in pure Python (magic bytes +
 fixed fields + chunk/segment walks — no codec library needed), and
 ``extract_media_headers`` runs it partition-parallel. Full content
 decode is REAL for ALL FIVE containers
-(``_make_content_decoders``): 24-bit and 8-bit-paletted BMP pixels,
-16-bit PCM and 32-bit IEEE-float WAV samples, PNG at 1/2/4/8/16-bit
+(``_make_content_decoders``): 24-bit, 8-bit-paletted and
+BI_RLE8/BI_RLE4 run-length-compressed BMP pixels, 16-bit PCM and
+32-bit IEEE-float WAV samples, PNG at 1/2/4/8/16-bit
 depths incl. palette and Adam7 interlace (zlib inflate + scanline
 unfiltering), GIF incl. interlace (variable-width LZW + palette,
 frame-addressable for animations), and baseline-sequential +
 progressive JPEG (canonical Huffman decode, dequantize, 8x8 IDCT,
-chroma upsample, YCbCr→RGB, restart markers; 12-bit baseline
-grayscale with 16-bit DQT tables) — pure Python + numpy, no codec
-library. Arithmetic-coded JPEG, 12-bit color/progressive JPEG and
-compressed BMP stay behind NotImplementedError.
+chroma upsample, YCbCr→RGB, restart markers; 12-bit grayscale AND
+3-component YCbCr color at baseline + progressive with 16-bit DQT
+tables; 4-component Adobe CMYK/YCCK via the APP14 transform byte) —
+pure Python + numpy, no codec library. The remaining genuine format
+boundaries stay behind NotImplementedError: arithmetic-coded JPEG
+(SOF9/SOF10 family), 12-bit 4-component CMYK, non-integer chroma
+subsampling ratios, and >4-component frames.
 ``extract_image_meta`` keeps the sha-derived deterministic metadata
 used by the oracle-checked catalog rows.
 
@@ -2024,14 +2028,23 @@ def _make_pixel_decoder(pure: dict, native: dict, xcheck_every: int):
     NotImplementedError (the typed unsupported-variant signal) and
     ValueError (the typed malformed/over-cap signal) only; a pure
     decoder CRASHING (IndexError/KeyError/struct/zlib leaking through)
-    on a payload it should decode is a regression that must surface,
-    not silently disable drift detection. And if EVERY sampled
-    cross-check in a task skipped (≥8 samples), that raises too: a
-    task whose drift detector never actually ran should say so.
+    on a payload it should decode is a regression that is RE-RAISED as
+    NativeDecoderDrift — the stats path's poison catch swallows the
+    raw crash types as per-row NULLs, which would make a sampled crash
+    surface as a nondeterministic NULL instead of a loud failure. If
+    EVERY sampled cross-check for a format skipped (≥8 samples,
+    counted PER FORMAT), a ``warnings.warn`` flags that drift
+    detection never ran for that format in this task — a warning, not
+    a raise, because an all-native-only corpus (every image past the
+    size cap, or all arithmetic-coded) is a legitimate workload.
     Drift raises NativeDecoderDrift, which no poison catch swallows."""
+    import warnings as _warnings
+
     import numpy as _np
 
-    state = {"n": 0, "xchecks": 0, "xskips": 0}
+    state = {"n": 0}
+    xchecks: dict[str, int] = {}
+    xskips: dict[str, int] = {}
 
     def decode(fmt: str, payload: bytes):
         nd = native.get(fmt)
@@ -2040,19 +2053,30 @@ def _make_pixel_decoder(pure: dict, native: dict, xcheck_every: int):
         out = nd(payload)
         state["n"] += 1
         if xcheck_every and state["n"] % xcheck_every == 1 % xcheck_every:
-            state["xchecks"] += 1
+            xchecks[fmt] = xchecks.get(fmt, 0) + 1
             try:
                 ref = pure[fmt](payload)
             except (NotImplementedError, ValueError):
-                state["xskips"] += 1
-                if state["xskips"] == state["xchecks"] >= 8:
-                    raise NativeDecoderDrift(
-                        f"all {state['xchecks']} sampled native-{fmt} "
+                xskips[fmt] = xskips.get(fmt, 0) + 1
+                if xskips[fmt] == xchecks[fmt] >= 8:
+                    _warnings.warn(
+                        f"all {xchecks[fmt]} sampled native-{fmt} "
                         "cross-checks skipped (pure path decoded none "
-                        "of them) — drift detection never ran in this "
-                        "task"
-                    ) from None
+                        "of them) — drift detection never ran for "
+                        f"{fmt} in this task",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                 return out  # pure path can't decode this variant
+            except Exception as exc:
+                # a pure-decoder CRASH on a natively-decodable payload:
+                # surface it loudly and deterministically — the raw
+                # type would be poison-nulled per sample downstream
+                raise NativeDecoderDrift(
+                    f"pure {fmt} decoder crashed on a sampled payload "
+                    f"the native codec decodes "
+                    f"({type(exc).__name__}: {exc})"
+                ) from exc
             why = None
             if tuple(out.shape) != tuple(ref.shape):
                 why = (

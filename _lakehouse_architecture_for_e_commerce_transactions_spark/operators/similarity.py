@@ -247,32 +247,62 @@ def srp_near_dup_pairs_scaled(
       (cos ≥ 0.99 ⇒ per-plane agreement ≥ 1 − θ/π ≈ 0.97) per-band recall
       is already ≥ 0.97^b, so two bands push misses to sub-percent.
 
-    One scan computes all band signatures (posexplode of a signature array
-    — no per-band re-read), one equi-join generates candidates, pairs found
-    in several bands dedup BEFORE the exact-cosine verify so each candidate
-    is scored once. ``n_rows`` lets a caller that already knows the corpus
-    size skip the count job; otherwise one O(1)-result count action sizes
-    the signature. Skewed buckets (correlated real-world embeddings) are
-    split by AQE's skew-join handling; the margin knob widens signatures
-    when occupancy stays too high."""
+    One scan computes ALL band signatures in a single BLAS matmul per
+    Arrow batch (``mapInPandas``: the ±1 hyperplane matrix is materialized
+    once per task from the same integer hash as ``srp_signature_bit``, so
+    bucket strings are identical to the expression form — round-11 rewrite
+    of the round-10 per-plane expression trees, which cost
+    bands×planes×dims ``CASE`` evaluations per row). One equi-join
+    generates candidates; pairs found in several bands dedup BEFORE the
+    exact-cosine verify so each candidate is scored once. ``n_rows`` lets
+    a caller that already knows the corpus size (e.g. from parquet footer
+    metadata) keep plan construction action-free; otherwise one
+    O(1)-result count action sizes the signature. Skewed buckets
+    (correlated real-world embeddings) are split by AQE's skew-join
+    handling; the margin knob widens signatures when occupancy stays too
+    high."""
     n = int(n_rows) if n_rows is not None else df.count()
     n_planes = scaled_plane_count(n, plane_margin)
+    total_planes = bands * n_planes
+    nb, npl = bands, n_planes
+
+    def sig_batches(it):
+        import numpy as _np
+        import pandas as _pd
+
+        H = None  # (total_planes, dim) ±1 hyperplanes, built per task
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = _np.stack(
+                [_np.asarray(x, dtype=_np.float64) for x in pdf["v"]]
+            )
+            if H is None or H.shape[1] != M.shape[1]:
+                p = _np.arange(total_planes, dtype=_np.int64)[:, None]
+                d = _np.arange(M.shape[1], dtype=_np.int64)[None, :]
+                H = _np.where(
+                    ((p * 1000003 + d * 7919) % 97) % 2 == 0, 1.0, -1.0
+                )
+            bits = (M @ H.T) >= 0  # (rows, total_planes)
+            ids = pdf["id"].to_numpy()
+            vs = list(pdf["v"])
+            out_id, out_v, out_b = [], [], []
+            for band in range(nb):
+                bb = bits[:, band * npl : (band + 1) * npl]
+                pre = f"{band}:"
+                for r in range(len(ids)):
+                    out_id.append(ids[r])
+                    out_v.append(vs[r])
+                    out_b.append(
+                        pre + "".join("1" if b else "0" for b in bb[r])
+                    )
+            yield _pd.DataFrame({"id": out_id, "v": out_v, "bucket": out_b})
+
     v = spread(
         df.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
     )
-    band_sigs = []
-    for band in range(bands):
-        bits = [
-            srp_signature_bit(F.col("v"), band * n_planes + p)
-            for p in range(n_planes)
-        ]
-        band_sigs.append(
-            F.concat_ws(
-                "", F.lit(f"{band}:"), *[b.cast("string") for b in bits]
-            )
-        )
-    banded = v.select(
-        "id", "v", F.explode(F.array(*band_sigs)).alias("bucket")
+    banded = v.mapInPandas(
+        sig_batches, "id long, v array<double>, bucket string"
     )
     a = banded.select(F.col("id").alias("id1"), F.col("v").alias("v1"), "bucket")
     b = banded.select(F.col("id").alias("id2"), F.col("v").alias("v2"), "bucket")

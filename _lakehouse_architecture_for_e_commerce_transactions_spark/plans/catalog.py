@@ -125,6 +125,7 @@ from _lakehouse_architecture_for_e_commerce_transactions_spark.tables import (
     ForeignKey,
     TableSpec,
     load_table,
+    table_row_count,
 )
 
 
@@ -1597,8 +1598,17 @@ def q_embedding_near_dup_scaled(spark: SparkSession, sf: str) -> DataFrame:
     corpus = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     ).unionByName(twins)
+    # corpus = embeddings ∪ twins, so its size is 2× the footer row count —
+    # sizing the signature from parquet metadata keeps plan construction
+    # action-free (no count job at build time; test_plan_health contract)
     return SIM.srp_near_dup_pairs_scaled(
-        corpus, "vec_id", "embedding", threshold=0.99, bands=2, plane_margin=2
+        corpus,
+        "vec_id",
+        "embedding",
+        threshold=0.99,
+        bands=2,
+        plane_margin=2,
+        n_rows=2 * table_row_count(sf, "embeddings"),
     )
 
 

@@ -165,6 +165,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of one testdata table from parquet FOOTER metadata —
+    driver-side file IO only (O(files) footer reads, no Spark job), so plan
+    builders that need a size (e.g. the scale-safe SRP plane count) stay
+    action-free. At cluster scale the same number comes from the table
+    manifest/statistics; the footer read is the single-node equivalent."""
+    import pyarrow.dataset as _ds
+
+    return int(_ds.dataset(f"{sf_dir}/{name}.parquet").count_rows())
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 

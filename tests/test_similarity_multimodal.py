@@ -2149,7 +2149,20 @@ def test_jpeg_12bit_grayscale_decode():
     px = MM.decode_jpeg_pixels(enc(-2048, q0=8))
     assert int(px.min()) == int(px.max()) == 0  # 2048 - 2048
 
-    # 12-bit COLOR stays a typed refusal (grayscale only)
+    # 12-bit COLOR (Ns=3 YCbCr) decodes for real since round 10:
+    # zero chroma DCs sit exactly at the 12-bit center 2048, so every
+    # channel is the closed-form 2048 + 2*dc_Y — a wrong chroma
+    # center (the 8-bit 128) would shift channels by thousands.
+    cenc = MM._make_dc_jpeg12_color()
+    for dcy in (0, 7, -50, 999):
+        cpx = MM.decode_jpeg_pixels(cenc([dcy, 0, 0]))
+        assert cpx.shape == (8, 16, 3) and cpx.dtype == np.uint16
+        want = 2048 + 2 * dcy
+        assert int(cpx.min()) == int(cpx.max()) == want, (dcy, want)
+
+    # a 3-component SOF spliced onto the single-component scan is now
+    # MALFORMED input (the scan never covers components 2 and 3) —
+    # poison-typed ValueError, not a decode and not a refusal
     import struct
 
     def seg(marker, body):
@@ -2166,9 +2179,28 @@ def test_jpeg_12bit_grayscale_decode():
     base = enc(0)
     sof_at = base.find(b"\xff\xc0")
     sof_len = 2 + struct.unpack(">H", base[sof_at + 2 : sof_at + 4])[0]
-    color = base[:sof_at] + color_sof + base[sof_at + sof_len :]
-    with pytest.raises(NotImplementedError, match="grayscale"):
-        MM.decode_jpeg_pixels(color)
+    spliced = base[:sof_at] + color_sof + base[sof_at + sof_len :]
+    with pytest.raises(ValueError, match="never scanned"):
+        MM.decode_jpeg_pixels(spliced)
+
+    # the refusal pin moves to a genuinely unsupported family:
+    # ARITHMETIC-CODED JPEG (SOF9) is a typed NotImplementedError
+    arith = base[:sof_at] + b"\xff\xc9" + base[sof_at + 2 :]
+    with pytest.raises(NotImplementedError, match="SOF"):
+        MM.decode_jpeg_pixels(arith)
+
+    # and 12-bit FOUR-component (CMYK) stays a typed refusal: take
+    # the real (well-formed, fully-scanned) 8-bit CMYK stream and
+    # patch only the SOF precision byte to 12
+    cmyk = MM._make_dc_jpeg_cmyk()([1, 2, 3, 4], 0)
+    csof = cmyk.find(b"\xff\xc0")
+    cmyk12 = bytearray(cmyk)
+    assert cmyk12[csof + 4] == 8  # SOF sample-precision byte
+    cmyk12[csof + 4] = 12
+    with pytest.raises(
+        NotImplementedError, match="grayscale and YCbCr"
+    ):
+        MM.decode_jpeg_pixels(bytes(cmyk12))
 
     # 12-bit PROGRESSIVE grayscale decodes for real too (three-scan
     # successive-approximation script, same closed form)
@@ -2774,8 +2806,10 @@ def test_native_xcheck_skips_pure_undecodable_variants():
 def test_native_xcheck_pure_crash_surfaces():
     """The skip is NARROW: a pure decoder CRASHING (IndexError/KeyError —
     not the typed NotImplementedError/ValueError boundary signals) on a
-    sampled payload is a regression that must leak, not silently disable
-    drift detection (round-9 ADVICE)."""
+    sampled payload must surface as NativeDecoderDrift (round-10 ADVICE:
+    the raw crash types are exactly what the stats path poison-nulls per
+    row, so leaking them raw made a sampled crash a nondeterministic NULL
+    instead of a loud deterministic failure)."""
     import numpy as np
     import pytest
 
@@ -2785,15 +2819,19 @@ def test_native_xcheck_pure_crash_surfaces():
         raise IndexError("pure decoder crashed on a decodable payload")
 
     dec = MM._make_pixel_decoder({"bmp": pure_crashes}, {"bmp": lambda p: px}, 1)
-    with pytest.raises(IndexError):
+    with pytest.raises(MM.NativeDecoderDrift, match="IndexError"):
         dec("bmp", b"payload")
 
 
-def test_native_xcheck_all_skipped_raises():
-    """If EVERY sampled cross-check in a task skipped (>=8 samples), the
-    task's drift detector never ran — that raises instead of silently
-    certifying nothing (round-9 ADVICE). A single successful comparison
-    anywhere in the task clears the condition."""
+def test_native_xcheck_all_skipped_warns_per_format():
+    """If EVERY sampled cross-check for a format skipped (>=8 samples),
+    drift detection never ran for that format — a RuntimeWarning flags
+    it (round-10 ADVICE downgraded this from a task-killing raise: an
+    all-native-only corpus is a legitimate workload). Counters are PER
+    FORMAT so one format's skips never blame another, and a single
+    successful comparison clears the condition for its format."""
+    import warnings
+
     import numpy as np
     import pytest
 
@@ -2802,11 +2840,22 @@ def test_native_xcheck_all_skipped_raises():
     def pure_refuses(_p):
         raise NotImplementedError("native-only variant")
 
-    dec = MM._make_pixel_decoder({"bmp": pure_refuses}, {"bmp": lambda p: px}, 1)
+    dec = MM._make_pixel_decoder(
+        {"bmp": pure_refuses, "png": lambda p: px},
+        {"bmp": lambda p: px, "png": lambda p: px},
+        1,
+    )
+    # interleave a HEALTHY png with the all-skipping bmp: the bmp
+    # warning must still fire (per-format counters) and name bmp
     for _ in range(7):
         dec("bmp", b"payload")
-    with pytest.raises(MM.NativeDecoderDrift, match="skipped"):
-        dec("bmp", b"payload")
+        dec("png", b"payload")
+    with pytest.warns(RuntimeWarning, match="native-bmp"):
+        np.testing.assert_array_equal(dec("bmp", b"payload"), px)
+    # the healthy format never warns
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        dec("png", b"payload")
 
     # one real comparison early -> later skips never trip the counter
     calls = {"n": 0}
@@ -2820,8 +2869,10 @@ def test_native_xcheck_all_skipped_raises():
     dec2 = MM._make_pixel_decoder(
         {"bmp": pure_first_only}, {"bmp": lambda p: px}, 1
     )
-    for _ in range(20):
-        assert np.array_equal(dec2("bmp", b"payload"), px)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        for _ in range(20):
+            assert np.array_equal(dec2("bmp", b"payload"), px)
 
 
 def test_native_xcheck_jpeg_tolerances():
