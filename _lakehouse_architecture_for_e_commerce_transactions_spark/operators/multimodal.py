@@ -16,11 +16,14 @@ frame-addressable for animations), and baseline-sequential +
 progressive JPEG (canonical Huffman decode, dequantize, 8x8 IDCT,
 chroma upsample, YCbCr→RGB, restart markers; 12-bit grayscale AND
 3-component YCbCr color at baseline + progressive with 16-bit DQT
-tables; 4-component Adobe CMYK/YCCK via the APP14 transform byte) —
-pure Python + numpy, no codec library. The remaining genuine format
-boundaries stay behind NotImplementedError: arithmetic-coded JPEG
-(SOF9/SOF10 family), 12-bit 4-component CMYK, non-integer chroma
-subsampling ratios, and >4-component frames.
+tables; 4-component Adobe CMYK/YCCK via the APP14 transform byte;
+ARITHMETIC entropy coding, both sequential SOF9 and progressive
+SOF10, via the T.81 Annex D QM coder in ``operators/jpegarith.py``,
+validated bit-exact against libjpeg-turbo) — pure Python + numpy, no
+codec library. The remaining genuine format boundaries stay behind
+NotImplementedError: lossless/differential/hierarchical SOFs, 12-bit
+4-component CMYK, non-integer chroma subsampling ratios, and
+>4-component frames.
 ``extract_image_meta`` keeps the sha-derived deterministic metadata
 used by the oracle-checked catalog rows.
 
@@ -198,12 +201,14 @@ def _make_content_decoders():
       scatter. Returns an (H, W, 3) uint8 RGB array.
 
     Unsupported variants (BI_BITFIELDS/1-2-bit BMP, non-16-bit-PCM
-    non-float32 WAV, 12-bit COLOR JPEG, arithmetic-coded JPEG) raise
+    non-float32 WAV, lossless/differential-family JPEG SOFs) raise
     NotImplementedError — the header-only path still covers them.
     4/8-bit paletted BMP, BI_RLE8/BI_RLE4 compressed BMP, 32-bit
     IEEE-float WAV (decoded into the int16 sample domain via v·32768
-    clipped), 12-bit GRAYSCALE JPEG (baseline and progressive) and
-    4-component Adobe CMYK/YCCK JPEG decode for real.
+    clipped), 12-bit grayscale AND color JPEG (baseline and
+    progressive), 4-component Adobe CMYK/YCCK JPEG, and
+    ARITHMETIC-coded JPEG (sequential SOF9 and progressive SOF10)
+    decode for real.
     """
     import struct
     import zlib
@@ -836,6 +841,16 @@ def _make_content_decoders():
         ``jpeg`` — callers see pixels, ValueError or
         NotImplementedError like every other decoder."""
 
+    class _ArithSOF(Exception):
+        """Internal dispatch only: ``_jpeg_segments`` hit SOF9
+        (extended sequential, arithmetic entropy coding) — re-walk
+        via ``_jpeg_arith_sequential``."""
+
+    class _ArithProgSOF(Exception):
+        """Internal dispatch only: ``_jpeg_segments`` hit SOF10
+        (progressive, arithmetic entropy coding) — re-walk via
+        ``_jpeg_arith_progressive``."""
+
     def _parse_dqt(seg: bytes, qt: dict) -> None:
         # DQT segment body (possibly several tables); Pq=1 tables
         # carry 16-bit big-endian entries (the usual companion of
@@ -908,6 +923,30 @@ def _make_content_decoders():
             )
         return (hh, ww, comps, prec)
 
+    def _parse_dac(seg: bytes, cond: dict) -> None:
+        """DAC segment (T.81 B.2.4.3): pairs of (class<<4 | table-id,
+        conditioning value). DC (class 0): the value packs U<<4 | L
+        with 0 <= L <= U <= 15 — the bounds classifying the previous
+        DC difference into the five conditioning categories. AC
+        (class 1): Kx in 1..63, the low/high spectral split for the
+        shared magnitude-category bins."""
+        if len(seg) % 2:
+            raise ValueError("truncated DAC")
+        for i in range(0, len(seg), 2):
+            tcb, cs = seg[i], seg[i + 1]
+            tc, tb = tcb >> 4, tcb & 15
+            if tc not in (0, 1) or tb > 3:
+                raise ValueError("bad DAC table spec")
+            if tc == 0:
+                lo, hi = cs & 15, cs >> 4
+                if lo > hi:
+                    raise ValueError("bad DAC DC conditioning")
+                cond[(0, tb)] = (lo, hi)
+            else:
+                if not 1 <= cs <= 63:
+                    raise ValueError("bad DAC AC conditioning")
+                cond[(1, tb)] = cs
+
     def _parse_app14(seg: bytes):
         """Adobe APP14 color-transform flag, or None for a non-Adobe
         APP14. Body: 'Adobe' + version(2) + flags0(2) + flags1(2) +
@@ -952,12 +991,16 @@ def _make_content_decoders():
                 frame = _parse_sof(seg)
             elif marker == 0xC2:  # progressive: different scan walk
                 raise _ProgressiveSOF()
+            elif marker == 0xC9:  # arithmetic sequential: QM walk
+                raise _ArithSOF()
+            elif marker == 0xCA:  # arithmetic progressive: QM walk
+                raise _ArithProgSOF()
             elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
-                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                            0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
-                    "only baseline sequential (SOF0/SOF1) and "
-                    "progressive (SOF2) JPEG are decodable (got SOF "
-                    f"marker {marker:#x})"
+                    "only sequential (SOF0/SOF1/SOF9) and "
+                    "progressive (SOF2/SOF10) JPEG are decodable "
+                    f"(got SOF marker {marker:#x})"
                 )
             elif marker == 0xDD:  # DRI
                 if len(seg) < 2:
@@ -1405,6 +1448,409 @@ def _make_content_decoders():
                     units += 1
         return {cs for cs, _, _ in smap}
 
+    def _arith_scan(seg, segs, frame, geom, coefs, cond, dri):
+        """Decode ONE arithmetic-coded SEQUENTIAL scan (T.81 F.2.4,
+        SOF9 frames: full band Ss=0/Se=63, Ah=Al=0) into the
+        coefficient accumulators — the mirror of ``_seq_scan`` with
+        the Huffman entropy reader replaced by the Annex D QM coder
+        (``operators/jpegarith.py``) and DAC conditioning parameters
+        in place of DHT tables (defaults L=0/U=1, Kx=5 per F.1.4.4).
+        Statistics areas reset at scan start and at every restart
+        marker, and the QM decoder re-initializes per destuffed
+        restart interval (the same ``_clean_scan`` segments — T.81
+        arithmetic scans use the identical 0xFF00 byte stuffing).
+        Truncation behaves per D.2.7: the decoder zero-feeds past the
+        interval end, so a cut stream yields wrong coefficients
+        rather than a raise — an inherent property of the format, not
+        a laxness of this reader (structural violations still raise).
+        Validated bit-exact against libjpeg-turbo's jdarith over
+        randomized corpora in tests/test_jpeg_arith.py."""
+        from . import jpegarith as _ja
+
+        ns = seg[0]
+        if len(seg) < 4 + 2 * ns:
+            raise ValueError("truncated SOS components")
+        smap = [
+            (seg[1 + 2 * si], seg[2 + 2 * si] >> 4, seg[2 + 2 * si] & 15)
+            for si in range(ns)
+        ]
+        ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+        ahal = seg[3 + 2 * ns]
+        if ss != 0 or se != 63 or ahal != 0:
+            raise ValueError("bad sequential scan header")
+        hgt, wdt, comps, prec = frame
+        comp_by_id = {c[0]: c for c in comps}
+        for cs, td, ta in smap:
+            if cs not in comp_by_id:
+                raise ValueError("SOS names unknown component")
+            if td > 3 or ta > 3:
+                raise ValueError("bad arithmetic conditioning id")
+        mcux, mcuy, hmax, vmax = geom["_mcu"]
+        dc_cond = {td: cond.get((0, td), (0, 1)) for _, td, _ in smap}
+        ac_cond = {ta: cond.get((1, ta), 5) for _, _, ta in smap}
+        state: dict = {}
+
+        def fresh(iv: int) -> None:
+            state["dec"] = _ja.QMDecoder(segs[iv][0])
+            state["dc"] = {td: _ja.new_dc_stats() for td in dc_cond}
+            state["ac"] = {ta: _ja.new_ac_stats() for ta in ac_cond}
+            state["fixed"] = _ja.new_fixed_bin()
+            state["pred"] = {cs: 0 for cs, _, _ in smap}
+            state["ctx"] = {cs: 0 for cs, _, _ in smap}
+
+        fresh(0)
+        seg_i = 0
+
+        def restart(m: int) -> None:
+            nonlocal seg_i
+            if segs[seg_i][1] != ("rst", m & 7):
+                raise ValueError("missing/mis-sequenced restart marker")
+            seg_i += 1
+            fresh(seg_i)
+
+        def block(cof, cs, td, ta):
+            lo, hi = dc_cond[td]
+            diff, nctx = _ja.decode_dc_diff(
+                state["dec"], state["dc"][td], state["ctx"][cs], lo, hi
+            )
+            state["ctx"][cs] = nctx
+            state["pred"][cs] += diff
+            cof[0] = state["pred"][cs]
+            _ja.decode_ac_block(
+                state["dec"], state["ac"][ta], state["fixed"],
+                ac_cond[ta], cof,
+            )
+
+        units = rst = 0
+        if ns > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and units and units % dri == 0:
+                        restart(rst)
+                        rst = (rst + 1) & 7
+                    for cs, td, ta in smap:
+                        _, hs, vs, _ = comp_by_id[cs]
+                        arr = coefs[cs]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                block(
+                                    arr[my * vs + by, mx * hs + bx],
+                                    cs, td, ta,
+                                )
+                    units += 1
+        else:
+            cs, td, ta = smap[0]
+            niw, nih, _, _ = geom[cs]
+            arr = coefs[cs]
+            for byi in range(nih):
+                for bxi in range(niw):
+                    if dri and units and units % dri == 0:
+                        restart(rst)
+                        rst = (rst + 1) & 7
+                    block(arr[byi, bxi], cs, td, ta)
+                    units += 1
+        return {cs for cs, _, _ in smap}
+
+    def _arith_prog_scan(seg, segs, frame, geom, coefs, cond, dri):
+        """Decode ONE arithmetic-coded PROGRESSIVE scan (T.81 G.2
+        with Annex D entropy coding, SOF10 frames) into the
+        coefficient accumulators — the QM twin of ``_prog_scan``:
+        DC first passes reuse the sequential DC conditioning model on
+        point-transformed diffs, DC refinements decode one fixed-bin
+        bit per block, AC first passes band-limit the sequential AC
+        model ([Ss, Se], values scaled by 2^Al), AC refinements run
+        the correction-bit walk (``jpegarith.decode_ac_refine``).
+        There are no EOB runs — end-of-band is a per-block adaptive
+        decision. Statistics reset per scan and per restart interval.
+        Validated bit-exact against libjpeg-turbo's jdarith over its
+        full jpeg_simple_progression scan script
+        (tests/test_jpeg_arith.py)."""
+        from . import jpegarith as _ja
+
+        ns = seg[0]
+        if len(seg) < 4 + 2 * ns:
+            raise ValueError("truncated SOS components")
+        smap = [
+            (seg[1 + 2 * si], seg[2 + 2 * si] >> 4, seg[2 + 2 * si] & 15)
+            for si in range(ns)
+        ]
+        ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+        ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+        hgt, wdt, comps, prec = frame
+        comp_by_id = {c[0]: c for c in comps}
+        for cs, td, ta in smap:
+            if cs not in comp_by_id:
+                raise ValueError("SOS names unknown component")
+            if td > 3 or ta > 3:
+                raise ValueError("bad arithmetic conditioning id")
+        if ah > 13 or al > 13:
+            raise ValueError("bad successive-approximation bits")
+        if ah != 0 and ah != al + 1:
+            raise ValueError("non-contiguous successive approximation")
+        mcux, mcuy, hmax, vmax = geom["_mcu"]
+
+        if ss == 0:
+            # ---- DC scan (first pass or refinement) ----
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            dc_cond = {td: cond.get((0, td), (0, 1))
+                       for _, td, _ in smap}
+            state: dict = {}
+
+            def fresh(iv: int) -> None:
+                state["dec"] = _ja.QMDecoder(segs[iv][0])
+                state["dc"] = {td: _ja.new_dc_stats()
+                               for td in dc_cond}
+                state["fixed"] = _ja.new_fixed_bin()
+                state["pred"] = {cs: 0 for cs, _, _ in smap}
+                state["ctx"] = {cs: 0 for cs, _, _ in smap}
+
+            fresh(0)
+            seg_i = 0
+
+            def restart(m: int) -> None:
+                nonlocal seg_i
+                if segs[seg_i][1] != ("rst", m & 7):
+                    raise ValueError(
+                        "missing/mis-sequenced restart marker"
+                    )
+                seg_i += 1
+                fresh(seg_i)
+
+            def dc_block(cof, cs, td):
+                if ah == 0:
+                    lo, hi = dc_cond[td]
+                    diff, nctx = _ja.decode_dc_diff(
+                        state["dec"], state["dc"][td],
+                        state["ctx"][cs], lo, hi,
+                    )
+                    state["ctx"][cs] = nctx
+                    state["pred"][cs] += diff
+                    cof[0] = state["pred"][cs] << al
+                elif state["dec"].decode(state["fixed"], 0):
+                    cof[0] |= 1 << al
+
+            units = rst = 0
+            if ns > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if dri and units and units % dri == 0:
+                            restart(rst)
+                            rst = (rst + 1) & 7
+                        for cs, td, _ in smap:
+                            _, hs, vs, _ = comp_by_id[cs]
+                            arr = coefs[cs]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    dc_block(
+                                        arr[my * vs + by,
+                                            mx * hs + bx],
+                                        cs, td,
+                                    )
+                        units += 1
+            else:
+                cs, td, _ = smap[0]
+                niw, nih, _, _ = geom[cs]
+                arr = coefs[cs]
+                for byi in range(nih):
+                    for bxi in range(niw):
+                        if dri and units and units % dri == 0:
+                            restart(rst)
+                            rst = (rst + 1) & 7
+                        dc_block(arr[byi, bxi], cs, td)
+                        units += 1
+            return
+
+        # ---- AC band scan: always single-component ----
+        if ns != 1:
+            raise ValueError("interleaved progressive AC scan")
+        if se < ss or se > 63:
+            raise ValueError("bad spectral selection band")
+        cs, _, ta = smap[0]
+        kx = cond.get((1, ta), 5)
+        niw, nih, _, _ = geom[cs]
+        arr = coefs[cs]
+        state2: dict = {}
+
+        def fresh2(iv: int) -> None:
+            state2["dec"] = _ja.QMDecoder(segs[iv][0])
+            state2["ac"] = _ja.new_ac_stats()
+            state2["fixed"] = _ja.new_fixed_bin()
+
+        fresh2(0)
+        seg_j = 0
+
+        def restart2(m: int) -> None:
+            nonlocal seg_j
+            if segs[seg_j][1] != ("rst", m & 7):
+                raise ValueError("missing/mis-sequenced restart marker")
+            seg_j += 1
+            fresh2(seg_j)
+
+        units = rst = 0
+        for byi in range(nih):
+            for bxi in range(niw):
+                if dri and units and units % dri == 0:
+                    restart2(rst)
+                    rst = (rst + 1) & 7
+                if ah == 0:
+                    _ja.decode_ac_block(
+                        state2["dec"], state2["ac"], state2["fixed"],
+                        kx, arr[byi, bxi], ss, se, al,
+                    )
+                else:
+                    _ja.decode_ac_refine(
+                        state2["dec"], state2["ac"], state2["fixed"],
+                        arr[byi, bxi], ss, se, al,
+                    )
+                units += 1
+
+    def _jpeg_arith_progressive(b: bytes):
+        """Arithmetic-coded PROGRESSIVE JPEG (SOF10): the multi-scan
+        accumulation walk of ``_jpeg_progressive`` with DAC
+        conditioning and ``_arith_prog_scan`` decoding each SOS."""
+        qt: dict[int, object] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        cond: dict = {}
+        frame = None
+        geom = coefs = None
+        dri = 0
+        adobe = None
+        nscans = 0
+        pos = 2
+        while pos + 2 <= len(b):
+            if b[pos] != 0xFF:
+                raise ValueError("bad JPEG marker stream")
+            marker = b[pos + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                pos += 2
+                continue
+            if marker == 0xD9:
+                break
+            if pos + 4 > len(b):
+                raise ValueError("truncated JPEG segment header")
+            (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+            seg = b[pos + 4 : pos + 2 + ln]
+            if ln < 2 or len(seg) != ln - 2:
+                raise ValueError("truncated JPEG segment")
+            if marker == 0xDB:
+                _parse_dqt(seg, qt)
+            elif marker == 0xC4:
+                _parse_dht(seg, huff)  # unused under arithmetic coding
+            elif marker == 0xCC:
+                _parse_dac(seg, cond)
+            elif marker == 0xCA:
+                if frame is not None:
+                    raise ValueError("multiple SOF segments")
+                frame = _parse_sof(seg)
+                geom, coefs = _prog_frame_geometry(frame)
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError("conflicting SOF segments")
+            elif marker == 0xDD:
+                if len(seg) < 2:
+                    raise ValueError("truncated DRI")
+                (dri,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xEE:
+                adobe = _parse_app14(seg) if adobe is None else adobe
+            elif marker == 0xDA:
+                if frame is None:
+                    raise ValueError("JPEG scan before SOF")
+                nscans += 1
+                if nscans > 1024:  # adversarial scan-count bound
+                    raise ValueError("too many progressive scans")
+                segs, end = _clean_scan(b, pos + 2 + ln)
+                _arith_prog_scan(
+                    seg, segs, frame, geom, coefs, cond, dri
+                )
+                pos = end
+                continue
+            pos += 2 + ln
+        if frame is None:
+            raise ValueError("JPEG missing SOF")
+        if nscans == 0:
+            raise ValueError("JPEG missing SOS")
+        return _prog_reconstruct(frame, geom, coefs, qt, adobe)
+
+    def _jpeg_arith_sequential(b: bytes):
+        """Arithmetic-coded extended-sequential JPEG (SOF9): the same
+        accumulate-then-one-IDCT walk as the Huffman multi-scan path,
+        with DAC segments supplying the QM conditioning and
+        ``_arith_scan`` decoding each SOS. DHT segments, legal but
+        meaningless in an arithmetic frame, are parsed and ignored.
+        Covers interleaved and one-component-per-scan layouts,
+        restart intervals, 8- and 12-bit precision, grayscale/YCbCr/
+        Adobe CMYK-YCCK component counts (same ``_jpeg_color_out``
+        contract as the Huffman paths)."""
+        qt: dict[int, object] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        cond: dict = {}
+        frame = None
+        geom = coefs = None
+        dri = 0
+        adobe = None
+        nscans = 0
+        seen: set = set()
+        pos = 2
+        while pos + 2 <= len(b):
+            if b[pos] != 0xFF:
+                raise ValueError("bad JPEG marker stream")
+            marker = b[pos + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                pos += 2
+                continue
+            if marker == 0xD9:
+                break
+            if pos + 4 > len(b):
+                raise ValueError("truncated JPEG segment header")
+            (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+            seg = b[pos + 4 : pos + 2 + ln]
+            if ln < 2 or len(seg) != ln - 2:
+                raise ValueError("truncated JPEG segment")
+            if marker == 0xDB:
+                _parse_dqt(seg, qt)
+            elif marker == 0xC4:
+                _parse_dht(seg, huff)  # unused under arithmetic coding
+            elif marker == 0xCC:
+                _parse_dac(seg, cond)
+            elif marker == 0xC9:
+                if frame is not None:
+                    raise ValueError("multiple SOF segments")
+                frame = _parse_sof(seg)
+                geom, coefs = _prog_frame_geometry(frame)
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError("conflicting SOF segments")
+            elif marker == 0xDD:
+                if len(seg) < 2:
+                    raise ValueError("truncated DRI")
+                (dri,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xEE:
+                adobe = _parse_app14(seg) if adobe is None else adobe
+            elif marker == 0xDA:
+                if frame is None:
+                    raise ValueError("JPEG scan before SOF")
+                nscans += 1
+                if nscans > 64:
+                    raise ValueError("too many sequential scans")
+                segs, end = _clean_scan(b, pos + 2 + ln)
+                seen |= _arith_scan(
+                    seg, segs, frame, geom, coefs, cond, dri
+                )
+                pos = end
+                continue
+            pos += 2 + ln
+        if frame is None:
+            raise ValueError("JPEG missing SOF")
+        if nscans == 0:
+            raise ValueError("JPEG missing SOS")
+        missing = {c[0] for c in frame[2]} - seen
+        if missing:
+            raise ValueError(
+                f"components {sorted(missing)} never scanned"
+            )
+        return _prog_reconstruct(frame, geom, coefs, qt, adobe)
+
     def _jpeg_multiscan_sequential(b: bytes):
         """Baseline/extended-sequential JPEG whose components arrive
         over SEVERAL scans (the first SOS covers fewer components
@@ -1583,9 +2029,9 @@ def _make_content_decoders():
         upsample + color conversion run once at EOI, vectorized over
         all blocks. Same strict-poison contract as the baseline path:
         truncation, bad band structure, Huffman errors and run
-        overflows raise ValueError; arithmetic coding and 12-bit
-        COLOR stay behind NotImplementedError (12-bit grayscale
-        decodes, mirroring the baseline path)."""
+        overflows raise ValueError; the ARITHMETIC progressive twin
+        (SOF10) decodes through _jpeg_arith_progressive (12-bit
+        grayscale and color decode, mirroring the baseline path)."""
         qt: dict[int, object] = {}
         huff: dict[tuple[int, int], dict] = {}
         frame = None
@@ -1642,7 +2088,7 @@ def _make_content_decoders():
             raise ValueError("JPEG missing SOF")
         if nscans == 0:
             raise ValueError("JPEG missing SOS")
-        return _prog_reconstruct(frame, geom, coefs, qt)
+        return _prog_reconstruct(frame, geom, coefs, qt, adobe)
 
     def jpeg(payload: bytes):
         """Baseline sequential (SOF0/SOF1) AND progressive (SOF2)
@@ -1660,10 +2106,12 @@ def _make_content_decoders():
         categories to 15, 2048 level shift, uint16 output — the
         medical/scientific shape); FOUR-COMPONENT Adobe CMYK/YCCK
         (APP14 transform flag, inverted-ink convention) decodes to
-        RGB via ``_jpeg_color_out``; 12-bit color and arithmetic
-        coding stay behind NotImplementedError; truncation and spec
-        violations raise ValueError (strict-poison, like the other
-        decoders)."""
+        RGB via ``_jpeg_color_out``; ARITHMETIC-coded frames re-walk
+        through _jpeg_arith_sequential (SOF9) or
+        _jpeg_arith_progressive (SOF10) — the T.81 Annex D QM coder;
+        the lossless/differential SOF family stays behind
+        NotImplementedError; truncation and spec violations raise
+        ValueError (strict-poison, like the other decoders)."""
         b = bytes(payload)
         if b[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG container")
@@ -1673,6 +2121,10 @@ def _make_content_decoders():
             )
         except _ProgressiveSOF:
             return _jpeg_progressive(b)
+        except _ArithSOF:
+            return _jpeg_arith_sequential(b)
+        except _ArithProgSOF:
+            return _jpeg_arith_progressive(b)
         if frame is None:
             raise ValueError("JPEG missing SOF")
         hgt, wdt, comps, prec = frame
@@ -2021,7 +2473,7 @@ def _make_pixel_decoder(pure: dict, native: dict, xcheck_every: int):
       wrong image (mean |diff| ~60+ on natural content) still trips.
 
     A payload the PURE decoders cannot decode (a variant only the
-    native codec supports, e.g. arithmetic-coded JPEG, or one past the
+    native codec supports, e.g. a lossless-JPEG frame, or one past the
     pure path's size cap) SKIPS the comparison instead of leaking the
     pure decoder's exception: output must not depend on which call
     positions the sampling stride lands on. The skip is NARROW —
@@ -2035,8 +2487,8 @@ def _make_pixel_decoder(pure: dict, native: dict, xcheck_every: int):
     EVERY sampled cross-check for a format skipped (≥8 samples,
     counted PER FORMAT), a ``warnings.warn`` flags that drift
     detection never ran for that format in this task — a warning, not
-    a raise, because an all-native-only corpus (every image past the
-    size cap, or all arithmetic-coded) is a legitimate workload.
+    a raise, because an all-native-only corpus (e.g. every image past
+    the size cap) is a legitimate workload.
     Drift raises NativeDecoderDrift, which no poison catch swallows."""
     import warnings as _warnings
 
@@ -2777,6 +3229,195 @@ def _make_dc_jpeg_cmyk():
         )
 
     return cmyk_jpeg
+
+
+def _make_dc_jpeg_arith():
+    """``dc_jpeg_arith(dcs, variant) -> bytes``: a 16×8 DC-only
+    **arithmetic-coded** (SOF9) JPEG, QM-encoded for real by
+    ``operators/jpegarith.py`` (T.81 Annex D encoder — output
+    validated byte-exact under libjpeg-turbo's decoder in
+    tests/test_jpeg_arith.py). Flat q=16 table, so plane ``i``
+    decodes uniformly to ``128 + 2·dc_i`` — the same closed form as
+    the Huffman DC-only fixtures, one SQL oracle fits all. Variants
+    pin distinct decoder surfaces:
+
+    * 0 — grayscale, single non-interleaved scan, NO DAC segment
+      (pins the default conditioning L=0/U=1/Kx=5);
+    * 1 — three-component interleaved scan with a NON-default DAC
+      (U=2, Kx=9: pins DAC parsing — conditioning changes the coded
+      bits, never the values);
+    * 2 — three-component interleaved with DRI=1: a restart marker
+      between the two MCUs (pins per-interval QM re-init + statistics
+      reset; the re-coded DC diff after the predictor reset keeps the
+      closed form unchanged);
+    * 3 — three-component PROGRESSIVE (SOF10): DC-first at Al=1
+      (point-transformed diffs), DC refinement at Al=0 (one fixed-bin
+      bit per block), then one all-EOB AC-first scan per component —
+      the reassembled DC ((dc>>1)<<1 | bit0) keeps the same closed
+      form.
+    """
+    import struct
+
+    from . import jpegarith as _ja
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(body) + 2)
+            + body
+        )
+
+    def _encode_mcus(ncomp: int, dcs, lo: int, hi: int, kx: int,
+                     mcus) -> bytes:
+        """One destuffed-interval encode: ``mcus`` lists, per MCU,
+        the DC *diffs* per component (AC all zero)."""
+        enc = _ja.QMEncoder()
+        dc_stats = _ja.new_dc_stats()
+        ac_stats = _ja.new_ac_stats()
+        fixed = _ja.new_fixed_bin()
+        zeros = [0] * 64
+        ctxs = [0] * ncomp
+        for diffs in mcus:
+            for ci in range(ncomp):
+                ctxs[ci] = _ja.encode_dc_diff(
+                    enc, dc_stats, ctxs[ci], lo, hi, diffs[ci]
+                )
+                _ja.encode_ac_block(enc, ac_stats, fixed, kx, zeros)
+        return enc.finish()
+
+    def _progressive_arith(dcs) -> bytes:
+        """Variant 3: the SOF10 three-scan-family fixture."""
+        ncomp = 3
+        cids = (1, 2, 3)
+        dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
+        dac = seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))
+        sof = seg(
+            0xCA,
+            bytes([8]) + struct.pack(">HH", 8, 16) + bytes([ncomp])
+            + b"".join(bytes([cid, 0x11, 0]) for cid in cids),
+        )
+        out = bytearray(b"\xff\xd8" + dqt + dac + sof)
+        # scan 1: interleaved DC first, Al=1 — diffs of (dc >> 1)
+        sos1 = seg(
+            0xDA,
+            bytes([ncomp])
+            + b"".join(bytes([cid, 0x00]) for cid in cids)
+            + bytes([0, 0, 0x01]),
+        )
+        enc = _ja.QMEncoder()
+        dc_stats = _ja.new_dc_stats()
+        ctxs = [0] * ncomp
+        for mcu in range(2):
+            for ci in range(ncomp):
+                diff = (dcs[ci] >> 1) if mcu == 0 else 0
+                ctxs[ci] = _ja.encode_dc_diff(
+                    enc, dc_stats, ctxs[ci], 0, 1, diff
+                )
+        out += sos1 + enc.finish()
+        # scan 2: interleaved DC refinement, Ah=1/Al=0 — one
+        # fixed-bin bit (bit 0 of the DC value) per block
+        sos2 = seg(
+            0xDA,
+            bytes([ncomp])
+            + b"".join(bytes([cid, 0x00]) for cid in cids)
+            + bytes([0, 0, 0x10]),
+        )
+        enc = _ja.QMEncoder()
+        fixed = _ja.new_fixed_bin()
+        for mcu in range(2):
+            for ci in range(ncomp):
+                enc.encode(fixed, 0, dcs[ci] & 1)
+        out += sos2 + enc.finish()
+        # scans 3-5: per-component AC first over [1, 63] — all EOB
+        for cid in cids:
+            sos = seg(0xDA, bytes([1, cid, 0x00, 1, 63, 0x00]))
+            enc = _ja.QMEncoder()
+            ac_stats = _ja.new_ac_stats()
+            for _blk in range(2):
+                enc.encode(ac_stats, 0, 1)  # EOB at k=1
+            out += sos + enc.finish()
+        return bytes(out + b"\xff\xd9")
+
+    def dc_jpeg_arith(dcs, variant: int) -> bytes:
+        if variant == 3:
+            return _progressive_arith(dcs)
+        dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
+        if variant == 0:
+            ncomp, lo, hi, kx = 1, 0, 1, 5
+            dac = b""
+            dri = b""
+        elif variant == 1:
+            ncomp, lo, hi, kx = 3, 0, 2, 9
+            dac = seg(0xCC, bytes([0x00, (hi << 4) | lo, 0x10, kx]))
+            dri = b""
+        else:
+            ncomp, lo, hi, kx = 3, 0, 1, 5
+            dac = seg(0xCC, bytes([0x00, (hi << 4) | lo, 0x10, kx]))
+            dri = seg(0xDD, struct.pack(">H", 1))
+        cids = list(range(1, ncomp + 1))
+        sof = seg(
+            0xC9,
+            bytes([8]) + struct.pack(">HH", 8, 16) + bytes([ncomp])
+            + b"".join(bytes([cid, 0x11, 0]) for cid in cids),
+        )
+        sos = seg(
+            0xDA,
+            bytes([ncomp])
+            + b"".join(bytes([cid, 0x00]) for cid in cids)
+            + bytes([0, 63, 0]),
+        )
+        diffs0 = [dcs[ci] for ci in range(ncomp)]
+        rest = [0] * ncomp
+        if variant == 2:
+            # restart between the 16x8 frame's two MCUs: predictors
+            # reset, so MCU 1 re-codes the full dc values as diffs
+            ent = (
+                _encode_mcus(ncomp, dcs, lo, hi, kx, [diffs0])
+                + b"\xff\xd0"
+                + _encode_mcus(ncomp, dcs, lo, hi, kx, [diffs0])
+            )
+        else:
+            ent = _encode_mcus(
+                ncomp, dcs, lo, hi, kx, [diffs0, rest]
+            )
+        return (
+            b"\xff\xd8" + dqt + dac + dri + sof + sos + ent
+            + b"\xff\xd9"
+        )
+
+    return dc_jpeg_arith
+
+
+def synthesize_arith_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL arithmetic-coded (SOF9/SOF10) JPEGs with
+    closed-form decoded content: per doc_id ``dc = (doc_id·7) mod
+    100 − 50`` (every plane uniformly ``v = 128 + 2·dc``, zero chroma
+    DCs for the color variants so RGB = (v, v, v) exactly — never
+    near a rounding or clip boundary). ``doc_id mod 4`` picks the
+    fixture variant (grayscale/defaults, color/non-default DAC,
+    color/restart, color/PROGRESSIVE-with-refinement — see
+    ``_make_dc_jpeg_arith``)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        dc_jpeg_arith = _make_dc_jpeg_arith()
+
+        def payload(d: int) -> bytes:
+            dc = (d * 7) % 100 - 50
+            return dc_jpeg_arith([dc, 0, 0], d % 4)
+
+        for pdf in it:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [payload(d) for d in ids],
+                    "media_type": ["image"] * len(ids),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def synthesize_cmyk_jpeg_media(docs: DataFrame) -> DataFrame:

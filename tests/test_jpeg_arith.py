@@ -1,0 +1,411 @@
+"""Arithmetic-coded (SOF9) JPEG: the T.81 Annex D QM coder and its
+integration into the production ``jpeg`` decoder.
+
+Ground truth is the SYSTEM libjpeg(-turbo), driven as a subprocess
+through a tiny C shim (tests/native/jpegshim.c) compiled on demand —
+gcc and the libjpeg dev headers are baked into the image; nothing is
+installed, and the production decode path never touches the shim.
+Tests that need the shim skip cleanly where it cannot be built.
+
+The two directions validated against the reference implementation:
+  * libjpeg-ENCODED arithmetic scans (randomized images, gray/color,
+    4:4:4/4:2:0/4:2:2, restart intervals) must decode through OUR
+    production path to pixels IDENTICAL to our decode of libjpeg's
+    Huffman encode of the same image — both carry the same quantized
+    coefficients (verified via jpeg_read_coefficients while building
+    this suite), so any entropy-decode divergence shows up as a pixel
+    diff with probability ~1.
+  * OUR QM-encoded fixtures must decode under libjpeg to the same
+    closed-form pixels our decoder produces (±1 for libjpeg's integer
+    IDCT vs our float IDCT).
+
+The same shim retro-validates the HUFFMAN decode paths (baseline,
+progressive, multi-scan) against real libjpeg output — the strongest
+cross-check the native-decode seam has had (round 10 closed it with an
+independent pure-Python PNG decoder; a real codec binary is stronger).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import shutil
+import struct
+import subprocess
+
+import numpy as np
+import pytest
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+    jpegarith as ja,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+    multimodal as MM,
+)
+
+SHIM_SRC = os.path.join(os.path.dirname(__file__), "native", "jpegshim.c")
+
+_HAVE_TOOLCHAIN = bool(shutil.which("gcc")) and os.path.exists(
+    "/usr/include/jpeglib.h"
+)
+
+
+@pytest.fixture(scope="session")
+def jpegshim(tmp_path_factory):
+    if not _HAVE_TOOLCHAIN:
+        pytest.skip("gcc + libjpeg dev headers not available")
+    exe = str(tmp_path_factory.mktemp("jpegshim") / "jpegshim")
+    subprocess.run(
+        ["gcc", "-O2", "-o", exe, SHIM_SRC, "-ljpeg"], check=True
+    )
+    return exe
+
+
+def _shim_encode(exe, img, quality=85, arith=1, prog=0, sub=0, rst=0):
+    h, w, nc = img.shape
+    r = subprocess.run(
+        [exe, "encode", str(w), str(h), str(nc), str(quality),
+         str(arith), str(prog), str(sub), str(rst)],
+        input=img.tobytes(), capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr.decode()
+    return r.stdout
+
+
+def _shim_decode(exe, jpg):
+    r = subprocess.run([exe, "decode"], input=jpg, capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()
+    hdr, rest = r.stdout.split(b"\n", 1)
+    w, h, nc = map(int, hdr.split())
+    return np.frombuffer(rest, dtype=np.uint8).reshape(h, w, nc)
+
+
+def _shim_coefs(exe, jpg):
+    r = subprocess.run([exe, "coefs"], input=jpg, capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()
+    f = io.BytesIO(r.stdout)
+    ncomp = int(f.readline())
+    out = {}
+    for _ in range(ncomp):
+        cid, wb, hb = map(int, f.readline().split())
+        out[cid] = np.frombuffer(
+            f.read(wb * hb * 128), dtype="<i2"
+        ).reshape(hb, wb, 64).astype(np.int32)
+    return out
+
+
+# ---------------------------------------------------------------- #
+# QM coder, shim-free                                               #
+# ---------------------------------------------------------------- #
+
+
+def test_qm_coder_self_roundtrip():
+    """Encoder and decoder are exact inverses over random decision
+    sequences with shared adaptive contexts — including carry and
+    byte-stuffing paths (long MPS runs drive C through 0xFF bytes)."""
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        n = int(rng.integers(1, 4000))
+        bits = rng.integers(0, 2, n).tolist()
+        ctxs = rng.integers(0, 12, n).tolist()
+        enc = ja.QMEncoder()
+        st = bytearray(12)
+        for b, cx in zip(bits, ctxs):
+            enc.encode(st, cx, int(b))
+        stream = enc.finish()
+        dec = ja.QMDecoder(stream.replace(b"\xff\x00", b"\xff"))
+        st2 = bytearray(12)
+        got = [dec.decode(st2, cx) for cx in ctxs]
+        assert got == [int(b) for b in bits]
+
+
+def test_qm_coder_skewed_and_constant_streams():
+    """Heavily-skewed and constant inputs exercise the fast-attack
+    state chain, MPS/LPS exchange, and the stuffing of emitted 0xFF
+    bytes; compression of a constant stream must be near-total."""
+    for p_one in (0.0, 1.0, 0.02, 0.98):
+        rng = np.random.default_rng(int(p_one * 100) + 1)
+        bits = (rng.random(5000) < p_one).astype(int).tolist()
+        enc = ja.QMEncoder()
+        st = bytearray(1)
+        for b in bits:
+            enc.encode(st, 0, b)
+        stream = enc.finish()
+        if p_one in (0.0, 1.0):
+            assert len(stream) < 40  # ~5000 identical decisions
+        dec = ja.QMDecoder(stream.replace(b"\xff\x00", b"\xff"))
+        st2 = bytearray(1)
+        assert [dec.decode(st2, 0) for _ in bits] == bits
+
+
+def test_dc_ac_model_roundtrip():
+    """The Annex F statistical models (DC conditioning categories,
+    AC EOB/run/magnitude trees) round-trip random coefficient blocks
+    under every conditioning setting they dispatch on."""
+    rng = np.random.default_rng(13)
+    for lo, hi, kx in ((0, 1, 5), (0, 2, 9), (1, 3, 1), (0, 0, 63)):
+        blocks = []
+        for _ in range(24):
+            blk = [0] * 64
+            for _ in range(int(rng.integers(0, 24))):
+                blk[int(rng.integers(1, 64))] = int(
+                    rng.integers(-2047, 2048)
+                )
+            blk[0] = int(rng.integers(-2048, 2048))
+            blocks.append(blk)
+        enc = ja.QMEncoder()
+        dstats, astats = ja.new_dc_stats(), ja.new_ac_stats()
+        fixed = ja.new_fixed_bin()
+        ctx = pred = 0
+        for blk in blocks:
+            ctx = ja.encode_dc_diff(
+                enc, dstats, ctx, lo, hi, blk[0] - pred
+            )
+            pred = blk[0]
+            ja.encode_ac_block(enc, astats, fixed, kx, blk)
+        stream = enc.finish().replace(b"\xff\x00", b"\xff")
+        dec = ja.QMDecoder(stream)
+        dstats, astats = ja.new_dc_stats(), ja.new_ac_stats()
+        fixed = ja.new_fixed_bin()
+        ctx = pred = 0
+        for blk in blocks:
+            out = [0] * 64
+            diff, ctx = ja.decode_dc_diff(dec, dstats, ctx, lo, hi)
+            pred += diff
+            out[0] = pred
+            ja.decode_ac_block(dec, astats, fixed, kx, out)
+            assert out == blk
+
+
+def test_arith_fixtures_closed_form():
+    """Every synthesize_arith_jpeg_media variant — incl. the SOF10
+    progressive one with its DC refinement reassembly — decodes
+    through the production path to its closed form (the oracle
+    contract of q_jpeg_arith_stats), over both parities of the
+    refinement bit."""
+    maker = MM._make_dc_jpeg_arith()
+    for d in range(16):
+        dc = (d * 7) % 100 - 50
+        v = 128 + 2 * dc
+        px = MM.decode_jpeg_pixels(maker([dc, 0, 0], d % 4))
+        nch = 1 if d % 4 == 0 else 3
+        assert px.shape == (8, 16, nch)
+        assert int(px.min()) == v and int(px.max()) == v
+    # odd DC values drive the progressive refinement bit to 1 (the
+    # doc_id-derived dcs above are all even: 2·dc is, dc may not be —
+    # cover both refinement parities explicitly)
+    for dc in (-7, -2, 3, 48):
+        px = MM.decode_jpeg_pixels(maker([dc, 0, 0], 3))
+        assert int(px.min()) == int(px.max()) == 128 + 2 * dc
+
+
+def test_arith_malformed_inputs_raise_typed():
+    maker = MM._make_dc_jpeg_arith()
+    good = maker([10, 0, 0], 1)
+    # bad DAC class nibble
+    dac_at = good.find(b"\xff\xcc")
+    bad = bytearray(good)
+    bad[dac_at + 4] = 0x20  # class 2: invalid
+    with pytest.raises(ValueError, match="DAC"):
+        MM.decode_jpeg_pixels(bytes(bad))
+    # AC conditioning Kx = 0 is out of range
+    bad = bytearray(good)
+    assert bad[dac_at + 6] == 0x10
+    bad[dac_at + 7] = 0
+    with pytest.raises(ValueError, match="DAC"):
+        MM.decode_jpeg_pixels(bytes(bad))
+    # restart variant with its RST0 corrupted to RST3: mis-sequenced
+    rstd = maker([10, 0, 0], 2)
+    broken = rstd.replace(b"\xff\xd0", b"\xff\xd3", 1)
+    with pytest.raises(ValueError, match="restart"):
+        MM.decode_jpeg_pixels(broken)
+    # a sequential scan header under a progressive-arithmetic SOF is
+    # a typed spec violation (round 11: SOF10 decodes for real now)
+    prog = good.replace(b"\xff\xc9", b"\xff\xca", 1)
+    with pytest.raises(ValueError, match="Se != 0"):
+        MM.decode_jpeg_pixels(prog)
+    # arithmetic LOSSLESS (SOF11) stays a typed refusal
+    lossless = good.replace(b"\xff\xc9", b"\xff\xcb", 1)
+    with pytest.raises(NotImplementedError, match="SOF"):
+        MM.decode_jpeg_pixels(lossless)
+
+
+# ---------------------------------------------------------------- #
+# against the reference implementation                              #
+# ---------------------------------------------------------------- #
+
+
+def test_arith_decode_matches_huffman_twin_pixels(jpegshim):
+    """libjpeg encodes the same random image twice — Huffman and
+    arithmetic — which provably carries identical quantized
+    coefficients; our production decode of both must be pixel-
+    IDENTICAL (same IDCT/color path on both sides of the entropy
+    decoder, so any QM divergence surfaces)."""
+    rng = np.random.default_rng(42)
+    cases = [
+        (nc, sub, rst)
+        for nc, sub in ((1, 0), (3, 0), (3, 1), (3, 2))
+        for rst in (0, 3)
+    ]
+    for seed in range(6):
+        r = np.random.default_rng(seed)
+        w, h = int(r.integers(8, 60)), int(r.integers(8, 50))
+        for nc, sub, rst in cases:
+            img = rng.integers(0, 256, (h, w, nc), dtype=np.uint8)
+            jh = _shim_encode(jpegshim, img, arith=0, sub=sub, rst=rst)
+            jar = _shim_encode(jpegshim, img, arith=1, sub=sub, rst=rst)
+            ph = MM.decode_jpeg_pixels(jh)
+            pa = MM.decode_jpeg_pixels(jar)
+            assert ph.shape == pa.shape
+            assert np.array_equal(ph, pa), (seed, nc, sub, rst)
+
+
+def test_arith_coefficients_match_libjpeg_exactly(jpegshim):
+    """Belt and braces under the pixel test: the entropy-decoded
+    QUANTIZED COEFFICIENTS of a libjpeg arithmetic scan, read through
+    our QM primitives, equal jpeg_read_coefficients output bit for
+    bit (immune to IDCT rounding)."""
+    zz = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21,
+          28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30,
+          37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61,
+          54, 47, 55, 62, 63]
+    for seed in (3, 17, 91):
+        rng = np.random.default_rng(seed)
+        w, h = int(rng.integers(8, 64)), int(rng.integers(8, 48))
+        img = rng.integers(0, 256, (h, w, 1), dtype=np.uint8)
+        jpg = _shim_encode(jpegshim, img, quality=70, arith=1)
+        truth = _shim_coefs(jpegshim, jpg)[1]
+        # minimal marker walk to the scan (gray, one scan, no DRI)
+        pos, ent = 2, None
+        while pos + 2 <= len(jpg):
+            m = jpg[pos + 1]
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                pos += 2
+                continue
+            if m == 0xD9:
+                break
+            (ln,) = struct.unpack(">H", jpg[pos + 2 : pos + 4])
+            if m == 0xDA:
+                ent = pos + 2 + ln
+                break
+            pos += 2 + ln
+        body = jpg[ent:]
+        clean = body[: body.find(b"\xff\xd9")].replace(
+            b"\xff\x00", b"\xff"
+        )
+        dec = ja.QMDecoder(clean)
+        dst, ast = ja.new_dc_stats(), ja.new_ac_stats()
+        fixed = ja.new_fixed_bin()
+        hb, wb = truth.shape[:2]
+        mine = np.zeros((hb, wb, 64), dtype=np.int32)
+        ctx = pred = 0
+        for by in range(hb):
+            for bx in range(wb):
+                blk = mine[by, bx]
+                diff, ctx = ja.decode_dc_diff(dec, dst, ctx, 0, 1)
+                pred += diff
+                blk[0] = pred
+                ja.decode_ac_block(dec, ast, fixed, 5, blk)
+        nat = np.zeros_like(mine)
+        for k in range(64):
+            nat[:, :, zz[k]] = mine[:, :, k]
+        assert np.array_equal(nat, truth)
+
+
+def test_our_arith_encodes_decode_under_libjpeg(jpegshim):
+    """Every fixture variant our QM ENCODER produces — sequential
+    AND progressive — is accepted by libjpeg and decodes to the
+    closed-form pixels (±1 for libjpeg's integer IDCT/color path vs
+    our float one)."""
+    maker = MM._make_dc_jpeg_arith()
+    for d in range(16):
+        dc = (d * 7) % 100 - 50
+        v = 128 + 2 * dc
+        jpg = maker([dc, 0, 0], d % 4)
+        ref = _shim_decode(jpegshim, jpg)
+        assert int(ref.min()) >= v - 1 and int(ref.max()) <= v + 1
+
+
+def test_arith_progressive_decode_matches_huffman_twin(jpegshim):
+    """SOF10: libjpeg's FULL jpeg_simple_progression scan script
+    (DC first + DC refinement + spectral AC bands + two AC
+    successive-approximation refinement passes) under arithmetic
+    coding decodes pixel-identically to our decode of its Huffman
+    progressive twin — exercising decode_ac_refine and the fixed-bin
+    DC refinement against the reference implementation."""
+    rng = np.random.default_rng(9)
+    for seed in range(5):
+        r = np.random.default_rng(seed + 31)
+        w, h = int(r.integers(8, 70)), int(r.integers(8, 50))
+        for nc, sub in ((1, 0), (3, 0), (3, 1)):
+            for rst in (0, 2):
+                img = rng.integers(0, 256, (h, w, nc), dtype=np.uint8)
+                jh = _shim_encode(
+                    jpegshim, img, arith=0, prog=1, sub=sub, rst=rst
+                )
+                jar = _shim_encode(
+                    jpegshim, img, arith=1, prog=1, sub=sub, rst=rst
+                )
+                ph = MM.decode_jpeg_pixels(jh)
+                pa = MM.decode_jpeg_pixels(jar)
+                assert np.array_equal(ph, pa), (seed, nc, sub, rst)
+
+
+def test_progressive_app14_rgb_honored(jpegshim):
+    """A progressive stream with an Adobe APP14 transform=0 marker
+    must skip the YCbCr→RGB conversion (the planes ARE the output) —
+    pins the round-11 fix where _jpeg_progressive parsed APP14 but
+    dropped it at reconstruction. libjpeg agrees on the
+    interpretation, so both decoders differ only by IDCT rounding."""
+    rng = np.random.default_rng(77)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    jpg = _shim_encode(jpegshim, img, quality=90, arith=0, prog=1)
+    app14 = (
+        b"\xff\xee" + struct.pack(">H", 14)
+        + b"Adobe" + struct.pack(">HHH", 100, 0, 0) + bytes([0])
+    )
+    # REPLACE the JFIF APP0 with the Adobe APP14 (libjpeg gives JFIF
+    # precedence when both are present, so a pure splice would be
+    # ignored by the reference side; real Adobe files carry no JFIF)
+    assert jpg[2:4] == b"\xff\xe0"
+    app0_len = 2 + struct.unpack(">H", jpg[4:6])[0]
+    spliced = jpg[:2] + app14 + jpg[2 + app0_len :]
+    ours = MM.decode_jpeg_pixels(spliced).astype(int)
+    ref = _shim_decode(jpegshim, spliced).astype(int)
+    assert ours.shape == ref.shape
+    assert np.abs(ours - ref).max() <= 1
+    # and the result genuinely differs from the YCbCr interpretation
+    converted = MM.decode_jpeg_pixels(jpg).astype(int)
+    assert np.abs(ours - converted).max() > 8
+
+
+def test_huffman_paths_match_libjpeg(jpegshim):
+    """Retro cross-check of the HUFFMAN decode paths against real
+    libjpeg pixels: grayscale baseline and progressive are IDCT-only
+    (tolerance ±1 for jidctint vs our float IDCT); 4:4:4 color adds
+    libjpeg's fixed-point YCbCr→RGB, which compounds with the IDCT
+    rounding (measured tail: max 4 on 0.01% of pixels, mean ~0.4) —
+    bounded as max ≤ 5, mean ≤ 1.0, frac(>2) ≤ 0.1%, which a wrong
+    decode (mean tens, frac ~1) trips immediately. Subsampled layouts
+    are excluded — replication vs fancy upsampling legitimately
+    differs."""
+    rng = np.random.default_rng(5)
+    for seed in range(8):
+        r = np.random.default_rng(seed + 100)
+        w, h = int(r.integers(8, 80)), int(r.integers(8, 60))
+        for nc, prog in ((1, 0), (1, 1), (3, 0), (3, 1)):
+            img = rng.integers(0, 256, (h, w, nc), dtype=np.uint8)
+            jpg = _shim_encode(
+                jpegshim, img, quality=90, arith=0, prog=prog
+            )
+            ours = MM.decode_jpeg_pixels(jpg).astype(int)
+            ref = _shim_decode(jpegshim, jpg).astype(int)
+            assert ours.shape == ref.shape
+            d = np.abs(ours - ref)
+            if nc == 1:
+                assert d.max() <= 1, (seed, prog, d.max())
+            else:
+                assert d.max() <= 5, (seed, prog, d.max())
+                assert d.mean() <= 1.0, (seed, prog, d.mean())
+                assert (d > 2).mean() <= 1e-3, (seed, prog)

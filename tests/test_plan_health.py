@@ -47,6 +47,29 @@ def test_sweep_detects_injected_row_udf(spark):
     assert explain.scale_killer_flags(ok) == []
 
 
+def test_tiny_dimension_joins_broadcast(spark, sf_dir):
+    """Legs that join the known-tiny dimensions (nation: 25 rows, region: 5
+    rows) must broadcast them — a SortMergeJoin against a 5-row table is a
+    needless shuffle of the fact side at any scale.  nation/region parquet
+    is far under spark.sql.autoBroadcastJoinThreshold, so the static plan
+    should already pick BroadcastHashJoin; this pins that it keeps doing so
+    (round-10 verdict task 8)."""
+    for name in (
+        "local_supplier_volume",
+        "nation_trade_volume",
+        "product_profit_by_nation",
+        "min_cost_supplier",
+        "excess_stock_suppliers",
+        "nation_market_share",
+    ):
+        df = catalog.CATALOG[name].builder(spark, sf_dir)
+        text = explain.plan_text(df)
+        assert "BroadcastHashJoin" in text, (
+            f"{name}: no BroadcastHashJoin in plan — tiny dimension "
+            f"(nation/region) not broadcast:\n{text[:2000]}"
+        )
+
+
 def test_pushdown_pins_still_hold(spark, sf_dir):
     """The legs that pin predicate pushdown today: their filters must keep
     reaching the parquet scan (non-empty PushedFilters in the plan)."""

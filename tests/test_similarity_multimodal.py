@@ -1925,11 +1925,16 @@ def test_jpeg_poison_and_unsupported_variants():
     prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="Se != 0"):
         MM.decode_jpeg_pixels(prog)
-    # arithmetic-coded progressive (SOF10) stays behind
-    # NotImplementedError
+    # SOF10 (arithmetic progressive) became a real decoder in round
+    # 11 — the same splice is now a spec-invalid ARITHMETIC
+    # progressive stream (same Se != 0 violation), typed rejection;
+    # the NotImplementedError pin moves to SOF11 (lossless)
     arith = payload.replace(b"\xff\xc0", b"\xff\xca", 1)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="Se != 0"):
         MM.decode_jpeg_pixels(arith)
+    lossless = payload.replace(b"\xff\xc0", b"\xff\xcb", 1)
+    with pytest.raises(NotImplementedError):
+        MM.decode_jpeg_pixels(lossless)
 
     # oversized declared dims fail fast (byte cap)
     big = payload.replace(
@@ -2183,11 +2188,12 @@ def test_jpeg_12bit_grayscale_decode():
     with pytest.raises(ValueError, match="never scanned"):
         MM.decode_jpeg_pixels(spliced)
 
-    # the refusal pin moves to a genuinely unsupported family:
-    # ARITHMETIC-CODED JPEG (SOF9) is a typed NotImplementedError
-    arith = base[:sof_at] + b"\xff\xc9" + base[sof_at + 2 :]
+    # the refusal pin moves to a genuinely unsupported family (SOF9
+    # arithmetic SEQUENTIAL became a real decoder in round 11):
+    # LOSSLESS JPEG (SOF3) is a typed NotImplementedError
+    lossless = base[:sof_at] + b"\xff\xc3" + base[sof_at + 2 :]
     with pytest.raises(NotImplementedError, match="SOF"):
-        MM.decode_jpeg_pixels(arith)
+        MM.decode_jpeg_pixels(lossless)
 
     # and 12-bit FOUR-component (CMYK) stays a typed refusal: take
     # the real (well-formed, fully-scanned) 8-bit CMYK stream and
