@@ -210,17 +210,20 @@ class QMEncoder:
         t = c >> 19
         if t > 0xFF:
             # carry ripples into the pending byte; stacked 0xFFs roll
-            # over to 0x00 on the way
-            self._emit(self._pending + 1)
+            # over to 0x00 on the way.  A ripple past the stream start
+            # (pending still unset) cannot occur — the code value stays
+            # below the unit interval — but degrade defensively rather
+            # than overflow the byte.
+            self._emit(self._pending + 1 if self._pending >= 0 else 1)
             for _ in range(self._nff):
                 self._emit(0x00)
             self._nff = 0
             self._pending = t & 0xFF
         elif t == 0xFF:
-            if self._pending < 0:
-                self._pending = 0xFF  # pathological but well-defined
-            else:
-                self._nff += 1
+            # 0xFF is never held as the pending byte (a later carry
+            # would bump it past 0xFF); it always joins the stack,
+            # even as the very first output byte
+            self._nff += 1
         else:
             if self._pending >= 0:
                 self._emit(self._pending)

@@ -230,41 +230,56 @@ def srp_near_dup_pairs_scaled(
     plane_margin: int = 2,
     round_to: int = 5,
     n_rows: int | None = None,
+    bucket_cap: int = 64,
+    level_step: int = 6,
+    max_extra_levels: int = 4,
 ) -> DataFrame:
     """Scale-safe embedding near-dup detection: the 100 TB form of
     ``srp_near_dup_pairs``.
 
-    Two knobs close the fixed-width form's quadratic gap without giving up
-    recall:
+    Three mechanisms close the fixed-width form's quadratic gap without
+    giving up recall:
 
     * **Plane count grows with the corpus** (``scaled_plane_count``:
-      ~log2 N + margin), so expected bucket occupancy — and the bucket
-      self-join's Σ bucket² candidate cost — is O(N) at any scale instead
-      of N²/2^b.
+      ~log2 N + margin), so on well-spread data expected bucket occupancy
+      — and the bucket self-join's Σ bucket² candidate cost — is O(N).
+    * **Adaptive bucket splitting** (round 11, after the sf1.0 probe
+      measured Σ bucket² at 70×/10× on CLUSTERED data, where log-growth
+      alone cannot help: members of a tight sub-threshold cluster agree
+      on ~all random hyperplanes): every band bucket larger than
+      ``bucket_cap`` is re-split by a LONGER prefix of the same signature
+      (+``level_step`` planes per level, up to ``max_extra_levels``), so
+      Σ bucket² ≤ cap·N REGARDLESS of the data's cluster structure — the
+      only residue is clusters still oversized at max depth, which a pair
+      at per-plane agreement a has probability a^(step·levels) of
+      surviving (≈0.9^24 ≈ 8% for a cos≈0.95 cluster at the defaults).
+      A vector's final level is the shallowest prefix whose group fits
+      the cap — a pure window-count over the signature relation, so the
+      DuckDB oracle replays it exactly.
     * **Multiple OR-composed bands** (disjoint hyperplane index ranges)
-      recover the recall a single narrower band loses: a true near-dup pair
-      is a candidate if it collides in ANY band, and at near-dup thresholds
-      (cos ≥ 0.99 ⇒ per-plane agreement ≥ 1 − θ/π ≈ 0.97) per-band recall
-      is already ≥ 0.97^b, so two bands push misses to sub-percent.
+      keep recall: a true near-dup pair is a candidate if it collides in
+      ANY band at its final level. In the near-dup regime this operator
+      targets (cos ≥ 0.999 ⇒ per-plane agreement ≥ 0.9996) per-band
+      recall stays ≥ 0.98 even at maximum depth; boundary-threshold
+      pairs (cos ≈ 0.99) degrade gracefully like any LSH. The recall pin
+      vs the exact baseline lives in tests/test_similarity_multimodal.py.
 
-    One scan computes ALL band signatures in a single BLAS matmul per
-    Arrow batch (``mapInPandas``: the ±1 hyperplane matrix is materialized
-    once per task from the same integer hash as ``srp_signature_bit``, so
-    bucket strings are identical to the expression form — round-11 rewrite
-    of the round-10 per-plane expression trees, which cost
-    bands×planes×dims ``CASE`` evaluations per row). One equi-join
-    generates candidates; pairs found in several bands dedup BEFORE the
-    exact-cosine verify so each candidate is scored once. ``n_rows`` lets
-    a caller that already knows the corpus size (e.g. from parquet footer
-    metadata) keep plan construction action-free; otherwise one
-    O(1)-result count action sizes the signature. Skewed buckets
-    (correlated real-world embeddings) are split by AQE's skew-join
-    handling; the margin knob widens signatures when occupancy stays too
-    high."""
+    One scan computes ALL band signatures (maximum depth) in a single
+    BLAS matmul per Arrow batch (``mapInPandas``; the ±1 hyperplane
+    matrix is materialized once per task from the same integer hash as
+    ``srp_signature_bit``). The signature relation carries only
+    (id, band, sig) — the vectors are joined back BY ID after candidate
+    generation, so the window counts and the bucket self-join never
+    shuffle the embedding payload. Pairs found in several bands dedup
+    BEFORE the exact-cosine verify. ``n_rows`` lets a caller that
+    already knows the corpus size (e.g. from parquet footer metadata)
+    keep plan construction action-free; otherwise one O(1)-result count
+    action sizes the signature."""
     n = int(n_rows) if n_rows is not None else df.count()
     n_planes = scaled_plane_count(n, plane_margin)
-    total_planes = bands * n_planes
-    nb, npl = bands, n_planes
+    plen = n_planes + level_step * max_extra_levels
+    total_planes = bands * plen
+    nb = bands
 
     def sig_batches(it):
         import numpy as _np
@@ -285,35 +300,62 @@ def srp_near_dup_pairs_scaled(
                 )
             bits = (M @ H.T) >= 0  # (rows, total_planes)
             ids = pdf["id"].to_numpy()
-            vs = list(pdf["v"])
-            out_id, out_v, out_b = [], [], []
+            out_id, out_band, out_s = [], [], []
             for band in range(nb):
-                bb = bits[:, band * npl : (band + 1) * npl]
-                pre = f"{band}:"
+                bb = bits[:, band * plen : (band + 1) * plen]
                 for r in range(len(ids)):
                     out_id.append(ids[r])
-                    out_v.append(vs[r])
-                    out_b.append(
-                        pre + "".join("1" if b else "0" for b in bb[r])
+                    out_band.append(band)
+                    out_s.append(
+                        "".join("1" if b else "0" for b in bb[r])
                     )
-            yield _pd.DataFrame({"id": out_id, "v": out_v, "bucket": out_b})
+            yield _pd.DataFrame(
+                {"id": out_id, "band": out_band, "sig": out_s}
+            )
 
     v = spread(
         df.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
     )
-    banded = v.mapInPandas(
-        sig_batches, "id long, v array<double>, bucket string"
+    sigs = v.mapInPandas(sig_batches, "id long, band int, sig string")
+    # final level = shallowest prefix whose (band, prefix) group fits the
+    # cap; equal final prefixes imply equal groups, hence equal levels,
+    # so the candidate join needs only (band, level, prefix) equality
+    counts = [
+        F.count("*").over(
+            Window.partitionBy(
+                "band", F.substring("sig", 1, n_planes + level_step * k)
+            )
+        )
+        for k in range(max_extra_levels + 1)
+    ]
+    level = F.lit(max_extra_levels)
+    for k in range(max_extra_levels - 1, -1, -1):
+        level = F.when(counts[k] <= bucket_cap, k).otherwise(level)
+    bucketed = sigs.withColumn("lvl", level).select(
+        "id",
+        F.concat_ws(
+            ":",
+            F.col("band"),
+            F.col("lvl"),
+            F.col("sig").substr(
+                F.lit(1), F.lit(n_planes) + F.lit(level_step) * F.col("lvl")
+            ),
+        ).alias("bucket"),
     )
-    a = banded.select(F.col("id").alias("id1"), F.col("v").alias("v1"), "bucket")
-    b = banded.select(F.col("id").alias("id2"), F.col("v").alias("v2"), "bucket")
+    a = bucketed.select(F.col("id").alias("id1"), "bucket")
+    b = bucketed.select(F.col("id").alias("id2"), "bucket")
     cand = (
         a.join(b, "bucket")
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "v1", "v2")
+        .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )
+    c1 = v.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
+    c2 = v.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
     return (
-        cand.withColumn("cos", F.round(V.cosine(F.col("v1"), F.col("v2")), round_to))
+        cand.join(c1, "id1")
+        .join(c2, "id2")
+        .withColumn("cos", F.round(V.cosine(F.col("v1"), F.col("v2")), round_to))
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
     )

@@ -1578,14 +1578,17 @@ def q_embedding_near_dup_scaled(spark: SparkSession, sf: str) -> DataFrame:
     """The SCALE-SAFE near-dup form (round-9 verdict's lead task): corpus ∪
     NEAR-twins (coordinate 0 scaled ×1.001 — genuinely distinct vectors at
     cos ≈ 0.9999998, not bit-identical copies), SRP signature whose plane
-    count grows ~log2(N) so Σ bucket² candidates stay O(N), two OR-composed
-    bands for recall, exact cosine ≥ 0.99 verify. The oracle mirrors the
-    EXACT integer-hyperplane signature (including the dynamic plane count,
-    computed from the same corpus count), so both engines generate identical
-    candidate sets. Contrast ``embedding_near_dup_pairs`` (frozen bench leg):
-    its fixed 8-plane single band caps at 256 buckets and goes quadratic once
-    N ≫ 256 (measured in TUNING.md's sf1.0 probe); this form is the one to
-    run at 100 TB. Recall vs the exact all-pairs baseline is pinned in
+    count grows ~log2(N), ADAPTIVE splitting of over-cap buckets by longer
+    signature prefixes (round 11: bounds Σ bucket² ≤ 64·N on clustered
+    data too — the sf1.0 probe measured 70×/10× Σ bucket² growth under
+    log-planes alone), two OR-composed bands for recall, exact cosine
+    ≥ 0.99 verify. The oracle mirrors the EXACT integer-hyperplane
+    signature, the dynamic plane count AND the window-count level
+    selection, so both engines generate identical candidate sets.
+    Contrast ``embedding_near_dup_pairs`` (frozen bench leg): its fixed
+    8-plane single band caps at 256 buckets and goes quadratic once
+    N ≫ 256 (measured in TUNING.md's sf1.0 probe); this form is the one
+    to run at 100 TB. Recall vs the exact all-pairs baseline is pinned in
     tests/test_similarity_multimodal.py."""
     emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
     twins = emb.select(
@@ -1621,24 +1624,42 @@ WITH corpus AS (
                         (x, i) -> CASE WHEN i = 1 THEN x * 1.001 ELSE x END)
   FROM embeddings),
 params AS (
-  SELECT greatest(8, CAST(ceil(log2(count(*))) AS INT) + 2) AS np FROM corpus),
+  SELECT greatest(8, CAST(ceil(log2(count(*))) AS INT) + 2) AS np,
+         greatest(8, CAST(ceil(log2(count(*))) AS INT) + 2) + 24 AS plen
+  FROM corpus),
 proj AS (
   SELECT id, p,
          sum(v[d + 1] * (CASE WHEN ((p * 1000003 + d * 7919) % 97) % 2 = 0
                               THEN 1.0 ELSE -1.0 END)) AS s
   FROM corpus, params,
        unnest(generate_series(0, len(v) - 1)) AS t(d),
-       unnest(generate_series(0, 2 * np - 1)) AS t2(p)
+       unnest(generate_series(0, 2 * plen - 1)) AS t2(p)
   GROUP BY id, p),
 sigs AS (
-  SELECT id, p // np AS band,
+  SELECT id, p // plen AS band,
          string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
-                    ORDER BY p) AS bucket
-  FROM proj, params GROUP BY id, p // np),
+                    ORDER BY p) AS sig
+  FROM proj, params GROUP BY id, p // plen),
+lv AS (
+  SELECT id, band, sig, np,
+         CASE
+           WHEN count(*) OVER (
+             PARTITION BY band, substr(sig, 1, np)) <= 64 THEN 0
+           WHEN count(*) OVER (
+             PARTITION BY band, substr(sig, 1, np + 6)) <= 64 THEN 1
+           WHEN count(*) OVER (
+             PARTITION BY band, substr(sig, 1, np + 12)) <= 64 THEN 2
+           WHEN count(*) OVER (
+             PARTITION BY band, substr(sig, 1, np + 18)) <= 64 THEN 3
+           ELSE 4
+         END AS lvl
+  FROM sigs, params),
+bk AS (
+  SELECT id, band, lvl, substr(sig, 1, np + 6 * lvl) AS pre FROM lv),
 cand AS (
   SELECT DISTINCT a.id AS id1, b.id AS id2
-  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
-                         AND a.id < b.id),
+  FROM bk a JOIN bk b ON a.band = b.band AND a.lvl = b.lvl
+                     AND a.pre = b.pre AND a.id < b.id),
 pairs AS (
   SELECT id1, id2, c1.v AS v1, c2.v AS v2
   FROM cand JOIN corpus c1 ON c1.id = id1 JOIN corpus c2 ON c2.id = id2),

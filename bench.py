@@ -209,6 +209,9 @@ def main() -> None:
         # JPEG decode leg
         "embedding_near_dup_scaled",
         "jpeg_cmyk_stats",
+        # round-11: arithmetic-coded JPEG decode (SOF9 + SOF10, the
+        # T.81 QM coder) priced round-over-round
+        "jpeg_arith_stats",
     ]
     extras: dict[str, float] = {}
     for rep in range(reps):

@@ -230,6 +230,44 @@ def test_arith_malformed_inputs_raise_typed():
         MM.decode_jpeg_pixels(lossless)
 
 
+def _fractional_sampling_jpeg() -> bytes:
+    """A 3-component frame with sampling factors 3/2/1 — hmax=3 over
+    hs=2 is a non-integer ratio."""
+    def seg(m, b):
+        return bytes([0xFF, m]) + struct.pack(">H", len(b) + 2) + b
+
+    dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", 24, 24)
+              + bytes([3, 1, 0x31, 0, 2, 0x21, 0, 3, 0x11, 0]))
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12)
+                 + bytes(range(12)))
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15)
+                 + bytes([0]))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + dht_dc + dht_ac + sof + sos
+            + b"\x00" * 40 + b"\xff\xd9")
+
+
+def test_fractional_sampling_refusal_matches_libjpeg_ours():
+    """Non-integer chroma subsampling is a PERMANENT boundary with
+    reference precedent (libjpeg: 'Fractional sampling not
+    implemented yet') — our side of the pin: a typed refusal."""
+    with pytest.raises(NotImplementedError, match="non-integer"):
+        MM.decode_jpeg_pixels(_fractional_sampling_jpeg())
+
+
+def test_fractional_sampling_refusal_matches_libjpeg_theirs(jpegshim):
+    """...and the reference side: the same stream fails under real
+    libjpeg too (nonzero exit through its error path), so refusing it
+    matches the reference implementation rather than trailing it."""
+    r = subprocess.run(
+        [jpegshim, "decode"], input=_fractional_sampling_jpeg(),
+        capture_output=True,
+    )
+    assert r.returncode != 0
+    assert b"Fractional sampling" in r.stderr
+
+
 # ---------------------------------------------------------------- #
 # against the reference implementation                              #
 # ---------------------------------------------------------------- #
