@@ -230,6 +230,93 @@ def test_arith_malformed_inputs_raise_typed():
         MM.decode_jpeg_pixels(lossless)
 
 
+def _arith_intervals(ncomp, dcs, mcus=2):
+    """One destuffed-interval QM encode of DC-only MCUs (AC all EOB),
+    default conditioning — the building block for hand-assembled SOF9
+    fixtures below."""
+    enc = ja.QMEncoder()
+    dst, ast, fx = ja.new_dc_stats(), ja.new_ac_stats(), ja.new_fixed_bin()
+    zeros = [0] * 64
+    ctxs = [0] * ncomp
+    for m in range(mcus):
+        for ci in range(ncomp):
+            d = dcs[ci] if m == 0 else 0
+            ctxs[ci] = ja.encode_dc_diff(enc, dst, ctxs[ci], 0, 1, d)
+            ja.encode_ac_block(enc, ast, fx, 5, zeros)
+    return enc.finish()
+
+
+def _seg(m, b):
+    return bytes([0xFF, m]) + struct.pack(">H", len(b) + 2) + b
+
+
+def test_arith_12bit_grayscale():
+    """SOF9 at 12-bit precision (Pq=1 table, 2048 level shift) — the
+    arithmetic twin of the 12-bit Huffman path, closed-form pinned
+    so the precision plumbing is not a shipped-untested surface."""
+    dqt = _seg(0xDB, bytes([0x10])
+               + b"".join(struct.pack(">H", 16) for _ in range(64)))
+    sof = _seg(0xC9, bytes([12]) + struct.pack(">HH", 8, 16)
+               + bytes([1, 1, 0x11, 0]))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    for dc in (-900, -1, 0, 777):
+        jpg = (b"\xff\xd8" + dqt + sof + sos
+               + _arith_intervals(1, [dc]) + b"\xff\xd9")
+        px = MM.decode_jpeg_pixels(jpg)
+        v = 2048 + 2 * dc
+        assert px.shape == (8, 16, 1)
+        assert int(px.min()) == v == int(px.max())
+
+
+def test_arith_cmyk_four_component():
+    """SOF9 with four components + Adobe APP14: the arithmetic walk
+    feeds the same inverted-ink CMYK→RGB closed form as the Huffman
+    CMYK leg."""
+    import math
+
+    app14 = _seg(0xEE, b"Adobe" + struct.pack(">HHH", 100, 0, 0)
+                 + bytes([0]))
+    dqt = _seg(0xDB, bytes([0]) + bytes([16] * 64))
+    sof = _seg(0xC9, bytes([8]) + struct.pack(">HH", 8, 16) + bytes([4])
+               + b"".join(bytes([c, 0x11, 0]) for c in (1, 2, 3, 4)))
+    sos = _seg(0xDA, bytes([4])
+               + b"".join(bytes([c, 0x00]) for c in (1, 2, 3, 4))
+               + bytes([0, 63, 0]))
+    dcs = [10, 20, -30, 40]
+    jpg = (b"\xff\xd8" + app14 + dqt + sof + sos
+           + _arith_intervals(4, dcs) + b"\xff\xd9")
+    px = MM.decode_jpeg_pixels(jpg)
+    c, m, y, k = (float(128 + 2 * d) for d in dcs)
+    exp = [math.floor(c * k / 255.0 + 0.5), math.floor(m * k / 255.0 + 0.5),
+           math.floor(y * k / 255.0 + 0.5)]
+    assert [int(px[0, 0, i]) for i in range(3)] == exp
+    assert int(px.min()) == min(exp) and int(px.max()) == max(exp)
+
+
+def test_arith_multiscan_per_component():
+    """A SOF9 frame whose three components arrive over three separate
+    single-component scans (statistics and QM state reset per scan) —
+    the arithmetic twin of _jpeg_multiscan_sequential's layout."""
+    dqt = _seg(0xDB, bytes([0]) + bytes([16] * 64))
+    sof = _seg(0xC9, bytes([8]) + struct.pack(">HH", 8, 16) + bytes([3])
+               + b"".join(bytes([c, 0x11, 0]) for c in (1, 2, 3)))
+    out = b"\xff\xd8" + dqt + sof
+    for cid, dc in ((1, 25), (2, 0), (3, 0)):
+        out += (_seg(0xDA, bytes([1, cid, 0x00, 0, 63, 0]))
+                + _arith_intervals(1, [dc]))
+    px = MM.decode_jpeg_pixels(out + b"\xff\xd9")
+    v = 128 + 2 * 25
+    assert px.shape == (8, 16, 3)
+    assert int(px.min()) == v == int(px.max())
+    # a frame whose scans never cover component 3 is malformed
+    partial = b"\xff\xd8" + dqt + sof
+    for cid in (1, 2):
+        partial += (_seg(0xDA, bytes([1, cid, 0x00, 0, 63, 0]))
+                    + _arith_intervals(1, [5]))
+    with pytest.raises(ValueError, match="never scanned"):
+        MM.decode_jpeg_pixels(partial + b"\xff\xd9")
+
+
 def _fractional_sampling_jpeg() -> bytes:
     """A 3-component frame with sampling factors 3/2/1 — hmax=3 over
     hs=2 is a non-integer ratio."""
@@ -254,6 +341,26 @@ def test_fractional_sampling_refusal_matches_libjpeg_ours():
     implemented yet') — our side of the pin: a typed refusal."""
     with pytest.raises(NotImplementedError, match="non-integer"):
         MM.decode_jpeg_pixels(_fractional_sampling_jpeg())
+
+
+def test_lossless_family_refusal_matches_libjpeg(jpegshim):
+    """After round 11 the decode surface equals (and at 12-bit exceeds)
+    stock libjpeg-turbo's: every SOF we refuse, the reference refuses
+    too ('Unsupported JPEG process'). Sweep the whole refused family on
+    both sides so a silently-widened or silently-narrowed boundary
+    cannot drift unnoticed."""
+    dqt = _seg(0xDB, bytes([0]) + bytes([16] * 64))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    for marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        sof = _seg(marker, bytes([8]) + struct.pack(">HH", 8, 16)
+                   + bytes([1, 1, 0x11, 0]))
+        jpg = b"\xff\xd8" + dqt + sof + sos + b"\x00" * 20 + b"\xff\xd9"
+        with pytest.raises(NotImplementedError, match="SOF"):
+            MM.decode_jpeg_pixels(jpg)
+        r = subprocess.run([jpegshim, "decode"], input=jpg,
+                           capture_output=True)
+        assert r.returncode != 0, hex(marker)
+        assert b"Unsupported JPEG process" in r.stderr, hex(marker)
 
 
 def test_fractional_sampling_refusal_matches_libjpeg_theirs(jpegshim):
