@@ -293,6 +293,44 @@ def test_arith_cmyk_four_component():
     assert int(px.min()) == min(exp) and int(px.max()) == max(exp)
 
 
+def test_arith_12bit_progressive():
+    """SOF10 at 12-bit: DC-first (Al=1) + fixed-bin DC refinement +
+    all-EOB AC scan reassemble the exact 12-bit DC — pins the
+    precision plumbing of the arithmetic progressive walk (both
+    refinement-bit parities)."""
+    dqt = _seg(0xDB, bytes([0x10])
+               + b"".join(struct.pack(">H", 16) for _ in range(64)))
+    sof = _seg(0xCA, bytes([12]) + struct.pack(">HH", 8, 16)
+               + bytes([1, 1, 0x11, 0]))
+    for dc in (-901, -900, 0, 776, 777):
+        out = b"\xff\xd8" + dqt + sof
+        # DC first, Al=1: diffs of (dc >> 1)
+        enc = ja.QMEncoder()
+        dst = ja.new_dc_stats()
+        ctx = 0
+        for m in range(2):
+            ctx = ja.encode_dc_diff(
+                enc, dst, ctx, 0, 1, (dc >> 1) if m == 0 else 0
+            )
+        out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + enc.finish()
+        # DC refinement, Ah=1/Al=0: bit 0 of dc per block
+        enc = ja.QMEncoder()
+        fx = ja.new_fixed_bin()
+        for m in range(2):
+            enc.encode(fx, 0, dc & 1)
+        out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + enc.finish()
+        # AC first over [1, 63]: all EOB
+        enc = ja.QMEncoder()
+        ast = ja.new_ac_stats()
+        for m in range(2):
+            enc.encode(ast, 0, 1)
+        out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + enc.finish()
+        px = MM.decode_jpeg_pixels(out + b"\xff\xd9")
+        v = 2048 + 2 * dc
+        assert px.shape == (8, 16, 1)
+        assert int(px.min()) == v == int(px.max()), (dc, px.min())
+
+
 def test_arith_multiscan_per_component():
     """A SOF9 frame whose three components arrive over three separate
     single-component scans (statistics and QM state reset per scan) —
@@ -361,6 +399,20 @@ def test_lossless_family_refusal_matches_libjpeg(jpegshim):
                            capture_output=True)
         assert r.returncode != 0, hex(marker)
         assert b"Unsupported JPEG process" in r.stderr, hex(marker)
+    # >4-component frames: refused on both sides as well (libjpeg
+    # rejects the 5th component's SOS entry in every constructible
+    # layout — interleaved 4+1 and five per-component scans both fail
+    # with 'Invalid component ID'; ours is typed at the frame header)
+    sof5 = _seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 16)
+                + bytes([5])
+                + b"".join(bytes([c, 0x11, 0]) for c in range(1, 6)))
+    sos5 = _seg(0xDA, bytes([1, 5, 0x00, 0, 63, 0]))
+    jpg5 = b"\xff\xd8" + dqt + sof5 + sos5 + b"\x00" * 20 + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="component"):
+        MM.decode_jpeg_pixels(jpg5)
+    r = subprocess.run([jpegshim, "decode"], input=jpg5,
+                       capture_output=True)
+    assert r.returncode != 0
 
 
 def test_fractional_sampling_refusal_matches_libjpeg_theirs(jpegshim):
