@@ -967,6 +967,7 @@ def _make_content_decoders():
         frame = None
         dri = 0
         adobe = None
+        jfif = False
         pos = 2
         while pos + 2 <= len(b):
             if b[pos] != 0xFF:
@@ -987,6 +988,8 @@ def _make_content_decoders():
                 _parse_dqt(seg, qt)
             elif marker == 0xC4:  # DHT
                 _parse_dht(seg, huff)
+            elif marker == 0xE0:  # APP0: JFIF presence
+                jfif = jfif or seg[:5] == b"JFIF\x00"
             elif marker in (0xC0, 0xC1):  # baseline / extended seq.
                 frame = _parse_sof(seg)
             elif marker == 0xC2:  # progressive: different scan walk
@@ -1019,6 +1022,10 @@ def _make_content_decoders():
                      seg[2 + 2 * si] & 15)
                     for si in range(ns)
                 ]
+                if jfif and frame is not None and len(frame[2]) == 3:
+                    # JFIF precedence over an Adobe transform for
+                    # 3-component frames (libjpeg jdmaster rule)
+                    adobe = None
                 return qt, huff, frame, dri, smap, pos + 2 + ln, adobe
             # APPn / COM and anything else with a length: skipped
             pos += 2 + ln
@@ -1169,7 +1176,11 @@ def _make_content_decoders():
         EOB-run coding across blocks and ZRL, refinement pass with
         correction bits for every already-nonzero coefficient).
         Restart markers reset DC predictors AND the EOB run."""
+        if not seg:
+            raise ValueError("truncated SOS")
         ns = seg[0]
+        if not 1 <= ns <= 4:
+            raise ValueError("SOS component count out of range")
         if len(seg) < 4 + 2 * ns:
             raise ValueError("truncated SOS components")
         smap = [
@@ -1362,7 +1373,11 @@ def _make_content_decoders():
         markers reset the scan's DC predictors. Coefficients are
         stored UNquantized (the shared reconstruct step multiplies
         by the quantization table, exactly like progressive)."""
+        if not seg:
+            raise ValueError("truncated SOS")
         ns = seg[0]
+        if not 1 <= ns <= 4:
+            raise ValueError("SOS component count out of range")
         if len(seg) < 4 + 2 * ns:
             raise ValueError("truncated SOS components")
         smap = [
@@ -1467,7 +1482,11 @@ def _make_content_decoders():
         randomized corpora in tests/test_jpeg_arith.py."""
         from . import jpegarith as _ja
 
+        if not seg:
+            raise ValueError("truncated SOS")
         ns = seg[0]
+        if not 1 <= ns <= 4:
+            raise ValueError("SOS component count out of range")
         if len(seg) < 4 + 2 * ns:
             raise ValueError("truncated SOS components")
         smap = [
@@ -1567,7 +1586,11 @@ def _make_content_decoders():
         (tests/test_jpeg_arith.py)."""
         from . import jpegarith as _ja
 
+        if not seg:
+            raise ValueError("truncated SOS")
         ns = seg[0]
+        if not 1 <= ns <= 4:
+            raise ValueError("SOS component count out of range")
         if len(seg) < 4 + 2 * ns:
             raise ValueError("truncated SOS components")
         smap = [
@@ -1709,79 +1732,35 @@ def _make_content_decoders():
         """Arithmetic-coded PROGRESSIVE JPEG (SOF10): the multi-scan
         accumulation walk of ``_jpeg_progressive`` with DAC
         conditioning and ``_arith_prog_scan`` decoding each SOS."""
-        qt: dict[int, object] = {}
-        huff: dict[tuple[int, int], dict] = {}
-        cond: dict = {}
-        frame = None
-        geom = coefs = None
-        dri = 0
-        adobe = None
-        nscans = 0
-        pos = 2
-        while pos + 2 <= len(b):
-            if b[pos] != 0xFF:
-                raise ValueError("bad JPEG marker stream")
-            marker = b[pos + 1]
-            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
-                pos += 2
-                continue
-            if marker == 0xD9:
-                break
-            if pos + 4 > len(b):
-                raise ValueError("truncated JPEG segment header")
-            (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
-            seg = b[pos + 4 : pos + 2 + ln]
-            if ln < 2 or len(seg) != ln - 2:
-                raise ValueError("truncated JPEG segment")
-            if marker == 0xDB:
-                _parse_dqt(seg, qt)
-            elif marker == 0xC4:
-                _parse_dht(seg, huff)  # unused under arithmetic coding
-            elif marker == 0xCC:
-                _parse_dac(seg, cond)
-            elif marker == 0xCA:
-                if frame is not None:
-                    raise ValueError("multiple SOF segments")
-                frame = _parse_sof(seg)
-                geom, coefs = _prog_frame_geometry(frame)
-            elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                            0xC9, 0xCB, 0xCD, 0xCE, 0xCF):
-                raise ValueError("conflicting SOF segments")
-            elif marker == 0xDD:
-                if len(seg) < 2:
-                    raise ValueError("truncated DRI")
-                (dri,) = struct.unpack(">H", seg[:2])
-            elif marker == 0xEE:
-                adobe = _parse_app14(seg) if adobe is None else adobe
-            elif marker == 0xDA:
-                if frame is None:
-                    raise ValueError("JPEG scan before SOF")
-                nscans += 1
-                if nscans > 1024:  # adversarial scan-count bound
-                    raise ValueError("too many progressive scans")
-                segs, end = _clean_scan(b, pos + 2 + ln)
+        frame, geom, coefs, qt, adobe, _ = _multiscan_walk(
+            b, (0xCA,), 1024,
+            lambda seg, segs, frame, geom, coefs, huff, cond, dri:
                 _arith_prog_scan(
                     seg, segs, frame, geom, coefs, cond, dri
-                )
-                pos = end
-                continue
-            pos += 2 + ln
-        if frame is None:
-            raise ValueError("JPEG missing SOF")
-        if nscans == 0:
-            raise ValueError("JPEG missing SOS")
+                ),
+        )
         return _prog_reconstruct(frame, geom, coefs, qt, adobe)
 
-    def _jpeg_arith_sequential(b: bytes):
-        """Arithmetic-coded extended-sequential JPEG (SOF9): the same
-        accumulate-then-one-IDCT walk as the Huffman multi-scan path,
-        with DAC segments supplying the QM conditioning and
-        ``_arith_scan`` decoding each SOS. DHT segments, legal but
-        meaningless in an arithmetic frame, are parsed and ignored.
-        Covers interleaved and one-component-per-scan layouts,
-        restart intervals, 8- and 12-bit precision, grayscale/YCbCr/
-        Adobe CMYK-YCCK component counts (same ``_jpeg_color_out``
-        contract as the Huffman paths)."""
+    _SOF_MARKERS = frozenset(
+        (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+    )
+
+    def _multiscan_walk(b: bytes, sof_markers, max_scans, on_scan):
+        """THE shared multi-scan marker walk (T.81 §B.2) behind the
+        Huffman multi-scan-sequential, Huffman progressive, and both
+        arithmetic layouts — one copy of the SOI/segment/length
+        parsing, DQT/DHT/DAC/DRI/APP0/APP14/SOS dispatch, and
+        truncation checks, parameterized by the accepted SOF
+        marker(s), the per-scan decode callback, and the scan-count
+        cap (round-11 de-duplication of four near-identical loops).
+        DAC segments are parsed in every layout (legal-but-inert junk
+        under Huffman coding); a JFIF APP0 takes PRECEDENCE over an
+        Adobe APP14 transform for three-component frames, mirroring
+        libjpeg's jdmaster rule (a file carrying both decodes as
+        YCbCr, not as the Adobe-declared RGB). Returns
+        ``(frame, geom, coefs, qt, adobe, seen)``; ``seen`` is the
+        union of the callback's per-scan component-id returns."""
         qt: dict[int, object] = {}
         huff: dict[tuple[int, int], dict] = {}
         cond: dict = {}
@@ -1789,82 +1768,7 @@ def _make_content_decoders():
         geom = coefs = None
         dri = 0
         adobe = None
-        nscans = 0
-        seen: set = set()
-        pos = 2
-        while pos + 2 <= len(b):
-            if b[pos] != 0xFF:
-                raise ValueError("bad JPEG marker stream")
-            marker = b[pos + 1]
-            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
-                pos += 2
-                continue
-            if marker == 0xD9:
-                break
-            if pos + 4 > len(b):
-                raise ValueError("truncated JPEG segment header")
-            (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
-            seg = b[pos + 4 : pos + 2 + ln]
-            if ln < 2 or len(seg) != ln - 2:
-                raise ValueError("truncated JPEG segment")
-            if marker == 0xDB:
-                _parse_dqt(seg, qt)
-            elif marker == 0xC4:
-                _parse_dht(seg, huff)  # unused under arithmetic coding
-            elif marker == 0xCC:
-                _parse_dac(seg, cond)
-            elif marker == 0xC9:
-                if frame is not None:
-                    raise ValueError("multiple SOF segments")
-                frame = _parse_sof(seg)
-                geom, coefs = _prog_frame_geometry(frame)
-            elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                raise ValueError("conflicting SOF segments")
-            elif marker == 0xDD:
-                if len(seg) < 2:
-                    raise ValueError("truncated DRI")
-                (dri,) = struct.unpack(">H", seg[:2])
-            elif marker == 0xEE:
-                adobe = _parse_app14(seg) if adobe is None else adobe
-            elif marker == 0xDA:
-                if frame is None:
-                    raise ValueError("JPEG scan before SOF")
-                nscans += 1
-                if nscans > 64:
-                    raise ValueError("too many sequential scans")
-                segs, end = _clean_scan(b, pos + 2 + ln)
-                seen |= _arith_scan(
-                    seg, segs, frame, geom, coefs, cond, dri
-                )
-                pos = end
-                continue
-            pos += 2 + ln
-        if frame is None:
-            raise ValueError("JPEG missing SOF")
-        if nscans == 0:
-            raise ValueError("JPEG missing SOS")
-        missing = {c[0] for c in frame[2]} - seen
-        if missing:
-            raise ValueError(
-                f"components {sorted(missing)} never scanned"
-            )
-        return _prog_reconstruct(frame, geom, coefs, qt, adobe)
-
-    def _jpeg_multiscan_sequential(b: bytes):
-        """Baseline/extended-sequential JPEG whose components arrive
-        over SEVERAL scans (the first SOS covers fewer components
-        than the frame declares): same marker walk as the
-        progressive decoder, each scan decoded by ``_seq_scan`` into
-        the shared coefficient accumulators, one vectorized
-        dequantize+IDCT at EOI. Every frame component must appear in
-        at least one scan."""
-        qt: dict[int, object] = {}
-        huff: dict[tuple[int, int], dict] = {}
-        frame = None
-        geom = coefs = None
-        dri = 0
-        adobe = None
+        jfif = False
         nscans = 0
         seen: set = set()
         pos = 2
@@ -1887,30 +1791,34 @@ def _make_content_decoders():
                 _parse_dqt(seg, qt)
             elif marker == 0xC4:
                 _parse_dht(seg, huff)
-            elif marker in (0xC0, 0xC1):
+            elif marker == 0xCC:
+                _parse_dac(seg, cond)
+            elif marker in sof_markers:
                 if frame is not None:
                     raise ValueError("multiple SOF segments")
                 frame = _parse_sof(seg)
                 geom, coefs = _prog_frame_geometry(frame)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            elif marker in _SOF_MARKERS:
                 raise ValueError("conflicting SOF segments")
             elif marker == 0xDD:
                 if len(seg) < 2:
                     raise ValueError("truncated DRI")
                 (dri,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xE0:
+                jfif = jfif or seg[:5] == b"JFIF\x00"
             elif marker == 0xEE:
                 adobe = _parse_app14(seg) if adobe is None else adobe
             elif marker == 0xDA:
                 if frame is None:
                     raise ValueError("JPEG scan before SOF")
                 nscans += 1
-                if nscans > 64:  # ≤ one scan per component in spec
-                    raise ValueError("too many sequential scans")
+                if nscans > max_scans:
+                    raise ValueError("too many scans")
                 segs, end = _clean_scan(b, pos + 2 + ln)
-                seen |= _seq_scan(
-                    seg, segs, frame, geom, coefs, huff, dri
-                )
+                got = on_scan(seg, segs, frame, geom, coefs, huff,
+                              cond, dri)
+                if got:
+                    seen |= got
                 pos = end
                 continue
             pos += 2 + ln
@@ -1918,6 +1826,45 @@ def _make_content_decoders():
             raise ValueError("JPEG missing SOF")
         if nscans == 0:
             raise ValueError("JPEG missing SOS")
+        if jfif and len(frame[2]) == 3:
+            adobe = None  # JFIF precedence (libjpeg jdmaster rule)
+        return frame, geom, coefs, qt, adobe, seen
+
+    def _jpeg_arith_sequential(b: bytes):
+        """Arithmetic-coded extended-sequential JPEG (SOF9): the same
+        accumulate-then-one-IDCT walk as the Huffman multi-scan path,
+        with DAC segments supplying the QM conditioning and
+        ``_arith_scan`` decoding each SOS. DHT segments, legal but
+        meaningless in an arithmetic frame, are parsed and ignored.
+        Covers interleaved and one-component-per-scan layouts,
+        restart intervals, 8- and 12-bit precision, grayscale/YCbCr/
+        Adobe CMYK-YCCK component counts (same ``_jpeg_color_out``
+        contract as the Huffman paths)."""
+        frame, geom, coefs, qt, adobe, seen = _multiscan_walk(
+            b, (0xC9,), 64,
+            lambda seg, segs, frame, geom, coefs, huff, cond, dri:
+                _arith_scan(seg, segs, frame, geom, coefs, cond, dri),
+        )
+        missing = {c[0] for c in frame[2]} - seen
+        if missing:
+            raise ValueError(
+                f"components {sorted(missing)} never scanned"
+            )
+        return _prog_reconstruct(frame, geom, coefs, qt, adobe)
+
+    def _jpeg_multiscan_sequential(b: bytes):
+        """Baseline/extended-sequential JPEG whose components arrive
+        over SEVERAL scans (the first SOS covers fewer components
+        than the frame declares): same marker walk as the
+        progressive decoder, each scan decoded by ``_seq_scan`` into
+        the shared coefficient accumulators, one vectorized
+        dequantize+IDCT at EOI. Every frame component must appear in
+        at least one scan."""
+        frame, geom, coefs, qt, adobe, seen = _multiscan_walk(
+            b, (0xC0, 0xC1), 64,  # <= one scan per component in spec
+            lambda seg, segs, frame, geom, coefs, huff, cond, dri:
+                _seq_scan(seg, segs, frame, geom, coefs, huff, dri),
+        )
         missing = {c[0] for c in frame[2]} - seen
         if missing:
             raise ValueError(
@@ -2032,62 +1979,11 @@ def _make_content_decoders():
         overflows raise ValueError; the ARITHMETIC progressive twin
         (SOF10) decodes through _jpeg_arith_progressive (12-bit
         grayscale and color decode, mirroring the baseline path)."""
-        qt: dict[int, object] = {}
-        huff: dict[tuple[int, int], dict] = {}
-        frame = None
-        geom = coefs = None
-        dri = 0
-        adobe = None
-        nscans = 0
-        pos = 2
-        while pos + 2 <= len(b):
-            if b[pos] != 0xFF:
-                raise ValueError("bad JPEG marker stream")
-            marker = b[pos + 1]
-            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
-                pos += 2
-                continue
-            if marker == 0xD9:
-                break
-            if pos + 4 > len(b):
-                raise ValueError("truncated JPEG segment header")
-            (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
-            seg = b[pos + 4 : pos + 2 + ln]
-            if ln < 2 or len(seg) != ln - 2:
-                raise ValueError("truncated JPEG segment")
-            if marker == 0xDB:
-                _parse_dqt(seg, qt)
-            elif marker == 0xC4:
-                _parse_dht(seg, huff)
-            elif marker == 0xC2:
-                if frame is not None:
-                    raise ValueError("multiple SOF segments")
-                frame = _parse_sof(seg)
-                geom, coefs = _prog_frame_geometry(frame)
-            elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
-                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                raise ValueError("conflicting SOF segments")
-            elif marker == 0xDD:
-                if len(seg) < 2:
-                    raise ValueError("truncated DRI")
-                (dri,) = struct.unpack(">H", seg[:2])
-            elif marker == 0xEE:
-                adobe = _parse_app14(seg) if adobe is None else adobe
-            elif marker == 0xDA:
-                if frame is None:
-                    raise ValueError("JPEG scan before SOF")
-                nscans += 1
-                if nscans > 1024:  # adversarial scan-count bound
-                    raise ValueError("too many progressive scans")
-                segs, end = _clean_scan(b, pos + 2 + ln)
-                _prog_scan(seg, segs, frame, geom, coefs, huff, dri)
-                pos = end
-                continue
-            pos += 2 + ln
-        if frame is None:
-            raise ValueError("JPEG missing SOF")
-        if nscans == 0:
-            raise ValueError("JPEG missing SOS")
+        frame, geom, coefs, qt, adobe, _ = _multiscan_walk(
+            b, (0xC2,), 1024,  # adversarial scan-count bound
+            lambda seg, segs, frame, geom, coefs, huff, cond, dri:
+                _prog_scan(seg, segs, frame, geom, coefs, huff, dri),
+        )
         return _prog_reconstruct(frame, geom, coefs, qt, adobe)
 
     def jpeg(payload: bytes):

@@ -320,13 +320,15 @@ def srp_near_dup_pairs_scaled(
     # final level = shallowest prefix whose (band, prefix) group fits the
     # cap; equal final prefixes imply equal groups, hence equal levels,
     # so the candidate join needs only (band, level, prefix) equality
+    # no count window for the deepest level: it is the unconditional
+    # fallback, so only levels 0..max-1 need their group size checked
     counts = [
         F.count("*").over(
             Window.partitionBy(
                 "band", F.substring("sig", 1, n_planes + level_step * k)
             )
         )
-        for k in range(max_extra_levels + 1)
+        for k in range(max_extra_levels)
     ]
     level = F.lit(max_extra_levels)
     for k in range(max_extra_levels - 1, -1, -1):

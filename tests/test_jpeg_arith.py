@@ -562,9 +562,10 @@ def test_progressive_app14_rgb_honored(jpegshim):
         b"\xff\xee" + struct.pack(">H", 14)
         + b"Adobe" + struct.pack(">HHH", 100, 0, 0) + bytes([0])
     )
-    # REPLACE the JFIF APP0 with the Adobe APP14 (libjpeg gives JFIF
-    # precedence when both are present, so a pure splice would be
-    # ignored by the reference side; real Adobe files carry no JFIF)
+    # REPLACE the JFIF APP0 with the Adobe APP14 (JFIF takes
+    # precedence when both are present — in libjpeg AND, since the
+    # round-11 review fix, in our walks too; real Adobe files carry
+    # no JFIF)
     assert jpg[2:4] == b"\xff\xe0"
     app0_len = 2 + struct.unpack(">H", jpg[4:6])[0]
     spliced = jpg[:2] + app14 + jpg[2 + app0_len :]
@@ -575,6 +576,41 @@ def test_progressive_app14_rgb_honored(jpegshim):
     # and the result genuinely differs from the YCbCr interpretation
     converted = MM.decode_jpeg_pixels(jpg).astype(int)
     assert np.abs(ours - converted).max() > 8
+    # BOTH markers present: JFIF wins and the Adobe transform is
+    # ignored — our decode equals the plain-JFIF decode exactly, and
+    # libjpeg agrees (round-11 review fix: previously the Adobe
+    # transform was honored unconditionally)
+    both = jpg[:2] + app14 + jpg[2:]
+    ours_both = MM.decode_jpeg_pixels(both).astype(int)
+    assert np.array_equal(ours_both, converted)
+    ref_both = _shim_decode(jpegshim, both).astype(int)
+    assert np.abs(ours_both - ref_both).max() <= 4  # IDCT+color tail
+
+
+def test_sos_component_count_bounds_are_typed():
+    """An SOS naming zero components (or more than T.81's four) is a
+    typed ValueError in every scan layout, never a raw IndexError
+    escaping the strict-poison contract (round-11 review fix)."""
+    maker = MM._make_dc_jpeg_arith()
+    seq = maker([10, 0, 0], 0)  # gray SOF9, single scan
+    sos_at = seq.find(b"\xff\xda")
+    bad = bytearray(seq)
+    bad[sos_at + 4] = 0  # Ns = 0
+    with pytest.raises(ValueError, match="component count"):
+        MM.decode_jpeg_pixels(bytes(bad))
+    prog = maker([10, 0, 0], 3)  # SOF10, first scan interleaved
+    sos_at = prog.find(b"\xff\xda")
+    bad = bytearray(prog)
+    bad[sos_at + 4] = 0
+    with pytest.raises(ValueError, match="component count"):
+        MM.decode_jpeg_pixels(bytes(bad))
+    # Huffman multi-scan walk: 12-bit color fixture, Ns patched to 5
+    huff = MM._make_dc_jpeg12_color()([1, 2, 3])
+    sos_at = huff.find(b"\xff\xda")
+    bad = bytearray(huff)
+    bad[sos_at + 4] = 5
+    with pytest.raises(ValueError, match="component count|truncated"):
+        MM.decode_jpeg_pixels(bytes(bad))
 
 
 def test_huffman_paths_match_libjpeg(jpegshim):
