@@ -19,11 +19,12 @@ chroma upsample, YCbCr→RGB, restart markers; 12-bit grayscale AND
 tables; 4-component Adobe CMYK/YCCK via the APP14 transform byte;
 ARITHMETIC entropy coding, both sequential SOF9 and progressive
 SOF10, via the T.81 Annex D QM coder in ``operators/jpegarith.py``,
-validated bit-exact against libjpeg-turbo) — pure Python + numpy, no
-codec library. The remaining genuine format boundaries stay behind
-NotImplementedError: lossless/differential/hierarchical SOFs, 12-bit
-4-component CMYK, non-integer chroma subsampling ratios, and
->4-component frames.
+validated bit-exact against libjpeg-turbo; 12-bit precision across
+ALL of grayscale/YCbCr/CMYK) — pure Python + numpy, no codec library.
+The remaining genuine format boundaries stay behind
+NotImplementedError — each one also refused by stock libjpeg-turbo:
+lossless/differential/hierarchical SOFs, non-integer chroma
+subsampling ratios, and >4-component frames.
 ``extract_image_meta`` keeps the sha-derived deterministic metadata
 used by the oracle-checked catalog rows.
 
@@ -1130,11 +1131,6 @@ def _make_content_decoders():
         ``coefs[cid]`` is the full MCU-padded (blocks_y, blocks_x, 64)
         int32 array in zigzag order."""
         hgt, wdt, comps, prec = frame
-        if prec == 12 and len(comps) not in (1, 3):
-            raise NotImplementedError(
-                "12-bit progressive JPEG decode covers grayscale "
-                "and YCbCr color only"
-            )
         if hgt == 0 or wdt == 0:
             raise ValueError("zero-dimension JPEG")
         nch = len(comps)
@@ -1888,8 +1884,10 @@ def _make_content_decoders():
         stored_component · stored_K / max, rounded half-up via
         floor(x+0.5) — the engine-portable form a SQL oracle mirrors
         bit-identically (np.round's half-even would drift at exact
-        .5). 12-bit CMYK stays a typed refusal (no real-world
-        corpus; YCbCr is the 12-bit color shape)."""
+        .5). The CMYK math is precision-generic (max = 2^prec − 1),
+        so 12-bit four-component frames decode too (round 11;
+        closed-form pinned in the suite — no real-world corpus or
+        8-bit-reference precedent exists to cross-check against)."""
         if nch == 1:
             return full[0][..., np.newaxis]
         ctr = float(1 << (prec - 1))
@@ -1905,28 +1903,25 @@ def _make_content_decoders():
                 ],
                 axis=-1,
             )
-        if prec != 8:
-            raise NotImplementedError(
-                f"{prec}-bit 4-component (CMYK) JPEG"
-            )
+        mx = float((1 << prec) - 1)
         if adobe == 2:  # YCCK
             y, cb, cr, k = full
-            c = np.clip(y + 1.402 * (cr - 128.0), 0.0, 255.0)
+            c = np.clip(y + 1.402 * (cr - ctr), 0.0, mx)
             m = np.clip(
-                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y - 0.344136 * (cb - ctr) - 0.714136 * (cr - ctr),
                 0.0,
-                255.0,
+                mx,
             )
-            ye = np.clip(y + 1.772 * (cb - 128.0), 0.0, 255.0)
+            ye = np.clip(y + 1.772 * (cb - ctr), 0.0, mx)
         elif adobe in (None, 0):  # CMYK stored directly
-            c, m, ye, k = (np.clip(p, 0.0, 255.0) for p in full)
+            c, m, ye, k = (np.clip(p, 0.0, mx) for p in full)
         else:
             raise NotImplementedError(
                 f"Adobe color transform {adobe} for 4-component JPEG"
             )
-        k = np.clip(k, 0.0, 255.0)
+        k = np.clip(k, 0.0, mx)
         return np.floor(
-            np.stack([c * k, m * k, ye * k], axis=-1) / 255.0 + 0.5
+            np.stack([c * k, m * k, ye * k], axis=-1) / mx + 0.5
         )
 
     def _prog_reconstruct(frame, geom, coefs, qt, adobe=None):
@@ -1997,10 +1992,10 @@ def _make_content_decoders():
         arrive over several scans (one scan per component, partial
         interleaves) take _jpeg_multiscan_sequential — same
         accumulate-then-one-IDCT shape. 12-BIT precision is decoded
-        for
-        GRAYSCALE, baseline AND progressive (16-bit DQT tables, DC
-        categories to 15, 2048 level shift, uint16 output — the
-        medical/scientific shape); FOUR-COMPONENT Adobe CMYK/YCCK
+        for EVERY component layout — grayscale, YCbCr and CMYK,
+        baseline AND progressive (16-bit DQT tables, DC categories to
+        15, 2048 level shift, uint16 output — the medical/scientific
+        shape); FOUR-COMPONENT Adobe CMYK/YCCK
         (APP14 transform flag, inverted-ink convention) decodes to
         RGB via ``_jpeg_color_out``; ARITHMETIC-coded frames re-walk
         through _jpeg_arith_sequential (SOF9) or
@@ -2029,11 +2024,6 @@ def _make_content_decoders():
         nch = len(comps)
         if nch not in (1, 3, 4):
             raise NotImplementedError(f"{nch}-component JPEG")
-        if prec == 12 and nch not in (1, 3):
-            raise NotImplementedError(
-                "12-bit JPEG decode covers grayscale and YCbCr "
-                "color only"
-            )
         if wdt * hgt * nch * (2 if prec == 12 else 1) > max_decode_bytes:
             raise ValueError(
                 f"JPEG too large for pure-Python decode ({wdt}x{hgt})"

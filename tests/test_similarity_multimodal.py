@@ -2195,18 +2195,22 @@ def test_jpeg_12bit_grayscale_decode():
     with pytest.raises(NotImplementedError, match="SOF"):
         MM.decode_jpeg_pixels(lossless)
 
-    # and 12-bit FOUR-component (CMYK) stays a typed refusal: take
-    # the real (well-formed, fully-scanned) 8-bit CMYK stream and
-    # patch only the SOF precision byte to 12
+    # 12-bit FOUR-component (CMYK) decodes for real since round 11
+    # (precision-generic inverted-ink math in _jpeg_color_out): take
+    # the real 8-bit CMYK stream, patch only the SOF precision byte
+    # to 12 — the DC-only payload is equally valid at 12-bit (Pq=0
+    # tables are legal for extended precision), and planes become
+    # 2048 + 2·dc with RGB = floor(c·k/4095 + 0.5)
     cmyk = MM._make_dc_jpeg_cmyk()([1, 2, 3, 4], 0)
     csof = cmyk.find(b"\xff\xc0")
     cmyk12 = bytearray(cmyk)
     assert cmyk12[csof + 4] == 8  # SOF sample-precision byte
     cmyk12[csof + 4] = 12
-    with pytest.raises(
-        NotImplementedError, match="grayscale and YCbCr"
-    ):
-        MM.decode_jpeg_pixels(bytes(cmyk12))
+    px12 = MM.decode_jpeg_pixels(bytes(cmyk12))
+    assert px12.dtype == np.uint16 and px12.shape == (8, 16, 3)
+    p = [2048.0 + 2 * d for d in (1, 2, 3, 4)]
+    exp12 = [int(np.floor(p[i] * p[3] / 4095 + 0.5)) for i in range(3)]
+    assert [int(px12[0, 0, i]) for i in range(3)] == exp12
 
     # 12-bit PROGRESSIVE grayscale decodes for real too (three-scan
     # successive-approximation script, same closed form)
