@@ -221,6 +221,71 @@ def scaled_plane_count(n_rows: int, margin: int = 2) -> int:
     return max(8, math.ceil(math.log2(max(n_rows, 2))) + margin)
 
 
+def _scaled_bucket_assignment(
+    sigs: DataFrame,
+    n_planes: int,
+    bucket_cap: int,
+    level_step: int,
+    max_extra_levels: int,
+) -> DataFrame:
+    """(id, band, sig) → (id, bucket) under the shallowest-fitting-prefix
+    rule: a vector's level is the smallest k whose (band, prefix_k) group
+    has ≤ ``bucket_cap`` members; the deepest level is the unconditional
+    fallback. Because prefix_{k+1} groups are subsets of prefix_k groups,
+    group counts are non-increasing in k, so the level equals the NUMBER
+    of oversized prefixes a vector sits in (levels 0..max-1).
+
+    Plan (round 12, replacing four full-relation count windows): the
+    level is the same for every vector sharing a deepest *checked*
+    prefix (all shallower counts are functions of it), so it is computed
+    once per DISTINCT (band, deepest-prefix) group: one map-side-combined
+    groupBy of the slim signature relation (shuffle volume is distinct
+    prefixes, not rows), window rollups to the shallower prefix counts
+    over that small deduped relation only, then ONE equi-join attaches
+    the level back to the signatures. The old form shuffled AND sorted
+    the full signature relation once per level (4×); this form moves it
+    twice (groupBy partials + one join shuffle), and the per-level count
+    logic touches only deduped prefix rows. No broadcasts, no driver
+    state — both sides of the level join shuffle on the same key, and
+    the plan stays a single lazy DAG (no checkpoint barrier)."""
+    deepest = n_planes + level_step * (max_extra_levels - 1)
+    rolled = sigs.groupBy(
+        "band", F.substring("sig", 1, deepest).alias("p")
+    ).agg(F.count("*").alias("c"))
+    # count at checked level k = Σ c over the (band, prefix_k) window;
+    # the deepest checked level's groups ARE the rolled keys, so its
+    # count is c directly (no window needed)
+    counts = [
+        F.sum("c").over(
+            Window.partitionBy(
+                "band", F.substring("p", 1, n_planes + level_step * k)
+            )
+        )
+        for k in range(max_extra_levels - 1)
+    ] + [F.col("c")]
+    lvl = F.lit(max_extra_levels)
+    for k in range(max_extra_levels - 1, -1, -1):
+        lvl = F.when(counts[k] <= bucket_cap, k).otherwise(lvl)
+    lvl_map = rolled.select(
+        F.col("band").alias("mband"), F.col("p").alias("mp"), lvl.alias("lvl")
+    )
+    return sigs.join(
+        lvl_map,
+        (F.col("band") == F.col("mband"))
+        & (F.substring("sig", 1, deepest) == F.col("mp")),
+    ).select(
+        "id",
+        F.concat_ws(
+            ":",
+            F.col("band"),
+            F.col("lvl"),
+            F.col("sig").substr(
+                F.lit(1), F.lit(n_planes) + F.lit(level_step) * F.col("lvl")
+            ),
+        ).alias("bucket"),
+    )
+
+
 def srp_near_dup_pairs_scaled(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -249,13 +314,17 @@ def srp_near_dup_pairs_scaled(
       on ~all random hyperplanes): every band bucket larger than
       ``bucket_cap`` is re-split by a LONGER prefix of the same signature
       (+``level_step`` planes per level, up to ``max_extra_levels``), so
-      Σ bucket² ≤ cap·N REGARDLESS of the data's cluster structure — the
-      only residue is clusters still oversized at max depth, which a pair
-      at per-plane agreement a has probability a^(step·levels) of
-      surviving (≈0.9^24 ≈ 8% for a cos≈0.95 cluster at the defaults).
-      A vector's final level is the shallowest prefix whose group fits
-      the cap — a pure window-count over the signature relation, so the
-      DuckDB oracle replays it exactly.
+      Σ bucket² ≤ cap·N *plus the squared sizes of clusters still
+      oversized at the deepest level* (a cluster of bit-identical
+      signatures shares every plane sign at any prefix length, so it
+      never splits; for genuinely *near*-dup clusters a pair at
+      per-plane agreement a survives all splits with probability
+      a^(step·levels) ≈ 0.9^24 ≈ 8% for a cos≈0.95 cluster at the
+      defaults). A vector's final level is the shallowest prefix whose
+      (band, prefix) group fits the cap — a pure function of the
+      signature relation's group sizes, so the DuckDB oracle replays it
+      exactly (the oracle uses window counts; this plan computes the
+      same group sizes by rollup, see below).
     * **Multiple OR-composed bands** (disjoint hyperplane index ranges)
       keep recall: a true near-dup pair is a candidate if it collides in
       ANY band at its final level. In the near-dup regime this operator
@@ -317,32 +386,8 @@ def srp_near_dup_pairs_scaled(
         df.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
     )
     sigs = v.mapInPandas(sig_batches, "id long, band int, sig string")
-    # final level = shallowest prefix whose (band, prefix) group fits the
-    # cap; equal final prefixes imply equal groups, hence equal levels,
-    # so the candidate join needs only (band, level, prefix) equality
-    # no count window for the deepest level: it is the unconditional
-    # fallback, so only levels 0..max-1 need their group size checked
-    counts = [
-        F.count("*").over(
-            Window.partitionBy(
-                "band", F.substring("sig", 1, n_planes + level_step * k)
-            )
-        )
-        for k in range(max_extra_levels)
-    ]
-    level = F.lit(max_extra_levels)
-    for k in range(max_extra_levels - 1, -1, -1):
-        level = F.when(counts[k] <= bucket_cap, k).otherwise(level)
-    bucketed = sigs.withColumn("lvl", level).select(
-        "id",
-        F.concat_ws(
-            ":",
-            F.col("band"),
-            F.col("lvl"),
-            F.col("sig").substr(
-                F.lit(1), F.lit(n_planes) + F.lit(level_step) * F.col("lvl")
-            ),
-        ).alias("bucket"),
+    bucketed = _scaled_bucket_assignment(
+        sigs, n_planes, bucket_cap, level_step, max_extra_levels
     )
     a = bucketed.select(F.col("id").alias("id1"), "bucket")
     b = bucketed.select(F.col("id").alias("id2"), "bucket")
@@ -352,8 +397,14 @@ def srp_near_dup_pairs_scaled(
         .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )
-    c1 = v.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
-    c2 = v.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
+    # verify side reads the corpus directly (no spread() repartition —
+    # that exchange only balances the mapInPandas batches; here it would
+    # just add a full-corpus shuffle before the join)
+    raw = df.select(
+        F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
+    )
+    c1 = raw.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
+    c2 = raw.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
     return (
         cand.join(c1, "id1")
         .join(c2, "id2")

@@ -154,6 +154,56 @@ def test_scaled_near_dup_recall_vs_exact_baseline(spark, sf_dir):
     assert recall >= 0.97, f"recall {recall:.4f} over {len(exact)} true pairs"
 
 
+def test_scaled_bucket_split_bounds_candidate_volume(spark):
+    """The adaptive-split guarantee itself (not just recall): on a
+    CLUSTERED signature relation, every over-cap (band, prefix) bucket is
+    re-split by longer prefixes until it fits, so Σ bucket² — the bucket
+    self-join's candidate volume — stays ≤ cap·N, *plus* the squared
+    sizes of clusters still bucket-identical at the deepest level (the
+    documented residue). Exercises ``_scaled_bucket_assignment``
+    directly with hand-built signatures so the expected levels are
+    knowable: a regression in level selection that preserved recall but
+    reverted the quadratic blowup would fail here."""
+    n_planes, step, levels, cap = 8, 6, 4, 64
+    siglen = n_planes + step * levels  # 32
+    rows = []
+    # (a) spread rows: unique level-0 prefixes -> level 0 (1..200,
+    # avoiding 00000000 and 11111111 which the clusters below own)
+    for i in range(200):
+        p0 = format(i + 1, "08b")
+        rows.append((1000 + i, 0, p0 + "0" * (siglen - n_planes)))
+    # (b) splittable cluster: 1024 rows share the level-0 prefix but
+    # diverge in the next 6 chars (64 subgroups of 16 <= cap) -> level 1
+    for i in range(1024):
+        tail = format(i // 16, "06b") + format(i % 16, "018b")
+        rows.append((10000 + i, 0, "11111111" + tail))
+    # (c) bit-identical cluster: 100 rows, one signature everywhere ->
+    # never splits, lands at the deepest level (the residue)
+    for i in range(100):
+        rows.append((20000 + i, 0, "0" * siglen))
+    sigs = spark.createDataFrame(rows, "id long, band int, sig string")
+    buckets = SIM._scaled_bucket_assignment(sigs, n_planes, cap, step, levels)
+    got = {r["id"]: r["bucket"] for r in buckets.collect()}
+    assert len(got) == len(rows)
+    lvl = {i: int(b.split(":")[1]) for i, b in got.items()}
+    assert all(lvl[1000 + i] == 0 for i in range(200))
+    assert all(lvl[10000 + i] == 1 for i in range(1024))
+    assert all(lvl[20000 + i] == levels for i in range(100))
+    # Sigma bucket^2 bound: cap*N outside the residue, + residue cluster^2
+    sizes = [
+        r["c"]
+        for r in buckets.groupBy("bucket").agg(F.count("*").alias("c")).collect()
+    ]
+    n = len(rows)
+    assert max(s for s in sizes if s != 100) <= cap
+    assert sum(s * s for s in sizes) <= cap * n + 100 * 100
+    # and the self-join candidate count (what Sigma bucket^2 prices)
+    a = buckets.select(F.col("id").alias("id1"), "bucket")
+    b = buckets.select(F.col("id").alias("id2"), "bucket")
+    cands = a.join(b, "bucket").filter(F.col("id1") < F.col("id2")).count()
+    assert cands <= (cap * n + 100 * 100) // 2
+
+
 def test_cosine_topk_fast_matches_expression_version(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
