@@ -221,6 +221,10 @@ def _commit_with_marker(
         df.withColumn("_last_batch", F.lit(batch_id).cast("long"))
         .withColumn("_app_id", F.lit(app))
         .unionByName(marker)
+        # file count follows data size (AQE), not shuffle partition
+        # count — state advances are batch-sized, so without this each
+        # commit lands ~32 near-empty files (see _advance_fact.stamped)
+        .hint("rebalance")
     )
     if scope_keys is None:
         S.commit(spark, out, path, mode="overwrite")
@@ -784,13 +788,28 @@ def _advance_fact(
     """
     from pyspark.sql import Window
 
-    _reject_null_keys(
-        batch_df, F.col("k").isNull(), "fact-mirror maintenance"
-    )
     last, aid = _fact_watermark(spark, fact_path)
     skip, rebuild = _guard(batch_id, last, aid, app)
     if skip:
         return
+    # ONE action answers both per-batch questions (null-key guard +
+    # removal presence) — the per-job floor, not data volume, is what
+    # a micro-batch pays for here (r12 profile: each extra driver
+    # action on the cached batch is a full job round-trip)
+    shape = batch_df.agg(
+        F.count(F.when(F.col("k").isNull(), 1)).alias("nulls"),
+        F.count(
+            F.when(F.col("op").isin("D", "U"), 1)
+        ).alias("removals"),
+    ).first()
+    if shape["nulls"]:
+        bad = batch_df.filter(F.col("k").isNull()).take(1)
+        raise ValueError(
+            "fact-mirror maintenance: NULL key in change row "
+            f"{tuple(bad[0])!r} — the streaming state tables reserve "
+            "NULL keys for the watermark marker; NULL-keyed groups are "
+            "supported by the batch maintenance operators only"
+        )
     adds = batch_df.filter(F.col("op").isin("I", "U")).select(
         "k", F.col("new_val").alias("val")
     )
@@ -815,6 +834,14 @@ def _advance_fact(
             df.withColumn("_last_batch", F.lit(batch_id).cast("long"))
             .withColumn("_app_id", F.lit(app))
             .unionByName(marker)
+            # AQE-sized output files: without this, a batch-sized
+            # commit lands one file per upstream shuffle partition
+            # (32+ tiny files/batch locally) and every later phase —
+            # footer stats, bloom build, mirror re-reads — pays per
+            # file. Rebalance costs one O(batch) shuffle and makes
+            # file count follow DATA size at any scale (r12 profile:
+            # ~3.5 s/batch -> see TUNING.md).
+            .hint("rebalance")
         )
 
     if last is None or rebuild:
@@ -824,7 +851,7 @@ def _advance_fact(
             mode="overwrite", stats_for=_WM_STATS, bloom_for=["k"],
         )
         return
-    if not rems.take(1):
+    if not shape["removals"]:
         S.commit(
             spark, stamped(adds), fact_path,
             mode="append", stats_for=_WM_STATS, bloom_for=["k"],
