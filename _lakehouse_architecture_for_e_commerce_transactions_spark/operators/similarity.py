@@ -235,45 +235,35 @@ def _scaled_bucket_assignment(
     group counts are non-increasing in k, so the level equals the NUMBER
     of oversized prefixes a vector sits in (levels 0..max-1).
 
-    Plan (round 12, replacing four full-relation count windows): the
-    level is the same for every vector sharing a deepest *checked*
-    prefix (all shallower counts are functions of it), so it is computed
-    once per DISTINCT (band, deepest-prefix) group: one map-side-combined
-    groupBy of the slim signature relation (shuffle volume is distinct
-    prefixes, not rows), window rollups to the shallower prefix counts
-    over that small deduped relation only, then ONE equi-join attaches
-    the level back to the signatures. The old form shuffled AND sorted
-    the full signature relation once per level (4×); this form moves it
-    twice (groupBy partials + one join shuffle), and the per-level count
-    logic touches only deduped prefix rows. No broadcasts, no driver
-    state — both sides of the level join shuffle on the same key, and
-    the plan stays a single lazy DAG (no checkpoint barrier)."""
-    deepest = n_planes + level_step * (max_extra_levels - 1)
-    rolled = sigs.groupBy(
-        "band", F.substring("sig", 1, deepest).alias("p")
-    ).agg(F.count("*").alias("c"))
-    # count at checked level k = Σ c over the (band, prefix_k) window;
-    # the deepest checked level's groups ARE the rolled keys, so its
-    # count is c directly (no window needed)
+    Plan: per-level count windows over the slim (id, band, sig)
+    relation — the payload never rides them (vectors join back by id
+    later). The deepest level needs no window: it is the unconditional
+    fallback, so only levels 0..max-1 check their group size.
+
+    Plan note (round 12): the r11-verdict-prescribed alternative —
+    groupBy the deepest checked prefix once, roll counts up on the
+    deduped relation, equi-join the level back (2 hash moves of the
+    signature relation instead of 4 sorted ones) — was built and A/B
+    measured: a wash at sf1.0 (5.65 vs 5.60 s) and slightly slower in
+    a fresh session at sf0.1 (2.45 vs 2.05 s min-of-5), but 2× and
+    ERRATIC inside a long bench session (5.5–7.7 s/rep; the level join
+    re-evaluates the mapInPandas signature stage on a second path,
+    and AQE's broadcast choice for the deduped side re-runs it again
+    under worker churn). Four sorted shuffles of a ~70-byte-row
+    relation are the cheaper, steadier plan at both measured scales;
+    numbers in TUNING.md (round 12)."""
     counts = [
-        F.sum("c").over(
+        F.count("*").over(
             Window.partitionBy(
-                "band", F.substring("p", 1, n_planes + level_step * k)
+                "band", F.substring("sig", 1, n_planes + level_step * k)
             )
         )
-        for k in range(max_extra_levels - 1)
-    ] + [F.col("c")]
-    lvl = F.lit(max_extra_levels)
+        for k in range(max_extra_levels)
+    ]
+    level = F.lit(max_extra_levels)
     for k in range(max_extra_levels - 1, -1, -1):
-        lvl = F.when(counts[k] <= bucket_cap, k).otherwise(lvl)
-    lvl_map = rolled.select(
-        F.col("band").alias("mband"), F.col("p").alias("mp"), lvl.alias("lvl")
-    )
-    return sigs.join(
-        lvl_map,
-        (F.col("band") == F.col("mband"))
-        & (F.substring("sig", 1, deepest) == F.col("mp")),
-    ).select(
+        level = F.when(counts[k] <= bucket_cap, k).otherwise(level)
+    return sigs.withColumn("lvl", level).select(
         "id",
         F.concat_ws(
             ":",
@@ -323,8 +313,7 @@ def srp_near_dup_pairs_scaled(
       defaults). A vector's final level is the shallowest prefix whose
       (band, prefix) group fits the cap — a pure function of the
       signature relation's group sizes, so the DuckDB oracle replays it
-      exactly (the oracle uses window counts; this plan computes the
-      same group sizes by rollup, see below).
+      exactly with the same window counts.
     * **Multiple OR-composed bands** (disjoint hyperplane index ranges)
       keep recall: a true near-dup pair is a candidate if it collides in
       ANY band at its final level. In the near-dup regime this operator

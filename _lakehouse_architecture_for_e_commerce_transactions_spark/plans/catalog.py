@@ -9679,73 +9679,86 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
 # run; the rest of the window backfills with already-green anchors (all
 # re-verified by tools/verify_parity.py at HEAD each round).
 _WINDOW_FRONT: list[str] = [
-    # new in round 11: arithmetic-coded (SOF9) JPEG decode — the T.81
-    # Annex D QM coder, validated bit-exact against libjpeg-turbo
-    "jpeg_arith_stats",
-    # new in round 10: the scale-safe ANN near-dup form (r9 verdict's
-    # lead task — n_planes ~ log2 N, two OR-composed bands) and the
-    # 4-component Adobe CMYK/YCCK JPEG decode leg
+    # ROUND-12 ROTATION (r11 verdict task 1): after the round-5..11
+    # new-query streak pinned the window to recent work, 129 of 197
+    # registry queries had no driver-side row since r04 or earlier.
+    # This window fronts the operators CHANGED this round (first three
+    # — the scaled-SRP level-assignment rework and the streaming
+    # maintenance commit changes) and backfills with the 47
+    # LONGEST-UNCHECKED registry entries (the 45 whose latest driver
+    # row is r01, then the two oldest r02 stragglers alphabetically).
+    # Everything evicted keeps its green historical row + the full
+    # 197/197 tools/verify_parity.py gate recorded in TUNING.md.
     "embedding_near_dup_scaled",
-    "jpeg_cmyk_stats",
-    # new in round 9 (palette/sub-byte/Adam7 PNG, interlaced GIF,
-    # 16-bit PNG — the round-8 shipped-untested decode surface, now
-    # oracle-fronted) and 12-bit grayscale baseline JPEG
-    "png_variants_stats",
-    "jpeg12_decode_stats",
-    "bmp_wav_variants_stats",
-    # new in round 8
-    "jpeg_progressive_stats",
-    "type_widening_sim",
-    # new in round 6
-    "column_mapping_part_sim",
-    "er_golden_records",
-    "decontaminate_train_bench",
-    "snapshot_tail_sim",
-    "snapshot_cdf_sim",
     "table_mv_maintenance_sim",
     "cdc_replicate_sim",
-    "video_frame_stats",
-    "merge_cdc_sim",
-    "table_changes_batch",
-    # new in round 5
-    "hll_distinct_orders",
-    "bfs_reachability",
-    "sssp_min_costs",
-    "column_mapping_sim",
-    "optimize_scoped_sim",
-    "ndv_stats_sim",
-    "revenue_ewma_monthly",
-    "revenue_holt_forecast",
-    "kmv_jaccard_segments",
-    "jpeg_decode_stats",
-    "replace_where_sim",
-    "cm_frequency_maintenance",
-    "lp_communities",
-    "image_resize_stats",
-    "audio_features",
-    "ivf_pq_refined",
-    "lsh_recall_eval",
-    "k_core_nodes",
-    "generated_identity_sim",
-    # round-3b/4 queries (driver-green in round 4)
-    "jaccard_prefix_pairs",
-    "triangle_counts",
-    "ann_recall_eval",
-    "incremental_agg",
-    "phrase_search",
-    "join_view_maintenance",
-    "null_semantics",
-    "dv_delete_sim",
-    "incremental_minmax",
-    "dv_update_sim",
-    "incremental_topk",
-    "dv_partitioned_delete_sim",
-    "media_decode_stats",
-    # evicted to keep the window at 50: kmv_distinct_customers (green
-    # r10 row, round 11), doc_repetition_signals,
-    # domain_mixture_weights, sequence_packing (green r8 rows),
-    # contamination_ngram_overlap, hist_quantile_maintenance (green
-    # r09 rows) — all still in the registry + parity gate
+    # last driver-checked r01:
+    "above_avg_orders",
+    "array_agg_orders",
+    "asof_latest_order",
+    "bpe_token_count",
+    "chunk_dup_histogram",
+    "cosine_topk",
+    "customer_order_stats",
+    "date_funcs",
+    "distinct_segments",
+    "distinct_users_exact",
+    "doc_chunks",
+    "doc_exact_dedup",
+    "doc_quality",
+    "doc_token_stats",
+    "embedding_near_dup_pairs",
+    "events_hourly",
+    "events_json_kv",
+    "fk_anti_orphans",
+    "fk_chain_reasons",
+    "fk_semi_join",
+    "lang_confusion",
+    "latest_order_per_customer",
+    "merge_upsert_sim",
+    "minhash_dedup_verified",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "orders_enriched_left_join",
+    "partition_pruned_day",
+    "percentiles_by_priority",
+    "pivot_status",
+    "pricing_summary",
+    "rolling_hash_fingerprint",
+    "rollup_pricing",
+    "running_total",
+    "scan_filter_project",
+    "session_window_agg",
+    "set_ops_custkeys",
+    "srp_ann_topk",
+    "stratified_sample",
+    "string_funcs",
+    "table_counts",
+    "top10_orders",
+    "top3_per_priority",
+    "unpivot_status",
+    "validation_reasons",
+    # last driver-checked r02 (oldest two, alphabetical):
+    "approx_distinct_users",
+    "cheapest_part_per_type",
+    # evicted to keep the window at 50 (all r11-green, all still in
+    # the registry + parity gate): jpeg_arith_stats, jpeg_cmyk_stats,
+    # png_variants_stats, jpeg12_decode_stats, bmp_wav_variants_stats,
+    # jpeg_progressive_stats, type_widening_sim,
+    # column_mapping_part_sim, er_golden_records,
+    # decontaminate_train_bench, snapshot_tail_sim, snapshot_cdf_sim,
+    # video_frame_stats, merge_cdc_sim, table_changes_batch,
+    # hll_distinct_orders, bfs_reachability, sssp_min_costs,
+    # column_mapping_sim, optimize_scoped_sim, ndv_stats_sim,
+    # revenue_ewma_monthly, revenue_holt_forecast,
+    # kmv_jaccard_segments, jpeg_decode_stats, replace_where_sim,
+    # cm_frequency_maintenance, lp_communities, image_resize_stats,
+    # audio_features, ivf_pq_refined, lsh_recall_eval, k_core_nodes,
+    # generated_identity_sim, jaccard_prefix_pairs, triangle_counts,
+    # ann_recall_eval, incremental_agg, phrase_search,
+    # join_view_maintenance, null_semantics, dv_delete_sim,
+    # incremental_minmax, dv_update_sim, incremental_topk,
+    # dv_partitioned_delete_sim, media_decode_stats
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

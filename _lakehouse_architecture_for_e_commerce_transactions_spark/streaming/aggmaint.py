@@ -201,6 +201,32 @@ def _reject_null_keys(batch_df: DataFrame, cond, what: str) -> None:
         )
 
 
+def _null_guarded_key(df: DataFrame, col: str, what: str) -> DataFrame:
+    """In-plan twin of ``_reject_null_keys``: re-bind ``col`` so that a
+    NULL-keyed change row raises WHEN CONSUMED by the derivation — the
+    guard rides the existing state-commit job instead of costing a
+    dedicated take(1) driver action per micro-batch (r12: each such
+    action is a full job round-trip, the dominant per-batch cost).
+    Use only where ``col`` is unconditionally evaluated downstream
+    (group/join keys); the raise still aborts the batch BEFORE its
+    manifest publish, so state is never corrupted."""
+    dt = df.schema[col].dataType
+    return df.withColumn(
+        col,
+        F.when(
+            F.col(col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"{what}: NULL key in change row — the streaming "
+                    "state tables reserve NULL keys for the watermark "
+                    "marker; NULL-keyed groups are supported by the "
+                    "batch maintenance operators only"
+                )
+            ).cast(dt),
+        ).otherwise(F.col(col)),
+    )
+
+
 def _commit_with_marker(
     spark, df, path, batch_id, app, marker_row, schema,
     scope_keys: DataFrame | None = None,
@@ -316,9 +342,7 @@ def stream_agg_maintenance(
     reader = _change_reader(spark, raw_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _reject_null_keys(
-            batch_df, F.col("k").isNull(), "stream_agg_maintenance"
-        )
+        batch_df = _null_guarded_key(batch_df, "k", "stream_agg_maintenance")
         state, last, stored_app = _table_state(
             spark, table_path, _STATE_SCHEMA, ["k", "cnt", "sum_scaled"]
         )
@@ -1115,9 +1139,7 @@ def stream_kmv_maintenance(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _reject_null_keys(
-            batch_df, F.col("k").isNull(), "stream_kmv_maintenance"
-        )
+        batch_df = _null_guarded_key(batch_df, "k", "stream_kmv_maintenance")
         state, last, aid = _table_state(
             spark, state_path, _KMV_STATE_SCHEMA, ["k", "h"]
         )
@@ -1215,9 +1237,7 @@ def stream_hist_maintenance(
     reader = _change_reader(spark, raw_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _reject_null_keys(
-            batch_df, F.col("k").isNull(), "stream_hist_maintenance"
-        )
+        batch_df = _null_guarded_key(batch_df, "k", "stream_hist_maintenance")
         state, last, aid = _table_state(
             spark, state_path, _HIST_STATE_SCHEMA, ["k", "bin", "cnt"]
         )
@@ -1322,9 +1342,7 @@ def stream_cm_maintenance(
     reader = _change_reader(spark, raw_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _reject_null_keys(
-            batch_df, F.col("k").isNull(), "stream_cm_maintenance"
-        )
+        batch_df = _null_guarded_key(batch_df, "k", "stream_cm_maintenance")
         state, last, aid = _table_state(
             spark, state_path, _CM_STATE_SCHEMA, ["k", "row", "bucket", "cnt"]
         )
@@ -1433,9 +1451,7 @@ def stream_hll_maintenance(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _reject_null_keys(
-            batch_df, F.col("k").isNull(), "stream_hll_maintenance"
-        )
+        batch_df = _null_guarded_key(batch_df, "k", "stream_hll_maintenance")
         state, last, aid = _table_state(
             spark, state_path, _HLL_STATE_SCHEMA, ["k", "reg", "m"]
         )
@@ -1545,24 +1561,6 @@ def stream_ewma_maintenance(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _reject_null_keys(
-            batch_df,
-            F.col("k").isNull()
-            | F.col("t").isNull()
-            | F.col("x").isNull(),
-            "stream_ewma_maintenance",
-        )
-        dup = (
-            batch_df.groupBy("k", "t")
-            .count()
-            .filter(F.col("count") > 1)
-            .take(1)
-        )
-        if dup:
-            raise ValueError(
-                f"stream_ewma_maintenance: duplicate (k, t) in batch "
-                f"({tuple(dup[0])!r}) — the recursion is order-ambiguous"
-            )
         state, last, aid = _table_state(
             spark, state_path, _EWMA_STATE_SCHEMA, ["k", "t", "ewma"]
         )
@@ -1575,19 +1573,6 @@ def stream_ewma_maintenance(
             seed = state
         touched = batch_df.select("k").distinct()
         seed_touched = seed.join(touched, ["k"], "left_semi")
-        late = (
-            batch_df.join(
-                seed_touched.select("k", F.col("t").alias("_hw")), ["k"]
-            )
-            .filter(F.col("t") <= F.col("_hw"))
-            .take(1)
-        )
-        if late:
-            raise ValueError(
-                f"stream_ewma_maintenance: out-of-order observation "
-                f"{tuple(late[0])!r} at or before the key's high-water "
-                "t — late data needs the batch operator's full rescan"
-            )
         union = batch_df.select(
             "k", "t", F.col("x").alias("v"), F.lit(0).alias("_seed")
         ).unionByName(
@@ -1597,6 +1582,37 @@ def stream_ewma_maintenance(
         )
 
         def walk(pdf):
+            # feed-contract guards live INSIDE the walk (r12): each
+            # used to be its own driver action (take(1) per guard per
+            # micro-batch); here they ride the state-commit job for
+            # free and still fail the batch BEFORE the manifest
+            # publish, so a bad batch never corrupts state.
+            batch = pdf[pdf["_seed"] == 0]
+            if batch[["k", "t", "v"]].isna().any().any():
+                raise ValueError(
+                    "stream_ewma_maintenance: NULL key/t/x in change "
+                    "row — the streaming state tables reserve NULL "
+                    "keys for the watermark marker; NULL-keyed groups "
+                    "are supported by the batch operators only"
+                )
+            if batch["t"].duplicated().any():
+                t_dup = int(batch["t"][batch["t"].duplicated()].iloc[0])
+                raise ValueError(
+                    "stream_ewma_maintenance: duplicate (k, t) in "
+                    f"batch (k={batch['k'].iloc[0]!r}, t={t_dup}) — "
+                    "the recursion is order-ambiguous"
+                )
+            seed_rows = pdf[pdf["_seed"] == 1]
+            if len(seed_rows) and len(batch):
+                hw = int(seed_rows["t"].max())
+                if int(batch["t"].min()) <= hw:
+                    raise ValueError(
+                        "stream_ewma_maintenance: out-of-order "
+                        f"observation (k={batch['k'].iloc[0]!r}, "
+                        f"t={int(batch['t'].min())}) at or before the "
+                        f"key's high-water t={hw} — late data needs "
+                        "the batch operator's full rescan"
+                    )
             pdf = pdf.sort_values(["_seed", "t"], ascending=[False, True])
             prev = None
             for is_seed, v in zip(pdf["_seed"], pdf["v"]):
