@@ -386,6 +386,34 @@ def test_state_commits_are_o_batch_across_all_twins(spark, tmp_path):
     pin(viewp)
 
 
+def test_maintenance_commits_write_o1_files_per_batch(spark, tmp_path):
+    """File-COUNT pin for the r12 rebalance fix: a batch-sized
+    state/fact commit must land a handful of AQE-sized files, not one
+    near-empty file per shuffle partition (pre-fix: ~32 per commit,
+    and every later footer-stats/bloom/tombstone phase paid per file).
+    Bound chosen loose (3 commits x 4) so AQE sizing stays free to
+    split data-sized batches; the regression mode is ~x32."""
+    import glob
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (
+        stream_minmax_maintenance,
+    )
+
+    raw = str(tmp_path / "raw")
+    for i, rows in enumerate([_BATCH1, _BATCH2, _BATCH3], start=1):
+        _write(os.path.join(raw, f"b{i}.csv"), rows)
+        q = stream_minmax_maintenance(
+            spark, raw, str(tmp_path / "fact"), str(tmp_path / "state"),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+    for table in ("fact", "state"):
+        files = glob.glob(
+            str(tmp_path / table / "**" / "*.parquet"), recursive=True
+        )
+        assert 0 < len(files) <= 12, (table, len(files))
+
+
 def test_compact_collapses_marker_rows_and_keeps_watermark(
     spark, tmp_path
 ):
