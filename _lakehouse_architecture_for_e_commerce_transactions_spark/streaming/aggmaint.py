@@ -113,6 +113,36 @@ def _app_id(checkpoint_dir: str) -> str:
     ).hexdigest()[:12]
 
 
+def _stats_watermark(path: str):
+    """(last_batch, app) from the manifest's per-file min/max stats —
+    zero data I/O and zero Spark jobs. The marker row travels inside
+    every commit and is never tombstoned, so the per-file max of
+    ``_last_batch``/``_app_id`` is exact even under deletion vectors
+    (a rebuild overwrites the table, so mixed app ids never coexist).
+    Returns (None, None) when the table predates the stats stamp or an
+    entry is incomplete — callers fall back to a column-pruned scan."""
+    snap = S.load_snapshot(path)
+    fs, sc = snap.file_stats, snap.stats_cols or []
+    if not fs or any(c not in sc for c in _WM_STATS):
+        return None, None
+    best_b = best_a = None
+    for ent in fs.values():
+        cols = ent.get("cols") or {}
+        bst, ast = cols.get("_last_batch"), cols.get("_app_id")
+        if (
+            bst is None or bst.get("max") is None
+            or ast is None or ast.get("max") is None
+        ):
+            return None, None  # poisoned/missing entry: fall back
+        if best_b is None or bst["max"] > best_b:
+            best_b = bst["max"]
+        if best_a is None or ast["max"] > best_a:
+            best_a = ast["max"]
+    if best_b is None:
+        return None, None
+    return int(best_b), best_a
+
+
 def _table_state(
     spark: SparkSession,
     path: str,
@@ -127,7 +157,13 @@ def _table_state(
     crashing the stream on an unresolved column; likewise a requested
     state column absent from an older table is filled from
     ``defaults`` (a Column expression per name) so schema evolution of
-    the state never strands a table."""
+    the state never strands a table.
+
+    The watermark comes from the manifest's per-file stats when the
+    table carries them (r12: state commits stamp ``_WM_STATS`` like the
+    fact mirror always has — the per-batch watermark agg was one full
+    driver-job round-trip per twin per micro-batch); the scan-agg
+    remains as the legacy fallback."""
     try:
         cur = S.read(spark, path)
         for c in cols:
@@ -138,14 +174,18 @@ def _table_state(
                         "default was provided"
                     )
                 cur = cur.withColumn(c, defaults[c])
-        aggs = [F.max("_last_batch").alias("b")]
-        if "_app_id" in cur.columns:
-            aggs.append(F.max("_app_id").alias("a"))
-        head = cur.agg(*aggs).first()
+        last, app = _stats_watermark(path)
+        if last is None:
+            aggs = [F.max("_last_batch").alias("b")]
+            if "_app_id" in cur.columns:
+                aggs.append(F.max("_app_id").alias("a"))
+            head = cur.agg(*aggs).first()
+            last = head["b"]
+            app = head["a"] if "_app_id" in cur.columns else None
         return (
             cur.filter(F.col(cols[0]).isNotNull()).select(*cols),
-            head["b"],
-            head["a"] if "_app_id" in cur.columns else None,
+            last,
+            app,
         )
     except FileNotFoundError:
         return spark.createDataFrame([], schema).select(*cols), None, None
@@ -253,7 +293,11 @@ def _commit_with_marker(
         .hint("rebalance")
     )
     if scope_keys is None:
-        S.commit(spark, out, path, mode="overwrite")
+        # _WM_STATS on the creating commit: every later scoped commit
+        # inherits them (replace_where defaults to the table's stats
+        # cols), so _table_state reads the watermark from the manifest
+        # instead of running a scan-agg job every micro-batch
+        S.commit(spark, out, path, mode="overwrite", stats_for=_WM_STATS)
     else:
         S.replace_where_commit(
             spark, out, path, keys=scope_keys, key_cols=key_cols
@@ -751,28 +795,11 @@ def _fact_watermark(spark: SparkSession, fact_path: str):
     under deletion vectors), else a column-pruned scan (legacy tables
     written before the stats were stamped)."""
     try:
-        snap = S.load_snapshot(fact_path)
+        last, app = _stats_watermark(fact_path)
     except FileNotFoundError:
         return None, None
-    fs, sc = snap.file_stats, snap.stats_cols or []
-    if fs and all(c in sc for c in _WM_STATS):
-        best_b = best_a = None
-        complete = True
-        for ent in fs.values():
-            cols = ent.get("cols") or {}
-            bst, ast = cols.get("_last_batch"), cols.get("_app_id")
-            if (
-                bst is None or bst.get("max") is None
-                or ast is None or ast.get("max") is None
-            ):
-                complete = False  # poisoned/missing entry: fall back
-                break
-            if best_b is None or bst["max"] > best_b:
-                best_b = bst["max"]
-            if best_a is None or ast["max"] > best_a:
-                best_a = ast["max"]
-        if complete and best_b is not None:
-            return int(best_b), best_a
+    if last is not None:
+        return last, app
     _, last, aid = _table_state(
         spark, fact_path, _FACT_SCHEMA, ["k", "val"]
     )
