@@ -9679,86 +9679,88 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
 # run; the rest of the window backfills with already-green anchors (all
 # re-verified by tools/verify_parity.py at HEAD each round).
 _WINDOW_FRONT: list[str] = [
-    # ROUND-12 ROTATION (r11 verdict task 1): after the round-5..11
-    # new-query streak pinned the window to recent work, 129 of 197
-    # registry queries had no driver-side row since r04 or earlier.
-    # This window fronts the operators CHANGED this round (first three
-    # — the scaled-SRP level-assignment rework and the streaming
-    # maintenance commit changes) and backfills with the 47
-    # LONGEST-UNCHECKED registry entries (the 45 whose latest driver
-    # row is r01, then the two oldest r02 stragglers alphabetically).
-    # Everything evicted keeps its green historical row + the full
-    # 197/197 tools/verify_parity.py gate recorded in TUNING.md.
-    "embedding_near_dup_scaled",
-    "table_mv_maintenance_sim",
-    "cdc_replicate_sim",
-    # last driver-checked r01:
-    "above_avg_orders",
-    "array_agg_orders",
-    "asof_latest_order",
-    "bpe_token_count",
-    "chunk_dup_histogram",
-    "cosine_topk",
-    "customer_order_stats",
-    "date_funcs",
-    "distinct_segments",
-    "distinct_users_exact",
-    "doc_chunks",
-    "doc_exact_dedup",
-    "doc_quality",
-    "doc_token_stats",
-    "embedding_near_dup_pairs",
-    "events_hourly",
-    "events_json_kv",
-    "fk_anti_orphans",
-    "fk_chain_reasons",
-    "fk_semi_join",
-    "lang_confusion",
-    "latest_order_per_customer",
-    "merge_upsert_sim",
-    "minhash_dedup_verified",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "orders_enriched_left_join",
-    "partition_pruned_day",
-    "percentiles_by_priority",
-    "pivot_status",
-    "pricing_summary",
-    "rolling_hash_fingerprint",
-    "rollup_pricing",
-    "running_total",
-    "scan_filter_project",
-    "session_window_agg",
-    "set_ops_custkeys",
-    "srp_ann_topk",
-    "stratified_sample",
-    "string_funcs",
-    "table_counts",
-    "top10_orders",
-    "top3_per_priority",
-    "unpivot_status",
-    "validation_reasons",
-    # last driver-checked r02 (oldest two, alphabetical):
-    "approx_distinct_users",
-    "cheapest_part_per_type",
-    # evicted to keep the window at 50 (all r11-green, all still in
-    # the registry + parity gate): jpeg_arith_stats, jpeg_cmyk_stats,
-    # png_variants_stats, jpeg12_decode_stats, bmp_wav_variants_stats,
-    # jpeg_progressive_stats, type_widening_sim,
-    # column_mapping_part_sim, er_golden_records,
-    # decontaminate_train_bench, snapshot_tail_sim, snapshot_cdf_sim,
-    # video_frame_stats, merge_cdc_sim, table_changes_batch,
-    # hll_distinct_orders, bfs_reachability, sssp_min_costs,
-    # column_mapping_sim, optimize_scoped_sim, ndv_stats_sim,
-    # revenue_ewma_monthly, revenue_holt_forecast,
-    # kmv_jaccard_segments, jpeg_decode_stats, replace_where_sim,
-    # cm_frequency_maintenance, lp_communities, image_resize_stats,
-    # audio_features, ivf_pq_refined, lsh_recall_eval, k_core_nodes,
-    # generated_identity_sim, jaccard_prefix_pairs, triangle_counts,
-    # ann_recall_eval, incremental_agg, phrase_search,
-    # join_view_maintenance, null_semantics, dv_delete_sim,
-    # incremental_minmax, dv_update_sim, incremental_topk,
-    # dv_partitioned_delete_sim, media_decode_stats
+    # ROUND-13 ROTATION (r12 verdict task 1): continue the re-sweep of
+    # the longest-unchecked registry entries. This window fronts the
+    # 48 queries whose latest driver row is r02, plus the two oldest
+    # r03 stragglers (alphabetical: bigram_logprob,
+    # boilerplate_removal). All 50 are absent from both the r11 and
+    # r12 windows. No operator under these queries changed this round
+    # (round 13 is tests/tooling/evidence work), so no changed-operator
+    # slots are needed. Everything evicted keeps its r12 green row +
+    # the full 197/197 tools/verify_parity.py gate recorded in
+    # TUNING.md. After this window, only ~47 r03/r04-stale entries
+    # remain for the r14 rotation to complete the full fresh re-sweep.
+    # last driver-checked r02:
+    "corpus_curation",
+    "cube_status_priority",
+    "customer_order_distribution",
+    "daily_revenue_spine",
+    "deterministic_sample",
+    "discounted_revenue_brackets",
+    "event_funnel",
+    "exists_urgent_by_segment",
+    "first_last_event",
+    "forecast_revenue_change",
+    "frame_sample_plan",
+    "full_outer_nation_balance",
+    "fuzzy_name_pairs",
+    "grouping_sets_pricing",
+    "idle_customer_balance",
+    "important_suppliers",
+    "ivf_ann_topk",
+    "large_orders",
+    "late_shipment_priority",
+    "local_supplier_volume",
+    "multimodal_meta",
+    "nation_market_share",
+    "nation_trade_volume",
+    "near_dup_clusters",
+    "ntile_spend_quartiles",
+    "order_gap_stats",
+    "parts_supplier_counts",
+    "price_histogram",
+    "priority_mix_monthly",
+    "product_profit_by_nation",
+    "promo_revenue_monthly",
+    "range_join_events",
+    "revenue_7d_moving_avg",
+    "salted_join_agg",
+    "scd2_supplier",
+    "sessionize_events",
+    "shipping_priority",
+    "simhash_near_dup_pairs",
+    "small_quantity_revenue",
+    "sql_surface",
+    "supplier_balance_ranks",
+    "text_redaction",
+    "top_returned_customers",
+    "top_revenue_supplier",
+    "top_terms",
+    "train_test_split",
+    "waiting_supplier_orders",
+    "window_range_30d",
+    # last driver-checked r03 (oldest two, alphabetical):
+    "bigram_logprob",
+    "boilerplate_removal",
+    # evicted to keep the window at 50 (all r12-green, all still in
+    # the registry + parity gate): embedding_near_dup_scaled,
+    # table_mv_maintenance_sim, cdc_replicate_sim, above_avg_orders,
+    # array_agg_orders, asof_latest_order, bpe_token_count,
+    # chunk_dup_histogram, cosine_topk, customer_order_stats,
+    # date_funcs, distinct_segments, distinct_users_exact, doc_chunks,
+    # doc_exact_dedup, doc_quality, doc_token_stats,
+    # embedding_near_dup_pairs, events_hourly, events_json_kv,
+    # fk_anti_orphans, fk_chain_reasons, fk_semi_join, lang_confusion,
+    # latest_order_per_customer, merge_upsert_sim,
+    # minhash_dedup_verified, minhash_lsh_pairs, ngram_jaccard_pairs,
+    # orders_enriched_left_join, partition_pruned_day,
+    # percentiles_by_priority, pivot_status, pricing_summary,
+    # rolling_hash_fingerprint, rollup_pricing, running_total,
+    # scan_filter_project, session_window_agg, set_ops_custkeys,
+    # srp_ann_topk, stratified_sample, string_funcs, table_counts,
+    # top10_orders, top3_per_priority, unpivot_status,
+    # validation_reasons, approx_distinct_users,
+    # cheapest_part_per_type
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

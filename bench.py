@@ -27,6 +27,56 @@ from _lakehouse_architecture_for_e_commerce_transactions_spark.plans import cata
 from _lakehouse_architecture_for_e_commerce_transactions_spark.session import get_spark
 
 
+def _calibration(spark) -> dict[str, float]:
+    """Fixed host-speed anchor, no code under test (r12 verdict task 2).
+
+    BENCH absolute numbers on this host swing 10-33% on frozen code
+    (TUNING.md round 12: same-day runs moved untouched legs 1.70->2.30 s),
+    so every bench run now records three deterministic micro-legs — pure
+    whole-stage-codegen CPU, a parquet write, and a parquet scan-agg —
+    at the START and END of the run. Future round-over-round comparisons
+    divide by these anchors to separate host drift from code changes.
+    Constant inputs, constant plans, nothing from the package under test.
+    Each leg is min-of-2 within the call so the anchor measures ambient
+    host speed, not first-plan JIT warmup (measured 8.0 s cold vs 1.1 s
+    steady-state for the CPU leg in one session).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    work = tempfile.mkdtemp(prefix="bench_calib_")
+    try:
+        for _ in range(2):
+            # CPU: 10M-row codegen-only hash-agg (xxhash64 + modulo).
+            t0 = time.time()
+            spark.range(10_000_000).select(
+                (F.xxhash64("id") % 1024).alias("b"), F.col("id")
+            ).groupBy("b").agg(F.sum("id"), F.count("*")).collect()
+            took = round(time.time() - t0, 3)
+            out["cpu_agg_10m"] = min(out.get("cpu_agg_10m", took), took)
+            # IO write: 5M rows, two columns, fixed 8-file layout.
+            t0 = time.time()
+            spark.range(5_000_000).select(
+                "id", (F.col("id") * 2654435761 % 97).alias("v")
+            ).repartition(8).write.mode("overwrite").parquet(f"{work}/t")
+            took = round(time.time() - t0, 3)
+            out["io_write_5m"] = min(out.get("io_write_5m", took), took)
+            # IO scan-agg: read it back, aggregate both columns.
+            t0 = time.time()
+            spark.read.parquet(f"{work}/t").groupBy("v").agg(
+                F.sum("id"), F.count("*")
+            ).collect()
+            took = round(time.time() - t0, 3)
+            out["io_scan_5m"] = min(out.get("io_scan_5m", took), took)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print(f"# calibration: {out}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -53,6 +103,8 @@ def main() -> None:
     ).groupBy("e").count().collect()
     warm.limit(64).mapInPandas(lambda it: it, "id long, k long").count()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).limit(1).collect()
+
+    calibration_start = _calibration(spark)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
@@ -413,6 +465,8 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    calibration_end = _calibration(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -425,6 +479,10 @@ def main() -> None:
                 "extra_total": round(sum(extras.values()), 3),
                 "sf": sf,
                 "reps": reps,
+                "calibration": {
+                    "start": calibration_start,
+                    "end": calibration_end,
+                },
             }
         )
     )
