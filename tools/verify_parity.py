@@ -5,7 +5,14 @@ sf dir, then compares row count, column names, and an order-insensitive
 value hash (rows sorted, columns sorted by name, values stringified with
 repr-level fidelity). Exit code 1 if any query mismatches.
 
-Usage: python tools/verify_parity.py [sf_dir] [query ...]
+Usage: python tools/verify_parity.py [--touched[=REF]] [sf_dir] [query ...]
+
+`--touched` (r12 verdict task 4) scopes the run to the catalog queries
+that can observe the working tree's diff vs REF (default HEAD), computed
+by the static scan in tools/touched.py — package import graph + per-name
+catalog.py segment diff. Use it for MID-ROUND gates after localized
+edits; closing runs still use the full gate. With an explicit query list,
+the scope is the intersection.
 """
 
 from __future__ import annotations
@@ -51,8 +58,26 @@ def table_hash(rows: list[tuple], cols: list[str]) -> str:
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    touched_base = None
+    for a in list(argv):
+        if a == "--touched" or a.startswith("--touched="):
+            touched_base = a.partition("=")[2] or "HEAD"
+            argv.remove(a)
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if touched_base is not None:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import touched as touched_mod
+
+        scope, notes = touched_mod.touched_queries(touched_base)
+        for n in notes:
+            print(f"# {n}")
+        only = (only & scope) if only else scope
+        print(f"# --touched scope: {len(only)} queries: {sorted(only)}")
+        if not only:
+            print("\n0/0 passed (no catalog query observes the diff)")
+            return 0
     spark = get_spark("verify-parity")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
