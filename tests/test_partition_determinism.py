@@ -30,7 +30,18 @@ SENSITIVE = [
     "incremental_agg",
     "ann_recall_eval",
     "tfidf_topk_terms",
+    # r12 verdict task 7: the hash-seeded sampling legs — their oracle
+    # parity depends on the sample being a pure function of row VALUES,
+    # never of task boundaries or row order within a partition
+    "stratified_sample",
+    "deterministic_sample",
+    "weighted_sample_docs",
 ]
+
+# the sampling legs additionally must not depend on HOW THE INPUT IS
+# SPLIT into scan partitions (a value-hash seed is split-invariant; a
+# rand()-per-partition or monotonically_increasing_id seed is not)
+SAMPLING = ["stratified_sample", "deterministic_sample", "weighted_sample_docs"]
 
 
 def _rows(df):
@@ -51,4 +62,25 @@ def test_result_invariant_under_shuffle_partitioning(spark, name):
         b = _rows(qd.builder(spark, SF))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert a == b
+
+
+@pytest.mark.parametrize("name", SAMPLING)
+def test_sampling_invariant_under_input_splits(spark, name):
+    qd = catalog.CATALOG[name]
+    base_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    base_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # one wide-open scan partitioning vs one that fragments the
+        # parquet into many tiny splits, crossed with different shuffle
+        # widths — the sample membership must be bit-identical
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        a = _rows(qd.builder(spark, SF))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16k")
+        spark.conf.set("spark.sql.shuffle.partitions", "23")
+        b = _rows(qd.builder(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", base_split)
+        spark.conf.set("spark.sql.shuffle.partitions", base_shuf)
     assert a == b
