@@ -120,7 +120,14 @@ def _stats_watermark(path: str):
     ``_last_batch``/``_app_id`` is exact even under deletion vectors
     (a rebuild overwrites the table, so mixed app ids never coexist).
     Returns (None, None) when the table predates the stats stamp or an
-    entry is incomplete — callers fall back to a column-pruned scan."""
+    entry is incomplete — callers fall back to a column-pruned scan.
+    ONE incomplete entry poisons the whole read (deliberate, r12
+    advice-reviewed): a mixed table means some commit was written
+    outside the twins' stamped path, and trusting the remaining stats
+    would under-read the watermark if that foreign commit carried the
+    latest batch; the fallback scan is correct for any mix. If mixed
+    tables became common, the refinement is stats-max over complete
+    entries combined with a scan restricted to the statless files."""
     snap = S.load_snapshot(path)
     fs, sc = snap.file_stats, snap.stats_cols or []
     if not fs or any(c not in sc for c in _WM_STATS):
@@ -249,7 +256,22 @@ def _null_guarded_key(df: DataFrame, col: str, what: str) -> DataFrame:
     action is a full job round-trip, the dominant per-batch cost).
     Use only where ``col`` is unconditionally evaluated downstream
     (group/join keys); the raise still aborts the batch BEFORE its
-    manifest publish, so state is never corrupted."""
+    manifest publish, so state is never corrupted.
+
+    CONTRACT (relaxed vs ``_reject_null_keys``, accepted r12): the
+    guard fires only for rows the derivation CONSUMES. A NULL-keyed
+    row that a twin's delta operator filters out before the key is
+    evaluated (e.g. an all-NULL-image row dropped by hist/cm deltas
+    ahead of the groupBy) is ignored rather than rejected — it could
+    never have reached state, so nothing is silently lost; rows that
+    WOULD have changed state still fail loudly. Twins needing the
+    unconditional scan-everything check should keep
+    ``_reject_null_keys`` and pay its per-batch action.
+
+    The raise surfaces executor-side: callers observe a Py4J-wrapped
+    SparkException whose message contains the text below, NOT a driver
+    ``ValueError`` — match on the message, never the exception type
+    (tests use ``pytest.raises(Exception, match=...)``)."""
     dt = df.schema[col].dataType
     return df.withColumn(
         col,
@@ -1556,7 +1578,14 @@ def stream_ewma_maintenance(
     stored high-water t is REJECTED loudly (retrofitting late data
     into a recurrence means a rescan — that is the batch operator's
     job), as are in-batch duplicate (k, t) pairs. Feed schema:
-    ``(k, t, x)`` with integer t and x."""
+    ``(k, t, x)`` with integer t and x.
+
+    Since r12 these feed-contract guards run INSIDE the applyInPandas
+    state walk (no dedicated per-batch driver action), so violations
+    surface as executor-side PythonException-wrapped errors, not a
+    driver ``ValueError`` — callers must match on the message text,
+    never the exception type (the tests assert with
+    ``pytest.raises(Exception, match=...)``)."""
     import pandas as pd  # noqa: F401
     from pyspark.sql.types import StructType as _ST
 

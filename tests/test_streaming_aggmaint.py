@@ -408,8 +408,11 @@ def test_maintenance_commits_write_o1_files_per_batch(spark, tmp_path):
         )
         q.awaitTermination(120)
     for table in ("fact", "state"):
+        # count data files only (commit-*/ dirs): deletion-vector
+        # sidecars under dv-*/ are also parquet but are not the commit
+        # fan-out this pin isolates (r12 advice)
         files = glob.glob(
-            str(tmp_path / table / "**" / "*.parquet"), recursive=True
+            str(tmp_path / table / "data" / "commit-*" / "*.parquet")
         )
         assert 0 < len(files) <= 12, (table, len(files))
 
