@@ -172,6 +172,42 @@ def _ewma(spark, work, _crash_table):
     return start, state, read
 
 
+def _kmv(spark, work, _crash_table):
+    state = f"{work}/state"
+
+    def start(raw, ckpt):
+        return AM.stream_kmv_maintenance(spark, raw, state, ckpt, kmv_k=8)
+
+    def read():
+        return sorted(
+            tuple(r)
+            for r in AM.read_maintained_kmv_estimate(
+                spark, state, kmv_k=8
+            ).collect()
+        )
+
+    return start, state, read
+
+
+def _hist(spark, work, _crash_table):
+    state = f"{work}/state"
+
+    def start(raw, ckpt):
+        return AM.stream_hist_maintenance(
+            spark, raw, state, ckpt, bin_width=100
+        )
+
+    def read():
+        return sorted(
+            tuple(r)
+            for r in AM.read_maintained_quantiles(
+                spark, state, [0.5, 0.9], bin_width=100
+            ).collect()
+        )
+
+    return start, state, read
+
+
 HLL_BATCHES = [
     [f"a,u{i}" for i in range(40)] + ["b,x", "b,y"],
     [f"a,u{i}" for i in range(30, 70)] + ["b,x", "c,w0"],
@@ -183,12 +219,20 @@ EWMA_BATCHES = [
     ["a,3,51", "c,3,44"],
 ]
 
+KMV_BATCHES = [
+    [f"a,u{i}" for i in range(30)] + ["b,x", "b,y"],
+    [f"a,u{i}" for i in range(20, 50)] + ["b,x"],
+    [f"c,w{i}" for i in range(5)],
+]
+
 FAMILIES = {
     "minmax": (_minmax, CHANGE_HEADER, CHANGE_BATCHES),
     "topk": (_topk, CHANGE_HEADER, CHANGE_BATCHES),
     "cm": (_cm, CHANGE_HEADER, CHANGE_BATCHES),
     "hll": (_hll, "k,v", HLL_BATCHES),
     "ewma": (_ewma, "k,t,x", EWMA_BATCHES),
+    "kmv": (_kmv, "k,v", KMV_BATCHES),
+    "hist": (_hist, CHANGE_HEADER, CHANGE_BATCHES),
 }
 
 
