@@ -312,6 +312,39 @@ def minhash_dedup_verified(
         vidx = idx.join(cdocs, "doc", "left_semi")
     else:
         vidx = idx
+    if threshold >= 1.0:
+        # Exact-duplicate verification (threshold 1.0): jaccard = 1 ⟺
+        # identical shingle SETS, so verify candidates by canonical
+        # set-array equality instead of the exploded intersect join.
+        # Same output, radically different scale shape on dup-dense
+        # corpora: the general path's intersect is a sort-merge join on
+        # (doc, shingle) whose dense regime sorts the FULL exploded
+        # index — the r13 sf10 probe measured it spilling >80 GB and
+        # dying ENOSPC on a corpus where every doc has a copy (225M
+        # index rows). Here the index collapses FIRST to one row-sized
+        # array per doc (one groupBy of the — possibly semi-filtered —
+        # index), candidates then join two array lookups on doc; rows
+        # shuffled = |docs| + 2|cand|, never |docs| × |shingles|.
+        # Measured A/B in TUNING.md round 13.
+        sets = vidx.groupBy("doc").agg(
+            F.sort_array(F.collect_set("shingle")).alias("shset")
+        )
+        return (
+            cand.join(
+                sets.select(
+                    F.col("doc").alias("doc1"), F.col("shset").alias("sh_a")
+                ),
+                "doc1",
+            )
+            .join(
+                sets.select(
+                    F.col("doc").alias("doc2"), F.col("shset").alias("sh_b")
+                ),
+                "doc2",
+            )
+            .filter(F.col("sh_a") == F.col("sh_b"))
+            .select("doc1", "doc2", F.lit(1.0).alias("jaccard"))
+        )
     sizes = shingle_counts(vidx)
     i1 = vidx.select(F.col("doc").alias("doc1"), F.col("shingle"))
     i2 = vidx.select(

@@ -9684,12 +9684,17 @@ _WINDOW_FRONT: list[str] = [
     # 48 queries whose latest driver row is r02, plus the two oldest
     # r03 stragglers (alphabetical: bigram_logprob,
     # boilerplate_removal). All 50 are absent from both the r11 and
-    # r12 windows. No operator under these queries changed this round
-    # (round 13 is tests/tooling/evidence work), so no changed-operator
-    # slots are needed. Everything evicted keeps its r12 green row +
-    # the full 197/197 tools/verify_parity.py gate recorded in
-    # TUNING.md. After this window, only ~47 r03/r04-stale entries
-    # remain for the r14 rotation to complete the full fresh re-sweep.
+    # r12 windows. One operator changed this round: the threshold=1.0
+    # verify path of minhash_dedup_verified (set-equality verify, the
+    # sf10 ENOSPC fix) — minhash_fast is the only query that takes the
+    # new path, so it is fronted per the standing changed-operator rule
+    # (also absent from the r11/r12 windows; the other 11 queries the
+    # --touched scan flags share the module but not the changed branch,
+    # and all 12 passed the scoped parity gate, TUNING r13). Everything
+    # evicted keeps its r12 green row + the full 197/197
+    # tools/verify_parity.py gate recorded in TUNING.md. After this
+    # window, ~47 r03/r04-stale entries remain for the r14 rotation to
+    # complete the full fresh re-sweep.
     # last driver-checked r02:
     "corpus_curation",
     "cube_status_priority",
@@ -9739,9 +9744,10 @@ _WINDOW_FRONT: list[str] = [
     "train_test_split",
     "waiting_supplier_orders",
     "window_range_30d",
-    # last driver-checked r03 (oldest two, alphabetical):
+    # last driver-checked r03 (oldest, alphabetical):
     "bigram_logprob",
-    "boilerplate_removal",
+    # changed-operator slot (r13): the set-equality verify path
+    "minhash_fast",
     # evicted to keep the window at 50 (all r12-green, all still in
     # the registry + parity gate): embedding_near_dup_scaled,
     # table_mv_maintenance_sim, cdc_replicate_sim, above_avg_orders,
@@ -9760,7 +9766,9 @@ _WINDOW_FRONT: list[str] = [
     # srp_ann_topk, stratified_sample, string_funcs, table_counts,
     # top10_orders, top3_per_priority, unpivot_status,
     # validation_reasons, approx_distinct_users,
-    # cheapest_part_per_type
+    # cheapest_part_per_type; boilerplate_removal (r03) yielded its
+    # slot to the minhash_fast changed-operator entry and leads the
+    # r14 stale queue
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

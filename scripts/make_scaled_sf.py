@@ -65,11 +65,17 @@ def main(src: str, dst: str, factor: int) -> None:
     }
     offsets: dict[tuple[str, str], int] = {}
     for cols in KEY_SPACES.values():
+        # tolerate partial source dirs (e.g. a documents-only sf10 build
+        # for the per-leg probe): a key space whose tables are all absent
+        # is skipped; present tables still share one consistent offset
+        present = [(t, c) for t, c in cols if t in tables]
+        if not present:
+            continue
         space_max = max(
             int(pa.compute.max(tables[t].column(c)).as_py() or 0)
-            for t, c in cols
+            for t, c in present
         )
-        for t, c in cols:
+        for t, c in present:
             offsets[(t, c)] = space_max + 1
 
     for name, tbl in tables.items():

@@ -45,6 +45,16 @@ CATALOG_LEGS = [
     "minhash_fast",
     "er_golden_records",
 ]
+# r12 verdict task 3: the two legs whose 10x ratio looked superlinear on
+# a degraded host get min-of-3 (the others keep --reps) and an optional
+# sf10 datum (--sf10; documents-only build, both legs read only that
+# table)
+MIN3_LEGS = {"jpeg_arith_stats", "minhash_fast"}
+SF10_LEGS = ["jpeg_arith_stats", "minhash_fast"]
+# r12 verdict task 6: the O(1)-files-per-commit claim, checked at every
+# probed scale (same bound the sf0.1 suite pins in
+# tests/test_streaming_aggmaint.py::test_maintenance_commits_write_o1_files_per_batch)
+FILES_PER_COMMIT_CAP = 12
 
 
 def time_catalog_leg(spark, name: str, sf: str, reps: int) -> float:
@@ -80,13 +90,23 @@ def stream_feed(spark, sf: str) -> list[list[str]]:
     return [b1, b2, b3]
 
 
-def time_stream_leg(spark, sf: str, reps: int) -> float:
+def time_stream_leg(spark, sf: str, reps: int) -> tuple[float, int]:
+    """(best wall over reps, max data files in any one commit dir).
+
+    The file count checks the O(1)-files-per-commit claim (r12 verdict
+    task 6) at every probed scale: the rebalance hint must keep each
+    batch-sized commit at a handful of AQE-sized files however large
+    the feed — deletion-vector sidecars (dv-*/) are excluded, only
+    commit-*/ data files count."""
+    import glob as globmod
+
     from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (
         stream_minmax_maintenance,
     )
 
     batches = stream_feed(spark, sf)
     best = float("inf")
+    max_files = 0
     for _ in range(reps):
         work = tempfile.mkdtemp(prefix="probe_sf1_stream_")
         try:
@@ -105,9 +125,19 @@ def time_stream_leg(spark, sf: str, reps: int) -> float:
                 q.awaitTermination(600)
                 total += time.time() - t0
             best = min(best, total)
+            for table in ("fact", "state"):
+                for cdir in globmod.glob(
+                    os.path.join(work, table, "data", "commit-*")
+                ):
+                    n = len(globmod.glob(os.path.join(cdir, "*.parquet")))
+                    max_files = max(max_files, n)
         finally:
             shutil.rmtree(work, ignore_errors=True)
-    return best
+    assert max_files <= FILES_PER_COMMIT_CAP, (
+        f"files-per-commit pin violated at {sf}: {max_files} > "
+        f"{FILES_PER_COMMIT_CAP}"
+    )
+    return best, max_files
 
 
 def main() -> int:
@@ -115,6 +145,11 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/sf1.0")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--keep", action="store_true", help="keep the sf1.0 dir")
+    ap.add_argument(
+        "--sf10", action="store_true",
+        help="also time jpeg_arith_stats/minhash_fast at sf10 "
+             "(documents-only 10x build from the sf1.0 dir)",
+    )
     args = ap.parse_args()
 
     t0 = time.time()
@@ -133,23 +168,78 @@ def main() -> int:
     regen_wall = time.time() - t0
     spark = get_spark("probe-sf1")
 
-    results: list[tuple[str, float, float]] = []
+    results: list[tuple[str, int, float, float]] = []
     for name in CATALOG_LEGS:
-        a = time_catalog_leg(spark, name, SF01, args.reps)
-        b = time_catalog_leg(spark, name, args.out, args.reps)
-        results.append((name, a, b))
+        reps = max(args.reps, 3) if name in MIN3_LEGS else args.reps
+        a = time_catalog_leg(spark, name, SF01, reps)
+        b = time_catalog_leg(spark, name, args.out, reps)
+        results.append((name, reps, a, b))
         print(f"# {name}: sf0.1 {a:.2f}s  sf1.0 {b:.2f}s", file=sys.stderr)
-    a = time_stream_leg(spark, SF01, args.reps)
-    b = time_stream_leg(spark, args.out, args.reps)
-    results.append(("stream_minmax_maintenance (3 batches)", a, b))
-    print(f"# stream_minmax: sf0.1 {a:.2f}s  sf1.0 {b:.2f}s", file=sys.stderr)
+    a, files_a = time_stream_leg(spark, SF01, args.reps)
+    b, files_b = time_stream_leg(spark, args.out, args.reps)
+    results.append(
+        ("stream_minmax_maintenance (3 batches)", args.reps, a, b)
+    )
+    print(
+        f"# stream_minmax: sf0.1 {a:.2f}s  sf1.0 {b:.2f}s; max data "
+        f"files/commit {files_a} (sf0.1) / {files_b} (sf1.0), "
+        f"cap {FILES_PER_COMMIT_CAP}",
+        file=sys.stderr,
+    )
+
+    # optional sf10 datum for the two ratio-suspect legs: both read only
+    # the documents table, so the 100x-of-sf0.1 dir is documents-only
+    sf10: dict[str, float] = {}
+    if args.sf10:
+        src10 = tempfile.mkdtemp(prefix="probe_sf10_src_")
+        out10 = tempfile.mkdtemp(prefix="probe_sf10_")
+        try:
+            shutil.copy(
+                os.path.join(args.out, "documents.parquet"),
+                os.path.join(src10, "documents.parquet"),
+            )
+            t0 = time.time()
+            subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(__file__), "make_scaled_sf.py"
+                    ),
+                    src10, out10, "10",
+                ],
+                check=True, stdout=subprocess.DEVNULL,
+            )
+            print(
+                f"# sf10 documents-only regen: {time.time() - t0:.1f}s",
+                file=sys.stderr,
+            )
+            for name in SF10_LEGS:
+                sf10[name] = time_catalog_leg(
+                    spark, name, out10, max(args.reps, 3)
+                )
+                print(
+                    f"# {name}: sf10 {sf10[name]:.2f}s", file=sys.stderr
+                )
+        finally:
+            shutil.rmtree(src10, ignore_errors=True)
+            shutil.rmtree(out10, ignore_errors=True)
 
     print(f"\nsf1.0 regen: `make_scaled_sf.py {SF01} {args.out} 10` "
-          f"in {regen_wall:.1f}s; min-of-{args.reps} walls:\n")
-    print("| leg | sf0.1 | sf1.0 | ratio (10x data) |")
-    print("|---|---|---|---|")
-    for name, a, b in results:
-        print(f"| {name} | {a:.2f} s | {b:.2f} s | {b / a:.1f}x |")
+          f"in {regen_wall:.1f}s; per-leg min-of-N walls:\n")
+    print("| leg | reps | sf0.1 | sf1.0 | ratio (10x) | sf10 | ratio (10x) |")
+    print("|---|---|---|---|---|---|---|")
+    for name, reps, a, b in results:
+        c = sf10.get(name)
+        tail = f"{c:.2f} s | {c / b:.1f}x" if c else "— | —"
+        print(
+            f"| {name} | {reps} | {a:.2f} s | {b:.2f} s | {b / a:.1f}x "
+            f"| {tail} |"
+        )
+    print(
+        f"\nstream_minmax max data files/commit: {files_a} (sf0.1), "
+        f"{files_b} (sf1.0) — cap {FILES_PER_COMMIT_CAP} (O(1) per "
+        "commit, dv sidecars excluded)"
+    )
     if not args.keep:
         shutil.rmtree(args.out, ignore_errors=True)
     return 0
