@@ -312,64 +312,48 @@ def minhash_dedup_verified(
         vidx = idx.join(cdocs, "doc", "left_semi")
     else:
         vidx = idx
+    # Verification over per-doc shingle-SET ARRAYS, never the exploded
+    # index: one groupBy collapses the (possibly semi-filtered) index to
+    # a row-sized canonical array per doc, then candidates join two
+    # array lookups on doc. Rows shuffled = |docs| + 2|cand|, never
+    # |docs| × |shingles|. The previous form — an intersect sort-merge
+    # join on (doc, shingle) — sorted the FULL exploded index in the
+    # dense regime: the r13 sf10 probe (dup-dense 1.5M-doc corpus, 225M
+    # index rows) measured it spilling >72 GiB and dying ENOSPC, a
+    # cluster-killer shape at 100 TB. Interleaved same-session A/Bs and
+    # the sf10 completes-vs-dies contrast are in TUNING.md round 13.
+    sets = vidx.groupBy("doc").agg(
+        F.sort_array(F.collect_set("shingle")).alias("shset")
+    )
+    pairs = cand.join(
+        sets.select(F.col("doc").alias("doc1"), F.col("shset").alias("sh_a")),
+        "doc1",
+    ).join(
+        sets.select(F.col("doc").alias("doc2"), F.col("shset").alias("sh_b")),
+        "doc2",
+    )
     if threshold >= 1.0:
-        # Exact-duplicate verification (threshold 1.0): jaccard = 1 ⟺
-        # identical shingle SETS, so verify candidates by canonical
-        # set-array equality instead of the exploded intersect join.
-        # Same output, radically different scale shape on dup-dense
-        # corpora: the general path's intersect is a sort-merge join on
-        # (doc, shingle) whose dense regime sorts the FULL exploded
-        # index — the r13 sf10 probe measured it spilling >80 GB and
-        # dying ENOSPC on a corpus where every doc has a copy (225M
-        # index rows). Here the index collapses FIRST to one row-sized
-        # array per doc (one groupBy of the — possibly semi-filtered —
-        # index), candidates then join two array lookups on doc; rows
-        # shuffled = |docs| + 2|cand|, never |docs| × |shingles|.
-        # Measured A/B in TUNING.md round 13.
-        sets = vidx.groupBy("doc").agg(
-            F.sort_array(F.collect_set("shingle")).alias("shset")
+        # jaccard = 1 ⟺ identical shingle sets: equality on the
+        # canonical arrays, no intersect computation at all — and the
+        # output stays provably hash-family independent (docstring).
+        return pairs.filter(F.col("sh_a") == F.col("sh_b")).select(
+            "doc1", "doc2", F.lit(1.0).alias("jaccard")
         )
-        return (
-            cand.join(
-                sets.select(
-                    F.col("doc").alias("doc1"), F.col("shset").alias("sh_a")
-                ),
-                "doc1",
-            )
-            .join(
-                sets.select(
-                    F.col("doc").alias("doc2"), F.col("shset").alias("sh_b")
-                ),
-                "doc2",
-            )
-            .filter(F.col("sh_a") == F.col("sh_b"))
-            .select("doc1", "doc2", F.lit(1.0).alias("jaccard"))
-        )
-    sizes = shingle_counts(vidx)
-    i1 = vidx.select(F.col("doc").alias("doc1"), F.col("shingle"))
-    i2 = vidx.select(
-        F.col("doc").alias("doc2"), F.col("shingle").alias("shingle2")
-    )
-    inter = (
-        cand.join(i1, "doc1")
-        .join(i2, "doc2")
-        .filter(F.col("shingle") == F.col("shingle2"))
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     out = (
-        inter.join(sizes.withColumnRenamed("doc", "doc1"), "doc1")
-        .withColumnRenamed("n_shingles", "n1")
-        .join(sizes.withColumnRenamed("doc", "doc2"), "doc2")
-        .withColumnRenamed("n_shingles", "n2")
+        pairs.withColumn(
+            "inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn("n1", F.size("sh_a").cast("long"))
+        .withColumn("n2", F.size("sh_b").cast("long"))
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6),
         )
         # threshold on the EXACT rational (inter >= t·union), never the
-        # rounded display value: at threshold=1.0 a rounded filter would
-        # admit jaccard 0.9999995 as an "exact duplicate", breaking the
-        # identical-shingle-sets guarantee the fast-path oracle relies on
+        # rounded display value: a rounded filter would admit jaccard
+        # 0.9999995 as an "exact duplicate" at threshold=1.0, breaking
+        # the identical-shingle-sets guarantee the fast-path oracle
+        # relies on
         .filter(
             F.col("inter")
             >= F.lit(threshold)
