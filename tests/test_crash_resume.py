@@ -225,6 +225,51 @@ KMV_BATCHES = [
     [f"c,w{i}" for i in range(5)],
 ]
 
+
+def _agg(spark, work, _crash_table):
+    state = f"{work}/state"
+
+    def start(raw, ckpt):
+        return AM.stream_agg_maintenance(spark, raw, state, ckpt)
+
+    def read():
+        return sorted(
+            tuple(r) for r in AM.read_maintained_agg(spark, state).collect()
+        )
+
+    return start, state, read
+
+
+def _joinview(spark, work, crash_table):
+    dim, view = f"{work}/dim", f"{work}/view"
+
+    def start(raw, ckpt):
+        return AM.stream_join_view_maintenance(spark, raw, dim, view, ckpt)
+
+    # the dimension commits FIRST each batch; crashing the VIEW publish
+    # leaves the dim advanced and the view behind — the two-table
+    # partial-commit interleaving for this family
+    target = dim if crash_table == "fact" else view
+
+    def read():
+        v = sorted(
+            tuple(r) for r in AM.read_maintained_view(spark, view).collect()
+        )
+        d = sorted(
+            tuple(r) for r in AM.read_maintained_dim(spark, dim).collect()
+        )
+        return (v, d)
+
+    return start, target, read
+
+
+MIX_HEADER = "seq,kind,fact_key,dim_key,val,attr"
+MIX_BATCHES = [
+    ["1,DU,,1,,red", "2,DU,,2,,blue", "3,FI,100,1,5.0,", "4,FI,101,2,6.0,"],
+    ["5,DU,,1,,green", "6,FI,102,1,7.0,", "7,FD,101,,,"],   # crash here
+    ["8,DU,,2,,black", "9,FI,103,2,8.0,"],
+]
+
 FAMILIES = {
     "minmax": (_minmax, CHANGE_HEADER, CHANGE_BATCHES),
     "topk": (_topk, CHANGE_HEADER, CHANGE_BATCHES),
@@ -233,6 +278,8 @@ FAMILIES = {
     "ewma": (_ewma, "k,t,x", EWMA_BATCHES),
     "kmv": (_kmv, "k,v", KMV_BATCHES),
     "hist": (_hist, CHANGE_HEADER, CHANGE_BATCHES),
+    "agg": (_agg, CHANGE_HEADER, CHANGE_BATCHES),
+    "joinview": (_joinview, MIX_HEADER, MIX_BATCHES),
 }
 
 
@@ -295,6 +342,12 @@ def test_minmax_crash_on_fact_publish_replays_both_tables(spark, tmp_path):
     # the other interleaving: NOTHING committed for the batch (the fact
     # mirror publishes first) — resume must apply fact AND state once
     _run_crash_resume(spark, tmp_path, "minmax", crash_table="fact")
+
+
+def test_joinview_crash_on_dim_publish_replays_both_tables(spark, tmp_path):
+    # join-view twin, nothing-committed interleaving: the dimension
+    # publishes first; crashing it leaves neither table advanced
+    _run_crash_resume(spark, tmp_path, "joinview", crash_table="fact")
 
 
 def test_state_crash_leaves_fact_advanced_and_guard_skips(spark, tmp_path):
