@@ -151,6 +151,11 @@ def main() -> int:
              "(documents-only 10x build from the sf1.0 dir)",
     )
     args = ap.parse_args()
+    if args.sf10:
+        # the sf10 array aggregations need real heap on this single-JVM
+        # host (8g OOMs; all executor state is one heap in local mode) —
+        # an explicit SPARK_GRAFT_DRIVER_MEM still wins
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
     t0 = time.time()
     shutil.rmtree(args.out, ignore_errors=True)
