@@ -593,13 +593,29 @@ def duplicate_span_pairs(
             F.array_distinct(T.ngram_list(F.col(text_col), span_tokens))
         ).alias("span"),
     ).select("doc", F.md5("span").alias("span_key"))
-    buckets = (
+    # Cap ENFORCED BEFORE collect_list: counting first (fixed-size
+    # aggregation state) and semi-filtering the span rows means no
+    # aggregation buffer ever holds more than ``max_span_docs`` ids.
+    # Filtering on size(docs) AFTER collect_list — the previous form —
+    # still materialized a viral span's full doc list in ONE buffer
+    # before dropping it: a header shared by 10M docs is a
+    # multi-hundred-MB aggregation row at 100 TB, executor-OOM of the
+    # same dense-regime class as the r13 minhash ENOSPC. The count rows
+    # are per-doc-distinct, so count(1) equals the old size(docs)
+    # exactly; the extra count pass shuffles only (key, count) and the
+    # keep→collect_list stages share the span_key hash partitioning
+    # (no additional exchange of the span rows).
+    keep = (
         spans.groupBy("span_key")
-        .agg(F.collect_list("doc").alias("docs"))
-        .filter(
-            (F.size("docs") >= 2) & (F.size("docs") <= max_span_docs)
-        )
-        .select(F.array_sort("docs").alias("docs"))
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= max_span_docs))
+        .select("span_key")
+    )
+    buckets = (
+        spans.join(keep, "span_key")
+        .groupBy("span_key")
+        .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
+        .select("docs")
     )
     ds = F.col("docs")
     pairs = F.flatten(
