@@ -9743,11 +9743,13 @@ _WINDOW_FRONT: list[str] = [
     "top_terms",
     "train_test_split",
     "waiting_supplier_orders",
-    "window_range_30d",
     # last driver-checked r03 (oldest, alphabetical):
     "bigram_logprob",
-    # changed-operator slot (r13): the set-equality verify path
+    # changed-operator slots (r13): the set-equality verify path, and
+    # the span-dedup cap moved before collect_list (output-identical by
+    # construction, but the claim belongs to the driver, not to us)
     "minhash_fast",
+    "dup_span_pairs",
     # evicted to keep the window at 50 (all r12-green, all still in
     # the registry + parity gate): embedding_near_dup_scaled,
     # table_mv_maintenance_sim, cdc_replicate_sim, above_avg_orders,
@@ -9767,8 +9769,9 @@ _WINDOW_FRONT: list[str] = [
     # top10_orders, top3_per_priority, unpivot_status,
     # validation_reasons, approx_distinct_users,
     # cheapest_part_per_type; boilerplate_removal (r03) yielded its
-    # slot to the minhash_fast changed-operator entry and leads the
-    # r14 stale queue
+    # slot to the minhash_fast changed-operator entry and, with
+    # window_range_30d (r02, yielded to the dup_span_pairs
+    # changed-operator entry), leads the r14 stale queue
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)
