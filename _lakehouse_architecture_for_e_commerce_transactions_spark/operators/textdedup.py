@@ -587,12 +587,21 @@ def duplicate_span_pairs(
         text as T,
     )
 
+    # Lazy localCheckpoint (the jaccard_prefix_pairs discipline): the
+    # span rows feed TWO aggregation branches below (the viral-key
+    # count and the capped collect), and unshared each would re-run
+    # the tokenize+window+md5 explode over the whole corpus — the
+    # dominant per-doc cost (measured: recompute made the two-pass
+    # form ~1.4× the single-pass one at a 50k-doc dense corpus; the
+    # checkpoint brings it back to parity, TUNING r13).
     spans = df.select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.array_distinct(T.ngram_list(F.col(text_col), span_tokens))
         ).alias("span"),
-    ).select("doc", F.md5("span").alias("span_key"))
+    ).select("doc", F.md5("span").alias("span_key")).localCheckpoint(
+        eager=False
+    )
     # Cap ENFORCED BEFORE collect_list: counting first (fixed-size
     # aggregation state) and semi-filtering the span rows means no
     # aggregation buffer ever holds more than ``max_span_docs`` ids.
@@ -600,11 +609,11 @@ def duplicate_span_pairs(
     # still materialized a viral span's full doc list in ONE buffer
     # before dropping it: a header shared by 10M docs is a
     # multi-hundred-MB aggregation row at 100 TB, executor-OOM of the
-    # same dense-regime class as the r13 minhash ENOSPC. The count rows
+    # same dense-regime class as the r13 minhash ENOSPC (sort-based
+    # aggregation fallback spills across KEYS, not within one key's
+    # buffer, so no Spark config saves a viral key). The count rows
     # are per-doc-distinct, so count(1) equals the old size(docs)
-    # exactly; the extra count pass shuffles only (key, count) and the
-    # keep→collect_list stages share the span_key hash partitioning
-    # (no additional exchange of the span rows).
+    # exactly.
     keep = (
         spans.groupBy("span_key")
         .agg(F.count(F.lit(1)).alias("nd"))
