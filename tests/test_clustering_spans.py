@@ -187,3 +187,23 @@ def test_semantic_dedup_drops_all_planted_twins(spark, sf_dir):
     originals_kept = [r for r in rows if r["vec_id"] < 100000 and r["keep"]]
     assert len(originals_kept) > 0
     assert any(r["vec_id"] == 0 for r in originals_kept)  # lowest id kept
+
+
+def test_dup_span_cap_enforced_before_collect(spark):
+    """Structural pin for the r13 viral-key fix: the max_span_docs cap
+    must be enforced BEFORE the collect_list aggregation (count →
+    semi-filter → collect), so no aggregation buffer ever holds more
+    than the cap. The old filter-after-collect form compiled to a plan
+    with NO join at all (one straight explode → aggregate chain); the
+    bounded form necessarily joins the span rows to the surviving keys.
+    Combined with the output tests above (identical semantics, cap
+    honored) this mechanically distinguishes the bounded plan from the
+    unbounded one."""
+    docs = _docs(spark, [(i, "m n o p q r") for i in range(6)])
+    df = TD.duplicate_span_pairs(docs, span_tokens=4, max_span_docs=5)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan, plan  # keep-keys semi-filter present
+    # the viral-key cap is a filter over the COUNT aggregate (bounded
+    # state), feeding the join below the collect_list aggregate
+    assert "count(1) AS nd" in plan, plan
+    assert "(nd" in plan and "<= 5)" in plan, plan
