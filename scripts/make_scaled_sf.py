@@ -3,11 +3,23 @@ for the round-9 scale probe (VERDICT task 5): replicate every fact
 table with KEY-SPACE OFFSETS so foreign keys stay consistent
 (replica r adds r*(max_key+1) to custkey/orderkey/partkey/suppkey/
 doc_id/vec_id/event_id/user_id), keep the dimension tables
-(region/nation) as-is, and ROTATE each document's words per replica
-so cross-replica near-duplicate structure does not hand the dedup
-legs artificial quadratic work (10 exact copies of every doc would
-put all replicas in the same MinHash buckets: bucket sizes x10 =
-verify pairs x100, a replication artifact, not a scale signal).
+(region/nation) as-is, and SUFFIX each document's words per replica
+(word -> word~r3) so cross-replica near-duplicate structure does not
+hand the dedup legs artificial quadratic work (10 exact copies of
+every doc would put all replicas in the same MinHash buckets: bucket
+sizes x10 = verify pairs x100, a replication artifact, not a scale
+signal). Suffixing replaced the original word ROTATION in round 13:
+rotation preserves each doc's token SET, so every token-set-keyed
+operator (SimHash signatures, bag-of-words stats) still saw 10
+identical replicas — the r13 10x probe measured simhash pair output
+x99 instead of x10 — and docs whose word count divides the rotation
+step kept IDENTICAL text, quadratically densifying shingle buckets
+too (jaccard-prefix candidates x100). Per-word suffixes make every
+replica's token set, shingle set, and md5 fingerprint disjoint from
+every other replica's while preserving all WITHIN-replica dup
+structure, which is what a same-density 10x corpus looks like.
+Probe numbers recorded before round 13's suffix change used the
+rotating scaler and are not comparable on the dedup legs.
 The same reasoning de-duplicates every OTHER similarity-bearing
 column: entity names (c_name/s_name/p_name) get a per-replica
 suffix at edit distance >= 2 so FastSS ER sees 10x the entities
@@ -44,16 +56,26 @@ KEY_SPACES: dict[str, list[tuple[str, str]]] = {
     "user": [("events", "user_id")],
 }
 DIMENSIONS = ("region", "nation")
+# Several catalog legs build synthetic twins by offsetting doc_id/vec_id
+# with literal +100000/+200000 (twin ids sit above the real range at
+# every driver/bench scale). A scaled build must keep that invariant
+# PER REPLICA: stride the doc/vec spaces by at least 10M so each
+# replica's twins land inside its own private id range instead of
+# colliding with the next replica's real ids (the r13 sf10 probe
+# measured minhash_fast output COLLAPSING 5040 -> 1120 because
+# colliding ids merged different texts under one doc). 100 replicas x
+# 10M + twins stays far under int64 (and under int32 for factor<=100).
+MIN_STRIDE = {"doc": 10_000_000, "vec": 10_000_000}
 
 
-def _rotate_words(text: str, r: int) -> str:
-    words = text.split(" ")
-    if r == 0 or len(words) < 2:
+def _replica_words(text: str, r: int) -> str:
+    """Per-replica word suffix: every word of replica r > 0 becomes
+    ``word~r{r}`` (whitespace tokenization glues the suffix into the
+    token), so replicas share NO tokens, shingles, or fingerprints
+    while each replica's internal dup structure survives verbatim."""
+    if r == 0:
         return text
-    k = (r * 7) % len(words)
-    if k == 0:
-        return text
-    return " ".join(words[k:] + words[:k])
+    return " ".join(f"{w}~r{r}" for w in text.split(" "))
 
 
 def main(src: str, dst: str, factor: int) -> None:
@@ -64,7 +86,7 @@ def main(src: str, dst: str, factor: int) -> None:
         if f.endswith(".parquet")
     }
     offsets: dict[tuple[str, str], int] = {}
-    for cols in KEY_SPACES.values():
+    for space, cols in KEY_SPACES.items():
         # tolerate partial source dirs (e.g. a documents-only sf10 build
         # for the per-leg probe): a key space whose tables are all absent
         # is skipped; present tables still share one consistent offset
@@ -76,7 +98,7 @@ def main(src: str, dst: str, factor: int) -> None:
             for t, c in present
         )
         for t, c in present:
-            offsets[(t, c)] = space_max + 1
+            offsets[(t, c)] = max(space_max + 1, MIN_STRIDE.get(space, 0))
 
     for name, tbl in tables.items():
         out_path = os.path.join(dst, f"{name}.parquet")
@@ -95,7 +117,7 @@ def main(src: str, dst: str, factor: int) -> None:
                     col = col.cast(field.type)
                 elif name == "documents" and field.name == "text":
                     col = pa.array(
-                        [_rotate_words(v, r) for v in col.to_pylist()],
+                        [_replica_words(v, r) for v in col.to_pylist()],
                         type=field.type,
                     )
                 elif r > 0 and field.name in (
