@@ -490,11 +490,19 @@ def simhash_signatures(
         F.explode(F.array_distinct(T.tokens(F.col(text_col)))).alias("token"),
     )
     sig = toks.groupBy("doc").agg(*H.simhash_bits("token", n_bits))
-    value = sum(
-        (F.col(f"b{i}") * F.lit(2 ** (n_bits - 1 - i)) for i in range(n_bits)),
-        start=F.lit(0),
-    )
-    return sig.withColumn("simhash", value.cast("long"))
+    # bitwise fold, not an arithmetic Σ bit·2^pos: 2^63 overflows the
+    # signed-long literal, so the arithmetic form caps n_bits at 63.
+    # shiftleft|or wraps bit 0 into the sign bit at n_bits=64 — the
+    # value differs only in SIGN interpretation, and every consumer is
+    # bitwise (bit_count(xor) hamming; band extraction masks away the
+    # arithmetic shiftright's sign-extension). For n_bits < 64 the two
+    # forms are bit-identical, so oracle parity is unchanged.
+    value = F.lit(0).cast("long")
+    for i in range(n_bits):
+        value = F.shiftleft(value, 1).bitwiseOR(
+            F.col(f"b{i}").cast("long")
+        )
+    return sig.withColumn("simhash", value)
 
 
 def simhash_near_dup_pairs(
@@ -513,6 +521,15 @@ def simhash_near_dup_pairs(
     *lossless* by pigeonhole (a pair differing in < n_bands bits must agree
     on at least one whole band), so the result equals the brute-force
     all-pairs computation exactly — which is what the oracle checks.
+
+    Size ``n_bits`` to the corpus: at fixed width the RANDOM-collision
+    floor grows ~N² (independent docs land within ``max_hamming`` by
+    chance — P ≈ 1.3e-6 per pair at 32 bits vs ~2e-15 at 64, and
+    signature *clusters* multiply each hit; the r13 10x probe measured
+    24.3M cross-replica pairs between unrelated sub-corpora at
+    n_bits=32, TUNING.md). The catalog leg pins 32 bits for the oracle
+    at test scales; at 100 TB use ``n_bits=64`` (fits the long-typed
+    ``simhash`` column as-is).
     """
     if max_hamming >= n_bands:
         raise ValueError("lossless banding requires max_hamming < n_bands")

@@ -9742,14 +9742,17 @@ _WINDOW_FRONT: list[str] = [
     "top_revenue_supplier",
     "top_terms",
     "train_test_split",
-    "waiting_supplier_orders",
     # last driver-checked r03 (oldest, alphabetical):
     "bigram_logprob",
-    # changed-operator slots (r13): the set-equality verify path, and
-    # the span-dedup cap moved before collect_list (output-identical by
-    # construction, but the claim belongs to the driver, not to us)
+    # changed-operator slots (r13): the set-equality verify path, the
+    # span-dedup cap moved before collect_list, and the simhash
+    # bitwise-fold signature build (all output-identical by
+    # construction at catalog parameters, but the claim belongs to the
+    # driver, not to us; simhash_near_dup_pairs is already fronted in
+    # the rotation tranche above)
     "minhash_fast",
     "dup_span_pairs",
+    "simhash_signatures",
     # evicted to keep the window at 50 (all r12-green, all still in
     # the registry + parity gate): embedding_near_dup_scaled,
     # table_mv_maintenance_sim, cdc_replicate_sim, above_avg_orders,
@@ -9770,8 +9773,9 @@ _WINDOW_FRONT: list[str] = [
     # validation_reasons, approx_distinct_users,
     # cheapest_part_per_type; boilerplate_removal (r03) yielded its
     # slot to the minhash_fast changed-operator entry and, with
-    # window_range_30d (r02, yielded to the dup_span_pairs
-    # changed-operator entry), leads the r14 stale queue
+    # window_range_30d and waiting_supplier_orders (r02, yielded to
+    # the dup_span_pairs and simhash_signatures changed-operator
+    # entries), leads the r14 stale queue
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

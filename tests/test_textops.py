@@ -179,3 +179,36 @@ def test_bigram_and_bpe_survive_short_docs_under_ansi(spark, tmp_path):
             spark.conf.unset("spark.sql.ansi.enabled")
         else:
             spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_simhash_64_bit_signatures(spark):
+    """n_bits=64 must work (the r13 bitwise-fold fix: the old arithmetic
+    Σ bit·2^pos overflowed the signed-long literal at 2^63) and stay
+    lossless under banding: banded pairs equal brute-force all-pairs on
+    the collected signatures, sign bit and all."""
+    docs = _docs(spark)
+    sig = {
+        r["doc"]: r["simhash"]
+        for r in TD.simhash_signatures(docs, "doc_id", "text", 64).collect()
+    }
+    assert sig[1] == sig[4]  # identical docs → identical 64-bit sigs
+    # at least one signature should use the top bits (sign-bit region):
+    # 5 docs × 64 fair coin bits makes an all-top-bits-zero fleet
+    # astronomically unlikely, and a negative value proves bit 0 landed
+    # in the sign bit without overflow
+    got = {
+        (r["doc1"], r["doc2"]): r["hamming"]
+        for r in TD.simhash_near_dup_pairs(
+            docs, "doc_id", "text", n_bits=64, n_bands=4, max_hamming=3
+        ).collect()
+    }
+    ids = sorted(sig)
+    mask = (1 << 64) - 1
+    brute = {
+        (a, b): bin((sig[a] ^ sig[b]) & mask).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sig[a] ^ sig[b]) & mask).count("1") <= 3
+    }
+    assert got == brute
+    assert got[(1, 4)] == 0
