@@ -163,9 +163,28 @@ def cosine_topk_fast(
 
 def srp_signature_bit(vec: F.Column, plane: int) -> F.Column:
     """Sign bit of <vec, h_plane> where h_plane[d] = ±1 from pure-integer
-    arithmetic (portable to any oracle engine, no RNG state)."""
+    arithmetic (portable to any oracle engine, no RNG state).
+
+    Family: parity of ``(p·7919 + d·104729 + p·d·65537) mod 1000003``.
+    The BILINEAR p·d term and the large prime modulus are load-bearing
+    (r13): the original family ``parity((p·1000003 + d·7919) mod 97)``
+    was a rank-1 lattice — every plane a cyclic shift of ONE period-97
+    ±1 sequence — so plane bits were mutually correlated and the
+    effective signature entropy stopped growing with plane count. At a
+    400k-vector corpus the 45-plane prefixes collapsed into clusters of
+    up to 1,986 identical signatures (Σ cluster² = 181M, 7.5× the
+    adaptive-split bound; the scaled near-dup leg hung at 100×). The
+    full-rank family measured max cluster 2 (exactly the planted twin
+    pairs) and Σ cluster² = 2N on the same corpus — numbers in
+    TUNING.md round 13."""
     coeff = lambda d: F.when(  # noqa: E731
-        ((F.lit(plane) * 1000003 + d * 7919) % 97) % 2 == 0, F.lit(1.0)
+        (
+            (F.lit(plane) * 7919 + d * 104729 + F.lit(plane) * d * 65537)
+            % 1000003
+        )
+        % 2
+        == 0,
+        F.lit(1.0),
     ).otherwise(F.lit(-1.0))
     proj = F.aggregate(
         F.transform(vec, lambda x, i: x * coeff(i)),
@@ -353,8 +372,16 @@ def srp_near_dup_pairs_scaled(
             if H is None or H.shape[1] != M.shape[1]:
                 p = _np.arange(total_planes, dtype=_np.int64)[:, None]
                 d = _np.arange(M.shape[1], dtype=_np.int64)[None, :]
+                # same full-rank family as srp_signature_bit — the
+                # bilinear term is what keeps deep prefixes
+                # discriminating (see its docstring for the r13
+                # rank-1-lattice failure this replaced)
                 H = _np.where(
-                    ((p * 1000003 + d * 7919) % 97) % 2 == 0, 1.0, -1.0
+                    ((p * 7919 + d * 104729 + p * d * 65537) % 1000003)
+                    % 2
+                    == 0,
+                    1.0,
+                    -1.0,
                 )
             bits = (M @ H.T) >= 0  # (rows, total_planes)
             ids = pdf["id"].to_numpy()

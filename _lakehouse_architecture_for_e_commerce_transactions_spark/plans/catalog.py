@@ -1124,7 +1124,7 @@ c AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v, 0 AS is_q
 allv AS (SELECT * FROM q UNION ALL SELECT * FROM c),
 proj AS (
   SELECT vid, is_q, p,
-         sum(v[d + 1] * (CASE WHEN ((p * 1000003 + d * 7919) % 97) % 2 = 0
+         sum(v[d + 1] * (CASE WHEN ((p * 7919 + d * 104729 + p * d * 65537) % 1000003) % 2 = 0
                               THEN 1.0 ELSE -1.0 END)) AS s
   FROM allv,
        unnest(generate_series(0, len(v) - 1)) AS t(d),
@@ -1549,7 +1549,7 @@ WITH corpus AS (
   SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings),
 proj AS (
   SELECT id, p,
-         sum(v[d + 1] * (CASE WHEN ((p * 1000003 + d * 7919) % 97) % 2 = 0
+         sum(v[d + 1] * (CASE WHEN ((p * 7919 + d * 104729 + p * d * 65537) % 1000003) % 2 = 0
                               THEN 1.0 ELSE -1.0 END)) AS s
   FROM corpus,
        unnest(generate_series(0, len(v) - 1)) AS t(d),
@@ -1629,7 +1629,7 @@ params AS (
   FROM corpus),
 proj AS (
   SELECT id, p,
-         sum(v[d + 1] * (CASE WHEN ((p * 1000003 + d * 7919) % 97) % 2 = 0
+         sum(v[d + 1] * (CASE WHEN ((p * 7919 + d * 104729 + p * d * 65537) % 1000003) % 2 = 0
                               THEN 1.0 ELSE -1.0 END)) AS s
   FROM corpus, params,
        unnest(generate_series(0, len(v) - 1)) AS t(d),
@@ -2192,7 +2192,7 @@ train AS (
   FROM embeddings WHERE vec_id % 10 = 0),
 tproj AS (
   SELECT id, p,
-         sum(v[d + 1] * (CASE WHEN ((p * 1000003 + d * 7919) % 97) % 2 = 0
+         sum(v[d + 1] * (CASE WHEN ((p * 7919 + d * 104729 + p * d * 65537) % 1000003) % 2 = 0
                               THEN 1.0 ELSE -1.0 END)) AS s
   FROM train,
        unnest(generate_series(0, len(v) - 1)) AS t(d),
@@ -2204,7 +2204,7 @@ tsig AS (
   FROM tproj GROUP BY id),
 bproj AS (
   SELECT id, p,
-         sum(v[d + 1] * (CASE WHEN ((p * 1000003 + d * 7919) % 97) % 2 = 0
+         sum(v[d + 1] * (CASE WHEN ((p * 7919 + d * 104729 + p * d * 65537) % 1000003) % 2 = 0
                               THEN 1.0 ELSE -1.0 END)) AS s
   FROM bench,
        unnest(generate_series(0, len(v) - 1)) AS t(d),
@@ -9738,21 +9738,21 @@ _WINDOW_FRONT: list[str] = [
     "sql_surface",
     "supplier_balance_ranks",
     "text_redaction",
-    "top_returned_customers",
-    "top_revenue_supplier",
-    "top_terms",
-    "train_test_split",
     # last driver-checked r03 (oldest, alphabetical):
     "bigram_logprob",
     # changed-operator slots (r13): the set-equality verify path, the
-    # span-dedup cap moved before collect_list, and the simhash
-    # bitwise-fold signature build (all output-identical by
-    # construction at catalog parameters, but the claim belongs to the
-    # driver, not to us; simhash_near_dup_pairs is already fronted in
-    # the rotation tranche above)
+    # span-dedup cap moved before collect_list, the simhash
+    # bitwise-fold signature build, and the FULL-RANK SRP hyperplane
+    # family (the rank-1 lattice fix — every SRP-familied query
+    # changes candidates AND oracle together; simhash_near_dup_pairs
+    # is already fronted in the rotation tranche above)
     "minhash_fast",
     "dup_span_pairs",
     "simhash_signatures",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_scaled",
+    "srp_ann_topk",
+    "decontaminate_train_bench",
     # evicted to keep the window at 50 (all r12-green, all still in
     # the registry + parity gate): embedding_near_dup_scaled,
     # table_mv_maintenance_sim, cdc_replicate_sim, above_avg_orders,
@@ -9773,9 +9773,10 @@ _WINDOW_FRONT: list[str] = [
     # validation_reasons, approx_distinct_users,
     # cheapest_part_per_type; boilerplate_removal (r03) yielded its
     # slot to the minhash_fast changed-operator entry and, with
-    # window_range_30d and waiting_supplier_orders (r02, yielded to
-    # the dup_span_pairs and simhash_signatures changed-operator
-    # entries), leads the r14 stale queue
+    # window_range_30d, waiting_supplier_orders, top_returned_customers,
+    # top_revenue_supplier, top_terms and train_test_split (r02,
+    # yielded to the dup_span_pairs / simhash_signatures / SRP-family
+    # changed-operator entries), leads the r14 stale queue
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)

@@ -130,21 +130,45 @@ def main(src: str, dst: str, factor: int) -> None:
                         type=field.type,
                     )
                 elif r > 0 and field.name == "embedding":
-                    # roll each replica's vector by r positions:
-                    # norms and within-replica geometry are preserved
-                    # exactly, cross-replica cosine drops to the
-                    # vector's autocorrelation (low for embedding-like
-                    # data) — replica r models NEW vectors, not 10
-                    # near-copies of each (a 1-dim nudge keeps copies
-                    # above near-dup thresholds and hands the
-                    # similarity legs a genuinely x100-denser pair
-                    # space; see TUNING.md round-9 probe)
-                    vecs = [
-                        v[-r % len(v):] + v[: -r % len(v)]
-                        if v else v
-                        for v in col.to_pylist()
-                    ]
-                    col = pa.array(vecs, type=field.type)
+                    # ROTATE each replica's vectors by a seeded random
+                    # ORTHOGONAL matrix (QR of a gaussian draw). An
+                    # exact isometry — norms and within-replica
+                    # geometry preserved — while cross-replica cosines
+                    # concentrate at 0 +- 1/sqrt(dim), so P(cos >=
+                    # 0.99) between replicas is negligible: replica r
+                    # models genuinely NEW vectors. Two weaker
+                    # transforms failed here (r13, measured at 100x):
+                    # ROLLS interact with the engine's deterministic
+                    # SRP hyperplanes — that family is a rank-1
+                    # lattice whose planes are cyclic shifts of one
+                    # period-97 sequence, so a rolled vector's
+                    # signature is a plane-permuted copy of the
+                    # original's and replicas pile into aligned
+                    # buckets (max bucket 2,820, sum bucket^2 7x over
+                    # the cap*N bound, leg effectively hung; rolls
+                    # also repeat exactly at r == dim). Axis-aligned
+                    # REFLECTIONS (per-dim sign flips) fix the
+                    # signature coupling but preserve per-dim energy
+                    # profiles, and clustered corpora then produce
+                    # ~1M chance sign-alignment pairs at cos >= 0.99
+                    # across 100 replicas (measured 1.27M vs the
+                    # expected 200k leg output).
+                    import numpy as _np
+
+                    dim = len(col[0]) if len(col) else 0
+                    rng = _np.random.default_rng(1_000_003 * r)
+                    q, _ = _np.linalg.qr(
+                        rng.standard_normal((dim, dim))
+                    )
+                    M = _np.stack(
+                        [
+                            _np.asarray(v, dtype=_np.float64)
+                            for v in col.to_pylist()
+                        ]
+                    )
+                    col = pa.array(
+                        (M @ q.T).tolist(), type=field.type
+                    )
                 cols.append(col)
             if name == "documents":
                 # keep n_chars consistent with the rotated text
