@@ -123,10 +123,22 @@ def main(src: str, dst: str, factor: int) -> None:
                 elif r > 0 and field.name in (
                     "c_name", "s_name", "p_name"
                 ):
-                    # edit distance >= 2 between replicas: ER must
-                    # see 10x entities, not 10 copies of each
+                    # DOUBLED-digit suffix: edit distance >= 2 between
+                    # every replica pair, so ER sees 10x entities, not
+                    # 10 copies of each. The single-digit form ~r{r}
+                    # violated that claim — "~r1" vs "~r2" is ONE
+                    # substitution, so all nine suffixed replicas of
+                    # an entity were pairwise edit-distance-1 and the
+                    # FastSS leg merged them (r13 probe: candidates
+                    # x62 at 10x, golden records collapsing 150k ->
+                    # 7.7k — the "densification" of earlier rounds was
+                    # this artifact). Doubling each digit ("~r33",
+                    # "~r77") gives >= 2 differing positions for
+                    # same-length ids and >= 2 length difference
+                    # otherwise.
+                    sfx = "".join(ch * 2 for ch in str(r))
                     col = pa.array(
-                        [f"{v}~r{r}" for v in col.to_pylist()],
+                        [f"{v}~r{sfx}" for v in col.to_pylist()],
                         type=field.type,
                     )
                 elif r > 0 and field.name == "embedding":
