@@ -491,17 +491,99 @@ def _assign_cells(
     vecs: DataFrame, cents: DataFrame, n_cells: int
 ) -> DataFrame:
     """Nearest-centroid (max cosine) assignment; ``n_cells`` > 1 keeps that
-    many nearest cells (query-side multi-probe)."""
-    w = Window.partitionBy("id").orderBy(F.col("cent_cos").desc(), F.col("cent_id"))
-    return (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "cent_cos", F.round(V.cosine(F.col("v"), F.col("cent_v")), 6)
-        )
-        .withColumn("cell_rank", F.row_number().over(w))
-        .filter(F.col("cell_rank") <= n_cells)
-        .select("id", "v", F.col("cent_id").alias("cell"))
+    many nearest cells (query-side multi-probe).
+
+    Executed as ONE BLAS matmul per Arrow batch against the collected
+    centroid matrix (``mapInPandas``), not a crossJoin + expression
+    cosine + window: the relational form evaluates N·C element-wise
+    cosines in Catalyst (r13 probe: >9 min for 196k vectors × 5.1k
+    stride-picked centroids — the assignment, not the probe join, was
+    the whole wall), the matmul does the same arithmetic at BLAS speed
+    (same corpus: seconds). The centroid collect is the same bounded
+    class as the k-means/codebook collects: centroid count is the
+    caller's design parameter (~√N at cluster scale ⇒ MBs).
+
+    Semantics replicated exactly from the relational form so the SQL
+    oracles keep matching: cosine in float64 with round-half-away-from-
+    zero to 6 decimals BEFORE ranking, ties broken by ascending
+    cent_id, NaN cosines (zero-norm vectors) sorting FIRST like
+    Spark's NaN-greatest double ordering."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cent_rows = sorted(
+        ((r["cent_id"], list(r["cent_v"])) for r in cents.collect()),
+        key=lambda t: t[0],
     )
+    out_schema = StructType(
+        [
+            vecs.schema["id"],
+            vecs.schema["v"],
+            StructField("cell", LongType(), True),
+        ]
+    )
+    if not cent_rows:
+        return vecs.sparkSession.createDataFrame([], out_schema)
+    import numpy as _np
+
+    cent_ids = _np.array([c for c, _ in cent_rows], dtype=_np.int64)
+    C = _np.stack([_np.asarray(v, dtype=_np.float64) for _, v in cent_rows])
+    cn = _np.linalg.norm(C, axis=1)
+    keep = min(n_cells, len(cent_rows))
+
+    def batches(it):
+        import pandas as _pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = _np.stack(
+                [_np.asarray(x, dtype=_np.float64) for x in pdf["v"]]
+            )
+            with _np.errstate(divide="ignore", invalid="ignore"):
+                cos = (M @ C.T) / (
+                    _np.linalg.norm(M, axis=1)[:, None] * cn[None, :]
+                )
+            # ONE exact int64 ranking key instead of a full per-row
+            # argsort over all centroids (the argsort was the wall:
+            # rows × C log C comparisons dwarf the matmul). High bits:
+            # Spark round(x, 6) = BigDecimal HALF_UP (away from zero),
+            # as an integer in [-1e6, 1e6]; NaN (zero-norm) maps above
+            # +1e6 to mirror Spark's NaN-greatest double ordering.
+            # Low 24 bits: NEGATED centroid position, so ties on the
+            # rounded cosine break by ascending cent_id. All values
+            # |x| <= ~2e6·2^24 < 2^45 — exact in int64, no ties left,
+            # so argmax/argpartition are exact.
+            with _np.errstate(invalid="ignore"):
+                cos_int = _np.where(
+                    _np.isnan(cos),
+                    _np.int64(2_000_000),
+                    _np.nan_to_num(
+                        _np.sign(cos)
+                        * _np.floor(_np.abs(cos) * 1e6 + 0.5)
+                    ).astype(_np.int64, copy=False),
+                )
+            composite = (cos_int << 24) - _np.arange(
+                C.shape[0], dtype=_np.int64
+            )[None, :]
+            if keep == 1:
+                order = _np.argmax(composite, axis=1)[:, None]
+            else:
+                part = _np.argpartition(-composite, keep - 1, axis=1)[
+                    :, :keep
+                ]
+                vals = _np.take_along_axis(composite, part, axis=1)
+                order = _np.take_along_axis(
+                    part, _np.argsort(-vals, axis=1), axis=1
+                )
+            yield _pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy().repeat(keep),
+                    "v": pdf["v"].to_numpy().repeat(keep),
+                    "cell": cent_ids[order].reshape(-1),
+                }
+            )
+
+    return vecs.select("id", "v").mapInPandas(batches, out_schema)
 
 
 def ivf_topk(
@@ -519,6 +601,16 @@ def ivf_topk(
     each query probes its ``nprobe`` nearest cells and ranks only those
     vectors. One broadcast (centroids) + one equi-join on cell id — the
     inverted-file structure as a relational plan.
+
+    Size ``centroid_stride`` to the corpus: a FIXED stride makes the
+    centroid count N/stride, so the assignment matmul is N²/stride —
+    quadratic (r13 100× probe: the stride-37 assignment of 196k
+    vectors against its 5.3k centroids was the entire leg wall; the
+    catalog leg pins 37 for the oracle at test scales). At cluster
+    scale either pass stride ≈ √N (assignment N^1.5) or train a FIXED
+    number of cells (assignment O(N·k), the production-IVF shape —
+    this operator does that via ``train_iters`` with a bounded seed
+    set, or by passing pre-trained seeds).
 
     ``train_iters > 0`` refines the stride-picked seeds with that many
     *spherical* k-means passes (operators/clustering.kmeans_fit,

@@ -9728,24 +9728,21 @@ _WINDOW_FRONT: list[str] = [
     "product_profit_by_nation",
     "promo_revenue_monthly",
     "range_join_events",
-    "revenue_7d_moving_avg",
-    "salted_join_agg",
     "scd2_supplier",
     "sessionize_events",
     "shipping_priority",
     "simhash_near_dup_pairs",
-    "small_quantity_revenue",
-    "sql_surface",
-    "supplier_balance_ranks",
     "text_redaction",
     # last driver-checked r03 (oldest, alphabetical):
     "bigram_logprob",
     # changed-operator slots (r13): the set-equality verify path, the
     # span-dedup cap moved before collect_list, the simhash
-    # bitwise-fold signature build, and the FULL-RANK SRP hyperplane
+    # bitwise-fold signature build, the FULL-RANK SRP hyperplane
     # family (the rank-1 lattice fix — every SRP-familied query
-    # changes candidates AND oracle together; simhash_near_dup_pairs
-    # is already fronted in the rotation tranche above)
+    # changes candidates AND oracle together), and the BLAS
+    # _assign_cells rewrite (every IVF/PQ/annindex query rides it;
+    # simhash_near_dup_pairs and ivf_ann_topk sit in the rotation
+    # tranche above)
     "minhash_fast",
     "dup_span_pairs",
     "simhash_signatures",
@@ -9753,6 +9750,11 @@ _WINDOW_FRONT: list[str] = [
     "embedding_near_dup_scaled",
     "srp_ann_topk",
     "decontaminate_train_bench",
+    "ivf_pq_topk",
+    "ivf_pq_refined",
+    "pq_adc_topk",
+    "ann_recall_eval",
+    "cdc_replicate_sim",
     # evicted to keep the window at 50 (all r12-green, all still in
     # the registry + parity gate): embedding_near_dup_scaled,
     # table_mv_maintenance_sim, cdc_replicate_sim, above_avg_orders,
@@ -9774,8 +9776,10 @@ _WINDOW_FRONT: list[str] = [
     # cheapest_part_per_type; boilerplate_removal (r03) yielded its
     # slot to the minhash_fast changed-operator entry and, with
     # window_range_30d, waiting_supplier_orders, top_returned_customers,
-    # top_revenue_supplier, top_terms and train_test_split (r02,
-    # yielded to the dup_span_pairs / simhash_signatures / SRP-family
+    # top_revenue_supplier, top_terms, train_test_split,
+    # small_quantity_revenue, sql_surface, supplier_balance_ranks,
+    # revenue_7d_moving_avg and salted_join_agg (r02, yielded to the
+    # dup_span_pairs / simhash_signatures / SRP-family / IVF-assign
     # changed-operator entries), leads the r14 stale queue
 ]
 
