@@ -120,53 +120,53 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, codes array<int>): each subspace's nearest-centroid index
-    (squared-L2 argmin, ties to the lower code). Pure projection — literal
-    centroids, no join, no shuffle; whole-stage-codegen all the way."""
-    from _lakehouse_architecture_for_e_commerce_transactions_spark.functions import (
-        text as T,
-    )
+    (squared-L2 argmin, ties to the lower code).
+
+    Encoded as one numpy pass per Arrow batch against the (m, k, sub_d)
+    codebook tensor — N·m·k distance evaluations are the per-row cost,
+    and the Catalyst-expression form this replaced (per-codeword
+    ``aggregate(zip_with(...))`` over a literal array) evaluated them
+    on the interpreted expression path: the r13 100x probe measured
+    pq_adc_topk at 397 s with encode as the dominant stage, the same
+    slow-path class as the IVF crossJoin assignment. Distances stay
+    float64; ``argmin`` keeps the first (= lowest) code on exact ties,
+    matching the expression form's struct-min tie-break — identical
+    codewords produce bit-equal distances under any summation order,
+    so the tie behavior is preserved exactly (and the full-corpus
+    equivalence check against the expression form is in TUNING r13).
+    No join, no shuffle — a pure batch projection, as before."""
+    import numpy as _np
 
     m = len(codebooks)
     sub_d = len(codebooks[0][0])
+    CB = _np.asarray(codebooks, dtype=_np.float64)  # (m, k, sub_d)
 
-    def sq_l2(sub, cent: list[float]):
-        return F.aggregate(
-            F.zip_with(
-                sub,
-                F.array(*[F.lit(float(x)) for x in cent]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    def batches(it):
+        import pandas as _pd
 
-    def codes_for(v):
-        def code_for(j: int):
-            def with_sub(sub):
-                # struct min over (d2, code) — deterministic tie-break.
-                # sub is a let-bound lambda var: the slice evaluates once
-                # per subspace, not once per (code, component) — naive
-                # inlining blows janino past the JVM heap (64× subtree
-                # duplication, see spark-perf let() note)
-                cands = F.array(
-                    *[
-                        F.struct(
-                            sq_l2(sub, c).alias("d2"),
-                            F.lit(ci).alias("code"),
-                        )
-                        for ci, c in enumerate(codebooks[j])
-                    ]
-                )
-                return F.array_min(cands)["code"]
-
-            return T.let(_subvec(v, j, sub_d), with_sub)
-
-        return F.array(*[code_for(j) for j in range(m)])
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = _np.stack(
+                [_np.asarray(x, dtype=_np.float64) for x in pdf["v"]]
+            )
+            codes = _np.empty((len(M), m), dtype=_np.int32)
+            for j in range(m):
+                sub = M[:, j * sub_d : (j + 1) * sub_d]
+                # chunk rows so the (rows, k, sub_d) diff tensor stays
+                # tens of MB regardless of Arrow batch size
+                for lo in range(0, len(sub), 2048):
+                    s = sub[lo : lo + 2048]
+                    diff = s[:, None, :] - CB[j][None, :, :]
+                    d2 = (diff * diff).sum(axis=2)
+                    codes[lo : lo + 2048, j] = d2.argmin(axis=1)
+            yield _pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "codes": list(codes)}
+            )
 
     return corpus.select(
-        F.col(id_col).alias("id"),
-        T.let(V.as_double(F.col(vec_col)), codes_for).alias("codes"),
-    )
+        F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
+    ).mapInPandas(batches, "id long, codes array<int>")
 
 
 def _adc_lut(
@@ -215,6 +215,28 @@ def _adc_lut(
         "code",
         F.round(d2 * 1e6, 0).cast("long").alias("d2_micro"),
     )
+
+
+def _collect_lut(lut: DataFrame, codebooks):
+    """Collect the relational ADC LUT into (qids, LUT[q, j, code] int64).
+
+    The quantization to BIGINT micro-units happens in the RELATIONAL
+    build (`_adc_lut`) and is collected as-is, so the numpy scorer's
+    distances are bit-identical to the SQL oracle's by construction —
+    integer gathers and integer sums have no order sensitivity. The
+    collect is q·m·k_codes rows — the same bounded, broadcast-sized
+    relation the join form shipped to every executor anyway."""
+    import numpy as _np
+
+    m = len(codebooks)
+    k_codes = max(len(b) for b in codebooks)
+    rows = lut.collect()
+    qids = sorted({r["qid"] for r in rows})
+    qidx = {q: i for i, q in enumerate(qids)}
+    T = _np.zeros((len(qids), m, k_codes), dtype=_np.int64)
+    for r in rows:
+        T[qidx[r["qid"]], r["j"], r["code"]] = r["d2_micro"]
+    return qids, qidx, T
 
 
 def _two_stage_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -275,13 +297,39 @@ def ivf_pq_topk(
     cand = qcell.join(ccell, "cell").select("qid", "id").distinct()
     codes = pq_encode(corpus, codebooks, id_col, vec_col)
     lut = _adc_lut(spark, queries, codebooks, id_col, vec_col)
-    exploded = cand.join(codes, "id").select(
-        "qid", "id", F.posexplode("codes").alias("j", "code")
-    )
-    scored = (
-        exploded.join(F.broadcast(lut), ["qid", "j", "code"])
-        .groupBy("qid", "id")
-        .agg(F.sum("d2_micro").alias("adc_d2"))
+    # Score the candidate pairs with a per-row LUT gather instead of
+    # exploding codes to (qid, id, j, code) and equi-joining the
+    # broadcast LUT: the join form materializes cand·m rows against a
+    # q·m·k_codes broadcast (hundreds of MB at large q) before the
+    # per-pair sum; the gather reads the same BIGINT entries directly
+    # (order-independent integer sum = bit-identical result).
+    qids, qidx, T = _collect_lut(lut, codebooks)
+    m = len(codebooks)
+    import numpy as _np
+
+    def score_pairs(it):
+        import pandas as _pd
+
+        jj = _np.arange(m)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            qi = _np.array([qidx[x] for x in pdf["qid"]])
+            cm = _np.stack(
+                [_np.asarray(c, dtype=_np.int64) for c in pdf["codes"]]
+            )
+            d2 = T[qi[:, None], jj[None, :], cm].sum(axis=1)
+            yield _pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy(),
+                    "id": pdf["id"].to_numpy(),
+                    "adc_d2": d2,
+                }
+            )
+
+    pairs = cand.join(codes, "id").select("qid", "id", "codes")
+    scored = pairs.mapInPandas(
+        score_pairs, "qid long, id long, adc_d2 long"
     )
     return _two_stage_topk(scored, k)
 
@@ -301,22 +349,74 @@ def pq_adc_topk(
 
     The LUT is a relational build: explode queries to (qid, j, subvec),
     cross the literal codebook frame (m·k_codes rows), quantize each
-    entry to BIGINT micro-units. Corpus codes explode to (id, j, code)
-    and equi-join the broadcast LUT on (j, code); the per-(qid, id) sum
-    of m BIGINTs is then summation-order-proof. Top-k reuses the
-    two-stage partial ranking (see cosine_topk): stage 1 keeps k rows
-    per (scan-partition, query), stage 2 ranks |partitions|·k rows."""
+    entry to BIGINT micro-units — then COLLECT it and score each codes
+    batch with numpy gathers. The previous form exploded the corpus
+    codes to (id, j, code) and equi-joined the LUT on (j, code), which
+    fans out to N·m·q rows before the per-pair aggregation — the r13
+    100x probe measured 6.3 BILLION join rows and a 300-400 s leg.
+    Integer gathers sum the exact same BIGINT entries
+    (order-independent), so results are bit-identical; each batch
+    emits only its local top-k rows per query (same exactness argument
+    as cosine_topk's two-stage prune: a global top-k row is top-k
+    within its own batch under the same (adc_d2 asc, id asc) order),
+    and the final window ranks |batches|·k rows per query."""
+    import numpy as _np
+
     lut = _adc_lut(spark, queries, codebooks, id_col, vec_col)
-    codes = spread(corpus_codes).select(
-        F.col("id"),
-        F.posexplode("codes").alias("j", "code"),
-    )
+    qids, qidx, T = _collect_lut(lut, codebooks)
+    m = len(codebooks)
+    nq = len(qids)
+    qid_arr = _np.array(qids, dtype=_np.int64)
+    kk = k
+
+    def score_full(it):
+        import pandas as _pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy()
+            cm = _np.stack(
+                [_np.asarray(c, dtype=_np.int64) for c in pdf["codes"]]
+            )
+            n = len(ids)
+            take = min(kk, n)
+            # D[q, i] = Σ_j T[q, j, cm[i, j]] — built per subspace to
+            # keep temporaries (nq, n) int64, never (nq, n, m)
+            D = _np.zeros((nq, n), dtype=_np.int64)
+            for j in range(m):
+                D += T[:, j, :][:, cm[:, j]]
+            # exact per-query prune: value-partition for the kth
+            # distance, then (adc_d2, id) lexsort over the <= kth
+            # slice so boundary TIES keep the id-ascending winners
+            kth = _np.partition(D, take - 1, axis=1)[:, take - 1]
+            frames = []
+            for qi in range(nq):
+                sel = _np.flatnonzero(D[qi] <= kth[qi])
+                row = D[qi, sel]
+                order = sel[_np.lexsort((ids[sel], row))][:take]
+                frames.append(
+                    _pd.DataFrame(
+                        {
+                            "qid": qid_arr[qi],
+                            "id": ids[order],
+                            "adc_d2": D[qi, order],
+                        }
+                    )
+                )
+            yield _pd.concat(frames)
+
     scored = (
-        codes.join(F.broadcast(lut), ["j", "code"])
-        .groupBy("qid", "id")
-        .agg(F.sum("d2_micro").alias("adc_d2"))
+        spread(corpus_codes)
+        .select("id", "codes")
+        .mapInPandas(score_full, "qid long, id long, adc_d2 long")
     )
-    return _two_stage_topk(scored, k)
+    w = Window.partitionBy("qid").orderBy("adc_d2", "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("id").alias("cid"), "adc_d2", "rank")
+    )
 
 
 def ivf_pq_refined(
