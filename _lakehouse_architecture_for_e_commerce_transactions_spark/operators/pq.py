@@ -49,6 +49,26 @@ def _subvec(vec, j: int, sub_d: int):
     return F.slice(vec, j * sub_d + 1, sub_d)
 
 
+def _sub_d2(s, cb_j):
+    """Squared-L2 distances (rows, k) between ``s`` (rows, sub_d) and one
+    subspace codebook ``cb_j`` (k, sub_d), accumulated component-by-
+    component IN INDEX ORDER: each ``d2 += diff²`` step reproduces the
+    left-fold float association of the expression form's
+    ``aggregate(zip_with(...))`` and the DuckDB oracle's
+    ``list_reduce`` bit-for-bit. numpy's ``.sum(axis=-1)`` pairwise
+    (8-way-unrolled) summation associates differently and can land a
+    near-ulp distance on the other side of an argmin tie between two
+    DISTINCT codewords (r14, ADVICE item; the association pin is
+    tests/test_ann_edge_semantics.py)."""
+    import numpy as _np
+
+    d2 = _np.zeros((len(s), len(cb_j)), dtype=_np.float64)
+    for t in range(s.shape[1]):
+        diff = s[:, t, None] - cb_j[None, :, t]
+        d2 += diff * diff
+    return d2
+
+
 def pq_codebooks_head(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -129,12 +149,16 @@ def pq_encode(
     on the interpreted expression path: the r13 100x probe measured
     pq_adc_topk at 397 s with encode as the dominant stage, the same
     slow-path class as the IVF crossJoin assignment. Distances stay
-    float64; ``argmin`` keeps the first (= lowest) code on exact ties,
-    matching the expression form's struct-min tie-break — identical
-    codewords produce bit-equal distances under any summation order,
-    so the tie behavior is preserved exactly (and the full-corpus
-    equivalence check against the expression form is in TUNING r13).
-    No join, no shuffle — a pure batch projection, as before."""
+    float64 and accumulate with an EXPLICIT sequential fold over the
+    sub-dimensions in index order (r14, ADVICE item): ``d2 += diff²``
+    per component reproduces the left-fold association of the
+    expression form's ``aggregate(zip_with(...))`` and the DuckDB
+    oracle's ``list_reduce`` bit-for-bit, where numpy's
+    ``.sum(axis=2)`` pairwise (8-way-unrolled) summation could land a
+    near-ulp distance on the other side of an argmin tie between two
+    DISTINCT codewords. ``argmin`` keeps the first (= lowest) code on
+    exact ties, matching the struct-min tie-break. No join, no
+    shuffle — a pure batch projection, as before."""
     import numpy as _np
 
     m = len(codebooks)
@@ -157,9 +181,9 @@ def pq_encode(
                 # tens of MB regardless of Arrow batch size
                 for lo in range(0, len(sub), 2048):
                     s = sub[lo : lo + 2048]
-                    diff = s[:, None, :] - CB[j][None, :, :]
-                    d2 = (diff * diff).sum(axis=2)
-                    codes[lo : lo + 2048, j] = d2.argmin(axis=1)
+                    codes[lo : lo + 2048, j] = _sub_d2(
+                        s, CB[j]
+                    ).argmin(axis=1)
             yield _pd.DataFrame(
                 {"id": pdf["id"].to_numpy(), "codes": list(codes)}
             )
@@ -366,6 +390,14 @@ def pq_adc_topk(
     qids, qidx, T = _collect_lut(lut, codebooks)
     m = len(codebooks)
     nq = len(qids)
+    if nq == 0:
+        # the join form returned empty for an empty query set; the
+        # gather form must short-circuit BEFORE mapInPandas — with
+        # nq == 0 every non-empty corpus batch would reach
+        # pd.concat([]) and raise in the executor (r14, ADVICE item)
+        return spark.createDataFrame(
+            [], "qid long, cid long, adc_d2 long, rank int"
+        )
     qid_arr = _np.array(qids, dtype=_np.int64)
     kk = k
 

@@ -176,10 +176,22 @@ def srp_signature_bit(vec: F.Column, plane: int) -> F.Column:
     adaptive-split bound; the scaled near-dup leg hung at 100×). The
     full-rank family measured max cluster 2 (exactly the planted twin
     pairs) and Σ cluster² = 2N on the same corpus — numbers in
-    TUNING.md round 13."""
+    TUNING.md round 13.
+
+    All hash arithmetic is int64 end-to-end (r14): the literal terms
+    otherwise evaluate in 32-bit IntegerType and silently wrap once
+    plane·d ≥ 32768 (~45 planes × ~730 dims), diverging from the int64
+    numpy twin in ``srp_near_dup_pairs_scaled`` and the BIGINT oracles
+    (and throwing under ANSI mode). Identity at today's plane counts —
+    pinned by tests/test_ann_edge_semantics.py at plane=600 where the
+    32-bit form wraps."""
     coeff = lambda d: F.when(  # noqa: E731
         (
-            (F.lit(plane) * 7919 + d * 104729 + F.lit(plane) * d * 65537)
+            (
+                F.lit(plane).cast("long") * 7919
+                + d.cast("long") * 104729
+                + F.lit(plane).cast("long") * d * 65537
+            )
             % 1000003
         )
         % 2
@@ -487,6 +499,26 @@ def ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str, stride: int) -> 
     )
 
 
+def _round6_int_micro(cos):
+    """round(x, 6)·1e6 as int64: ``sign(x)·floor(|x|·1e6 + 0.5)``.
+
+    This is bit-for-bit the DuckDB oracle's double rounding (multiply
+    by 10^s, half away from zero — probed empirically incl. the
+    boundary doubles 0.9999995 → 1.0 and 0.9999994999999999 →
+    0.999999; pinned vs a live DuckDB in
+    tests/test_ann_edge_semantics.py). Spark's own ``F.round`` takes
+    the BigDecimal shortest-decimal-repr path instead and can diverge
+    from BOTH in the half-ulp boundary class — the same pre-existing
+    divergence class every F.round-vs-oracle column in the catalog
+    carries; the parity gate compares THIS emulation to the DuckDB
+    oracle, so matching the oracle exactly is the stronger contract
+    (r14, ADVICE item on the round emulation). NaN propagates (callers
+    mask it first)."""
+    import numpy as _np
+
+    return _np.sign(cos) * _np.floor(_np.abs(cos) * 1e6 + 0.5)
+
+
 def _assign_cells(
     vecs: DataFrame, cents: DataFrame, n_cells: int
 ) -> DataFrame:
@@ -504,10 +536,17 @@ def _assign_cells(
     caller's design parameter (~√N at cluster scale ⇒ MBs).
 
     Semantics replicated exactly from the relational form so the SQL
-    oracles keep matching: cosine in float64 with round-half-away-from-
-    zero to 6 decimals BEFORE ranking, ties broken by ascending
-    cent_id, NaN cosines (zero-norm vectors) sorting FIRST like
-    Spark's NaN-greatest double ordering."""
+    oracles keep matching: cosine in float64, rounded to 6 decimals
+    with the oracle's half-away-from-zero emulation
+    (``_round6_int_micro``) BEFORE ranking, ties broken by ascending
+    cent_id. Division-by-zero cosines (zero-norm vector OR centroid)
+    are NULL in both engine forms (Spark and DuckDB both yield NULL
+    for x/0.0) and NULL sorts LAST under desc — while genuine NaN
+    (NaN components in the inputs) sorts FIRST (both engines order
+    NaN greatest). r14: the zero-norm case previously rode the
+    NaN-first branch, which would let a degenerate zero-norm CENTROID
+    capture every vector; now only real NaN ranks first (ADVICE
+    medium item)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     cent_rows = sorted(
@@ -528,6 +567,8 @@ def _assign_cells(
     cent_ids = _np.array([c for c, _ in cent_rows], dtype=_np.int64)
     C = _np.stack([_np.asarray(v, dtype=_np.float64) for _, v in cent_rows])
     cn = _np.linalg.norm(C, axis=1)
+    zero_cent = cn == 0.0
+    any_zero_cent = bool(zero_cent.any())
     keep = min(n_cells, len(cent_rows))
 
     def batches(it):
@@ -539,28 +580,34 @@ def _assign_cells(
             M = _np.stack(
                 [_np.asarray(x, dtype=_np.float64) for x in pdf["v"]]
             )
+            vn = _np.linalg.norm(M, axis=1)
             with _np.errstate(divide="ignore", invalid="ignore"):
-                cos = (M @ C.T) / (
-                    _np.linalg.norm(M, axis=1)[:, None] * cn[None, :]
-                )
+                cos = (M @ C.T) / (vn[:, None] * cn[None, :])
             # ONE exact int64 ranking key instead of a full per-row
             # argsort over all centroids (the argsort was the wall:
             # rows × C log C comparisons dwarf the matmul). High bits:
-            # Spark round(x, 6) = BigDecimal HALF_UP (away from zero),
-            # as an integer in [-1e6, 1e6]; NaN (zero-norm) maps above
-            # +1e6 to mirror Spark's NaN-greatest double ordering.
-            # Low 24 bits: NEGATED centroid position, so ties on the
-            # rounded cosine break by ascending cent_id. All values
+            # the oracle's 6-decimal rounding as an integer in
+            # [-1e6, 1e6]; genuine NaN (NaN inputs) maps above +1e6
+            # (both engines order NaN greatest) and a ZERO divisor —
+            # NULL in both engines, NULLS LAST under desc — maps
+            # below -1e6. Low 24 bits: NEGATED centroid position, so
+            # ties on the rounded cosine (incl. all-NULL / all-NaN
+            # rows) break by ascending cent_id. All values
             # |x| <= ~2e6·2^24 < 2^45 — exact in int64, no ties left,
             # so argmax/argpartition are exact.
             with _np.errstate(invalid="ignore"):
                 cos_int = _np.where(
                     _np.isnan(cos),
                     _np.int64(2_000_000),
-                    _np.nan_to_num(
-                        _np.sign(cos)
-                        * _np.floor(_np.abs(cos) * 1e6 + 0.5)
-                    ).astype(_np.int64, copy=False),
+                    _np.nan_to_num(_round6_int_micro(cos)).astype(
+                        _np.int64, copy=False
+                    ),
+                )
+            zero_v = vn == 0.0
+            if any_zero_cent or zero_v.any():
+                denom_zero = zero_v[:, None] | zero_cent[None, :]
+                cos_int = _np.where(
+                    denom_zero, _np.int64(-2_000_000), cos_int
                 )
             composite = (cos_int << 24) - _np.arange(
                 C.shape[0], dtype=_np.int64

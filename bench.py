@@ -468,24 +468,49 @@ def main() -> None:
     calibration_end = _calibration(spark)
 
     total = round(sum(timings.values()), 3)
+    # The driver records only the last ~2000 chars of stdout and parses
+    # the JSON line out of that capture — r13's verbose calibration
+    # block pushed the line to ~2150 chars and the round's BENCH record
+    # came back parsed=null. The line therefore carries a compact
+    # 3-float anchor vector ([cpu_agg_10m, io_write_5m, io_scan_5m]
+    # mins — exactly what tools/bench_compare.py normalizes by); the
+    # start/end detail goes to stderr, and the line self-checks its
+    # length (precision trim first, then a loud warning).
+    calib = [
+        round(min(calibration_start[k], calibration_end[k]), 3)
+        for k in ("cpu_agg_10m", "io_write_5m", "io_scan_5m")
+    ]
     print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extra_queries": extras,
-                "extra_total": round(sum(extras.values()), 3),
-                "sf": sf,
-                "reps": reps,
-                "calibration": {
-                    "start": calibration_start,
-                    "end": calibration_end,
-                },
-            }
-        )
+        f"# calibration detail: start={calibration_start} "
+        f"end={calibration_end}",
+        file=sys.stderr,
     )
+    rec = {
+        # big dicts FIRST: the driver keeps the TAIL of stdout, so if a
+        # future line ever outgrows the capture anyway, the scalar
+        # summary fields at the end still survive in the fragment
+        "queries": timings,
+        "extra_queries": extras,
+        "extra_total": round(sum(extras.values()), 3),
+        "sf": sf,
+        "reps": reps,
+        "calib": calib,
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+    }
+    line = json.dumps(rec, separators=(",", ":"))
+    if len(line) > 1900:
+        rec["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        rec["extra_queries"] = {k: round(v, 2) for k, v in extras.items()}
+        line = json.dumps(rec, separators=(",", ":"))
+    if len(line) > 1900:
+        print(
+            f"# WARNING: bench line is {len(line)} chars — the driver "
+            f"capture may truncate it; trim legs or names",
+            file=sys.stderr,
+        )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -25,16 +25,39 @@ import math
 import sys
 
 
-def _calib_ratio(old: dict, new: dict) -> float | None:
-    co, cn = old.get("calibration"), new.get("calibration")
-    if not co or not cn:
+_CALIB_LEGS = ("cpu_agg_10m", "io_write_5m", "io_scan_5m")
+
+
+def _calib_vec(d: dict) -> list[float] | None:
+    """Per-leg anchor minimums from either record shape: the compact r14
+    ``"calib": [cpu, io_write, io_scan]`` line vector, or the verbose
+    r13 ``"calibration": {"start": {...}, "end": {...}}`` block."""
+    c = d.get("calib")
+    if isinstance(c, list) and len(c) == len(_CALIB_LEGS):
+        return [float(x) for x in c]
+    cv = d.get("calibration")
+    if not cv:
         return None
-    ratios = []
-    for leg in ("cpu_agg_10m", "io_write_5m", "io_scan_5m"):
-        o = min(co["start"].get(leg, math.inf), co["end"].get(leg, math.inf))
-        n = min(cn["start"].get(leg, math.inf), cn["end"].get(leg, math.inf))
-        if math.isfinite(o) and math.isfinite(n) and o > 0:
-            ratios.append(n / o)
+    out = []
+    for leg in _CALIB_LEGS:
+        out.append(
+            min(
+                cv.get("start", {}).get(leg, math.inf),
+                cv.get("end", {}).get(leg, math.inf),
+            )
+        )
+    return out
+
+
+def _calib_ratio(old: dict, new: dict) -> float | None:
+    co, cn = _calib_vec(old), _calib_vec(new)
+    if co is None or cn is None:
+        return None
+    ratios = [
+        n / o
+        for o, n in zip(co, cn)
+        if math.isfinite(o) and math.isfinite(n) and o > 0
+    ]
     if not ratios:
         return None
     return math.exp(sum(math.log(r) for r in ratios) / len(ratios))
@@ -47,10 +70,20 @@ def main() -> int:
     ap.add_argument("--top", type=int, default=0, help="show only N rows")
     args = ap.parse_args()
     # the driver's BENCH_r*.json wraps the bench.py line under "parsed"
+    # (null when the line outgrew the driver's 2000-char tail capture —
+    # r13's record is like that; bench.py now keeps the line compact)
     old = json.load(open(args.old))
     new = json.load(open(args.new))
-    old = old.get("parsed", old)
-    new = new.get("parsed", new)
+    if "parsed" in old:
+        old = old["parsed"] or {}
+    if "parsed" in new:
+        new = new["parsed"] or {}
+    for name, rec in (("old", old), ("new", new)):
+        if not rec.get("queries"):
+            print(
+                f"# WARNING: {name} record has no parsed queries "
+                f"(truncated driver capture?) — nothing to compare there"
+            )
 
     ratio = _calib_ratio(old, new)
     if ratio is None:
