@@ -643,6 +643,7 @@ def ivf_topk(
     nprobe: int = 2,
     round_to: int = 5,
     train_iters: int = 0,
+    train_tol: float = 1e-4,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors live in their nearest-centroid cell;
     each query probes its ``nprobe`` nearest cells and ranks only those
@@ -666,7 +667,11 @@ def ivf_topk(
     nprobe; on noise-like vectors (e.g. the synthetic testdata) no
     partitioning helps and training is a wash — measure on your data.
     The default 0 keeps the operator a pure stateless function of its
-    input (the oracle-checked configuration)."""
+    input (the oracle-checked configuration). ``train_tol`` is the
+    Lloyd early-stop tolerance passed through to ``kmeans_fit``; the
+    trained catalog twin pins it to 0.0 so the pass count is exactly
+    ``train_iters`` and a SQL oracle can unroll the same fixed number
+    of iterations."""
     cents = ivf_centroids(corpus, id_col, vec_col, centroid_stride)
     if train_iters > 0:
         from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
@@ -680,6 +685,7 @@ def ivf_topk(
             corpus,
             seeds=seeds,
             max_iter=train_iters,
+            tol=train_tol,
             id_col=id_col,
             vec_col=vec_col,
             spherical=True,  # the probe metric below is cosine

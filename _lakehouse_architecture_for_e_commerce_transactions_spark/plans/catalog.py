@@ -1728,6 +1728,132 @@ FROM scored QUALIFY rank <= 5
 """
 
 
+def q_ivf_ann_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """Trained-cells IVF ANN — the scale-safe assignment shape (r13
+    verdict task 3 / similarity.ivf_topk docstring): the stride-37 seed
+    pick is refined by exactly TWO spherical Lloyd passes
+    (``train_tol=0`` disables the early stop so the pass count is a
+    constant the SQL oracle can unroll), and assignment then runs
+    against the FIXED trained cell set — O(N·k) FLOPs, the
+    production-IVF shape, vs the stride default's N²/stride. Every
+    float step is engine-portable: corpus/seed L2-normalization and
+    assignment d2 use the same sequential folds as DuckDB's
+    list_reduce, the Lloyd update uses fixed-point BIGINT dimension
+    sums (summation-order-proof) with round-to-6 means, ties break to
+    the lowest cid, and empty cells keep their previous centroid
+    (operators/clustering.kmeans_fit contract)."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    out = SIM.ivf_topk(
+        queries, corpus, k=5, centroid_stride=37, nprobe=2,
+        train_iters=2, train_tol=0.0,
+    )
+    return out.select(
+        "qid", "cid", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _lloyd_iter_sql(prev: str, n: int) -> str:
+    """One unrolled spherical Lloyd pass for the trained-IVF oracle:
+    assign (sequential-fold squared-L2 over unit vectors, ties to the
+    lowest cid) → fixed-point BIGINT dimension means → renormalize;
+    a cell no vector picked keeps its previous centroid. Reads the
+    centroid CTE ``prev``, emits ``cents{n}``."""
+    return f"""
+d{n} AS (
+  SELECT cu.id, s.cid, cu.u,
+         list_reduce(list_transform(generate_series(1, 64),
+           i -> (cu.u[i] - s.cv[i]) * (cu.u[i] - s.cv[i])),
+           (a, b) -> a + b) AS d2
+  FROM cu CROSS JOIN {prev} s),
+a{n} AS (
+  SELECT id, cid, u FROM (
+    SELECT id, cid, u,
+           row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM d{n}) WHERE rn = 1),
+m{n} AS (
+  SELECT cid, i AS dim,
+         round(sum(CAST(floor(u[i] * 1000000 + 0.5) AS BIGINT))
+               / 1000000.0 / count(*), 6) AS mv
+  FROM a{n}, unnest(generate_series(1, 64)) AS t(i)
+  GROUP BY cid, i),
+r{n} AS (
+  SELECT cid, list(mv ORDER BY dim) AS mv_arr FROM m{n} GROUP BY cid),
+n{n} AS (
+  SELECT cid, mv_arr,
+         sqrt(list_reduce(list_transform(mv_arr, y -> y * y),
+              (a, b) -> a + b)) AS nrm
+  FROM r{n}),
+cents{n} AS (
+  SELECT s.cid,
+         CASE WHEN n{n}.cid IS NULL THEN s.cv
+              WHEN n{n}.nrm > 0
+                THEN list_transform(n{n}.mv_arr, x -> x / n{n}.nrm)
+              ELSE n{n}.mv_arr
+         END AS cv
+  FROM {prev} s LEFT JOIN n{n} ON s.cid = n{n}.cid)"""
+
+
+_IVF_TRAINED_SQL = (
+    """
+WITH q AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 50 != 0),
+cu0 AS (
+  SELECT id, v,
+         sqrt(list_reduce(list_transform(v, y -> y * y),
+              (a, b) -> a + b)) AS nrm
+  FROM c),
+cu AS (
+  SELECT id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+              ELSE v END AS u
+  FROM cu0),
+seeds0 AS (SELECT id AS cid, u AS cv FROM cu WHERE id % 37 = 0),"""
+    + _lloyd_iter_sql("seeds0", 1)
+    + ","
+    + _lloyd_iter_sql("cents1", 2)
+    + """,
+cterms AS (SELECT c.id, t.cid AS cent_id, unnest(c.v) AS x,
+                  unnest(t.cv) AS y
+           FROM c CROSS JOIN cents2 t),
+ccos AS (
+  SELECT id, cent_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS cc
+  FROM cterms GROUP BY id, cent_id),
+ccell AS (
+  SELECT id AS cid, cent_id AS cell FROM (
+    SELECT id, cent_id,
+           row_number() OVER (PARTITION BY id ORDER BY cc DESC, cent_id) AS r
+    FROM ccos) WHERE r = 1),
+qterms AS (SELECT q.id, t.cid AS cent_id, unnest(q.v) AS x,
+                  unnest(t.cv) AS y
+           FROM q CROSS JOIN cents2 t),
+qcos AS (
+  SELECT id, cent_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS cc
+  FROM qterms GROUP BY id, cent_id),
+qcell AS (
+  SELECT id AS qid, cent_id AS cell FROM (
+    SELECT id, cent_id,
+           row_number() OVER (PARTITION BY id ORDER BY cc DESC, cent_id) AS r
+    FROM qcos) WHERE r <= 2),
+cand AS (SELECT DISTINCT qid, cid FROM qcell JOIN ccell USING (cell)),
+pterms AS (SELECT qid, cid, unnest(q.v) AS qe, unnest(c.v) AS ce
+           FROM cand JOIN q ON q.id = qid JOIN c ON c.id = cid),
+scored AS (
+  SELECT qid, cid,
+         round(sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))), 5) AS cos
+  FROM pterms GROUP BY qid, cid)
+SELECT qid, cid, cos,
+       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+)
+
+
 def q_array_agg_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Array aggregation surface: per-customer ordered key list (sorted for
     determinism — collect_list order is placement-dependent) serialized to a
@@ -9408,6 +9534,7 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
     "frame_sample_plan": QueryDef(q_frame_sample_plan, _FRAME_SAMPLE_SQL),
     "approx_distinct_users": QueryDef(q_approx_distinct_users, _APPROX_USERS_SQL),
     "ivf_ann_topk": QueryDef(q_ivf_ann_topk, _IVF_SQL),
+    "ivf_ann_trained": QueryDef(q_ivf_ann_trained, _IVF_TRAINED_SQL),
     # --- round-1-verified queries (green rows in CORRECTNESS_r01) and
     # --- rows-only mapInPandas variants rotate behind the window ---
     "cosine_topk": QueryDef(q_cosine_topk, _COSINE_TOPK_SQL, headline=True),

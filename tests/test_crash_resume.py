@@ -40,21 +40,28 @@ def _write(raw: str, name: str, header: str, rows: list[str]) -> None:
 
 
 class _CrashOnce:
-    """Patch snapshots._try_publish_manifest to raise on the first
-    publish attempt for ``target`` table, then pass through forever."""
+    """Patch snapshots._try_publish_manifest to raise on the ``nth``
+    publish attempt for ``target`` table, then pass through forever.
+    ``nth`` > 1 selects a LATER commit of a multi-commit batch (e.g. the
+    annindex append after its DV delete, or a compaction fold after the
+    batch append) — the partial-commit interleavings."""
 
     MSG = "injected crash: files written, manifest not published"
 
-    def __init__(self, target: str):
+    def __init__(self, target: str, nth: int = 1):
         self.target = os.path.abspath(target)
         self.real = SNAP._try_publish_manifest
         self.fired = False
+        self.nth = nth
+        self.seen = 0
 
     def __enter__(self):
         def fake(path, version, manifest):
             if not self.fired and os.path.abspath(path) == self.target:
-                self.fired = True
-                raise RuntimeError(self.MSG)
+                self.seen += 1
+                if self.seen == self.nth:
+                    self.fired = True
+                    raise RuntimeError(self.MSG)
             return self.real(path, version, manifest)
 
         SNAP._try_publish_manifest = fake
@@ -404,3 +411,280 @@ def test_state_crash_leaves_fact_advanced_and_guard_skips(spark, tmp_path):
     assert facts == [
         ("a", 12.0), ("a", 20.5), ("c", 7.0), ("d", 9.25)
     ]
+
+
+# --- ANN secondary-index maintenance (streaming/annindex.py) -----------------
+# r13 verdict task 5: the aggmaint twin families above are covered; the
+# IVF index maintenance has its own multi-commit batches (DV delete +
+# marker append; append + compaction fold; codebook + index recluster
+# pair) — each interleaving gets a kill-and-resume pin here.
+
+import json as _json
+import math as _math
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming import (
+    annindex as AI,
+)
+
+
+def _ann_vec(i: int) -> list[float]:
+    return [_math.sin(i * 1.7 + d) + 0.1 * d for d in range(6)]
+
+
+def _write_jsonl(raw: str, name: str, ids: list[int]) -> None:
+    os.makedirs(raw, exist_ok=True)
+    with open(os.path.join(raw, name), "w") as f:
+        for i in ids:
+            f.write(
+                _json.dumps({"vec_id": i, "embedding": _ann_vec(i)}) + "\n"
+            )
+
+
+ANN_BATCHES = [
+    list(range(100, 120)),
+    list(range(120, 135)),  # crash lands here
+    list(range(135, 150)),
+]
+
+
+def _ann_stream_setup(spark, work: str, compact_every=None):
+    cb, idx = f"{work}/cb", f"{work}/idx"
+    seed = spark.createDataFrame(
+        [(i, _ann_vec(i)) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    AI.build_ivf_codebook(spark, seed, cb, stride=10)
+
+    def start(raw, ckpt):
+        return AI.stream_ivf_index_maintenance(
+            spark, raw, cb, idx, ckpt, compact_every=compact_every
+        )
+
+    def read():
+        return sorted(
+            (r["cell"], r["id"], tuple(r["v"]))
+            for r in AI.read_index(spark, idx).collect()
+        )
+
+    return start, idx, read
+
+
+@pytest.mark.parametrize("compact_every", [None, 1])
+def test_annindex_stream_crash_between_write_and_publish(
+    spark, tmp_path, compact_every
+):
+    """File-fed index stream: crash the batch-2 append publish
+    (compact_every=None) or the compaction-fold publish right after a
+    landed append (compact_every=1, nth=2 — the layout-maintenance
+    interleaving: the batch is applied, the fold is not); resume with a
+    third batch waiting; final logical index must equal the uncrashed
+    control's."""
+    nth = 2 if compact_every else 1
+
+    work = str(tmp_path / "crashed")
+    raw, ckpt = f"{work}/raw", f"{work}/ckpt"
+    start, idx, read = _ann_stream_setup(spark, work, compact_every)
+
+    _write_jsonl(raw, "b1.json", ANN_BATCHES[0])
+    start(raw, ckpt).awaitTermination(120)
+
+    _write_jsonl(raw, "b2.json", ANN_BATCHES[1])
+    with _CrashOnce(idx, nth=nth) as crash:
+        q = start(raw, ckpt)
+        with pytest.raises(Exception, match="injected crash"):
+            q.awaitTermination(120)
+            raise AssertionError("query survived the injected crash")
+    assert crash.fired, "fault never armed — wrong crash target path?"
+    pre_crash = read()
+    if nth == 2:
+        # the append LANDED before the fold crashed: batch 2's rows are
+        # already in the table (the fold changes layout, never contents)
+        assert {t[1] for t in pre_crash} == set(
+            ANN_BATCHES[0] + ANN_BATCHES[1]
+        )
+
+    _write_jsonl(raw, "b3.json", ANN_BATCHES[2])
+    start(raw, ckpt).awaitTermination(120)
+    resumed = read()
+
+    cwork = str(tmp_path / "control")
+    craw, cckpt = f"{cwork}/raw", f"{cwork}/ckpt"
+    cstart, _i, cread = _ann_stream_setup(spark, cwork, compact_every)
+    for i, ids in enumerate(ANN_BATCHES, start=1):
+        _write_jsonl(craw, f"b{i}.json", ids)
+        cstart(craw, cckpt).awaitTermination(120)
+
+    assert resumed == cread(), "resumed index diverged from control"
+    assert {t[1] for t in resumed} == set(
+        ANN_BATCHES[0] + ANN_BATCHES[1] + ANN_BATCHES[2]
+    )
+    if nth == 1:
+        assert resumed != pre_crash, "resume applied nothing"
+
+
+def _ann_table_setup(spark, work: str):
+    from pyspark.sql import Row
+
+    src, cb, idx = f"{work}/vectors", f"{work}/cb", f"{work}/idx"
+    SNAP.commit(
+        spark,
+        spark.createDataFrame(
+            [Row(vec_id=i, embedding=_ann_vec(i)) for i in range(12)]
+        ),
+        src,
+    )
+    AI.build_ivf_codebook(spark, SNAP.read(spark, src), cb, stride=5)
+
+    def drain(ckpt):
+        AI.table_ivf_index_maintenance(
+            spark, src, cb, idx, ckpt
+        ).awaitTermination(120)
+
+    def mutate():
+        from pyspark.sql import Row as R
+
+        SNAP.delete_where_dv(spark, src, "vec_id IN (2, 7)")
+        SNAP.update_where_dv(
+            spark, src, "vec_id = 4",
+            {"embedding": "array(9.0D, 9.0D, 9.0D, 9.0D, 9.0D, 9.0D)"},
+        )
+        SNAP.commit(
+            spark,
+            spark.createDataFrame(
+                [R(vec_id=20, embedding=[0.5] * 6)]
+            ),
+            src,
+            mode="append",
+        )
+
+    def read():
+        return sorted(
+            (r["id"], tuple(r["v"]))
+            for r in AI.read_index(spark, idx).collect()
+        )
+
+    return src, idx, drain, mutate, read
+
+
+@pytest.mark.parametrize("nth", [1, 2])
+def test_annindex_table_crash_interleavings(spark, tmp_path, nth):
+    """CDF-fed secondary index, the two-commit batch (DV delete of the
+    netted ids, then the marker append). nth=1 crashes the DV publish —
+    nothing committed, the replay applies delete+append once. nth=2
+    crashes the append AFTER the DV landed — the docstring's
+    interleaving: the resume must replay into a no-op delete + the
+    marker append, never a double delete or double insert."""
+    work = str(tmp_path / "crashed")
+    ckpt = f"{work}/ckpt"
+    src, idx, drain, mutate, read = _ann_table_setup(spark, work)
+
+    drain(ckpt)  # batch 0: index build
+    assert [i for i, _ in read()] == list(range(12))
+
+    mutate()
+    with _CrashOnce(idx, nth=nth) as crash:
+        q = AI.table_ivf_index_maintenance(
+            spark, src, f"{work}/cb", idx, ckpt
+        )
+        with pytest.raises(Exception, match="injected crash"):
+            q.awaitTermination(120)
+            raise AssertionError("query survived the injected crash")
+    assert crash.fired, "fault never armed — wrong crash target path?"
+
+    mid_ids = {i for i, _ in read()}
+    if nth == 1:
+        # nothing committed: the index still serves the pre-batch state
+        assert mid_ids == set(range(12))
+    else:
+        # DV landed, append did not: netted ids are gone, nothing added
+        assert mid_ids == set(range(12)) - {2, 4, 7}
+
+    drain(ckpt)  # resume on the same checkpoint
+    resumed = read()
+
+    # exactly-once: the index holds exactly the table's live vectors
+    live = sorted(
+        (r["vec_id"], tuple(r["embedding"]))
+        for r in SNAP.read(spark, src).collect()
+    )
+    assert resumed == live
+    assert {i for i, _ in resumed} == (set(range(12)) - {2, 7}) | {20}
+    assert dict(resumed)[4] == (9.0,) * 6
+
+    # and an uncrashed control over the same source history agrees
+    cwork = str(tmp_path / "control")
+    csrc, cidx, cdrain, cmutate, cread = _ann_table_setup(spark, cwork)
+    cdrain(f"{cwork}/ckpt")
+    cmutate()
+    cdrain(f"{cwork}/ckpt")
+    assert [t for t in cread()] == resumed
+
+    # replay with nothing new: a no-op
+    drain(ckpt)
+    assert read() == resumed
+
+
+def test_annindex_recluster_crash_leaves_valid_index_and_converges(
+    spark, tmp_path
+):
+    """recluster_ivf commits the codebook FIRST, then the re-assigned
+    index. Crashing the index publish leaves a new codebook over the
+    OLD assignment — the documented degraded-but-valid window: index
+    CONTENTS are untouched, a query still ranks real rows. A rerun
+    converges to the fully reclustered state, and the maintenance
+    stream resumes exactly-once on the re-stamped watermark."""
+    work = str(tmp_path / "w")
+    raw, ckpt = f"{work}/raw", f"{work}/ckpt"
+    start, idx, read = _ann_stream_setup(spark, work)
+    cb = f"{work}/cb"
+
+    _write_jsonl(raw, "b1.json", ANN_BATCHES[0])
+    start(raw, ckpt).awaitTermination(120)
+    _write_jsonl(raw, "b2.json", ANN_BATCHES[1])
+    start(raw, ckpt).awaitTermination(120)
+    before = read()
+
+    cb_version_before = SNAP.load_snapshot(cb).version
+    with _CrashOnce(idx) as crash:
+        with pytest.raises(Exception, match="injected crash"):
+            AI.recluster_ivf(spark, idx, cb, stride=7)
+    assert crash.fired
+    # codebook advanced, index contents untouched (old assignment)
+    assert SNAP.load_snapshot(cb).version == cb_version_before + 1
+    assert read() == before
+
+    # rerun completes the recluster: same ids, cells re-derived from
+    # the CURRENT codebook (stride-7 pick over the index vectors)
+    AI.recluster_ivf(spark, idx, cb, stride=7)
+    after = read()
+    assert {t[1] for t in after} == {t[1] for t in before}
+    expected_cells = {
+        (r["cell"], r["id"])
+        for r in SIM_assign_current(spark, idx, cb).collect()
+    }
+    assert {(c, i) for c, i, _ in after} == expected_cells
+
+    # the stream resumes exactly-once on the re-stamped watermark
+    _write_jsonl(raw, "b3.json", ANN_BATCHES[2])
+    start(raw, ckpt).awaitTermination(120)
+    assert {t[1] for t in read()} == set(
+        ANN_BATCHES[0] + ANN_BATCHES[1] + ANN_BATCHES[2]
+    )
+    # replay: no growth
+    start(raw, ckpt).awaitTermination(120)
+    assert len(read()) == sum(len(b) for b in ANN_BATCHES)
+
+
+def SIM_assign_current(spark, idx, cb):
+    """Reference re-assignment of the CURRENT index rows against the
+    CURRENT codebook (what a completed recluster must equal)."""
+    from pyspark.sql import functions as F
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        similarity as SIM,
+    )
+
+    rows = AI.read_index(spark, idx).select("id", "v")
+    return SIM._assign_cells(rows, SNAP.read(spark, cb), 1).select(
+        "cell", "id"
+    )
