@@ -291,6 +291,9 @@ def ivf_pq_topk(
     k: int = 5,
     centroid_stride: int = 37,
     nprobe: int = 2,
+    train_iters: int = 0,
+    train_tol: float = 1e-4,
+    train_on: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-ADC: the billion-scale ANN layout (Jégou et al. §V) as one
     relational plan — corpus vectors live in their nearest-centroid cell
@@ -301,10 +304,14 @@ def ivf_pq_topk(
     per-row argmax (no corpus shuffle); the candidate set is one cell
     equi-join (probed fraction of the corpus, not all of it); ADC
     scoring touches codes only — raw vectors never leave their scan.
+    ``train_iters > 0`` refines the stride seeds with spherical Lloyd
+    passes (similarity.trained_centroids) — at scale pair it with a
+    stride sized for a FIXED cell count so assignment is O(N·k).
     Returns (qid, cid, adc_d2, rank)."""
     from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.similarity import (
         _assign_cells,
         ivf_centroids,
+        trained_centroids,
     )
 
     c = spread(corpus).select(
@@ -314,6 +321,10 @@ def ivf_pq_topk(
         F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
     )
     cents = ivf_centroids(corpus, id_col, vec_col, centroid_stride)
+    cents = trained_centroids(
+        corpus, cents, train_iters, train_tol, id_col, vec_col,
+        train_on=train_on,
+    )
     ccell = _assign_cells(c, cents, 1).select("id", "cell")
     qcell = _assign_cells(q, cents, nprobe).select(
         F.col("id").alias("qid"), "cell"
@@ -462,6 +473,9 @@ def ivf_pq_refined(
     rerank: int = 20,
     centroid_stride: int = 37,
     nprobe: int = 2,
+    train_iters: int = 0,
+    train_tol: float = 1e-4,
+    train_on: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-ADC with an exact-rerank REFINE stage (Jégou et al. §V.D —
     the standard billion-scale quality knob): the compressed index
@@ -479,6 +493,7 @@ def ivf_pq_refined(
     cand = ivf_pq_topk(
         spark, queries, corpus, codebooks, id_col, vec_col,
         k=rerank, centroid_stride=centroid_stride, nprobe=nprobe,
+        train_iters=train_iters, train_tol=train_tol, train_on=train_on,
     ).select("qid", "cid")
     q = queries.select(
         F.col(id_col).alias("qid"), V.as_double(F.col(vec_col)).alias("qv")

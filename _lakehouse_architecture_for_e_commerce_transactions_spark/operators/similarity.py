@@ -519,6 +519,50 @@ def _round6_int_micro(cos):
     return _np.sign(cos) * _np.floor(_np.abs(cos) * 1e6 + 0.5)
 
 
+def trained_centroids(
+    corpus: DataFrame,
+    cents: DataFrame,
+    train_iters: int,
+    train_tol: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_on: DataFrame | None = None,
+) -> DataFrame:
+    """Refine a seed centroid set with ``train_iters`` *spherical*
+    k-means passes (operators/clustering.kmeans_fit, metric-matched to
+    the cosine probe) — the real IVF training step, shared by
+    ``ivf_topk`` and the IVF-PQ family. ``train_iters <= 0`` returns
+    the seeds untouched (the stateless oracle-default path). The seed
+    collect is the usual bounded centroid-class collect. ``train_on``
+    substitutes the Lloyd passes' input (e.g. a deterministic 1-in-m
+    sample of the corpus) while assignment still covers every corpus
+    row: each training pass costs O(|train_on|·k) expression-assignment
+    work, and centroid quality needs distribution COVERAGE, not every
+    row — the standard production trade (measured in TUNING r14's 100x
+    probe: sampled training keeps recall at equal nprobe for a
+    fraction of the training wall)."""
+    if train_iters <= 0:
+        return cents
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        clustering as CLU,
+    )
+
+    seeds = [(r["cent_id"], list(r["cent_v"])) for r in cents.collect()]
+    trained, _ = CLU.kmeans_fit(
+        corpus if train_on is None else train_on,
+        seeds=seeds,
+        max_iter=train_iters,
+        tol=train_tol,
+        id_col=id_col,
+        vec_col=vec_col,
+        spherical=True,  # the probe metric is cosine
+    )
+    return corpus.sparkSession.createDataFrame(
+        [(c, v) for c, v in trained],
+        "cent_id long, cent_v array<double>",
+    )
+
+
 def _assign_cells(
     vecs: DataFrame, cents: DataFrame, n_cells: int
 ) -> DataFrame:
@@ -644,6 +688,7 @@ def ivf_topk(
     round_to: int = 5,
     train_iters: int = 0,
     train_tol: float = 1e-4,
+    train_on: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors live in their nearest-centroid cell;
     each query probes its ``nprobe`` nearest cells and ranks only those
@@ -673,27 +718,10 @@ def ivf_topk(
     ``train_iters`` and a SQL oracle can unroll the same fixed number
     of iterations."""
     cents = ivf_centroids(corpus, id_col, vec_col, centroid_stride)
-    if train_iters > 0:
-        from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
-            clustering as CLU,
-        )
-
-        seeds = [
-            (r["cent_id"], list(r["cent_v"])) for r in cents.collect()
-        ]
-        trained, _ = CLU.kmeans_fit(
-            corpus,
-            seeds=seeds,
-            max_iter=train_iters,
-            tol=train_tol,
-            id_col=id_col,
-            vec_col=vec_col,
-            spherical=True,  # the probe metric below is cosine
-        )
-        cents = corpus.sparkSession.createDataFrame(
-            [(c, v) for c, v in trained],
-            "cent_id long, cent_v array<double>",
-        )
+    cents = trained_centroids(
+        corpus, cents, train_iters, train_tol, id_col, vec_col,
+        train_on=train_on,
+    )
     c = spread(
         corpus.select(F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v"))
     )
