@@ -9806,108 +9806,78 @@ _CATALOG_DEFS: dict[str, QueryDef] = {
 # run; the rest of the window backfills with already-green anchors (all
 # re-verified by tools/verify_parity.py at HEAD each round).
 _WINDOW_FRONT: list[str] = [
-    # ROUND-13 ROTATION (r12 verdict task 1): continue the re-sweep of
-    # the longest-unchecked registry entries. This window fronts the
-    # 48 queries whose latest driver row is r02, plus the two oldest
-    # r03 stragglers (alphabetical: bigram_logprob,
-    # boilerplate_removal). All 50 are absent from both the r11 and
-    # r12 windows. One operator changed this round: the threshold=1.0
-    # verify path of minhash_dedup_verified (set-equality verify, the
-    # sf10 ENOSPC fix) — minhash_fast is the only query that takes the
-    # new path, so it is fronted per the standing changed-operator rule
-    # (also absent from the r11/r12 windows; the other 11 queries the
-    # --touched scan flags share the module but not the changed branch,
-    # and all 12 passed the scoped parity gate, TUNING r13). Everything
-    # evicted keeps its r12 green row + the full 197/197
-    # tools/verify_parity.py gate recorded in TUNING.md. After this
-    # window, ~47 r03/r04-stale entries remain for the r14 rotation to
-    # complete the full fresh re-sweep.
-    # last driver-checked r02:
-    "corpus_curation",
-    "cube_status_priority",
-    "customer_order_distribution",
-    "daily_revenue_spine",
-    "deterministic_sample",
-    "discounted_revenue_brackets",
-    "event_funnel",
-    "exists_urgent_by_segment",
-    "first_last_event",
-    "forecast_revenue_change",
-    "frame_sample_plan",
-    "full_outer_nation_balance",
-    "fuzzy_name_pairs",
-    "grouping_sets_pricing",
-    "idle_customer_balance",
-    "important_suppliers",
+    # ROUND-14 ROTATION (r13 verdict task 1): COMPLETE the fresh
+    # re-sweep. This window fronts all 41 queries whose latest driver
+    # row is r04 or older (the judge-computed stale set — after this
+    # window every registry query has an r11+ driver row), plus the
+    # round's changed-operator slots. Changed operators (r14): the
+    # _assign_cells zero-norm NULL-ordering fix + oracle-pinned
+    # rounding helper (every IVF/PQ/annindex query rides the hot
+    # path), the pq_encode sequential-fold association fix (all PQ
+    # legs), the trained_centroids extraction + train_iters plumbing,
+    # and the NEW ivf_ann_trained query. The srp_signature_bit int64
+    # cast is proven an identity at every in-repo plane count
+    # (tests/test_ann_edge_semantics.py pins the wrap boundary) and
+    # its queries passed the scoped gate; srp_ann_topk and
+    # embedding_near_dup_scaled are still fronted with the two spare
+    # slots as belt-and-braces (embedding_near_dup_pairs and
+    # decontaminate_train_bench keep their r13 green rows + the
+    # scoped-gate evidence).
+    # stale tranche (last driver row r02-r04, alphabetical):
+    "anomaly_events",
+    "bloom_point_lookup",
+    "boilerplate_removal",
+    "bpe_learned_encode",
+    "cdc_apply_sim",
+    "cohort_retention",
+    "cosine_topk_fast",
+    "doc_char_entropy",
+    "event_debounce",
+    "events_hopping",
+    "excess_stock_suppliers",
+    "gopher_quality_flags",
+    "heavy_hitter_terms",
+    "lateral_topn",
+    "metadata_only_agg",
+    "min_cost_supplier",
+    "minmax_by_agg",
+    "near_dup_clusters_star",
+    "orc_roundtrip",
+    "pagerank_events",
+    "profile_orders",
+    "quality_logreg",
+    "recursive_chain",
+    "revenue_7d_moving_avg",
+    "salted_join_agg",
+    "scd2_asof_enrichment",
+    "small_quantity_revenue",
+    "sql_surface",
+    "stats_aggregates",
+    "stats_pruned_scan",
+    "supplier_balance_ranks",
+    "text_normalize_dedup",
+    "tfidf_topk_terms",
+    "top_returned_customers",
+    "top_revenue_supplier",
+    "top_terms",
+    "train_test_split",
+    "union_evolved_schemas",
+    "waiting_supplier_orders",
+    "weighted_sample_docs",
+    "window_range_30d",
+    # changed-operator slots (r14):
     "ivf_ann_topk",
-    "large_orders",
-    "late_shipment_priority",
-    "local_supplier_volume",
-    "multimodal_meta",
-    "nation_market_share",
-    "nation_trade_volume",
-    "near_dup_clusters",
-    "ntile_spend_quartiles",
-    "order_gap_stats",
-    "parts_supplier_counts",
-    "price_histogram",
-    "priority_mix_monthly",
-    "product_profit_by_nation",
-    "promo_revenue_monthly",
-    "range_join_events",
-    "scd2_supplier",
-    "sessionize_events",
-    "shipping_priority",
-    "simhash_near_dup_pairs",
-    "text_redaction",
-    # last driver-checked r03 (oldest, alphabetical):
-    "bigram_logprob",
-    # changed-operator slots (r13): the set-equality verify path, the
-    # span-dedup cap moved before collect_list, the simhash
-    # bitwise-fold signature build, the FULL-RANK SRP hyperplane
-    # family (the rank-1 lattice fix — every SRP-familied query
-    # changes candidates AND oracle together), and the BLAS
-    # _assign_cells rewrite (every IVF/PQ/annindex query rides it;
-    # simhash_near_dup_pairs and ivf_ann_topk sit in the rotation
-    # tranche above)
-    "minhash_fast",
-    "dup_span_pairs",
-    "simhash_signatures",
-    "embedding_near_dup_pairs",
-    "embedding_near_dup_scaled",
-    "srp_ann_topk",
-    "decontaminate_train_bench",
+    "ivf_ann_trained",
     "ivf_pq_topk",
     "ivf_pq_refined",
     "pq_adc_topk",
     "ann_recall_eval",
     "cdc_replicate_sim",
-    # evicted to keep the window at 50 (all r12-green, all still in
-    # the registry + parity gate): embedding_near_dup_scaled,
-    # table_mv_maintenance_sim, cdc_replicate_sim, above_avg_orders,
-    # array_agg_orders, asof_latest_order, bpe_token_count,
-    # chunk_dup_histogram, cosine_topk, customer_order_stats,
-    # date_funcs, distinct_segments, distinct_users_exact, doc_chunks,
-    # doc_exact_dedup, doc_quality, doc_token_stats,
-    # embedding_near_dup_pairs, events_hourly, events_json_kv,
-    # fk_anti_orphans, fk_chain_reasons, fk_semi_join, lang_confusion,
-    # latest_order_per_customer, merge_upsert_sim,
-    # minhash_dedup_verified, minhash_lsh_pairs, ngram_jaccard_pairs,
-    # orders_enriched_left_join, partition_pruned_day,
-    # percentiles_by_priority, pivot_status, pricing_summary,
-    # rolling_hash_fingerprint, rollup_pricing, running_total,
-    # scan_filter_project, session_window_agg, set_ops_custkeys,
-    # srp_ann_topk, stratified_sample, string_funcs, table_counts,
-    # top10_orders, top3_per_priority, unpivot_status,
-    # validation_reasons, approx_distinct_users,
-    # cheapest_part_per_type; boilerplate_removal (r03) yielded its
-    # slot to the minhash_fast changed-operator entry and, with
-    # window_range_30d, waiting_supplier_orders, top_returned_customers,
-    # top_revenue_supplier, top_terms, train_test_split,
-    # small_quantity_revenue, sql_surface, supplier_balance_ranks,
-    # revenue_7d_moving_avg and salted_join_agg (r02, yielded to the
-    # dup_span_pairs / simhash_signatures / SRP-family / IVF-assign
-    # changed-operator entries), leads the r14 stale queue
+    "srp_ann_topk",
+    "embedding_near_dup_scaled",
+    # Evicted to keep the window at 50: the 41 r13-window entries not
+    # re-listed above (all r13-green in CORRECTNESS_r13.json, all still
+    # in the registry + the full parity gate recorded in TUNING.md).
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)
