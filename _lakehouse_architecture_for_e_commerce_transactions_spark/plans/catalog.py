@@ -7311,7 +7311,9 @@ def q_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
     adjacent when they share >= 3 distinct (event_type, hour) activity
     cells — the repeated-co-occurrence floor keeps the projection sparse
     (a raw one-shot co-occurrence projection of a bipartite graph is
-    near-complete on a bounded user population). Triangles via
+    near-complete on a bounded user population), and each cell is
+    clipped to its 64 lowest user_ids BEFORE pair generation (the
+    stop-bucket bound — see the inline comment). Triangles via
     degree-ordered orientation (operators/graph.py:triangle_counts),
     whose wedge fan-out is O(m^1.5) regardless of skew; the oracle is
     the brute-force 3-way edge join."""
@@ -7323,6 +7325,24 @@ def q_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
     b = ev.select(
         "user_id", "event_type", F.date_trunc("hour", "ts").alias("d")
     ).distinct()
+    # STOP-BUCKET CLIP (r14 100x probe): pair generation inside an
+    # activity cell is quadratic in its occupancy, and occupancy grows
+    # linearly with the user population — at 100x events the unclipped
+    # self-join materializes ~14.1e9 pairs (DuckDB-estimated) and the
+    # leg dies with executor OOM. Each cell keeps its 64 lowest
+    # user_ids (deterministic, oracle-replayed with the same window):
+    # co-occurrence volume is bounded by cells·cap²/2 at ANY corpus
+    # size, and a cell everyone touched carries no pair signal anyway
+    # (the stop-word analogy). Inert at test/driver scales — the
+    # largest sf0.1 cell holds 51 users. Fixed after the r14 graph
+    # probe (pagerank/k-core/label-prop scale 3.5-5.2x at 100x; this
+    # construction was the one quadratic step).
+    wb = Window.partitionBy("event_type", "d").orderBy("user_id")
+    b = (
+        b.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= 64)
+        .drop("rn")
+    )
     co = (
         b.alias("x")
         .join(
@@ -7342,8 +7362,11 @@ def q_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _TRIANGLE_SQL = """
-WITH b AS (SELECT DISTINCT user_id, event_type,
-                  date_trunc('hour', ts) AS d FROM events),
+WITH b0 AS (SELECT DISTINCT user_id, event_type,
+                   date_trunc('hour', ts) AS d FROM events),
+b AS (SELECT user_id, event_type, d FROM b0
+      QUALIFY row_number() OVER (
+        PARTITION BY event_type, d ORDER BY user_id) <= 64),
 co AS (SELECT a.user_id AS u, c.user_id AS v, count(*) AS c
        FROM b a JOIN b c
          ON a.event_type = c.event_type AND a.d = c.d
@@ -9874,10 +9897,15 @@ _WINDOW_FRONT: list[str] = [
     "ann_recall_eval",
     "cdc_replicate_sim",
     "srp_ann_topk",
-    "embedding_near_dup_scaled",
+    "triangle_counts",
     # Evicted to keep the window at 50: the 41 r13-window entries not
     # re-listed above (all r13-green in CORRECTNESS_r13.json, all still
     # in the registry + the full parity gate recorded in TUNING.md).
+    # triangle_counts takes the second belt-and-braces SRP slot
+    # (embedding_near_dup_scaled keeps its r13 green row; the int64
+    # cast it rides is test-pinned as an identity) because its
+    # stop-bucket clip landed mid-round — query and oracle change
+    # together.
 ]
 
 assert len(_WINDOW_FRONT) == 50, len(_WINDOW_FRONT)
