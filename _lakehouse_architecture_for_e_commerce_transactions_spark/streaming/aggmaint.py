@@ -65,6 +65,9 @@ from pyspark.sql.types import (
 from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
     incremental as INC,
 )
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+    util as U,
+)
 from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
     snapshots as S,
 )
@@ -304,7 +307,11 @@ def _commit_with_marker(
     state files are carried by reference, never rewritten or shuffled.
     Marker rows (NULL keys) are outside every scope by SQL equality,
     so the watermark chain survives any number of scoped commits."""
-    marker = spark.createDataFrame([marker_row], schema)
+    # literal_frame, not createDataFrame: a parallelize-backed marker
+    # adds a Python-deserialization stage to EVERY state-commit write
+    # (~0.5 s/batch warm, measured r14) — the expression form folds
+    # into the plan for free
+    marker = U.literal_frame(spark, [marker_row], schema)
     out = (
         df.withColumn("_last_batch", F.lit(batch_id).cast("long"))
         .withColumn("_app_id", F.lit(app))
@@ -900,8 +907,8 @@ def _advance_fact(
         ).select("k", "val")
 
     def stamped(df: DataFrame) -> DataFrame:
-        marker = spark.createDataFrame(
-            [(None, None, batch_id, app)], _FACT_SCHEMA
+        marker = U.literal_frame(
+            spark, [(None, None, batch_id, app)], _FACT_SCHEMA
         )
         return (
             df.withColumn("_last_batch", F.lit(batch_id).cast("long"))

@@ -47,6 +47,9 @@ from _lakehouse_architecture_for_e_commerce_transactions_spark.functions import 
 from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
     similarity as SIM,
 )
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+    util as U,
+)
 from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
     snapshots as S,
 )
@@ -144,8 +147,8 @@ def stream_ivf_index_maintenance(
         assigned = SIM._assign_cells(vecs, cents, 1).select(
             "cell", "id", "v"
         )
-        marker = spark.createDataFrame(
-            [(None, None, None, batch_id, app)], INDEX_SCHEMA
+        marker = U.literal_frame(
+            spark, [(None, None, None, batch_id, app)], INDEX_SCHEMA
         )
         out = (
             assigned.withColumn(
@@ -269,8 +272,8 @@ def table_ivf_index_maintenance(
             assigned = SIM._assign_cells(adds, cents, 1).select(
                 "cell", "id", "v"
             )
-            marker = spark.createDataFrame(
-                [(None, None, None, batch_id, app)], INDEX_SCHEMA
+            marker = U.literal_frame(
+                spark, [(None, None, None, batch_id, app)], INDEX_SCHEMA
             )
             out = (
                 assigned.withColumn(
@@ -423,8 +426,8 @@ def recluster_ivf(
     assigned = SIM._assign_cells(
         cur.select("id", "v"), S.read(spark, codebook_path), 1
     ).select("cell", "id", "v")
-    marker = spark.createDataFrame(
-        [(None, None, None, last, app)], INDEX_SCHEMA
+    marker = U.literal_frame(
+        spark, [(None, None, None, last, app)], INDEX_SCHEMA
     )
     out = (
         assigned.withColumn("_last_batch", F.lit(last).cast("long"))
