@@ -1292,11 +1292,22 @@ def commit(
     raise RuntimeError(f"commit contention at {path}: {max_retries} retries")
 
 
+# Tombstone files all share this fixed shape (written from
+# _metadata.file_path / _metadata.row_index projections). Declaring it on
+# read skips Spark's footer-sampling schema inference — one extra driver
+# job per read locally, a footer fetch over object storage at scale.
+_DV_SCHEMA = "file string, row_idx bigint"
+
+
 def _dv_tombstones(spark: SparkSession, snap: Snapshot) -> DataFrame | None:
     """The snapshot's deletion-vector rows (file, row_idx), or None."""
     if not snap.dv_files:
         return None
-    return spark.read.parquet(*snap.dv_files).select("file", "row_idx")
+    return (
+        spark.read.schema(_DV_SCHEMA)
+        .parquet(*snap.dv_files)
+        .select("file", "row_idx")
+    )
 
 
 def _dv_filter(marked: DataFrame, dv: DataFrame | None) -> DataFrame:
@@ -2546,7 +2557,8 @@ def _dv_dead_counts(spark: SparkSession, dv_dir: str) -> dict[str, int]:
     tombstoned FILE count (manifest scale, not row scale)."""
     return {
         r["file"]: r["n"]
-        for r in spark.read.parquet(dv_dir)
+        for r in spark.read.schema(_DV_SCHEMA)
+        .parquet(dv_dir)
         .groupBy("file")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()

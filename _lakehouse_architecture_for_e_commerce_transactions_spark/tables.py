@@ -139,11 +139,22 @@ TESTDATA_TABLES = (
 )
 
 
+# Inferred schema per (sf_dir, table): the testdata directories are
+# read-only and their file schemas immutable, so inference is paid once
+# per table per process and every later load declares the schema instead.
+# Each schemaless ``spark.read.parquet`` runs a footer-sampling driver job
+# (~0.1-0.25 s locally); at cluster scale it is footer fetches over object
+# storage per query — the declared-schema read is the manifest-equivalent.
+# Metadata only (a StructType), never data or results.
+_SCHEMA_CACHE: dict[tuple[str, str], StructType] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one testdata table.
 
-    Kept as a plain ``spark.read.parquet`` so Catalyst column pruning and
-    predicate pushdown reach the scan (verify with ``ReadSchema`` /
+    Kept as a parquet scan (first call plain, later calls with the
+    cached declared schema) so Catalyst column pruning and predicate
+    pushdown reach the scan (verify with ``ReadSchema`` /
     ``PushedFilters`` in explain output).
 
     The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
@@ -155,7 +166,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # pragma: no cover - conf locked down
         pass
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    cached = _SCHEMA_CACHE.get((sf_dir, name))
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _SCHEMA_CACHE[(sf_dir, name)] = df.schema
     from pyspark.sql.types import LongType
 
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
