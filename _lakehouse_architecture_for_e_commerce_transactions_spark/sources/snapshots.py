@@ -1593,12 +1593,25 @@ def _parquet_files(d: str) -> list[str]:
     return out
 
 
+def _in_list(col: str, vals: list):
+    """One-round-trip IN-list (operators/util.in_list); lazy import so
+    the sources package never imports operators at module load."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators import (
+        util as _U,
+    )
+
+    return _U.in_list(col, vals)
+
+
 def _residual(predicates: list[tuple]):
     cond = None
     for col, op, val in predicates:
         c = F.col(col)
         if op == "in":
-            this = c.isin(list(val))
+            # one parsed expression, not one py4j literal per element —
+            # IN-lists here carry up to _REPLACE_KEY_CAP keys per
+            # micro-batch commit (operators/util.in_list docstring)
+            this = _in_list(col, list(val))
         elif op == "is_null":
             this = c.isNull()
         elif op == "not_null":
@@ -2426,7 +2439,7 @@ def delete_matching_dv(
         return _delete_selected_dv(
             spark,
             path,
-            lambda live: live.filter(F.col(keys[0]).isin(lits)),
+            lambda live: live.filter(_in_list(keys[0], lits)),
             max_retries,
             op=op,
             prune=(keys[0], lits),
@@ -2551,10 +2564,35 @@ def _delete_selected_dv(
     )
 
 
+# Above this many tombstone rows, per-file dead counts go through a
+# Spark aggregation job; below it, a single-column pyarrow read on the
+# driver answers in-process (micro-batch deletes are the common case,
+# and the Spark job costs a full driver round-trip per commit). The
+# footer row count decides, so the driver never reads an unbounded
+# column blind.
+_DV_COUNT_DRIVER_MAX_ROWS = 4_000_000
+
+
 def _dv_dead_counts(spark: SparkSession, dv_dir: str) -> dict[str, int]:
     """{tombstoned file path (_metadata format): n dead rows} for one
-    freshly written tombstone dir — a collect bounded by the distinct
-    tombstoned FILE count (manifest scale, not row scale)."""
+    freshly written tombstone dir — result bounded by the distinct
+    tombstoned FILE count (manifest scale, not row scale). Small
+    tombstone sets (footer row count, no data I/O) are counted with one
+    driver-side pyarrow value_counts over the ``file`` column; larger
+    ones keep the Spark aggregation so driver memory stays bounded."""
+    import pyarrow.parquet as pq
+
+    paths = _parquet_files(dv_dir)
+    total = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    if total <= _DV_COUNT_DRIVER_MAX_ROWS:
+        out: dict[str, int] = {}
+        for p in paths:
+            vc = pq.read_table(p, columns=["file"]).column("file")
+            for ent in vc.value_counts().to_pylist():
+                out[ent["values"]] = (
+                    out.get(ent["values"], 0) + ent["counts"]
+                )
+        return out
     return {
         r["file"]: r["n"]
         for r in spark.read.schema(_DV_SCHEMA)

@@ -321,12 +321,43 @@ def _commit_with_marker(
         # commit lands ~32 near-empty files (see _advance_fact.stamped)
         .hint("rebalance")
     )
+    # every state/fact schema leads with its key (the invariant
+    # _compact_state also relies on): stats+bloom it on the creating
+    # commit so the per-batch tombstone scans below can SKIP state
+    # files that cannot hold the touched keys — without this, every
+    # scoped commit re-scans the whole accumulated state (O(state)
+    # per batch at scale, not O(batch))
+    key0 = schema.fields[0].name
     if scope_keys is None:
         # _WM_STATS on the creating commit: every later scoped commit
         # inherits them (replace_where defaults to the table's stats
         # cols), so _table_state reads the watermark from the manifest
         # instead of running a scan-agg job every micro-batch
-        S.commit(spark, out, path, mode="overwrite", stats_for=_WM_STATS)
+        S.commit(
+            spark, out, path, mode="overwrite",
+            stats_for=_WM_STATS + [key0], bloom_for=[key0],
+        )
+        return
+    # Literal-IN scope when the touched key set is small (the common
+    # micro-batch case): per-file key stats/blooms then prune the
+    # tombstone scan at planning time, where the keys-DataFrame form
+    # must scan every live state file. Falls back to the equi-join
+    # form past the cap, exactly like _advance_fact's mirror commits.
+    rem_keys = None
+    if key_cols is not None and len(key_cols) == 1:
+        rows = (
+            scope_keys.select(key_cols[0])
+            .distinct()
+            .limit(_REPLACE_KEY_CAP + 1)
+            .collect()
+        )
+        if len(rows) <= _REPLACE_KEY_CAP:
+            rem_keys = [r[0] for r in rows]
+    if rem_keys is not None:
+        S.replace_where_commit(
+            spark, out, path,
+            predicates=[(key_cols[0], "in", rem_keys)],
+        )
     else:
         S.replace_where_commit(
             spark, out, path, keys=scope_keys, key_cols=key_cols
@@ -872,24 +903,15 @@ def _advance_fact(
     skip, rebuild = _guard(batch_id, last, aid, app)
     if skip:
         return
-    # ONE action answers both per-batch questions (null-key guard +
-    # removal presence) — the per-job floor, not data volume, is what
-    # a micro-batch pays for here (r12 profile: each extra driver
-    # action on the cached batch is a full job round-trip)
-    shape = batch_df.agg(
-        F.count(F.when(F.col("k").isNull(), 1)).alias("nulls"),
-        F.count(
-            F.when(F.col("op").isin("D", "U"), 1)
-        ).alias("removals"),
-    ).first()
-    if shape["nulls"]:
-        bad = batch_df.filter(F.col("k").isNull()).take(1)
-        raise ValueError(
-            "fact-mirror maintenance: NULL key in change row "
-            f"{tuple(bad[0])!r} — the streaming state tables reserve "
-            "NULL keys for the watermark marker; NULL-keyed groups are "
-            "supported by the batch maintenance operators only"
-        )
+    # in-plan null-key guard (same contract as _null_guarded_key, and
+    # the same relaxation: rows no path consumes are ignored). This
+    # plus deriving removal presence from the rem_keys collect below
+    # replaces the former dedicated shape-agg action — one fewer full
+    # driver-job round-trip per micro-batch (r12/r14 profile: the
+    # per-job floor, not data volume, is what a micro-batch pays here)
+    batch_df = _null_guarded_key(
+        batch_df, "k", "fact-mirror maintenance"
+    )
     adds = batch_df.filter(F.col("op").isin("I", "U")).select(
         "k", F.col("new_val").alias("val")
     )
@@ -931,12 +953,10 @@ def _advance_fact(
             mode="overwrite", stats_for=_WM_STATS, bloom_for=["k"],
         )
         return
-    if not shape["removals"]:
-        S.commit(
-            spark, stamped(adds), fact_path,
-            mode="append", stats_for=_WM_STATS, bloom_for=["k"],
-        )
-        return
+    # ONE action answers removal presence AND yields the scope keys
+    # (empty list = pure-append batch); the in-plan null guard above
+    # fires here for NULL-keyed D/U rows, in the append write for
+    # NULL-keyed I rows — always before any manifest publish
     rem_keys = [
         r["k"]
         for r in rems.select("k")
@@ -944,6 +964,12 @@ def _advance_fact(
         .limit(_REPLACE_KEY_CAP + 1)
         .collect()
     ]
+    if not rem_keys:
+        S.commit(
+            spark, stamped(adds), fact_path,
+            mode="append", stats_for=_WM_STATS, bloom_for=["k"],
+        )
+        return
     if len(rem_keys) <= _REPLACE_KEY_CAP:
         # literal IN-list scope: the tombstone scan inside
         # replace_where_commit prunes files via per-file k-blooms/stats
@@ -953,7 +979,9 @@ def _advance_fact(
             .filter(F.col("k").isNotNull())
             .select("k", "val")
         )
-        touched = F.col("k").isin(rem_keys)
+        # one parsed IN expression (operators/util.in_list): isin would
+        # pay a py4j round-trip per key, ~0.4 s per use at the key cap
+        touched = U.in_list("k", rem_keys)
         pool = slice_old.unionByName(adds.filter(touched))
         replacement = pair_subtract(pool, rems).unionByName(
             adds.filter(~touched)
