@@ -296,6 +296,7 @@ def _commit_with_marker(
     spark, df, path, batch_id, app, marker_row, schema,
     scope_keys: DataFrame | None = None,
     key_cols: list[str] | None = None,
+    scope_key_list: list | None = None,
 ):
     """Publish one batch's state advance atomically with its watermark
     marker. Without ``scope_keys`` the FULL state overwrites the table
@@ -328,7 +329,7 @@ def _commit_with_marker(
     # scoped commit re-scans the whole accumulated state (O(state)
     # per batch at scale, not O(batch))
     key0 = schema.fields[0].name
-    if scope_keys is None:
+    if scope_keys is None and scope_key_list is None:
         # _WM_STATS on the creating commit: every later scoped commit
         # inherits them (replace_where defaults to the table's stats
         # cols), so _table_state reads the watermark from the manifest
@@ -341,10 +342,17 @@ def _commit_with_marker(
     # Literal-IN scope when the touched key set is small (the common
     # micro-batch case): per-file key stats/blooms then prune the
     # tombstone scan at planning time, where the keys-DataFrame form
-    # must scan every live state file. Falls back to the equi-join
-    # form past the cap, exactly like _advance_fact's mirror commits.
-    rem_keys = None
-    if key_cols is not None and len(key_cols) == 1:
+    # must scan every live state file. ``scope_key_list`` is the
+    # already-collected key set (one driver action per batch, shared
+    # with the slice read — see _scoped_slice); the DataFrame form
+    # collects here. Falls back to the equi-join form past the cap,
+    # exactly like _advance_fact's mirror commits.
+    rem_keys = scope_key_list
+    if (
+        rem_keys is None
+        and key_cols is not None
+        and len(key_cols) == 1
+    ):
         rows = (
             scope_keys.select(key_cols[0])
             .distinct()
@@ -362,6 +370,100 @@ def _commit_with_marker(
         S.replace_where_commit(
             spark, out, path, keys=scope_keys, key_cols=key_cols
         )
+
+
+def _scoped_slice(
+    spark: SparkSession,
+    state: DataFrame,
+    state_path: str,
+    cols: list[str],
+    touched: DataFrame,
+    key_col: str,
+):
+    """(slice, key_list, collected_rows) for an O(batch) state advance
+    — ONE driver action per micro-batch where the previous shape paid
+    two (the semi-join build plus ``_commit_with_marker``'s scope
+    collect). ``collected_rows`` are the raw ``touched`` rows so a
+    caller that put extra aggregates on the frame (per-key counts,
+    removal flags) reuses the same action for them; ``key_list`` is
+    None past the cap (caller falls back to the DataFrame scope).
+
+    Within ``_REPLACE_KEY_CAP`` the touched key set is collected once
+    and reused twice: the state slice becomes a predicate-pruned
+    ``read_where`` scan — per-file key stats/blooms skip state files at
+    PLANNING time, so the slice read touches O(batch) files instead of
+    scanning every live state file through a shuffle/broadcast
+    semi-join — and the same list feeds the scoped commit as a literal
+    IN predicate (``scope_key_list``). Past the cap: the semi-join
+    slice and a ``(None)`` key list, telling the caller to fall back to
+    the keys-DataFrame commit scope.
+
+    NULL keys never appear in ``touched`` (callers derive it from
+    null-guarded batch keys or from delta frames that group by the
+    key), and the IN predicate could not match them anyway (SQL
+    equality), so marker rows stay outside every scope."""
+    rows = touched.limit(_REPLACE_KEY_CAP + 1).collect()
+    if len(rows) <= _REPLACE_KEY_CAP:
+        keys = [r[0] for r in rows]
+        sl = (
+            S.read_where(spark, state_path, [(key_col, "in", keys)])
+            .filter(F.col(key_col).isNotNull())
+            .select(*cols)
+        )
+        return sl, keys, rows
+    return state.join(touched, [key_col], "left_semi"), None, rows
+
+
+def _batch_key_profile(batch_df: DataFrame):
+    """(keys, rem_keys) of one cached change batch in ONE driver
+    action: the batch's distinct key set and its removal-carrying
+    subset (op ∈ D,U) — the two lists the mirror+state advance used to
+    pay separate collects for. Both are None past ``_REPLACE_KEY_CAP``
+    (callers fall back to DataFrame scopes / internal collects). The
+    groupBy consumes every row's key, so the in-plan NULL-key guard
+    fires at this first action — before any commit work — which is the
+    documented twin contract (NULL-keyed change rows raise, they never
+    vanish)."""
+    guarded = _null_guarded_key(batch_df, "k", "stream maintenance")
+    rows = (
+        guarded.groupBy("k")
+        .agg(
+            F.max(F.col("op").isin("D", "U").cast("int")).alias("_rem")
+        )
+        .limit(_REPLACE_KEY_CAP + 1)
+        .collect()
+    )
+    if len(rows) > _REPLACE_KEY_CAP:
+        return None, None
+    return (
+        [r["k"] for r in rows],
+        [r["k"] for r in rows if r["_rem"]],
+    )
+
+
+def _keyed_state_slice(
+    spark: SparkSession,
+    state: DataFrame,
+    state_path: str,
+    cols: list[str],
+    keys: list | None,
+    batch_df: DataFrame,
+) -> DataFrame:
+    """State slice for the batch's touched keys: a predicate-pruned
+    ``read_where`` scan when the collected key list fits the cap
+    (per-file key stats/blooms skip untouched state files at planning
+    time — O(batch) files read, no shuffle), else the semi-join over
+    the batch's distinct keys (O(state) scan, batch-sized build side,
+    the pre-r14 shape)."""
+    if keys is None:
+        return state.join(
+            batch_df.select("k").distinct(), ["k"], "left_semi"
+        )
+    return (
+        S.read_where(spark, state_path, [("k", "in", keys)])
+        .filter(F.col("k").isNotNull())
+        .select(*cols)
+    )
 
 
 def _compact_state(spark: SparkSession, path: str) -> None:
@@ -453,9 +555,9 @@ def stream_agg_maintenance(
         skip, rebuild = _guard(batch_id, last, stored_app, app)
         if skip:
             return
-        n_changes = batch_df.count()
         if last is None or rebuild:
             # table creation / derivation rebuild: full state, once
+            n_changes = batch_df.count()
             full = state.limit(0)
             if n_changes:
                 full = INC.apply_agg_deltas(
@@ -467,9 +569,22 @@ def stream_agg_maintenance(
             )
         else:
             # O(batch): only the batch's groups change — replace their
-            # slice, carry every other group's files by reference
-            touched = batch_df.select("k").distinct()
-            slice_ = state.join(touched, ["k"], "left_semi")
+            # slice, carry every other group's files by reference. ONE
+            # profile action yields the touched keys (slice pruning +
+            # commit scope, see _scoped_slice) AND the change count
+            # that used to be its own count() job.
+            touched = batch_df.groupBy("k").agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+            slice_, key_list, rows = _scoped_slice(
+                spark, state, table_path,
+                ["k", "cnt", "sum_scaled"], touched, "k",
+            )
+            n_changes = (
+                sum(r["_n"] for r in rows)
+                if key_list is not None
+                else batch_df.count()
+            )
             if n_changes:
                 slice_ = INC.apply_agg_deltas(
                     slice_, INC.agg_deltas(batch_df, ["k"]), ["k"]
@@ -478,6 +593,7 @@ def stream_agg_maintenance(
                 spark, slice_, table_path, batch_id, app,
                 (None, 0, 0, batch_id, app), _STATE_SCHEMA,
                 scope_keys=touched, key_cols=["k"],
+                scope_key_list=key_list,
             )
         if compact_every and (batch_id + 1) % compact_every == 0:
             _compact_state(spark, table_path)
@@ -669,9 +785,13 @@ def stream_join_view_maintenance(
             else:
                 # O(batch): only the DU keys' rows change
                 du_keys = du.select("dim_key").distinct()
-                dim_slice = dim.join(
-                    du_keys, ["dim_key"], "left_semi"
-                ).join(upd, "dim_key", "full_outer").select(
+                dim_cur, dk_list, _ = _scoped_slice(
+                    spark, dim, dim_path, ["dim_key", "attr"],
+                    du_keys, "dim_key",
+                )
+                dim_slice = dim_cur.join(
+                    upd, "dim_key", "full_outer"
+                ).select(
                     "dim_key",
                     F.coalesce(F.col("_new"), F.col("attr")).alias(
                         "attr"
@@ -681,6 +801,7 @@ def stream_join_view_maintenance(
                     spark, dim_slice, dim_path, batch_id, app,
                     (None, None, batch_id, app), _DIM_SCHEMA,
                     scope_keys=du_keys, key_cols=["dim_key"],
+                    scope_key_list=dk_list,
                 )
 
         view, view_last, view_app = _table_state(
@@ -731,15 +852,32 @@ def stream_join_view_maintenance(
                     )
                     .distinct()
                 )
+                # ONE collect serves both the slice predicate and the
+                # commit scope (``view`` keeps the _table_state frame —
+                # its legacy ``_matched`` default must survive, so the
+                # slice filters in-plan rather than via read_where)
+                aff_rows = affected.limit(
+                    _REPLACE_KEY_CAP + 1
+                ).collect()
+                if len(aff_rows) <= _REPLACE_KEY_CAP:
+                    aff_keys = [r[0] for r in aff_rows]
+                    view_slice = view.filter(
+                        U.in_list("fact_key", aff_keys)
+                    )
+                else:
+                    aff_keys = None
+                    view_slice = view.join(
+                        affected, ["fact_key"], "left_semi"
+                    )
                 out = INC.maintain_join_view(
-                    view.join(affected, ["fact_key"], "left_semi"),
-                    **mjv,
+                    view_slice, **mjv,
                 ).select(*view_cols)
                 _commit_with_marker(
                     spark, out, view_path, batch_id, app,
                     (None, None, None, None, None, batch_id, app),
                     _VIEW_SCHEMA,
                     scope_keys=affected, key_cols=["fact_key"],
+                    scope_key_list=aff_keys,
                 )
         if compact_every and (batch_id + 1) % compact_every == 0:
             _compact_state(spark, dim_path)
@@ -873,6 +1011,7 @@ def _advance_fact(
     batch_id: int,
     app: str,
     report: dict | None = None,
+    rem_keys: list | None = None,
 ) -> None:
     """Advance the fact mirror by one change batch (idempotent via the
     table watermark), in O(batch) — never a full-mirror shuffle or
@@ -956,14 +1095,18 @@ def _advance_fact(
     # ONE action answers removal presence AND yields the scope keys
     # (empty list = pure-append batch); the in-plan null guard above
     # fires here for NULL-keyed D/U rows, in the append write for
-    # NULL-keyed I rows — always before any manifest publish
-    rem_keys = [
-        r["k"]
-        for r in rems.select("k")
-        .distinct()
-        .limit(_REPLACE_KEY_CAP + 1)
-        .collect()
-    ]
+    # NULL-keyed I rows — always before any manifest publish. Callers
+    # that already profiled the batch (_batch_key_profile: one shared
+    # action for mirror AND state scopes) pass ``rem_keys`` in and
+    # skip this collect; None means unprofiled or past the cap.
+    if rem_keys is None:
+        rem_keys = [
+            r["k"]
+            for r in rems.select("k")
+            .distinct()
+            .limit(_REPLACE_KEY_CAP + 1)
+            .collect()
+        ]
     if not rem_keys:
         S.commit(
             spark, stamped(adds), fact_path,
@@ -1033,7 +1176,11 @@ def stream_minmax_maintenance(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
         try:
-            _advance_fact(spark, batch_df, fact_path, batch_id, app)
+            keys, rem_keys = _batch_key_profile(batch_df)
+            _advance_fact(
+                spark, batch_df, fact_path, batch_id, app,
+                rem_keys=rem_keys,
+            )
             state, last, aid = _table_state(
                 spark, state_path, _MINMAX_SCHEMA,
                 ["k", "min_scaled", "max_scaled"],
@@ -1058,16 +1205,22 @@ def stream_minmax_maintenance(
                 )
             else:
                 # O(batch) state commit: only the batch's groups can
-                # change; maintain their slice and replace it scoped
-                touched = batch_df.select("k").distinct()
+                # change; maintain their slice (a stats/bloom-pruned
+                # read_where scan when the key set fits the cap, the
+                # semi-join past it) and replace it scoped
+                slice_ = _keyed_state_slice(
+                    spark, state, state_path,
+                    ["k", "min_scaled", "max_scaled"], keys, batch_df,
+                )
                 nxt = INC.maintain_min_max(
-                    state.join(touched, ["k"], "left_semi"),
-                    batch_df, fact_now, ["k"], "val", scale=scale,
+                    slice_, batch_df, fact_now, ["k"], "val",
+                    scale=scale,
                 )
                 _commit_with_marker(
                     spark, nxt, state_path, batch_id, app,
                     (None, None, None, batch_id, app), _MINMAX_SCHEMA,
-                    scope_keys=touched, key_cols=["k"],
+                    scope_keys=batch_df.select("k").distinct(),
+                    key_cols=["k"], scope_key_list=keys,
                 )
             if compact_every and (batch_id + 1) % compact_every == 0:
                 _compact_state(spark, fact_path)
@@ -1110,7 +1263,11 @@ def stream_topk_maintenance(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
         try:
-            _advance_fact(spark, batch_df, fact_path, batch_id, app)
+            keys, rem_keys = _batch_key_profile(batch_df)
+            _advance_fact(
+                spark, batch_df, fact_path, batch_id, app,
+                rem_keys=rem_keys,
+            )
             state, last, aid = _table_state(
                 spark, state_path, _TOPK_SCHEMA,
                 ["k", "val_scaled", "incomplete"],
@@ -1128,16 +1285,19 @@ def stream_topk_maintenance(
                     (None, None, None, batch_id, app), _TOPK_SCHEMA,
                 )
             else:
-                touched = batch_df.select("k").distinct()
+                slice_ = _keyed_state_slice(
+                    spark, state, state_path,
+                    ["k", "val_scaled", "incomplete"], keys, batch_df,
+                )
                 nxt = INC.maintain_topk(
-                    state.join(touched, ["k"], "left_semi"),
-                    batch_df, fact_now, ["k"], "val",
+                    slice_, batch_df, fact_now, ["k"], "val",
                     k, buffer, scale=scale,
                 )
                 _commit_with_marker(
                     spark, nxt, state_path, batch_id, app,
                     (None, None, None, batch_id, app), _TOPK_SCHEMA,
-                    scope_keys=touched, key_cols=["k"],
+                    scope_keys=batch_df.select("k").distinct(),
+                    key_cols=["k"], scope_key_list=keys,
                 )
             if compact_every and (batch_id + 1) % compact_every == 0:
                 _compact_state(spark, fact_path)
@@ -1242,14 +1402,15 @@ def stream_kmv_maintenance(
         else:
             # O(batch): only the batch's groups' sketches move
             touched = batch_df.select("k").distinct()
-            nxt = SK.kmv_merge(
-                state.join(touched, ["k"], "left_semi"),
-                batch_sketch, ["k"], k=kmv_k,
+            slice_, key_list, _ = _scoped_slice(
+                spark, state, state_path, ["k", "h"], touched, "k",
             )
+            nxt = SK.kmv_merge(slice_, batch_sketch, ["k"], k=kmv_k)
             _commit_with_marker(
                 spark, nxt, state_path, batch_id, app,
                 (None, None, batch_id, app), _KMV_STATE_SCHEMA,
                 scope_keys=touched, key_cols=["k"],
+                scope_key_list=key_list,
             )
         if compact_every and (batch_id + 1) % compact_every == 0:
             _compact_state(spark, state_path)
@@ -1342,13 +1503,16 @@ def stream_hist_maintenance(
             # group whose batch rows all carried NULL images produces
             # no delta and stays out of scope)
             touched = deltas.select("k").distinct()
-            nxt = SK.hist_merge(
-                state.join(touched, ["k"], "left_semi"), deltas, ["k"]
+            slice_, key_list, _ = _scoped_slice(
+                spark, state, state_path,
+                ["k", "bin", "cnt"], touched, "k",
             )
+            nxt = SK.hist_merge(slice_, deltas, ["k"])
             _commit_with_marker(
                 spark, nxt, state_path, batch_id, app,
                 (None, None, None, batch_id, app), _HIST_STATE_SCHEMA,
                 scope_keys=touched, key_cols=["k"],
+                scope_key_list=key_list,
             )
         if compact_every and (batch_id + 1) % compact_every == 0:
             _compact_state(spark, state_path)
@@ -1443,13 +1607,16 @@ def stream_cm_maintenance(
         else:
             # O(batch): replace only the groups with counter deltas
             touched = deltas.select("k").distinct()
-            nxt = SK.cm_merge(
-                state.join(touched, ["k"], "left_semi"), deltas, ["k"]
+            slice_, key_list, _ = _scoped_slice(
+                spark, state, state_path,
+                ["k", "row", "bucket", "cnt"], touched, "k",
             )
+            nxt = SK.cm_merge(slice_, deltas, ["k"])
             _commit_with_marker(
                 spark, nxt, state_path, batch_id, app,
                 (None, None, None, None, batch_id, app), _CM_STATE_SCHEMA,
                 scope_keys=touched, key_cols=["k"],
+                scope_key_list=key_list,
             )
         if compact_every and (batch_id + 1) % compact_every == 0:
             _compact_state(spark, state_path)
@@ -1552,13 +1719,16 @@ def stream_hll_maintenance(
         else:
             # O(batch): only the batch's groups' registers move
             touched = batch_df.select("k").distinct()
-            nxt = SK.hll_merge(
-                state.join(touched, ["k"], "left_semi"), batch_sketch, ["k"]
+            slice_, key_list, _ = _scoped_slice(
+                spark, state, state_path,
+                ["k", "reg", "m"], touched, "k",
             )
+            nxt = SK.hll_merge(slice_, batch_sketch, ["k"])
             _commit_with_marker(
                 spark, nxt, state_path, batch_id, app,
                 (None, None, None, batch_id, app), _HLL_STATE_SCHEMA,
                 scope_keys=touched, key_cols=["k"],
+                scope_key_list=key_list,
             )
         if compact_every and (batch_id + 1) % compact_every == 0:
             _compact_state(spark, state_path)
@@ -1659,11 +1829,14 @@ def stream_ewma_maintenance(
         if skip:
             return
         if last is None or rebuild:
-            seed = state.limit(0)
+            touched, key_list = None, None
+            seed_touched = state.limit(0)
         else:
-            seed = state
-        touched = batch_df.select("k").distinct()
-        seed_touched = seed.join(touched, ["k"], "left_semi")
+            touched = batch_df.select("k").distinct()
+            seed_touched, key_list, _ = _scoped_slice(
+                spark, state, state_path, ["k", "t", "ewma"],
+                touched, "k",
+            )
         union = batch_df.select(
             "k", "t", F.col("x").alias("v"), F.lit(0).alias("_seed")
         ).unionByName(
@@ -1720,8 +1893,8 @@ def stream_ewma_maintenance(
         _commit_with_marker(
             spark, nxt, state_path, batch_id, app,
             (None, None, None, batch_id, app), _EWMA_STATE_SCHEMA,
-            scope_keys=None if (last is None or rebuild) else touched,
-            key_cols=["k"],
+            scope_keys=touched, key_cols=["k"],
+            scope_key_list=key_list,
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
             _compact_state(spark, state_path)
