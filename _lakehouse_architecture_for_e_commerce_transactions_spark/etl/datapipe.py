@@ -110,11 +110,15 @@ def run_curation_job(
     # near-dup resolution on the exact-deduped survivors only (identical
     # content is already collapsed, so LSH buckets stay small). LSH
     # candidates are verified with exact Jaccard before clustering —
-    # band collisions must not delete unique documents. The shingle
-    # index is built once and cached: both the signature aggregation and
-    # the Jaccard verification consume it, and uncached each would
-    # re-explode the corpus text (the dominant pass at scale).
-    idx = TD.shingle_index(survivors, "doc_id", "text", n=shingle_n).persist()
+    # band collisions must not delete unique documents. The per-doc
+    # shingle ARRAY frame is built once and cached (r14: the unexploded
+    # substrate — signatures and verification sets are per-row array
+    # reductions over it, no explode/groupBy passes; see
+    # operators/textdedup.shingle_arrays), and uncached each consumer
+    # would re-tokenize the corpus text (the dominant pass at scale).
+    idx = TD.shingle_arrays(
+        survivors, "doc_id", "text", n=shingle_n
+    ).persist()
     pairs = TD.minhash_dedup_verified(
         survivors,
         "doc_id",
@@ -122,7 +126,7 @@ def run_curation_job(
         n=shingle_n,
         k=minhash_k,
         threshold=jaccard_min,
-        index=idx,
+        arrays=idx,
     ).select("doc1", "doc2")
     # cache the (small, dup-sized) id frame: it feeds both the stat count
     # and the anti-join, and uncached each use re-runs the LSH self-join
@@ -134,8 +138,9 @@ def run_curation_job(
         .cache()
     )
     n_near = near_drop.count()  # materializes the LSH + component chain
-    # the cached shingle index can feed decontamination too when the
-    # n-gram orders line up — one fewer full corpus explode
+    # the cached shingle arrays can feed decontamination too when the
+    # n-gram orders line up — one fewer full corpus tokenize pass (the
+    # exploded view below is derived per-row from the CACHED arrays)
     share_index = (
         eval_docs is not None and contamination_ngram == shingle_n
     )
@@ -150,7 +155,7 @@ def run_curation_job(
             deduped,
             eval_docs,
             n=contamination_ngram,
-            index=idx if share_index else None,
+            arrays=idx if share_index else None,
         )
         dirty = (
             ratios.filter(F.col("contamination") > contamination_max)

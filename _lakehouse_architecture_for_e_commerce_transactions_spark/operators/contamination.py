@@ -32,6 +32,7 @@ def contamination_ratios(
     text_col: str = "text",
     n: int = 13,
     index: DataFrame | None = None,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Per-training-document contamination: ``(id_col, n_grams, n_hits,
     contamination)`` where contamination = |distinct n-grams ∩ eval
@@ -40,13 +41,17 @@ def contamination_ratios(
     ``eval_docs`` must be the bounded benchmark side — its distinct
     n-gram set is broadcast.
 
-    ``index`` supplies a prebuilt (doc, shingle) distinct-n-gram frame —
-    ONLY valid when its n-gram order equals ``n``. A curation pipeline
-    that already built (and cached) the MinHash shingle index passes it
-    here so decontamination skips its own corpus explode — one fewer
-    full text pass, which is a whole scan saved at 100 TB. The index
-    may cover a superset of ``train``; it is semi-joined down, and docs
-    with zero n-grams still get their (0, 0, 0.0) row.
+    ``index`` supplies a prebuilt (doc, shingle) distinct-n-gram frame,
+    ``arrays`` a prebuilt (doc, sh) per-doc distinct-array frame
+    (``textdedup.shingle_arrays``) — each ONLY valid when its n-gram
+    order equals ``n``. A curation pipeline that already built (and
+    cached) the MinHash substrate passes it here so decontamination
+    skips its own corpus tokenize — one fewer full text pass, which is
+    a whole scan saved at 100 TB. Either may cover a superset of
+    ``train``; it is semi-joined down, and docs with zero n-grams still
+    get their (0, 0, 0.0) row. With ``arrays`` the per-doc totals are
+    ``size(sh)`` per row — the totals aggregation exchange of the
+    exploded-index form disappears (r14, guide §2.4).
     """
     ev = (
         eval_docs.select(
@@ -54,7 +59,28 @@ def contamination_ratios(
         )
         .distinct()
     )
-    if index is not None:
+    if arrays is not None:
+        arr = arrays.select(
+            F.col("doc").alias(id_col), F.col("sh")
+        ).join(train.select(id_col), id_col, "left_semi")
+        totals = (
+            train.select(id_col)
+            .join(
+                arr.select(
+                    id_col, F.size("sh").cast("long").alias("n_grams")
+                ),
+                id_col,
+                "left",
+            )
+            .na.fill({"n_grams": 0})
+        )
+        hits = (
+            arr.select(id_col, F.explode("sh").alias("ngram"))
+            .join(F.broadcast(ev), "ngram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+    elif index is not None:
         idx = index.select(
             F.col("doc").alias(id_col), F.col("shingle").alias("ngram")
         ).join(train.select(id_col), id_col, "left_semi")
@@ -74,38 +100,23 @@ def contamination_ratios(
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_hits"))
         )
-        return (
-            totals.join(hits, id_col, "left")
-            .na.fill({"n_hits": 0})
-            .select(
-                id_col,
-                F.col("n_grams").cast("long").alias("n_grams"),
-                F.col("n_hits").cast("long").alias("n_hits"),
-                F.round(
-                    F.when(
-                        F.col("n_grams") > 0,
-                        F.col("n_hits") / F.col("n_grams"),
-                    ).otherwise(0.0),
-                    6,
-                ).alias("contamination"),
-            )
+    else:
+        base = train.select(
+            F.col(id_col), T.shingles(F.col(text_col), n).alias("_grams")
         )
-    base = train.select(
-        F.col(id_col), T.shingles(F.col(text_col), n).alias("_grams")
-    )
-    # totals are per-row (no shuffle); only (doc_id, count) partials from
-    # the hit count ever shuffle
-    totals = base.select(
-        F.col(id_col), F.size("_grams").cast("long").alias("n_grams")
-    )
-    # inner join marks hits; shingles are distinct per doc, so counting
-    # matched rows counts matched distinct n-grams
-    hits = (
-        base.select(F.col(id_col), F.explode("_grams").alias("ngram"))
-        .join(F.broadcast(ev), "ngram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
+        # totals are per-row (no shuffle); only (doc_id, count) partials
+        # from the hit count ever shuffle
+        totals = base.select(
+            F.col(id_col), F.size("_grams").cast("long").alias("n_grams")
+        )
+        # inner join marks hits; shingles are distinct per doc, so
+        # counting matched rows counts matched distinct n-grams
+        hits = (
+            base.select(F.col(id_col), F.explode("_grams").alias("ngram"))
+            .join(F.broadcast(ev), "ngram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
     return (
         totals.join(hits, id_col, "left")
         .na.fill({"n_hits": 0})

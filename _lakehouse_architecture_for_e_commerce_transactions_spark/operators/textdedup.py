@@ -48,6 +48,36 @@ def exact_dedup(
     )
 
 
+def shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, sh) — per-doc DISTINCT word-n-gram array, the unexploded twin
+    of ``shingle_index`` (``T.shingles`` already dedups within a doc).
+
+    Docs with no shingles (shorter than ``n`` tokens, or NULL text) are
+    dropped, exactly as ``explode`` drops them from the index form, so
+    every aggregate derived from either representation agrees row-for-row.
+
+    This is the shuffle-free substrate for MinHash (r14, guide §2.4):
+    a min-hash signature is a per-doc reduction, so computing it as
+    ``array_min(transform(sh, …))`` in the row's own projection removes
+    BOTH the explode (corpus × shingles row expansion through the hash
+    stage) and the groupBy exchange the exploded form needs — and the
+    exact-Jaccard verification set is just ``sort_array(sh)``, removing a
+    second explode + groupBy(collect_set) pass. The input is spread
+    across the cluster first: the per-row work (tokenize + k hashes per
+    shingle) is the dominant cost and must not run on 1-2 input splits.
+    """
+    return (
+        spread(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            T.shingles(F.col(text_col), n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
+
+
 def shingle_index(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
@@ -56,9 +86,49 @@ def shingle_index(
     The input is spread across the cluster first: the explode multiplies
     row count by ~tokens-per-doc, which must not run on 1-2 input splits.
     """
-    return spread(df).select(
-        F.col(id_col).alias("doc"),
-        F.explode(T.shingles(F.col(text_col), n)).alias("shingle"),
+    return shingle_arrays(df, id_col, text_col, n).select(
+        "doc", F.explode("sh").alias("shingle")
+    )
+
+
+def _sig_from_arrays(arrays: DataFrame, k: int) -> DataFrame:
+    """(doc, mh0..mh{k-1}) from per-doc shingle ARRAYS — no explode, no
+    exchange: each signature slot is ``array_min`` over a per-element
+    transform, evaluated in the row's own projection.
+
+    Value-identical to ``groupBy(doc).agg(*H.minhash_aggs(...))`` over the
+    exploded index: the min of the same hash multiset (duplicates cannot
+    change a min), string comparison is the same binary ordering in both
+    forms, and docs with empty shingle sets are absent from both. Cheaper
+    than the aggregate form even per-element: the salted digests are
+    materialized ONCE per shingle into ``k/4``-wide digest arrays and the
+    k chunk-mins slice them, where the aggregate form re-hashes the
+    shingle for every one of the k aggregate expressions (4× fewer md5
+    calls at k=8)."""
+    per_digest = 32 // H.CHUNK_HEX
+    n_digests = (k + per_digest - 1) // per_digest
+
+    # closure factories, NOT default-arg lambdas: F.transform passes the
+    # array INDEX as the second argument to any two-parameter lambda, so
+    # `lambda s, _d=d: ...` would silently receive the index as `_d`
+    def _digest(d: int):
+        return F.transform(F.col("sh"), lambda s: H.salted_md5(s, d))
+
+    def _chunk_min(i: int):
+        return F.array_min(
+            F.transform(
+                F.col(f"_dig{i // per_digest}"),
+                lambda x: F.substring(
+                    x, (i % per_digest) * H.CHUNK_HEX + 1, H.CHUNK_HEX
+                ),
+            )
+        )
+
+    base = arrays.select(
+        "doc", *[_digest(d).alias(f"_dig{d}") for d in range(n_digests)]
+    )
+    return base.select(
+        "doc", *[_chunk_min(i).alias(f"mh{i}") for i in range(k)]
     )
 
 
@@ -124,19 +194,23 @@ def minhash_signatures(
     n: int = 3,
     k: int = 8,
     index: DataFrame | None = None,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc, mh0..mh{k-1}) — one shuffle (groupBy doc) over the shingle
-    index; signatures are 32-char hex strings (lexicographic min-hash).
+    """(doc, mh0..mh{k-1}) — signatures are 32-char hex-chunk strings
+    (lexicographic min-hash).
 
-    ``index`` supplies a prebuilt (doc, shingle) frame — pass a cached
-    one when several stages (signatures + verification) consume the same
-    index, so the text-explode pass runs once, not per stage."""
-    idx = (
-        index
-        if index is not None
-        else shingle_index(df, id_col, text_col, n)
-    )
-    return idx.groupBy("doc").agg(*H.minhash_aggs("shingle", k))
+    Default path (r14): per-row ``array_min`` over the per-doc shingle
+    ARRAY — zero exchanges, no explode (see ``_sig_from_arrays`` for the
+    value-identity argument vs the exploded aggregate). ``arrays``
+    supplies a prebuilt/cached (doc, sh) frame (``shingle_arrays``) when
+    several stages share the tokenization pass. ``index`` supplies a
+    prebuilt EXPLODED (doc, shingle) frame — kept for callers that
+    already hold one; it uses the legacy groupBy aggregation."""
+    if index is not None:
+        return index.groupBy("doc").agg(*H.minhash_aggs("shingle", k))
+    if arrays is None:
+        arrays = shingle_arrays(df, id_col, text_col, n)
+    return _sig_from_arrays(arrays, k)
 
 
 def melted_band_keys(
@@ -147,10 +221,13 @@ def melted_band_keys(
     k: int = 8,
     rows_per_band: int = 2,
     index: DataFrame | None = None,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, band_id, bkey) LSH band rows — the storable/joinable index
     form of a MinHash signature (k/rows_per_band rows per document)."""
-    sig = minhash_signatures(df, id_col, text_col, n, k, index=index)
+    sig = minhash_signatures(
+        df, id_col, text_col, n, k, index=index, arrays=arrays
+    )
     bands = sig.select(F.col("doc"), *H.band_keys(k, rows_per_band))
     n_bands = k // rows_per_band
     stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
@@ -167,20 +244,33 @@ def minhash_lsh_pairs(
     k: int = 8,
     rows_per_band: int = 2,
     index: DataFrame | None = None,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band (doc1 < doc2).
 
-    Plan: shingle index → k min-hash aggs → band keys → *melt* the bands to
+    Plan: per-doc shingle arrays → k per-row min-hashes (zero exchanges,
+    see ``_sig_from_arrays``) → band keys → *melt* the bands to
     (doc, band_id, key) rows → one self-equi-join on (band_id, key) →
     distinct pairs. Melting instead of a per-band join loop matters twice:
-    the signature aggregation runs once (identical-plan sides hit Spark's
+    the signature computation runs once (identical-plan sides hit Spark's
     ReuseExchange) instead of once per band per side, and bucket fan-out is
     bounded per band key, so cost is Σ bucket² — the point of LSH vs the
     quadratic join.
     """
     melted = melted_band_keys(
-        df, id_col, text_col, n, k, rows_per_band, index=index
+        df, id_col, text_col, n, k, rows_per_band, index=index,
+        arrays=arrays,
     )
+    if index is None:
+        # The per-row signature pipeline has NO exchange of its own, so
+        # the self-join's two sides would each recompute tokenize+hash
+        # (ReuseExchange shares subtrees only at exchange boundaries).
+        # One narrow shuffle of the melted rows (4 per doc) on the join
+        # key IS that boundary: upstream runs once, and the join reads
+        # both sides from the same shuffle output (r14 A/B: restores
+        # the shared-computation property the old groupBy exchange
+        # provided, at 4× fewer md5 calls per shingle).
+        melted = melted.repartition("band_id", "bkey")
     a = melted.select(
         F.col("doc").alias("doc1"), F.col("band_id"), F.col("bkey")
     )
@@ -203,6 +293,7 @@ def minhash_lsh_pairs_fast(
     k: int = 8,
     rows_per_band: int = 2,
     index: DataFrame | None = None,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """xxhash64 twin of ``minhash_lsh_pairs``: same plan shape, ~3× less
     hashing cost (one JVM intrinsic vs an md5 digest + hex string per salt).
@@ -212,17 +303,28 @@ def minhash_lsh_pairs_fast(
     families). Use this at scale; use the md5 variant when results must be
     reproducible by other engines (xxhash64 seeds are Spark-specific).
     """
-    idx = (
-        index
-        if index is not None
-        else shingle_index(df, id_col, text_col, n)
-    )
-    sig = idx.groupBy("doc").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
-            for i in range(k)
-        ]
-    )
+    if index is not None:
+        sig = index.groupBy("doc").agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+                for i in range(k)
+            ]
+        )
+    else:
+        # per-row long-min over the shingle array: the same hash multiset
+        # min (duplicates cannot change it; both forms drop shingle-less
+        # docs), with no explode and no exchange — see _sig_from_arrays
+        if arrays is None:
+            arrays = shingle_arrays(df, id_col, text_col, n)
+
+        def _mh(i: int):  # closure factory: see _sig_from_arrays note
+            return F.array_min(
+                F.transform(F.col("sh"), lambda s: F.xxhash64(F.lit(i), s))
+            )
+
+        sig = arrays.select(
+            "doc", *[_mh(i).alias(f"mh{i}") for i in range(k)]
+        )
     n_bands = k // rows_per_band
     band_cols = [
         F.xxhash64(
@@ -235,6 +337,10 @@ def minhash_lsh_pairs_fast(
     melted = bands.select(
         "doc", F.expr(f"stack({n_bands}, {stack_args}) AS (band_id, bkey)")
     )
+    if index is None:
+        # shared-exchange point for the self-join — see the identical
+        # note in minhash_lsh_pairs
+        melted = melted.repartition("band_id", "bkey")
     a = melted.select(F.col("doc").alias("doc1"), "band_id", "bkey")
     c = melted.select(F.col("doc").alias("doc2"), "band_id", "bkey")
     return (
@@ -255,6 +361,7 @@ def minhash_dedup_verified(
     threshold: float = 0.5,
     fast: bool = False,
     index: DataFrame | None = None,
+    arrays: DataFrame | None = None,
     verify_filter_threshold: int = 100_000,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (the standard two-phase
@@ -269,22 +376,33 @@ def minhash_dedup_verified(
     path's exact-duplicate output cross-engine verifiable even though
     xxhash64 itself is Spark-specific.
 
-    ``index`` supplies a prebuilt (doc, shingle) frame shared by the
-    candidate and verification stages; pass a CACHED one (the curation
-    job does) so the corpus text-explode runs once instead of twice —
-    at 100 TB the index pass dominates, so halving it matters."""
-    idx = (
-        index
-        if index is not None
-        else shingle_index(df, id_col, text_col, n)
-    )
+    Default substrate (r14): ONE per-doc shingle-ARRAY pass
+    (``shingle_arrays``, lazily checkpointed) feeds both stages —
+    signatures are per-row ``array_min`` reductions and the verification
+    set is ``sort_array(sh)``, so the tokenize pass runs once and the
+    explode + two groupBy exchanges of the index form disappear
+    (guide §2.4). ``arrays`` supplies a prebuilt (doc, sh) frame — pass
+    a CACHED one (the curation job does) when other stages share the
+    tokenization. ``index`` supplies a prebuilt EXPLODED (doc, shingle)
+    frame instead and keeps the legacy aggregate verification shape."""
+    base = None
+    if index is None:
+        base = (
+            arrays
+            if arrays is not None
+            else shingle_arrays(df, id_col, text_col, n).localCheckpoint(
+                eager=False
+            )
+        )
     if fast:
         cand = minhash_lsh_pairs_fast(
-            df, id_col, text_col, n, k, rows_per_band, index=idx
+            df, id_col, text_col, n, k, rows_per_band, index=index,
+            arrays=base,
         )
     else:
         cand = minhash_lsh_pairs(
-            df, id_col, text_col, n, k, rows_per_band, index=idx
+            df, id_col, text_col, n, k, rows_per_band, index=index,
+            arrays=base,
         )
     # Materialize the candidate pairs once: they are consumed by several
     # branches below (the intersection join, and in the sparse regime two
@@ -309,22 +427,25 @@ def minhash_dedup_verified(
             .unionByName(cand.select(F.col("doc2").alias("doc")))
             .distinct()
         )
-        vidx = idx.join(cdocs, "doc", "left_semi")
-    else:
-        vidx = idx
     # Verification over per-doc shingle-SET ARRAYS, never the exploded
-    # index: one groupBy collapses the (possibly semi-filtered) index to
-    # a row-sized canonical array per doc, then candidates join two
-    # array lookups on doc. Rows shuffled = |docs| + 2|cand|, never
-    # |docs| × |shingles|. The previous form — an intersect sort-merge
-    # join on (doc, shingle) — sorted the FULL exploded index in the
-    # dense regime: the r13 sf10 probe (dup-dense 1.5M-doc corpus, 225M
-    # index rows) measured it spilling >72 GiB and dying ENOSPC, a
-    # cluster-killer shape at 100 TB. Interleaved same-session A/Bs and
-    # the sf10 completes-vs-dies contrast are in TUNING.md round 13.
-    sets = vidx.groupBy("doc").agg(
-        F.sort_array(F.collect_set("shingle")).alias("shset")
-    )
+    # index: candidates join two array lookups on doc. Rows shuffled =
+    # |docs| + 2|cand|, never |docs| × |shingles|. The r12 form — an
+    # intersect sort-merge join on (doc, shingle) — sorted the FULL
+    # exploded index in the dense regime: the r13 sf10 probe (dup-dense
+    # 1.5M-doc corpus, 225M index rows) measured it spilling >72 GiB and
+    # dying ENOSPC, a cluster-killer shape at 100 TB (TUNING.md r13).
+    # With the r14 array substrate the canonical set is sort_array(sh)
+    # per row — value-identical to sort_array(collect_set(shingle)) over
+    # the exploded rows (sh is already distinct) with no groupBy
+    # exchange at all.
+    if base is not None:
+        vsrc = base.join(cdocs, "doc", "left_semi") if sparse else base
+        sets = vsrc.select("doc", F.sort_array("sh").alias("shset"))
+    else:
+        vidx = index.join(cdocs, "doc", "left_semi") if sparse else index
+        sets = vidx.groupBy("doc").agg(
+            F.sort_array(F.collect_set("shingle")).alias("shset")
+        )
     pairs = cand.join(
         sets.select(F.col("doc").alias("doc1"), F.col("shset").alias("sh_a")),
         "doc1",

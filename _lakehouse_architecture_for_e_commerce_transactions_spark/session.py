@@ -37,6 +37,14 @@ _DEFAULTS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # 128MB input splits: at 100 TB this yields ~800k tasks, a sane task count
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Python-worker connect-back accept timeout (default 15s). A transient
+    # host stall longer than that while a worker process is being spawned
+    # kills the whole query with "Python worker failed to connect back" —
+    # observed repeatedly on the r14 bench host (multi-second VM freezes),
+    # always on streaming legs (every micro-batch of a Python data source
+    # spawns workers, maximizing exposure). Raising the ACCEPT timeout is
+    # pure robustness: the good case connects in milliseconds regardless.
+    "spark.python.authenticate.socketTimeout": "120s",
 }
 
 

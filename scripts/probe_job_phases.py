@@ -87,10 +87,12 @@ def probe_curation(spark, sf_dir: str, reps: int) -> None:
                 ),
             ).cache()
             survivors = flagged.filter(F.col("is_keeper"))
-            idx = TD.shingle_index(survivors, "doc_id", "text", n=3).persist()
+            idx = TD.shingle_arrays(
+                survivors, "doc_id", "text", n=3
+            ).persist()
             pairs = TD.minhash_dedup_verified(
                 survivors, "doc_id", "text", n=3, k=8, threshold=0.5,
-                index=idx,
+                arrays=idx,
             ).select("doc1", "doc2")
             near_drop = (
                 G.dedup_clusters(pairs, "doc1", "doc2")
@@ -101,7 +103,7 @@ def probe_curation(spark, sf_dir: str, reps: int) -> None:
             n_near = near_drop.count()
             mark("lsh+components (n_near count)")
             deduped = survivors.join(near_drop, "doc_id", "left_anti")
-            ratios = CON.contamination_ratios(deduped, ev, n=3, index=idx)
+            ratios = CON.contamination_ratios(deduped, ev, n=3, arrays=idx)
             dirty = (
                 ratios.filter(F.col("contamination") > 0.5)
                 .select("doc_id")
