@@ -57,6 +57,28 @@ def _driver_union_find(rows) -> list[tuple]:
     return [(n, find(n)) for n in parent]
 
 
+def _local_result_frame(spark, out: list[tuple], typ) -> DataFrame:
+    """(node, component) frame from a driver-computed labeling, via the
+    Arrow ``createDataFrame`` path — the pickled-parallelize default
+    serializes row by row, which at the 200k-edge routing threshold is
+    driver time a bounded result does not need to spend."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("node", typ), StructField("component", typ)]
+    )
+    if not out:
+        return spark.createDataFrame([], schema)
+    try:
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(out, columns=["node", "component"]), schema
+        )
+    except Exception:  # pragma: no cover — arrow/pandas unavailable
+        return spark.createDataFrame(out, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -79,27 +101,33 @@ def connected_components(
     one = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).localCheckpoint(eager=True)
-    both = (
-        one.unionByName(one.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    both_plan = one.unionByName(
+        one.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    # Small-graph routing (r14): decide from the CHEAP one-sided count
+    # (checkpointed blocks, a metadata-scale job) and, when small,
+    # collect the mirrored+deduped edges straight out of the distinct
+    # job — the former flow paid a second eager checkpoint plus a count
+    # before the same collect. Both routes compute the identical
+    # min-reachable labeling, so the routing boundary only picks a plan.
+    n_one = one.count()
+    rows = None
+    if 2 * n_one <= small_graph_threshold:
+        rows = both_plan.collect()  # |both| ≤ 2·|one|: certainly small
+    elif n_one <= small_graph_threshold:
+        probe = both_plan.limit(small_graph_threshold + 1).collect()
+        if len(probe) <= small_graph_threshold:
+            rows = probe
+    if rows is not None:
+        spark = one.sparkSession
+        typ = one.schema["a"].dataType
+        out = _driver_union_find((r["a"], r["b"]) for r in rows)
+        return _local_result_frame(spark, out, typ)
+    both = both_plan.localCheckpoint(eager=True)
     # size the per-round shuffles to the graph, not the session default:
     # a fixpoint loop pays task-scheduling overhead × partitions × rounds,
     # so small graphs run on few partitions (large ones keep parallelism)
     n_edges = both.count()
-    if n_edges <= small_graph_threshold:
-        from pyspark.sql.types import StructField, StructType
-
-        typ = both.schema["a"].dataType
-        spark = both.sparkSession
-        out = _driver_union_find(
-            (r["a"], r["b"]) for r in both.collect()
-        )
-        schema = StructType(
-            [StructField("node", typ), StructField("component", typ)]
-        )
-        return spark.createDataFrame(out, schema)
     n_parts = max(2, min(both.rdd.getNumPartitions(), n_edges // 100_000 + 2))
     both = both.repartition(n_parts, "b")
     nodes = both.select(F.col("a").alias("node")).distinct()

@@ -407,10 +407,13 @@ def minhash_dedup_verified(
     # Materialize the candidate pairs once: they are consumed by several
     # branches below (the intersection join, and in the sparse regime two
     # index semi-filters), and un-materialized each branch would re-run
-    # the signature aggregation + band self-join. Candidate count is
+    # the signature computation + band self-join. Candidate count is
     # bounded by Σ bucket² (the LSH guarantee), so the checkpoint is
-    # dup-scale, never corpus-scale.
-    cand = cand.localCheckpoint(eager=True)
+    # dup-scale, never corpus-scale. LAZY + count (r14): the count action
+    # below materializes the checkpoint inside its own job, so the
+    # candidate pipeline runs once in ONE job instead of a dedicated
+    # eager-checkpoint job followed by a count job.
+    cand = cand.localCheckpoint(eager=False)
     # Adaptive verification plan, keyed on the (now cheap) candidate
     # count. Sparse regime — the 100 TB norm, few near-dups in a huge
     # corpus: semi-filter the index to candidate docs first, so the
