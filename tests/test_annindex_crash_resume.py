@@ -1,0 +1,123 @@
+"""Mid-commit crash-resume for the streaming ANN secondary index (r13
+verdict task 5): kill the index table's manifest publish at each
+interleaving of table_ivf_index_maintenance's two-commit batch (the DV
+delete, then the append carrying the watermark marker), resume on the
+same checkpoint, and assert exactly-once index contents against an
+uncrashed control over the identical source history."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+    snapshots as S,
+)
+from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming import (
+    annindex as AI,
+)
+from tests.test_crash_resume import _CrashOnce
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _source_v0(spark, src):
+    rows = [
+        Row(vec_id=i, embedding=[float(i), float(i % 3), 1.0])
+        for i in range(12)
+    ]
+    S.commit(spark, spark.createDataFrame(rows), src)
+
+
+def _source_v1(spark, src):
+    S.delete_where_dv(spark, src, "vec_id IN (2, 7)")
+    S.update_where_dv(
+        spark, src, "vec_id = 4", {"embedding": "array(9.0D, 9.0D, 9.0D)"}
+    )
+    S.commit(
+        spark,
+        spark.createDataFrame([Row(vec_id=20, embedding=[0.5, 0.5, 0.5])]),
+        src,
+        mode="append",
+    )
+
+
+def _source_v2(spark, src):
+    S.delete_where_dv(spark, src, "vec_id = 20")
+    S.commit(
+        spark,
+        spark.createDataFrame([Row(vec_id=21, embedding=[2.5, 0.5, 1.5])]),
+        src,
+        mode="append",
+    )
+
+
+def _index_rows(spark, idx):
+    return sorted(
+        (r.cell, r.id, tuple(r.v))
+        for r in AI.read_index(spark, idx).collect()
+    )
+
+
+def _drive(spark, base, crash_nth=None):
+    """Run the three source passes through the index maintainer; when
+    ``crash_nth`` is set, inject a publish crash on the INDEX table at
+    that publish attempt of the second maintenance run (nth=1 → the DV
+    delete manifest, nth=2 → the append manifest after the delete
+    published — the partial two-commit interleaving).
+
+    Restart contract (traced against Spark 4.1's
+    python_streaming_source_runner): an availableNow RESTART after a
+    mid-batch failure replays the WAL's pending batch and then stops —
+    the engine never calls latestOffset again in that run, so source
+    commits that landed after the crash need one more availableNow
+    drain (unlike the built-in file source, which drains to current
+    head on the same restart). Each drain is incremental and
+    exactly-once either way, which is what this test pins."""
+    src, cb, idx, ckpt = (f"{base}/{d}" for d in ("src", "cb", "idx", "ck"))
+
+    def run():
+        AI.table_ivf_index_maintenance(
+            spark, src, cb, idx, ckpt
+        ).awaitTermination(120)
+
+    _source_v0(spark, src)
+    AI.build_ivf_codebook(spark, S.read(spark, src), cb, stride=5)
+    run()
+    pre_batch = _index_rows(spark, idx)
+    _source_v1(spark, src)
+    if crash_nth is not None:
+        with _CrashOnce(idx, nth=crash_nth) as crash:
+            with pytest.raises(Exception, match="injected crash"):
+                run()
+        assert crash.fired, "fault never armed — wrong crash target?"
+        if crash_nth == 1:
+            # the DV-delete manifest never published: the aborted batch
+            # is invisible — readers still see the pre-batch index
+            assert _index_rows(spark, idx) == pre_batch
+        run()  # replay the failed batch from its logged offsets
+    else:
+        run()
+    _source_v2(spark, src)
+    run()
+    return _index_rows(spark, idx), sorted(
+        r.vec_id for r in S.read(spark, src).collect()
+    )
+
+
+@pytest.mark.parametrize("crash_nth", [1, 2])
+def test_index_maintenance_crash_resume_exactly_once(
+    spark, tmp_path, crash_nth
+):
+    crashed, crashed_live = _drive(
+        spark, str(tmp_path / "crashed"), crash_nth=crash_nth
+    )
+    control, control_live = _drive(spark, str(tmp_path / "control"))
+    assert crashed_live == control_live  # identical source history
+    assert crashed == control, (
+        f"index diverged after crash at publish #{crash_nth}"
+    )
+    # the index holds exactly the live table ids, exactly once each
+    ids = [i for (_c, i, _v) in crashed]
+    assert len(ids) == len(set(ids))
+    assert sorted(ids) == crashed_live
