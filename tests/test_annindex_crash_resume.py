@@ -67,13 +67,16 @@ def _drive(spark, base, crash_nth=None):
     published — the partial two-commit interleaving).
 
     Restart contract (traced against Spark 4.1's
-    python_streaming_source_runner): an availableNow RESTART after a
-    mid-batch failure replays the WAL's pending batch and then stops —
-    the engine never calls latestOffset again in that run, so source
-    commits that landed after the crash need one more availableNow
-    drain (unlike the built-in file source, which drains to current
-    head on the same restart). Each drain is incremental and
-    exactly-once either way, which is what this test pins."""
+    python_streaming_source_runner; MicroBatchExecution logs the root
+    cause — "source PythonMicroBatchStream does not support
+    Trigger.AvailableNow. Falling back to single batch execution"): an
+    availableNow RESTART after a mid-batch failure replays the WAL's
+    pending batch and then stops — the engine never calls latestOffset
+    again in that run, so source commits that landed after the crash
+    need one more availableNow drain (unlike the built-in file source,
+    which drains to current head on the same restart). Each drain is
+    incremental and exactly-once either way, which is what this test
+    pins."""
     src, cb, idx, ckpt = (f"{base}/{d}" for d in ("src", "cb", "idx", "ck"))
 
     def run():
