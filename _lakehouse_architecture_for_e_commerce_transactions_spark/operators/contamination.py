@@ -51,7 +51,11 @@ def contamination_ratios(
     ``train``; it is semi-joined down, and docs with zero n-grams still
     get their (0, 0, 0.0) row. With ``arrays`` the per-doc totals are
     ``size(sh)`` per row — the totals aggregation exchange of the
-    exploded-index form disappears (r14, guide §2.4).
+    exploded-index form disappears (r14, guide §2.4). ``arrays``
+    SHOULD be cached/persisted by the caller (etl/datapipe.py passes
+    its cached curation substrate): it is consumed by two plan
+    branches here (totals via ``size(sh)``, hits via ``explode``), so
+    an uncached frame re-runs its tokenize pass twice.
     """
     ev = (
         eval_docs.select(

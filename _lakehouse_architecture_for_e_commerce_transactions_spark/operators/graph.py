@@ -110,6 +110,15 @@ def connected_components(
     # job — the former flow paid a second eager checkpoint plus a count
     # before the same collect. Both routes compute the identical
     # min-reachable labeling, so the routing boundary only picks a plan.
+    # Accepted tradeoff (r14 advice): an input whose ONE-SIDED count
+    # exceeds the threshold but whose mirrored+deduped edge set is
+    # still small (duplicate/bidirectional-heavy lists, n_one ≤
+    # threshold < 2·n_one with most pairs repeated) runs the
+    # distributed loop where the old flow took the driver fast path —
+    # the limit()-probe branch below covers the common half of that
+    # corner (n_one ≤ threshold), and no in-repo caller feeds
+    # duplicate-heavy edge lists past it, so a third count on the
+    # deduped set is not worth its extra always-paid job.
     n_one = one.count()
     rows = None
     if 2 * n_one <= small_graph_threshold:
@@ -235,7 +244,15 @@ def connected_components_star(
         sym = out.select(F.col("x").alias("a"), F.col("m").alias("b")).unionByName(
             out.select(F.col("m").alias("a"), F.col("x").alias("b"))
         )
-        return sym.distinct().repartition(n_parts, "a")
+        # ONE exchange per star pass (r15, guide §2.4): the explicit
+        # repartition(a) ALREADY satisfies the dedup aggregate's
+        # clustering requirement ({a} ⊆ {a, b}), so dropDuplicates
+        # after it plans as a single complete-mode HashAggregate with
+        # no second shuffle — the former distinct().repartition(a)
+        # paid Exchange(a, b) + Exchange(a) per pass, ×2 passes ×
+        # O(log d) rounds. The next pass's groupBy("a") and join on
+        # "a" also reuse this partitioning.
+        return sym.repartition(n_parts, "a").dropDuplicates(["a", "b"])
 
     def checksum(e: DataFrame) -> tuple:
         row = e.agg(

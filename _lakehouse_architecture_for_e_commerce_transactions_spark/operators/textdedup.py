@@ -91,6 +91,19 @@ def shingle_index(
     )
 
 
+def _one_substrate(index, arrays) -> None:
+    """``index`` and ``arrays`` are alternative prebuilt substrates; a
+    caller passing both has a bug (r14 advice: the legacy index path
+    would win and the cached arrays frame would be silently unused —
+    e.g. a cached arrays substrate paired with a STALE index)."""
+    if index is not None and arrays is not None:
+        raise ValueError(
+            "pass either index= (exploded legacy substrate) or arrays= "
+            "(per-doc shingle arrays), not both — with both supplied the "
+            "index path would win and the arrays frame would be ignored"
+        )
+
+
 def _sig_from_arrays(arrays: DataFrame, k: int) -> DataFrame:
     """(doc, mh0..mh{k-1}) from per-doc shingle ARRAYS — no explode, no
     exchange: each signature slot is ``array_min`` over a per-element
@@ -205,7 +218,9 @@ def minhash_signatures(
     supplies a prebuilt/cached (doc, sh) frame (``shingle_arrays``) when
     several stages share the tokenization pass. ``index`` supplies a
     prebuilt EXPLODED (doc, shingle) frame — kept for callers that
-    already hold one; it uses the legacy groupBy aggregation."""
+    already hold one; it uses the legacy groupBy aggregation. Passing
+    BOTH raises (see ``_one_substrate``)."""
+    _one_substrate(index, arrays)
     if index is not None:
         return index.groupBy("doc").agg(*H.minhash_aggs("shingle", k))
     if arrays is None:
@@ -303,6 +318,7 @@ def minhash_lsh_pairs_fast(
     families). Use this at scale; use the md5 variant when results must be
     reproducible by other engines (xxhash64 seeds are Spark-specific).
     """
+    _one_substrate(index, arrays)
     if index is not None:
         sig = index.groupBy("doc").agg(
             *[
@@ -384,7 +400,9 @@ def minhash_dedup_verified(
     (guide §2.4). ``arrays`` supplies a prebuilt (doc, sh) frame — pass
     a CACHED one (the curation job does) when other stages share the
     tokenization. ``index`` supplies a prebuilt EXPLODED (doc, shingle)
-    frame instead and keeps the legacy aggregate verification shape."""
+    frame instead and keeps the legacy aggregate verification shape.
+    Passing BOTH raises (see ``_one_substrate``)."""
+    _one_substrate(index, arrays)
     base = None
     if index is None:
         base = (

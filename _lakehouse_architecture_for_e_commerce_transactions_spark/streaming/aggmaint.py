@@ -116,40 +116,103 @@ def _app_id(checkpoint_dir: str) -> str:
     ).hexdigest()[:12]
 
 
-def _stats_watermark(path: str):
+def _stats_watermark(path: str, spark=None, report: dict | None = None):
     """(last_batch, app) from the manifest's per-file min/max stats —
-    zero data I/O and zero Spark jobs. The marker row travels inside
+    zero data I/O and zero Spark jobs when every file carries complete
+    ``_last_batch``/``_app_id`` stats. The marker row travels inside
     every commit and is never tombstoned, so the per-file max of
-    ``_last_batch``/``_app_id`` is exact even under deletion vectors
-    (a rebuild overwrites the table, so mixed app ids never coexist).
-    Returns (None, None) when the table predates the stats stamp or an
-    entry is incomplete — callers fall back to a column-pruned scan.
-    ONE incomplete entry poisons the whole read (deliberate, r12
-    advice-reviewed): a mixed table means some commit was written
-    outside the twins' stamped path, and trusting the remaining stats
-    would under-read the watermark if that foreign commit carried the
-    latest batch; the fallback scan is correct for any mix. If mixed
-    tables became common, the refinement is stats-max over complete
-    entries combined with a scan restricted to the statless files."""
+    those columns is exact even under deletion vectors (a rebuild
+    overwrites the table, so mixed app ids never coexist).
+
+    MIXED tables (r15, closing ADVICE r13 item 3): a commit written
+    outside the twins' stamped path (no stats, or stats on other
+    columns) leaves SOME files without usable watermark stats. Trusting
+    the remaining stats alone would under-read the watermark if the
+    foreign commit carried the latest batch, and the r12-r14 behavior
+    (full-table fallback scan) threw away the stats entirely. The
+    refinement combines stats-max over the COMPLETE entries with a
+    column-pruned scan restricted to the STATLESS files only — exact
+    for any mix, and the scan reads O(foreign files), not the table.
+    Guards that keep the combined read equal to the legacy full scan:
+    statless files referenced by deletion vectors fall back (the raw
+    file scan cannot apply tombstones), and a table with NO complete
+    entries returns (None, None) so ``_table_state``'s existing
+    logical-read scan (DV/mapping/evolution-aware) handles it.
+
+    Pass ``report`` (dict) to receive ``{"files_total", "files_stats",
+    "files_scanned"}`` — tests and probes assert the pruning happened.
+    Without ``spark``, mixed tables return (None, None) as before."""
     snap = S.load_snapshot(path)
-    fs, sc = snap.file_stats, snap.stats_cols or []
-    if not fs or any(c not in sc for c in _WM_STATS):
-        return None, None
+    fs = snap.file_stats
+    if not fs:
+        return None, None  # no usable stats at all: legacy full scan
+    # Classify per FILE against the actual file listing — never trust
+    # the stats map's key set as the file set. The r12-r14 fast path
+    # did, and a foreign commit BETWEEN two stamped ones under-read the
+    # watermark silently (the unstamped commit's sidecar carry drops
+    # every earlier entry, so the next stamped commit's map covers only
+    # its own files — complete-looking, wrong): an under-read watermark
+    # makes `_guard` re-apply delivered batches, i.e. state corruption,
+    # found by this round's mixed-table test. The listing is the same
+    # O(files) driver walk the per-batch `read_where` state slice
+    # already pays, so the watermark read stays zero DATA I/O on fully
+    # stamped tables. (A file missing from the stats map is statless,
+    # exactly like a present-but-poisoned entry.)
+    all_files = S.data_files(path, snap.version)
     best_b = best_a = None
-    for ent in fs.values():
+    statless: list[str] = []
+    for f in all_files:
+        ent = fs.get(f) or {}
+        if ent.get("rows") == 0:
+            continue  # zero-row file: nothing to read or max over
         cols = ent.get("cols") or {}
         bst, ast = cols.get("_last_batch"), cols.get("_app_id")
         if (
             bst is None or bst.get("max") is None
             or ast is None or ast.get("max") is None
         ):
-            return None, None  # poisoned/missing entry: fall back
+            statless.append(f)
+            continue
         if best_b is None or bst["max"] > best_b:
             best_b = bst["max"]
         if best_a is None or ast["max"] > best_a:
             best_a = ast["max"]
+    if report is not None:
+        report["files_total"] = len(all_files)
+        report["files_stats"] = len(all_files) - len(statless)
+        report["files_scanned"] = len(statless)
     if best_b is None:
+        return None, None  # no usable stats at all: legacy full scan
+    if not statless:
+        return int(best_b), best_a
+    if spark is None:
+        return None, None  # caller can't scan here: legacy behavior
+    dv_dead = snap.dv_dead or {}
+    if any(dv_dead.get(f) for f in statless):
+        # tombstoned rows in a statless file: the raw scan below would
+        # read through them, so use the DV-aware full fallback instead
         return None, None
+    from pyspark.sql.types import StructField, StructType
+
+    mapping = S._mapping(snap)
+    phys_b = mapping.get("_last_batch", "_last_batch")
+    phys_a = mapping.get("_app_id", "_app_id")
+    scan_schema = StructType(
+        [
+            StructField(phys_b, LongType(), True),
+            StructField(phys_a, StringType(), True),
+        ]
+    )
+    row = (
+        spark.read.schema(scan_schema)
+        .parquet(*statless)
+        .agg(F.max(phys_b).alias("b"), F.max(phys_a).alias("a"))
+        .first()
+    )
+    if row["b"] is not None and row["b"] > best_b:
+        best_b = row["b"]
+    if row["a"] is not None and (best_a is None or row["a"] > best_a):
+        best_a = row["a"]
     return int(best_b), best_a
 
 
@@ -184,7 +247,7 @@ def _table_state(
                         "default was provided"
                     )
                 cur = cur.withColumn(c, defaults[c])
-        last, app = _stats_watermark(path)
+        last, app = _stats_watermark(path, spark)
         if last is None:
             aggs = [F.max("_last_batch").alias("b")]
             if "_app_id" in cur.columns:
@@ -993,7 +1056,7 @@ def _fact_watermark(spark: SparkSession, fact_path: str):
     under deletion vectors), else a column-pruned scan (legacy tables
     written before the stats were stamped)."""
     try:
-        last, app = _stats_watermark(fact_path)
+        last, app = _stats_watermark(fact_path, spark)
     except FileNotFoundError:
         return None, None
     if last is not None:

@@ -7,8 +7,12 @@ run. Catalog legs are timed as build+collect; stream legs replicate
 bench.py's feed construction verbatim.
 
 Usage:
-  python scripts/bench_subset.py [--reps 2] leg [leg ...]
-Prints one JSON line {"leg": sec, ...} on stdout.
+  python scripts/bench_subset.py [--reps 2] [--calib] leg [leg ...]
+Prints one JSON line {"legs": {leg: sec, ...}, "calib": [...]} on
+stdout (r15: wrapped record; ``--calib`` runs bench.py's host-speed
+anchors at start and end so interleaved A/B runs can be normalized
+for ambient host drift — the r14 verdict's required methodology for
+closing the merge_cdc_sim question).
 """
 
 from __future__ import annotations
@@ -119,6 +123,11 @@ def _run_stream(spark, leg, header, batches, work):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument(
+        "--calib",
+        action="store_true",
+        help="record bench.py calibration anchors at start and end",
+    )
     ap.add_argument("legs", nargs="+")
     args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -136,6 +145,12 @@ def main() -> None:
     )
     warm.limit(64).mapInPandas(lambda it: it, "id long, k long").count()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).limit(1).collect()
+
+    calib_start = calib_end = None
+    if args.calib:
+        from bench import _calibration
+
+        calib_start = _calibration(spark)
 
     feeds = (
         _stream_feeds(spark, sf_dir)
@@ -168,7 +183,25 @@ def main() -> None:
                     file=sys.stderr,
                 )
             out[leg] = min(out.get(leg, took), took)
-    print(json.dumps(out))
+    if args.calib:
+        from bench import _calibration
+
+        calib_end = _calibration(spark)
+        print(
+            json.dumps(
+                {
+                    "legs": out,
+                    "calib": [
+                        round(min(calib_start[k], calib_end[k]), 3)
+                        for k in ("cpu_agg_10m", "io_write_5m", "io_scan_5m")
+                    ],
+                    "calib_start": calib_start,
+                    "calib_end": calib_end,
+                }
+            )
+        )
+    else:
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":

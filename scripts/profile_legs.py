@@ -2,7 +2,7 @@
 
 For each requested leg this tool:
 
-* captures ``df.explain("formatted")`` to ``plans/r14/<leg>_<tag>.txt``
+* captures ``df.explain("formatted")`` to ``plans/r15/<leg>_<tag>.txt (override: $SPARK_GRAFT_PLANS_DIR)``
   (catalog legs only — the job legs are imperative, no single plan),
 * times the leg exactly like bench.py (build + collect, min over reps),
 * labels the leg's jobs with ``setJobDescription`` and, after each rep,
@@ -132,7 +132,7 @@ def main() -> None:
         legs += [n for n, qd in catalog.CATALOG.items() if qd.headline]
     plans_dir = None if args.no_plans else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r14",
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
     )
     spark = get_spark("profile")
     # identical warmup to bench.py so first-leg numbers are comparable

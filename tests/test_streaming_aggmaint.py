@@ -462,3 +462,74 @@ def test_compact_collapses_marker_rows_and_keeps_watermark(
     q = stream_agg_maintenance(spark, raw, table, ckpt)
     q.awaitTermination(120)
     assert S.load_snapshot(table).op == "MAINTENANCE"  # no new commit
+
+
+def test_stats_watermark_mixed_table_scans_statless_files_only(
+    spark, tmp_path
+):
+    """r15 (ADVICE r13 item 3): a table where only SOME files carry
+    ``_last_batch``/``_app_id`` stats — e.g. a commit written outside
+    the twins' stamped path — must still read an EXACT watermark, and
+    must do it by combining the stats-max over complete entries with a
+    scan restricted to the statless files (never a full-table scan,
+    and never trusting the partial stats alone: here the FOREIGN
+    commit carries the latest batch, the exact case the r12 poison
+    rule guarded against)."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
+        snapshots as S,
+    )
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (
+        _WM_STATS,
+        _stats_watermark,
+    )
+
+    path = str(tmp_path / "mixed_state")
+    ddl = "k string, _last_batch long, _app_id string"
+    # v0: stamped (the twins' shape) — complete stats
+    S.commit(
+        spark,
+        spark.createDataFrame([("a", 0, "app")], ddl),
+        path,
+        stats_for=_WM_STATS + ["k"],
+    )
+    # v1: FOREIGN append, no stats — and it carries the LATEST batch
+    S.commit(
+        spark,
+        spark.createDataFrame([("z", 5, "app")], ddl),
+        path,
+        mode="append",
+    )
+    # v2: stamped again (the twin's next applied batch re-introduces
+    # stats, but sidecar carry only covers v2's own files)
+    S.commit(
+        spark,
+        spark.createDataFrame([("b", 2, "app")], ddl),
+        path,
+        mode="append",
+        stats_for=_WM_STATS + ["k"],
+    )
+
+    # without spark: legacy behavior — mixed table falls back
+    assert _stats_watermark(path) == (None, None)
+
+    rep: dict = {}
+    last, app = _stats_watermark(path, spark, report=rep)
+    # exact: equals the full-scan answer, which sees the foreign max
+    assert (last, app) == (5, "app")
+    full = S.read(spark, path).agg({"_last_batch": "max"}).first()[0]
+    assert last == full
+    # and it PRUNED: only the statless files were scanned
+    assert rep["files_stats"] >= 1
+    assert 1 <= rep["files_scanned"] < rep["files_total"]
+
+    # fully-stamped table keeps the zero-scan fast path
+    p2 = str(tmp_path / "clean_state")
+    S.commit(
+        spark,
+        spark.createDataFrame([("a", 3, "app")], ddl),
+        p2,
+        stats_for=_WM_STATS + ["k"],
+    )
+    rep2: dict = {}
+    assert _stats_watermark(p2, spark, report=rep2) == (3, "app")
+    assert rep2["files_scanned"] == 0
