@@ -279,13 +279,27 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    # Streaming IVM twins: per-batch wall-time of the exactly-once
-    # MIN/MAX and TOP-K maintenance (fact mirror + state). Batch 1 is
-    # the seed build; batches 2-3 carry deletes/updates — the slice
-    # replace path whose O(batch) claim the mirror commit redesign
-    # makes, so ITS per-batch number is the one to watch round over
-    # round. Fresh dirs per rep (a stream can't re-run its own feed);
-    # leg value = min over reps of the summed per-batch time.
+    # Streaming IVM twins: wall-time of the exactly-once MIN/MAX and
+    # TOP-K maintenance (fact mirror + state) over a 3-batch change
+    # feed. Batch 1 is the seed build; batches 2-3 carry
+    # deletes/updates — the slice replace path whose O(batch) claim
+    # the mirror commit redesign makes. Fresh dirs per rep (a stream
+    # can't re-run its own feed); leg value = min over reps.
+    #
+    # MEASUREMENT CHANGE (r15, verdict task 4, documented in
+    # OPTIMIZATION_r15.md): all three feed files are written up front
+    # and ONE paced availableNow query (maxFilesPerTrigger=1) drains
+    # them as three micro-batches, instead of starting a fresh
+    # query per feed file. The per-batch exactly-once contract is
+    # unchanged — same three foreachBatch invocations, same three
+    # atomic state commits, same batch ids — but the query
+    # start/teardown machinery (~0.9 s/batch measured in r14) is paid
+    # once per leg, which is how a production stream actually runs
+    # (one long-lived query, not one query per batch). r14-methodology
+    # numbers for comparison are in OPTIMIZATION_r15.md's baseline
+    # table. File mtimes are staggered so the file source's
+    # timestamp ordering preserves the batch sequence (EWMA's feed
+    # contract is order-strict).
     from _lakehouse_architecture_for_e_commerce_transactions_spark.streaming.aggmaint import (
         stream_cm_maintenance,
         stream_ewma_maintenance,
@@ -317,7 +331,29 @@ def main() -> None:
         for r in feed_rows
         if r["ok"] % 48 == 8
     ]
+    def _write_feed(raw: str, header: str, batches) -> None:
+        """All feed files up front, mtimes staggered 2 s apart so the
+        file source's (timestamp, path) ordering replays them in batch
+        order under maxFilesPerTrigger=1."""
+        os.makedirs(raw)
+        now = time.time()
+        for bi, rows in enumerate(batches, start=1):
+            p = os.path.join(raw, f"b{bi}.csv")
+            with open(p, "w") as f:
+                f.write(header + "\n")
+                f.write("\n".join(rows) + "\n")
+            os.utime(p, (now, now - 2.0 * (len(batches) - bi)))
+
+    def _paced_reader(schema_ddl: str, raw: str):
+        return (
+            spark.readStream.schema(schema_ddl)
+            .option("header", True)
+            .option("maxFilesPerTrigger", "1")
+            .csv(raw)
+        )
+
     stream_reps = min(reps, 2)  # full fresh stream per rep: bound cost
+    chg_ddl = "k string, op string, old_val double, new_val double"
     for leg, start in (
         ("stream_minmax_maintenance",
          lambda raw, fp, sp, ck: stream_minmax_maintenance(
@@ -326,8 +362,8 @@ def main() -> None:
          lambda raw, fp, sp, ck: stream_topk_maintenance(
              spark, raw, fp, sp, ck, k=3, buffer=2)),
         # round-6 (r5 verdict task 5): the Count-Min twin shares the
-        # change-row feed; its per-batch number watches the same
-        # slice-replace commit path (no fact mirror — fp unused)
+        # change-row feed; its number watches the same slice-replace
+        # commit path (no fact mirror — fp unused)
         ("stream_cm_maintenance",
          lambda raw, fp, sp, ck: stream_cm_maintenance(
              spark, raw, sp, ck, depth=4, width=256)),
@@ -336,25 +372,21 @@ def main() -> None:
             work = tempfile.mkdtemp(prefix=f"bench_{leg}_")
             try:
                 raw = os.path.join(work, "raw")
-                os.makedirs(raw)
-                batch_times = []
-                for bi, rows in enumerate([b1, b2, b3], start=1):
-                    with open(os.path.join(raw, f"b{bi}.csv"), "w") as f:
-                        f.write("k,op,old_val,new_val\n")
-                        f.write("\n".join(rows) + "\n")
-                    t0 = time.time()
-                    q = start(
-                        raw, os.path.join(work, "fact"),
-                        os.path.join(work, "state"),
-                        os.path.join(work, "ckpt"),
-                    )
-                    q.awaitTermination(600)
-                    batch_times.append(round(time.time() - t0, 3))
-                took = round(sum(batch_times), 3)
+                _write_feed(raw, "k,op,old_val,new_val", [b1, b2, b3])
+                t0 = time.time()
+                q = start(
+                    _paced_reader(chg_ddl, raw),
+                    os.path.join(work, "fact"),
+                    os.path.join(work, "state"),
+                    os.path.join(work, "ckpt"),
+                )
+                q.awaitTermination(600)
+                took = round(time.time() - t0, 3)
+                n_batches = len(q.recentProgress)
                 extras[leg] = min(extras.get(leg, took), took)
                 print(
                     f"# [{rep + 1}/{stream_reps}] extra {leg}: {took:.3f}s "
-                    f"(per-batch {batch_times}, "
+                    f"(one paced run, {n_batches} micro-batches, "
                     f"{len(b1)}+{len(b2)}+{len(b3)} changes)",
                     file=sys.stderr,
                 )
@@ -379,35 +411,33 @@ def main() -> None:
         [f"{k},{t},{x + 13 * t}" for k, x in sorted(keyvals.items())]
         for t in (1, 2, 3)
     ]
-    for leg, header, batches, start in (
-        ("stream_hll_maintenance", "k,v", hll_batches,
+    for leg, header, ddl, batches, start in (
+        ("stream_hll_maintenance", "k,v", "k string, v string",
+         hll_batches,
          lambda raw, sp, ck: stream_hll_maintenance(spark, raw, sp, ck)),
-        ("stream_ewma_maintenance", "k,t,x", ewma_batches,
+        ("stream_ewma_maintenance", "k,t,x", "k string, t long, x long",
+         ewma_batches,
          lambda raw, sp, ck: stream_ewma_maintenance(spark, raw, sp, ck)),
     ):
         for rep in range(stream_reps):
             work = tempfile.mkdtemp(prefix=f"bench_{leg}_")
             try:
                 raw = os.path.join(work, "raw")
-                os.makedirs(raw)
-                batch_times = []
-                for bi, rows in enumerate(batches, start=1):
-                    with open(os.path.join(raw, f"b{bi}.csv"), "w") as f:
-                        f.write(header + "\n")
-                        f.write("\n".join(rows) + "\n")
-                    t0 = time.time()
-                    q = start(
-                        raw,
-                        os.path.join(work, "state"),
-                        os.path.join(work, "ckpt"),
-                    )
-                    q.awaitTermination(600)
-                    batch_times.append(round(time.time() - t0, 3))
-                took = round(sum(batch_times), 3)
+                _write_feed(raw, header, batches)
+                t0 = time.time()
+                q = start(
+                    _paced_reader(ddl, raw),
+                    os.path.join(work, "state"),
+                    os.path.join(work, "ckpt"),
+                )
+                q.awaitTermination(600)
+                took = round(time.time() - t0, 3)
+                n_batches = len(q.recentProgress)
                 extras[leg] = min(extras.get(leg, took), took)
                 print(
                     f"# [{rep + 1}/{stream_reps}] extra {leg}: "
-                    f"{took:.3f}s (per-batch {batch_times}, "
+                    f"{took:.3f}s (one paced run, {n_batches} "
+                    f"micro-batches, "
                     f"{'+'.join(str(len(x)) for x in batches)} rows)",
                     file=sys.stderr,
                 )
