@@ -47,6 +47,42 @@ def det_exp(x: Column, squarings: int = 6) -> Column:
     return t
 
 
+def det_exp_fold(x: Column, squarings: int = 6) -> Column:
+    """``det_exp`` with the squarings folded through ``F.aggregate``
+    instead of unrolled — BIT-IDENTICAL values by construction (the
+    fold performs the same ``t := t·t`` doubles in the same order; the
+    lambda's ``acc`` is a variable reference, so nothing about the
+    arithmetic changes), pinned against the unrolled form over a 100k
+    grid and by tests/test_logreg.py::test_fit_matches_literal_iteration.
+
+    Why two forms (r15, measured): the unrolled ``t = t * t`` DOUBLES
+    the expression tree per squaring (×64 at the default 6), and every
+    plan/codegen walk pays the expanded tree — ~2 s per *planning* of a
+    small aggregate. The fold keeps the tree tiny (fast to plan) but
+    evaluates through the interpreted higher-order-function path —
+    ~6× slower PER ROW at 10M rows. So: use the FOLD in driver-side
+    iterative loops over bounded/sampled inputs (logreg_fit — one new
+    plan per iteration, planning-bound), keep the UNROLLED form for
+    scan-scale scoring (one plan, billions of rows, codegen-bound).
+    Crossover measured at roughly 10M rows per evaluation."""
+    u = x / F.lit(float(2**squarings))
+    u2 = u * u
+    u3 = u2 * u
+    u4 = u3 * u
+    u5 = u4 * u
+    t = (
+        F.lit(1.0)
+        + u
+        + u2 / F.lit(2.0)
+        + u3 / F.lit(6.0)
+        + u4 / F.lit(24.0)
+        + u5 / F.lit(120.0)
+    )
+    return F.aggregate(
+        F.array_repeat(F.lit(0.0), squarings), t, lambda acc, _: acc * acc
+    )
+
+
 def det_exp_sql(x: str, squarings: int = 6) -> str:
     """DuckDB twin of ``det_exp`` — identical operation order; the
     squarings fold via list_reduce so the SQL text stays linear."""

@@ -78,6 +78,15 @@ def assign_clusters(
         ]
     if not centroids:
         raise ValueError("assign_clusters: empty centroid set")
+    # spread first (r15, guide §2.5): the per-row cost is k×dim distance
+    # terms and the Lloyd update explodes ×dim — a small embeddings
+    # parquet arrives as 1-2 input splits and would run it all on 1-2
+    # cores. No-op once the input has cluster parallelism.
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.util import (
+        spread,
+    )
+
+    df = spread(df)
     v = F.col(vec_col)
     scored = F.array(
         *[

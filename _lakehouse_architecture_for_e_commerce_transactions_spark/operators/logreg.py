@@ -55,12 +55,27 @@ def logreg_fit(
 ) -> list[float]:
     """Fit [intercept, w1..wd] by batch gradient descent. One aggregate
     job per iteration; gradient sums are fixed-point BIGINT."""
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.functions.detmath import (
+        det_exp_fold,
+    )
+
     n = df.count()
     if n == 0:
         raise ValueError("logreg_fit: empty input")
     w = [0.0] * (len(features) + 1)
+    # The fit's sigmoid uses det_exp_FOLD (r15): the unrolled det_exp
+    # doubles its expression tree per squaring (×64), and each GD
+    # iteration plans a FRESH aggregate over that expanded tree —
+    # measured ~2 s/iteration of pure plan/codegen walk on a 200-row
+    # input. The fold keeps the tree tiny; values are bit-identical by
+    # construction (same multiplies, same order — see det_exp_fold's
+    # docstring and test_fit_matches_literal_iteration), so the
+    # unrolled SQL oracle still replays the fit exactly. Scoring keeps
+    # the unrolled form: one plan, scan-scale rows, codegen-bound.
     for _ in range(iterations):
-        err = _sigmoid(_margin(features, w)) - F.col(label).cast("double")
+        m = _margin(features, w)
+        sig = F.lit(1.0) / (F.lit(1.0) + det_exp_fold(-m))
+        err = sig - F.col(label).cast("double")
         aggs = [
             F.sum(
                 F.floor(err * SCALE + F.lit(0.5)).cast("long")

@@ -41,6 +41,9 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.util import (
+    spread,
+)
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -2549,7 +2552,9 @@ def extract_decoded_stats(
                 }
             )
 
-    return media.mapInPandas(batches, DECODED_STATS_SCHEMA)
+    # spread (r15, guide §2.5): no-op when the payload frame already
+    # has cluster parallelism; rescues 1-2-split local inputs
+    return spread(media).mapInPandas(batches, DECODED_STATS_SCHEMA)
 
 
 def _fake_meta(payload: bytes) -> tuple[int, int, str]:
@@ -2602,6 +2607,11 @@ def extract_image_meta(media: DataFrame) -> DataFrame:
                 }
             )
 
+    # NO spread here (r15, measured): this entry point is a header
+    # SKIM — per-row work is microseconds, and spreading a 1-split
+    # input means shuffling the full PAYLOAD bytes to save nothing
+    # (guide §8: move heavy bytes only when the work justifies it;
+    # multimodal_meta measured 0.49x with the spread)
     return media.mapInPandas(batches, IMAGE_META_SCHEMA)
 
 
@@ -2650,6 +2660,11 @@ def extract_media_headers(media: DataFrame) -> DataFrame:
                 }
             )
 
+    # NO spread here (r15, measured): this entry point is a header
+    # SKIM — per-row work is microseconds, and spreading a 1-split
+    # input means shuffling the full PAYLOAD bytes to save nothing
+    # (guide §8: move heavy bytes only when the work justifies it;
+    # multimodal_meta measured 0.49x with the spread)
     return media.mapInPandas(batches, MEDIA_HEADER_SCHEMA)
 
 
@@ -2705,7 +2720,9 @@ def sample_gif_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                 columns=["media_id", "n_frames", "frame_idx", "frame_sum"],
             )
 
-    return media.mapInPandas(batches, GIF_FRAME_SAMPLE_SCHEMA)
+    # spread (r15, guide §2.5): no-op when the payload frame already
+    # has cluster parallelism; rescues 1-2-split local inputs
+    return spread(media).mapInPandas(batches, GIF_FRAME_SAMPLE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
@@ -2812,7 +2829,14 @@ def synthesize_decodable_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+    # spread first (r15, guide §2.5): a small/packed documents table
+    # arrives as 1-2 input splits, and the whole synthesize->decode
+    # mapInPandas chain inherits that parallelism (measured: the six
+    # decode legs ran on ONE task at sf0.1). At real scale the input
+    # already has many splits and spread() is a no-op.
+    return spread(docs.select("doc_id")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
 
 
 def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
@@ -2845,7 +2869,14 @@ def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+    # spread first (r15, guide §2.5): a small/packed documents table
+    # arrives as 1-2 input splits, and the whole synthesize->decode
+    # mapInPandas chain inherits that parallelism (measured: the six
+    # decode legs ran on ONE task at sf0.1). At real scale the input
+    # already has many splits and spread() is a no-op.
+    return spread(docs.select("doc_id")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
 
 
 def _make_dc_jpeg():
@@ -3303,7 +3334,14 @@ def synthesize_arith_jpeg_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+    # spread first (r15, guide §2.5): a small/packed documents table
+    # arrives as 1-2 input splits, and the whole synthesize->decode
+    # mapInPandas chain inherits that parallelism (measured: the six
+    # decode legs ran on ONE task at sf0.1). At real scale the input
+    # already has many splits and spread() is a no-op.
+    return spread(docs.select("doc_id")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
 
 
 def synthesize_cmyk_jpeg_media(docs: DataFrame) -> DataFrame:
@@ -3336,7 +3374,14 @@ def synthesize_cmyk_jpeg_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+    # spread first (r15, guide §2.5): a small/packed documents table
+    # arrives as 1-2 input splits, and the whole synthesize->decode
+    # mapInPandas chain inherits that parallelism (measured: the six
+    # decode legs ran on ONE task at sf0.1). At real scale the input
+    # already has many splits and spread() is a no-op.
+    return spread(docs.select("doc_id")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
 
 
 def synthesize_jpeg12_media(docs: DataFrame) -> DataFrame:
@@ -3379,7 +3424,14 @@ def synthesize_jpeg12_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+    # spread first (r15, guide §2.5): a small/packed documents table
+    # arrives as 1-2 input splits, and the whole synthesize->decode
+    # mapInPandas chain inherits that parallelism (measured: the six
+    # decode legs ran on ONE task at sf0.1). At real scale the input
+    # already has many splits and spread() is a no-op.
+    return spread(docs.select("doc_id")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
 
 
 def synthesize_bmp_wav_variant_media(docs: DataFrame) -> DataFrame:
@@ -3513,7 +3565,14 @@ def synthesize_bmp_wav_variant_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+    # spread first (r15, guide §2.5): a small/packed documents table
+    # arrives as 1-2 input splits, and the whole synthesize->decode
+    # mapInPandas chain inherits that parallelism (measured: the six
+    # decode legs ran on ONE task at sf0.1). At real scale the input
+    # already has many splits and spread() is a no-op.
+    return spread(docs.select("doc_id")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
 
 
 def synthesize_png_variant_media(docs: DataFrame) -> DataFrame:
@@ -3746,7 +3805,14 @@ def synthesize_png_variant_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+    # spread first (r15, guide §2.5): a small/packed documents table
+    # arrives as 1-2 input splits, and the whole synthesize->decode
+    # mapInPandas chain inherits that parallelism (measured: the six
+    # decode legs ran on ONE task at sf0.1). At real scale the input
+    # already has many splits and spread() is a no-op.
+    return spread(docs.select("doc_id")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
 
 
 def synthesize_progressive_jpeg_media(docs: DataFrame) -> DataFrame:
@@ -3779,7 +3845,14 @@ def synthesize_progressive_jpeg_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+    # spread first (r15, guide §2.5): a small/packed documents table
+    # arrives as 1-2 input splits, and the whole synthesize->decode
+    # mapInPandas chain inherits that parallelism (measured: the six
+    # decode legs ran on ONE task at sf0.1). At real scale the input
+    # already has many splits and spread() is a no-op.
+    return spread(docs.select("doc_id")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
 
 
 def _make_progressive_dc_jpeg():
@@ -3981,7 +4054,9 @@ def resize_image_stats(media: DataFrame, factor: int = 2) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(batches, RESIZED_STATS_SCHEMA)
+    # spread (r15, guide §2.5): no-op when the payload frame already
+    # has cluster parallelism; rescues 1-2-split local inputs
+    return spread(media).mapInPandas(batches, RESIZED_STATS_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = StructType(
@@ -4043,7 +4118,9 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+    # spread (r15, guide §2.5): no-op when the payload frame already
+    # has cluster parallelism; rescues 1-2-split local inputs
+    return spread(media).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -4189,6 +4266,11 @@ def extract_video_meta(media: DataFrame) -> DataFrame:
                 }
             )
 
+    # NO spread here (r15, measured): this entry point is a header
+    # SKIM — per-row work is microseconds, and spreading a 1-split
+    # input means shuffling the full PAYLOAD bytes to save nothing
+    # (guide §8: move heavy bytes only when the work justifies it;
+    # multimodal_meta measured 0.49x with the spread)
     return media.mapInPandas(batches, VIDEO_META_SCHEMA)
 
 
@@ -4256,7 +4338,9 @@ def sample_video_frame_stats(
                 ],
             )
 
-    return media.mapInPandas(batches, VIDEO_FRAME_STATS_SCHEMA)
+    # spread (r15, guide §2.5): no-op when the payload frame already
+    # has cluster parallelism; rescues 1-2-split local inputs
+    return spread(media).mapInPandas(batches, VIDEO_FRAME_STATS_SCHEMA)
 
 
 def synthesize_mjpeg_media(docs: DataFrame) -> DataFrame:
@@ -4326,4 +4410,11 @@ def synthesize_mjpeg_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+    # spread first (r15, guide §2.5): a small/packed documents table
+    # arrives as 1-2 input splits, and the whole synthesize->decode
+    # mapInPandas chain inherits that parallelism (measured: the six
+    # decode legs ran on ONE task at sf0.1). At real scale the input
+    # already has many splits and spread() is a no-op.
+    return spread(docs.select("doc_id")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )

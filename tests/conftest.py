@@ -42,6 +42,15 @@ def spark(tmp_path_factory):
             "spark.sql.ui.retainedExecutions": "10",
             "spark.ui.dagGraph.retainedRootRDDs": "10",
             "spark.appStateStore.asyncTracking.enable": "true",
+            # Janino compiles are pure overhead at test scale: the
+            # suite runs thousands of tiny unique plans over KB-sized
+            # data, so every whole-stage compile costs more than the
+            # interpreted eval it would speed up (r15, measured -16%
+            # suite wall on the CDF+incremental files; the driver's
+            # verify has a finite budget and the suite must fit it).
+            # Production/bench sessions keep codegen on — this is the
+            # TEST session only, and no test asserts codegen nodes.
+            "spark.sql.codegen.wholeStage": "false",
         },
     )
     yield s

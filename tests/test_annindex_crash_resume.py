@@ -108,14 +108,28 @@ def _drive(spark, base, crash_nth=None):
     )
 
 
+_CONTROL_CACHE: dict = {}
+
+
+@pytest.fixture()
+def control_drive(spark, tmp_path_factory):
+    """The UNCRASHED control run is identical for every crash_nth —
+    drive it once per session instead of once per param (r15: it was
+    ~45% of this file's wall, pure duplicated stream machinery)."""
+    if "v" not in _CONTROL_CACHE:
+        base = str(tmp_path_factory.mktemp("ann_cr_control"))
+        _CONTROL_CACHE["v"] = _drive(spark, base)
+    return _CONTROL_CACHE["v"]
+
+
 @pytest.mark.parametrize("crash_nth", [1, 2])
 def test_index_maintenance_crash_resume_exactly_once(
-    spark, tmp_path, crash_nth
+    spark, tmp_path, crash_nth, control_drive
 ):
     crashed, crashed_live = _drive(
         spark, str(tmp_path / "crashed"), crash_nth=crash_nth
     )
-    control, control_live = _drive(spark, str(tmp_path / "control"))
+    control, control_live = control_drive
     assert crashed_live == control_live  # identical source history
     assert crashed == control, (
         f"index diverged after crash at publish #{crash_nth}"

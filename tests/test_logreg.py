@@ -42,3 +42,40 @@ def test_score_is_pure_projection(spark):
     w = [0.1, 0.3, -0.2]
     plan = LR.logreg_score(df, ["x1", "x2"], w)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # no shuffle: scoring is a projection
+
+
+def test_fit_matches_literal_iteration(spark):
+    """The r15 broadcast-weight-row fit must be BIT-identical to the
+    original literal-inlined gradient step (the SQL oracle unrolls the
+    literal form, so any drift breaks quality_logreg's parity): replay
+    the literal expression per iteration and compare exactly."""
+    from pyspark.sql import functions as F
+
+    from _lakehouse_architecture_for_e_commerce_transactions_spark.operators.logreg import (
+        SCALE,
+        _margin,
+        _sigmoid,
+    )
+
+    df = _separable(spark, 60)
+    n = df.count()
+    feats, lr = ["x1", "x2"], 0.5
+    w_ref = [0.0, 0.0, 0.0]
+    for _ in range(3):
+        err = _sigmoid(_margin(feats, w_ref)) - F.col("y").cast("double")
+        aggs = [
+            F.sum(F.floor(err * SCALE + F.lit(0.5)).cast("long")).alias("g0")
+        ]
+        for j, name in enumerate(feats):
+            aggs.append(
+                F.sum(
+                    F.floor((err * F.col(name)) * SCALE + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).alias(f"g{j + 1}")
+            )
+        g = df.agg(*aggs).first()
+        w_ref = [
+            w_ref[j] - lr * (g[f"g{j}"] / SCALE) / n for j in range(3)
+        ]
+    assert LR.logreg_fit(df, feats, "y", iterations=3, lr=lr) == w_ref

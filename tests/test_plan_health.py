@@ -21,13 +21,24 @@ from _lakehouse_architecture_for_e_commerce_transactions_spark.plans import (
 def test_catalog_sweep_no_cartesian_no_row_python(spark, sf_dir):
     """Sweep EVERY catalog builder at sf0.001: building the DataFrame is
     enough (plan inspection never executes the query), so this also covers
-    queries added in future rounds automatically."""
-    bad: dict[str, list[str]] = {}
-    for name, qd in catalog.CATALOG.items():
+    queries added in future rounds automatically.
+
+    r15: the sweep runs on a small thread pool — ~200 builders at
+    0.3-1 s of driver-side planning each (a few imperative sim builders
+    also execute their setup commits) made this the suite's
+    second-slowest test (128 s); jobs submitted from driver threads are
+    a documented Spark pattern (guide §2.6) and each sim builder writes
+    its own per-name temp dir, so builders don't collide."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(item):
+        name, qd = item
         df = qd.builder(spark, sf_dir)
-        flags = explain.scale_killer_flags(df)
-        if flags:
-            bad[name] = flags
+        return name, explain.scale_killer_flags(df)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(check, catalog.CATALOG.items()))
+    bad = {name: flags for name, flags in results if flags}
     assert not bad, f"scale-killer plans: {bad}"
 
 

@@ -387,14 +387,18 @@ def test_table_index_tracks_deletes_and_updates(spark, tmp_path):
     assert before == after
 
 def test_long_cdc_stream_index_growth_bounded(spark, tmp_path):
-    """50 maintenance batches against a churning vectors table: with a
-    compact_every cadence the index table's live dir count and
-    dead-row fraction stay BOUNDED (no per-batch monotone growth from
-    upsert-by-delete tombstones and watermark markers), answers stay
-    exact after every compaction, and the compaction commit publishes
-    as MAINTENANCE — a row-changing label the index table's own CDF
-    consumers classify structurally instead of silently skipping
-    (streaming/aggmaint._compact_state contract)."""
+    """A long run of maintenance batches against a churning vectors
+    table: with a compact_every cadence the index table's live dir
+    count and dead-row fraction stay BOUNDED (no per-batch monotone
+    growth from upsert-by-delete tombstones and watermark markers),
+    answers stay exact after every compaction, and the compaction
+    commit publishes as MAINTENANCE — a row-changing label the index
+    table's own CDF consumers classify structurally instead of
+    silently skipping (streaming/aggmaint._compact_state contract).
+    r15: 26 batches at cadence 4 (was 50 at cadence 8) — same ≥5
+    fold-and-verify cycles, every bound still cadence-relative, half
+    the wall (this was the suite's slowest test at 324 s; the driver's
+    verify budget is finite)."""
     from pyspark.sql import Row
 
     from _lakehouse_architecture_for_e_commerce_transactions_spark.sources import (
@@ -408,7 +412,7 @@ def test_long_cdc_stream_index_growth_bounded(spark, tmp_path):
     cb = str(tmp_path / "codebook")
     idx = str(tmp_path / "index")
     ckpt = str(tmp_path / "ckpt")
-    EVERY = 8
+    EVERY = 4
 
     def v3(i: int) -> list[float]:
         return [float(i % 7), float(i % 3), 1.0 + (i % 5)]
@@ -441,7 +445,7 @@ def test_long_cdc_stream_index_growth_bounded(spark, tmp_path):
     max_dirs = 0
     max_dead_frac = 0.0
     compact_ops = []
-    for b in range(1, 50):
+    for b in range(1, 26):
         mode = b % 3
         if mode == 0:
             S.delete_where_dv(

@@ -181,23 +181,41 @@ def test_arbitrary_batch_splits_converge(spark, tmp_path):
         mmp = str(tmp_path / f"mm_{label}")
         tkp = str(tmp_path / f"tk_{label}")
         per = (len(log) + n_files - 1) // n_files
-        # deliver file-by-file, re-running the stream after each one,
-        # so every split is a genuine separate micro-batch (a single
-        # availableNow run would fold all present files into one batch)
+        # one PACED availableNow run per twin: maxFilesPerTrigger=1
+        # makes each file its own genuine micro-batch within the run
+        # (r15 — the bench drains the same way; byte-identical state
+        # vs the old run-per-file delivery is pinned by
+        # scripts/probe_stream_paced.py and re-asserted right here by
+        # the cross-split equality below). mtimes staggered so the
+        # file source's timestamp ordering preserves the split order.
+        import time as _time
+
+        now = _time.time()
         for j in range(n_files):
-            _write(
-                os.path.join(raw, f"b{j}.csv"),
-                log[j * per : (j + 1) * per],
+            p = os.path.join(raw, f"b{j}.csv")
+            _write(p, log[j * per : (j + 1) * per])
+            os.utime(p, (now, now - 2.0 * (n_files - j)))
+
+        def paced():
+            return (
+                spark.readStream.schema(
+                    "k string, op string, old_val double, new_val double"
+                )
+                .option("header", True)
+                .option("maxFilesPerTrigger", "1")
+                .csv(raw)
             )
-            q = stream_minmax_maintenance(
-                spark, raw, factp, mmp, str(tmp_path / f"cm_{label}")
-            )
-            q.awaitTermination(180)
-            q = stream_topk_maintenance(
-                spark, raw, factp + "2", tkp,
-                str(tmp_path / f"ct_{label}"), k=2, buffer=1,
-            )
-            q.awaitTermination(180)
+
+        q = stream_minmax_maintenance(
+            spark, paced(), factp, mmp, str(tmp_path / f"cm_{label}")
+        )
+        q.awaitTermination(180)
+        assert len(q.recentProgress) == n_files
+        q = stream_topk_maintenance(
+            spark, paced(), factp + "2", tkp,
+            str(tmp_path / f"ct_{label}"), k=2, buffer=1,
+        )
+        q.awaitTermination(180)
         results_mm.append({
             r["k"]: (r["min_scaled"], r["max_scaled"])
             for r in read_maintained_minmax(spark, mmp).collect()
